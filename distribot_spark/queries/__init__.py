@@ -1,0 +1,18 @@
+"""Declared query inventory. Importing this package populates the registry."""
+
+from distribot_spark.queries.registry import QUERIES, oracle_sql, queries, register
+
+# Registration side effects: each module adds its declared queries.
+from distribot_spark.queries import relational  # noqa: E402,F401
+
+try:  # LLM-pipeline operators (dedup, similarity, text analysis)
+    from distribot_spark.queries import llm  # noqa: E402,F401
+except ImportError:
+    pass
+
+try:  # bounded-replay streaming queries S1–S10
+    from distribot_spark.queries import streaming  # noqa: E402,F401
+except ImportError:
+    pass
+
+__all__ = ["QUERIES", "queries", "oracle_sql", "register"]

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the config is chosen so the same code is
+correct and fast on a 1000-executor cluster against ~100 TB:
+
+- AQE on (runtime join re-planning, skew-join splitting, partition coalesce).
+- Arrow enabled for every pandas interchange (pandas UDFs are the only
+  Python-side hot path we allow).
+- Session timezone pinned to UTC so timestamp semantics match the
+  tz-naive parquet testdata and the DuckDB oracle.
+- shuffle.partitions is a *starting point*; AQE coalesces small shuffles and
+  splits skewed ones, so the same setting scales with input size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "distribot_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and let spark-submit provide it.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- correctness / determinism ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: the 100 TB safety net ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(DEFAULT_CPUS)),
+        )
+        # --- Python interchange is always Arrow-batched ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scans: vectorized parquet reader + pushdown are default-on;
+        #     cap partition bytes so a 100 TB scan yields sane task counts ---
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # keep the UI off in tests (faster startup, no port contention)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
