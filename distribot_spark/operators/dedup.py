@@ -1,0 +1,279 @@
+"""Deduplication operators over a text corpus.
+
+Five families (SURVEY.md §2B L1/L2 + mandate):
+
+- exact:      hash-groupBy on md5(text)                       → `exact_dedup`
+- MinHash:    shingle → minhash sig → LSH bands → bucket join → `minhash_candidate_pairs`
+- exact Jaccard: shingle-set join (oracle baseline, O(pairs)) → `jaccard_pairs`
+- SimHash:    64-bit signature + banded hamming join          → `simhash_pairs`
+- embedding:  cosine near-dup pairs                           → see similarity.py
+
+Scale notes (100 TB): every operator shuffles on a content-derived key
+(hash, band bucket, shingle) — no broadcast of the corpus, no driver
+collection. The LSH paths bound candidate-pair cardinality; the exact
+variants are oracle baselines to be run on samples at scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per exact text duplicate group.
+
+    hash-groupBy shape: shuffle on md5(text) — uniform keys, no skew;
+    map-side partial aggregation applies.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles: (id, shingle). JVM-side only:
+    split → sequence → transform(slice ∘ concat_ws) → explode → distinct."""
+    tokens = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        .dropDuplicates(["doc", "shingle"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """(doc, sig ARRAY<BIGINT>): sig[j] = min over shingles of
+    xxhash64(shingle, j). One shuffle (groupBy doc); the per-hash mins are
+    partial-aggregated map-side, so signature width doesn't multiply rows."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    agg = shingles.groupBy("doc").agg(*mins)
+    return agg.select(
+        "doc", F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_band_buckets(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode signatures into (band, bucket, doc): bucket = hash of the
+    band's signature slice. Bucket-join key cardinality ≈ docs × bands."""
+    band_entries = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                b,
+            ).alias("bucket"),
+        ),
+    )
+    return signatures.select(
+        "doc", F.explode(band_entries).alias("e")
+    ).select("doc", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (da < db) with exact-verified Jaccard ≥ threshold.
+
+    Pipeline: shingle → minhash signature → band buckets → self-join within
+    buckets (candidates) → exact verification on the candidates' shingle
+    sets. With b=32, r=4 the LSH s-curve passes ≥0.8-similar pairs with
+    P > 0.9998, so recall at the planted-duplicate regime is ~1 while the
+    bucket join keeps the candidate set ~linear (vs the O(n²) exact join).
+    """
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(sh, num_hashes)
+    buckets = lsh_band_buckets(sigs, bands, rows_per_band)
+
+    b1 = buckets.alias("b1")
+    b2 = buckets.alias("b2")
+    candidates = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.bucket") == F.col("b2.bucket"))
+            & (F.col("b1.doc") < F.col("b2.doc")),
+        )
+        .select(F.col("b1.doc").alias("da"), F.col("b2.doc").alias("db"))
+        .dropDuplicates()
+    )
+    return _verify_jaccard(candidates, sh, threshold)
+
+
+def _verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for given (da, db) pairs via shingle-set joins."""
+    sizes = shingles.groupBy("doc").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("doc").alias("da"), "shingle")
+    sb = shingles.select(F.col("doc").alias("db"), "shingle")
+    inter = (
+        pairs.join(sa, "da")
+        .join(sb, ["db", "shingle"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .withColumn("jaccard", F.round(jac * 1000, 0) / 1000)
+        .filter(jac >= threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold via the full shingle join —
+    the oracle baseline. O(sum of shingle-bucket²); fine at test scale,
+    use `minhash_candidate_pairs` at 100 TB."""
+    sh = word_shingles(df, text_col, id_col, shingle_n)
+    a = sh.select(F.col("doc").alias("da"), "shingle")
+    b = sh.select(F.col("doc").alias("db"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+        .select("da", "db")
+    )
+    return _verify_jaccard(pairs, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document, computed in one Arrow-batched pandas UDF
+    (numpy bit-twiddling; deterministic via md5 token hashes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            tokens = (text or "").split(" ")
+            if not tokens:
+                out[i] = 0
+                continue
+            hashes = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:8], "little"
+                    )
+                    for t in tokens
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            votes = bits.astype(np.int64).sum(axis=0) * 2 - len(tokens)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc"), simhash_udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into max_hamming+1 chunks; any pair
+    within the radius collides on ≥1 exact chunk → equi-join per chunk,
+    then exact hamming via bit_count(xor). Join is on (chunk_idx, chunk
+    value) — shuffle-friendly, no cross product.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sigs = simhash64(df, text_col, id_col)
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("chunk_idx"),
+                F.shiftrightunsigned(F.col("simhash"), ci * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for ci in range(n_chunks)
+        ]
+    )
+    banded = sigs.select(
+        "doc", "simhash", F.explode(chunks).alias("e")
+    ).select("doc", "simhash", "e.chunk_idx", "e.chunk")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("da"),
+            F.col("b.doc").alias("db"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["da", "db"])
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (ARRAY<FLOAT>).
+
+- `cosine_topk`: exact brute-force top-k — the oracle-checkable baseline.
+  Queries are broadcast (they're small by construction); the corpus is
+  never collected, so the plan is one scan + per-partition heap (window
+  top-k) at any corpus size.
+- `random_hyperplane_buckets` / `lsh_topk`: the 100 TB path — sign-of-dot
+  LSH signatures bucket the corpus; only same-bucket candidates are
+  re-ranked exactly. Probing multiple signature permutations trades
+  recall for candidate count.
+
+All dot products run JVM-side (`zip_with` + `aggregate` in index order —
+which also makes float summation order deterministic for the oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Index-ordered float64 dot product (deterministic summation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                              lambda acc, x: acc + x))
+
+
+def cosine_similarity(a, b):
+    """cos(a, b) as a Column; a/b are ARRAY<DOUBLE> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (qid, nid, rnk, cos). The query side is broadcast; ranking is a
+    window top-k (per-partition heap, no global sort of the cross product).
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), _to_double(F.col(vec_col)).alias("v")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "qid", "nid", cosine_similarity(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "rnk", (F.round(F.col("cos") * 10000, 0) / 10000).alias("cos"))
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cos ≥ threshold, da < db.
+    Exact O(n²) baseline — use `lsh_topk`-style bucketing at scale."""
+    a = df.select(F.col(id_col).alias("da"), _to_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("db"), _to_double(F.col(vec_col)).alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("da", "db", (F.round(F.col("cos") * 10000, 0) / 10000).alias("cos"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic hyperplane matrix for sign-LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _signature(vec_col, planes: np.ndarray):
+    """Sign-of-dot LSH signature as a BIGINT bucket key (≤63 planes)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(_dot(vec_col, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+    with the query in ANY of `n_tables` independent hyperplane tables, then
+    exact cosine re-rank of candidates only.
+
+    At 100 TB: the corpus is bucketed once (a column write), queries probe
+    buckets — each query touches ~corpus/2^n_planes × n_tables rows instead
+    of the full corpus.
+    """
+    tables = [
+        random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
+    ]
+    q = queries.select(
+        F.col(id_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), _to_double(F.col(vec_col)).alias("v")
+    )
+    for t, planes in enumerate(tables):
+        q = q.withColumn(f"sig{t}", _signature(F.col("qv"), planes))
+        c = c.withColumn(f"sig{t}", _signature(F.col("v"), planes))
+
+    # candidate union over tables (bucket equi-joins, deduped)
+    cands = None
+    for t in range(n_tables):
+        qt = q.select("qid", "qv", F.col(f"sig{t}").alias("sig"))
+        ct = c.select("nid", "v", F.col(f"sig{t}").alias("sig"))
+        part = F.broadcast(qt).join(ct, "sig").select("qid", "qv", "nid", "v")
+        cands = part if cands is None else cands.union(part)
+    cands = cands.dropDuplicates(["qid", "nid"])
+
+    scored = cands.select(
+        "qid", "nid", cosine_similarity(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "rnk", (F.round(F.col("cos") * 10000, 0) / 10000).alias("cos"))
+    )

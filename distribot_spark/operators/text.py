@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+quality scoring, language-ID heuristic, fingerprinting, TF-IDF.
+
+Everything is built from JVM-side `pyspark.sql.functions` (split/
+transform/filter/aggregate) — no Python in the hot path — so the operators
+whole-stage-codegen and scale linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny curated stopword lists for the language-ID heuristic. Real pipelines
+# would ship per-language lists; the mechanism (token-overlap voting,
+# all JVM-side) is what matters.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "de", "et", "en", "que", "les", "une", "pour", "avec"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+}
+
+
+def tokens(text_col) -> "F.Column":
+    return F.split(text_col, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_uniq_tokens, uniq_ratio, avg_token_len columns."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    chars = F.length(F.col(text_col))
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_uniq_tokens": n_uniq,
+            "uniq_ratio": F.round(n_uniq / n_tok * 1000, 0) / 1000,
+            "avg_token_len": F.round((chars - n_tok + 1) / n_tok * 100, 0) / 100,
+        }
+    )
+
+
+def stopword_hits(text_col, lang: str = "en") -> "F.Column":
+    """Count of tokens that are stopwords of `lang` (JVM-side filter)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text_col), lambda t: t.isin(*words)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    length band, stopword density, vocabulary diversity."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    sw_ratio = stopword_hits(F.col(text_col)) / n_tok
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    len_ok = (F.length(F.col(text_col)) >= 50) & (F.length(F.col(text_col)) <= 10000)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.least(sw_ratio * 2, F.lit(0.3))
+        + F.least(uniq_ratio, F.lit(1.0)) * 0.3
+    )
+    return df.withColumn("quality", F.round(score * 1000, 0) / 1000)
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: per-language stopword-hit counts + argmax.
+    Ties broken by language code order for determinism."""
+    out = df
+    for lang in sorted(STOPWORDS):
+        out = out.withColumn(f"hits_{lang}", stopword_hits(F.col(text_col), lang))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(STOPWORDS)])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full md5 + 16-hex-char normalized prefix
+    (content-addressed key for storage/dedup)."""
+    return df.withColumns(
+        {
+            "fp_md5": F.md5(F.col(text_col)),
+            "fp_short": F.substring(F.md5(F.lower(F.col(text_col))), 1, 16),
+        }
+    )
+
+
+def tfidf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_per_doc: int = 3
+) -> DataFrame:
+    """DataFrame-native TF-IDF: tf = in-doc term count, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed); returns top terms per doc.
+
+    Two shuffles total (term stats, per-doc window) regardless of corpus
+    size; the doc-count scalar is broadcast via crossJoin of a 1-row agg.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+    )
+    scored = tf.join(idf, "term").withColumn("tfidf", F.col("tf") * F.col("idf"))
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_per_doc)
+        .select(
+            "doc",
+            "term",
+            "rnk",
+            (F.round(F.col("tfidf") * 10000, 0) / 10000).alias("tfidf"),
+        )
+    )

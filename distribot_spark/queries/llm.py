@@ -1,0 +1,376 @@
+"""LLM-data-pipeline declared queries (SURVEY.md §2B L1–L6 + text analysis).
+
+Each entry runs a real operator from ``distribot_spark.operators`` and,
+where the semantics are SQL-expressible, carries a DuckDB oracle. The
+approximate operators (MinHash LSH, sign-LSH ANN) are *exact-verified*
+(candidates re-checked with true Jaccard/cosine), so at the planted-
+duplicate similarity regime (j ≥ 0.89 → LSH recall ≈ 1) they are
+oracle-checkable against the exact baselines; the pure-approx variants
+stay rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distribot_spark.catalog import load_table
+from distribot_spark.operators import dedup, multimodal, similarity, text
+from distribot_spark.queries.registry import register
+
+# Shared oracle fragments -----------------------------------------------------
+
+_JACCARD_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id AS doc,
+                  unnest([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, len(w) - 1)]) AS s
+           FROM t),
+    dd AS (SELECT DISTINCT doc, s FROM sh),
+    sz AS (SELECT doc, COUNT(*) AS n FROM dd GROUP BY doc),
+    pairs AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS inter
+              FROM dd a JOIN dd b ON a.s = b.s AND a.doc < b.doc
+              GROUP BY 1, 2)
+    SELECT da, db,
+           ROUND(inter / (sa.n + sb.n - inter) * 1000) / 1000 AS jaccard
+    FROM pairs JOIN sz sa ON da = sa.doc JOIN sz sb ON db = sb.doc
+    WHERE inter / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY da, db
+"""
+
+_COSINE_EXPR = """
+      list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]))
+      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+         * sqrt(list_sum(list_transform(v, x -> x * x))))
+"""
+
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    GROUP BY md5(text) ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def l1_exact_dedup(spark, sf_dir):
+    """Exact dedup: keep the min doc_id per md5(text) group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2: near-dup — MinHash LSH (exact-verified) + exact Jaccard baseline
+# ---------------------------------------------------------------------------
+
+
+@register("l2_minhash_pairs", oracle=_JACCARD_ORACLE, tags=("llm", "dedup", "lsh"))
+def l2_minhash_pairs(spark, sf_dir):
+    """MinHash(128) + 32-band LSH candidates, exact-verified at j ≥ 0.5.
+    Oracle = the exact 3-gram Jaccard pair query (planted dups are
+    j ≥ 0.89 where the LSH s-curve passes with P ≈ 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_candidate_pairs(docs, "text", "doc_id", threshold=0.5)
+        .orderBy("da", "db")
+    )
+
+
+@register("l2_jaccard_exact", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+def l2_jaccard_exact(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs ≥ 0.5 (the O(n²)-bounded baseline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5).orderBy(
+        "da", "db"
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (hamming ≤ 3) via pigeonhole band join.
+    Rows-only: signature bit votes aren't SQL-expressible in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy(
+        "da", "db"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    a AS (SELECT vec_id AS da, v AS qv FROM e),
+    b AS (SELECT vec_id AS db, v FROM e),
+    pairs AS (SELECT da, db, {_COSINE_EXPR} AS cos
+              FROM a, b WHERE da < db)
+    SELECT da, db, ROUND(cos * 10000) / 10000 AS cos
+    FROM pairs WHERE cos >= 0.45 ORDER BY da, db
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs at cos ≥ 0.45 (exact pairwise baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, 0.45).orderBy("da", "db")
+
+
+# ---------------------------------------------------------------------------
+# L3: similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l3_topk_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS nid, v FROM e WHERE vec_id >= 10),
+    pairs AS (SELECT qid, nid, {_COSINE_EXPR} AS cos FROM q, c),
+    r AS (SELECT qid, nid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+          FROM pairs)
+    SELECT qid, nid, rnk, ROUND(cos * 10000) / 10000 AS cos
+    FROM r WHERE rnk <= 5 ORDER BY qid, rnk
+    """,
+    tags=("llm", "similarity"),
+)
+def l3_topk_cosine(spark, sf_dir):
+    """Exact brute-force cosine top-5 for the first 10 query vectors
+    (broadcast queries × corpus scan, window top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.cosine_topk(corpus, queries, k=5).orderBy("qid", "rnk")
+
+
+@register("l3_lsh_topk", oracle=None, tags=("llm", "similarity", "lsh"))
+def l3_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-5 (the 100 TB path); recall vs the exact
+    baseline is asserted in tests, not hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.lsh_topk(corpus, queries, k=5).orderBy("qid", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# L4: text analysis — TF-IDF, token stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l4_tfidf",
+    oracle="""
+    WITH toks AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (SELECT term, LN((n_docs + 1) / (df + 1)) + 1 AS idf FROM dfreq, n),
+    scored AS (SELECT doc, tf.term AS term, tf * idf AS tfidf
+               FROM tf JOIN idf ON tf.term = idf.term),
+    r AS (SELECT doc, term, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    SELECT doc, term, rnk, ROUND(tfidf * 10000) / 10000 AS tfidf
+    FROM r WHERE rnk <= 3 ORDER BY doc, rnk
+    """,
+    tags=("llm", "text"),
+)
+def l4_tfidf(spark, sf_dir):
+    """DataFrame-native smoothed TF-IDF, top-3 terms per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf(docs, "text", "doc_id", top_per_doc=3).orderBy("doc", "rnk")
+
+
+@register(
+    "l4_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+    SELECT term, COUNT(*) AS df FROM toks
+    GROUP BY term ORDER BY df DESC, term LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def l4_tfidf_top_terms(spark, sf_dir):
+    """Corpus-level document frequency: top-20 terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    ).dropDuplicates()
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_tokens",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+      ROUND(len(list_distinct(string_split(text, ' ')))
+            / len(string_split(text, ' ')) * 1000) / 1000 AS uniq_ratio,
+      ROUND((LENGTH(text) - len(string_split(text, ' ')) + 1)
+            / len(string_split(text, ' ')) * 100) / 100 AS avg_token_len
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def doc_tokens(spark, sf_dir):
+    """Token counting + vocabulary-diversity stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.token_stats(docs, "text")
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("bigint").alias("n_uniq_tokens"),
+        "uniq_ratio",
+        "avg_token_len",
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+        len(string_split(text, ' ')) AS n_tok,
+        len(list_filter(string_split(text, ' '),
+            x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+          AS sw_hits,
+        len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents)
+    SELECT doc_id,
+      ROUND((CASE WHEN LENGTH(text) >= 50 AND LENGTH(text) <= 10000
+                  THEN 0.4 ELSE 0.0 END
+             + LEAST(sw_hits / n_tok * 2, 0.3)
+             + LEAST(n_uniq / n_tok, 1.0) * 0.3) * 1000) / 1000 AS quality
+    FROM s ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def doc_quality(spark, sf_dir):
+    """Composite quality score: length band + stopword density + diversity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "text").select("doc_id", "quality").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "doc_langid",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], x))) AS hits_de,
+        len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS hits_en,
+        len(list_filter(string_split(text,' '), x -> list_contains(['el','la','de','y','en','que','los','una','por','con'], x))) AS hits_es,
+        len(list_filter(string_split(text,' '), x -> list_contains(['le','la','de','et','en','que','les','une','pour','avec'], x))) AS hits_fr
+      FROM documents)
+    SELECT doc_id,
+      CAST(hits_de AS INT) AS hits_de, CAST(hits_en AS INT) AS hits_en,
+      CAST(hits_es AS INT) AS hits_es, CAST(hits_fr AS INT) AS hits_fr,
+      CASE WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+           WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+           WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+           ELSE 'fr' END AS pred_lang
+    FROM h ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def doc_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-overlap voting, argmax with
+    deterministic tie order (de < en < es < fr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.lang_scores(docs, "text")
+    return scored.select(
+        "doc_id", "hits_de", "hits_en", "hits_es", "hits_fr", "pred_lang"
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp_md5,
+           substr(md5(lower(text)), 1, 16) AS fp_short
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def doc_fingerprint(spark, sf_dir):
+    """Content fingerprints (full + normalized-prefix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "text").select(
+        "doc_id", "fp_md5", "fp_short"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L5: quality filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l5_quality_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang = 'en' AND n_chars BETWEEN 150 AND 350
+    ORDER BY doc_id
+    """,
+    tags=("llm", "filter"),
+)
+def l5_quality_filter(spark, sf_dir):
+    """Language + length quality gate (predicates push to the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("lang") == "en") & F.col("n_chars").between(150, 350))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l6_multimodal",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           md5(text) AS content_key
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def l6_multimodal(spark, sf_dir):
+    """Binary payload column + metadata + content-addressed key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.attach_payload(docs, "text").select(
+        "doc_id", "media_type", "payload_bytes", "content_key"
+    ).orderBy("doc_id")
+
+
+@register("multimodal_decode", oracle=None, tags=("llm", "multimodal"))
+def multimodal_decode(spark, sf_dir):
+    """mapInPandas batch-decode plumbing with the deterministic fake
+    decoder (real codecs unavailable; see operators.multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(docs, "text")
+    return multimodal.decode_image(payloads, fake=True).orderBy("doc_id")

@@ -1,0 +1,100 @@
+"""Semantic tests for the LLM-pipeline operators that the oracle can't
+hash-check: LSH recall vs exact baselines, approx-distinct tolerance,
+multimodal decode plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distribot_spark.catalog import load_table
+from distribot_spark.operators import dedup, multimodal, similarity
+from distribot_spark.queries import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates must recover every exact Jaccard ≥ 0.5 pair."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    exact = {
+        (r.da, r.db)
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.da, r.db)
+        for r in dedup.minhash_candidate_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert exact, "expected planted near-dup pairs in testdata"
+    assert lsh == exact
+
+
+def test_simhash_finds_planted_dups(spark):
+    """Planted near-dups (j ≥ 0.89) should be hamming-close in SimHash."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    exact = {
+        (r.da, r.db)
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    sim = {
+        (r.da, r.db)
+        for r in dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=8).collect()
+    }
+    assert exact
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall} of {len(exact)} planted pairs"
+
+
+def test_lsh_topk_near_dup_regime(spark):
+    """Sign-LSH is a near-duplicate retriever: for queries that are small
+    perturbations of corpus vectors (cos ≥ ~0.95), the source vector must
+    surface in the LSH top-5. (At moderate cosine ~0.4 — random data —
+    hyperplane LSH provably can't prune; that regime uses the exact path.)
+    """
+    import numpy as np
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 10).collect()
+    rng = np.random.RandomState(7)
+    rows = []
+    for r in base:
+        v = np.array(r.embedding, dtype=np.float64)
+        noisy = v + rng.standard_normal(len(v)) * 0.05 * np.linalg.norm(v) / np.sqrt(len(v))
+        rows.append((int(r.vec_id), [float(x) for x in noisy]))
+    queries = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=10, n_tables=8)
+    found = {r.qid for r in approx.collect() if r.qid == r.nid}
+    assert len(found) >= 8, f"LSH found source vector for only {sorted(found)}"
+
+
+def test_approx_count_distinct_tolerance(spark):
+    approx = QUERIES["q15"].builder(spark, SF_ORACLE).collect()[0][0]
+    exact = QUERIES["q15_exact"].builder(spark, SF_ORACLE).collect()[0][0]
+    assert abs(approx - exact) / exact <= 0.02
+
+
+def test_multimodal_decode_shapes(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    payloads = multimodal.attach_payload(docs, "text")
+    decoded = multimodal.decode_image(payloads, fake=True)
+    rows = decoded.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert len(r.byte_histogram) == 16
+        assert r.n_bytes > 0
+        assert sum(r.byte_histogram) == r.n_bytes
+        assert len(r.head_hex) == 16
+
+
+def test_multimodal_decode_stub_raises(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").limit(2)
+    payloads = multimodal.attach_payload(docs, "text")
+    decoded = multimodal.decode_image(payloads, fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decoded.collect()
+
+
+def test_exact_dedup_idempotent(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    once = dedup.exact_dedup(docs, "text", "doc_id")
+    twice = dedup.exact_dedup(once, "text", "doc_id")
+    assert once.count() == twice.count()
