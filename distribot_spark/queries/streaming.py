@@ -1,0 +1,385 @@
+"""Streaming declared queries S1–S10 (SURVEY.md §2B).
+
+Every entry replays the events table as a bounded file stream
+(deterministic chunking, see streaming.replay) and returns the final sink
+table, so the DuckDB oracle can check streaming semantics as batch SQL:
+on bounded input, streaming result ≡ batch result — modulo watermark
+effects, which the late-data variants (s4) encode *explicitly* in the
+oracle's HAVING clause.
+
+Output-mode choices per operator:
+- complete: windowed aggs where the final table is the full aggregate
+- append:   watermarked closure semantics (s4), dedup (s5), joins (s8)
+- update:   stateful running aggregates (s6, s10) with a batch-side
+            latest-row projection afterwards (counts are monotone)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from distribot_spark.catalog import load_table
+from distribot_spark.functions import stable_round
+from distribot_spark.queries.registry import register
+from distribot_spark.streaming import replay
+
+_FMT_S = "yyyy-MM-dd HH:mm:ss"
+_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_S1_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS cnt, ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _hourly_agg(stream):
+    return (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("raw_sum"))
+        .select(
+            F.date_format("window.start", _FMT_S).alias("window_start"),
+            "event_type",
+            "cnt",
+            stable_round(F.col("raw_sum")).alias("sum_value"),
+        )
+    )
+
+
+@register("s1_tumbling_window", oracle=_S1_ORACLE, tags=("streaming",))
+def s1_tumbling_window(spark, sf_dir):
+    """Tumbling 1h windows × event_type (complete mode ≡ batch agg)."""
+    src = replay.replay_dir(sf_dir)
+    return replay.run_bounded(spark, _hourly_agg, src, "complete").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "s2_sliding_window",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k)
+                     FOR k IN [0, 1, 2, 3]]) AS ws
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS cnt, ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def s2_sliding_window(spark, sf_dir):
+    """Sliding 1h windows, 15m slide: each event lands in 4 windows."""
+    src = replay.replay_dir(sf_dir)
+
+    def t(stream):
+        return (
+            stream.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("raw_sum"))
+            .select(
+                F.date_format("window.start", _FMT_S).alias("window_start"),
+                "event_type",
+                "cnt",
+                stable_round(F.col("raw_sum")).alias("sum_value"),
+            )
+        )
+
+    return replay.run_bounded(spark, t, src, "complete").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "s3_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+    tags=("streaming",),
+)
+def s3_session_window(spark, sf_dir):
+    """Per-user session windows with a 30-minute gap (session end = last
+    event + gap, matching the gaps-and-islands batch definition)."""
+    src = replay.replay_dir(sf_dir)
+
+    def t(stream):
+        return (
+            stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("raw_sum"))
+            .select(
+                "user_id",
+                F.date_format("session_window.start", _FMT_US).alias("session_start"),
+                F.date_format("session_window.end", _FMT_US).alias("session_end"),
+                "n_events",
+                stable_round(F.col("raw_sum")).alias("sum_value"),
+            )
+        )
+
+    return replay.run_bounded(spark, t, src, "complete").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@register(
+    "s4_watermark_late_data",
+    oracle="""
+    WITH agg AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                        COUNT(*) AS cnt, ROUND(SUM(value) * 100) / 100 AS sum_value
+                 FROM events GROUP BY 1, 2),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           cnt, sum_value
+    FROM agg, wm WHERE ws + INTERVAL 1 HOUR <= w
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "watermark"),
+)
+def s4_watermark_late_data(spark, sf_dir):
+    """Watermark + late data, deterministically replayed: file 1 holds all
+    events ≥ 2024-01-02 (watermark advances to global max − 1h), file 2
+    replays the day-1 events a full watermark behind.
+
+    What Spark guarantees (and what the oracle encodes) is *closure*:
+    append mode emits exactly the windows with window_end ≤ final
+    watermark, once, with complete counts. Late-row *dropping* is
+    best-effort: rows whose window state was already evicted are dropped,
+    but rows for never-seen windows (our whole day-1 file) still create
+    state and emit immediately — verified empirically on Spark 4.1.2, and
+    why the oracle aggregates over all events rather than only file 1.
+    The split sits on a window boundary so no window spans both files."""
+    src = replay.replay_dir(sf_dir, late_split_ts="2024-01-02 00:00:00")
+
+    def t(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("raw_sum"))
+            .select(
+                F.date_format("window.start", _FMT_S).alias("window_start"),
+                "event_type",
+                "cnt",
+                stable_round(F.col("raw_sum")).alias("sum_value"),
+            )
+        )
+
+    return replay.run_bounded(spark, t, src, "append").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "s5_stream_dedup",
+    oracle="""
+    SELECT event_id, event_type, value FROM events ORDER BY event_id
+    """,
+    tags=("streaming", "dedup"),
+)
+def s5_stream_dedup(spark, sf_dir):
+    """Streaming dedup under at-least-once delivery: the replay redelivers
+    the last chunk; dropDuplicatesWithinWatermark on event_id restores
+    exactly-once output. The 720h delay covers the replay's redelivery
+    horizon — at scale this is sized to the source's redelivery window."""
+    src = replay.replay_dir(sf_dir, duplicate_last_chunk=True)
+
+    def t(stream):
+        return (
+            stream.withWatermark("ts", "720 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type", "value")
+        )
+
+    return replay.run_bounded(spark, t, src, "append").orderBy("event_id")
+
+
+@register(
+    "s6_stateful_counter",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def s6_stateful_counter(spark, sf_dir):
+    """Custom per-key state machine via applyInPandasWithState (the same
+    primitive the flow engine's per-flow state uses): running per-user
+    (count, sum), emitted every update; the batch projection keeps the
+    final row per user (counts are monotone)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = replay.replay_dir(sf_dir)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, s = state.get
+        else:
+            n, s = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "raw_sum": [s]}
+        )
+
+    def t(stream):
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            "user_id long, n_events long, raw_sum double",
+            "n long, s double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    updates = replay.run_bounded(spark, t, src, "update")
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            stable_round(F.max("raw_sum")).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "s7_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS cnt,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "join"),
+)
+def s7_stream_static_join(spark, sf_dir):
+    """Stream ⋈ static dimension (broadcast — the dim never shuffles),
+    aggregated by segment."""
+    src = replay.replay_dir(sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+
+    def t(stream):
+        joined = stream.join(
+            F.broadcast(customer), stream.user_id == customer.c_custkey
+        )
+        return (
+            joined.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("raw_sum"))
+            .select(
+                "c_mktsegment", "cnt", stable_round(F.col("raw_sum")).alias("sum_value")
+            )
+        )
+
+    return replay.run_bounded(spark, t, src, "complete").orderBy("c_mktsegment")
+
+
+@register(
+    "s8_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def s8_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: view within 1h after a
+    click by the same user. In-order replay ⇒ no state-eviction misses ⇒
+    output ≡ the batch interval join."""
+    src = replay.replay_dir(sf_dir)
+
+    def t(s_click, s_view):
+        clicks = (
+            s_click.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        views = (
+            s_view.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        return clicks.join(
+            views,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("c_ts"))
+            & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("click_id", "view_id")
+
+    return replay.run_bounded(spark, t, src, "append", n_sources=2).orderBy(
+        "click_id", "view_id"
+    )
+
+
+@register("s9_foreachbatch_sink", oracle=_S1_ORACLE, tags=("streaming", "sink"))
+def s9_foreachbatch_sink(spark, sf_dir):
+    """foreachBatch idempotent sink: each micro-batch atomically replaces
+    the result table (complete-mode agg ⇒ overwrite is a correct MERGE;
+    re-running a batch converges to the same state)."""
+    import tempfile
+
+    src = replay.replay_dir(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="s9_", dir=replay.TMP_ROOT)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    replay.run_foreach_batch(spark, _hourly_agg, src, sink, "complete")
+    return spark.read.parquet(out_dir).orderBy("window_start", "event_type")
+
+
+@register("s10_output_modes", oracle=_S1_ORACLE, tags=("streaming",))
+def s10_output_modes(spark, sf_dir):
+    """Update output mode on the S1 aggregation: the sink accumulates one
+    row per key per changed batch; the final answer is the latest (= max,
+    counts and positive sums are monotone) row per key — and must equal
+    the complete-mode/batch result."""
+    src = replay.replay_dir(sf_dir)
+
+    def t(stream):
+        return (
+            stream.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("raw_sum"))
+            .select(
+                F.date_format("window.start", _FMT_S).alias("window_start"),
+                "event_type",
+                "cnt",
+                F.col("raw_sum"),
+            )
+        )
+
+    updates = replay.run_bounded(spark, t, src, "update")
+    return (
+        updates.groupBy("window_start", "event_type")
+        .agg(
+            F.max("cnt").alias("cnt"),
+            stable_round(F.max("raw_sum")).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )

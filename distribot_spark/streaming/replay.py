@@ -1,0 +1,153 @@
+"""Deterministic bounded replay of the events table as a file stream.
+
+Chunks the events parquet into k files in event-time order (so watermarks
+advance monotonically, like a well-behaved source), with optional
+variants:
+
+- ``late_split_ts``: all rows ≥ split go into chunk 0, all rows < split
+  into chunk 1 — a deterministic late-data scenario (the second file is
+  entirely behind the watermark).
+- ``duplicate_last_chunk``: re-appends a copy of the last chunk —
+  simulates an at-least-once source redelivering a window of data.
+
+Files are written with µs/UTC timestamps (Spark's watermark machinery
+requires TIMESTAMP, and µs matches what the catalog reader produces).
+Replay dirs are content-keyed and cached under <repo>/.tmp/replay.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+TMP_ROOT = os.path.join(_REPO_ROOT, ".tmp")
+
+
+def _events_table_us(sf_dir: str) -> pa.Table:
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ts = (
+        pc.floor_temporal(t["ts"], unit="microsecond")
+        .cast(pa.timestamp("us"), safe=False)
+        .cast(pa.timestamp("us", tz="UTC"))
+    )
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+    return t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+
+
+def replay_dir(
+    sf_dir: str,
+    n_chunks: int = 8,
+    late_split_ts: str | None = None,
+    duplicate_last_chunk: bool = False,
+) -> str:
+    """Build (or reuse) a chunked replay directory; returns its path."""
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}-c{n_chunks}"
+    if late_split_ts:
+        tag += "-late" + late_split_ts.replace(" ", "T").replace(":", "")
+    if duplicate_last_chunk:
+        tag += "-dup"
+    out = os.path.join(TMP_ROOT, "replay", tag)
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    t = _events_table_us(sf_dir)
+    if late_split_ts is not None:
+        split = (
+            pa.scalar(late_split_ts)
+            .cast(pa.timestamp("us"))
+            .cast(pa.timestamp("us", tz="UTC"))
+        )
+        on_time = t.filter(pc.greater_equal(t["ts"], split))
+        late = t.filter(pc.less(t["ts"], split))
+        chunks = [on_time, late]
+    else:
+        n = t.num_rows
+        chunks = [
+            t.slice(i * n // n_chunks, (i + 1) * n // n_chunks - i * n // n_chunks)
+            for i in range(n_chunks)
+        ]
+        if duplicate_last_chunk:
+            chunks.append(chunks[-1])
+
+    for i, chunk in enumerate(chunks):
+        pq.write_table(chunk, os.path.join(out, f"chunk_{i:04d}.parquet"))
+    return out
+
+
+_counter = [0]
+
+
+def run_bounded(
+    spark: SparkSession,
+    transform,
+    source_dir: str,
+    output_mode: str,
+    max_files_per_trigger: int = 1,
+    n_sources: int = 1,
+) -> DataFrame:
+    """Run `transform(stream, ...)` over a bounded replay to completion and
+    return the memory-sink result as a batch DataFrame.
+
+    `transform` receives `n_sources` independent readStream handles over the
+    same directory (stream-stream joins need two).
+    """
+    schema = spark.read.parquet(source_dir).schema
+    streams = [
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        for _ in range(n_sources)
+    ]
+    out = transform(*streams)
+
+    _counter[0] += 1
+    name = f"sink_{_counter[0]}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_", dir=TMP_ROOT)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return result
+
+
+def run_foreach_batch(
+    spark: SparkSession,
+    transform,
+    source_dir: str,
+    sink_fn,
+    output_mode: str = "complete",
+) -> None:
+    """Run a bounded stream through a foreachBatch sink (idempotent-MERGE
+    pattern: sink_fn(batch_df, batch_id) owns the write)."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        source_dir
+    )
+    out = transform(stream)
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_", dir=TMP_ROOT)
+    q = (
+        out.writeStream.foreachBatch(sink_fn)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(checkpoint, ignore_errors=True)
