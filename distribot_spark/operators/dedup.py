@@ -59,17 +59,37 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct (doc, h): 64-bit xxhash of each word n-gram shingle.
+
+    Everything downstream (signatures, banding, set intersection) only
+    needs equality on shingles, so hashing *before* the distinct makes the
+    shuffle rows fixed-width longs instead of strings — measurably faster
+    at every scale, with 2^-64 collision odds per pair."""
+    tokens = F.split(F.col(text_col), " ")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, n))),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(hashes).alias("h"))
+        .dropDuplicates(["doc", "h"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 128) -> DataFrame:
-    """(doc, sig ARRAY<BIGINT>): sig[j] = min over shingles of
-    xxhash64(shingle, j). One shuffle (groupBy doc); the per-hash mins are
-    partial-aggregated map-side, so signature width doesn't multiply rows."""
+    """(doc, sig ARRAY<BIGINT>) from (doc, h) hashed shingles: sig[j] =
+    min over shingles of xxhash64(h, j) — the family is derived from the
+    64-bit base hash, never re-hashing strings. One shuffle (groupBy doc);
+    the per-hash mins partial-aggregate map-side, so signature width never
+    multiplies shuffled rows."""
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
+        F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     agg = shingles.groupBy("doc").agg(*mins)
@@ -120,7 +140,7 @@ def minhash_candidate_pairs(
     bucket join keeps the candidate set ~linear (vs the O(n²) exact join).
     """
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, text_col, id_col, shingle_n)
+    sh = shingle_hashes(df, text_col, id_col, shingle_n)
     sigs = minhash_signatures(sh, num_hashes)
     buckets = lsh_band_buckets(sigs, bands, rows_per_band)
 
@@ -140,13 +160,13 @@ def minhash_candidate_pairs(
 
 
 def _verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard for given (da, db) pairs via shingle-set joins."""
+    """Exact Jaccard for given (da, db) pairs via hashed-shingle-set joins."""
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col("doc").alias("da"), "shingle")
-    sb = shingles.select(F.col("doc").alias("db"), "shingle")
+    sa = shingles.select(F.col("doc").alias("da"), "h")
+    sb = shingles.select(F.col("doc").alias("db"), "h")
     inter = (
         pairs.join(sa, "da")
-        .join(sb, ["db", "shingle"])
+        .join(sb, ["db", "h"])
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )
@@ -172,11 +192,11 @@ def jaccard_pairs(
     """Exact n-gram Jaccard pairs ≥ threshold via the full shingle join —
     the oracle baseline. O(sum of shingle-bucket²); fine at test scale,
     use `minhash_candidate_pairs` at 100 TB."""
-    sh = word_shingles(df, text_col, id_col, shingle_n)
-    a = sh.select(F.col("doc").alias("da"), "shingle")
-    b = sh.select(F.col("doc").alias("db"), "shingle")
+    sh = shingle_hashes(df, text_col, id_col, shingle_n)
+    a = sh.select(F.col("doc").alias("da"), "h")
+    b = sh.select(F.col("doc").alias("db"), "h")
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .groupBy("da", "db")

@@ -1,0 +1,81 @@
+"""Plan-quality gates: the physical plans must stay 100 TB-shaped.
+
+These are regression tests for scale properties — if a refactor breaks
+predicate pushdown, column pruning, dim broadcasting, or pushes a
+relational operator onto the Python path, these fail even though results
+stay correct.
+"""
+
+from distribot_spark.plans import (
+    explain_string,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+    uses_python_eval,
+)
+from distribot_spark.queries import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def q(spark, name):
+    return QUERIES[name].builder(spark, SF_ORACLE)
+
+
+def test_q01_column_pruning(spark):
+    schemas = read_schemas(q(spark, "q01"))
+    assert schemas, "no scan found"
+    assert schemas[0] == ["l_orderkey", "l_linenumber", "l_quantity"]
+
+
+def test_q02_filter_pushdown(spark):
+    filters = " ".join(pushed_filters(q(spark, "q02")))
+    assert "o_totalprice" in filters and "o_orderstatus" in filters
+
+
+def test_q13_scan_shape(spark):
+    df = q(spark, "q13")
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters, "shipdate filter must reach the scan"
+    plan = explain_string(df)
+    assert "HashAggregate" in plan
+    assert not uses_python_eval(df), "flagship agg must stay JVM-side"
+    # codegen spans only appear once AQE finalizes the plan — execute first
+    df.collect()
+    final_plan = explain_string(df)
+    assert "== Final Plan ==" in final_plan
+    # '*' stages / '[codegen id : N]' mark whole-stage-codegen spans
+    assert "[codegen id :" in final_plan
+
+
+def test_q05_broadcasts_dims(spark):
+    assert has_broadcast_join(q(spark, "q05"))
+
+
+def test_q23_topk_no_global_sort(spark):
+    assert "TakeOrderedAndProject" in explain_string(q(spark, "q23"))
+
+
+def test_relational_queries_stay_jvm_side(spark):
+    """Only the explicitly-Python operators (q39/q40, simhash, multimodal,
+    flow) may have Python eval nodes."""
+    allowed_python = {"q39", "q40", "dedup_simhash", "multimodal_decode"}
+    for name, spec in QUERIES.items():
+        if name.startswith(("s", "flow")):  # streaming/flow run differently
+            continue
+        df = spec.builder(spark, SF_ORACLE)
+        if name in allowed_python:
+            assert uses_python_eval(df), f"{name} should use the Arrow path"
+        else:
+            assert not uses_python_eval(df), f"{name} leaked onto the Python path"
+
+
+def test_l5_filter_pushdown(spark):
+    filters = " ".join(pushed_filters(q(spark, "l5_quality_filter")))
+    assert "lang" in filters and "n_chars" in filters
+
+
+def test_l3_broadcasts_queries(spark):
+    """Brute-force ANN must broadcast the query side, never shuffle the
+    corpus."""
+    plan = explain_string(q(spark, "l3_topk_cosine"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
