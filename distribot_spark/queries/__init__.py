@@ -15,6 +15,16 @@ try:  # bounded-replay streaming queries S1–S10
 except ImportError:
     pass
 
+try:  # temporal operators (as-of join, time rollup)
+    from distribot_spark.queries import temporal  # noqa: E402,F401
+except ImportError:
+    pass
+
+try:  # source/sink round-trip queries
+    from distribot_spark.queries import sources  # noqa: E402,F401
+except ImportError:
+    pass
+
 try:  # flow-engine e2e queries
     from distribot_spark.queries import flow  # noqa: E402,F401
 except ImportError:

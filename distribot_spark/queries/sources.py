@@ -1,0 +1,158 @@
+"""Source/sink declared queries: format round-trips and layout-aware
+reads, hash-checked against the original parquet via DuckDB."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from distribot_spark.catalog import load_table
+from distribot_spark.queries.registry import register
+from distribot_spark.sources import (
+    read_any,
+    write_any,
+    write_bucketed_table,
+    write_partitioned,
+)
+from distribot_spark.streaming.replay import TMP_ROOT
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("sources", "csv"),
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """parquet → CSV sink → schema-enforced CSV source → aggregate; the
+    oracle reads the original table, so the round trip must be lossless."""
+    out = os.path.join(TMP_ROOT, f"csv_{_tag(sf_dir)}")
+    nation = load_table(spark, sf_dir, "nation")
+    write_any(nation, out, fmt="csv", header="true")
+    back = read_any(
+        spark, out, fmt="csv",
+        schema="n_nationkey int, n_name string, n_regionkey int",
+        header="true",
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"), F.min("n_name").alias("first_nation"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+    tags=("sources", "json"),
+)
+def source_json_roundtrip(spark, sf_dir):
+    """parquet → JSON-lines sink → schema-enforced JSON source."""
+    out = os.path.join(TMP_ROOT, f"json_{_tag(sf_dir)}")
+    region = load_table(spark, sf_dir, "region")
+    write_any(region, out, fmt="json")
+    back = read_any(spark, out, fmt="json",
+                    schema="r_regionkey int, r_name string")
+    return back.select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@register(
+    "source_partitioned_read",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sources", "partitioning"),
+)
+def source_partitioned_read(spark, sf_dir):
+    """Write orders hive-partitioned by status, read back with a partition
+    filter — the scan plans with PartitionFilters and touches only the
+    'O' directory (asserted in tests/test_plans.py)."""
+    out = os.path.join(TMP_ROOT, f"part_orders_{_tag(sf_dir)}")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.isdir(out):
+        write_partitioned(orders, out, ["o_orderstatus"])
+    back = read_any(spark, out, fmt="parquet")
+    return (
+        back.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "source_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity) * 100) / 100 AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sources", "bucketing"),
+)
+def source_bucketed_join(spark, sf_dir):
+    """Join two tables bucketed on the join key: the shuffle was paid at
+    write time, the join itself plans with no Exchange (asserted in
+    tests/test_plans.py via bucketed_join_plan)."""
+    li_t, o_t = bucketed_tables(spark, sf_dir)
+    li = spark.table(li_t)
+    o = spark.table(o_t)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.round(F.sum("l_quantity") * 100, 0) / 100).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _drop_orphan_location(spark, table: str) -> None:
+    """A fresh session's in-memory catalog forgets tables but their
+    warehouse directories persist; clear the orphan so saveAsTable can
+    recreate it."""
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(warehouse, table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def bucketed_tables(spark, sf_dir) -> tuple[str, str]:
+    """Create (once per session+sf) lineitem/orders bucketed on the join
+    key; returns the table names."""
+    tag = _tag(sf_dir).replace(".", "_")
+    li_t, o_t = f"lineitem_b_{tag}", f"orders_b_{tag}"
+    if not spark.catalog.tableExists(li_t):
+        _drop_orphan_location(spark, li_t)
+        write_bucketed_table(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            ),
+            li_t, ["l_orderkey"], 8, sort_by=["l_orderkey"],
+        )
+    if not spark.catalog.tableExists(o_t):
+        _drop_orphan_location(spark, o_t)
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            o_t, ["o_orderkey"], 8, sort_by=["o_orderkey"],
+        )
+    return li_t, o_t

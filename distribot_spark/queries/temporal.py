@@ -1,0 +1,115 @@
+"""Temporal operators beyond the core inventory: as-of join and
+hypertable-style hierarchical time rollup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distribot_spark.catalog import load_table
+from distribot_spark.functions import stable_round
+from distribot_spark.operators.asof import asof_join
+from distribot_spark.queries.registry import register
+
+
+@register(
+    "asof_click_view",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+    views AS (SELECT user_id, ts, event_id AS view_id
+              FROM events WHERE event_type = 'view')
+    SELECT c.click_id, v.view_id
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    ORDER BY c.click_id
+    """,
+    tags=("temporal", "asof"),
+)
+def asof_click_view(spark, sf_dir):
+    """As-of join: each click matched to the user's latest view at or
+    before it — checked against DuckDB's native ASOF JOIN. Spark-side it's
+    the union-merge composition (one shuffle, no range explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_id"],
+    )
+    return joined.select("click_id", "view_id").orderBy("click_id")
+
+
+@register(
+    "asof_click_view_tolerance",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+    views AS (SELECT user_id, ts, event_id AS view_id
+              FROM events WHERE event_type = 'view'),
+    m AS (SELECT c.click_id, v.view_id, v.ts AS vts, c.ts AS cts,
+                 ROW_NUMBER() OVER (PARTITION BY c.click_id
+                                    ORDER BY v.ts DESC) AS rn
+          FROM clicks c LEFT JOIN views v
+            ON c.user_id = v.user_id AND v.ts <= c.ts)
+    SELECT click_id,
+           CASE WHEN vts >= cts - INTERVAL 2 HOUR THEN view_id END AS view_id
+    FROM m WHERE rn = 1 ORDER BY click_id
+    """,
+    tags=("temporal", "asof"),
+)
+def asof_click_view_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance: matches older than 2 hours
+    become nulls."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_id"], tolerance="2 hours",
+    )
+    return joined.select("click_id", "view_id").orderBy("click_id")
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour,
+           CAST(GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS INT) AS g_day,
+           CAST(GROUPING(CAST(EXTRACT(HOUR FROM ts) AS INT)) AS INT) AS g_hour,
+           COUNT(*) AS cnt, ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM events
+    GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                     CAST(EXTRACT(HOUR FROM ts) AS INT))
+    ORDER BY g_day, g_hour, day, hour
+    """,
+    tags=("temporal", "rollup"),
+)
+def events_time_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: (day, hour) → (day) → total
+    in one pass via ROLLUP — the multi-resolution aggregate a time-series
+    store maintains as continuous aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    prepared = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        "value",
+    )
+    return (
+        prepared.rollup("day", "hour")
+        .agg(
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.count("*").alias("cnt"),
+            stable_round(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("g_day", "g_hour", "day", "hour")
+    )

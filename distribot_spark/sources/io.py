@@ -1,0 +1,86 @@
+"""Format readers/writers + layout-aware sinks.
+
+The reference has no file formats at all (state lives in Redis, data in
+AMQP messages — SURVEY.md §2C); an analytics engine needs them, and at
+100 TB the *layout* decisions are the performance decisions:
+
+- `write_partitioned`: hive-style directory partitioning → partition
+  pruning at read (PartitionFilters in the scan, zero I/O for pruned
+  partitions).
+- `write_bucketed_table`: pre-shuffled bucket layout on the join/agg key →
+  repeated joins/aggs on that key skip their Exchange entirely
+  (tests/test_plans.py asserts the no-Exchange plan).
+- csv/json readers take explicit schemas — schema inference is a full
+  extra pass over 100 TB and type-unstable; never rely on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_READ_DEFAULTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true"},
+    "json": {},
+    "parquet": {},
+    "orc": {},
+}
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read `path` in `fmt`. For text formats a schema is required: type
+    inference costs a full extra scan and infers unstable types."""
+    if fmt not in _READ_DEFAULTS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    if fmt in ("csv", "json") and schema is None:
+        raise ValueError(f"{fmt} reads require an explicit schema")
+    opts = {**_READ_DEFAULTS[fmt], **options}
+    reader = spark.read.format(fmt).options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_any(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite",
+    **options: str,
+) -> None:
+    df.write.format(fmt).mode(mode).options(**options).save(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout; filters on partition columns prune
+    directories at planning time (no file I/O for pruned values). Keep
+    partition-key cardinality moderate (≤ ~10k) — tiny partitions turn
+    into a small-files problem at scale."""
+    df.write.format(fmt).mode(mode).partitionBy(*partition_by).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) catalog table.
+
+    Both sides of a join bucketed on the join key with equal bucket counts
+    read co-located: the SortMergeJoin plans with NO Exchange — the
+    shuffle was paid once at write time and amortizes over every
+    subsequent join/agg on that key."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -164,3 +164,18 @@ def test_retry_effectively_once(engine):
     assert (retried.attempt == 2).all()
     clean = res[~res.task_id.isin([f"flaky-{i}" for i in (0, 3, 6)])]
     assert (clean.attempt == 1).all()
+
+
+def test_ten_concurrent_flows(engine):
+    """BASELINE.md target: ≥10 flows in flight concurrently. The state
+    store is append-only with unique fragment names, so concurrent flows
+    share one engine safely; Spark schedules their jobs concurrently."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    flow = dict(NEWS_FLOW, data={"n_tasks": 5})
+    fids = [engine.create_flow(flow) for _ in range(10)]
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        results = list(pool.map(engine.run, fids))
+    assert results == ["finished"] * 10
+    assert all(engine.finished(f) for f in fids)
+    assert engine.active() == []

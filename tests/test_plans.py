@@ -79,3 +79,31 @@ def test_l3_broadcasts_queries(spark):
     corpus."""
     plan = explain_string(q(spark, "l3_topk_cosine"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partitioned_scan_prunes(spark):
+    """Partition filter must appear as PartitionFilters, not a row filter."""
+    df = q(spark, "source_partitioned_read")
+    plan = explain_string(df)
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1)
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Both sides bucketed on the join key ⇒ SortMergeJoin without any
+    Exchange: the shuffle was paid at write time."""
+    from distribot_spark.queries.sources import bucketed_tables
+
+    li_t, o_t = bucketed_tables(spark, SF_ORACLE)
+    li = spark.table(li_t)
+    o = spark.table(o_t)
+    # hint merge: at test scale Catalyst would broadcast instead (which
+    # also avoids the shuffle); at real scale SMJ is what gets picked, and
+    # the property under test is that bucketing removes its Exchange.
+    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    plan = explain_string(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not reshuffle"
+    assert "Bucketed: true" in plan
