@@ -20,10 +20,26 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver builds its own SparkSession; pin the runtime-settable
+    confs our determinism contract depends on (UTC so date/timestamp
+    strings match the tz-naive parquet + DuckDB oracle; AQE on)."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
     from distribot_spark.queries import QUERIES
 
+    _ensure_session_confs(spark)
     return QUERIES["q13"].builder(spark, "/root/testdata/sf0.001")
 
 
@@ -31,7 +47,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from distribot_spark.queries import queries as _queries
 
-    return _queries()
+    def wrap(builder):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_session_confs(spark)
+            return builder(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(b) for name, b in _queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
