@@ -41,6 +41,10 @@ HEADLINE = [
     "l3_topk_cosine",
     "l4_tfidf_top_terms",
     "doc_quality",
+    "asof_click_view",
+    "events_time_rollup",
+    "q_percentiles",
+    "q_salted_agg",
 ]
 
 

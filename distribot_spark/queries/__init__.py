@@ -15,6 +15,11 @@ try:  # bounded-replay streaming queries S1–S10
 except ImportError:
     pass
 
+try:  # extra analytics (percentiles, resample, skew, text extras)
+    from distribot_spark.queries import analytics_extra  # noqa: E402,F401
+except ImportError:
+    pass
+
 try:  # temporal operators (as-of join, time rollup)
     from distribot_spark.queries import temporal  # noqa: E402,F401
 except ImportError:

@@ -1,0 +1,178 @@
+"""Additional analytics operators: exact/approx percentiles, time-series
+resampling with gap fill, BPE-ish token counting, rolling-hash
+fingerprints, salted (skew-safe) aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distribot_spark.catalog import load_table
+from distribot_spark.functions import stable_round
+from distribot_spark.operators.skew import salted_aggregate
+from distribot_spark.queries.registry import register
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, verified bit-identical)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+            F.percentile("o_totalprice", 0.99).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("q_percentiles_approx", oracle=None, tags=("agg", "approx"))
+def q_percentiles_approx(spark, sf_dir):
+    """approx_percentile sketch (KLL-style); ≈ operator, rows-only — the
+    tolerance vs q_percentiles is asserted in tests/test_operators.py."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50_approx"),
+            F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                           date_trunc('hour', MAX(ts)) AS hi FROM events),
+    grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    agg AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt,
+                   ROUND(SUM(value) * 100) / 100 AS sum_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(agg.cnt, 0) AS cnt,
+           COALESCE(agg.sum_value, 0.0) AS sum_value
+    FROM grid LEFT JOIN agg ON grid.h = agg.h
+    ORDER BY hour
+    """,
+    tags=("temporal", "resample"),
+)
+def events_resample_gapfill(spark, sf_dir):
+    """Resample to an hourly grid with zero-filled gaps: generate the full
+    hour spine (sequence + explode — one row per hour, distributed) and
+    left-join the aggregates onto it. The training-pipeline shape for
+    regularizing irregular event streams."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("cnt"),
+            stable_round(F.sum("value")).alias("sum_value"),
+        )
+    )
+    return (
+        grid.join(agg, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "doc_tokens_bpe",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           AS BIGINT) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def doc_tokens_bpe(spark, sf_dir):
+    """BPE-ish regex token counting (word/number/punctuation pieces) — the
+    pre-tokenizer split GPT-style BPE applies before merges."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register("doc_rolling_hash", oracle=None, tags=("llm", "text"))
+def doc_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint over the token stream,
+    computed JVM-side with F.aggregate (h = (h*31 + hash(token)) mod 2^31
+    — pmod keeps everything in range under ANSI arithmetic). Order-
+    sensitive, unlike the md5 set fingerprints. Rows-only: Spark's
+    murmur3 token hash has no DuckDB equivalent; determinism is asserted
+    in tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.lit(2147483647)
+    rolling = F.aggregate(
+        F.split(F.col("text"), " "),
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.pmod(acc * 31 + F.pmod(F.hash(tok).cast("long"), m), m),
+    )
+    return docs.select("doc_id", rolling.alias("rhash")).orderBy("doc_id")
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)::DOUBLE AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "skew"),
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation: groupBy(key, salt) partials →
+    groupBy(key) combine. o_orderstatus has only 3 values — exactly the
+    hot-key shape where a plain groupBy funnels everything through 3
+    reducers; salting spreads each key over 16. Results must equal the
+    plain aggregate (the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_aggregate(
+        orders.select("o_orderstatus", "o_totalprice"),
+        keys=["o_orderstatus"],
+        partial_aggs=[
+            F.count("*").alias("pc"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("ps"),
+        ],
+        final_aggs=[
+            F.sum("pc").alias("cnt"),
+            F.round(F.sum("ps"), 2).cast("double").alias("total"),
+        ],
+        salt_buckets=16,
+    ).orderBy("o_orderstatus")

@@ -98,3 +98,24 @@ def test_exact_dedup_idempotent(spark):
     once = dedup.exact_dedup(docs, "text", "doc_id")
     twice = dedup.exact_dedup(once, "text", "doc_id")
     assert once.count() == twice.count()
+
+
+def test_approx_percentile_tolerance(spark):
+    exact = {r.o_orderstatus: (r.p50, r.p90)
+             for r in QUERIES["q_percentiles"].builder(spark, SF_ORACLE).collect()}
+    approx = {r.o_orderstatus: (r.p50_approx, r.p90_approx)
+              for r in QUERIES["q_percentiles_approx"].builder(spark, SF_ORACLE).collect()}
+    for k, (p50, p90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - p50) / p50 <= 0.02
+        assert abs(a90 - p90) / p90 <= 0.02
+
+
+def test_rolling_hash_deterministic_and_discriminative(spark):
+    b = QUERIES["doc_rolling_hash"].builder
+    r1 = {r.doc_id: r.rhash for r in b(spark, SF_ORACLE).collect()}
+    r2 = {r.doc_id: r.rhash for r in b(spark, SF_ORACLE).collect()}
+    assert r1 == r2, "rolling hash must be run-deterministic"
+    assert all(0 <= v < 2**31 for v in r1.values())
+    distinct_ratio = len(set(r1.values())) / len(r1)
+    assert distinct_ratio > 0.95, "fingerprints should discriminate docs"
