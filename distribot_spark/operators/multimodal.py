@@ -89,3 +89,81 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.select("doc_id", "content_key", "payload").mapInPandas(
         batches, DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = "doc_id LONG, content_key STRING, payload BINARY, width INT, height INT"
+
+
+def resize_image(df: DataFrame, width: int = 8, height: int = 8, fake: bool = False) -> DataFrame:
+    """Batch 'resize' via mapInPandas. Real resampling needs PIL/opencv
+    (not in this container; fake=False raises at execution time). The fake
+    path strided-samples the payload down to width×height bytes — same
+    batching, schema, and output-size contract a real resizer has."""
+    import numpy as np
+    import pandas as pd
+
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs are not installed; pass fake=True for the "
+                    "deterministic strided-sampling stand-in"
+                )
+            rows = []
+            for doc_id, key, payload in zip(
+                pdf["doc_id"], pdf["content_key"], pdf["payload"]
+            ):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                if len(buf) == 0:
+                    out = np.zeros(target, dtype=np.uint8)
+                else:
+                    idx = (np.arange(target) * len(buf)) // target
+                    out = buf[idx]
+                rows.append(
+                    {"doc_id": doc_id, "content_key": key,
+                     "payload": out.tobytes(), "width": width, "height": height}
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "content_key", "payload").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = (
+    "doc_id LONG, frame_idx INT, frame_offset LONG, frame_bytes INT, frame_md5 STRING"
+)
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4, frame_size: int = 32) -> DataFrame:
+    """Sample N fixed-size 'frames' (byte windows at even offsets) per
+    payload — the video-keyframe-sampling shape: one input row fans out to
+    n_frames rows, batch-processed in mapInPandas. Fully deterministic, so
+    it runs as-is (a real codec would replace the window slicing)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for k in range(n_frames):
+                    off = (k * max(len(buf) - frame_size, 0)) // max(n_frames - 1, 1)
+                    frame = buf[off : off + frame_size]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": k,
+                            "frame_offset": off,
+                            "frame_bytes": len(frame),
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -374,3 +374,29 @@ def multimodal_decode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_payload(docs, "text")
     return multimodal.decode_image(payloads, fake=True).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH p AS (SELECT doc_id, text AS b, LENGTH(text) AS n FROM documents),
+    f AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS k, b, n FROM p)
+    SELECT doc_id, CAST(k AS INT) AS frame_idx,
+      CAST((k * GREATEST(n - 16, 0)) // 3 AS BIGINT) AS frame_offset,
+      CAST(LENGTH(substr(b, (k * GREATEST(n - 16, 0)) // 3 + 1, 16)) AS INT)
+        AS frame_bytes,
+      md5(substr(b, (k * GREATEST(n - 16, 0)) // 3 + 1, 16)) AS frame_md5
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling over binary payloads (4 windows of 16 bytes at even
+    offsets) — one row fans out to 4 frame rows via mapInPandas. The
+    payloads are ASCII text bytes, so the oracle reproduces the windows
+    with VARCHAR substr + md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(docs, "text")
+    return multimodal.frame_sample(payloads, n_frames=4, frame_size=16).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -119,3 +119,21 @@ def test_rolling_hash_deterministic_and_discriminative(spark):
     assert all(0 <= v < 2**31 for v in r1.values())
     distinct_ratio = len(set(r1.values())) / len(r1)
     assert distinct_ratio > 0.95, "fingerprints should discriminate docs"
+
+
+def test_multimodal_resize_and_frames(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").limit(20)
+    payloads = multimodal.attach_payload(docs, "text")
+    resized = multimodal.resize_image(payloads, width=8, height=8, fake=True).collect()
+    assert len(resized) == 20
+    assert all(len(r.payload) == 64 for r in resized)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.resize_image(payloads, fake=False).collect()
+    frames = multimodal.frame_sample(payloads, n_frames=4, frame_size=16).collect()
+    assert len(frames) == 80
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    assert all(len(v) == 4 for v in by_doc.values())
+    assert all(f.frame_bytes <= 16 for f in frames)

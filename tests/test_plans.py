@@ -58,7 +58,9 @@ def test_q23_topk_no_global_sort(spark):
 def test_relational_queries_stay_jvm_side(spark):
     """Only the explicitly-Python operators (q39/q40, simhash, multimodal,
     flow) may have Python eval nodes."""
-    allowed_python = {"q39", "q40", "dedup_simhash", "multimodal_decode"}
+    allowed_python = {
+        "q39", "q40", "dedup_simhash", "multimodal_decode", "multimodal_frames",
+    }
     for name, spec in QUERIES.items():
         if name.startswith(("s", "flow")):  # streaming/flow run differently
             continue
