@@ -144,7 +144,6 @@ def frame_sample(df: DataFrame, n_frames: int = 4, frame_size: int = 32) -> Data
     it runs as-is (a real codec would replace the window slicing)."""
     import hashlib
 
-    import numpy as np
     import pandas as pd
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

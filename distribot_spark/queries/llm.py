@@ -400,3 +400,34 @@ def multimodal_frames(spark, sf_dir):
     return multimodal.frame_sample(payloads, n_frames=4, frame_size=16).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register("l2_minhash_ml", oracle=None, tags=("llm", "dedup", "lsh", "ml"))
+def l2_minhash_ml(spark, sf_dir):
+    """spark.ml MinHashLSH variant of L2 (Tokenizer → NGram(3) →
+    binary CountVectorizer → MinHashLSH.approxSimilarityJoin): the
+    library-pipeline cross-check of the native implementation. Rows-only
+    (the ML hash family isn't oracle-reproducible); pair-set agreement
+    with l2_minhash_pairs is asserted in tests/test_operators.py."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    grams = NGram(n=3, inputCol="words", outputCol="grams").transform(words)
+    cv = CountVectorizer(inputCol="grams", outputCol="features", binary=True).fit(
+        grams
+    )
+    feat = cv.transform(grams).select("doc_id", "features")
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=16, seed=42
+    ).fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
+            (F.round((1 - F.col("jaccard_dist")) * 1000, 0) / 1000).alias("jaccard"),
+        )
+        .orderBy("da", "db")
+    )

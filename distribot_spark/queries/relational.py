@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from distribot_spark.catalog import TABLES, load_table, register_views
+from distribot_spark.catalog import load_table, register_views
 from distribot_spark.queries.registry import register
 
 D12 = "decimal(12,2)"

@@ -4,7 +4,6 @@ reads, hash-checked against the original parquet via DuckDB."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 

@@ -137,3 +137,14 @@ def test_multimodal_resize_and_frames(spark):
         by_doc.setdefault(f.doc_id, []).append(f)
     assert all(len(v) == 4 for v in by_doc.values())
     assert all(f.frame_bytes <= 16 for f in frames)
+
+
+def test_minhash_ml_agrees_with_native(spark):
+    """The spark.ml MinHashLSH pipeline and the native implementation must
+    find the same planted near-dup pairs."""
+    native = {(r.da, r.db)
+              for r in QUERIES["l2_minhash_pairs"].builder(spark, SF_ORACLE).collect()}
+    ml = {(r.da, r.db)
+          for r in QUERIES["l2_minhash_ml"].builder(spark, SF_ORACLE).collect()}
+    assert native, "expected planted pairs"
+    assert native <= ml, f"ml variant missed native pairs: {sorted(native - ml)[:5]}"
