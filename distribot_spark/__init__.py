@@ -19,7 +19,8 @@ idiomatic Apache Spark engine:
 
 from distribot_spark.session import get_spark
 from distribot_spark.catalog import load_table, register_views
+from distribot_spark.sql import run_sql
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "load_table", "register_views", "__version__"]
+__all__ = ["get_spark", "load_table", "register_views", "run_sql", "__version__"]

@@ -127,7 +127,9 @@ class FlowEngine:
         return self.state.control_state(flow_id) == CANCELED
 
     def paused(self, flow_id: str) -> bool:
-        return self.current_phase(flow_id) == PAUSED
+        # the control flag is authoritative: a concurrently-running phase
+        # may append its completion transition after the PAUSED marker
+        return self.state.control_state(flow_id) == "pause"
 
     # -- control (R9–R11) ----------------------------------------------------------
 
@@ -144,12 +146,13 @@ class FlowEngine:
         """Transition back to the last real phase (flow.rb:79-88)."""
         if not self.paused(flow_id):
             raise FlowError("not paused")
-        transitions = self.state.transitions(flow_id)
-        last_real = next(
-            t["to"] for t in reversed(transitions) if t["to"] != PAUSED
-        )
         self.state.set_control(flow_id, "resume")
-        self.state.add_transition(flow_id, PAUSED, last_real)
+        if self.current_phase(flow_id) == PAUSED:
+            transitions = self.state.transitions(flow_id)
+            last_real = next(
+                t["to"] for t in reversed(transitions) if t["to"] != PAUSED
+            )
+            self.state.add_transition(flow_id, PAUSED, last_real)
 
     def cancel(self, flow_id: str) -> None:
         """Transition to canceled + deregister (flow.rb:94-105). Unlike the
@@ -210,6 +213,16 @@ class FlowEngine:
                     )
                     continue
                 raise
+
+            # a pause/cancel may have landed while the phase ran: yield
+            # BEFORE advancing, so the PAUSED/CANCELED marker stays the
+            # latest transition (phase completion is preserved in progress,
+            # so resume skips the drained phase)
+            ctl = self.state.control_state(flow_id)
+            if ctl == CANCELED:
+                return CANCELED
+            if ctl == "pause":
+                return PAUSED
 
             nxt = spec.next_phase(cur)
             if nxt is None:

@@ -83,6 +83,7 @@ def example_registry() -> HandlerRegistry:
     reg.register("FlakyWorker", "1.0.0", FlakyWorker())
     reg.register("AlwaysFails", "1.0.0", AlwaysFails())
     reg.register("ErrorEmailer", "1.0.0", ErrorEmailer())
+    reg.register("SlowWorker", "1.0.0", SlowWorker())
     return reg
 
 
@@ -102,5 +103,31 @@ NEWS_FLOW = {
             "handlers": ["Downloader", "Auditor"],
         },
         {"name": "finished", "is_final": True},
+    ],
+}
+
+
+class SlowWorker:
+    """Sleeps per task — used to exercise live control (pause/cancel
+    arriving from another thread while a phase is running)."""
+
+    def enumerate(self, ctx):
+        return [{"task_id": f"slow-{i}", "i": i} for i in range(4)]
+
+    def process(self, ctx, task):
+        import time
+
+        time.sleep(0.5)
+        return {"i": task["i"]}
+
+
+SLOW_FLOW = {
+    "name": "slow",
+    "phases": [
+        {"name": "p1", "is_initial": True, "transitions_to": "p2",
+         "handlers": ["SlowWorker"]},
+        {"name": "p2", "transitions_to": "p3", "handlers": ["SlowWorker"]},
+        {"name": "p3", "transitions_to": "done", "handlers": ["SlowWorker"]},
+        {"name": "done", "is_final": True},
     ],
 }

@@ -179,3 +179,33 @@ def test_ten_concurrent_flows(engine):
     assert results == ["finished"] * 10
     assert all(engine.finished(f) for f in fids)
     assert engine.active() == []
+
+
+def test_live_pause_mid_run(engine):
+    """Control arriving WHILE the flow runs: pause lands at the next
+    control checkpoint (wave/phase boundary — the documented deviation
+    from the reference's per-task requeue), and resume+run completes
+    without re-processing finished phases."""
+    import threading
+    import time
+
+    from distribot_spark.flow.examples import SLOW_FLOW
+
+    fid = engine.create_flow(SLOW_FLOW)
+    result_box = {}
+
+    def drive():
+        result_box["r"] = engine.run(fid)
+
+    t = threading.Thread(target=drive)
+    t.start()
+    time.sleep(1.0)  # mid-phase-1-ish
+    engine.pause(fid)
+    t.join(timeout=60)
+    assert result_box["r"] == "paused"
+    done_phases = {p for p in engine.status(fid).phase}
+    assert "p3" not in done_phases, "pause must land before the last phase"
+    engine.resume(fid)
+    assert engine.run(fid) == "finished"
+    tos = [x["to"] for x in engine.state.transitions(fid)]
+    assert tos[-1] == "done" and "paused" in tos

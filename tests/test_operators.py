@@ -148,3 +148,16 @@ def test_minhash_ml_agrees_with_native(spark):
           for r in QUERIES["l2_minhash_ml"].builder(spark, SF_ORACLE).collect()}
     assert native, "expected planted pairs"
     assert native <= ml, f"ml variant missed native pairs: {sorted(native - ml)[:5]}"
+
+
+def test_run_sql_facade(spark):
+    from distribot_spark import run_sql
+
+    df = run_sql(
+        spark,
+        "SELECT r_name, COUNT(*) AS n FROM region JOIN nation "
+        "ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name",
+        SF_ORACLE,
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and all(r.n == 5 for r in rows)
