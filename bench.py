@@ -60,11 +60,15 @@ def main() -> None:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-        # cold pass (not reported): plan + JIT + footer cache
+        # cold pass (not reported): plan + JIT + footer cache; then report
+        # the min of two warm runs (min is robust to GC/scheduler noise)
         spec.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        spec.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -20,13 +20,17 @@ effect at wave boundaries.
 
 from __future__ import annotations
 
+import inspect
 import json
 import math
+import os
+import time
 import uuid
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from distribot_spark.flow.registry import DEFAULT_REGISTRY, HandlerRegistry
 from distribot_spark.flow.spec import FlowSpec
@@ -258,9 +262,21 @@ class FlowEngine:
         assert self.state.phase_drained(flow_id, phase.name)
 
     def _run_handler(self, flow_id: str, phase: str, ctx: HandlerContext, impl) -> None:
-        # enumerate (worker.rb:55-70,112-119): driver-side generator → rows
+        # enumerate (worker.rb:55-70,112-119). Handlers may enumerate either
+        # a driver-side iterable of dicts (reference-faithful) or — the
+        # 100 TB path — a DataFrame with a task_id column, which never
+        # materializes on the driver.
+        sig = inspect.signature(impl.enumerate)
+        enumerated = (
+            impl.enumerate(ctx, self.spark)
+            if len(sig.parameters) >= 2
+            else impl.enumerate(ctx)
+        )
+        if isinstance(enumerated, DataFrame):
+            self._run_handler_distributed(flow_id, phase, ctx, impl, enumerated)
+            return
         tasks = []
-        for t in impl.enumerate(ctx):
+        for t in enumerated:
             t = dict(t)
             task_id = str(t.pop("task_id", uuid.uuid4().hex))
             tasks.append({"task_id": task_id, "payload": json.dumps(t)})
@@ -338,6 +354,87 @@ class FlowEngine:
 
         rows = df.mapInPandas(fn, "task_id string, status string, result string").collect()
         return [r.asDict() for r in rows]
+
+    def _run_handler_distributed(
+        self, flow_id: str, phase: str, ctx: HandlerContext, impl, task_df: DataFrame
+    ) -> None:
+        """Distributed-enumerate execution: the task set stays a DataFrame
+        end to end. Results are written straight to the task_log parquet
+        dir (write-once, then derive retry sets from storage — re-running
+        the lazy plan would re-execute side-effecting processors), and the
+        driver only ever sees counts."""
+        if "task_id" not in task_df.columns:
+            raise FlowError("DataFrame enumerate must include a task_id column")
+        payload_cols = [c for c in task_df.columns if c != "task_id"]
+        tasks = task_df.select(
+            F.col("task_id").cast("string").alias("task_id"),
+            F.to_json(F.struct(*payload_cols)).alias("payload"),
+        )
+        total = tasks.count()
+
+        prior = self.state.task_results(flow_id, phase)
+        if not prior.empty:
+            done = prior[(prior.handler == ctx.handler) & (prior.status == "ok")]
+            if not done.empty:
+                done_df = self.spark.createDataFrame(done[["task_id"]])
+                tasks = tasks.join(done_df, "task_id", "left_anti")
+        remaining_cnt = tasks.count()
+        self.state.upsert_progress(flow_id, phase, ctx.handler, total, remaining_cnt)
+
+        log_dir = os.path.join(self.state.root, "task_log")
+        attempt = 0
+        while remaining_cnt:
+            self._check_control(flow_id)
+            attempt += 1
+            results = self._wave_df(ctx, impl, tasks, attempt).select(
+                F.lit(flow_id).alias("flow_id"),
+                F.lit(phase).alias("phase"),
+                F.lit(ctx.handler).alias("handler"),
+                "task_id",
+                F.lit(attempt).cast("int").alias("attempt"),
+                "status",
+                "result",
+                F.lit(time.time()).alias("ts"),
+            )
+            results.write.mode("append").parquet(log_dir)
+            logged = self.spark.read.parquet(log_dir).filter(
+                (F.col("flow_id") == flow_id)
+                & (F.col("phase") == phase)
+                & (F.col("handler") == ctx.handler)
+                & (F.col("attempt") == attempt)
+            )
+            failed = logged.filter(F.col("status") != "ok").select("task_id")
+            remaining_cnt = failed.count()
+            tasks = tasks.join(failed, "task_id", "left_semi")
+            self.state.upsert_progress(
+                flow_id, phase, ctx.handler, total, remaining_cnt
+            )
+            if remaining_cnt and attempt > self.max_retries:
+                sample = [
+                    r.result
+                    for r in logged.filter(F.col("status") != "ok").limit(3).collect()
+                ]
+                raise PhaseFailed(phase, ctx.handler, sample)
+
+    def _wave_df(
+        self, ctx: HandlerContext, impl, tasks: DataFrame, attempt: int
+    ) -> DataFrame:
+        def fn(batches):
+            for pdf in batches:
+                out = []
+                for task_id, payload in zip(pdf["task_id"], pdf["payload"]):
+                    task = json.loads(payload)
+                    task["_attempt"] = attempt
+                    try:
+                        res = impl.process(ctx, task)
+                        out.append(
+                            (task_id, "ok", json.dumps(res, sort_keys=True, default=str))
+                        )
+                    except Exception as ex:  # noqa: BLE001 — task isolation
+                        out.append((task_id, "failed", f"{type(ex).__name__}: {ex}"))
+                yield pd.DataFrame(out, columns=["task_id", "status", "result"])
+
+        return tasks.mapInPandas(fn, "task_id string, status string, result string")
 
     def _check_control(self, flow_id: str) -> None:
         ctl = self.state.control_state(flow_id)

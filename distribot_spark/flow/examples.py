@@ -84,6 +84,7 @@ def example_registry() -> HandlerRegistry:
     reg.register("AlwaysFails", "1.0.0", AlwaysFails())
     reg.register("ErrorEmailer", "1.0.0", ErrorEmailer())
     reg.register("SlowWorker", "1.0.0", SlowWorker())
+    reg.register("BigLister", "1.0.0", BigLister())
     return reg
 
 
@@ -131,3 +132,18 @@ SLOW_FLOW = {
         {"name": "done", "is_final": True},
     ],
 }
+
+
+class BigLister:
+    """Distributed-enumerate handler: the task set is a DataFrame (here
+    spark.range, in production a table scan) — tasks never materialize on
+    the driver, so a phase can fan out millions of tasks."""
+
+    def enumerate(self, ctx, spark):
+        n = ctx.data_dict().get("n_tasks", 1000)
+        return spark.range(n).selectExpr(
+            "CAST(id AS STRING) AS task_id", "id AS item"
+        )
+
+    def process(self, ctx, task):
+        return {"item": task["item"], "double": task["item"] * 2}

@@ -56,7 +56,7 @@ class StateStore:
     def _read(self, table: str) -> pd.DataFrame:
         d = os.path.join(self.root, table)
         frames = [pq.read_table(os.path.join(d, f)).to_pandas()
-                  for f in sorted(os.listdir(d))]
+                  for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)

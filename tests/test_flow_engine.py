@@ -209,3 +209,24 @@ def test_live_pause_mid_run(engine):
     assert engine.run(fid) == "finished"
     tos = [x["to"] for x in engine.state.transitions(fid)]
     assert tos[-1] == "done" and "paused" in tos
+
+
+def test_dataframe_enumerate(engine):
+    """The 100 TB enumerate path: handler returns a DataFrame; tasks never
+    hit the driver, results land in the task_log parquet directly."""
+    spec = {
+        "name": "big",
+        "data": {"n_tasks": 500},
+        "phases": [
+            {"name": "fanout", "is_initial": True, "handlers": ["BigLister"]},
+        ],
+    }
+    fid, result = engine.run_new(spec)
+    assert result == "finished"
+    res = engine.state.task_results(fid, "fanout")
+    assert len(res) == 500
+    assert (res.status == "ok").all()
+    row = res[res.task_id == "42"].iloc[0]
+    assert json.loads(row.result)["double"] == 84
+    prog = engine.status(fid)
+    assert prog.iloc[0].total == 500 and prog.iloc[0].remaining == 0
