@@ -28,6 +28,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # a driver session left at the 200 default shuffles tiny sf0.01
+        # inputs 200 ways and pays 200 state-store commits per streaming
+        # micro-batch; 32 matches bench.py / local[32]
+        ("spark.sql.shuffle.partitions", "32"),
     ):
         try:
             spark.conf.set(k, v)

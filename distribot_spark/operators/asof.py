@@ -28,16 +28,21 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tolerance: str | None = None,
+    tie_breaker: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the latest right row at or
     before its timestamp (per key). `tolerance` (e.g. '1 hour') bounds how
     stale the match may be; matches older than that become nulls.
 
-    Ties on right.ts are broken by the last of `right_cols`' order in the
-    union sort (deterministic: right rows sort before left rows at equal
-    ts, and equal-ts right rows resolve by their natural sort order).
+    ``tie_breaker`` names a right column appended to the window ordering so
+    two right rows with identical (key, ts) resolve deterministically (the
+    greatest tie_breaker value wins). Without it, F.last() over the tied
+    frame is partition-order-dependent — pass one whenever right.ts is not
+    unique per key. Callers' oracles must mirror the same tie-break
+    (ORDER BY ts DESC, tie_breaker DESC with ROW_NUMBER = 1).
     """
     lcols = left.columns
+    tb_type = right.schema[tie_breaker].dataType if tie_breaker else None
     tagged_left = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -45,6 +50,7 @@ def asof_join(
         F.struct(*lcols).alias("__left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *([F.lit(None).cast(tb_type).alias("__tb")] if tie_breaker else []),
     )
     tagged_right = right.select(
         F.col(on).alias("__k"),
@@ -55,14 +61,18 @@ def asof_join(
         ).alias("__left"),
         *[F.col(c) for c in right_cols],
         F.col(right_ts).alias("__rts"),
+        *([F.col(tie_breaker).alias("__tb")] if tie_breaker else []),
     )
     merged = tagged_left.unionByName(tagged_right)
 
     # right rows (side=0) sort before left rows (side=1) at equal ts, so a
-    # left row can match a right row with the exact same timestamp
+    # left row can match a right row with the exact same timestamp; __tb
+    # (ascending → greatest wins under F.last) makes equal-ts right rows
+    # deterministic
+    order_cols = ["__ts", "__side", "__rts"] + (["__tb"] if tie_breaker else [])
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side", "__rts")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(

@@ -17,18 +17,22 @@ from distribot_spark.queries.registry import register
     WITH clicks AS (SELECT user_id, ts, event_id AS click_id
                     FROM events WHERE event_type = 'click'),
     views AS (SELECT user_id, ts, event_id AS view_id
-              FROM events WHERE event_type = 'view')
-    SELECT c.click_id, v.view_id
-    FROM clicks c ASOF LEFT JOIN views v
-      ON c.user_id = v.user_id AND v.ts <= c.ts
-    ORDER BY c.click_id
+              FROM events WHERE event_type = 'view'),
+    m AS (SELECT c.click_id, v.view_id,
+                 ROW_NUMBER() OVER (PARTITION BY c.click_id
+                                    ORDER BY v.ts DESC, v.view_id DESC) AS rn
+          FROM clicks c LEFT JOIN views v
+            ON c.user_id = v.user_id AND v.ts <= c.ts)
+    SELECT click_id, view_id FROM m WHERE rn = 1 ORDER BY click_id
     """,
     tags=("temporal", "asof"),
 )
 def asof_click_view(spark, sf_dir):
     """As-of join: each click matched to the user's latest view at or
-    before it — checked against DuckDB's native ASOF JOIN. Spark-side it's
-    the union-merge composition (one shuffle, no range explosion)."""
+    before it — semantics of DuckDB's native ASOF JOIN plus an explicit
+    max-view_id tie-break at equal ts (native ASOF leaves ties arbitrary,
+    so the oracle spells out the same ROW_NUMBER tie-break). Spark-side
+    it's the union-merge composition (one shuffle, no range explosion)."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_id")
@@ -38,7 +42,7 @@ def asof_click_view(spark, sf_dir):
     )
     joined = asof_join(
         clicks, views, on="user_id", left_ts="ts", right_ts="ts",
-        right_cols=["view_id"],
+        right_cols=["view_id"], tie_breaker="view_id",
     )
     return joined.select("click_id", "view_id").orderBy("click_id")
 
@@ -52,7 +56,7 @@ def asof_click_view(spark, sf_dir):
               FROM events WHERE event_type = 'view'),
     m AS (SELECT c.click_id, v.view_id, v.ts AS vts, c.ts AS cts,
                  ROW_NUMBER() OVER (PARTITION BY c.click_id
-                                    ORDER BY v.ts DESC) AS rn
+                                    ORDER BY v.ts DESC, v.view_id DESC) AS rn
           FROM clicks c LEFT JOIN views v
             ON c.user_id = v.user_id AND v.ts <= c.ts)
     SELECT click_id,
@@ -73,7 +77,7 @@ def asof_click_view_tolerance(spark, sf_dir):
     )
     joined = asof_join(
         clicks, views, on="user_id", left_ts="ts", right_ts="ts",
-        right_cols=["view_id"], tolerance="2 hours",
+        right_cols=["view_id"], tolerance="2 hours", tie_breaker="view_id",
     )
     return joined.select("click_id", "view_id").orderBy("click_id")
 

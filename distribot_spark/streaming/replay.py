@@ -86,6 +86,29 @@ def replay_dir(
 _counter = [0]
 
 
+class _few_state_partitions:
+    """Temporarily pin a small shuffle-partition count for a bounded replay.
+
+    A stateful streaming query creates + commits one state store per
+    shuffle partition per micro-batch; at the driver's default of 200
+    partitions an 8-chunk replay does 1,600 state-store commits to cover a
+    few thousand rows. The partition count is baked into the checkpoint at
+    query start, so pinning it low here only affects the bounded test
+    replay — a production deployment sizes it to its key cardinality.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8) -> None:
+        self.spark = spark
+        self.n = str(n)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_bounded(
     spark: SparkSession,
     transform,
@@ -107,21 +130,22 @@ def run_bounded(
         .parquet(source_dir)
         for _ in range(n_sources)
     ]
-    out = transform(*streams)
 
     _counter[0] += 1
     name = f"sink_{_counter[0]}_{uuid.uuid4().hex[:8]}"
     os.makedirs(TMP_ROOT, exist_ok=True)
     checkpoint = tempfile.mkdtemp(prefix="ckpt_", dir=TMP_ROOT)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        out = transform(*streams)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()
     result = spark.table(name)
     shutil.rmtree(checkpoint, ignore_errors=True)
     return result
@@ -140,14 +164,15 @@ def run_foreach_batch(
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         source_dir
     )
-    out = transform(stream)
     checkpoint = tempfile.mkdtemp(prefix="ckpt_", dir=TMP_ROOT)
-    q = (
-        out.writeStream.foreachBatch(sink_fn)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        out = transform(stream)
+        q = (
+            out.writeStream.foreachBatch(sink_fn)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(checkpoint, ignore_errors=True)
