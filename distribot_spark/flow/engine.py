@@ -24,13 +24,16 @@ import inspect
 import json
 import math
 import os
+import shutil
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from distribot_spark.flow.registry import DEFAULT_REGISTRY, HandlerRegistry
 from distribot_spark.flow.spec import FlowSpec
@@ -87,6 +90,53 @@ class FlowEngine:
         self.registry = registry or DEFAULT_REGISTRY
         self.max_retries = max_retries
         self.tasks_per_partition = tasks_per_partition
+        # R32 fanout: (event-pattern, flow-pattern, callback) triples
+        self._subscribers: list[tuple[str, str, object]] = []
+
+    # -- event fanout (R32) -----------------------------------------------------
+
+    def subscribe(self, callback, event: str = "*", flow_id: str = "*") -> None:
+        """Register a broadcast subscriber (reference `Connector.subscribe_multi`
+        / fanout exchanges, connector.rb:75-89,134-138: ANY number of
+        subscribers observe `flow.finished` etc.). ``event`` is one of
+        flow.created / phase.started / phase.finished / flow.finished /
+        flow.paused / flow.resumed / flow.canceled, or '*'; ``flow_id``
+        narrows to one flow. Callbacks run driver-side as
+        ``callback(event, flow_id, payload_dict)``.
+
+        Durable twin: every emitted event is also derivable from the
+        persisted transitions/control tables (`events()` below), so an
+        out-of-process subscriber can tail state instead of registering."""
+        self._subscribers.append((event, flow_id, callback))
+
+    def _emit(self, event: str, flow_id: str, **payload) -> None:
+        for ev, fid, cb in list(self._subscribers):
+            if ev in ("*", event) and fid in ("*", flow_id):
+                try:
+                    cb(event, flow_id, payload)
+                except Exception:  # noqa: BLE001 — subscriber isolation:
+                    pass  # a failing subscriber must not kill the flow
+
+    def events(self, flow_id: str) -> list[dict]:
+        """The persisted event stream a detached subscriber would tail:
+        transitions as phase.* events plus terminal control records."""
+        out = [
+            {
+                "event": "flow.created" if t["from"] is None else "phase.started",
+                "flow_id": flow_id,
+                "phase": t["to"],
+                "ts": t["ts"],
+            }
+            for t in self.state.transitions(flow_id)
+        ]
+        ctl = self.state.control_state(flow_id)
+        if ctl == "finished":
+            out.append({"event": "flow.finished", "flow_id": flow_id, "phase": None,
+                        "ts": None})
+        elif ctl == CANCELED:
+            out.append({"event": "flow.canceled", "flow_id": flow_id, "phase": None,
+                        "ts": None})
+        return out
 
     # -- lifecycle API (R1–R3) -------------------------------------------------
 
@@ -97,6 +147,7 @@ class FlowEngine:
         flow_id = uuid.uuid4().hex
         self.state.save_flow(flow_id, spec.name, spec.to_json(), spec.data)
         self.state.add_transition(flow_id, None, spec.initial_phase.name)
+        self._emit("flow.created", flow_id, name=spec.name)
         return flow_id
 
     def find(self, flow_id: str) -> dict | None:
@@ -145,6 +196,7 @@ class FlowEngine:
             raise FlowError("not running")
         self.state.set_control(flow_id, "pause")
         self.state.add_transition(flow_id, self.current_phase(flow_id), PAUSED)
+        self._emit("flow.paused", flow_id)
 
     def resume(self, flow_id: str) -> None:
         """Transition back to the last real phase (flow.rb:79-88)."""
@@ -157,6 +209,7 @@ class FlowEngine:
                 t["to"] for t in reversed(transitions) if t["to"] != PAUSED
             )
             self.state.add_transition(flow_id, PAUSED, last_real)
+        self._emit("flow.resumed", flow_id)
 
     def cancel(self, flow_id: str) -> None:
         """Transition to canceled + deregister (flow.rb:94-105). Unlike the
@@ -166,18 +219,29 @@ class FlowEngine:
             raise FlowError("not running")
         self.state.set_control(flow_id, CANCELED)
         self.state.add_transition(flow_id, self.current_phase(flow_id), CANCELED)
+        self._emit("flow.canceled", flow_id)
 
     # -- status (R38) -----------------------------------------------------------------
 
     def status(self, flow_id: str) -> pd.DataFrame:
-        """Per (phase, handler) progress, like examples/status:26-38."""
+        """Per (phase, handler) progress, like examples/status:26-38, plus
+        `phase_age_sec` — seconds since each phase was (last) entered, the
+        reference's flow-age column (examples/status:33) at phase grain."""
         df = self.state.progress(flow_id)
         if df.empty:
             return df
         df = df.copy()
         df["done"] = df.total - df.remaining
         df["pct"] = (100 * df.done / df.total.where(df.total > 0, 1)).round(1)
-        return df[["phase", "handler", "total", "remaining", "done", "pct"]]
+        entered: dict[str, float] = {}
+        for t in self.state.transitions(flow_id):
+            entered[t["to"]] = t["ts"]  # latest entry into the phase wins
+        now = time.time()
+        df["phase_age_sec"] = df.phase.map(
+            lambda p: round(now - entered[p], 3) if p in entered else None
+        )
+        return df[["phase", "handler", "total", "remaining", "done", "pct",
+                   "phase_age_sec"]]
 
     # -- execution ------------------------------------------------------------------------
 
@@ -231,7 +295,9 @@ class FlowEngine:
             nxt = spec.next_phase(cur)
             if nxt is None:
                 # flow.finished: deregister active (flow_finished_handler.rb:7-11)
+                # and broadcast to every subscriber (flow_finished_handler.rb:11)
                 self.state.set_control(flow_id, "finished")
+                self._emit("flow.finished", flow_id)
                 if on_complete is not None:
                     on_complete(flow_id)
                 return "finished"
@@ -247,25 +313,60 @@ class FlowEngine:
     def _run_phase(self, flow_id: str, flow: dict, phase) -> None:
         if not phase.handlers:
             return  # empty-phase short-circuit (phase_started_handler.rb:11-16)
-        if self.state.phase_drained(flow_id, phase.name):
-            return  # already completed (re-entry after pause/resume)
+        resolved = []
         for ph in phase.handlers:
             version, impl = self.registry.resolve(ph.name, ph.version)
-            ctx = HandlerContext(
-                flow_id=flow_id,
-                phase=phase.name,
-                handler=f"{ph.name}@{version}",
-                data=flow["data"],
-            )
+            resolved.append((
+                HandlerContext(
+                    flow_id=flow_id,
+                    phase=phase.name,
+                    handler=f"{ph.name}@{version}",
+                    data=flow["data"],
+                ),
+                impl,
+            ))
+        handler_ids = [ctx.handler for ctx, _ in resolved]
+        if self.state.phase_drained(flow_id, phase.name, handler_ids):
+            return  # already completed (re-entry after pause/resume)
+        self._emit("phase.started", flow_id, phase=phase.name)
+
+        # All handlers of a phase run CONCURRENTLY, as in the reference
+        # (phase_started_handler.rb:27-30 publishes every handler's start
+        # message before any finishes): each thread submits independent
+        # Spark jobs, so one slow handler no longer serializes the phase.
+        if len(resolved) == 1:
+            ctx, impl = resolved[0]
             self._run_handler(flow_id, phase.name, ctx, impl)
+        else:
+            with ThreadPoolExecutor(max_workers=len(resolved)) as pool:
+                futures = [
+                    pool.submit(self._run_handler, flow_id, phase.name, ctx, impl)
+                    for ctx, impl in resolved
+                ]
+                errors = []
+                for fut in futures:
+                    try:
+                        fut.result()
+                    except Exception as ex:  # noqa: BLE001 — collect, rank below
+                        errors.append(ex)
+            if errors:
+                # control-flow exceptions outrank task failure
+                for kind in (FlowCanceled, FlowPaused):
+                    for e in errors:
+                        if isinstance(e, kind):
+                            raise e
+                raise errors[0]
         # the intended ALL-handlers barrier (vs handler_finished_handler.rb:22)
-        assert self.state.phase_drained(flow_id, phase.name)
+        assert self.state.phase_drained(flow_id, phase.name, handler_ids)
+        self._emit("phase.finished", flow_id, phase=phase.name)
 
     def _run_handler(self, flow_id: str, phase: str, ctx: HandlerContext, impl) -> None:
-        # enumerate (worker.rb:55-70,112-119). Handlers may enumerate either
-        # a driver-side iterable of dicts (reference-faithful) or — the
-        # 100 TB path — a DataFrame with a task_id column, which never
-        # materializes on the driver.
+        """enumerate (worker.rb:55-70,112-119) then process. Handlers may
+        enumerate either a driver-side iterable of dicts
+        (reference-faithful) or — the 100 TB path — a DataFrame with a
+        task_id column. Both routes converge on the same distributed wave
+        loop: task results NEVER materialize on the driver (they are
+        written straight to the task_log parquet; the driver sees counts)."""
         sig = inspect.signature(impl.enumerate)
         enumerated = (
             impl.enumerate(ctx, self.spark)
@@ -273,103 +374,53 @@ class FlowEngine:
             else impl.enumerate(ctx)
         )
         if isinstance(enumerated, DataFrame):
-            self._run_handler_distributed(flow_id, phase, ctx, impl, enumerated)
-            return
-        tasks = []
-        for t in enumerated:
-            t = dict(t)
-            task_id = str(t.pop("task_id", uuid.uuid4().hex))
-            tasks.append({"task_id": task_id, "payload": json.dumps(t)})
-
-        # announce (worker.rb:123-131): one atomic counter upsert
-        done_ids = set()
-        prior = self.state.task_results(flow_id, phase)
-        if not prior.empty:
-            prior = prior[(prior.handler == ctx.handler) & (prior.status == "ok")]
-            done_ids = set(prior.task_id)
-        remaining = [t for t in tasks if t["task_id"] not in done_ids]
-        self.state.upsert_progress(
-            flow_id, phase, ctx.handler, len(tasks), len(remaining)
-        )
-
-        attempt = 0
-        while remaining:
-            self._check_control(flow_id)
-            attempt += 1
-            results = self._process_wave(ctx, impl, remaining, attempt)
-            self.state.log_tasks(
-                [
-                    {
-                        "flow_id": flow_id,
-                        "phase": phase,
-                        "handler": ctx.handler,
-                        "task_id": r["task_id"],
-                        "attempt": attempt,
-                        "status": r["status"],
-                        "result": r["result"],
-                    }
-                    for r in results
-                ]
+            if "task_id" not in enumerated.columns:
+                raise FlowError("DataFrame enumerate must include a task_id column")
+            payload_cols = [c for c in enumerated.columns if c != "task_id"]
+            tasks = enumerated.select(
+                F.col("task_id").cast("string").alias("task_id"),
+                F.to_json(F.struct(*payload_cols)).alias("payload"),
             )
-            failed = {r["task_id"] for r in results if r["status"] != "ok"}
-            remaining = [t for t in remaining if t["task_id"] in failed]
-            self.state.upsert_progress(
-                flow_id, phase, ctx.handler, len(tasks), len(remaining)
-            )
-            if remaining and attempt > self.max_retries:
-                raise PhaseFailed(
-                    phase,
-                    ctx.handler,
-                    [r["result"] for r in results if r["status"] != "ok"],
-                )
+        else:
+            rows = []
+            for t in enumerated:
+                t = dict(t)
+                task_id = str(t.pop("task_id", uuid.uuid4().hex))
+                rows.append({"task_id": task_id, "payload": json.dumps(t)})
+            if not rows:
+                self.state.upsert_progress(flow_id, phase, ctx.handler, 0, 0)
+                return
+            n_parts = max(1, math.ceil(len(rows) / self.tasks_per_partition))
+            tasks = self.spark.createDataFrame(
+                pd.DataFrame(rows, columns=["task_id", "payload"])
+            ).repartition(n_parts)
+        self._run_waves(flow_id, phase, ctx, impl, tasks)
 
-    def _process_wave(
-        self, ctx: HandlerContext, impl, tasks: list[dict], attempt: int = 1
-    ) -> list[dict]:
-        """One distributed processing wave: task rows → mapInPandas →
-        (task_id, status, result). The handler's `process` runs on the
-        executors — the reference's 500-thread competing-consumer pool
-        (worker.rb:72-110) as a Spark job. Per-task exceptions become
-        'failed' rows (trycatch, worker.rb:139-146); the caller retries
-        only the failed task ids."""
-        n_parts = max(1, math.ceil(len(tasks) / self.tasks_per_partition))
-        df = self.spark.createDataFrame(
-            pd.DataFrame(tasks, columns=["task_id", "payload"])
-        ).repartition(n_parts)
+    # explicit read schema for the task_log dir: flow_id is a *hive
+    # partition* column (layout written by both StateStore.log_tasks and
+    # _append_wave below); pinning the schema keeps it a string even when
+    # a flow id happens to look numeric
+    _TASK_LOG_SCHEMA = T.StructType(
+        [
+            T.StructField("phase", T.StringType()),
+            T.StructField("handler", T.StringType()),
+            T.StructField("task_id", T.StringType()),
+            T.StructField("attempt", T.IntegerType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("result", T.StringType()),
+            T.StructField("ts", T.DoubleType()),
+            T.StructField("flow_id", T.StringType()),
+        ]
+    )
 
-        def fn(batches):
-            for pdf in batches:
-                out = []
-                for task_id, payload in zip(pdf["task_id"], pdf["payload"]):
-                    task = json.loads(payload)
-                    task["_attempt"] = attempt  # retry metadata for handlers
-                    try:
-                        res = impl.process(ctx, task)
-                        out.append(
-                            (task_id, "ok", json.dumps(res, sort_keys=True, default=str))
-                        )
-                    except Exception as ex:  # noqa: BLE001 — task isolation
-                        out.append((task_id, "failed", f"{type(ex).__name__}: {ex}"))
-                yield pd.DataFrame(out, columns=["task_id", "status", "result"])
-
-        rows = df.mapInPandas(fn, "task_id string, status string, result string").collect()
-        return [r.asDict() for r in rows]
-
-    def _run_handler_distributed(
-        self, flow_id: str, phase: str, ctx: HandlerContext, impl, task_df: DataFrame
+    def _run_waves(
+        self, flow_id: str, phase: str, ctx: HandlerContext, impl, tasks: DataFrame
     ) -> None:
-        """Distributed-enumerate execution: the task set stays a DataFrame
-        end to end. Results are written straight to the task_log parquet
-        dir (write-once, then derive retry sets from storage — re-running
-        the lazy plan would re-execute side-effecting processors), and the
-        driver only ever sees counts."""
-        if "task_id" not in task_df.columns:
-            raise FlowError("DataFrame enumerate must include a task_id column")
-        payload_cols = [c for c in task_df.columns if c != "task_id"]
-        tasks = task_df.select(
-            F.col("task_id").cast("string").alias("task_id"),
-            F.to_json(F.struct(*payload_cols)).alias("payload"),
-        )
+        """The distributed wave loop shared by both enumerate routes.
+        Results are written once to the task_log parquet (re-running the
+        lazy plan would re-execute side-effecting processors) under the
+        flow's hive partition, so every retry read prunes to one
+        directory instead of scanning the ever-growing log."""
         total = tasks.count()
 
         prior = self.state.task_results(flow_id, phase)
@@ -387,7 +438,6 @@ class FlowEngine:
             self._check_control(flow_id)
             attempt += 1
             results = self._wave_df(ctx, impl, tasks, attempt).select(
-                F.lit(flow_id).alias("flow_id"),
                 F.lit(phase).alias("phase"),
                 F.lit(ctx.handler).alias("handler"),
                 "task_id",
@@ -396,12 +446,16 @@ class FlowEngine:
                 "result",
                 F.lit(time.time()).alias("ts"),
             )
-            results.write.mode("append").parquet(log_dir)
-            logged = self.spark.read.parquet(log_dir).filter(
-                (F.col("flow_id") == flow_id)
-                & (F.col("phase") == phase)
-                & (F.col("handler") == ctx.handler)
-                & (F.col("attempt") == attempt)
+            self._append_wave(results, log_dir, flow_id)
+            logged = (
+                self.spark.read.schema(self._TASK_LOG_SCHEMA)
+                .parquet(log_dir)
+                .filter(
+                    (F.col("flow_id") == flow_id)  # pruned to one partition dir
+                    & (F.col("phase") == phase)
+                    & (F.col("handler") == ctx.handler)
+                    & (F.col("attempt") == attempt)
+                )
             )
             failed = logged.filter(F.col("status") != "ok").select("task_id")
             remaining_cnt = failed.count()
@@ -415,6 +469,28 @@ class FlowEngine:
                     for r in logged.filter(F.col("status") != "ok").limit(3).collect()
                 ]
                 raise PhaseFailed(phase, ctx.handler, sample)
+
+    def _append_wave(self, results: DataFrame, log_dir: str, flow_id: str) -> None:
+        """Append a wave's results under task_log/flow_id=<id>/.
+
+        The job writes to a unique staging dir and the files are then
+        renamed into the hive partition: concurrent handler threads each
+        get their own staging dir, avoiding the shared `_temporary`
+        committer dir that makes concurrent appends into ONE directory
+        unsafe. Renames are same-filesystem metadata ops here; an object
+        store deployment would swap this for a real table format
+        (Delta/Iceberg) whose commit protocol handles concurrency."""
+        staging = os.path.join(self.state.root, "task_wave", uuid.uuid4().hex)
+        results.write.mode("overwrite").parquet(staging)
+        part_dir = os.path.join(log_dir, f"flow_id={flow_id}")
+        os.makedirs(part_dir, exist_ok=True)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(staging, f),
+                    os.path.join(part_dir, f"{time.time_ns()}_{f}"),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
 
     def _wave_df(
         self, ctx: HandlerContext, impl, tasks: DataFrame, attempt: int

@@ -85,6 +85,8 @@ def example_registry() -> HandlerRegistry:
     reg.register("ErrorEmailer", "1.0.0", ErrorEmailer())
     reg.register("SlowWorker", "1.0.0", SlowWorker())
     reg.register("BigLister", "1.0.0", BigLister())
+    reg.register("Napper", "1.0.0", Napper())
+    reg.register("Napper2", "1.0.0", Napper2())
     return reg
 
 
@@ -129,6 +131,36 @@ SLOW_FLOW = {
          "handlers": ["SlowWorker"]},
         {"name": "p2", "transitions_to": "p3", "handlers": ["SlowWorker"]},
         {"name": "p3", "transitions_to": "done", "handlers": ["SlowWorker"]},
+        {"name": "done", "is_final": True},
+    ],
+}
+
+
+class Napper:
+    """One task that sleeps a fixed interval — two of these in one phase
+    exercise inter-handler parallelism (the reference starts every handler
+    of a phase before any finishes, phase_started_handler.rb:27-30)."""
+
+    def enumerate(self, ctx):
+        return [{"task_id": "nap-0", "sec": ctx.data_dict().get("nap_sec", 2.5)}]
+
+    def process(self, ctx, task):
+        import time
+
+        time.sleep(task["sec"])
+        return {"slept": task["sec"]}
+
+
+class Napper2(Napper):
+    pass
+
+
+PARALLEL_FLOW = {
+    "name": "parallel",
+    "data": {"nap_sec": 2.5},
+    "phases": [
+        {"name": "naps", "is_initial": True, "transitions_to": "done",
+         "handlers": ["Napper", "Napper2"]},
         {"name": "done", "is_final": True},
     ],
 }

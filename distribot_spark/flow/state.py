@@ -11,8 +11,9 @@ Four append-only/upserted parquet tables under a state root
                (Redis `….finished[.total]` counters, worker.rb:102,124-126;
                here upserted transactionally per wave, fixing the
                get-then-act race of task_finished_handler.rb:9-11)
-- task_log:    flow_id, phase, handler, task_id, attempt, status, result
-               (effectively-once accounting keyed on task_id)
+- task_log:    phase, handler, task_id, attempt, status, result, hive-
+               partitioned by flow_id (effectively-once accounting keyed
+               on (handler, task_id); reads prune to one flow's directory)
 
 The orchestrator is the single writer, so plain parquet + last-writer-wins
 reads give the MERGE semantics a multi-writer deployment would get from
@@ -37,6 +38,21 @@ def _now() -> float:
     return time.time()
 
 
+def stubbornly(fn, *args, attempts: int = 5, base_delay: float = 0.05, **kwargs):
+    """Bounded-backoff retry for transient infrastructure failures — the
+    reference's `stubbornly` (flow.rb:154-163, connector.rb:147-160) wraps
+    every Redis/AMQP call in *infinite* retry; here the state store is
+    filesystem parquet, and we bound attempts so a genuinely broken root
+    fails loudly instead of hanging the orchestrator forever."""
+    for i in range(attempts):
+        try:
+            return fn(*args, **kwargs)
+        except Exception:  # noqa: BLE001 — transient IO is exactly the target
+            if i == attempts - 1:
+                raise
+            time.sleep(base_delay * (2 ** i))
+
+
 class StateStore:
     def __init__(self, root: str) -> None:
         self.root = root
@@ -48,14 +64,18 @@ class StateStore:
     def _append(self, table: str, rows: list[dict], schema: pa.Schema) -> None:
         if not rows:
             return
-        path = os.path.join(
-            self.root, table, f"{time.time_ns()}_{uuid.uuid4().hex[:8]}.parquet"
+        d = os.path.join(self.root, table)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{time.time_ns()}_{uuid.uuid4().hex[:8]}.parquet")
+        stubbornly(
+            pq.write_table, pa.Table.from_pylist(rows, schema=schema), path
         )
-        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
 
     def _read(self, table: str) -> pd.DataFrame:
         d = os.path.join(self.root, table)
-        frames = [pq.read_table(os.path.join(d, f)).to_pandas()
+        if not os.path.isdir(d):
+            return pd.DataFrame()
+        frames = [stubbornly(pq.read_table, os.path.join(d, f)).to_pandas()
                   for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
         if not frames:
             return pd.DataFrame()
@@ -148,41 +168,72 @@ class StateStore:
         df = df.sort_values("ts", kind="stable")
         return df.groupby(["phase", "handler"], as_index=False).last()
 
-    def phase_drained(self, flow_id: str, phase: str) -> bool:
+    def phase_drained(
+        self, flow_id: str, phase: str, handlers: list[str] | None = None
+    ) -> bool:
         """The *intended* barrier of the reference: every handler of the
         phase has remaining == 0 (fixes the key bug at
         handler_finished_handler.rb:22 that ends a phase when the first
-        handler drains)."""
+        handler drains).
+
+        ``handlers`` is the phase's full declared handler list; when given,
+        a remaining==0 row must exist for EVERY one of them — rows merely
+        *present* are not enough (a crash between handler A draining and
+        handler B's first progress row must not mark the phase drained)."""
         df = self.progress(flow_id, phase)
-        return (not df.empty) and bool((df.remaining == 0).all())
+        if df.empty:
+            return False
+        drained = set(df[df.remaining == 0].handler)
+        pending = set(df[df.remaining != 0].handler)
+        if pending:
+            return False
+        if handlers is not None:
+            return set(handlers) <= drained
+        return True
 
     # -- task log (effectively-once) ----------------------------------------------
+    # Laid out hive-partitioned by flow_id (task_log/flow_id=<id>/...): the
+    # log only grows across flows, and both this store's reads and the
+    # engine's Spark-side retry reads prune to one directory instead of
+    # filtering an ever-growing scan. Data files do NOT contain the flow_id
+    # column (it lives in the path), matching Spark's partitionBy layout so
+    # the engine's distributed waves append to the same structure.
 
-    _TASK_LOG = pa.schema(
-        [("flow_id", pa.string()), ("phase", pa.string()), ("handler", pa.string()),
+    _TASK_LOG_FILE = pa.schema(
+        [("phase", pa.string()), ("handler", pa.string()),
          ("task_id", pa.string()), ("attempt", pa.int32()), ("status", pa.string()),
          ("result", pa.string()), ("ts", pa.float64())]
     )
 
     def log_tasks(self, rows: list[dict]) -> None:
+        by_flow: dict[str, list[dict]] = {}
         for r in rows:
+            r = dict(r)
             r.setdefault("ts", _now())
-        self._append("task_log", rows, self._TASK_LOG)
+            fid = r.pop("flow_id")
+            by_flow.setdefault(fid, []).append(r)
+        for fid, frows in by_flow.items():
+            self._append(
+                os.path.join("task_log", f"flow_id={fid}"), frows,
+                self._TASK_LOG_FILE,
+            )
 
     def task_results(self, flow_id: str, phase: str | None = None) -> pd.DataFrame:
-        """Last attempt per task_id wins — retries of an already-succeeded
-        task can't double-count (the reference visibly double-processes
-        under redelivery; README.md caveats it)."""
-        df = self._read("task_log")
+        """Last attempt per (handler, task_id) wins — retries of an
+        already-succeeded task can't double-count (the reference visibly
+        double-processes under redelivery; README.md caveats it), and two
+        handlers emitting the same task_id in one phase can't mask each
+        other's results."""
+        df = self._read(os.path.join("task_log", f"flow_id={flow_id}"))
         if df.empty:
             return df
-        df = df[df.flow_id == flow_id]
+        df = df.assign(flow_id=flow_id)
         if phase is not None:
             df = df[df.phase == phase]
         if df.empty:
             return df
-        df = df.sort_values(["task_id", "attempt"], kind="stable")
-        return df.groupby("task_id", as_index=False).last()
+        df = df.sort_values(["handler", "task_id", "attempt"], kind="stable")
+        return df.groupby(["handler", "task_id"], as_index=False).last()
 
     # -- control flags (pause/cancel) ------------------------------------------------
 

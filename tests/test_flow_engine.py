@@ -211,6 +211,163 @@ def test_live_pause_mid_run(engine):
     assert tos[-1] == "done" and "paused" in tos
 
 
+def test_fanout_subscribers(engine):
+    """R32: ANY number of subscribers observe one flow's events
+    (reference fanout exchanges, connector.rb:75-89,134-138)."""
+    seen_a, seen_b = [], []
+    engine.subscribe(lambda ev, fid, p: seen_a.append((ev, fid)))
+    engine.subscribe(
+        lambda ev, fid, p: seen_b.append((ev, fid)), event="flow.finished"
+    )
+    fid, result = engine.run_new(NEWS_FLOW)
+    assert result == "finished"
+    # both subscribers saw the completion of the same flow
+    assert ("flow.finished", fid) in seen_a
+    assert seen_b == [("flow.finished", fid)]
+    # the wildcard subscriber saw the whole lifecycle
+    events = [ev for ev, f in seen_a if f == fid]
+    assert events[0] == "flow.created"
+    assert "phase.started" in events and "phase.finished" in events
+    # persisted twin: a detached subscriber tailing state sees the same
+    evs = [e["event"] for e in engine.events(fid)]
+    assert evs[0] == "flow.created" and evs[-1] == "flow.finished"
+
+
+def test_subscriber_isolation(engine):
+    """A raising subscriber must not break the flow (trycatch semantics)."""
+    def boom(ev, fid, p):
+        raise RuntimeError("bad subscriber")
+
+    engine.subscribe(boom)
+    fid, result = engine.run_new(NEWS_FLOW)
+    assert result == "finished"
+
+
+def test_parallel_handlers_within_phase(engine):
+    """Handlers of one phase run concurrently: two handlers sleeping 2.5 s
+    each must finish in well under the 5 s a sequential loop needs."""
+    import time
+
+    from distribot_spark.flow.examples import PARALLEL_FLOW
+
+    t0 = time.time()
+    fid, result = engine.run_new(PARALLEL_FLOW)
+    elapsed = time.time() - t0
+    assert result == "finished"
+    assert elapsed < 5.0, f"phase took {elapsed:.1f}s — handlers ran sequentially"
+    res = engine.state.task_results(fid, "naps")
+    assert len(res) == 2 and (res.status == "ok").all()
+
+
+def test_barrier_requires_all_declared_handlers(engine):
+    """Crash-recovery barrier: handler A drained + driver died before
+    handler B announced ⇒ re-entrant run() must still execute B (the
+    phase is NOT drained just because every *present* row is)."""
+    spec = {
+        "name": "crashy",
+        "phases": [
+            {"name": "work", "is_initial": True, "transitions_to": "end",
+             "handlers": ["Downloader", "Auditor"]},
+            {"name": "end", "is_final": True},
+        ],
+    }
+    fid = engine.create_flow(spec)
+    # simulate the pre-crash state: only Downloader has progress rows
+    engine.state.upsert_progress(fid, "work", "Downloader@1.0.0", 5, 0)
+    assert not engine.state.phase_drained(
+        fid, "work", ["Downloader@1.0.0", "Auditor@1.0.0"]
+    )
+    assert engine.run(fid) == "finished"
+    res = engine.state.task_results(fid, "work")
+    audited = res[res.handler == "Auditor@1.0.0"]
+    assert len(audited) == 3 and (audited.status == "ok").all()
+
+
+def test_task_results_keyed_per_handler(engine):
+    """Two handlers emitting the SAME task_id in one phase must not mask
+    each other's rows (effectively-once is per (handler, task_id))."""
+    engine.state.log_tasks([
+        {"flow_id": "f1", "phase": "p", "handler": "A@1.0.0", "task_id": "t0",
+         "attempt": 1, "status": "ok", "result": "{}"},
+        {"flow_id": "f1", "phase": "p", "handler": "B@1.0.0", "task_id": "t0",
+         "attempt": 1, "status": "failed", "result": "boom"},
+    ])
+    res = engine.state.task_results("f1", "p")
+    assert len(res) == 2
+    assert set(res.status) == {"ok", "failed"}
+
+
+def test_status_phase_age(engine):
+    fid, _ = engine.run_new(NEWS_FLOW)
+    st = engine.status(fid)
+    ages = st.phase_age_sec.dropna()
+    assert not ages.empty and (ages >= 0).all()
+
+
+def test_stubbornly_infra_retry(engine, monkeypatch):
+    """R13 infra-level retry: transient state-store IO failures are
+    retried with backoff instead of failing the flow (reference
+    `stubbornly`, flow.rb:154-163)."""
+    import pyarrow.parquet as pq
+
+    real_write = pq.write_table
+    calls = {"n": 0}
+
+    def flaky_write(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("transient fs error")
+        return real_write(*args, **kwargs)
+
+    monkeypatch.setattr(
+        "distribot_spark.flow.state.pq.write_table", flaky_write
+    )
+    engine.state.save_flow("sf1", "n", "{}", "{}")
+    assert calls["n"] == 3  # two transient failures absorbed
+    assert engine.state.find_flow("sf1") is not None
+
+    def always_fails(*args, **kwargs):
+        raise OSError("permanent fs error")
+
+    monkeypatch.setattr(
+        "distribot_spark.flow.state.pq.write_table", always_fails
+    )
+    with pytest.raises(OSError):  # bounded: a broken root still fails loudly
+        engine.state.save_flow("sf2", "n", "{}", "{}")
+
+
+def test_task_log_read_prunes_partitions(engine):
+    """The retry-wave read of the task_log must prune to the flow's hive
+    partition (PartitionFilters), not filter a full scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distribot_spark.flow.engine import FlowEngine
+    from distribot_spark.plans import explain_string
+
+    spec = {
+        "name": "tiny",
+        "data": {"n_tasks": 4},
+        "phases": [
+            {"name": "fanout", "is_initial": True, "handlers": ["BigLister"]},
+        ],
+    }
+    fid, result = engine.run_new(spec)
+    assert result == "finished"
+    log_dir = os.path.join(engine.state.root, "task_log")
+    df = (
+        engine.spark.read.schema(FlowEngine._TASK_LOG_SCHEMA)
+        .parquet(log_dir)
+        .filter(F.col("flow_id") == fid)
+    )
+    plan = explain_string(df)
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "flow_id" in m.group(1), plan
+
+
 def test_dataframe_enumerate(engine):
     """The 100 TB enumerate path: handler returns a DataFrame; tasks never
     hit the driver, results land in the task_log parquet directly."""

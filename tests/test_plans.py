@@ -62,7 +62,10 @@ def test_relational_queries_stay_jvm_side(spark):
         "q39", "q40", "dedup_simhash", "multimodal_decode", "multimodal_frames",
     }
     for name, spec in QUERIES.items():
-        if name.startswith(("s", "flow")):  # streaming/flow run differently
+        # streaming/flow queries run differently (skip by TAG, not name
+        # prefix — a prefix match would silently skip e.g. a future
+        # split_* query)
+        if {"streaming", "flow"} & set(spec.tags):
             continue
         df = spec.builder(spark, SF_ORACLE)
         if name in allowed_python:
