@@ -90,6 +90,67 @@ def cosine_pairs(
     )
 
 
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH bucketing + exact re-rank —
+    the scale-safe twin of `cosine_pairs` (same output contract: da < db,
+    cos ≥ threshold, cos rounded to 4 places).
+
+    Shape: per table, vectors sharing a signature bucket become candidate
+    id-pairs (equi-join on (table, sig) — ids only, vectors are NOT
+    carried through the bucket join); candidates are deduped and re-ranked
+    exactly. Candidate volume ~ n_tables · n²/2^n_planes vs the exact
+    n²/2, and — unlike the cross join — every step is a shuffle-based
+    equi-join Spark can execute out-of-core at any corpus size.
+
+    Parameter guidance (p = 1 - θ/π is the per-plane agreement prob):
+    recall ≈ 1-(1-p^r)^b for r=n_planes, b=n_tables. The defaults
+    (r=4, b=32) give ≈ 0.998 recall at cos 0.45 — the *weak-pair* regime
+    the planted testdata exercises, where any LSH necessarily prunes
+    little. A production near-dup pass at cos ≥ 0.9 (p ≈ 0.857) should
+    run r=16, b=8: recall ≈ 0.89 at 1/65536 the per-table candidate
+    density, and multiple passes compound recall cheaply.
+    """
+    tables = [
+        random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
+    ]
+    base = df.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    sigs = base.select(
+        "id",
+        F.posexplode(
+            F.array(*[_signature(F.col("v"), planes) for planes in tables])
+        ).alias("tbl", "sig"),
+    )
+    a = sigs.select(F.col("id").alias("da"), "tbl", "sig")
+    b = sigs.select(F.col("id").alias("db"), "tbl", "sig")
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .dropDuplicates(["da", "db"])
+    )
+    va = base.select(F.col("id").alias("da"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("db"), F.col("v").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "da")
+        .join(vb, "db")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("da", "db", (F.round(F.col("cos") * 10000, 0) / 10000).alias("cos"))
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic hyperplane matrix for sign-LSH."""
     rng = np.random.RandomState(seed)

@@ -117,9 +117,24 @@ def dedup_simhash(spark, sf_dir):
     tags=("llm", "dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs at cos ≥ 0.45 (exact pairwise baseline)."""
+    """Embedding near-dup pairs at cos ≥ 0.45 — the exact O(n²) ORACLE
+    BASELINE for `dedup_embedding_lsh`; never run this variant at corpus
+    scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(emb, 0.45).orderBy("da", "db")
+
+
+@register(
+    "dedup_embedding_lsh", oracle=None, tags=("llm", "dedup", "embedding", "lsh")
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs at cos ≥ 0.45 via sign-LSH bucketing +
+    exact re-rank — the production path (equi-joins only, no cross join;
+    candidate volume ~ n_tables·n²/2^n_planes). Recall vs the exact
+    baseline is asserted in tests/test_operators.py; rows-only checked by
+    the driver (LSH recall < 1 by construction, so no hash oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_pairs(emb, 0.45).orderBy("da", "db")
 
 
 # ---------------------------------------------------------------------------

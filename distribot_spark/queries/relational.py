@@ -1227,7 +1227,14 @@ def q40(spark, sf_dir):
 
     The centering is computed in exact integer cents ((cents*n - total)/100n)
     so the emitted doubles are bit-identical across engines — a float mean
-    would land mean-centered 2-dp prices exactly on rounding boundaries."""
+    would land mean-centered 2-dp prices exactly on rounding boundaries.
+
+    SCALE NOTE: this one-group-per-Arrow-batch form is the mandated
+    grouped-map demo, but per-group overhead makes it a trap when groups
+    are tiny and numerous (~52 s for 15k customers at sf0.1). Production
+    use should be `q40_batched` below (same oracle, hash-bucketed groups,
+    vectorized within-bucket groupby) — or simply the window expression
+    the oracle itself uses."""
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
@@ -1240,5 +1247,45 @@ def q40(spark, sf_dir):
     return (
         o.groupBy("o_custkey")
         .applyInPandas(center, "o_custkey long, o_orderkey long, norm_price double")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q40_batched",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      (ROUND(o_totalprice * 100) * COUNT(*) OVER w
+        - SUM(ROUND(o_totalprice * 100)) OVER w) / (100.0 * COUNT(*) OVER w)
+        AS norm_price
+    FROM orders WINDOW w AS (PARTITION BY o_custkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("udaf", "grouped_map", "batched"),
+)
+def q40_batched(spark, sf_dir):
+    """Scale-safe twin of q40: grouped-map over 128 hash BUCKETS of
+    customers, with the per-customer centering a vectorized pandas groupby
+    *inside* each bucket. Identical semantics and oracle; the per-group
+    Arrow round-trip cost becomes per-bucket, so growing the customer
+    count 100× grows bucket size (vectorized work) instead of batch count
+    (fixed overhead). Exact integer-cent math as in q40."""
+
+    def center_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["o_totalprice"] * 100).round()
+        g = cents.groupby(pdf["o_custkey"])
+        n = g.transform("size")
+        tot = g.transform("sum")
+        out = pdf[["o_custkey", "o_orderkey"]].copy()
+        out["norm_price"] = (cents * n - tot) / (100.0 * n)
+        return out
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        o.withColumn("__bkt", F.pmod(F.hash("o_custkey"), F.lit(128)))
+        .groupBy("__bkt")
+        .applyInPandas(
+            center_bucket, "o_custkey long, o_orderkey long, norm_price double"
+        )
         .orderBy("o_custkey", "o_orderkey")
     )

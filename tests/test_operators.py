@@ -66,6 +66,23 @@ def test_lsh_topk_near_dup_regime(spark):
     assert len(found) >= 8, f"LSH found source vector for only {sorted(found)}"
 
 
+def test_embedding_lsh_recall_vs_exact(spark):
+    """The bucketed embedding near-dup path must recover (nearly) every
+    exact cos ≥ 0.45 pair — at this weak-pair threshold the default
+    (r=4, b=32) parameters give ≈0.998 theoretical recall."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.da, r.db) for r in similarity.cosine_pairs(emb, 0.45).collect()
+    }
+    lsh = {
+        (r.da, r.db) for r in similarity.lsh_cosine_pairs(emb, 0.45).collect()
+    }
+    assert exact, "expected weak-cosine pairs in testdata"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.85, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+    assert lsh <= exact, "re-rank must make candidates exact (no false positives)"
+
+
 def test_approx_count_distinct_tolerance(spark):
     approx = QUERIES["q15"].builder(spark, SF_ORACLE).collect()[0][0]
     exact = QUERIES["q15_exact"].builder(spark, SF_ORACLE).collect()[0][0]

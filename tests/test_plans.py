@@ -59,7 +59,8 @@ def test_relational_queries_stay_jvm_side(spark):
     """Only the explicitly-Python operators (q39/q40, simhash, multimodal,
     flow) may have Python eval nodes."""
     allowed_python = {
-        "q39", "q40", "dedup_simhash", "multimodal_decode", "multimodal_frames",
+        "q39", "q40", "q40_batched", "dedup_simhash", "multimodal_decode",
+        "multimodal_frames",
     }
     for name, spec in QUERIES.items():
         # streaming/flow queries run differently (skip by TAG, not name
