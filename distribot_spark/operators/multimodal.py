@@ -4,14 +4,17 @@ The pattern for image/audio/video at 100 TB:
 - payload is a BinaryType column (or a content-addressed pointer when
   payloads exceed row-size budgets) with a metadata StructType beside it;
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
-  `mapInPandas` stages so the (C-implemented) codec gets whole batches;
+  `mapInPandas` stages so the codec gets whole batches;
 - partitioning is by content hash → uniform task sizes regardless of the
   original file layout.
 
-The decode step is STUBBED here (no image/audio libs in this container):
-`decode_image` raises NotImplementedError unless `fake=True`, in which
-case a deterministic byte-level feature extractor stands in. The Spark
-plumbing — schema, batching, UDF signatures — is real and tested.
+The decode/resize steps are REAL: `operators/codecs.py` implements binary
+PPM (P6) and 24-bit BMP from their byte-layout specs with numpy + stdlib
+struct (no PIL/ffmpeg in this environment — a production deployment would
+swap the codec module, not this plumbing). `synthesize_image` renders a
+deterministic per-doc image whose pixel function is plain integer
+arithmetic, so the full encode → decode → aggregate path is
+hash-checkable against a DuckDB oracle that reproduces the arithmetic.
 """
 
 from __future__ import annotations
@@ -20,6 +23,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from distribot_spark.operators import codecs
 
 # Metadata carried beside every payload.
 MEDIA_META_SCHEMA = (
@@ -44,30 +49,149 @@ def attach_payload(
     )
 
 
+def synth_pixel_channels(x, y, d):
+    """The deterministic pixel function behind `synthesize_image` — plain
+    integer arithmetic so a SQL oracle can reproduce every aggregate of
+    the decoded image: r,g,b = f(x, y, doc_id) mod 256."""
+    r = (7 * x + 13 * y + d) % 256
+    g = (3 * x + 5 * y + 2 * d) % 256
+    b = (11 * x + 2 * y + 3 * d) % 256
+    return r, g, b
+
+
+def synthesize_image(
+    df: DataFrame, width: int = 24, height: int = 16, fmt: str = "ppm"
+) -> DataFrame:
+    """Render a real encoded image per doc (payload = valid P6 PPM or
+    24-bit BMP bytes; pixels from `synth_pixel_channels`). This is the
+    test-harness stand-in for an ingest step that reads real image files —
+    everything downstream of it (decode, resize, feature extraction) runs
+    the same code a real corpus would."""
+    import numpy as np
+    import pandas as pd
+
+    encode = {"ppm": codecs.encode_ppm, "bmp": codecs.encode_bmp}[fmt]
+    media_type = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp"}[fmt]
+    ys, xs = np.mgrid[0:height, 0:width]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                r, g, b = synth_pixel_channels(xs, ys, d)
+                img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                payload = encode(img)
+                rows.append({"doc_id": d, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    imgs = df.select("doc_id").mapInPandas(batches, "doc_id LONG, payload BINARY")
+    return imgs.withColumns(
+        {
+            "media_type": F.lit(media_type),
+            "payload_bytes": F.length("payload").cast("bigint"),
+            "content_key": F.md5("payload"),
+        }
+    )
+
+
 DECODED_SCHEMA = (
-    "doc_id LONG, content_key STRING, n_bytes LONG, "
-    "byte_mean DOUBLE, byte_histogram ARRAY<INT>, head_hex STRING"
+    "doc_id LONG, format STRING, width INT, height INT, n_pixels LONG, "
+    "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
 )
 
 
-def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Batch 'decode' of binary payloads via mapInPandas.
-
-    Real decode (PIL/libjpeg/ffmpeg) is unavailable in this container —
-    with fake=False this raises NotImplementedError at execution time.
-    fake=True runs a deterministic byte-level feature extractor with the
-    exact same batching/schema shape a real decoder would use.
-    """
+def decode_image(df: DataFrame) -> DataFrame:
+    """Batch decode of binary image payloads via mapInPandas: sniff the
+    format by magic bytes, parse with the real PPM/BMP codec, emit true
+    dimensions + per-channel means (rounded to 4 dp for cross-engine
+    determinism). Unsupported payloads decode to format='unknown' with
+    null dims — task isolation, a corrupt file must not kill the scan."""
     import numpy as np
     import pandas as pd
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image/audio codecs are not installed; pass fake=True "
-                    "for the deterministic byte-feature stand-in"
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                try:
+                    fmt, img = codecs.decode(buf)
+                    h, w = img.shape[:2]
+                    means = img.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                    # FLOOR(x*1e4 + 0.5)/1e4 — the exact half-up formula
+                    # the oracle spells out (CLAUDE.md determinism rules)
+                    r4 = [float(np.floor(m * 10000 + 0.5) / 10000) for m in means]
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "format": fmt,
+                            "width": w, "height": h, "n_pixels": h * w,
+                            "mean_r": r4[0], "mean_g": r4[1], "mean_b": r4[2],
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "format": "unknown",
+                            "width": None, "height": None, "n_pixels": None,
+                            "mean_r": None, "mean_g": None, "mean_b": None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id LONG, payload BINARY, width INT, height INT, "
+    "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
+)
+
+
+def resize_image(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Batch resize via mapInPandas: real decode → nearest-neighbor
+    resample (integer index math, codecs.resize_nearest) → re-encode as
+    PPM. Emits the resized payload plus its channel means so the resample
+    arithmetic is oracle-checkable."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, img = codecs.decode(bytes(payload))
+                small = codecs.resize_nearest(img, width, height)
+                means = small.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                r4 = [float(np.floor(m * 10000 + 0.5) / 10000) for m in means]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": codecs.encode_ppm(small),
+                        "width": width, "height": height,
+                        "mean_r": r4[0], "mean_g": r4[1], "mean_b": r4[2],
+                    }
                 )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+BYTE_FEATURES_SCHEMA = (
+    "doc_id LONG, content_key STRING, n_bytes LONG, "
+    "byte_mean DOUBLE, byte_histogram ARRAY<INT>, head_hex STRING"
+)
+
+
+def byte_features(df: DataFrame) -> DataFrame:
+    """Format-agnostic byte-level features (histogram/mean/head) — the
+    cheap first-pass stats a media pipeline computes before (or instead
+    of) a full decode, e.g. for corruption triage and content clustering."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
             rows = []
             for doc_id, key, payload in zip(
                 pdf["doc_id"], pdf["content_key"], pdf["payload"]
@@ -87,48 +211,7 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "content_key", "payload").mapInPandas(
-        batches, DECODED_SCHEMA
-    )
-
-
-RESIZED_SCHEMA = "doc_id LONG, content_key STRING, payload BINARY, width INT, height INT"
-
-
-def resize_image(df: DataFrame, width: int = 8, height: int = 8, fake: bool = False) -> DataFrame:
-    """Batch 'resize' via mapInPandas. Real resampling needs PIL/opencv
-    (not in this container; fake=False raises at execution time). The fake
-    path strided-samples the payload down to width×height bytes — same
-    batching, schema, and output-size contract a real resizer has."""
-    import numpy as np
-    import pandas as pd
-
-    target = width * height
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs are not installed; pass fake=True for the "
-                    "deterministic strided-sampling stand-in"
-                )
-            rows = []
-            for doc_id, key, payload in zip(
-                pdf["doc_id"], pdf["content_key"], pdf["payload"]
-            ):
-                buf = np.frombuffer(payload, dtype=np.uint8)
-                if len(buf) == 0:
-                    out = np.zeros(target, dtype=np.uint8)
-                else:
-                    idx = (np.arange(target) * len(buf)) // target
-                    out = buf[idx]
-                rows.append(
-                    {"doc_id": doc_id, "content_key": key,
-                     "payload": out.tobytes(), "width": width, "height": height}
-                )
-            yield pd.DataFrame(rows)
-
-    return df.select("doc_id", "content_key", "payload").mapInPandas(
-        batches, RESIZED_SCHEMA
+        batches, BYTE_FEATURES_SCHEMA
     )
 
 

@@ -382,13 +382,62 @@ def l6_multimodal(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register("multimodal_decode", oracle=None, tags=("llm", "multimodal"))
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, x.x, y.y FROM documents d,
+             generate_series(0, 23) x(x), generate_series(0, 15) y(y))
+    SELECT doc_id, 'ppm' AS format, CAST(24 AS INT) AS width,
+           CAST(16 AS INT) AS height, CAST(384 AS BIGINT) AS n_pixels,
+      FLOOR(AVG((7*x + 13*y + doc_id) % 256) * 10000 + 0.5)/10000 AS mean_r,
+      FLOOR(AVG((3*x + 5*y + 2*doc_id) % 256) * 10000 + 0.5)/10000 AS mean_g,
+      FLOOR(AVG((11*x + 2*y + 3*doc_id) % 256) * 10000 + 0.5)/10000 AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
 def multimodal_decode(spark, sf_dir):
-    """mapInPandas batch-decode plumbing with the deterministic fake
-    decoder (real codecs unavailable; see operators.multimodal)."""
+    """REAL image decode path: render a valid P6 PPM per doc (deterministic
+    integer pixel function), parse it back with the stdlib codec
+    (operators/codecs.py), emit true dimensions + channel means. The
+    oracle reproduces the pixel arithmetic directly, so the whole
+    encode → magic-sniff → decode → aggregate chain is hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = multimodal.attach_payload(docs, "text")
-    return multimodal.decode_image(payloads, fake=True).orderBy("doc_id")
+    imgs = multimodal.synthesize_image(docs, width=24, height=16, fmt="ppm")
+    return multimodal.decode_image(imgs).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, x.x, y.y FROM documents d,
+             generate_series(0, 7) x(x), generate_series(0, 7) y(y))
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      FLOOR(AVG((7*(3*x) + 13*(2*y) + doc_id) % 256) * 10000 + 0.5)/10000
+        AS mean_r,
+      FLOOR(AVG((3*(3*x) + 5*(2*y) + 2*doc_id) % 256) * 10000 + 0.5)/10000
+        AS mean_g,
+      FLOOR(AVG((11*(3*x) + 2*(2*y) + 3*doc_id) % 256) * 10000 + 0.5)/10000
+        AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark, sf_dir):
+    """REAL resize path: decode the 24×16 synthesized PPM (BMP variant
+    this time to exercise the second codec), nearest-neighbor downsample
+    to 8×8, re-encode. dst(x,y) = src(3x, 2y), so the oracle computes the
+    resampled channel means by substituting the index map into the pixel
+    function."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_image(docs, width=24, height=16, fmt="bmp")
+    return (
+        multimodal.resize_image(imgs, width=8, height=8)
+        .select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -89,11 +89,32 @@ def test_approx_count_distinct_tolerance(spark):
     assert abs(approx - exact) / exact <= 0.02
 
 
-def test_multimodal_decode_shapes(spark):
+def test_codec_roundtrips():
+    """Pure-python codec unit check: PPM and BMP encode→decode identity,
+    comment handling, padding, nearest-neighbor index map."""
+    import numpy as np
+
+    from distribot_spark.operators import codecs
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+    assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+    # PPM comments between header tokens
+    commented = b"P6 # c\n#more\n24 16\n255\n" + img.tobytes()
+    assert (codecs.decode_ppm(commented) == img).all()
+    # odd width exercises BMP row padding
+    odd = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (codecs.decode_bmp(codecs.encode_bmp(odd)) == odd).all()
+    small = codecs.resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+    assert (small[3, 5] == img[(3 * 16) // 8, (5 * 24) // 8]).all()
+
+
+def test_multimodal_byte_features(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     payloads = multimodal.attach_payload(docs, "text")
-    decoded = multimodal.decode_image(payloads, fake=True)
-    rows = decoded.limit(5).collect()
+    rows = multimodal.byte_features(payloads).limit(5).collect()
     assert rows
     for r in rows:
         assert len(r.byte_histogram) == 16
@@ -102,12 +123,22 @@ def test_multimodal_decode_shapes(spark):
         assert len(r.head_hex) == 16
 
 
-def test_multimodal_decode_stub_raises(spark):
-    docs = load_table(spark, SF_ORACLE, "documents").limit(2)
-    payloads = multimodal.attach_payload(docs, "text")
-    decoded = multimodal.decode_image(payloads, fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        decoded.collect()
+def test_multimodal_real_decode(spark):
+    """The decode path parses REAL encoded bytes: synthesized PPM and BMP
+    payloads decode to their true dimensions; a non-image payload yields
+    an isolated format='unknown' row instead of failing the scan."""
+    docs = load_table(spark, SF_ORACLE, "documents").limit(10)
+    for fmt in ("ppm", "bmp"):
+        imgs = multimodal.synthesize_image(docs, width=24, height=16, fmt=fmt)
+        rows = multimodal.decode_image(imgs).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r.format == fmt
+            assert (r.width, r.height, r.n_pixels) == (24, 16, 384)
+            assert 0.0 <= r.mean_r <= 255.0
+    text_payloads = multimodal.attach_payload(docs, "text")
+    unk = multimodal.decode_image(text_payloads).collect()
+    assert all(r.format == "unknown" and r.width is None for r in unk)
 
 
 def test_exact_dedup_idempotent(spark):
@@ -139,14 +170,23 @@ def test_rolling_hash_deterministic_and_discriminative(spark):
 
 
 def test_multimodal_resize_and_frames(spark):
+    import numpy as np
+
+    from distribot_spark.operators import codecs
+
     docs = load_table(spark, SF_ORACLE, "documents").limit(20)
-    payloads = multimodal.attach_payload(docs, "text")
-    resized = multimodal.resize_image(payloads, width=8, height=8, fake=True).collect()
+    imgs = multimodal.synthesize_image(docs, width=24, height=16, fmt="ppm")
+    resized = multimodal.resize_image(imgs, width=8, height=8).collect()
     assert len(resized) == 20
-    assert all(len(r.payload) == 64 for r in resized)
-    import pytest as _pytest
-    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
-        multimodal.resize_image(payloads, fake=False).collect()
+    for r in resized:
+        small = codecs.decode_ppm(bytes(r.payload))
+        assert small.shape == (8, 8, 3)
+        # resized payload really is the nearest-neighbor resample of the
+        # synthesized source: check one pixel against the pixel function
+        d = int(r.doc_id)
+        rr, gg, bb = multimodal.synth_pixel_channels(3 * 5, 2 * 3, d)
+        assert tuple(small[3, 5]) == (rr % 256, gg % 256, bb % 256)
+    payloads = multimodal.attach_payload(docs, "text")
     frames = multimodal.frame_sample(payloads, n_frames=4, frame_size=16).collect()
     assert len(frames) == 80
     by_doc = {}

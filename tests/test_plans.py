@@ -60,7 +60,7 @@ def test_relational_queries_stay_jvm_side(spark):
     flow) may have Python eval nodes."""
     allowed_python = {
         "q39", "q40", "q40_batched", "dedup_simhash", "multimodal_decode",
-        "multimodal_frames",
+        "multimodal_resize", "multimodal_frames",
     }
     for name, spec in QUERIES.items():
         # streaming/flow queries run differently (skip by TAG, not name
