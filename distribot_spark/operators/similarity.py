@@ -16,6 +16,7 @@ which also makes float summation order deterministic for the oracle).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -122,14 +123,12 @@ def lsh_cosine_pairs(
     tables = [
         random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
     ]
+    sig_fn = _signatures_udf(tables)
     base = df.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
     sigs = base.select(
-        "id",
-        F.posexplode(
-            F.array(*[_signature(F.col("v"), planes) for planes in tables])
-        ).alias("tbl", "sig"),
+        "id", F.posexplode(sig_fn(F.col("v"))).alias("tbl", "sig")
     )
     a = sigs.select(F.col("id").alias("da"), "tbl", "sig")
     b = sigs.select(F.col("id").alias("db"), "tbl", "sig")
@@ -158,7 +157,11 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def _signature(vec_col, planes: np.ndarray):
-    """Sign-of-dot LSH signature as a BIGINT bucket key (≤63 planes)."""
+    """Sign-of-dot LSH signature as a BIGINT bucket key (≤63 planes),
+    expressed as Catalyst column arithmetic. Kept as the pure-JVM
+    reference; production paths use `_signatures_udf` — per-plane literal
+    arrays make the expression tree O(tables·planes·dim) nodes, and
+    Catalyst analysis + codegen on that tree dwarfs the actual math."""
     bits = []
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
@@ -169,6 +172,27 @@ def _signature(vec_col, planes: np.ndarray):
     for b in bits[1:]:
         sig = sig + b
     return sig.cast("long")
+
+
+def _signatures_udf(tables: list[np.ndarray]):
+    """All tables' sign-LSH signatures in ONE Arrow-vectorized pandas UDF:
+    a single (batch × dim) @ (dim × tables·planes) matmul, signs packed
+    into one BIGINT per table. Constant-size plan regardless of
+    tables/planes/dim, BLAS-speed math — the sanctioned Python path."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.concatenate(tables, axis=0)  # (T*r, dim)
+    n_tables, r = len(tables), tables[0].shape[0]
+    weights = (1 << np.arange(r, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (n, dim) float64
+        bits = (mat @ planes.T) >= 0  # (n, T*r)
+        packed = (bits.reshape(len(mat), n_tables, r) * weights).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return sigs
 
 
 def lsh_topk(
@@ -193,24 +217,24 @@ def lsh_topk(
     tables = [
         random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
     ]
+    sig_fn = _signatures_udf(tables)
     q = queries.select(
         F.col(id_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("sigs", sig_fn(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("nid"), _to_double(F.col(vec_col)).alias("v")
-    )
-    for t, planes in enumerate(tables):
-        q = q.withColumn(f"sig{t}", _signature(F.col("qv"), planes))
-        c = c.withColumn(f"sig{t}", _signature(F.col("v"), planes))
+    ).withColumn("sigs", sig_fn(F.col("v")))
 
-    # candidate union over tables (bucket equi-joins, deduped)
-    cands = None
-    for t in range(n_tables):
-        qt = q.select("qid", "qv", F.col(f"sig{t}").alias("sig"))
-        ct = c.select("nid", "v", F.col(f"sig{t}").alias("sig"))
-        part = F.broadcast(qt).join(ct, "sig").select("qid", "qv", "nid", "v")
-        cands = part if cands is None else cands.union(part)
-    cands = cands.dropDuplicates(["qid", "nid"])
+    # candidate union over tables: explode (table, sig) pairs and
+    # bucket-equi-join on both, then dedupe
+    qx = q.select("qid", "qv", F.posexplode("sigs").alias("tbl", "sig"))
+    cx = c.select("nid", "v", F.posexplode("sigs").alias("tbl", "sig"))
+    cands = (
+        F.broadcast(qx)
+        .join(cx, ["tbl", "sig"])
+        .select("qid", "qv", "nid", "v")
+        .dropDuplicates(["qid", "nid"])
+    )
 
     scored = cands.select(
         "qid", "nid", cosine_similarity(F.col("qv"), F.col("v")).alias("cos")

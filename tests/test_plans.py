@@ -61,6 +61,10 @@ def test_relational_queries_stay_jvm_side(spark):
     allowed_python = {
         "q39", "q40", "q40_batched", "dedup_simhash", "multimodal_decode",
         "multimodal_resize", "multimodal_frames",
+        # sign-LSH signatures are one Arrow-vectorized matmul: the
+        # pure-Catalyst form is O(tables·planes·dim) expression nodes and
+        # its analysis/codegen time dwarfs the math (see similarity.py)
+        "l3_lsh_topk", "dedup_embedding_lsh",
     }
     for name, spec in QUERIES.items():
         # streaming/flow queries run differently (skip by TAG, not name
