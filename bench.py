@@ -45,6 +45,13 @@ HEADLINE = [
     "events_time_rollup",
     "q_percentiles",
     "q_salted_agg",
+    # round 2 additions (set change documented in BASELINE.md): the
+    # grouped-map scale twin, the blocked-matmul exact embedding dedup
+    # (sign-LSH can't prune at the testdata's mid-threshold regime — see
+    # operators/similarity.py), the real-codec decode path
+    "q40_batched",
+    "dedup_embedding_blocked",
+    "multimodal_decode",
 ]
 
 

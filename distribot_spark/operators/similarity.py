@@ -91,6 +91,90 @@ def cosine_pairs(
     )
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via block-nested-loop matmul —
+    the scale path for MID-threshold regimes (cos 0.4–0.8) where sign-LSH
+    mathematically cannot prune (candidate volume b·n²/2^r ≥ n²/2 at any
+    recall-preserving r — see `lsh_cosine_pairs` docstring).
+
+    Shape: hash vectors into B blocks, pack each block into ONE row
+    (ids + vectors), cross-join the B(B+1)/2 unordered block pairs (a
+    tiny relation — the vectors travel once per block, not once per
+    candidate pair), then one numpy matmul per block pair inside
+    mapInPandas. Total compute is still O(n²·dim) — all-pairs is exact —
+    but it is BLAS-vectorized, embarrassingly parallel across block
+    pairs, and shuffle traffic is O(n·B) vector copies instead of the
+    O(n²) row explosion of the crossJoin baseline. At 100 TB choose
+    B ≈ n·dim·8 / 64 MB so one block fits an Arrow batch comfortably;
+    task count B(B+1)/2 then scales quadratically with the corpus, each
+    task constant-size. Same output contract as `cosine_pairs`
+    (da < db, cos ≥ threshold, 4-decimal round) and exact, so it shares
+    the brute-force DuckDB hash oracle."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    packed = base.groupBy("blk").agg(
+        F.sort_array(F.collect_list(F.struct("id", "v"))).alias("rows")
+    )
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    block_pairs = (
+        a.join(b, F.col("blk_a") <= F.col("blk_b"))
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def _matmul_pairs(batches):
+        for pdf in batches:
+            out_da, out_db, out_cos = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray([r["id"] for r in row.rows_a], dtype=np.int64)
+                A = np.stack([np.asarray(r["v"], dtype=np.float64)
+                              for r in row.rows_a])
+                A = A / np.linalg.norm(A, axis=1, keepdims=True)
+                if row.blk_a == row.blk_b:
+                    ids_b, B = ids_a, A
+                else:
+                    ids_b = np.asarray([r["id"] for r in row.rows_b],
+                                       dtype=np.int64)
+                    B = np.stack([np.asarray(r["v"], dtype=np.float64)
+                                  for r in row.rows_b])
+                    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+                C = A @ B.T
+                ii, jj = np.nonzero(C >= threshold)
+                da, db = ids_a[ii], ids_b[jj]
+                keep = da != db  # intra-block self-pairs
+                da, db, cos = da[keep], db[keep], C[ii, jj][keep]
+                if row.blk_a == row.blk_b:
+                    # every unordered pair appears twice in the full matrix
+                    keep = da < db
+                    da, db, cos = da[keep], db[keep], cos[keep]
+                else:
+                    lo = np.minimum(da, db)
+                    db = np.maximum(da, db)
+                    da = lo
+                out_da.append(da)
+                out_db.append(db)
+                out_cos.append(np.round(cos * 10000.0) / 10000.0)
+            if out_da:
+                yield pd.DataFrame({
+                    "da": np.concatenate(out_da),
+                    "db": np.concatenate(out_db),
+                    "cos": np.concatenate(out_cos),
+                })
+
+    return block_pairs.mapInPandas(
+        _matmul_pairs, schema="da long, db long, cos double"
+    )
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -125,6 +125,31 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_blocked",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    a AS (SELECT vec_id AS da, v AS qv FROM e),
+    b AS (SELECT vec_id AS db, v FROM e),
+    pairs AS (SELECT da, db, {_COSINE_EXPR} AS cos
+              FROM a, b WHERE da < db)
+    SELECT da, db, ROUND(cos * 10000) / 10000 AS cos
+    FROM pairs WHERE cos >= 0.45 ORDER BY da, db
+    """,
+    tags=("llm", "dedup", "embedding", "blocked"),
+)
+def dedup_embedding_blocked(spark, sf_dir):
+    """EXACT embedding near-dup pairs at cos ≥ 0.45 via block-nested-loop
+    matmul (`similarity.blocked_cosine_pairs`) — the scale path for the
+    mid-threshold regime where sign-LSH cannot prune: B(B+1)/2 block-pair
+    tasks, one BLAS matmul each, shuffle O(n·B) not O(n²). Exact, so it
+    shares the brute-force oracle and is fully hash-certified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.blocked_cosine_pairs(emb, 0.45).orderBy("da", "db")
+
+
+@register(
     "dedup_embedding_lsh", oracle=None, tags=("llm", "dedup", "embedding", "lsh")
 )
 def dedup_embedding_lsh(spark, sf_dir):

@@ -83,6 +83,25 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert lsh <= exact, "re-rank must make candidates exact (no false positives)"
 
 
+def test_embedding_blocked_equals_exact(spark):
+    """The block-nested-loop matmul path is EXACT: identical pair set and
+    4-decimal cos values to the crossJoin baseline, at several block
+    counts (including B > distinct hash buckets and B = 1)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.da, r.db, r.cos) for r in similarity.cosine_pairs(emb, 0.45).collect()
+    }
+    assert exact, "expected weak-cosine pairs in testdata"
+    for n_blocks in (1, 8, 64):
+        blocked = {
+            (r.da, r.db, r.cos)
+            for r in similarity.blocked_cosine_pairs(
+                emb, 0.45, n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == exact, f"mismatch at n_blocks={n_blocks}"
+
+
 def test_approx_count_distinct_tolerance(spark):
     approx = QUERIES["q15"].builder(spark, SF_ORACLE).collect()[0][0]
     exact = QUERIES["q15_exact"].builder(spark, SF_ORACLE).collect()[0][0]

@@ -65,6 +65,9 @@ def test_relational_queries_stay_jvm_side(spark):
         # pure-Catalyst form is O(tables·planes·dim) expression nodes and
         # its analysis/codegen time dwarfs the math (see similarity.py)
         "l3_lsh_topk", "dedup_embedding_lsh",
+        # block-nested-loop matmul: the whole point is one BLAS matmul
+        # per block pair inside mapInPandas (see similarity.py)
+        "dedup_embedding_blocked",
     }
     for name, spec in QUERIES.items():
         # streaming/flow queries run differently (skip by TAG, not name
