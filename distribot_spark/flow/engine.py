@@ -119,21 +119,30 @@ class FlowEngine:
 
     def events(self, flow_id: str) -> list[dict]:
         """The persisted event stream a detached subscriber would tail:
-        transitions as phase.* events plus terminal control records."""
-        out = [
-            {
-                "event": "flow.created" if t["from"] is None else "phase.started",
-                "flow_id": flow_id,
-                "phase": t["to"],
-                "ts": t["ts"],
-            }
-            for t in self.state.transitions(flow_id)
-        ]
+        transitions as lifecycle events plus terminal control records.
+        Event names mirror the live `_emit` fanout exactly: transitions
+        into the PAUSED/CANCELED pseudo-phases surface as flow.paused /
+        flow.canceled and a PAUSED→phase transition as flow.resumed —
+        never as phase.started with a pseudo-phase name."""
+        out = []
+        for t in self.state.transitions(flow_id):
+            if t["from"] is None:
+                event, phase = "flow.created", t["to"]
+            elif t["to"] == PAUSED:
+                event, phase = "flow.paused", None
+            elif t["to"] == CANCELED:
+                event, phase = "flow.canceled", None
+            elif t["from"] == PAUSED:
+                event, phase = "flow.resumed", t["to"]
+            else:
+                event, phase = "phase.started", t["to"]
+            out.append({"event": event, "flow_id": flow_id, "phase": phase,
+                        "ts": t["ts"]})
         ctl = self.state.control_state(flow_id)
         if ctl == "finished":
             out.append({"event": "flow.finished", "flow_id": flow_id, "phase": None,
                         "ts": None})
-        elif ctl == CANCELED:
+        elif ctl == CANCELED and not any(e["event"] == "flow.canceled" for e in out):
             out.append({"event": "flow.canceled", "flow_id": flow_id, "phase": None,
                         "ts": None})
         return out

@@ -19,6 +19,7 @@ hash-checkable against a DuckDB oracle that reproduces the arithmetic.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -129,7 +130,9 @@ def decode_image(df: DataFrame) -> DataFrame:
                             "mean_r": r4[0], "mean_g": r4[1], "mean_b": r4[2],
                         }
                     )
-                except ValueError:
+                except (ValueError, struct.error):
+                    # struct.error: payload sniffs as BMP (b'BM' prefix)
+                    # but is shorter than the header unpack needs
                     rows.append(
                         {
                             "doc_id": doc_id, "format": "unknown",

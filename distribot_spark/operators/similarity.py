@@ -91,10 +91,22 @@ def cosine_pairs(
     )
 
 
+def derive_n_blocks(
+    n_rows: int, dim: int, block_bytes_budget: int = 64 << 20
+) -> int:
+    """Smallest block count keeping one packed block row (~n/B · dim · 8 B
+    of float64 plus ids) under `block_bytes_budget`. Spark's hard 2 GiB
+    single-row/page limits make an unlucky manual B a job-killer; 64 MB
+    keeps a block comfortably inside one Arrow batch."""
+    bytes_per_row = dim * 8 + 8
+    total = n_rows * bytes_per_row
+    return max(1, -(-total // block_bytes_budget))
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -111,11 +123,23 @@ def blocked_cosine_pairs(
     but it is BLAS-vectorized, embarrassingly parallel across block
     pairs, and shuffle traffic is O(n·B) vector copies instead of the
     O(n²) row explosion of the crossJoin baseline. At 100 TB choose
-    B ≈ n·dim·8 / 64 MB so one block fits an Arrow batch comfortably;
+    B ≈ n·dim·8 / 64 MB so one block fits an Arrow batch comfortably
+    (pass n_blocks=None to derive exactly that from a corpus count);
     task count B(B+1)/2 then scales quadratically with the corpus, each
     task constant-size. Same output contract as `cosine_pairs`
     (da < db, cos ≥ threshold, 4-decimal round) and exact, so it shares
-    the brute-force DuckDB hash oracle."""
+    the brute-force DuckDB hash oracle.
+
+    Determinism note: the BLAS matmul sums products in an unspecified
+    order, unlike the baseline's index-ordered `F.aggregate` fold, so the
+    raw float64 cos can differ from the oracle's in the last ulps. The
+    4-decimal HALF_UP round below (floor(x·1e4 + 0.5), valid since
+    cos ≥ threshold > 0) matches Spark's F.round / DuckDB's ROUND exactly;
+    a value would have to sit within ~1e-12 of a 4th-decimal boundary for
+    summation order to flip the rounded result."""
+    if n_blocks is None:
+        dim = len(df.select(vec_col).first()[0])
+        n_blocks = derive_n_blocks(df.count(), dim)
     base = df.select(
         F.col(id_col).alias("id"),
         _to_double(F.col(vec_col)).alias("v"),
@@ -162,7 +186,9 @@ def blocked_cosine_pairs(
                     da = lo
                 out_da.append(da)
                 out_db.append(db)
-                out_cos.append(np.round(cos * 10000.0) / 10000.0)
+                # HALF_UP to match F.round / DuckDB ROUND (np.round is
+                # banker's half-to-even); cos ≥ threshold > 0 here.
+                out_cos.append(np.floor(cos * 10000.0 + 0.5) / 10000.0)
             if out_da:
                 yield pd.DataFrame({
                     "da": np.concatenate(out_da),
@@ -271,6 +297,8 @@ def _signatures_udf(tables: list[np.ndarray]):
 
     @pandas_udf("array<long>")
     def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         mat = np.stack(v.to_numpy())  # (n, dim) float64
         bits = (mat @ planes.T) >= 0  # (n, T*r)
         packed = (bits.reshape(len(mat), n_tables, r) * weights).sum(axis=2)

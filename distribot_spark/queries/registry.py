@@ -47,35 +47,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Queries the round-1 driver already certified green (CORRECTNESS_r01.json).
-# The driver appears to check a bounded prefix of the queries() dict (r01
-# covered exactly the first 50 registered names), so we order the dict with
-# never-certified queries FIRST: if the driver runs everything we lose
-# nothing, and if it caps, the union of per-round CORRECTNESS files still
-# converges to full coverage.
-_R01_CERTIFIED = frozenset({
-    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
-    "q11", "q12", "q13", "q14", "q14_distinct", "q15_exact", "q15", "q16",
-    "q17", "q18", "q19", "q20", "q21", "q22", "q23", "q24_union",
-    "q24_union_all", "q24_intersect", "q24_except", "q25_scalar",
-    "q25_correlated", "q26", "q27", "q28", "q29", "q29_datediff", "q30",
-    "q31", "q32", "q33", "q33_agg", "q34", "q35", "q36", "q37", "q38",
-    "q39", "q40", "l1_exact_dedup", "l2_minhash_pairs",
-})
-
-
-def _ordered_names() -> list[str]:
-    names = list(QUERIES)
-    return sorted(names, key=lambda n: (n in _R01_CERTIFIED, names.index(n)))
-
-
 def queries() -> dict[str, Builder]:
-    return {name: QUERIES[name].builder for name in _ordered_names()}
+    """Registration order — fixed and round-independent.
+
+    Modules register in SURVEY §2 inventory order (relational Q, streaming S,
+    llm L, flow R, then extras); within a module, source order. No per-round
+    reordering: if the driver bounds how many queries it certifies per round,
+    that is the driver's policy, not something to order around.
+    """
+    return {name: spec.builder for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: QUERIES[name].oracle
-        for name in _ordered_names()
-        if QUERIES[name].oracle is not None
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
     }

@@ -233,6 +233,33 @@ def test_fanout_subscribers(engine):
     assert evs[0] == "flow.created" and evs[-1] == "flow.finished"
 
 
+def test_events_label_pause_resume_cancel(engine):
+    """The persisted events() twin must mirror the live _emit stream:
+    PAUSED/CANCELED pseudo-phase transitions surface as flow.paused /
+    flow.resumed / flow.canceled — never as phase.started('paused')."""
+    from distribot_spark.flow.examples import NEWS_FLOW
+
+    fid = engine.create_flow(NEWS_FLOW)
+    engine.pause(fid)
+    engine.resume(fid)
+    engine.pause(fid)
+    engine.resume(fid)
+    engine.cancel(fid)
+    evs = engine.events(fid)
+    names = [e["event"] for e in evs]
+    assert names == [
+        "flow.created", "flow.paused", "flow.resumed",
+        "flow.paused", "flow.resumed", "flow.canceled",
+    ]
+    # pseudo-phase names never leak into the phase field
+    assert all(e["phase"] not in ("paused", "canceled") for e in evs)
+    # resumed events carry the phase being re-entered
+    assert [e["phase"] for e in evs if e["event"] == "flow.resumed"] == [
+        NEWS_FLOW_INITIAL := evs[0]["phase"], NEWS_FLOW_INITIAL]
+    # exactly one canceled event (transition + control state don't double)
+    assert names.count("flow.canceled") == 1
+
+
 def test_subscriber_isolation(engine):
     """A raising subscriber must not break the flow (trycatch semantics)."""
     def boom(ev, fid, p):

@@ -102,6 +102,34 @@ def test_embedding_blocked_equals_exact(spark):
         assert blocked == exact, f"mismatch at n_blocks={n_blocks}"
 
 
+def test_derive_n_blocks_sizing():
+    """Auto-derived block count keeps one packed block row under budget
+    (guards Spark's single-row/Arrow-batch limits against unlucky B)."""
+    budget = 64 << 20
+    for n_rows, dim in [(1_000, 64), (10_000_000, 64), (1_000_000_000, 1024),
+                        (1, 64), (0, 64)]:
+        b = similarity.derive_n_blocks(n_rows, dim, budget)
+        assert b >= 1
+        per_block_bytes = (max(n_rows, 1) / b) * (dim * 8 + 8)
+        assert per_block_bytes <= budget * 1.01, (n_rows, dim, b)
+    # derived B for the 1B×1024 corpus is large enough that the block-pair
+    # task count, not block size, is the scaling axis
+    assert similarity.derive_n_blocks(1_000_000_000, 1024) > 100_000
+
+
+def test_blocked_cosine_auto_blocks(spark):
+    """n_blocks=None derives B from the corpus itself and stays exact."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.da, r.db, r.cos) for r in similarity.cosine_pairs(emb, 0.45).collect()
+    }
+    auto = {
+        (r.da, r.db, r.cos)
+        for r in similarity.blocked_cosine_pairs(emb, 0.45, n_blocks=None).collect()
+    }
+    assert auto == exact
+
+
 def test_approx_count_distinct_tolerance(spark):
     approx = QUERIES["q15"].builder(spark, SF_ORACLE).collect()[0][0]
     exact = QUERIES["q15_exact"].builder(spark, SF_ORACLE).collect()[0][0]
@@ -158,6 +186,20 @@ def test_multimodal_real_decode(spark):
     text_payloads = multimodal.attach_payload(docs, "text")
     unk = multimodal.decode_image(text_payloads).collect()
     assert all(r.format == "unknown" and r.width is None for r in unk)
+
+
+def test_decode_isolates_truncated_bmp_header(spark):
+    """A payload that sniffs as BMP (b'BM' magic) but is shorter than the
+    34-byte header must yield format='unknown', not kill the scan
+    (codecs.decode_bmp raises struct.error, not ValueError, there)."""
+    corrupt = spark.createDataFrame(
+        [(1, bytearray(b"BM")), (2, bytearray(b"BM\x01\x02\x03")),
+         (3, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    rows = multimodal.decode_image(corrupt).collect()
+    assert len(rows) == 3
+    assert all(r.format == "unknown" and r.width is None for r in rows)
 
 
 def test_exact_dedup_idempotent(spark):
