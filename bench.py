@@ -55,6 +55,10 @@ HEADLINE = [
 ]
 
 
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     from distribot_spark.queries import QUERIES
     from distribot_spark.session import get_spark
@@ -62,20 +66,53 @@ def main() -> None:
     spark = get_spark(app_name="distribot_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Fixed JVM warm-up BEFORE any timing: scan+agg+join+window+shuffle so
+    # whole-stage-codegen JIT, parquet footer cache, and the shuffle stack
+    # are hot before the first timed query (round-2 postmortem: the
+    # first-timed queries otherwise absorb process warm-up noise).
+    warm = QUERIES.get("q05") or QUERIES.get("q13")
+    for _ in range(3):
+        _noop(warm.builder(spark, SF_DIR))
+
+    # contention probe: a tiny fixed query timed at start and end; if the
+    # machine is contended mid-run the two probes diverge and the spread
+    # shows up in the output rather than silently inflating query timings
+    def probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id) as s").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    probe()  # warm the probe path itself
+    probe_start = probe()
+
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-        # cold pass (not reported): plan + JIT + footer cache; then report
-        # the min of two warm runs (min is robust to GC/scheduler noise)
-        spec.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
+        # cold pass (not reported): plan analysis + per-query JIT; then
+        # min of three warm runs (min is robust to GC/scheduler noise);
+        # spread = max-min of the warm reps, a per-query noise meter
+        _noop(spec.builder(spark, SF_DIR))
+        reps = []
+        for _ in range(3):
             t0 = time.perf_counter()
-            spec.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            _noop(spec.builder(spark, SF_DIR))
+            reps.append(time.perf_counter() - t0)
+        # outlier insurance: a driver full-GC can poison several seconds of
+        # one query's reps (observed: a stable-3.5 s query recording 21 s);
+        # when the spread rivals the min, take up to 2 extra reps
+        extra = 0
+        while extra < 2 and (max(reps) - min(reps)) > max(0.5, min(reps)):
+            t0 = time.perf_counter()
+            _noop(spec.builder(spark, SF_DIR))
+            reps.append(time.perf_counter() - t0)
+            extra += 1
+        timings[name] = round(min(reps), 3)
+        spreads[name] = round(max(reps) - min(reps), 3)
+
+    probe_end = probe()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -84,6 +121,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "spread": spreads,
+        "spread_total": round(sum(spreads.values()), 3),
+        "probe_sec": [probe_start, probe_end],
     }
     print(json.dumps(out))
 

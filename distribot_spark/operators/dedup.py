@@ -59,22 +59,40 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def _shingle_hashes_raw(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, h) WITHOUT the distinct — for duplicate-insensitive consumers
+    (minhash mins), where skipping the dedup shuffle is pure win."""
+    tokens = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        tokens.alias("__toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
+        ).alias("__i"),
+    ).select(
+        "doc",
+        F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n))
+        ).alias("h"),
+    )
+
+
 def shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct (doc, h): 64-bit xxhash of each word n-gram shingle.
 
     Everything downstream (signatures, banding, set intersection) only
     needs equality on shingles, so hashing *before* the distinct makes the
     shuffle rows fixed-width longs instead of strings — measurably faster
-    at every scale, with 2^-64 collision odds per pair."""
-    tokens = F.split(F.col(text_col), " ")
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, n))),
-    )
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(hashes).alias("h"))
-        .dropDuplicates(["doc", "h"])
-    )
+    at every scale, with 2^-64 collision odds per pair.
+
+    Shape note: positions are exploded FIRST and the slice/concat/hash run
+    as ordinary row-level expressions inside whole-stage codegen. The
+    earlier form (a `transform` higher-order function building the hash
+    array in-place) evaluated the lambda interpreted per element —
+    measurably slower (1.62 s vs 1.35 s at sf0.1) for identical output."""
+    return _shingle_hashes_raw(df, text_col, id_col, n).dropDuplicates(["doc", "h"])
 
 
 # ---------------------------------------------------------------------------
@@ -122,6 +140,35 @@ def lsh_band_buckets(signatures: DataFrame, bands: int, rows_per_band: int) -> D
     ).select("doc", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
 
 
+def minhash_band_buckets(
+    shingles: DataFrame, num_hashes: int = 128, bands: int = 32
+) -> DataFrame:
+    """(doc, bucket) straight from hashed shingles — the fused production
+    path behind `minhash_candidate_pairs`.
+
+    One shuffle (groupBy doc, per-hash mins partial-aggregate map-side);
+    band buckets are computed IN the aggregate's output projection as
+    ``bucket = xxhash64(min_{b·r} … min_{b·r+r-1}, b)`` — no signature
+    array, no higher-order slice, no string concat. Baking the band index
+    into the hash salts buckets per band, so the candidate join needs only
+    the single long ``bucket`` key (a cross-band collision needs a 2⁻⁶⁴
+    accident, and any such accident only adds a candidate that exact
+    verification removes). Min-columns are built as `F.expr` strings: one
+    py4j call each instead of a nested Column chain — driver-side DAG
+    construction was ~1.2 s of the warm query latency before
+    (measured sf0.1, round 3)."""
+    r = num_hashes // bands
+    mins = [F.expr(f"min(xxhash64(h, {j})) AS h{j}") for j in range(num_hashes)]
+    agg = shingles.groupBy("doc").agg(*mins)
+    buckets = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)], F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    return agg.select("doc", F.explode(buckets).alias("bucket"))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -133,24 +180,27 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (da < db) with exact-verified Jaccard ≥ threshold.
 
-    Pipeline: shingle → minhash signature → band buckets → self-join within
-    buckets (candidates) → exact verification on the candidates' shingle
-    sets. With b=32, r=4 the LSH s-curve passes ≥0.8-similar pairs with
-    P > 0.9998, so recall at the planted-duplicate regime is ~1 while the
-    bucket join keeps the candidate set ~linear (vs the O(n²) exact join).
+    Pipeline: shingle → fused minhash band buckets (`minhash_band_buckets`)
+    → self-equi-join on the band-salted bucket key (candidates) → exact
+    verification on the candidates' shingle sets. With b=32, r=4 the LSH
+    s-curve passes ≥0.8-similar pairs with P > 0.9998, so recall at the
+    planted-duplicate regime is ~1 while the bucket join keeps the
+    candidate set ~linear (vs the O(n²) exact join).
     """
-    rows_per_band = num_hashes // bands
     sh = shingle_hashes(df, text_col, id_col, shingle_n)
-    sigs = minhash_signatures(sh, num_hashes)
-    buckets = lsh_band_buckets(sigs, bands, rows_per_band)
+    # min() is duplicate-insensitive, so the signature branch skips the
+    # distinct: partial min-agg runs map-side straight off the explode and
+    # shuffles only docs × num_hashes mins, not the full shingle relation.
+    # (The exact-verify branch still uses the distinct `sh`.)
+    sh_raw = _shingle_hashes_raw(df, text_col, id_col, shingle_n)
+    buckets = minhash_band_buckets(sh_raw, num_hashes, bands)
 
     b1 = buckets.alias("b1")
     b2 = buckets.alias("b2")
     candidates = (
         b1.join(
             b2,
-            (F.col("b1.band") == F.col("b2.band"))
-            & (F.col("b1.bucket") == F.col("b2.bucket"))
+            (F.col("b1.bucket") == F.col("b2.bucket"))
             & (F.col("b1.doc") < F.col("b2.doc")),
         )
         .select(F.col("b1.doc").alias("da"), F.col("b2.doc").alias("db"))
