@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from distribot_spark.catalog import load_table
 from distribot_spark.functions import stable_round
-from distribot_spark.operators.skew import salted_aggregate
+from distribot_spark.operators.skew import salted_aggregate, salted_join
 from distribot_spark.queries.registry import register
 
 
@@ -176,3 +176,43 @@ def q_salted_agg(spark, sf_dir):
         ],
         salt_buckets=16,
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    WITH dim AS (SELECT o_orderstatus, COUNT(*) AS status_cnt
+                 FROM orders GROUP BY o_orderstatus)
+    SELECT o.o_orderstatus, COUNT(*) AS cnt, MIN(d.status_cnt) AS status_cnt,
+           ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)::DOUBLE AS total
+    FROM orders o JOIN dim d USING (o_orderstatus)
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    tags=("join", "skew"),
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted join: orders (fact; o_orderstatus has 3 values —
+    the maximal hot-key shape, every row is one of 3 join keys) ⋈ a
+    per-status dim too 'hot' for a plain shuffle join at scale. The dim is
+    exploded 16× on a salt column and the fact side salted with a
+    deterministic row hash, so each hot key's rows spread over 16 reducers
+    instead of funneling through one. Results must equal the unsalted
+    join (the oracle); MIN(status_cnt) proves the dim row was delivered.
+    At 100 TB this is the pattern for dims that exceed the broadcast
+    threshold but are far smaller than the fact (see operators/skew.py);
+    AQE skew-split handles the cases where the dim IS broadcastable."""
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    dim = orders.groupBy("o_orderstatus").agg(F.count("*").alias("status_cnt"))
+    joined = salted_join(fact, dim, "o_orderstatus", salt_buckets=16)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("status_cnt").alias("status_cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -467,6 +467,70 @@ def q16(spark, sf_dir):
 
 
 @register(
+    "q16_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      COUNT(*) AS cnt,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    tags=("agg", "cube"),
+)
+def q16_cube(spark, sf_dir):
+    """CUBE: all 2^k grouping combinations (vs ROLLUP's k+1 prefixes)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("cnt"),
+            _dsum(_money("o_totalprice"), "total"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "q16_gsets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      COUNT(*) AS cnt,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q16_gsets(spark, sf_dir):
+    """Explicit GROUPING SETS — an asymmetric set neither ROLLUP nor CUBE
+    expresses: per-status, per-priority, and grand total (no (status,
+    priority) cell). Uses the Spark 4 `DataFrame.groupingSets` API; one
+    Expand + single hash-agg, same physical shape as rollup/cube."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("cnt"),
+            _dsum(_money("o_totalprice"), "total"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
     "q17",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS cnt FROM customer

@@ -120,3 +120,18 @@ def test_bucketed_join_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join must not reshuffle"
     assert "Bucketed: true" in plan
+
+
+def test_q_salted_join_shape(spark):
+    """The salted join must actually salt: the dim side is replicated via
+    explode (Generate) and the join condition includes the salt column, so
+    each hot key's fact rows spread over salt_buckets reducers."""
+    df = q(spark, "q_salted_join")
+    plan = explain_string(df)
+    # dim replication: a Generate node exploding the (constant-folded)
+    # salt array; fact side carries a computed __salt join key
+    assert "Generate" in plan and "explode(" in plan, (
+        "dim side must replicate via explode"
+    )
+    assert plan.count("__salt") >= 2, "both join sides must key on the salt"
+    assert not uses_python_eval(df), "salting is pure JVM-side"
