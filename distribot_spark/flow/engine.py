@@ -24,7 +24,6 @@ import inspect
 import json
 import math
 import os
-import shutil
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -405,10 +404,9 @@ class FlowEngine:
             ).repartition(n_parts)
         self._run_waves(flow_id, phase, ctx, impl, tasks)
 
-    # explicit read schema for the task_log dir: flow_id is a *hive
-    # partition* column (layout written by both StateStore.log_tasks and
-    # _append_wave below); pinning the schema keeps it a string even when
-    # a flow id happens to look numeric
+    # explicit read schema for committed task-log files (flow identity is
+    # established by WHICH files the manifest/partition listing yields, not
+    # by a column); pinning the schema keeps types stable across waves
     _TASK_LOG_SCHEMA = T.StructType(
         [
             T.StructField("phase", T.StringType()),
@@ -418,7 +416,6 @@ class FlowEngine:
             T.StructField("status", T.StringType()),
             T.StructField("result", T.StringType()),
             T.StructField("ts", T.DoubleType()),
-            T.StructField("flow_id", T.StringType()),
         ]
     )
 
@@ -441,7 +438,6 @@ class FlowEngine:
         remaining_cnt = tasks.count()
         self.state.upsert_progress(flow_id, phase, ctx.handler, total, remaining_cnt)
 
-        log_dir = os.path.join(self.state.root, "task_log")
         attempt = 0
         while remaining_cnt:
             self._check_control(flow_id)
@@ -455,13 +451,12 @@ class FlowEngine:
                 "result",
                 F.lit(time.time()).alias("ts"),
             )
-            self._append_wave(results, log_dir, flow_id)
+            self._append_wave(results, flow_id)
             logged = (
                 self.spark.read.schema(self._TASK_LOG_SCHEMA)
-                .parquet(log_dir)
+                .parquet(*self.state.committed_task_files(flow_id))
                 .filter(
-                    (F.col("flow_id") == flow_id)  # pruned to one partition dir
-                    & (F.col("phase") == phase)
+                    (F.col("phase") == phase)
                     & (F.col("handler") == ctx.handler)
                     & (F.col("attempt") == attempt)
                 )
@@ -479,27 +474,28 @@ class FlowEngine:
                 ]
                 raise PhaseFailed(phase, ctx.handler, sample)
 
-    def _append_wave(self, results: DataFrame, log_dir: str, flow_id: str) -> None:
-        """Append a wave's results under task_log/flow_id=<id>/.
+    def _append_wave(self, results: DataFrame, flow_id: str) -> None:
+        """Transactionally append a wave's results to the flow's task log.
 
-        The job writes to a unique staging dir and the files are then
-        renamed into the hive partition: concurrent handler threads each
-        get their own staging dir, avoiding the shared `_temporary`
-        committer dir that makes concurrent appends into ONE directory
-        unsafe. Renames are same-filesystem metadata ops here; an object
-        store deployment would swap this for a real table format
-        (Delta/Iceberg) whose commit protocol handles concurrency."""
-        staging = os.path.join(self.state.root, "task_wave", uuid.uuid4().hex)
-        results.write.mode("overwrite").parquet(staging)
-        part_dir = os.path.join(log_dir, f"flow_id={flow_id}")
-        os.makedirs(part_dir, exist_ok=True)
-        for f in os.listdir(staging):
-            if f.endswith(".parquet"):
-                os.replace(
-                    os.path.join(staging, f),
-                    os.path.join(part_dir, f"{time.time_ns()}_{f}"),
-                )
-        shutil.rmtree(staging, ignore_errors=True)
+        The Spark job writes to its own wave directory (concurrent handler
+        threads never share a `_temporary` committer dir), and the wave
+        becomes visible via `StateStore.commit_wave_manifest` — ONE atomic
+        manifest write naming the wave's files, which stay in place. A
+        crash at ANY point before the manifest leaves zero rows visible to
+        readers (crash-injection-tested); there is no window where part of
+        a wave can be seen, unlike a rename-files-into-partition loop.
+        Same protocol shape as table-format commit logs (Delta/Iceberg):
+        data files immutable where written, commits are single-object
+        metadata writes — which is exactly what an object-store deployment
+        needs (rename-free)."""
+        wave_dir = os.path.join(self.state.root, "task_wave", uuid.uuid4().hex)
+        results.write.mode("overwrite").parquet(wave_dir)
+        files = sorted(
+            os.path.join(wave_dir, f)
+            for f in os.listdir(wave_dir)
+            if f.endswith(".parquet")
+        )
+        self.state.commit_wave_manifest(flow_id, files)
 
     def _wave_df(
         self, ctx: HandlerContext, impl, tasks: DataFrame, attempt: int

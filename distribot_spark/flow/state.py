@@ -67,9 +67,14 @@ class StateStore:
         d = os.path.join(self.root, table)
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{time.time_ns()}_{uuid.uuid4().hex[:8]}.parquet")
-        stubbornly(
-            pq.write_table, pa.Table.from_pylist(rows, schema=schema), path
-        )
+
+        def _atomic_write() -> None:
+            # tmp + rename: a crash mid-write leaves a .tmp readers skip,
+            # never a torn .parquet that poisons every later read
+            pq.write_table(pa.Table.from_pylist(rows, schema=schema), path + ".tmp")
+            os.replace(path + ".tmp", path)
+
+        stubbornly(_atomic_write)
 
     def _read(self, table: str) -> pd.DataFrame:
         d = os.path.join(self.root, table)
@@ -205,6 +210,41 @@ class StateStore:
          ("result", pa.string()), ("ts", pa.float64())]
     )
 
+    def commit_wave_manifest(self, flow_id: str, files: list[str]) -> None:
+        """Atomically commit a distributed wave: ONE manifest file names
+        the wave's data files (which stay where the Spark job wrote them,
+        outside any reader's directory listing). The commit is a single
+        tmp-write + rename — on an object store, a single PUT — so readers
+        observe either the whole wave or none of it; a crash before the
+        manifest leaves only invisible staging garbage. This replaces the
+        earlier rename-files-into-the-partition loop, whose mid-loop crash
+        exposed a partial wave."""
+        part_dir = os.path.join(self.root, "task_log", f"flow_id={flow_id}")
+        os.makedirs(part_dir, exist_ok=True)
+        name = f"wave-{time.time_ns()}-{uuid.uuid4().hex[:8]}.manifest.json"
+        tmp = os.path.join(part_dir, name + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"files": sorted(files)}, fh)
+        os.replace(tmp, os.path.join(part_dir, name))
+
+    def committed_task_files(self, flow_id: str) -> list[str]:
+        """Every committed task-log data file for one flow: the atomically
+        written single-file appends in the partition dir, plus each wave
+        manifest's file list. Anything else (staging dirs, .tmp files) is
+        invisible by construction."""
+        part_dir = os.path.join(self.root, "task_log", f"flow_id={flow_id}")
+        if not os.path.isdir(part_dir):
+            return []
+        out: list[str] = []
+        for f in sorted(os.listdir(part_dir)):
+            p = os.path.join(part_dir, f)
+            if f.endswith(".parquet"):
+                out.append(p)
+            elif f.endswith(".manifest.json"):
+                with open(p) as fh:
+                    out.extend(json.load(fh)["files"])
+        return out
+
     def log_tasks(self, rows: list[dict]) -> None:
         by_flow: dict[str, list[dict]] = {}
         for r in rows:
@@ -224,9 +264,11 @@ class StateStore:
         double-processes under redelivery; README.md caveats it), and two
         handlers emitting the same task_id in one phase can't mask each
         other's results."""
-        df = self._read(os.path.join("task_log", f"flow_id={flow_id}"))
-        if df.empty:
-            return df
+        files = self.committed_task_files(flow_id)
+        if not files:
+            return pd.DataFrame()
+        frames = [stubbornly(pq.read_table, p).to_pandas() for p in files]
+        df = pd.concat(frames, ignore_index=True)
         df = df.assign(flow_id=flow_id)
         if phase is not None:
             df = df[df.phase == phase]

@@ -414,3 +414,42 @@ def test_dataframe_enumerate(engine):
     assert json.loads(row.result)["double"] == 84
     prog = engine.status(fid)
     assert prog.iloc[0].total == 500 and prog.iloc[0].remaining == 0
+
+
+def test_wave_commit_is_atomic_under_crash(engine, monkeypatch):
+    """Crash injection for the manifest commit protocol: kill the
+    orchestrator between the wave's distributed parquet write and the
+    manifest commit. Readers must see ZERO rows of the half-written wave
+    (no partial-wave window), and a re-run must complete the flow with
+    exactly-once task accounting."""
+    import glob
+    import os
+
+    from distribot_spark.flow.state import StateStore
+
+    real_commit = StateStore.commit_wave_manifest
+
+    def crash_before_commit(self, flow_id, files):
+        raise RuntimeError("injected crash between staging write and commit")
+
+    monkeypatch.setattr(StateStore, "commit_wave_manifest", crash_before_commit)
+    fid = engine.create_flow(NEWS_FLOW)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        engine.run(fid)
+
+    # the wave's data files exist on disk...
+    staged = glob.glob(os.path.join(engine.state.root, "task_wave", "*", "*.parquet"))
+    assert staged, "crash happened after the staging write"
+    # ...but NO reader sees any of it: not the pandas-side API
+    assert engine.state.task_results(fid).empty
+    # not the committed-file listing the Spark-side retry read uses
+    assert engine.state.committed_task_files(fid) == []
+
+    # recovery: a fresh orchestrator process (same state root) re-runs the
+    # flow to completion with exactly-once accounting
+    monkeypatch.setattr(StateStore, "commit_wave_manifest", real_commit)
+    assert engine.run(fid) == "finished"
+    res = engine.state.task_results(fid, "listing")
+    assert len(res) == 20
+    assert (res.status == "ok").all()
+    assert res.attempt.le(2).all(), "recovered run must not re-burn attempts"
