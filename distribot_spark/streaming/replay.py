@@ -112,7 +112,7 @@ class _few_state_partitions:
 def run_bounded(
     spark: SparkSession,
     transform,
-    source_dir: str,
+    source_dir,
     output_mode: str,
     max_files_per_trigger: int = 1,
     n_sources: int = 1,
@@ -120,16 +120,19 @@ def run_bounded(
     """Run `transform(stream, ...)` over a bounded replay to completion and
     return the memory-sink result as a batch DataFrame.
 
-    `transform` receives `n_sources` independent readStream handles over the
-    same directory (stream-stream joins need two).
+    `source_dir` is a chunked-replay directory path or any bounded
+    `sources.StreamSource`; `transform` receives `n_sources` independent
+    readStream handles over the same source (stream-stream joins need two).
     """
-    schema = spark.read.parquet(source_dir).schema
-    streams = [
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-        for _ in range(n_sources)
-    ]
+    from distribot_spark.streaming.sources import FileReplaySource, StreamSource
+
+    if isinstance(source_dir, StreamSource):
+        source = source_dir
+        if not source.bounded:
+            raise ValueError("run_bounded needs a bounded source; use run_live")
+    else:
+        source = FileReplaySource(source_dir, max_files_per_trigger)
+    streams = [source.load(spark) for _ in range(n_sources)]
 
     _counter[0] += 1
     name = f"sink_{_counter[0]}_{uuid.uuid4().hex[:8]}"
@@ -146,6 +149,60 @@ def run_bounded(
             .start()
         )
         q.awaitTermination()
+    result = spark.table(name)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return result
+
+
+def run_live(
+    spark: SparkSession,
+    transform,
+    source,
+    output_mode: str,
+    until,
+    timeout_sec: float = 120.0,
+    trigger_interval: str = "0.25 seconds",
+    poll_sec: float = 0.25,
+) -> DataFrame:
+    """Drive `transform(stream)` over an UNBOUNDED source until the memory
+    sink satisfies `until(result_df) -> bool`, then stop the query and
+    return the sink as a batch DataFrame.
+
+    This is the live twin of `run_bounded`: same transform, same sink,
+    but the caller decides when "enough of the stream" has been observed
+    (an unbounded source has no availableNow completion point). Raises
+    TimeoutError if the predicate never holds — with the query stopped, so
+    a failing test doesn't leak a running stream.
+    """
+    import time as _time
+
+    _counter[0] += 1
+    name = f"live_{_counter[0]}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_", dir=TMP_ROOT)
+    with _few_state_partitions(spark):
+        out = transform(source.load(spark))
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(processingTime=trigger_interval)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            deadline = _time.time() + timeout_sec
+            while True:
+                if until(spark.table(name)):
+                    break
+                if _time.time() > deadline:
+                    raise TimeoutError(
+                        f"run_live: predicate not satisfied in {timeout_sec}s"
+                    )
+                _time.sleep(poll_sec)
+        finally:
+            q.stop()
+            q.awaitTermination()
     result = spark.table(name)
     shutil.rmtree(checkpoint, ignore_errors=True)
     return result

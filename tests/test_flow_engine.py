@@ -3,6 +3,7 @@
 (examples/controller:19-50, examples/worker:70-118)."""
 
 import json
+import os
 import tempfile
 
 import pytest
@@ -13,6 +14,7 @@ from distribot_spark.flow.examples import NEWS_FLOW, example_registry
 
 @pytest.fixture()
 def engine(spark):
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
     return FlowEngine(
         spark, tempfile.mkdtemp(prefix="flow_", dir="/root/repo/.tmp"),
         registry=example_registry(), tasks_per_partition=5,

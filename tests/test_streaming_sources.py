@@ -1,0 +1,55 @@
+"""Pluggable streaming sources: the same query code runs over bounded
+file replay and an unbounded rate source (reference Connector seam,
+lib/distribot/connector.rb:56-138 — consumers don't know the transport).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from distribot_spark.queries.streaming import _hourly_agg
+from distribot_spark.streaming import FileReplaySource, RateEventsSource, replay
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_file_replay_source_adapter_matches_path_route(spark):
+    """S1 via an explicit FileReplaySource ≡ S1 via the directory path."""
+    src_dir = replay.replay_dir(SF)
+    via_path = replay.run_bounded(spark, _hourly_agg, src_dir, "complete")
+    via_source = replay.run_bounded(
+        spark, _hourly_agg, FileReplaySource(src_dir), "complete"
+    )
+    assert _rows(via_path) == _rows(via_source)
+
+
+def test_rate_source_live_hourly_agg(spark):
+    """S1's aggregation over the UNBOUNDED rate source: drive live until
+    ≥3 micro-batches of data are aggregated, stop, then verify the sink
+    equals the batch recompute of exactly the first K synthetic rows —
+    determinism-by-construction (row content is a pure function of the
+    row counter, only K varies with timing)."""
+    source = RateEventsSource(rows_per_batch=200, num_partitions=2)
+
+    result = replay.run_live(
+        spark,
+        _hourly_agg,
+        source,
+        "complete",
+        until=lambda df: (df.agg(F.sum("cnt")).collect()[0][0] or 0) >= 600,
+        timeout_sec=120,
+    )
+    k = result.agg(F.sum("cnt")).collect()[0][0]
+    assert k >= 600 and k % source.rows_per_batch == 0, (
+        "complete-mode sink must reflect whole committed micro-batches"
+    )
+    expected = _hourly_agg(source.batch_expected(spark, int(k)))
+    assert _rows(result) == _rows(expected)
+
+
+def test_rate_source_unbounded_rejected_by_run_bounded(spark):
+    with pytest.raises(ValueError, match="bounded"):
+        replay.run_bounded(spark, _hourly_agg, RateEventsSource(), "complete")
