@@ -22,11 +22,13 @@ Deliberate semantic fixes over the reference (documented deviations):
   README.md:91-93)
 """
 
+from distribot_spark.flow.continuous import ContinuousFlowRunner
 from distribot_spark.flow.engine import FlowEngine
 from distribot_spark.flow.registry import HandlerRegistry, handler
 from distribot_spark.flow.spec import FlowSpec, Phase, PhaseHandler
 
 __all__ = [
+    "ContinuousFlowRunner",
     "FlowEngine",
     "FlowSpec",
     "Phase",

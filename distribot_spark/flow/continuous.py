@@ -1,0 +1,278 @@
+"""Continuous-flow mode: a flow spec as a long-lived streaming query.
+
+The reference's flows are open-ended daemon-driven processes — workers
+subscribe to their task queues forever (lib/distribot/worker.rb:45-49;
+six daemons in Procfile:1-6) and a flow only "ends" when an operator
+cancels it. The batch engine (engine.py) maps flows onto a driver-side
+wave loop, which is right for bounded enumerate-then-drain phases but
+not for that daemon model. This module is the daemon model, Spark-first:
+
+- The task queue is ANY unbounded streaming source (`StreamSource` or a
+  raw streaming DataFrame with a ``task_id`` column — same convention as
+  DataFrame-enumerate).
+- The worker pool is ``applyInPandasWithState`` over shard keys: state
+  lives per (flow, shard), so parallelism scales with ``n_shards`` (size
+  it to the cluster; state volume per shard is O(paused backlog), not
+  O(stream)).
+- Phases become PIPELINE STAGES: an unbounded stream has no "phase
+  drained" barrier, so each task flows through every handler-bearing
+  phase in declared order within one state invocation (handlers of one
+  phase all see the same input carry; their outputs merge in declared
+  order). This is the semantic translation of "the flow's phase chain"
+  to unbounded input — the reference itself never drains a phase under
+  an infinite queue either, it just keeps consuming (worker.rb:55-70).
+- Live control goes through the SAME control table as the batch engine:
+  ``engine.pause/resume/cancel`` write it, and every state invocation
+  re-reads it (StateStore.read_control is executor-safe), so control
+  lands within one micro-batch without restarting the query:
+    pause   → incoming tasks are buffered in shard state (recorded as
+              status='buffered' under the `_pending` pseudo-stage) and
+              nothing is processed. NOTE the backpressure contract: the
+              source keeps feeding while paused, so state grows with the
+              backlog — a production pause of long duration should also
+              pause the upstream source; this mirrors the reference,
+              where paused flows leave tasks accumulating in RabbitMQ.
+    resume  → buffered backlog flushes (processing-time timeouts fire
+              no-data batches, so the flush does not wait for new input)
+              and processing continues.
+    cancel  → backlog and new arrivals are dropped with status='canceled'
+              rows (the drain the batch engine's cancel does, R11).
+- Results never touch the driver: each micro-batch commits its result
+  rows to the flow's task log through the same atomic wave-manifest
+  protocol as the batch engine, so ``task_results`` accounting is shared
+  and foreachBatch's at-least-once replay is absorbed by the
+  last-attempt-wins read (state.py task_results).
+
+`transformWithStateInPandas` would be the newer primitive but crashes in
+this container (broken protobuf); `applyInPandasWithState` is the
+supported path (see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distribot_spark.flow.engine import CANCELED, FlowEngine, HandlerContext
+from distribot_spark.flow.spec import FlowSpec
+from distribot_spark.flow.state import StateStore
+
+#: pseudo-stage names used in the task log for non-processing outcomes
+PENDING_PHASE = "_pending"
+BUFFER_HANDLER = "_buffer"
+DROP_HANDLER = "_drop"
+
+_OUT_SCHEMA = "phase string, handler string, task_id string, status string, result string"
+_STATE_SCHEMA = "pending array<string>"
+_EMPTY = pd.DataFrame(
+    {c: pd.Series(dtype=object)
+     for c in ("phase", "handler", "task_id", "status", "result")}
+)
+
+
+def _make_state_fn(state_root: str, flow_id: str, stages, timeout_ms: int):
+    """Build the per-shard state function. Everything captured here ships
+    to executors by pickle: stage handler instances must live in an
+    importable module (CLAUDE.md / flow.examples docstring)."""
+
+    def fn(key, pdfs, state):
+        ctl = StateStore.read_control(state_root, flow_id)
+        pending = list(state.get[0]) if state.exists else []
+        incoming = []
+        for pdf in pdfs:
+            for tid, payload in zip(pdf["task_id"], pdf["payload"]):
+                incoming.append(json.dumps({"task_id": tid, "payload": payload}))
+
+        if ctl == CANCELED:
+            # cancel drains: drop backlog + arrivals, visibly (R11 intent)
+            rows = [
+                (PENDING_PHASE, DROP_HANDLER,
+                 json.loads(env)["task_id"], "canceled", "")
+                for env in pending + incoming
+            ]
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(rows, columns=_EMPTY.columns) if rows else _EMPTY
+            return
+
+        if ctl == "pause":
+            state.update((pending + incoming,))
+            state.setTimeoutDuration(timeout_ms)
+            rows = [
+                (PENDING_PHASE, BUFFER_HANDLER,
+                 json.loads(env)["task_id"], "buffered", "")
+                for env in incoming
+            ]
+            yield pd.DataFrame(rows, columns=_EMPTY.columns) if rows else _EMPTY
+            return
+
+        tasks = pending + incoming
+        state.update(([],))
+        state.setTimeoutDuration(timeout_ms)
+        rows = []
+        for env in tasks:
+            d = json.loads(env)
+            task_id = d["task_id"]
+            carry = json.loads(d["payload"])
+            carry["_attempt"] = 1
+            for phase_name, handlers in stages:
+                stage_out = {}
+                failed = None
+                for label, ctx, impl in handlers:
+                    try:
+                        out = impl.process(ctx, dict(carry))
+                        stage_out.update(out)
+                        rows.append((phase_name, label, task_id, "ok",
+                                     json.dumps(out, sort_keys=True, default=str)))
+                    except Exception as ex:  # noqa: BLE001 — task isolation
+                        failed = f"{type(ex).__name__}: {ex}"
+                        rows.append((phase_name, label, task_id, "failed", failed))
+                if failed is not None:
+                    break  # a failed stage stops this task's pipeline
+                carry.update(stage_out)
+        yield pd.DataFrame(rows, columns=_EMPTY.columns) if rows else _EMPTY
+
+    return fn
+
+
+class ContinuousFlowRunner:
+    """Run one flow spec as a continuous streaming pipeline.
+
+    ``source`` is a ``StreamSource`` or a streaming DataFrame whose rows
+    are tasks (must include ``task_id``; remaining columns become the
+    task payload). Control and accounting go through ``engine``'s state
+    store, so ``engine.pause/resume/cancel(flow_id)`` and
+    ``engine.status(flow_id)`` work unchanged on a continuous flow.
+    """
+
+    def __init__(
+        self,
+        engine: FlowEngine,
+        spec,
+        source,
+        n_shards: int = 8,
+        trigger_interval: str = "0.3 seconds",
+        state_timeout_ms: int = 400,
+    ) -> None:
+        self.engine = engine
+        self.spec = spec if isinstance(spec, FlowSpec) else FlowSpec.parse(spec)
+        self.source = source
+        self.n_shards = n_shards
+        self.trigger_interval = trigger_interval
+        self.state_timeout_ms = state_timeout_ms
+        self.flow_id: str | None = None
+        self.query = None
+
+    # -- lifecycle --------------------------------------------------------------
+
+    def start(self) -> str:
+        engine, spec = self.engine, self.spec
+        self.flow_id = fid = engine.create_flow(spec)
+
+        stages = []
+        for phase in spec.phases:
+            handlers = []
+            for ph in phase.handlers:
+                version, impl = engine.registry.resolve(ph.name, ph.version)
+                label = f"{ph.name}@{version}"
+                ctx = HandlerContext(flow_id=fid, phase=phase.name,
+                                     handler=label, data=spec.data)
+                handlers.append((label, ctx, impl))
+            if handlers:
+                stages.append((phase.name, tuple(handlers)))
+        if not stages:
+            raise ValueError("continuous flow needs at least one handler phase")
+
+        stream = self.source.load(engine.spark) if hasattr(self.source, "load") \
+            else self.source
+        if "task_id" not in stream.columns:
+            raise ValueError("task stream must include a task_id column")
+        payload_cols = [c for c in stream.columns if c != "task_id"]
+        tasks = stream.select(
+            F.col("task_id").cast("string").alias("task_id"),
+            F.to_json(F.struct(*payload_cols)).alias("payload"),
+            F.pmod(F.xxhash64("task_id"), F.lit(self.n_shards)).alias("shard"),
+        )
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        fn = _make_state_fn(engine.state.root, fid, tuple(stages),
+                            self.state_timeout_ms)
+        results = tasks.groupBy("shard").applyInPandasWithState(
+            fn, _OUT_SCHEMA, _STATE_SCHEMA, "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            # same atomic wave-manifest commit as the batch engine; the
+            # batch never materializes on the driver
+            wave = batch_df.select(
+                "phase", "handler", "task_id",
+                F.lit(1).cast("int").alias("attempt"),
+                "status", "result",
+                F.lit(time.time()).alias("ts"),
+            )
+            engine._append_wave(wave, fid)
+
+        checkpoint = tempfile.mkdtemp(
+            prefix="cont_ckpt_", dir=engine.state.root
+        )
+        self.query = (
+            results.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(processingTime=self.trigger_interval)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        return fid
+
+    def stop(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query.awaitTermination()
+            self.query = None
+
+    # -- introspection ----------------------------------------------------------
+
+    def counts(self) -> dict[tuple[str, str], int]:
+        """Distinct tasks per (phase, status) from the committed task log —
+        the continuous twin of the batch engine's progress counters."""
+        df = self.engine.state.task_results(self.flow_id)
+        if df.empty:
+            return {}
+        g = df.groupby(["phase", "status"]).task_id.nunique()
+        return {k: int(v) for k, v in g.items()}
+
+    def wait_for(self, predicate, timeout_sec: float = 60.0,
+                 poll_sec: float = 0.25) -> None:
+        """Poll ``predicate(counts_dict)`` until true; raise on timeout
+        (with the query stopped so a failing caller doesn't leak it)."""
+        deadline = time.time() + timeout_sec
+        while True:
+            if predicate(self.counts()):
+                return
+            if time.time() > deadline:
+                self.stop()
+                raise TimeoutError(f"continuous flow: predicate not met in "
+                                   f"{timeout_sec}s; counts={self.counts()}")
+            time.sleep(poll_sec)
+
+
+def write_task_chunk(directory: str, rows: list[dict]) -> str:
+    """Append one parquet chunk of tasks to a stream directory (atomic
+    tmp+rename so the file source never lists a half-written file).
+    Test/demo helper for feeding an unbounded file-stream task queue."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"chunk_{time.time_ns()}.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path

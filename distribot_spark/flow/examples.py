@@ -87,6 +87,8 @@ def example_registry() -> HandlerRegistry:
     reg.register("BigLister", "1.0.0", BigLister())
     reg.register("Napper", "1.0.0", Napper())
     reg.register("Napper2", "1.0.0", Napper2())
+    reg.register("StreamSquarer", "1.0.0", StreamSquarer())
+    reg.register("StreamLabeler", "1.0.0", StreamLabeler())
     return reg
 
 
@@ -161,6 +163,33 @@ PARALLEL_FLOW = {
     "phases": [
         {"name": "naps", "is_initial": True, "transitions_to": "done",
          "handlers": ["Napper", "Napper2"]},
+        {"name": "done", "is_final": True},
+    ],
+}
+
+
+class StreamSquarer:
+    """Continuous-mode stage 1: process-only handler (continuous flows
+    take tasks from the stream, so `enumerate` is never called)."""
+
+    def process(self, ctx, task):
+        return {"squared": task["item"] ** 2}
+
+
+class StreamLabeler:
+    """Continuous-mode stage 2: consumes stage 1's output via the carry."""
+
+    def process(self, ctx, task):
+        return {"label": f"item-{task['item']}={task['squared']}"}
+
+
+CONT_FLOW = {
+    "name": "cont",
+    "phases": [
+        {"name": "square", "is_initial": True, "transitions_to": "label",
+         "handlers": ["StreamSquarer"]},
+        {"name": "label", "transitions_to": "done",
+         "handlers": ["StreamLabeler"]},
         {"name": "done", "is_final": True},
     ],
 }

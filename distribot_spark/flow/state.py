@@ -288,8 +288,22 @@ class StateStore:
                      self._CONTROL)
 
     def control_state(self, flow_id: str) -> str | None:
-        df = self._read("control")
-        if df.empty:
+        return self.read_control(self.root, flow_id)
+
+    @staticmethod
+    def read_control(root: str, flow_id: str) -> str | None:
+        """Side-effect-free control read (no directory creation): safe to
+        call from EXECUTORS — continuous-flow state functions poll this
+        each micro-batch to honor live pause/cancel. The control table is
+        tiny (one row per operator action), so a per-batch re-read costs a
+        few file stats, not a scan."""
+        d = os.path.join(root, "control")
+        if not os.path.isdir(d):
             return None
+        frames = [stubbornly(pq.read_table, os.path.join(d, f)).to_pandas()
+                  for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if not frames:
+            return None
+        df = pd.concat(frames, ignore_index=True)
         df = df[df.flow_id == flow_id].sort_values("ts", kind="stable")
         return None if df.empty else df.iloc[-1]["action"]

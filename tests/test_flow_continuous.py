@@ -1,0 +1,84 @@
+"""Continuous-flow mode: a flow spec consuming an UNBOUNDED task stream
+(the reference's daemon model, lib/distribot/worker.rb:45-49) with live
+pause / resume / cancel honored through the shared control table — no
+query restart. See distribot_spark/flow/continuous.py.
+"""
+
+import os
+import tempfile
+
+import pytest
+
+from distribot_spark.flow import ContinuousFlowRunner, FlowEngine
+from distribot_spark.flow.continuous import write_task_chunk
+from distribot_spark.flow.examples import CONT_FLOW, example_registry
+from distribot_spark.streaming.sources import FileReplaySource
+
+
+@pytest.fixture()
+def engine(spark):
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    return FlowEngine(
+        spark, tempfile.mkdtemp(prefix="contflow_", dir="/root/repo/.tmp"),
+        registry=example_registry(),
+    )
+
+
+def _chunk(start: int, n: int = 20) -> list[dict]:
+    return [{"task_id": f"t-{i}", "item": i} for i in range(start, start + n)]
+
+
+def test_continuous_flow_live_pause_resume_cancel(spark, engine):
+    """One long-lived query; operator actions land mid-stream:
+
+    chunk0 → processed; pause; chunk1 → buffered only; resume → backlog
+    flushes with no new input (timeout-driven no-data batches); cancel;
+    chunk2 → dropped as 'canceled'. Counts come from the committed task
+    log (atomic wave manifests), the same accounting as batch flows."""
+    src_dir = tempfile.mkdtemp(prefix="taskq_", dir="/root/repo/.tmp")
+    write_task_chunk(src_dir, _chunk(0))
+
+    runner = ContinuousFlowRunner(
+        engine, CONT_FLOW,
+        FileReplaySource(src_dir, max_files_per_trigger=4),
+        n_shards=4,
+    )
+    fid = runner.start()
+    try:
+        # both pipeline stages process chunk0
+        runner.wait_for(lambda c: c.get(("label", "ok"), 0) == 20)
+        assert runner.counts()[("square", "ok")] == 20
+
+        # pause lands via the control table BEFORE chunk1 exists, so the
+        # micro-batch that reads chunk1 must observe it and buffer
+        engine.pause(fid)
+        assert engine.paused(fid)
+        write_task_chunk(src_dir, _chunk(20))
+        runner.wait_for(lambda c: c.get(("_pending", "buffered"), 0) == 20)
+        assert runner.counts()[("label", "ok")] == 20, "paused flow processed tasks"
+
+        # resume flushes the buffered backlog without any new input file
+        engine.resume(fid)
+        runner.wait_for(lambda c: c.get(("label", "ok"), 0) == 40)
+        assert runner.counts()[("square", "ok")] == 40
+
+        # cancel drains: post-cancel arrivals are dropped, visibly
+        engine.cancel(fid)
+        assert engine.canceled(fid)
+        write_task_chunk(src_dir, _chunk(40))
+        runner.wait_for(lambda c: c.get(("_pending", "canceled"), 0) >= 20)
+        assert runner.counts()[("label", "ok")] == 40
+        assert runner.counts()[("square", "ok")] == 40
+    finally:
+        runner.stop()
+
+    # stage chaining: stage 2 saw stage 1's output through the carry
+    df = engine.state.task_results(fid)
+    labels = df[(df.phase == "label") & (df.status == "ok")]
+    assert '{"label": "item-3=9"}' in set(labels.result)
+    # engine-level introspection works unchanged on a continuous flow
+    assert engine.find(fid)["control"] == "canceled"
+    events = [e["event"] for e in engine.events(fid)]
+    assert events[0] == "flow.created"
+    assert "flow.paused" in events and "flow.resumed" in events
+    assert "flow.canceled" in events
