@@ -203,6 +203,22 @@ def l3_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(corpus, queries, k=5).orderBy("qid", "rnk")
 
 
+@register("l3_ivf_topk", oracle=None, tags=("llm", "similarity", "ivf"))
+def l3_ivf_topk(spark, sf_dir):
+    """IVF (cluster-pruned) ANN top-5: sample-trained spherical k-means
+    centroids, corpus assigned once to its nearest centroid, queries probe
+    their n_probe nearest clusters and re-rank exactly within them. Probed
+    fraction ≈ n_probe/n_clusters of the corpus per query. Approximate by
+    construction (no hash oracle); tests assert recall vs the exact
+    baseline AND exact equality at n_probe == n_clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.ivf_topk(
+        corpus, queries, k=5, n_clusters=16, n_probe=4
+    ).orderBy("qid", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # L4: text analysis — TF-IDF, token stats
 # ---------------------------------------------------------------------------

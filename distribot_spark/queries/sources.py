@@ -67,6 +67,37 @@ def source_json_roundtrip(spark, sf_dir):
 
 
 @register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS sum_bal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    tags=("sources", "orc"),
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """parquet → ORC sink → ORC source → aggregate. ORC is the other
+    columnar lake format Spark ships natively (predicate pushdown +
+    column pruning work the same as parquet); the oracle reads the
+    original table, so the round trip must be value-lossless including
+    the decimal money path."""
+    out = os.path.join(TMP_ROOT, f"orc_{_tag(sf_dir)}")
+    supplier = load_table(spark, sf_dir, "supplier")
+    write_any(supplier, out, fmt="orc")
+    back = read_any(spark, out, fmt="orc")
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double").alias("sum_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
     "source_partitioned_read",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS cnt

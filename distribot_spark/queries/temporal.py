@@ -1,5 +1,5 @@
-"""Temporal operators beyond the core inventory: as-of join and
-hypertable-style hierarchical time rollup."""
+"""Temporal operators beyond the core inventory: as-of join, binned
+range join, and hypertable-style hierarchical time rollup."""
 
 from __future__ import annotations
 
@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from distribot_spark.catalog import load_table
 from distribot_spark.functions import stable_round
 from distribot_spark.operators.asof import asof_join
+from distribot_spark.operators.rangejoin import point_in_interval_join
 from distribot_spark.queries.registry import register
 
 
@@ -80,6 +81,58 @@ def asof_click_view_tolerance(spark, sf_dir):
         right_cols=["view_id"], tolerance="2 hours", tie_breaker="view_id",
     )
     return joined.select("click_id", "view_id").orderBy("click_id")
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    WITH promo AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS st,
+             CAST(o_orderdate AS DATE) - DATE '1992-01-01' + 7 AS en
+      FROM orders WHERE o_orderkey % 199 = 0),
+    pts AS (SELECT CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS ship_day,
+                   l_quantity
+            FROM lineitem)
+    SELECT o_orderkey, COUNT(*) AS n_ship,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM promo JOIN pts ON ship_day >= st AND ship_day < en
+    GROUP BY o_orderkey ORDER BY o_orderkey
+    """,
+    tags=("temporal", "rangejoin"),
+)
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join, binned: 7-day windows anchored at a
+    deterministic subset of order dates, matched against EVERY lineitem
+    ship date (no key equality — a true range predicate). The binned
+    rewrite (operators/rangejoin.py) makes it an equi-join on day bins,
+    so the plan is shuffle-hash-joinable at any cardinality instead of a
+    broadcast nested loop; a plan test asserts no BNLJ/cartesian."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1992-01-01")
+    intervals = orders.filter(F.col("o_orderkey") % 199 == 0).select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).alias("st"),
+        (F.datediff(F.col("o_orderdate"), epoch) + 7).alias("en"),
+    )
+    points = li.select(
+        F.datediff(F.col("l_shipdate"), epoch).alias("ship_day"),
+        "l_quantity",
+    )
+    joined = point_in_interval_join(
+        points, intervals, "ship_day", "st", "en", bin_width=7
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_ship"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
 
 
 @register(

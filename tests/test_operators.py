@@ -83,6 +83,31 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert lsh <= exact, "re-rank must make candidates exact (no false positives)"
 
 
+def test_ivf_topk_completeness_and_recall(spark):
+    """IVF ANN: (a) with n_probe == n_clusters the probe set is the whole
+    corpus, so the result must equal exact cosine_topk bit-for-bit —
+    pruning is the only approximation; (b) probing half the clusters must
+    retain most of the exact top-5 even on this near-random embedding
+    regime (the worst case for any geometric pruner — real corpora
+    cluster far more)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk(corpus, queries, k=5).collect()
+
+    full = similarity.ivf_topk(
+        corpus, queries, k=5, n_clusters=16, n_probe=16
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+    exact_set = {(r.qid, r.nid) for r in exact}
+    half = similarity.ivf_topk(
+        corpus, queries, k=5, n_clusters=16, n_probe=8
+    ).collect()
+    recall = len({(r.qid, r.nid) for r in half} & exact_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF half-probe recall {recall:.2f}"
+
+
 def test_embedding_blocked_equals_exact(spark):
     """The block-nested-loop matmul path is EXACT: identical pair set and
     4-decimal cos values to the crossJoin baseline, at several block

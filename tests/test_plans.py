@@ -68,6 +68,9 @@ def test_relational_queries_stay_jvm_side(spark):
         # block-nested-loop matmul: the whole point is one BLAS matmul
         # per block pair inside mapInPandas (see similarity.py)
         "dedup_embedding_blocked",
+        # IVF centroid assignment/probing is one Arrow matmul per batch
+        # (see similarity.ivf_topk); the re-rank stays Catalyst
+        "l3_ivf_topk",
     }
     for name, spec in QUERIES.items():
         # streaming/flow queries run differently (skip by TAG, not name
@@ -120,6 +123,23 @@ def test_bucketed_join_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join must not reshuffle"
     assert "Bucketed: true" in plan
+
+
+def test_q_range_join_binned_shape(spark):
+    """The range join must plan as an EQUI-join on the day bin — never a
+    broadcast nested loop or cartesian product (what a raw
+    `point BETWEEN start AND end` predicate degenerates to). The interval
+    side replicates via sequence+explode (Generate); everything stays
+    JVM-side."""
+    df = q(spark, "q_range_join")
+    plan = explain_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "theta join not rewritten"
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan and "explode(" in plan, (
+        "intervals must replicate to their bins"
+    )
+    assert "_bin" in plan, "join must key on the bin id"
+    assert not uses_python_eval(df)
 
 
 def test_q_salted_join_shape(spark):
