@@ -1,0 +1,90 @@
+"""Connected components — duplicate-pair graphs → duplicate clusters.
+
+The missing last step of a dedup pipeline: pair generators (minhash LSH,
+SimHash, embedding cosine) emit EDGES, but retention decisions need
+GROUPS — "these 5 docs are one duplicate cluster; keep the canonical
+one". Component id = min doc id in the component, so the labeling is
+deterministic and the canonical pick (id == component) is free.
+
+Algorithm: iterative min-label propagation over the symmetrized edge
+list — `label(n) ← min(label(n), min over neighbors label(m))` until a
+fixpoint, entirely as DataFrame joins/aggregations (shuffle-based, no
+driver materialization; `localCheckpoint` cuts the lineage every
+iteration so plan size stays constant). Converges in O(graph diameter)
+rounds: near-dup graphs are dense little cliques with diameter ≤ ~3, so
+this beats the O(log n)-round large-star/small-star construction in
+practice — each round here is 2 shuffles, and 100 TB corpora still
+yield SMALL components (a dup cluster of a million docs means the
+corpus is one document). The max_iter guard fails loudly rather than
+returning a half-propagated labeling if someone feeds an adversarial
+long-chain graph; that shape wants the star algorithms instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "da",
+    dst: str = "db",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in `edges`, where component is the
+    smallest node id reachable (undirected). Raises RuntimeError if the
+    fixpoint isn't reached in `max_iter` propagation rounds."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        merged = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.col("comp").alias("_old"),
+                # least() ignores nulls (isolated node keeps its label)
+                F.least("comp", "nbr_comp").alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("comp") != F.col("_old")).count()
+        labels = merged.select("id", "comp")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint in {max_iter} rounds — graph "
+        "diameter exceeds the near-dup regime; use star-contraction instead"
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src: str = "da", dst: str = "db"
+) -> DataFrame:
+    """Near-dup pairs → (doc_id, cluster_id, cluster_size, is_canonical).
+    Canonical = the smallest doc id of its cluster (the reproducible
+    keep-one-of-each policy). Only docs appearing in a pair are returned;
+    unpaired docs are trivially their own cluster and need no row."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    w = Window.partitionBy("comp")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )

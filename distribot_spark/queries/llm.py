@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from distribot_spark.catalog import load_table
-from distribot_spark.operators import dedup, multimodal, similarity, text
+from distribot_spark.operators import (
+    components,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from distribot_spark.queries.registry import register
 
 # Shared oracle fragments -----------------------------------------------------
@@ -89,6 +95,49 @@ def l2_jaccard_exact(spark, sf_dir):
     return dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5).orderBy(
         "da", "db"
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id AS doc,
+                  unnest([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, len(w) - 1)]) AS s
+           FROM t),
+    dd AS (SELECT DISTINCT doc, s FROM sh),
+    sz AS (SELECT doc, COUNT(*) AS n FROM dd GROUP BY doc),
+    pr AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS inter
+           FROM dd a JOIN dd b ON a.s = b.s AND a.doc < b.doc
+           GROUP BY 1, 2),
+    p AS (SELECT da, db FROM pr JOIN sz sa ON da = sa.doc
+          JOIN sz sb ON db = sb.doc
+          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+    e AS (SELECT da AS src, db AS dst FROM p
+          UNION SELECT db, da FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+             FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comp ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "components"),
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: exact 3-gram Jaccard ≥ 0.5
+    pairs grouped by connected components (min-label propagation,
+    operators/components.py), with the canonical doc = min id per
+    cluster. The oracle reproduces the closure with a recursive CTE —
+    a full hash check of an iterative distributed algorithm."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return components.duplicate_clusters(pairs).orderBy("doc_id")
 
 
 @register("dedup_simhash", oracle=None, tags=("llm", "dedup", "simhash"))

@@ -83,6 +83,28 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert lsh <= exact, "re-rank must make candidates exact (no false positives)"
 
 
+def test_connected_components_propagation(spark):
+    """Min-label propagation must cross multi-hop chains (a pair graph is
+    NOT transitively closed) and keep disjoint clusters apart."""
+    from distribot_spark.operators.components import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    # chain 0-1-2-...-7 (diameter 7) plus a separate triangle {10,11,12}
+    edges = [(i, i + 1) for i in range(7)] + [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "da long, db long")
+    comp = {r.id: r.comp for r in connected_components(df).collect()}
+    assert all(comp[i] == 0 for i in range(8))
+    assert all(comp[i] == 10 for i in (10, 11, 12))
+
+    clusters = duplicate_clusters(df).collect()
+    by_id = {r.doc_id: r for r in clusters}
+    assert by_id[0].is_canonical and by_id[0].cluster_size == 8
+    assert not by_id[5].is_canonical and by_id[5].cluster_id == 0
+    assert by_id[10].is_canonical and by_id[10].cluster_size == 3
+
+
 def test_ivf_topk_completeness_and_recall(spark):
     """IVF ANN: (a) with n_probe == n_clusters the probe set is the whole
     corpus, so the result must equal exact cosine_topk bit-for-bit —
