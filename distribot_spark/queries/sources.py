@@ -151,6 +151,90 @@ def source_bucketed_join(spark, sf_dir):
     )
 
 
+@register(
+    "source_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, 'P' AS o_orderstatus,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2) AS DOUBLE)
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 0),
+    merged AS (
+      SELECT o.o_orderkey,
+             COALESCE(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+             COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice
+      FROM orders o LEFT JOIN updates u USING (o_orderkey))
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("sources", "merge"),
+)
+def source_merge_upsert(spark, sf_dir):
+    """MERGE-shaped upsert on plain parquet via DYNAMIC PARTITION
+    OVERWRITE — the table-format-free idempotent write pattern (also what
+    a foreachBatch streaming sink should do): the base table is laid out
+    partitioned by a stable hash bucket of the key; an update batch
+    touches only its buckets, which are rewritten as existing-rows-
+    anti-join ∪ updates in ONE atomic INSERT OVERWRITE. Partitions
+    without updates are never read or written, so the write cost scales
+    with the update set, not the table; re-running the same batch
+    converges (idempotent MERGE). The oracle computes the merged state
+    relationally."""
+    out = os.path.join(TMP_ROOT, f"merge_orders_{_tag(sf_dir)}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    n_buckets = 16
+    bucketed = orders.withColumn(
+        "pb", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets)).cast("int")
+    )
+    # base-table write is the fixture; rebuild to keep the query re-runnable
+    write_partitioned(bucketed, out, ["pb"])
+
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("P").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice").cast("decimal(12,2)") * 2, 2)
+            .cast("double").alias("o_totalprice"),
+        )
+        .withColumn(
+            "pb", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    base = read_any(spark, out, fmt="parquet")
+    touched = updates.select("pb").distinct()
+    merged_slice = (
+        base.join(F.broadcast(touched), "pb", "left_semi")
+        .join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "pb")
+        .unionByName(updates.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "pb"
+        ))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged_slice.write.mode("overwrite").partitionBy("pb").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = read_any(spark, out, fmt="parquet")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _drop_orphan_location(spark, table: str) -> None:
     """A fresh session's in-memory catalog forgets tables but their
     warehouse directories persist; clear the orphan so saveAsTable can

@@ -136,6 +136,58 @@ def q_range_join(spark, sf_dir):
 
 
 @register(
+    "q_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
+    """,
+    tags=("temporal", "session"),
+)
+def q_sessionize(spark, sf_dir):
+    """BATCH sessionization (gaps-and-islands): per-user sessions split at
+    30-minute silences via lag + running sum — the backfill twin of the
+    streaming session window (s3), one window pass, no self-join. The
+    user_id partition key is the scale unit: sessions never cross users,
+    so 100 TB sessionizes with one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = ev.select(
+        "user_id", "ts", "value",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
     "events_time_rollup",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
