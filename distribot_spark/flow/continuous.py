@@ -68,15 +68,18 @@ PENDING_PHASE = "_pending"
 BUFFER_HANDLER = "_buffer"
 DROP_HANDLER = "_drop"
 
-_OUT_SCHEMA = "phase string, handler string, task_id string, status string, result string"
+_OUT_SCHEMA = ("phase string, handler string, task_id string, attempt int, "
+               "status string, result string")
 _STATE_SCHEMA = "pending array<string>"
 _EMPTY = pd.DataFrame(
-    {c: pd.Series(dtype=object)
-     for c in ("phase", "handler", "task_id", "status", "result")}
+    {c: (pd.Series(dtype="int32") if c == "attempt"
+         else pd.Series(dtype=object))
+     for c in ("phase", "handler", "task_id", "attempt", "status", "result")}
 )
 
 
-def _make_state_fn(state_root: str, flow_id: str, stages, timeout_ms: int):
+def _make_state_fn(state_root: str, flow_id: str, stages, timeout_ms: int,
+                   max_retries: int):
     """Build the per-shard state function. Everything captured here ships
     to executors by pickle: stage handler instances must live in an
     importable module (CLAUDE.md / flow.examples docstring)."""
@@ -93,7 +96,7 @@ def _make_state_fn(state_root: str, flow_id: str, stages, timeout_ms: int):
             # cancel drains: drop backlog + arrivals, visibly (R11 intent)
             rows = [
                 (PENDING_PHASE, DROP_HANDLER,
-                 json.loads(env)["task_id"], "canceled", "")
+                 json.loads(env)["task_id"], 1, "canceled", "")
                 for env in pending + incoming
             ]
             if state.exists:
@@ -106,21 +109,21 @@ def _make_state_fn(state_root: str, flow_id: str, stages, timeout_ms: int):
             state.setTimeoutDuration(timeout_ms)
             rows = [
                 (PENDING_PHASE, BUFFER_HANDLER,
-                 json.loads(env)["task_id"], "buffered", "")
+                 json.loads(env)["task_id"], 1, "buffered", "")
                 for env in incoming
             ]
             yield pd.DataFrame(rows, columns=_EMPTY.columns) if rows else _EMPTY
             return
 
         tasks = pending + incoming
-        state.update(([],))
-        state.setTimeoutDuration(timeout_ms)
+        retry = []  # envelopes going back into state for the next batch
         rows = []
         for env in tasks:
             d = json.loads(env)
             task_id = d["task_id"]
+            attempt = d.get("attempt", 1)
             carry = json.loads(d["payload"])
-            carry["_attempt"] = 1
+            carry["_attempt"] = attempt
             for phase_name, handlers in stages:
                 stage_out = {}
                 failed = None
@@ -128,14 +131,30 @@ def _make_state_fn(state_root: str, flow_id: str, stages, timeout_ms: int):
                     try:
                         out = impl.process(ctx, dict(carry))
                         stage_out.update(out)
-                        rows.append((phase_name, label, task_id, "ok",
+                        rows.append((phase_name, label, task_id, attempt, "ok",
                                      json.dumps(out, sort_keys=True, default=str)))
                     except Exception as ex:  # noqa: BLE001 — task isolation
                         failed = f"{type(ex).__name__}: {ex}"
-                        rows.append((phase_name, label, task_id, "failed", failed))
+                        # terminal only once retries are exhausted; a
+                        # retryable failure is recorded as 'retrying' and
+                        # superseded by the next attempt's row
+                        status = ("failed" if attempt > max_retries
+                                  else "retrying")
+                        rows.append((phase_name, label, task_id, attempt,
+                                     status, failed))
                 if failed is not None:
-                    break  # a failed stage stops this task's pipeline
+                    # retry the WHOLE task pipeline (stubbornly, R13):
+                    # succeeded stages re-run — processors must be
+                    # idempotent, same contract as batch waves
+                    if attempt <= max_retries:
+                        retry.append(json.dumps({
+                            "task_id": task_id, "payload": d["payload"],
+                            "attempt": attempt + 1,
+                        }))
+                    break
                 carry.update(stage_out)
+        state.update((retry,))
+        state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(rows, columns=_EMPTY.columns) if rows else _EMPTY
 
     return fn
@@ -203,7 +222,7 @@ class ContinuousFlowRunner:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         fn = _make_state_fn(engine.state.root, fid, tuple(stages),
-                            self.state_timeout_ms)
+                            self.state_timeout_ms, engine.max_retries)
         results = tasks.groupBy("shard").applyInPandasWithState(
             fn, _OUT_SCHEMA, _STATE_SCHEMA, "update",
             GroupStateTimeout.ProcessingTimeTimeout,
@@ -214,7 +233,7 @@ class ContinuousFlowRunner:
             # batch never materializes on the driver
             wave = batch_df.select(
                 "phase", "handler", "task_id",
-                F.lit(1).cast("int").alias("attempt"),
+                F.col("attempt").cast("int").alias("attempt"),
                 "status", "result",
                 F.lit(time.time()).alias("ts"),
             )

@@ -89,6 +89,7 @@ def example_registry() -> HandlerRegistry:
     reg.register("Napper2", "1.0.0", Napper2())
     reg.register("StreamSquarer", "1.0.0", StreamSquarer())
     reg.register("StreamLabeler", "1.0.0", StreamLabeler())
+    reg.register("FlakyStreamWorker", "1.0.0", FlakyStreamWorker())
     return reg
 
 
@@ -181,6 +182,27 @@ class StreamLabeler:
 
     def process(self, ctx, task):
         return {"label": f"item-{task['item']}={task['squared']}"}
+
+
+class FlakyStreamWorker:
+    """Continuous-mode twin of FlakyWorker: every third item fails its
+    first attempt, succeeds on retry — exercises the in-state retry
+    queue of ContinuousFlowRunner."""
+
+    def process(self, ctx, task):
+        if task["item"] % 3 == 0 and task["_attempt"] == 1:
+            raise ValueError(f"transient failure on {task['item']}")
+        return {"item_out": task["item"]}
+
+
+FLAKY_CONT_FLOW = {
+    "name": "flaky_cont",
+    "phases": [
+        {"name": "work", "is_initial": True, "transitions_to": "done",
+         "handlers": ["FlakyStreamWorker"]},
+        {"name": "done", "is_final": True},
+    ],
+}
 
 
 CONT_FLOW = {

@@ -11,7 +11,11 @@ import pytest
 
 from distribot_spark.flow import ContinuousFlowRunner, FlowEngine
 from distribot_spark.flow.continuous import write_task_chunk
-from distribot_spark.flow.examples import CONT_FLOW, example_registry
+from distribot_spark.flow.examples import (
+    CONT_FLOW,
+    FLAKY_CONT_FLOW,
+    example_registry,
+)
 from distribot_spark.streaming.sources import FileReplaySource
 
 
@@ -82,3 +86,31 @@ def test_continuous_flow_live_pause_resume_cancel(spark, engine):
     assert events[0] == "flow.created"
     assert "flow.paused" in events and "flow.resumed" in events
     assert "flow.canceled" in events
+
+
+def test_continuous_flow_retries_transient_failures(spark, engine):
+    """Failed tasks re-enter shard state with attempt+1 (the reference's
+    `stubbornly`, R13): every third item fails its first attempt, so the
+    log must show 'retrying' attempt-1 rows superseded by ok attempt-2
+    rows, with last-attempt-wins accounting ending all-ok."""
+    src_dir = tempfile.mkdtemp(prefix="taskq_", dir="/root/repo/.tmp")
+    write_task_chunk(src_dir, _chunk(0, 12))
+
+    runner = ContinuousFlowRunner(
+        engine, FLAKY_CONT_FLOW,
+        FileReplaySource(src_dir, max_files_per_trigger=4),
+        n_shards=4,
+    )
+    fid = runner.start()
+    try:
+        runner.wait_for(lambda c: c.get(("work", "ok"), 0) == 12)
+    finally:
+        runner.stop()
+
+    df = engine.state.task_results(fid)
+    work = df[df.phase == "work"]
+    # final state: every task ok, flaky ones on attempt 2
+    assert set(work.status) == {"ok"}
+    retried = work[work.attempt == 2]
+    assert sorted(int(t.split("-")[1]) for t in retried.task_id) == [0, 3, 6, 9]
+    assert (work[work.attempt == 1].status == "ok").all()
