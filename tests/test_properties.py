@@ -1,0 +1,144 @@
+"""Property-based checks (hypothesis) for the operators whose semantics
+are easy to get subtly wrong: each is compared against an independent
+brute-force reference on small random inputs. Examples are capped low —
+every example costs Spark jobs — but shrinking still yields minimal
+counterexamples on failure.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distribot_spark.operators.asof import asof_join
+from distribot_spark.operators.components import connected_components
+from distribot_spark.operators.rangejoin import point_in_interval_join
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# -- binned range join: equals brute force, for ANY bin width ----------------
+
+intervals_st = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 20)),  # (start, length)
+    min_size=0, max_size=15,
+)
+points_st = st.lists(st.integers(-5, 90), min_size=0, max_size=30)
+
+
+@settings(**_SETTINGS)
+@given(intervals=intervals_st, points=points_st,
+       bin_width=st.integers(1, 40))
+def test_range_join_matches_bruteforce_any_bin_width(
+    spark, intervals, points, bin_width
+):
+    """The binned rewrite must be invisible: identical (point, interval)
+    matches as the naive nested loop for every bin width ≥ 1 (bin width
+    is a pure performance knob)."""
+    idf = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(intervals)] or [(-1, 0, 0)],
+        "iid long, st long, en long",
+    )
+    pdf = spark.createDataFrame(
+        [(j, p) for j, p in enumerate(points)] or [(-1, -99)],
+        "pid long, p long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in point_in_interval_join(pdf, idf, "p", "st", "en", bin_width)
+        .select("pid", "iid").collect()
+    }
+    want = {
+        (j, i)
+        for i, (s, ln) in enumerate(intervals)
+        for j, p in enumerate(points)
+        if s <= p < s + ln
+    }
+    assert got == want
+
+
+# -- connected components: equals union-find ---------------------------------
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=1, max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(edges=edges_st)
+def test_connected_components_matches_union_find(spark, edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for n in parent:
+        want.setdefault(find(n), []).append(n)
+    expected = {n: min(group) for group in want.values() for n in group}
+
+    df = spark.createDataFrame(edges, "da long, db long")
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    assert got == expected
+
+
+# -- as-of join: equals brute force, with and without tolerance --------------
+
+right_rows_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, ts)
+    min_size=0, max_size=20, unique=True,
+)
+left_rows_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),
+    min_size=1, max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(left=left_rows_st, right=right_rows_st,
+       tol=st.one_of(st.none(), st.integers(1, 20)))
+def test_asof_join_matches_bruteforce(spark, left, right, tol):
+    """For every left row: the matched value is the greatest right ts ≤
+    left ts on the same key (ties on ts broken by max rid), nulled when
+    staler than the tolerance (INTERVAL arithmetic → timestamps)."""
+    from datetime import datetime, timedelta
+
+    def ts(t):
+        return datetime(2024, 1, 1) + timedelta(seconds=t)
+
+    ldf = spark.createDataFrame(
+        [(k, ts(t), i) for i, (k, t) in enumerate(left)],
+        "k long, lts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(t), i) for i, (k, t) in enumerate(right)]
+        or [(-1, ts(0), -1)],
+        "k long, rts timestamp, rid long",
+    )
+    joined = asof_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["rid"],
+        tolerance=f"{tol} seconds" if tol else None,
+        tie_breaker="rid",
+    )
+    got = {r.lid: r.rid for r in joined.collect()}
+
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, j) for j, (rk, rt) in enumerate(right)
+            if rk == k and rt <= t and (tol is None or rt >= t - tol)
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"left row {i} (k={k}, ts={t})"
