@@ -52,6 +52,12 @@ HEADLINE = [
     "q40_batched",
     "dedup_embedding_blocked",
     "multimodal_decode",
+    # round 3 additions (documented in BASELINE.md): the binned range
+    # join, duplicate clustering (iterative connected components), and
+    # batch sessionization
+    "q_range_join",
+    "dedup_clusters",
+    "q_sessionize",
 ]
 
 

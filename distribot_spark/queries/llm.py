@@ -130,13 +130,16 @@ def l2_jaccard_exact(spark, sf_dir):
     tags=("llm", "dedup", "components"),
 )
 def dedup_clusters(spark, sf_dir):
-    """Duplicate CLUSTERS, not just pairs: exact 3-gram Jaccard ≥ 0.5
-    pairs grouped by connected components (min-label propagation,
-    operators/components.py), with the canonical doc = min id per
-    cluster. The oracle reproduces the closure with a recursive CTE —
-    a full hash check of an iterative distributed algorithm."""
+    """Duplicate CLUSTERS, not just pairs: near-dup pairs grouped by
+    connected components (min-label propagation, operators/components.py)
+    with the canonical doc = min id per cluster. Pairs come from the
+    minhash-LSH + exact-verify path — the production composition (LSH
+    prunes candidates, verification makes the pair set EXACT at j ≥ 0.5,
+    so the clustering equals the brute-force closure). The oracle
+    reproduces that closure with a recursive CTE over the exact Jaccard
+    pairs — a full hash check of an iterative distributed algorithm."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    pairs = dedup.minhash_candidate_pairs(docs, "text", "doc_id", threshold=0.5)
     return components.duplicate_clusters(pairs).orderBy("doc_id")
 
 
