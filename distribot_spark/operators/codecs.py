@@ -108,3 +108,39 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * sh) // height
     xs = (np.arange(width) * sw) // width
     return img[np.ix_(ys, xs)]
+
+
+# -- audio: 16-bit mono PCM WAV (stdlib `wave`) -------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 mono samples as a PCM WAV via the stdlib wave module —
+    a real RIFF/WAVE container, not a simulation."""
+    import io
+    import wave
+
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """Parse a PCM WAV; returns (sample_rate, int16 mono samples).
+    Raises ValueError on anything but 16-bit mono PCM."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(buf), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError("only 16-bit mono PCM supported")
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as ex:  # torn/corrupt container
+        raise ValueError(f"bad wav: {ex}") from ex
+    return rate, np.frombuffer(frames, dtype=np.int16)

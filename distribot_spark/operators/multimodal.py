@@ -252,3 +252,95 @@ def frame_sample(df: DataFrame, n_frames: int = 4, frame_size: int = 32) -> Data
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+# -- audio --------------------------------------------------------------------
+
+
+def synth_audio_sample(i, d):
+    """Deterministic int16 sample function behind `synthesize_audio` —
+    integer arithmetic only, so a SQL oracle reproduces every aggregate
+    of the decoded audio: s_i = (37·i + 11·doc_id) mod 65536 − 32768."""
+    return (37 * i + 11 * d) % 65536 - 32768
+
+
+def synthesize_audio(
+    df: DataFrame, n_samples: int = 480, sample_rate: int = 8000
+) -> DataFrame:
+    """Render a real PCM WAV per doc (stdlib wave container, samples from
+    `synth_audio_sample`) — the audio twin of `synthesize_image`:
+    everything downstream runs exactly what a real audio corpus would."""
+    import numpy as np
+    import pandas as pd
+
+    idx = np.arange(n_samples, dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples = synth_audio_sample(idx, d).astype(np.int16)
+                rows.append(
+                    {"doc_id": d, "payload": codecs.encode_wav(samples, sample_rate)}
+                )
+            yield pd.DataFrame(rows)
+
+    wavs = df.select("doc_id").mapInPandas(batches, "doc_id LONG, payload BINARY")
+    return wavs.withColumns(
+        {
+            "media_type": F.lit("audio/wav"),
+            "payload_bytes": F.length("payload").cast("bigint"),
+            "content_key": F.md5("payload"),
+        }
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id LONG, sample_rate INT, n_samples LONG, duration_sec DOUBLE, "
+    "mean_amp DOUBLE, rms DOUBLE"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Batch audio feature extraction via mapInPandas: REAL WAV parse
+    (stdlib wave), then mean amplitude and RMS in float64. int16 sums
+    stay exact in float64 (< 2^53), so AVG/SQRT match any engine's
+    summation order bit-for-bit; the half-up 4-dp round is the same
+    FLOOR formula the oracle spells out. Corrupt payloads yield
+    sample_rate=null rows instead of killing the scan."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, samples = codecs.decode_wav(bytes(payload))
+                    v = samples.astype(np.float64)
+                    mean_amp = float(np.floor(v.mean() * 10000 + 0.5) / 10000)
+                    rms = float(
+                        np.floor(np.sqrt((v * v).mean()) * 10000 + 0.5) / 10000
+                    )
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "sample_rate": rate,
+                            "n_samples": len(v),
+                            "duration_sec": len(v) / rate,
+                            "mean_amp": mean_amp, "rms": rms,
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "sample_rate": None,
+                            "n_samples": None, "duration_sec": None,
+                            "mean_amp": None, "rms": None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )

@@ -534,6 +534,34 @@ def multimodal_resize(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, CAST((37*i.i + 11*d.doc_id) % 65536 - 32768 AS DOUBLE)
+               AS v
+      FROM documents d, generate_series(0, 479) i(i))
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(480 AS BIGINT) AS n_samples,
+           CAST(0.06 AS DOUBLE) AS duration_sec,
+           FLOOR(AVG(v) * 10000 + 0.5)/10000 AS mean_amp,
+           FLOOR(SQRT(AVG(v*v)) * 10000 + 0.5)/10000 AS rms
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio(spark, sf_dir):
+    """REAL audio decode path: render a valid PCM WAV per doc (stdlib
+    wave container, deterministic int16 sample function), parse it back
+    and extract mean amplitude + RMS. int16 sums are exact in float64,
+    so the oracle reproduces the sample arithmetic bit-for-bit with
+    generate_series — the full encode → RIFF-parse → feature chain is
+    hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = multimodal.synthesize_audio(docs, n_samples=480, sample_rate=8000)
+    return multimodal.audio_features(wavs).orderBy("doc_id")
+
+
+@register(
     "multimodal_frames",
     oracle="""
     WITH p AS (SELECT doc_id, text AS b, LENGTH(text) AS n FROM documents),

@@ -105,6 +105,18 @@ def test_connected_components_propagation(spark):
     assert by_id[10].is_canonical and by_id[10].cluster_size == 3
 
 
+def test_connected_components_long_chain_logarithmic(spark):
+    """Pointer jumping must label a 200-node chain (diameter 199) well
+    inside the default round budget — O(log diameter), not O(diameter)."""
+    from distribot_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "da long, db long"
+    )
+    comp = {r.id: r.comp for r in connected_components(chain).collect()}
+    assert len(comp) == 200 and set(comp.values()) == {0}
+
+
 def test_ivf_topk_completeness_and_recall(spark):
     """IVF ANN: (a) with n_probe == n_clusters the probe set is the whole
     corpus, so the result must equal exact cosine_topk bit-for-bit —
@@ -326,3 +338,27 @@ def test_run_sql_facade(spark):
     )
     rows = df.collect()
     assert len(rows) == 5 and all(r.n == 5 for r in rows)
+
+
+def test_wav_codec_roundtrip_and_corrupt_isolation(spark):
+    """WAV encode→decode identity, and a corrupt/truncated payload must
+    yield a null-feature row, not kill the scan."""
+    import numpy as np
+
+    from distribot_spark.operators import codecs, multimodal
+
+    samples = (np.arange(100, dtype=np.int64) * 37 % 65536 - 32768).astype(
+        np.int16
+    )
+    rate, back = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+    assert rate == 8000 and (back == samples).all()
+
+    good = codecs.encode_wav(samples, 8000)
+    corrupt = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"RIFFgarbage")),
+         (3, bytearray(b"not a wav"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.audio_features(corrupt).collect()}
+    assert rows[1].sample_rate == 8000 and rows[1].n_samples == 100
+    assert rows[2].sample_rate is None and rows[3].sample_rate is None

@@ -60,7 +60,7 @@ def test_relational_queries_stay_jvm_side(spark):
     flow) may have Python eval nodes."""
     allowed_python = {
         "q39", "q40", "q40_batched", "dedup_simhash", "multimodal_decode",
-        "multimodal_resize", "multimodal_frames",
+        "multimodal_resize", "multimodal_frames", "multimodal_audio",
         # sign-LSH signatures are one Arrow-vectorized matmul: the
         # pure-Catalyst form is O(tables·planes·dim) expression nodes and
         # its analysis/codegen time dwarfs the math (see similarity.py)
