@@ -53,3 +53,58 @@ def test_rate_source_live_hourly_agg(spark):
 def test_rate_source_unbounded_rejected_by_run_bounded(spark):
     with pytest.raises(ValueError, match="bounded"):
         replay.run_bounded(spark, _hourly_agg, RateEventsSource(), "complete")
+
+
+def test_socket_source_live_agg(spark):
+    """S1's aggregation over a real TCP transport: a local server feeds
+    JSON lines, the query aggregates them live, and the stopped sink must
+    equal the batch aggregate of exactly the lines sent."""
+    import json
+    import socket
+    import threading
+
+    from distribot_spark.streaming.sources import SocketJsonSource
+
+    lines = [
+        {"ts": f"2024-01-01 {h:02d}:{m:02d}:00", "event_type": et, "value": v}
+        for h in (0, 1)
+        for m, et, v in [(0, "click", 1.5), (15, "view", 2.0),
+                         (30, "click", 0.25), (45, "view", 4.0)]
+    ]
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            payload = "".join(json.dumps(ln) + "\n" for ln in lines)
+            conn.sendall(payload.encode())
+            stop.wait(60)  # keep the connection open until the test ends
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        source = SocketJsonSource(
+            "127.0.0.1", port,
+            "ts timestamp, event_type string, value double",
+        )
+        result = replay.run_live(
+            spark, _hourly_agg, source, "complete",
+            until=lambda df: (df.agg(F.sum("cnt")).collect()[0][0] or 0)
+            >= len(lines),
+            timeout_sec=60,
+        )
+    finally:
+        stop.set()
+        server.close()
+
+    rows = {(r.window_start, r.event_type): (r.cnt, r.sum_value)
+            for r in result.collect()}
+    assert rows[("2024-01-01 00:00:00", "click")] == (2, 1.75)
+    assert rows[("2024-01-01 01:00:00", "view")] == (2, 6.0)
+    assert len(rows) == 4
