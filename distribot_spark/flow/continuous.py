@@ -52,7 +52,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 import time
 
 import pandas as pd
@@ -186,13 +185,30 @@ class ContinuousFlowRunner:
         self.trigger_interval = trigger_interval
         self.state_timeout_ms = state_timeout_ms
         self.flow_id: str | None = None
+        self.checkpoint: str | None = None
         self.query = None
 
     # -- lifecycle --------------------------------------------------------------
 
-    def start(self) -> str:
+    def start(self, flow_id: str | None = None) -> str:
+        """Start (or RESTART) the flow's streaming query.
+
+        Pass an existing ``flow_id`` to resume after a stop/crash: the
+        query restarts from its checkpoint (named deterministically per
+        flow under the state root), which replays the last uncommitted
+        micro-batch — including the shard state holding any paused
+        backlog and retry queue. Replayed results re-commit to the task
+        log, where the last-attempt-wins read dedups them, so restart is
+        effectively exactly-once end to end.
+        """
         engine, spec = self.engine, self.spec
-        self.flow_id = fid = engine.create_flow(spec)
+        if flow_id is None:
+            fid = engine.create_flow(spec)
+        else:
+            if engine.state.find_flow(flow_id) is None:
+                raise ValueError(f"unknown flow {flow_id}")
+            fid = flow_id
+        self.flow_id = fid
 
         stages = []
         for phase in spec.phases:
@@ -239,9 +255,11 @@ class ContinuousFlowRunner:
             )
             engine._append_wave(wave, fid)
 
-        checkpoint = tempfile.mkdtemp(
-            prefix="cont_ckpt_", dir=engine.state.root
-        )
+        # deterministic per-flow checkpoint: a restart with the same
+        # flow_id resumes source offsets AND shard state from here
+        checkpoint = os.path.join(engine.state.root, "cont_ckpt", fid)
+        os.makedirs(checkpoint, exist_ok=True)
+        self.checkpoint = checkpoint
         self.query = (
             results.writeStream.foreachBatch(sink)
             .outputMode("update")

@@ -114,3 +114,36 @@ def test_continuous_flow_retries_transient_failures(spark, engine):
     retried = work[work.attempt == 2]
     assert sorted(int(t.split("-")[1]) for t in retried.task_id) == [0, 3, 6, 9]
     assert (work[work.attempt == 1].status == "ok").all()
+
+
+def test_continuous_flow_restart_from_checkpoint(spark, engine):
+    """Kill the query mid-stream, add more input while it's down, restart
+    with the same flow_id: the checkpoint resumes source offsets + shard
+    state, the downtime backlog processes, and accounting shows each task
+    exactly once (replayed micro-batches dedup via last-attempt-wins)."""
+    src_dir = tempfile.mkdtemp(prefix="taskq_", dir="/root/repo/.tmp")
+    write_task_chunk(src_dir, _chunk(0))
+
+    source = FileReplaySource(src_dir, max_files_per_trigger=4)
+    runner = ContinuousFlowRunner(engine, CONT_FLOW, source, n_shards=4)
+    fid = runner.start()
+    try:
+        runner.wait_for(lambda c: c.get(("label", "ok"), 0) == 20)
+    finally:
+        runner.stop()
+
+    # while the query is DOWN: more tasks arrive
+    write_task_chunk(src_dir, _chunk(20))
+
+    runner2 = ContinuousFlowRunner(engine, CONT_FLOW, source, n_shards=4)
+    assert runner2.start(flow_id=fid) == fid
+    try:
+        runner2.wait_for(lambda c: c.get(("label", "ok"), 0) == 40)
+    finally:
+        runner2.stop()
+
+    df = engine.state.task_results(fid)
+    ok = df[(df.phase == "label") & (df.status == "ok")]
+    assert len(ok) == 40 and ok.task_id.nunique() == 40, (
+        "each task must be accounted exactly once across the restart"
+    )
