@@ -122,3 +122,51 @@ def tfidf(
             (F.round(F.col("tfidf") * 10000, 0) / 10000).alias("tfidf"),
         )
     )
+
+
+# PII patterns kept inside the RE2 ∩ Java-regex common subset (no
+# backrefs/lookaround) so the DuckDB oracle runs the IDENTICAL patterns.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace email/phone/IPv4 literals with typed placeholders — the
+    standard pre-training scrub pass, entirely JVM-side regexp_replace
+    (one codegen'd projection, no Python). Adds `<col>_redacted` plus a
+    per-kind hit count so the scrub is auditable."""
+    out = F.col(text_col)
+    counts = {}
+    for kind, pat in PII_PATTERNS.items():
+        # counts are measured on the ORIGINAL text (the audit contract);
+        # replacements chain, but the placeholders contain no pattern-able
+        # characters so order cannot create or destroy matches
+        counts[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        ).cast("bigint")
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.withColumns({f"{text_col}_redacted": out, **counts})
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    thresholds: tuple[str, str] = ("cc", "e6"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5(id) prefix: hex
+    digests are uniform, so string-comparing the first two hex chars
+    against thresholds splits ≈ 80/10/10 ('cc' = 204/256, 'e6' = 230/256)
+    identically in ANY engine — no engine-specific hash function, no RNG,
+    stable under corpus growth (a doc's split never changes when other
+    docs arrive, unlike row_number()-based splits)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    lo, hi = thresholds
+    return df.withColumn(
+        "split",
+        F.when(F.substring(h, 1, 2) < lo, "train")
+        .when(F.substring(h, 1, 2) < hi, "val")
+        .otherwise("test"),
+    )

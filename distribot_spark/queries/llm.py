@@ -412,6 +412,116 @@ def doc_langid(spark, sf_dir):
 
 
 @register(
+    "doc_redact_pii",
+    oracle=r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com ph 555-123-4567 ip 10.1.2.'
+                  || CAST(doc_id % 256 AS VARCHAR) AS t
+      FROM documents),
+    redacted AS (
+      SELECT doc_id, t,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g')
+          AS clean
+      FROM injected)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(t,
+        '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(t,
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+      md5(clean) AS redacted_md5
+    FROM redacted ORDER BY doc_id
+    """,
+    tags=("llm", "text", "pii"),
+)
+def doc_redact_pii(spark, sf_dir):
+    """PII scrub (pre-training standard): inject deterministic
+    email/phone/IP literals, redact with typed placeholders, count hits.
+    Patterns live in the RE2 ∩ Java-regex common subset, so the DuckDB
+    oracle runs the IDENTICAL regexes; the redacted text is compared by
+    md5. Entirely JVM-side regexp_replace — one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ph 555-123-4567 ip 10.1.2."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("t"),
+    )
+    return (
+        text.redact_pii(injected, "t")
+        .select(
+            "doc_id", "n_email", "n_phone", "n_ipv4",
+            F.md5("t_redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "split"),
+)
+def doc_split(spark, sf_dir):
+    """Deterministic train/val/test split by md5(doc_id) prefix —
+    engine-agnostic (no RNG, no engine hash), and stable under corpus
+    growth: a doc's split never changes when other docs arrive, unlike
+    row_number-based splits. ≈80/10/10 at the ('cc','e6') thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars) * 100) / 100 AS avg_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "stats"),
+)
+def doc_length_histogram(spark, sf_dir):
+    """Corpus length distribution in 50-char buckets — the standard
+    what's-in-this-corpus profile; map-side partial agg, one tiny
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            (F.floor(F.col("n_chars") / 50) * 50).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.avg("n_chars") * 100, 0) / 100).alias("avg_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS fp_md5,
