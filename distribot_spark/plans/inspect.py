@@ -53,4 +53,9 @@ def uses_python_eval(df: DataFrame) -> bool:
     """True if any Python-side evaluation node is in the plan (the slow
     path — only sanctioned for the explicitly-Python operators)."""
     plan = explain_string(df)
-    return bool(re.search(r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)", plan))
+    return bool(re.search(
+        r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas"
+        r"|MapInPandas|AggregateInPandas|ArrowAggregatePython"
+        r"|FlatMapCoGroupsInPandas|CoGroupsInPandas)",
+        plan,
+    ))

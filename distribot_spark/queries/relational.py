@@ -1353,3 +1353,101 @@ def q40_batched(spark, sf_dir):
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q40_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(SUM(ROUND(o_totalprice * 100)) / 100.0 AS DOUBLE) AS total,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("udaf", "grouped_agg"),
+)
+def q40_grouped_agg(spark, sf_dir):
+    """GROUPED_AGG pandas UDAF — the missing quadrant of the pandas-UDF
+    surface (scalar=q39, grouped-map=q40, map-iter=q40_batched): a true
+    custom aggregate (whole group in, scalar out), Arrow-batched, with
+    map-side partial merge handled by Spark. Exact integer-cent math so
+    the custom sum matches the oracle bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        return int((v * 100).round().sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            cents_sum("o_totalprice").alias("cents"),
+            n_rows("o_totalprice").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            (F.col("cents") / 100.0).cast("double").alias("total"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q40_cogroup",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders,
+                      SUM(ROUND(o_totalprice * 100)) AS cents
+               FROM orders GROUP BY 1),
+    e AS (SELECT user_id AS k, COUNT(*) AS n_events,
+                 FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+          FROM events GROUP BY 1)
+    SELECT COALESCE(o.k, e.k) AS k,
+           COALESCE(n_orders, 0) AS n_orders,
+           CAST(COALESCE(cents, 0) / 100.0 AS DOUBLE) AS spend,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(sum_value, 0.0) AS sum_value
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    ORDER BY k
+    """,
+    tags=("udaf", "cogroup"),
+)
+def q40_cogroup(spark, sf_dir):
+    """COGROUPED_MAP pandas UDF: orders and events cogrouped on the
+    customer key — both sides shuffle once, then each (key, left-group,
+    right-group) pair lands in one Python function, the primitive for
+    custom per-key merges (as-of logic, interleaving, reconciliation)
+    that SQL joins can't express row-wise. Here it emits the per-key
+    full-outer merge of both sides' aggregates, so a FULL OUTER JOIN of
+    two GROUP BYs is the exact oracle. Integer-cent money math; the
+    event sum uses the spelled-out half-up round."""
+    import numpy as np
+
+    def merge(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame):
+        cents = int((orders_pdf["o_totalprice"] * 100).round().sum())
+        sum_v = float(events_pdf["value"].sum())
+        return pd.DataFrame(
+            {
+                "k": [key[0]],
+                "n_orders": [len(orders_pdf)],
+                "spend": [cents / 100.0],
+                "n_events": [len(events_pdf)],
+                "sum_value": [float(np.floor(sum_v * 100 + 0.5) / 100)],
+            }
+        )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(ev.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "k long, n_orders long, spend double, n_events long, sum_value double",
+        )
+        .orderBy("k")
+    )

@@ -59,7 +59,8 @@ def test_relational_queries_stay_jvm_side(spark):
     """Only the explicitly-Python operators (q39/q40, simhash, multimodal,
     flow) may have Python eval nodes."""
     allowed_python = {
-        "q39", "q40", "q40_batched", "dedup_simhash", "multimodal_decode",
+        "q39", "q40", "q40_batched", "q40_grouped_agg", "q40_cogroup",
+        "dedup_simhash", "multimodal_decode",
         "multimodal_resize", "multimodal_frames", "multimodal_audio",
         # sign-LSH signatures are one Arrow-vectorized matmul: the
         # pure-Catalyst form is O(tables·planes·dim) expression nodes and
