@@ -156,3 +156,50 @@ def test_q_salted_join_shape(spark):
     )
     assert plan.count("__salt") >= 2, "both join sides must key on the salt"
     assert not uses_python_eval(df), "salting is pure JVM-side"
+
+
+def test_runtime_bloom_filter_join(spark):
+    """The 100 TB shuffle-join reducer: when a selective filter sits on
+    the build side and the probe side is too big to broadcast, Spark
+    injects a runtime Bloom filter (bloom_filter_agg on the build keys,
+    might_contain pushed into the probe scan) so non-matching fact rows
+    die before the shuffle. Verifies the engine config surfaces it and
+    that the filtered join stays correct."""
+    from distribot_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        o = load_table(spark, SF_ORACLE, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("cnt"))
+        )
+        plan = explain_string(j)
+        assert "might_contain" in plan, "probe side missing the runtime filter"
+        assert "bloom_filter_agg" in plan, "build side missing the bloom agg"
+        # and the reduced join is still exact
+        expected = {
+            (r.o_orderpriority, r.cnt)
+            for r in li.join(
+                load_table(spark, SF_ORACLE, "orders").filter(
+                    F.col("o_totalprice") > 400000
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).groupBy("o_orderpriority").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert {(r.o_orderpriority, r.cnt) for r in j.collect()} == expected
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
