@@ -187,6 +187,7 @@ class ContinuousFlowRunner:
         self.flow_id: str | None = None
         self.checkpoint: str | None = None
         self.query = None
+        self._progress: dict[tuple[str, str], dict[str, int]] = {}
 
     # -- lifecycle --------------------------------------------------------------
 
@@ -209,6 +210,20 @@ class ContinuousFlowRunner:
                 raise ValueError(f"unknown flow {flow_id}")
             fid = flow_id
         self.flow_id = fid
+
+        # seed progress counters from the committed log so a restarted
+        # flow's status() continues instead of resetting to zero
+        self._progress = {}
+        prior = engine.state.task_results(fid)
+        if not prior.empty:
+            prior = prior[~prior.phase.str.startswith("_")]
+            g = prior.groupby(["phase", "handler", "status"]).task_id.nunique()
+            for (phase, handler, status), n in g.items():
+                st = self._progress.setdefault(
+                    (phase, handler), {"ok": 0, "retrying": 0, "failed": 0}
+                )
+                if status in st:
+                    st[status] += int(n)
 
         stages = []
         for phase in spec.phases:
@@ -245,15 +260,47 @@ class ContinuousFlowRunner:
         )
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            # same atomic wave-manifest commit as the batch engine; the
-            # batch never materializes on the driver
-            wave = batch_df.select(
-                "phase", "handler", "task_id",
-                F.col("attempt").cast("int").alias("attempt"),
-                "status", "result",
-                F.lit(time.time()).alias("ts"),
-            )
-            engine._append_wave(wave, fid)
+            # the batch feeds TWO jobs (wave write + progress counts);
+            # persist so the stateful operator computes exactly once per
+            # micro-batch — re-executing it mid-batch corrupts the run
+            batch_df.persist()
+            try:
+                # same atomic wave-manifest commit as the batch engine;
+                # the batch never materializes on the driver
+                wave = batch_df.select(
+                    "phase", "handler", "task_id",
+                    F.col("attempt").cast("int").alias("attempt"),
+                    "status", "result",
+                    F.lit(time.time()).alias("ts"),
+                )
+                engine._append_wave(wave, fid)
+                # progress counters for engine.status() parity with batch
+                # flows: per-stage COUNTS only cross to the driver (a few
+                # rows), never task rows. For an unbounded flow 'total' is
+                # monotone tasks-seen; 'remaining' is visible retry debt.
+                deltas = (
+                    batch_df.filter(~F.col("phase").startswith("_"))
+                    .groupBy("phase", "handler", "status")
+                    .count()
+                    .collect()
+                )
+            finally:
+                batch_df.unpersist()
+            if deltas:
+                for row in deltas:
+                    key = (row["phase"], row["handler"])
+                    st = self._progress.setdefault(
+                        key, {"ok": 0, "retrying": 0, "failed": 0}
+                    )
+                    if row["status"] in st:
+                        st[row["status"]] += row["count"]
+                for (phase, handler), st in self._progress.items():
+                    done = st["ok"]
+                    engine.state.upsert_progress(
+                        fid, phase, handler,
+                        total=done + st["retrying"] + st["failed"],
+                        remaining=st["retrying"],
+                    )
 
         # deterministic per-flow checkpoint: a restart with the same
         # flow_id resumes source offsets AND shard state from here

@@ -147,3 +147,9 @@ def test_continuous_flow_restart_from_checkpoint(spark, engine):
     assert len(ok) == 40 and ok.task_id.nunique() == 40, (
         "each task must be accounted exactly once across the restart"
     )
+    # engine.status() works for continuous flows and survives the restart
+    # (counters seed from the committed log, so totals continue at 40)
+    status = engine.status(fid)
+    label_row = status[status.phase == "label"].iloc[0]
+    assert label_row.total == 40 and label_row.remaining == 0
+    assert label_row.pct == 100.0
