@@ -522,6 +522,92 @@ def doc_length_histogram(spark, sf_dir):
 
 
 @register(
+    "l_pipeline_end_to_end",
+    oracle="""
+    WITH RECURSIVE
+    kept AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE lang = 'en' AND n_chars BETWEEN 50 AND 10000),
+    exact_canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    exact_kept AS (
+      SELECT k.doc_id, k.text, k.n_chars
+      FROM kept k JOIN exact_canon USING (doc_id)),
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact_kept),
+    sh AS (SELECT doc_id AS doc,
+                  unnest([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, len(w) - 1)]) AS s
+           FROM t),
+    dd AS (SELECT DISTINCT doc, s FROM sh),
+    sz AS (SELECT doc, COUNT(*) AS n FROM dd GROUP BY doc),
+    pr AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS inter
+           FROM dd a JOIN dd b ON a.s = b.s AND a.doc < b.doc
+           GROUP BY 1, 2),
+    p AS (SELECT da, db FROM pr JOIN sz sa ON da = sa.doc
+          JOIN sz sb ON db = sb.doc
+          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+    e AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+             FROM reach GROUP BY src),
+    survivors AS (
+      SELECT k.doc_id, k.n_chars
+      FROM exact_kept k LEFT JOIN comp c USING (doc_id)
+      WHERE c.doc_id IS NULL OR c.cluster_id = k.doc_id)
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM survivors GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "pipeline"),
+)
+def l_pipeline_end_to_end(spark, sf_dir):
+    """The COMPOSED training-data pipeline, one lazy DataFrame job:
+    quality gate → exact dedup (md5 canonical) → near-dup clustering
+    (minhash LSH pairs → connected components) → keep one canonical doc
+    per cluster → deterministic train/val/test split → per-split corpus
+    stats. Every stage is the operator tested individually elsewhere;
+    this query certifies the COMPOSITION end to end against a single
+    relational+recursive oracle — the 'switch your pipeline to this
+    engine' artifact. Catalyst sees one plan for the filter/dedup/split
+    chain (pushdown + shared scans); only the component loop iterates."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(50, 10000)
+    ).select("doc_id", "text", "n_chars")
+    exact_kept = kept.join(
+        dedup.exact_dedup(kept, "text", "doc_id").select("doc_id"), "doc_id"
+    )
+    pairs = dedup.minhash_candidate_pairs(exact_kept, "text", "doc_id",
+                                          threshold=0.5)
+    clusters = components.duplicate_clusters(pairs)
+    survivors = exact_kept.join(
+        clusters.filter(~F.col("is_canonical")).select(
+            F.col("doc_id")
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    return (
+        text.hash_split(survivors, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS fp_md5,
