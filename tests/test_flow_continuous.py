@@ -153,3 +153,44 @@ def test_continuous_flow_restart_from_checkpoint(spark, engine):
     label_row = status[status.phase == "label"].iloc[0]
     assert label_row.total == 40 and label_row.remaining == 0
     assert label_row.pct == 100.0
+
+
+def test_two_continuous_flows_control_isolation(spark, engine):
+    """Two flows share one engine/state store and run as independent
+    queries (the reference's daemons serve many flows concurrently);
+    pausing one must not affect the other, and accounting stays
+    per-flow."""
+    dir_a = tempfile.mkdtemp(prefix="taskq_", dir="/root/repo/.tmp")
+    dir_b = tempfile.mkdtemp(prefix="taskq_", dir="/root/repo/.tmp")
+    write_task_chunk(dir_a, _chunk(0, 10))
+    write_task_chunk(dir_b, _chunk(100, 10))
+
+    ra = ContinuousFlowRunner(
+        engine, CONT_FLOW, FileReplaySource(dir_a, max_files_per_trigger=4),
+        n_shards=2)
+    rb = ContinuousFlowRunner(
+        engine, CONT_FLOW, FileReplaySource(dir_b, max_files_per_trigger=4),
+        n_shards=2)
+    fa, fb = ra.start(), rb.start()
+    assert fa != fb
+    try:
+        ra.wait_for(lambda c: c.get(("label", "ok"), 0) == 10)
+        rb.wait_for(lambda c: c.get(("label", "ok"), 0) == 10)
+
+        engine.pause(fa)  # pause A only
+        write_task_chunk(dir_a, _chunk(10, 10))
+        write_task_chunk(dir_b, _chunk(110, 10))
+        # B processes its new chunk while A buffers its own
+        rb.wait_for(lambda c: c.get(("label", "ok"), 0) == 20)
+        ra.wait_for(lambda c: c.get(("_pending", "buffered"), 0) == 10)
+        assert ra.counts()[("label", "ok")] == 10
+        assert not engine.paused(fb)
+
+        engine.resume(fa)
+        ra.wait_for(lambda c: c.get(("label", "ok"), 0) == 20)
+    finally:
+        ra.stop()
+        rb.stop()
+    # accounting never bleeds between flows
+    assert ra.counts()[("label", "ok")] == 20
+    assert rb.counts()[("label", "ok")] == 20
