@@ -151,6 +151,41 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({f"{text_col}_redacted": out, **counts})
 
 
+def rebalance_by(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified downsampling: cap each group at ≈``cap``
+    rows by keeping ids whose md5 prefix falls under the group's keep
+    fraction — the language-rebalancing pass of a training-data pipeline
+    (shrink over-represented strata, keep small ones whole).
+
+    Mechanics: per-group keep fraction f = min(1, cap/count) maps to a
+    2-hex-char threshold (floor(f·256)); a row survives iff
+    substr(md5(id),1,2) < threshold. Engine-agnostic (no RNG), stable
+    under corpus growth for fixed counts, and the group-count relation is
+    tiny (one row per stratum) so it broadcasts — the corpus itself
+    never shuffles, it's scan + broadcast-join + filter. The cap is
+    approximate (hash-binomial around f·count), which is the standard
+    contract for hash sampling."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__cnt"))
+    frac = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("__cnt"))
+    thresholds = counts.select(
+        group_col,
+        "__cnt",
+        F.lpad(F.lower(F.hex(F.floor(frac * 256).cast("int"))), 2, "0")
+        .alias("__thr"),
+    )
+    joined = df.join(F.broadcast(thresholds), group_col)
+    return joined.filter(
+        (F.col("__cnt") <= cap)
+        | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+           < F.col("__thr"))
+    ).drop("__cnt", "__thr")
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -495,6 +495,49 @@ def doc_split(spark, sf_dir):
 
 
 @register(
+    "doc_rebalance",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    thr AS (SELECT lang, cnt,
+                   lpad(lower(to_hex(CAST(FLOOR(LEAST(1.0, 80.0 / cnt) * 256)
+                                          AS INT))), 2, '0') AS t
+            FROM counts),
+    kept AS (
+      SELECT d.lang, d.doc_id
+      FROM documents d JOIN thr USING (lang)
+      WHERE cnt <= 80
+         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < t)
+    SELECT c.lang, c.cnt AS n_before,
+           COUNT(k.doc_id) AS n_after, MIN(k.doc_id) AS first_doc
+    FROM counts c LEFT JOIN kept k ON c.lang = k.lang
+    GROUP BY c.lang, c.cnt ORDER BY c.lang
+    """,
+    tags=("llm", "sampling"),
+)
+def doc_rebalance(spark, sf_dir):
+    """Language rebalancing: cap every language at ≈80 docs by
+    deterministic md5-prefix sampling (operators/text.rebalance_by) —
+    shrink over-represented strata, keep small ones whole, no RNG. The
+    corpus never shuffles: scan + broadcast of the per-lang thresholds +
+    filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    kept = text.rebalance_by(docs, "lang", cap=80)
+    after = kept.groupBy("lang").agg(
+        F.count("*").alias("n_after"), F.min("doc_id").alias("first_doc")
+    )
+    return (
+        counts.join(after, "lang", "left")
+        .select(
+            "lang", "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            "first_doc",
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "doc_length_histogram",
     oracle="""
     SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket,
