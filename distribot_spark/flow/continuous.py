@@ -211,19 +211,22 @@ class ContinuousFlowRunner:
             fid = flow_id
         self.flow_id = fid
 
-        # seed progress counters from the committed log so a restarted
-        # flow's status() continues instead of resetting to zero
+        # seed progress counters from the committed (deduped) log so a
+        # restarted flow's status() continues instead of resetting to
+        # zero — this is also what reconciles any counter drift from a
+        # crash-replayed batch: the log is exact, counters are derived
         self._progress = {}
         prior = engine.state.task_results(fid)
         if not prior.empty:
             prior = prior[~prior.phase.str.startswith("_")]
-            g = prior.groupby(["phase", "handler", "status"]).task_id.nunique()
-            for (phase, handler, status), n in g.items():
-                st = self._progress.setdefault(
-                    (phase, handler), {"ok": 0, "retrying": 0, "failed": 0}
-                )
-                if status in st:
-                    st[status] += int(n)
+            for (phase, handler), grp in prior.groupby(["phase", "handler"]):
+                final = grp.drop_duplicates("task_id", keep="last")
+                self._progress[(phase, handler)] = {
+                    "total": int(final.task_id.nunique()),
+                    "done": int((final.status == "ok").sum()),
+                    "failed": int((final.status == "failed").sum()),
+                    "debt": int((final.status == "retrying").sum()),
+                }
 
         stages = []
         for phase in spec.phases:
@@ -265,6 +268,12 @@ class ContinuousFlowRunner:
             # micro-batch — re-executing it mid-batch corrupts the run
             batch_df.persist()
             try:
+                if batch_df.isEmpty():
+                    # no-data batches fire every state-timeout interval
+                    # (~3/s on an idle flow): committing empty waves
+                    # would grow dirs/manifests without bound and slow
+                    # every later task_results read
+                    return
                 # same atomic wave-manifest commit as the batch engine;
                 # the batch never materializes on the driver
                 wave = batch_df.select(
@@ -275,32 +284,55 @@ class ContinuousFlowRunner:
                 )
                 engine._append_wave(wave, fid)
                 # progress counters for engine.status() parity with batch
-                # flows: per-stage COUNTS only cross to the driver (a few
-                # rows), never task rows. For an unbounded flow 'total' is
-                # monotone tasks-seen; 'remaining' is visible retry debt.
+                # flows: per-stage COUNTS cross to the driver (a few
+                # rows), never task rows. Exact accounting per batch:
+                #   new tasks      = rows with attempt == 1
+                #   done           = ok rows (a retried task's earlier
+                #                    'retrying' rows are closed by its
+                #                    terminal row's attempt-1)
+                # so total is monotone tasks-seen and remaining is the
+                # open retry debt, returning to 0 once retries land.
+                # (A crash-replayed batch can transiently double-count;
+                # restart re-seeds from the deduped log — counters are
+                # best-effort, the task log is the exact record.)
                 deltas = (
                     batch_df.filter(~F.col("phase").startswith("_"))
-                    .groupBy("phase", "handler", "status")
-                    .count()
+                    .groupBy("phase", "handler")
+                    .agg(
+                        F.count(F.when(F.col("attempt") == 1, 1))
+                        .alias("new_tasks"),
+                        F.count(F.when(F.col("status") == "ok", 1))
+                        .alias("ok"),
+                        F.count(F.when(F.col("status") == "failed", 1))
+                        .alias("failed"),
+                        F.sum(
+                            F.when(
+                                F.col("status").isin("ok", "failed"),
+                                F.col("attempt") - 1,
+                            ).otherwise(0)
+                        ).alias("retries_closed"),
+                        F.count(F.when(F.col("status") == "retrying", 1))
+                        .alias("retrying"),
+                    )
                     .collect()
                 )
             finally:
                 batch_df.unpersist()
-            if deltas:
-                for row in deltas:
-                    key = (row["phase"], row["handler"])
-                    st = self._progress.setdefault(
-                        key, {"ok": 0, "retrying": 0, "failed": 0}
-                    )
-                    if row["status"] in st:
-                        st[row["status"]] += row["count"]
-                for (phase, handler), st in self._progress.items():
-                    done = st["ok"]
-                    engine.state.upsert_progress(
-                        fid, phase, handler,
-                        total=done + st["retrying"] + st["failed"],
-                        remaining=st["retrying"],
-                    )
+            for row in deltas:
+                st = self._progress.setdefault(
+                    (row["phase"], row["handler"]),
+                    {"total": 0, "done": 0, "failed": 0, "debt": 0},
+                )
+                st["total"] += row["new_tasks"]
+                st["done"] += row["ok"]
+                st["failed"] += row["failed"]
+                st["debt"] += row["retrying"] - int(row["retries_closed"])
+            for (phase, handler), st in self._progress.items():
+                engine.state.upsert_progress(
+                    fid, phase, handler,
+                    total=st["total"],
+                    remaining=max(0, st["debt"]),
+                )
 
         # deterministic per-flow checkpoint: a restart with the same
         # flow_id resumes source offsets AND shard state from here
@@ -339,6 +371,10 @@ class ContinuousFlowRunner:
         (with the query stopped so a failing caller doesn't leak it)."""
         deadline = time.time() + timeout_sec
         while True:
+            if self.query is not None and self.query.exception() is not None:
+                exc = self.query.exception()
+                self.stop()
+                raise exc  # dead query: surface the real error, don't wait
             if predicate(self.counts()):
                 return
             if time.time() > deadline:
@@ -351,12 +387,18 @@ class ContinuousFlowRunner:
 def write_task_chunk(directory: str, rows: list[dict]) -> str:
     """Append one parquet chunk of tasks to a stream directory (atomic
     tmp+rename so the file source never lists a half-written file).
+    The tmp name is dot-prefixed: Spark's file-stream listing hides
+    dot/underscore-prefixed files, so the in-progress write is invisible
+    — a plain `<name>.tmp` WOULD be listed and read torn, and the
+    post-rename file would then double-deliver under its new name.
     Test/demo helper for feeding an unbounded file-stream task queue."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(directory, exist_ok=True)
-    path = os.path.join(directory, f"chunk_{time.time_ns()}.parquet")
-    pq.write_table(pa.Table.from_pylist(rows), path + ".tmp")
-    os.replace(path + ".tmp", path)
+    name = f"chunk_{time.time_ns()}.parquet"
+    tmp = os.path.join(directory, "." + name + ".tmp")
+    path = os.path.join(directory, name)
+    pq.write_table(pa.Table.from_pylist(rows), tmp)
+    os.replace(tmp, path)
     return path

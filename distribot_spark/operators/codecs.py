@@ -143,4 +143,8 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
             frames = w.readframes(w.getnframes())
     except (wave.Error, EOFError) as ex:  # torn/corrupt container
         raise ValueError(f"bad wav: {ex}") from ex
+    if rate <= 0:
+        # the wave module happily reads a zero/negative fmt-chunk rate;
+        # downstream duration math would divide by it
+        raise ValueError(f"bad wav: non-positive sample rate {rate}")
     return rate, np.frombuffer(frames, dtype=np.int16)

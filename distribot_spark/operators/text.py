@@ -162,26 +162,32 @@ def rebalance_by(
     fraction — the language-rebalancing pass of a training-data pipeline
     (shrink over-represented strata, keep small ones whole).
 
-    Mechanics: per-group keep fraction f = min(1, cap/count) maps to a
-    2-hex-char threshold (floor(f·256)); a row survives iff
-    substr(md5(id),1,2) < threshold. Engine-agnostic (no RNG), stable
-    under corpus growth for fixed counts, and the group-count relation is
-    tiny (one row per stratum) so it broadcasts — the corpus itself
-    never shuffles, it's scan + broadcast-join + filter. The cap is
-    approximate (hash-binomial around f·count), which is the standard
-    contract for hash sampling."""
+    Mechanics: per-group keep fraction f = min(1, cap/count) maps to an
+    8-hex-char threshold (floor(f·2³²), floored at 1 so no stratum is
+    ever silently emptied — 2 hex chars would zero out any stratum past
+    256·cap rows, exactly the over-represented stratum this operator
+    targets); a row survives iff substr(md5(id),1,8) < threshold.
+    Engine-agnostic (no RNG), stable under corpus growth for fixed
+    counts, and the group-count relation is tiny (one row per stratum)
+    so it broadcasts — the corpus itself never shuffles, it's scan +
+    broadcast-join + filter. The cap is approximate (hash-binomial
+    around f·count), which is the standard contract for hash sampling."""
     counts = df.groupBy(group_col).agg(F.count("*").alias("__cnt"))
     frac = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("__cnt"))
     thresholds = counts.select(
         group_col,
         "__cnt",
-        F.lpad(F.lower(F.hex(F.floor(frac * 256).cast("int"))), 2, "0")
-        .alias("__thr"),
+        F.lpad(
+            F.lower(F.hex(
+                F.greatest(F.lit(1), F.floor(frac * 4294967296).cast("long"))
+            )),
+            8, "0",
+        ).alias("__thr"),
     )
     joined = df.join(F.broadcast(thresholds), group_col)
     return joined.filter(
         (F.col("__cnt") <= cap)
-        | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+        | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
            < F.col("__thr"))
     ).drop("__cnt", "__thr")
 

@@ -133,10 +133,12 @@ def dedup_clusters(spark, sf_dir):
     """Duplicate CLUSTERS, not just pairs: near-dup pairs grouped by
     connected components (min-label propagation, operators/components.py)
     with the canonical doc = min id per cluster. Pairs come from the
-    minhash-LSH + exact-verify path — the production composition (LSH
-    prunes candidates, verification makes the pair set EXACT at j ≥ 0.5,
-    so the clustering equals the brute-force closure). The oracle
-    reproduces that closure with a recursive CTE over the exact Jaccard
+    minhash-LSH + exact-verify path — the production composition. The
+    exact verification removes every false positive; RECALL is the LSH
+    s-curve's: ≈1 for the testdata's planted dups (j ≥ 0.89 ⇒ miss prob
+    ~1e-13 at b=32/r=4) but only ~0.87 for a hypothetical j = 0.5 pair,
+    the same regime contract as l2_minhash_pairs' oracle. The oracle
+    reproduces the closure with a recursive CTE over the exact Jaccard
     pairs — a full hash check of an iterative distributed algorithm."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_candidate_pairs(docs, "text", "doc_id", threshold=0.5)
@@ -499,14 +501,15 @@ def doc_split(spark, sf_dir):
     oracle="""
     WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
     thr AS (SELECT lang, cnt,
-                   lpad(lower(to_hex(CAST(FLOOR(LEAST(1.0, 80.0 / cnt) * 256)
-                                          AS INT))), 2, '0') AS t
+                   lpad(lower(to_hex(GREATEST(1, CAST(
+                       FLOOR(LEAST(1.0, 80.0 / cnt) * 4294967296)
+                       AS BIGINT)))), 8, '0') AS t
             FROM counts),
     kept AS (
       SELECT d.lang, d.doc_id
       FROM documents d JOIN thr USING (lang)
       WHERE cnt <= 80
-         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < t)
+         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < t)
     SELECT c.lang, c.cnt AS n_before,
            COUNT(k.doc_id) AS n_after, MIN(k.doc_id) AS first_doc
     FROM counts c LEFT JOIN kept k ON c.lang = k.lang
@@ -620,7 +623,10 @@ def l_pipeline_end_to_end(spark, sf_dir):
     this query certifies the COMPOSITION end to end against a single
     relational+recursive oracle — the 'switch your pipeline to this
     engine' artifact. Catalyst sees one plan for the filter/dedup/split
-    chain (pushdown + shared scans); only the component loop iterates."""
+    chain (pushdown + shared scans); only the component loop iterates.
+    Same LSH-recall regime contract as dedup_clusters: the oracle match
+    relies on near-dup pairs being high-similarity planted dups (the
+    s-curve misses a hypothetical j ≈ 0.5 pair ~13% of the time)."""
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.filter(
         (F.col("lang") == "en") & F.col("n_chars").between(50, 10000)

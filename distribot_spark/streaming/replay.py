@@ -193,6 +193,8 @@ def run_live(
         try:
             deadline = _time.time() + timeout_sec
             while True:
+                if q.exception() is not None:
+                    raise q.exception()  # dead query: fail fast, not at timeout
                 if until(spark.table(name)):
                     break
                 if _time.time() > deadline:

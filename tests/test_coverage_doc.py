@@ -12,13 +12,16 @@ def test_every_registered_query_is_documented():
 
     text = open(COVERAGE).read()
     # inventory rows may cover a numeric range, e.g. "Q16–Q23" or
-    # "q26 … q38" — expand those into the covered qNN keys
+    # "q26 … q38" — those excuse ONLY the bare qNN keys; every variant
+    # (q16_cube, q40_cogroup, ...) must be mentioned literally, or the
+    # invariant this test enforces is hollow
     ranged = set()
     for a, b in re.findall(r"[qQ](\d+)\s*(?:–|…|\.\.\.)\s*[qQ](\d+)", text):
         ranged.update(f"q{n:02d}" for n in range(int(a), int(b) + 1))
     missing = [
         name for name in QUERIES
-        if name not in text and name.split("_")[0] not in ranged
+        if name not in text
+        and not (re.fullmatch(r"q\d+", name) and name in ranged)
     ]
     assert not missing, f"COVERAGE.md missing query keys: {missing}"
 

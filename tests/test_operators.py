@@ -354,11 +354,17 @@ def test_wav_codec_roundtrip_and_corrupt_isolation(spark):
     assert rate == 8000 and (back == samples).all()
 
     good = codecs.encode_wav(samples, 8000)
+    # structurally valid WAV with fmt-chunk sample rate patched to 0:
+    # wave.open reads it fine, so the decoder must reject it before the
+    # duration division
+    zero_rate = bytearray(good)
+    zero_rate[24:28] = (0).to_bytes(4, "little")
     corrupt = spark.createDataFrame(
         [(1, bytearray(good)), (2, bytearray(b"RIFFgarbage")),
-         (3, bytearray(b"not a wav"))],
+         (3, bytearray(b"not a wav")), (4, zero_rate)],
         "doc_id long, payload binary",
     )
     rows = {r.doc_id: r for r in multimodal.audio_features(corrupt).collect()}
     assert rows[1].sample_rate == 8000 and rows[1].n_samples == 100
     assert rows[2].sample_rate is None and rows[3].sample_rate is None
+    assert rows[4].sample_rate is None, "zero-rate wav must not kill the scan"
