@@ -1451,3 +1451,34 @@ def q40_cogroup(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 2)::DOUBLE
+               AS c_acctbal
+      FROM customer WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+    tags=("join", "lateral"),
+)
+def q_lateral_topk(spark, sf_dir):
+    """LATERAL (correlated table) subquery — top-2 customers by balance
+    per nation, written as SQL LATERAL on BOTH engines. Catalyst rewrites
+    the correlated limit into the same window top-k a DataFrame would
+    plan, so the SQL surface parity costs nothing at scale."""
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name,
+                 CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE)
+                   AS c_acctbal
+          FROM customer WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)
