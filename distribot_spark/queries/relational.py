@@ -1482,3 +1482,36 @@ def q_lateral_topk(spark, sf_dir):
           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
     """)
+
+
+@register(
+    "q38_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+          AS price,
+        CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty' AS measure, qty AS val FROM agg
+    UNION ALL SELECT l_returnflag, 'price', price FROM agg
+    UNION ALL SELECT l_returnflag, 'disc', disc FROM agg
+    ORDER BY l_returnflag, measure
+    """,
+    tags=("pivot", "unpivot"),
+)
+def q38_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) — the inverse of q38's pivot: wide per-flag measure
+    columns back to (flag, measure, value) rows via DataFrame.unpivot
+    (one Expand node, no join/union re-scan; the oracle spells the same
+    relation as a UNION ALL stack)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dsum(_money("l_quantity"), "qty"),
+        _dsum(_money("l_extendedprice"), "price"),
+        _dsum(_money("l_discount"), "disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty", "price", "disc"], "measure", "val"
+    ).orderBy("l_returnflag", "measure")
