@@ -1515,3 +1515,64 @@ def q38_unpivot(spark, sf_dir):
     return wide.unpivot(
         ["l_returnflag"], ["qty", "price", "disc"], "measure", "val"
     ).orderBy("l_returnflag", "measure")
+
+
+@register(
+    "q19_dist",
+    oracle="""
+    SELECT o_orderkey,
+      ROUND(PERCENT_RANK() OVER w * 10000) / 10000 AS pr,
+      ROUND(CUME_DIST() OVER w * 10000) / 10000 AS cd
+    FROM orders WHERE o_orderkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    tags=("window", "distribution"),
+)
+def q19_dist(spark, sf_dir):
+    """Distribution window functions (percent_rank / cume_dist) —
+    completes the ranking-window family. Both are exact integer ratios
+    ((rank-1)/(n-1), rank/n) evaluated in double, so the 4-dp round is
+    engine-stable. The unique (price, key) ordering makes ranks
+    deterministic."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            _round(F.percent_rank().over(w), 4).alias("pr"),
+            _round(F.cume_dist().over(w), 4).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q18_corr",
+    oracle="""
+    SELECT l_returnflag,
+      ROUND(CORR(l_quantity, l_extendedprice) * 1000) / 1000 + 0.0
+        AS corr_qty_price,
+      ROUND(COVAR_SAMP(l_quantity, l_discount) * 1000) / 1000 + 0.0
+        AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q18_corr(spark, sf_dir):
+    """Bivariate statistics (Pearson correlation, sample covariance) per
+    group — extends q18's univariate moments. 3-dp rounding absorbs the
+    co-moment summation-order difference between engines."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            (_round(F.corr("l_quantity", "l_extendedprice"), 3) + F.lit(0.0))
+            .alias("corr_qty_price"),
+            (_round(F.covar_samp("l_quantity", "l_discount"), 3) + F.lit(0.0))
+            .alias("cov_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
