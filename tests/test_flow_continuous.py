@@ -194,3 +194,36 @@ def test_two_continuous_flows_control_isolation(spark, engine):
     # accounting never bleeds between flows
     assert ra.counts()[("label", "ok")] == 20
     assert rb.counts()[("label", "ok")] == 20
+
+
+def test_continuous_flow_over_rate_source(spark, engine):
+    """Composition across the source seam: a continuous flow consuming
+    the UNBOUNDED synthetic rate source (no files at all) — tasks are a
+    pure function of the row counter, processed through the same
+    pipeline stages, stopped by cancel."""
+    from distribot_spark.streaming.sources import RateEventsSource
+
+    class _RateTasks:
+        bounded = False
+
+        def load(self, sp):
+            ev = RateEventsSource(rows_per_batch=20, num_partitions=2).load(sp)
+            return ev.select(
+                ev.event_id.cast("string").alias("task_id"),
+                ev.event_id.alias("item"),
+            )
+
+    runner = ContinuousFlowRunner(engine, CONT_FLOW, _RateTasks(), n_shards=2)
+    fid = runner.start()
+    try:
+        runner.wait_for(lambda c: c.get(("label", "ok"), 0) >= 40)
+        engine.cancel(fid)
+    finally:
+        runner.stop()
+    df = engine.state.task_results(fid)
+    ok = df[(df.phase == "square") & (df.status == "ok")]
+    # spot-check determinism: task k computed k^2
+    import json
+    results = {r.task_id: json.loads(r.result) for r in ok.itertuples()}
+    assert results["7"] == {"squared": 49}
+    assert engine.canceled(fid)

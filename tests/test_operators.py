@@ -368,3 +368,29 @@ def test_wav_codec_roundtrip_and_corrupt_isolation(spark):
     assert rows[1].sample_rate == 8000 and rows[1].n_samples == 100
     assert rows[2].sample_rate is None and rows[3].sample_rate is None
     assert rows[4].sample_rate is None, "zero-rate wav must not kill the scan"
+
+
+def test_rebalance_by_caps_and_preserves(spark):
+    """Stratified hash sampling: small strata stay whole, large strata
+    land near the cap, and no stratum is ever emptied — including one
+    far past 256x the cap, where the old 2-hex threshold floored to
+    '00' and deleted the stratum outright."""
+    from distribot_spark.operators.text import rebalance_by
+
+    rows = (
+        [(f"small-{i}", "small") for i in range(8)]
+        + [(f"big-{i}", "big") for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = rebalance_by(df, "lang", cap=10, id_col="doc_id")
+    by_lang = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("small") == 8, "under-cap stratum must stay whole"
+    big = by_lang.get("big", 0)
+    assert big > 0, "no stratum may be emptied"
+    # hash-binomial around cap: allow generous slack, reject blowups
+    assert big <= 40, f"cap=10 stratum kept {big} rows"
+    # determinism: same input -> identical surviving ids
+    again = {r.doc_id for r in rebalance_by(df, "lang", 10, "doc_id")
+             .select("doc_id").collect()}
+    assert again == {r.doc_id for r in out.select("doc_id").collect()}
