@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import pandas as pd
@@ -75,6 +76,21 @@ _EMPTY = pd.DataFrame(
          else pd.Series(dtype=object))
      for c in ("phase", "handler", "task_id", "attempt", "status", "result")}
 )
+
+
+class GracefulStop(Exception):
+    """Raised inside the foreachBatch sink when ``stop()`` has been
+    requested. Deliberately carries a SHORT message and suppresses the
+    chained py4j traceback: Spark classifies a foreachBatch failure by
+    regex-scanning the proxy error text (StreamExecution.PROXY_ERROR,
+    streaming/runtime/StreamExecution.scala:774), and a stop() that
+    interrupts an in-flight collect otherwise propagates a message
+    embedding the full JVM stack trace — long enough that the
+    backtracking regex StackOverflowErrors the stream execution thread.
+    Failing the batch (rather than returning normally) is REQUIRED for
+    correctness: a normal return would commit the epoch and drop the
+    batch's un-appended results; failing it leaves the offsets
+    uncommitted so the batch replays on the next start()."""
 
 
 def _make_state_fn(state_root: str, flow_id: str, stages, timeout_ms: int,
@@ -188,6 +204,11 @@ class ContinuousFlowRunner:
         self.checkpoint: str | None = None
         self.query = None
         self._progress: dict[tuple[str, str], dict[str, int]] = {}
+        # highest batch_id whose wave AND counters are durably recorded;
+        # replayed batches at/below it are skipped entirely (exactly-once
+        # counters across restart — see _persist_progress)
+        self._counted_batch: int = -1
+        self._stopping = threading.Event()
 
     # -- lifecycle --------------------------------------------------------------
 
@@ -211,11 +232,21 @@ class ContinuousFlowRunner:
             fid = flow_id
         self.flow_id = fid
 
-        # seed progress counters from the committed (deduped) log so a
-        # restarted flow's status() continues instead of resetting to
-        # zero — this is also what reconciles any counter drift from a
-        # crash-replayed batch: the log is exact, counters are derived
+        # Restart bookkeeping, exact in every crash window:
+        #   watermark  — highest micro-batch id among committed wave
+        #                manifests (the batch id rides the SAME atomic
+        #                write as the wave commit, so it can't disagree
+        #                with the data);
+        #   counters   — derived from the committed deduped log, which by
+        #                construction contains exactly the batches at or
+        #                below the watermark.
+        # A replayed batch is either ≤ watermark (its wave committed →
+        # seed already counted it → the sink skips it whole) or above it
+        # (its wave never committed → the sink appends and counts it
+        # once). There is no third state.
         self._progress = {}
+        self._counted_batch = engine.state.max_committed_batch(fid)
+        self._stopping.clear()
         prior = engine.state.task_results(fid)
         if not prior.empty:
             prior = prior[~prior.phase.str.startswith("_")]
@@ -227,6 +258,12 @@ class ContinuousFlowRunner:
                     "failed": int((final.status == "failed").sum()),
                     "debt": int((final.status == "retrying").sum()),
                 }
+        # status() parity immediately after restart (before the first batch)
+        for (phase, handler), st in self._progress.items():
+            engine.state.upsert_progress(
+                fid, phase, handler,
+                total=st["total"], remaining=max(0, st["debt"]),
+            )
 
         stages = []
         for phase in spec.phases:
@@ -263,6 +300,35 @@ class ContinuousFlowRunner:
         )
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if self._stopping.is_set():
+                # refuse the batch BEFORE any JVM call: failing it keeps
+                # the epoch uncommitted so it replays on restart
+                raise GracefulStop(f"stop() requested; batch {batch_id} "
+                                   "deferred to restart")
+            if batch_id <= self._counted_batch:
+                # Crash-replay of a batch whose wave manifest committed:
+                # the restart seed already counted it, so neither the
+                # wave append nor the counter deltas may run again. The
+                # batch must still EXECUTE, though — Spark validates that
+                # every state-store partition committed this epoch — so
+                # drive it through the no-op sink: full computation (and
+                # shard-state commit), zero output.
+                batch_df.write.format("noop").mode("overwrite").save()
+                return
+            try:
+                sink_batch(batch_df, batch_id)
+            except Exception:
+                if self._stopping.is_set():
+                    # stop() interrupted an in-flight job; swallow the
+                    # py4j error (its message embeds the full JVM stack,
+                    # which overflows Spark's PROXY_ERROR regex) and fail
+                    # the batch with a short marker instead
+                    raise GracefulStop(
+                        f"stop() interrupted batch {batch_id}; it will "
+                        "replay on restart") from None
+                raise
+
+        def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
             # the batch feeds TWO jobs (wave write + progress counts);
             # persist so the stateful operator computes exactly once per
             # micro-batch — re-executing it mid-batch corrupts the run
@@ -282,7 +348,7 @@ class ContinuousFlowRunner:
                     "status", "result",
                     F.lit(time.time()).alias("ts"),
                 )
-                engine._append_wave(wave, fid)
+                engine._append_wave(wave, fid, batch_id=batch_id)
                 # progress counters for engine.status() parity with batch
                 # flows: per-stage COUNTS cross to the driver (a few
                 # rows), never task rows. Exact accounting per batch:
@@ -292,9 +358,8 @@ class ContinuousFlowRunner:
                 #                    terminal row's attempt-1)
                 # so total is monotone tasks-seen and remaining is the
                 # open retry debt, returning to 0 once retries land.
-                # (A crash-replayed batch can transiently double-count;
-                # restart re-seeds from the deduped log — counters are
-                # best-effort, the task log is the exact record.)
+                # Replay-exactness comes from the snapshot watermark
+                # below: a batch is either skipped whole or counted once.
                 deltas = (
                     batch_df.filter(~F.col("phase").startswith("_"))
                     .groupBy("phase", "handler")
@@ -327,6 +392,7 @@ class ContinuousFlowRunner:
                 st["done"] += row["ok"]
                 st["failed"] += row["failed"]
                 st["debt"] += row["retrying"] - int(row["retries_closed"])
+            self._counted_batch = batch_id
             for (phase, handler), st in self._progress.items():
                 engine.state.upsert_progress(
                     fid, phase, handler,
@@ -349,10 +415,25 @@ class ContinuousFlowRunner:
         return fid
 
     def stop(self) -> None:
+        """Stop the streaming query without poisoning it.
+
+        Sets the stopping flag FIRST so the sink fails fast with a short
+        GracefulStop marker instead of letting ``query.stop()``'s thread
+        interrupt surface as a megabyte py4j error (see GracefulStop).
+        A batch in flight when stop lands is left uncommitted and
+        replays on the next ``start()``."""
         if self.query is not None:
-            self.query.stop()
-            self.query.awaitTermination()
-            self.query = None
+            self._stopping.set()
+            try:
+                self.query.stop()
+                try:
+                    self.query.awaitTermination()
+                except Exception as ex:  # noqa: BLE001
+                    if "GracefulStop" not in str(ex):
+                        raise
+            finally:
+                self.query = None
+                self._stopping.clear()
 
     # -- introspection ----------------------------------------------------------
 
@@ -373,7 +454,10 @@ class ContinuousFlowRunner:
         while True:
             if self.query is not None and self.query.exception() is not None:
                 exc = self.query.exception()
-                self.stop()
+                try:
+                    self.stop()
+                except Exception:  # noqa: BLE001 — don't mask the root cause
+                    pass
                 raise exc  # dead query: surface the real error, don't wait
             if predicate(self.counts()):
                 return

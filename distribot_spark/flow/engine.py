@@ -474,7 +474,8 @@ class FlowEngine:
                 ]
                 raise PhaseFailed(phase, ctx.handler, sample)
 
-    def _append_wave(self, results: DataFrame, flow_id: str) -> None:
+    def _append_wave(self, results: DataFrame, flow_id: str,
+                     batch_id: int | None = None) -> None:
         """Transactionally append a wave's results to the flow's task log.
 
         The Spark job writes to its own wave directory (concurrent handler
@@ -495,7 +496,7 @@ class FlowEngine:
             for f in os.listdir(wave_dir)
             if f.endswith(".parquet")
         )
-        self.state.commit_wave_manifest(flow_id, files)
+        self.state.commit_wave_manifest(flow_id, files, batch_id=batch_id)
 
     def _wave_df(
         self, ctx: HandlerContext, impl, tasks: DataFrame, attempt: int

@@ -210,7 +210,8 @@ class StateStore:
          ("result", pa.string()), ("ts", pa.float64())]
     )
 
-    def commit_wave_manifest(self, flow_id: str, files: list[str]) -> None:
+    def commit_wave_manifest(self, flow_id: str, files: list[str],
+                             batch_id: int | None = None) -> None:
         """Atomically commit a distributed wave: ONE manifest file names
         the wave's data files (which stay where the Spark job wrote them,
         outside any reader's directory listing). The commit is a single
@@ -218,14 +219,36 @@ class StateStore:
         observe either the whole wave or none of it; a crash before the
         manifest leaves only invisible staging garbage. This replaces the
         earlier rename-files-into-the-partition loop, whose mid-loop crash
-        exposed a partial wave."""
+        exposed a partial wave.
+
+        ``batch_id`` (continuous flows only) tags the manifest with the
+        streaming micro-batch that produced the wave; because it rides the
+        SAME atomic write as the data commit, ``max_committed_batch`` is an
+        exact replay watermark — there is no crash window in which a batch
+        is committed but unidentifiable, or identified but uncommitted."""
         part_dir = os.path.join(self.root, "task_log", f"flow_id={flow_id}")
         os.makedirs(part_dir, exist_ok=True)
         name = f"wave-{time.time_ns()}-{uuid.uuid4().hex[:8]}.manifest.json"
         tmp = os.path.join(part_dir, name + ".tmp")
+        payload = {"files": sorted(files)}
+        if batch_id is not None:
+            payload["batch_id"] = batch_id
         with open(tmp, "w") as fh:
-            json.dump({"files": sorted(files)}, fh)
+            json.dump(payload, fh)
         os.replace(tmp, os.path.join(part_dir, name))
+
+    def max_committed_batch(self, flow_id: str) -> int:
+        """Highest streaming micro-batch id among committed wave manifests
+        (-1 if none): the restart watermark for continuous flows."""
+        part_dir = os.path.join(self.root, "task_log", f"flow_id={flow_id}")
+        if not os.path.isdir(part_dir):
+            return -1
+        best = -1
+        for f in os.listdir(part_dir):
+            if f.endswith(".manifest.json"):
+                with open(os.path.join(part_dir, f)) as fh:
+                    best = max(best, json.load(fh).get("batch_id", -1))
+        return best
 
     def committed_task_files(self, flow_id: str) -> list[str]:
         """Every committed task-log data file for one flow: the atomically

@@ -155,6 +155,51 @@ def test_continuous_flow_restart_from_checkpoint(spark, engine):
     assert label_row.pct == 100.0
 
 
+def test_counters_exact_when_crash_lands_after_wave_commit(spark, engine,
+                                                           monkeypatch):
+    """The nastiest replay window: the micro-batch's wave manifest commits
+    and THEN the sink dies, so Spark's epoch never commits and the batch
+    replays on restart. The batch id rides the manifest's atomic write, so
+    the restarted runner sees the wave as already counted and skips the
+    replay — totals must be exact (20, not 40), and the task log must hold
+    each task exactly once."""
+    src_dir = tempfile.mkdtemp(prefix="taskq_", dir="/root/repo/.tmp")
+    write_task_chunk(src_dir, _chunk(0))
+
+    real_append = FlowEngine._append_wave
+    tripped = {"done": False}
+
+    def commit_then_crash(self, results, flow_id, batch_id=None):
+        real_append(self, results, flow_id, batch_id=batch_id)
+        if batch_id is not None and not tripped["done"]:
+            tripped["done"] = True
+            raise RuntimeError("injected crash after wave commit")
+
+    monkeypatch.setattr(FlowEngine, "_append_wave", commit_then_crash)
+
+    source = FileReplaySource(src_dir, max_files_per_trigger=4)
+    runner = ContinuousFlowRunner(engine, CONT_FLOW, source, n_shards=4)
+    fid = runner.start()
+    with pytest.raises(Exception, match="injected crash"):
+        runner.wait_for(lambda c: False, timeout_sec=60)
+    assert tripped["done"], "the crash must have fired after the commit"
+
+    monkeypatch.setattr(FlowEngine, "_append_wave", real_append)
+    runner2 = ContinuousFlowRunner(engine, CONT_FLOW, source, n_shards=4)
+    assert runner2.start(flow_id=fid) == fid
+    try:
+        runner2.wait_for(lambda c: c.get(("label", "ok"), 0) == 20)
+    finally:
+        runner2.stop()
+
+    df = engine.state.task_results(fid)
+    ok = df[(df.phase == "label") & (df.status == "ok")]
+    assert len(ok) == 20 and ok.task_id.nunique() == 20
+    status = engine.status(fid)
+    label_row = status[status.phase == "label"].iloc[0]
+    assert label_row.total == 20 and label_row.remaining == 0
+
+
 def test_two_continuous_flows_control_isolation(spark, engine):
     """Two flows share one engine/state store and run as independent
     queries (the reference's daemons serve many flows concurrently);
