@@ -48,15 +48,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects. Read it as raw int64 nanoseconds (legacy conf) and convert to a
-    microsecond TimestampType — truncating exactly like DuckDB/Arrow do, so
-    the oracle sees identical values."""
+    """events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+    runtime it surfaces two ways, both handled here so every query sees
+    one stable microsecond TimestampType:
+
+    - runtimes whose vectorized reader rejects nanos: the legacy conf
+      reads ts as raw int64 nanoseconds, converted with ``DIV 1000`` —
+      truncating exactly like DuckDB/Arrow do, so the oracle sees
+      identical values;
+    - runtimes with native nanos support (pyspark ≥ 4.1.2 in this
+      container): ts arrives as TIMESTAMP_NTZ already truncated to
+      micros; cast to TimestampType (session TZ is UTC, so the cast is
+      value-identity) for parity with the legacy path."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

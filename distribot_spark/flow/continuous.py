@@ -209,6 +209,11 @@ class ContinuousFlowRunner:
         # counters across restart — see _persist_progress)
         self._counted_batch: int = -1
         self._stopping = threading.Event()
+        # held for the duration of each sink invocation; stop() uses it as
+        # a drain barrier so it never interrupts a sink between the wave
+        # commit and the counter upsert (which would leave status() behind
+        # the committed log until the next restart re-seeds it)
+        self._sink_lock = threading.Lock()
 
     # -- lifecycle --------------------------------------------------------------
 
@@ -300,33 +305,35 @@ class ContinuousFlowRunner:
         )
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            if self._stopping.is_set():
-                # refuse the batch BEFORE any JVM call: failing it keeps
-                # the epoch uncommitted so it replays on restart
-                raise GracefulStop(f"stop() requested; batch {batch_id} "
-                                   "deferred to restart")
-            if batch_id <= self._counted_batch:
-                # Crash-replay of a batch whose wave manifest committed:
-                # the restart seed already counted it, so neither the
-                # wave append nor the counter deltas may run again. The
-                # batch must still EXECUTE, though — Spark validates that
-                # every state-store partition committed this epoch — so
-                # drive it through the no-op sink: full computation (and
-                # shard-state commit), zero output.
-                batch_df.write.format("noop").mode("overwrite").save()
-                return
-            try:
-                sink_batch(batch_df, batch_id)
-            except Exception:
+            with self._sink_lock:
                 if self._stopping.is_set():
-                    # stop() interrupted an in-flight job; swallow the
-                    # py4j error (its message embeds the full JVM stack,
-                    # which overflows Spark's PROXY_ERROR regex) and fail
-                    # the batch with a short marker instead
-                    raise GracefulStop(
-                        f"stop() interrupted batch {batch_id}; it will "
-                        "replay on restart") from None
-                raise
+                    # refuse the batch BEFORE any JVM call: failing it
+                    # keeps the epoch uncommitted so it replays on restart
+                    raise GracefulStop(f"stop() requested; batch {batch_id} "
+                                       "deferred to restart")
+                if batch_id <= self._counted_batch:
+                    # Crash-replay of a batch whose wave manifest committed:
+                    # the restart seed already counted it, so neither the
+                    # wave append nor the counter deltas may run again. The
+                    # batch must still EXECUTE, though — Spark validates
+                    # that every state-store partition committed this epoch
+                    # — so drive it through the no-op sink: full
+                    # computation (and shard-state commit), zero output.
+                    batch_df.write.format("noop").mode("overwrite").save()
+                    return
+                try:
+                    sink_batch(batch_df, batch_id)
+                except Exception:
+                    if self._stopping.is_set():
+                        # a stop() racing the drain barrier interrupted an
+                        # in-flight job; swallow the py4j error (its
+                        # message embeds the full JVM stack, which
+                        # overflows Spark's PROXY_ERROR regex) and fail
+                        # the batch with a short marker instead
+                        raise GracefulStop(
+                            f"stop() interrupted batch {batch_id}; it will "
+                            "replay on restart") from None
+                    raise
 
         def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
             # the batch feeds TWO jobs (wave write + progress counts);
@@ -417,13 +424,24 @@ class ContinuousFlowRunner:
     def stop(self) -> None:
         """Stop the streaming query without poisoning it.
 
-        Sets the stopping flag FIRST so the sink fails fast with a short
-        GracefulStop marker instead of letting ``query.stop()``'s thread
-        interrupt surface as a megabyte py4j error (see GracefulStop).
-        A batch in flight when stop lands is left uncommitted and
-        replays on the next ``start()``."""
+        Sets the stopping flag FIRST so the next sink invocation fails
+        fast with a short GracefulStop marker instead of letting
+        ``query.stop()``'s thread interrupt surface as a megabyte py4j
+        error (see GracefulStop), then DRAINS the in-flight sink through
+        the lock barrier before interrupting the query: a sink that has
+        already committed its wave manifest must also land its counter
+        deltas, or ``engine.status()`` would trail the committed log
+        until the next restart re-seeds it. A batch that has not yet
+        entered the sink when stop lands is left uncommitted and replays
+        on the next ``start()``."""
         if self.query is not None:
             self._stopping.set()
+            # drain barrier: wait for an in-flight sink to finish (it
+            # holds the lock for the whole wave-commit + counter-upsert
+            # sequence), release immediately — holding it across
+            # query.stop() could deadlock with a sink entering the lock
+            with self._sink_lock:
+                pass
             try:
                 self.query.stop()
                 try:
