@@ -431,7 +431,7 @@ def test_wave_commit_is_atomic_under_crash(engine, monkeypatch):
 
     real_commit = StateStore.commit_wave_manifest
 
-    def crash_before_commit(self, flow_id, files):
+    def crash_before_commit(self, flow_id, files, **kwargs):
         raise RuntimeError("injected crash between staging write and commit")
 
     monkeypatch.setattr(StateStore, "commit_wave_manifest", crash_before_commit)
