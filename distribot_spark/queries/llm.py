@@ -274,6 +274,41 @@ def l3_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Embedding storage: int8 quantization audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM e)
+    SELECT vec_id,
+           FLOOR(mx / 127.0 * 1000000 + 0.5) / 1000000 AS scale_q,
+           CASE WHEN mx = 0 THEN 0.0 ELSE
+             FLOOR(list_max(list_transform(v, x ->
+                 abs(floor(x / (mx / 127.0) + 0.5) * (mx / 127.0) - x)))
+               * 1000000 + 0.5) / 1000000
+           END AS max_abs_err
+    FROM m ORDER BY vec_id
+    """,
+    tags=("llm", "embedding", "storage"),
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization audit per vector: max-abs scale and
+    max reconstruction error after round-trip (the 4x-storage-compression
+    pre-pass of a training pipeline). Map-only scan, JVM array exprs, no
+    shuffle; hash-oracled because every reduction is order-insensitive
+    (max) and the rounding is spelled identically in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # L4: text analysis — TF-IDF, token stats
 # ---------------------------------------------------------------------------
 

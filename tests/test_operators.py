@@ -394,3 +394,19 @@ def test_rebalance_by_caps_and_preserves(spark):
     again = {r.doc_id for r in rebalance_by(df, "lang", 10, "doc_id")
              .select("doc_id").collect()}
     assert again == {r.doc_id for r in out.select("doc_id").collect()}
+
+
+def test_quantize_int8_error_bound_and_plan(spark):
+    """Round-half-up int8 quantization can never miss by more than half a
+    quantization step (scale/2); and the audit must stay a map-only scan
+    (no Exchange before the presentation sort, no Python eval)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    out = similarity.quantize_int8(emb)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        # r6 rounding adds at most 5e-7 to each side of the bound
+        assert r.max_abs_err <= r.scale_q / 2 + 1e-6, r
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
