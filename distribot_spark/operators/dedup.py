@@ -347,3 +347,41 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["da", "db"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap vs a probe set
+# ---------------------------------------------------------------------------
+
+
+def contamination_hits(
+    df: DataFrame,
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document count of distinct word n-grams shared with a probe set
+    (benchmark/eval suites) — the decontamination pass every training
+    pipeline runs before shipping a corpus.
+
+    Scale shape: the probe side is small by construction (benchmarks are
+    KBs–MBs, the corpus is TBs), so its distinct n-gram hashes broadcast
+    and the corpus stays MAP-ONLY through shingle → hash → broadcast-join;
+    the per-doc distinct + count shuffles only the matching rows (≈ the
+    contamination volume, not the corpus). No corpus-wide distinct.
+    """
+    corpus = _shingle_hashes_raw(df, text_col, id_col, n)
+    probe = (
+        _shingle_hashes_raw(probes, text_col, id_col, n)
+        .select("h")
+        .dropDuplicates(["h"])
+    )
+    return (
+        corpus.join(F.broadcast(probe), "h")
+        # distinct AFTER the probe join: duplicates only survive for
+        # matching grams, so the dedup shuffle carries hits, not corpus
+        .dropDuplicates(["doc", "h"])
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -274,6 +274,40 @@ def l3_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_decontaminate",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+                FOR i IN range(1, len(w) - 3)]) AS g FROM w),
+    probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+    corp AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id >= 20)
+    SELECT c.doc_id, COUNT(*) AS n_hits
+    FROM corp c JOIN probe p USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "decontamination"),
+)
+def doc_decontaminate(spark, sf_dir):
+    """Decontamination: corpus documents sharing any distinct word 5-gram
+    with the probe set (doc_id < 20 stands in for a benchmark suite),
+    with the shared-gram count. Probe grams broadcast; the corpus is
+    map-only until the probe join, so only contamination hits shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return (
+        dedup.contamination_hits(corpus, probes, "text", "doc_id", n=5)
+        .select(F.col("doc").alias("doc_id"), "n_hits")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding storage: int8 quantization audit
 # ---------------------------------------------------------------------------
 

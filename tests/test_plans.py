@@ -203,3 +203,13 @@ def test_runtime_bloom_filter_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_probe_grams(spark):
+    """The probe (benchmark) side must broadcast — the corpus side of the
+    gram join carries the 100 TB scan and may not shuffle before it; only
+    post-join hits may be exchanged (dedup + per-doc count)."""
+    plan = explain_string(q(spark, "doc_decontaminate"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not uses_python_eval(q(spark, "doc_decontaminate"))
