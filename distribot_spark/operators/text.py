@@ -211,3 +211,60 @@ def hash_split(
         .when(F.substring(h, 1, 2) < hi, "val")
         .otherwise("test"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-word
+    fraction, duplicate-bigram fraction, and top-bigram fraction (the
+    share of the document taken by its single most frequent bigram).
+
+    Scale shape: every signal is computed per row from array expressions
+    (split → sequence/slice → array_distinct / sorted-run fold) — a
+    map-only scan with NO shuffle at any corpus size, unlike the naive
+    explode + groupBy(doc, gram) formulation whose shuffle carries one
+    row per gram occurrence (~the corpus token count). The top-bigram
+    count folds over the SORTED gram array (max consecutive-equal run ==
+    max multiplicity), so the per-row work is O(tokens log tokens).
+
+    Docs shorter than 2 words get one truncated "bigram" (the
+    `greatest(..., 1)` guard, same shape as `dedup.word_shingles`).
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    sorted_grams = F.array_sort(grams)
+
+    def _run_fold(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        _run_fold,
+        lambda acc: acc["best"],
+    )
+
+    def _r4(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    wtotal = F.size(words)
+    gtotal = F.size(grams)
+    return df.select(
+        F.col(id_col),
+        _r4(F.lit(1.0) - F.size(F.array_distinct(words)) / wtotal)
+        .alias("dup_word_frac"),
+        _r4(F.lit(1.0) - F.size(F.array_distinct(grams)) / gtotal)
+        .alias("dup_2gram_frac"),
+        _r4(top_count / gtotal).alias("top_2gram_frac"),
+    )

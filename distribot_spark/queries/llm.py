@@ -274,6 +274,43 @@ def l3_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                FOR i IN range(1, len(w))]) AS g FROM w),
+    c AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY doc_id, g),
+    s AS (SELECT doc_id, SUM(n) AS gtotal, COUNT(*) AS guniq, MAX(n) AS topn
+          FROM c GROUP BY doc_id),
+    u AS (SELECT doc_id, len(w) AS wtotal, len(list_distinct(w)) AS wuniq
+          FROM w)
+    SELECT doc_id,
+           FLOOR((1.0 - wuniq * 1.0 / wtotal) * 10000 + 0.5) / 10000
+             AS dup_word_frac,
+           FLOOR((1.0 - guniq * 1.0 / gtotal) * 10000 + 0.5) / 10000
+             AS dup_2gram_frac,
+           FLOOR(topn * 1.0 / gtotal * 10000 + 0.5) / 10000
+             AS top_2gram_frac
+    FROM s JOIN u USING (doc_id) ORDER BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def doc_repetition(spark, sf_dir):
+    """Intra-document repetition quality signals (duplicate-word /
+    duplicate-bigram / top-bigram fractions) — map-only per-row array
+    math in Spark, vs the oracle's explode + per-gram GROUP BY. Counts
+    are exact ints; ratios are double divisions in the same order with
+    HALF_UP rounding spelled identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 

@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from distribot_spark.catalog import load_table
-from distribot_spark.operators import dedup, multimodal, similarity
+from distribot_spark.operators import dedup, multimodal, similarity, text
 from distribot_spark.queries import QUERIES
 from tests.conftest import SF_ORACLE
 
@@ -410,3 +410,18 @@ def test_quantize_int8_error_bound_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_repetition_stats_map_only_and_bounded(spark):
+    """The repetition signals must come from per-row array math — no
+    shuffle, no Python — and land in [0, 1] with the top-bigram share at
+    least the mean share implied by the duplicate fraction."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = text.repetition_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    for r in out.collect():
+        for v in (r.dup_word_frac, r.dup_2gram_frac, r.top_2gram_frac):
+            assert 0.0 <= v <= 1.0, r
+        assert r.top_2gram_frac > 0.0
