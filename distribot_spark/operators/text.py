@@ -268,3 +268,52 @@ def repetition_stats(
         .alias("dup_2gram_frac"),
         _r4(top_count / gtotal).alias("top_2gram_frac"),
     )
+
+
+def oov_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 20,
+) -> DataFrame:
+    """Vocabulary-coverage quality signal (CCNet-style): per-document
+    token count and out-of-vocabulary fraction against the corpus's own
+    top-`vocab_size` words.
+
+    Two passes, both scale-shaped: (1) corpus word counts — explode +
+    groupBy(word) runs map-side partial aggregation, so the shuffle
+    carries one row per distinct word per partition (vocabularies are
+    tiny next to corpora); the top-K cut is a total order (count DESC,
+    word) so ties break deterministically. (2) the corpus tokens
+    broadcast-left-join the K-row vocab and aggregate per doc — again
+    partial-agg'd, so the doc_id shuffle is ~one row per doc. Nothing is
+    collected; all counts are exact integers.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t")
+        .limit(vocab_size)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("oov"),
+        )
+        .select(
+            "doc",
+            "total",
+            "oov",
+            (
+                F.floor(F.col("oov") / F.col("total") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("oov_frac"),
+        )
+    )

@@ -310,6 +310,36 @@ def doc_repetition(spark, sf_dir):
     return text.repetition_stats(docs).orderBy("doc_id")
 
 
+@register(
+    "doc_oov_rate",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+    vc AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    vocab AS (SELECT t FROM vc ORDER BY n DESC, t LIMIT 20),
+    s AS (SELECT doc_id, COUNT(*) AS total,
+                 CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS oov
+          FROM tok LEFT JOIN vocab v USING (t) GROUP BY doc_id)
+    SELECT doc_id, total, oov,
+           FLOOR(oov * 1.0 / total * 10000 + 0.5) / 10000 AS oov_frac
+    FROM s ORDER BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def doc_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage filter: per-doc out-of-vocabulary fraction
+    against the corpus's own top-20 words (deterministic tie-break
+    count DESC, word). Both passes partial-aggregate map-side; the K-row
+    vocab broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.oov_stats(docs, vocab_size=20)
+        .select(F.col("doc").alias("doc_id"), "total", "oov", "oov_frac")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -213,3 +213,13 @@ def test_decontaminate_broadcasts_probe_grams(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert not uses_python_eval(q(spark, "doc_decontaminate"))
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    """The top-K vocabulary must broadcast; the corpus token relation is
+    the 100 TB side and may only shuffle for the per-doc partial-agg'd
+    count — never sort-merge against the 20-row vocab."""
+    plan = explain_string(q(spark, "doc_oov_rate"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not uses_python_eval(q(spark, "doc_oov_rate"))
