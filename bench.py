@@ -58,6 +58,13 @@ HEADLINE = [
     "q_range_join",
     "dedup_clusters",
     "q_sessionize",
+    # round 3 late additions (documented in BASELINE.md): decontamination
+    # (broadcast probe-gram join), repetition + OOV quality signals, and
+    # the int8 quantization audit — the training-pipeline scan family
+    "doc_decontaminate",
+    "doc_repetition",
+    "doc_oov_rate",
+    "emb_quantize_int8",
 ]
 
 

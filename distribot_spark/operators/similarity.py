@@ -496,19 +496,34 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     (order-insensitive), so there is no float-summation-order hazard.
     Spark's ``floor`` yields LONG where DuckDB's yields DOUBLE; the
     quantized magnitudes are <= 127 so the widening back is exact.
+
+    The scale is STAGED through its own projection before the error
+    lambda references it: interpreted-HOF expressions that Catalyst
+    inlines into a `transform` lambda re-evaluate PER ELEMENT (the
+    array_max inside `scale` would turn the error pass O(dim²) per row —
+    measured 1.9 s → ~0.5 s fresh-plan warm at sf0.1). Non-cheap
+    expressions block CollapseProject, so the staging survives
+    optimization.
     """
-    v = _to_double(F.col(vec_col))
-    mx = F.array_max(F.transform(v, F.abs))
-    scale = mx / F.lit(127.0)
-    errs = F.transform(
-        v, lambda x: F.abs(F.floor(x / scale + F.lit(0.5)) * scale - x)
+    staged = df.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
+    ).select(
+        F.col(id_col),
+        F.col("__v"),
+        (F.array_max(F.transform(F.col("__v"), F.abs)) / F.lit(127.0))
+        .alias("__scale"),
     )
-    max_err = F.when(mx == F.lit(0.0), F.lit(0.0)).otherwise(F.array_max(errs))
+    scale = F.col("__scale")
+    errs = F.transform(
+        F.col("__v"),
+        lambda x: F.abs(F.floor(x / scale + F.lit(0.5)) * scale - x),
+    )
+    max_err = F.when(scale == F.lit(0.0), F.lit(0.0)).otherwise(F.array_max(errs))
 
     def _r6(c):
         return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
-    return df.select(
+    return staged.select(
         F.col(id_col),
         _r6(scale).alias("scale_q"),
         _r6(max_err).alias("max_abs_err"),

@@ -220,53 +220,70 @@ def repetition_stats(
     fraction, duplicate-bigram fraction, and top-bigram fraction (the
     share of the document taken by its single most frequent bigram).
 
-    Scale shape: every signal is computed per row from array expressions
-    (split → sequence/slice → array_distinct / sorted-run fold) — a
-    map-only scan with NO shuffle at any corpus size, unlike the naive
-    explode + groupBy(doc, gram) formulation whose shuffle carries one
-    row per gram occurrence (~the corpus token count). The top-bigram
-    count folds over the SORTED gram array (max consecutive-equal run ==
-    max multiplicity), so the per-row work is O(tokens log tokens).
+    Shape (third attempt, each measured at sf0.1 — see BASELINE.md):
+    positions explode FIRST and the bigram is built by row-level
+    `slice`/`concat_ws` inside whole-stage codegen (the proven
+    `dedup.shingle_hashes` shape), then two partial-agg'd groupBys:
+    (doc, gram) -> multiplicity, then doc -> (distinct grams, max
+    multiplicity). The word-level stats ride along as per-row columns
+    (`array_distinct` is a native collection expression, not a lambda).
+
+    Rejected shapes: per-row `transform`/`aggregate` HOFs evaluate
+    INTERPRETED (~3 µs/element) — a 4-reference output schema re-ran the
+    gram lambda per reference via CollapseProject inlining (6.2 s warm),
+    and even the single-fold form paid ~1.5 s per HOF pass (3.9 s). The
+    codegen explode runs ~1.3 s fresh-plan warm; its first shuffle
+    carries one row per distinct (doc, gram) per partition after
+    map-side combine, the second one row per doc — both far below
+    corpus token count.
 
     Docs shorter than 2 words get one truncated "bigram" (the
     `greatest(..., 1)` guard, same shape as `dedup.word_shingles`).
     """
     words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        words.alias("__w"),
+        F.size(words).alias("wtotal"),
+        F.size(F.array_distinct(words)).alias("wuniq"),
     )
-    sorted_grams = F.array_sort(grams)
-
-    def _run_fold(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    top_count = F.aggregate(
-        sorted_grams,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        _run_fold,
-        lambda acc: acc["best"],
+    grams = base.select(
+        "doc",
+        "__w",
+        "wtotal",
+        "wuniq",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.col("wtotal") - 1, F.lit(1))
+            )
+        ).alias("__i"),
+    ).select(
+        "doc",
+        "wtotal",
+        "wuniq",
+        F.concat_ws(" ", F.slice(F.col("__w"), F.col("__i"), 2)).alias("g"),
+    )
+    per_gram = grams.groupBy("doc", "g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("wtotal").alias("wtotal"),
+        F.first("wuniq").alias("wuniq"),
+    )
+    per_doc = per_gram.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("guniq"),
+        F.max("n").alias("topn"),
+        F.first("wtotal").alias("wtotal"),
+        F.first("wuniq").alias("wuniq"),
     )
 
     def _r4(c):
         return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
 
-    wtotal = F.size(words)
-    gtotal = F.size(grams)
-    return df.select(
-        F.col(id_col),
-        _r4(F.lit(1.0) - F.size(F.array_distinct(words)) / wtotal)
-        .alias("dup_word_frac"),
-        _r4(F.lit(1.0) - F.size(F.array_distinct(grams)) / gtotal)
-        .alias("dup_2gram_frac"),
-        _r4(top_count / gtotal).alias("top_2gram_frac"),
+    gtotal = F.greatest(F.col("wtotal") - 1, F.lit(1))
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        _r4(F.lit(1.0) - F.col("wuniq") / F.col("wtotal")).alias("dup_word_frac"),
+        _r4(F.lit(1.0) - F.col("guniq") / gtotal).alias("dup_2gram_frac"),
+        _r4(F.col("topn") / gtotal).alias("top_2gram_frac"),
     )
 
 

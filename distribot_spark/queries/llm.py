@@ -302,8 +302,8 @@ def l3_ivf_topk(spark, sf_dir):
 )
 def doc_repetition(spark, sf_dir):
     """Intra-document repetition quality signals (duplicate-word /
-    duplicate-bigram / top-bigram fractions) — map-only per-row array
-    math in Spark, vs the oracle's explode + per-gram GROUP BY. Counts
+    duplicate-bigram / top-bigram fractions) — codegen'd position-explode
+    + partial-agg'd groupBys in Spark, like the oracle's shape. Counts
     are exact ints; ratios are double divisions in the same order with
     HALF_UP rounding spelled identically in both engines."""
     docs = load_table(spark, sf_dir, "documents")
