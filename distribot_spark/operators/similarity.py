@@ -528,3 +528,68 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
         _r6(scale).alias("scale_q"),
         _r6(max_err).alias("max_abs_err"),
     )
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse cosine similarity over term-frequency vectors via an
+    inverted-index self-join — the term-partitioned sparse-similarity
+    pattern (documents never materialize dense vectors; partial dot
+    products accumulate per shared term).
+
+    Exact and fully oracle-checkable: dot products and squared norms are
+    INTEGER sums of tf products (order-insensitive, no float-summation
+    hazard); only the final cos = dot / (sqrt(na)*sqrt(nb)) is floating,
+    a deterministic composition of exact integers.
+
+    Scale: the term join's candidate volume is sum over terms of
+    df(t)^2 — ultra-frequent terms dominate it quadratically, so at
+    corpus scale pass `max_df` to stop-list terms above a document
+    frequency cap (the standard prefix-filtering move; near-dup pairs
+    are decided by their RARE shared terms). The tf/df aggregations are
+    map-side partial; the pair aggregation shuffles one row per
+    co-occurring pair per partition. This test-scale query runs uncapped
+    (31-word synthetic vocab = every term frequent), which is the honest
+    exact baseline there.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    tf = tok.groupBy("doc", "t").agg(F.count(F.lit(1)).alias("f"))
+    if max_df is not None:
+        keep = (
+            tf.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("t")
+        )
+        tf = tf.join(F.broadcast(keep), "t")
+    nrm = tf.groupBy("doc").agg(F.sum(F.col("f") * F.col("f")).alias("n2"))
+    a = tf.select(F.col("doc").alias("da"), "t", F.col("f").alias("fa"))
+    b = tf.select(F.col("doc").alias("db"), "t", F.col("f").alias("fb"))
+    dots = (
+        a.join(b, ["t"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("fa") * F.col("fb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc").alias("da"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc").alias("db"), F.col("n2").alias("nb2"))
+    cos = F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    return (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .filter(cos >= F.lit(threshold))
+        .select(
+            "da",
+            "db",
+            (F.floor(cos * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0))
+            .alias("cos"),
+        )
+    )

@@ -311,6 +311,33 @@ def doc_repetition(spark, sf_dir):
 
 
 @register(
+    "dedup_tf_cosine",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    tf AS (SELECT doc_id, t, COUNT(*) AS f FROM tok GROUP BY doc_id, t),
+    nrm AS (SELECT doc_id, SUM(f * f) AS n2 FROM tf GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.f * b.f) AS dot
+             FROM tf a JOIN tf b ON a.t = b.t AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    cosd AS (SELECT da, db, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+             FROM dots JOIN nrm na ON da = na.doc_id
+                       JOIN nrm nb ON db = nb.doc_id)
+    SELECT da, db, FLOOR(cos * 10000 + 0.5) / 10000 AS cos
+    FROM cosd WHERE cos >= 0.99 ORDER BY da, db
+    """,
+    tags=("llm", "dedup", "sparse"),
+)
+def dedup_tf_cosine(spark, sf_dir):
+    """Lexical near-dup pairs at TF-vector cosine ≥ 0.99 via the
+    inverted-index self-join (similarity.tf_cosine_pairs). Exact and
+    hash-oracled: dots/norms are integer sums (order-free); only the
+    final cos is floating, composed deterministically from them."""
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity.tf_cosine_pairs(docs, 0.99).orderBy("da", "db")
+
+
+@register(
     "doc_oov_rate",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -426,3 +426,21 @@ def test_repetition_stats_codegen_and_bounded(spark):
         for v in (r.dup_word_frac, r.dup_2gram_frac, r.top_2gram_frac):
             assert 0.0 <= v <= 1.0, r
         assert r.top_2gram_frac > 0.0
+
+
+def test_tf_cosine_max_df_prefilter(spark):
+    """A document-frequency cap at/above corpus size is a no-op; a tight
+    cap stop-lists frequent terms and can only shrink the pair set (the
+    prefix-filtering contract for the 100 TB path)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_docs = docs.count()
+    base = {(r.da, r.db) for r in
+            similarity.tf_cosine_pairs(docs, 0.99).collect()}
+    uncapped = {(r.da, r.db) for r in
+                similarity.tf_cosine_pairs(docs, 0.99, max_df=n_docs).collect()}
+    assert uncapped == base and base
+    capped = {(r.da, r.db) for r in
+              similarity.tf_cosine_pairs(docs, 0.5, max_df=5).collect()}
+    loose = {(r.da, r.db) for r in
+             similarity.tf_cosine_pairs(docs, 0.5).collect()}
+    assert len(capped) <= len(loose)
