@@ -54,14 +54,21 @@ def cosine_topk(
     Returns (qid, nid, rnk, cos). The query side is broadcast; ranking is a
     window top-k (per-partition heap, no global sort of the cross product).
     """
+    # Norms are staged per ROW before the cross join (the projection
+    # survives CollapseProject because _norm is non-cheap): inlining
+    # cosine_similarity into the scored projection would re-run BOTH
+    # interpreted norm folds per PAIR — 3·dim lambda evals per pair
+    # instead of dim, on the operator's dominant relation.
     q = queries.select(
         F.col(id_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv")
-    )
+    ).select("qid", "qv", _norm(F.col("qv")).alias("qn"))
     c = corpus.select(
         F.col(id_col).alias("nid"), _to_double(F.col(vec_col)).alias("v")
-    )
+    ).select("nid", "v", _norm(F.col("v")).alias("vn"))
     scored = F.broadcast(q).crossJoin(c).select(
-        "qid", "nid", cosine_similarity(F.col("qv"), F.col("v")).alias("cos")
+        "qid",
+        "nid",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
@@ -78,10 +85,15 @@ def cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cos ≥ threshold, da < db.
-    Exact O(n²) baseline — use `lsh_topk`-style bucketing at scale."""
-    a = df.select(F.col(id_col).alias("da"), _to_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("db"), _to_double(F.col(vec_col)).alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    Exact O(n²) baseline — use `lsh_topk`-style bucketing at scale.
+    Norms are staged per row before the cross join (see cosine_topk)."""
+    a = df.select(
+        F.col(id_col).alias("da"), _to_double(F.col(vec_col)).alias("va")
+    ).select("da", "va", _norm(F.col("va")).alias("na"))
+    b = df.select(
+        F.col(id_col).alias("db"), _to_double(F.col(vec_col)).alias("vb")
+    ).select("db", "vb", _norm(F.col("vb")).alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("da") < F.col("db"))
