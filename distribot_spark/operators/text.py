@@ -334,3 +334,53 @@ def oov_stats(
             ).alias("oov_frac"),
         )
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap
+    (`stride` < `chunk_size`) — the context-window splitter that feeds
+    sequence packing in a pre-training pipeline. The partial tail chunk
+    is kept; a doc shorter than `chunk_size` yields one chunk.
+
+    Scale shape: chunk-start positions explode codegen'd (the
+    `shingle_hashes` pattern — no interpreted lambdas) and the chunk is
+    a row-level `slice`/`concat_ws`; output volume is input tokens ×
+    (chunk_size/stride) overlap factor, produced map-only with no
+    shuffle before the caller's ordering/sink.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), words.alias("__w"), F.size(words).alias("__sz")
+    )
+    # greatest(..., 0): a doc shorter than chunk_size - stride makes the
+    # ceil negative, and Spark's sequence(0, -1) is DESCENDING [0, -1] —
+    # the clamp gives every doc exactly one (possibly partial) chunk
+    n_chunks_minus_1 = F.greatest(
+        F.ceil((F.col("__sz") - F.lit(chunk_size)) / F.lit(float(stride))),
+        F.lit(0),
+    )
+    exploded = base.select(
+        F.col(id_col),
+        F.col("__w"),
+        F.explode(F.sequence(F.lit(0), n_chunks_minus_1)).alias("chunk_id"),
+    )
+    chunk = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("__w"),
+            F.col("chunk_id") * F.lit(stride) + F.lit(1),
+            chunk_size,
+        ),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        chunk.alias("chunk"),
+        F.size(F.split(chunk, " ")).alias("n_tokens"),
+    )

@@ -311,6 +311,36 @@ def doc_repetition(spark, sf_dir):
 
 
 @register(
+    "doc_chunks",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id,
+                 unnest(range(0,
+                     GREATEST(CAST(ceil((len(w) - 32) / 24.0) AS BIGINT),
+                              0) + 1)) AS ck
+          FROM w),
+    j AS (SELECT c.doc_id, ck,
+                 array_to_string(w[ck*24 + 1 : ck*24 + 32], ' ') AS chunk
+          FROM c JOIN w ON c.doc_id = w.doc_id)
+    SELECT doc_id, ck AS chunk_id, chunk,
+           len(string_split(chunk, ' ')) AS n_tokens
+    FROM j ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "chunking"),
+)
+def doc_chunks(spark, sf_dir):
+    """Context-window chunking: 32-token chunks at stride 24 (8-token
+    overlap), partial tail kept — the splitter feeding sequence packing.
+    Codegen'd position explode, map-only; hash-oracled (pure string/int
+    ops, no floats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.chunk_tokens(docs, chunk_size=32, stride=24)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
     "dedup_tf_cosine",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -444,3 +444,25 @@ def test_tf_cosine_max_df_prefilter(spark):
     loose = {(r.da, r.db) for r in
              similarity.tf_cosine_pairs(docs, 0.5).collect()}
     assert len(capped) <= len(loose)
+
+
+def test_chunk_tokens_overlap_and_coverage(spark):
+    """Chunks must tile the document: chunk k starts at token k*stride,
+    carries chunk_size tokens (short tail kept), consecutive chunks
+    overlap by chunk_size - stride, and every token is covered."""
+    words = [f"w{i}" for i in range(75)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        text.chunk_tokens(df, chunk_size=32, stride=24).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    for r in rows:
+        start = r.chunk_id * 24
+        expect = words[start:start + 32]
+        assert r.chunk.split(" ") == expect
+        assert r.n_tokens == len(expect)
+    # short doc: one partial chunk
+    short = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    srows = text.chunk_tokens(short, chunk_size=32, stride=24).collect()
+    assert len(srows) == 1 and srows[0].chunk == "a b c"
