@@ -142,3 +142,66 @@ def test_asof_join_matches_bruteforce(spark, left, right, tol):
         ]
         want = max(cands)[1] if cands else None
         assert got[i] == want, f"left row {i} (k={k}, ts={t})"
+
+
+# -- token chunking: exact tiling for ANY (chunk_size, stride) ---------------
+
+words_st = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=3), min_size=1, max_size=40
+)
+
+
+@settings(**_SETTINGS)
+@given(words=words_st, chunk_size=st.integers(2, 12), stride=st.integers(1, 12))
+def test_chunk_tokens_matches_python_reference(spark, words, chunk_size, stride):
+    """Chunks must equal the plain-Python sliding window for any sizes:
+    starts at 0, stride apart, until the remaining tail is covered; a doc
+    shorter than one chunk yields exactly one partial chunk."""
+    from distribot_spark.operators.text import chunk_tokens
+
+    stride = min(stride, chunk_size)  # overlap contract: stride <= chunk
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = {
+        (r.chunk_id, r.chunk, r.n_tokens)
+        for r in chunk_tokens(df, chunk_size=chunk_size, stride=stride).collect()
+    }
+    n = len(words)
+    import math
+    last = max(0, math.ceil((n - chunk_size) / stride))
+    expect = set()
+    for k in range(last + 1):
+        piece = words[k * stride: k * stride + chunk_size]
+        expect.add((k, " ".join(piece), len(piece)))
+    assert got == expect
+
+
+# -- repetition stats: equals the plain-Python counts ------------------------
+
+
+@settings(**_SETTINGS)
+@given(words=st.lists(st.sampled_from("a b c aa".split()), min_size=2,
+                      max_size=30))
+def test_repetition_stats_matches_python_reference(spark, words):
+    """dup/top fractions must match collections.Counter arithmetic (same
+    HALF_UP rounding) on arbitrary small token streams."""
+    from collections import Counter
+
+    from distribot_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = repetition_stats(df).collect()[0]
+
+    def r4(x):
+        import math
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    grams = [" ".join(words[i:i + 2]) for i in range(len(words) - 1)] or [words[0]]
+    gc = Counter(grams)
+    gtotal = max(len(words) - 1, 1)
+    assert row.dup_word_frac == r4(1.0 - len(set(words)) / len(words))
+    assert row.dup_2gram_frac == r4(1.0 - len(gc) / gtotal)
+    assert row.top_2gram_frac == r4(max(gc.values()) / gtotal)
