@@ -466,3 +466,35 @@ def test_chunk_tokens_overlap_and_coverage(spark):
     short = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
     srows = text.chunk_tokens(short, chunk_size=32, stride=24).collect()
     assert len(srows) == 1 and srows[0].chunk == "a b c"
+
+
+def test_funnel_order_enforcement_and_plan(spark):
+    """The funnel must be ORDERED: a purchase before the user's first
+    ordered click cannot advance depth; and the chained window minimums
+    must cost exactly one Exchange (step count adds window passes, not
+    shuffles)."""
+    from distribot_spark.operators.funnel import funnel_stages
+
+    rows = [
+        # user 1: view@1 purchase@2 click@3 -> purchase never after click
+        (1, "view", 1.0), (1, "purchase", 2.0), (1, "click", 3.0),
+        # user 2: full ordered funnel, same-instant click counts (>=)
+        (2, "view", 1.0), (2, "click", 1.0), (2, "purchase", 5.0),
+        # user 3: click only, never viewed
+        (3, "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, float(s)) for u, t, s in rows],
+        "user_id long, event_type string, sec double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    out = funnel_stages(df, ["view", "click", "purchase"])
+    import re
+
+    from distribot_spark.plans import explain_string
+
+    # plan BEFORE executing: a collected AQE plan prints Final + Initial
+    # sections and would double-count its single Exchange
+    plan = explain_string(out)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    depth = {r.user_id: r.depth for r in out.collect()}
+    assert depth == {1: 2, 2: 3, 3: 0}
