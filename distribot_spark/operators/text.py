@@ -384,3 +384,54 @@ def chunk_tokens(
         chunk.alias("chunk"),
         F.size(F.split(chunk, " ")).alias("n_tokens"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Deterministic sequence packing: assign token chunks to fixed-budget
+    bins (training context windows) by contiguous fill.
+
+    Chunks are hash-sharded on the doc key, totally ordered within a
+    shard by (doc, chunk), and assigned to `bin_id = floor(start /
+    budget)` where start is the running token offset — the
+    concat-then-split packing convention (a chunk that straddles a
+    boundary belongs to the bin where it starts, so a bin's fill lands in
+    [budget - chunk + 1, budget + chunk - 1]).
+
+    Scale shape: packing is inherently sequential, so the shard IS the
+    parallelism unit — `n_shards` independent running-sum windows, one
+    shuffle total, results independent of cluster layout (the order is
+    data-defined, not partition-defined). Pick n_shards ≈ cluster cores;
+    at 100 TB each shard's window is a streaming pass, no materialized
+    state beyond the running sum.
+
+    Sharding is `doc mod n_shards` — engine-portable integer math
+    (dense ids spread uniformly; for skewed/sparse keys hash the id
+    into a surrogate first).
+    """
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    start = cum - F.col(tokens_col)
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn("__start", start)
+        .select(
+            id_col,
+            chunk_col,
+            "shard",
+            F.floor(F.col("__start") / F.lit(float(budget))).alias("bin_id"),
+            (F.col("__start") % F.lit(budget)).alias("bin_offset"),
+            F.col(tokens_col),
+        )
+    )

@@ -341,6 +341,46 @@ def doc_chunks(spark, sf_dir):
 
 
 @register(
+    "doc_pack",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id,
+                 unnest(range(0,
+                     GREATEST(CAST(ceil((len(w) - 32) / 24.0) AS BIGINT),
+                              0) + 1)) AS ck
+          FROM w),
+    j AS (SELECT c.doc_id, ck AS chunk_id,
+                 len(string_split(
+                     array_to_string(w[ck*24 + 1 : ck*24 + 32], ' '), ' '))
+                   AS n_tokens
+          FROM c JOIN w ON c.doc_id = w.doc_id),
+    s AS (SELECT doc_id, chunk_id, n_tokens,
+                 CAST(doc_id % 8 AS INT) AS shard,
+                 SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+                                     ORDER BY doc_id, chunk_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start
+          FROM j)
+    SELECT doc_id, chunk_id, shard,
+           CAST(FLOOR(start / 64.0) AS BIGINT) AS bin_id,
+           CAST(start % 64 AS BIGINT) AS bin_offset, n_tokens
+    FROM s ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "packing"),
+)
+def doc_pack(spark, sf_dir):
+    """Sequence packing of the doc_chunks output into 64-token training
+    bins: 8 hash shards, contiguous fill, deterministic independent of
+    cluster layout. One shuffle (the shard window); all integer math."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_tokens(docs, chunk_size=32, stride=24)
+    return (
+        text.pack_chunks(chunks, budget=64, n_shards=8)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
     "dedup_tf_cosine",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -498,3 +498,23 @@ def test_funnel_order_enforcement_and_plan(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     depth = {r.user_id: r.depth for r in out.collect()}
     assert depth == {1: 2, 2: 3, 3: 0}
+
+
+def test_pack_chunks_contiguity_and_layout_independence(spark):
+    """Packing must (a) fill bins contiguously per shard — each chunk's
+    bin_offset is the running fill at its start; (b) not depend on the
+    input's physical partitioning (the order is data-defined)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    chunks = text.chunk_tokens(docs, chunk_size=32, stride=24)
+    packed = text.pack_chunks(chunks, budget=64, n_shards=8).collect()
+
+    by_shard = {}
+    for r in sorted(packed, key=lambda r: (r.shard, r.doc_id, r.chunk_id)):
+        start = by_shard.get(r.shard, 0)
+        assert r.bin_id == start // 64 and r.bin_offset == start % 64, r
+        by_shard[r.shard] = start + r.n_tokens
+
+    reparted = text.pack_chunks(
+        chunks.repartition(7, "chunk_id"), budget=64, n_shards=8
+    ).collect()
+    assert sorted(map(tuple, reparted)) == sorted(map(tuple, packed))
