@@ -890,6 +890,68 @@ def l_pipeline_end_to_end(spark, sf_dir):
 
 
 @register(
+    "l_pipeline_to_bins",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE lang = 'en' AND n_chars BETWEEN 50 AND 10000),
+    exact_canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    exact_kept AS (
+      SELECT k.doc_id, k.text FROM kept k JOIN exact_canon USING (doc_id)),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact_kept),
+    c AS (SELECT doc_id,
+                 unnest(range(0,
+                     GREATEST(CAST(ceil((len(w) - 32) / 24.0) AS BIGINT),
+                              0) + 1)) AS ck
+          FROM w),
+    j AS (SELECT c.doc_id, ck AS chunk_id,
+                 len(string_split(
+                     array_to_string(w[ck*24 + 1 : ck*24 + 32], ' '), ' '))
+                   AS n_tokens
+          FROM c JOIN w ON c.doc_id = w.doc_id),
+    s AS (SELECT doc_id, chunk_id, n_tokens,
+                 CAST(doc_id % 8 AS INT) AS shard,
+                 SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+                                     ORDER BY doc_id, chunk_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start
+          FROM j)
+    SELECT shard, CAST(FLOOR(start / 64.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM s GROUP BY shard, bin_id ORDER BY shard, bin_id
+    """,
+    tags=("llm", "pipeline"),
+)
+def l_pipeline_to_bins(spark, sf_dir):
+    """The ingestion half of a pre-training pipeline COMPOSED as one lazy
+    job: quality gate → exact dedup (md5 canonical) → context-window
+    chunking → sequence packing → per-bin fill stats. Each stage is the
+    operator certified individually (l5, l1, doc_chunks, doc_pack); this
+    query certifies their composition — Catalyst sees a single plan, so
+    the quality filter pushes into the scan feeding every downstream
+    stage and the chunk explode runs on the deduped survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(50, 10000)
+    ).select("doc_id", "text")
+    exact_kept = kept.join(
+        dedup.exact_dedup(kept, "text", "doc_id").select("doc_id"), "doc_id"
+    )
+    chunks = text.chunk_tokens(exact_kept, chunk_size=32, stride=24)
+    packed = text.pack_chunks(chunks, budget=64, n_shards=8)
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin_id")
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS fp_md5,
