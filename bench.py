@@ -65,6 +65,10 @@ HEADLINE = [
     "doc_repetition",
     "doc_oov_rate",
     "emb_quantize_int8",
+    # the ordered-funnel window chain and the composed ingestion pipeline
+    # (quality -> dedup -> chunk -> pack) — one plan each, scale-shaped
+    "q_funnel",
+    "l_pipeline_to_bins",
 ]
 
 
