@@ -216,3 +216,64 @@ def q_salted_join(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _profile_num(col):
+    return f"""
+    SELECT '{col}' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           CAST(MIN({col}) AS DOUBLE) AS min_num,
+           CAST(MAX({col}) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders"""
+
+
+def _profile_str(col):
+    return f"""
+    SELECT '{col}' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           MIN({col}) AS min_str, MAX({col}) AS max_str
+    FROM orders"""
+
+
+def _profile_ts(col):
+    return f"""
+    SELECT '{col}' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           strftime(MIN({col}), '%Y-%m-%d %H:%M:%S.%f') AS min_str,
+           strftime(MAX({col}), '%Y-%m-%d %H:%M:%S.%f') AS max_str
+    FROM orders"""
+
+
+@register(
+    "q_profile_orders",
+    oracle=" UNION ALL ".join(
+        [
+            _profile_num("o_orderkey"),
+            _profile_num("o_custkey"),
+            _profile_str("o_orderstatus"),
+            _profile_num("o_totalprice"),
+            _profile_ts("o_orderdate"),
+            _profile_str("o_orderpriority"),
+        ]
+    )
+    + ' ORDER BY "column"',
+    tags=("analytics", "profile"),
+)
+def q_profile_orders(spark, sf_dir):
+    """Single-pass data-quality profile of `orders`: per column row/null/
+    exact-distinct counts and typed min/max (operators/profile.py). The
+    multi-distinct aggregate plans as one Expand over the scan; the
+    long-format output explodes from the 1-row agg result."""
+    from distribot_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders)

@@ -518,3 +518,25 @@ def test_pack_chunks_contiguity_and_layout_independence(spark):
         chunks.repartition(7, "chunk_id"), budget=64, n_shards=8
     ).collect()
     assert sorted(map(tuple, reparted)) == sorted(map(tuple, packed))
+
+
+def test_profile_table_approx_and_nanos(spark):
+    """The profile must (a) handle the TIMESTAMP(NANOS) events table via
+    load_table (temporal branch, not string fallback); (b) offer the
+    scale path: approx distinct within HLL tolerance of exact."""
+    from distribot_spark.operators.profile import profile_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = {r.column: r for r in profile_table(ev, ["ts", "user_id"]).collect()}
+    assert exact["ts"].min_str is not None and exact["ts"].min_num is None
+    approx = {
+        r.column: r
+        for r in profile_table(ev, ["ts", "user_id"], exact_distinct=False)
+        .collect()
+    }
+    for c in ("ts", "user_id"):
+        rel = abs(approx[c].n_distinct - exact[c].n_distinct) / max(
+            exact[c].n_distinct, 1
+        )
+        # default HLL rsd is 5%; allow 3 sigma
+        assert rel <= 0.15, (c, approx[c].n_distinct, exact[c].n_distinct)
