@@ -22,7 +22,15 @@ D12 = "decimal(12,2)"
 
 def stable_round(col: Column, nd: int = 2) -> Column:
     """ROUND(x * 10^nd) / 10^nd — mirror the same spelled-out form in the
-    oracle SQL and both engines round an identical double."""
+    oracle SQL and both engines round an identical double.
+
+    NEGATIVE-ZERO TRAP: when x is in (-0.5/10^nd, 0), DuckDB's ROUND
+    keeps IEEE -0.0 (prints '-0.0') while Spark's F.round goes through
+    BigDecimal, which has no signed zero, and emits +0.0 — a hash
+    mismatch invisible until the data contains a tiny negative (hit q33/
+    q35 only at sf0.1). Whenever the rounded quantity can be negative,
+    append `+ 0.0` on BOTH sides (IEEE: -0.0 + 0.0 = +0.0) — see
+    q18_corr / q33 / q35."""
     m = F.lit(float(10**nd))
     return F.round(col * m, 0) / m
 

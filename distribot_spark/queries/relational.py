@@ -1074,8 +1074,10 @@ def q32(spark, sf_dir):
     "q33",
     oracle="""
     SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-      ROUND(CAST(embedding[1] AS DOUBLE) * 10000) / 10000 AS first_val,
-      ROUND(CAST(embedding[64] AS DOUBLE) * 10000) / 10000 AS last_val
+      ROUND(CAST(embedding[1] AS DOUBLE) * 10000) / 10000 + 0.0
+        AS first_val,
+      ROUND(CAST(embedding[64] AS DOUBLE) * 10000) / 10000 + 0.0
+        AS last_val
     FROM embeddings ORDER BY vec_id
     """,
     tags=("array",),
@@ -1086,8 +1088,10 @@ def q33(spark, sf_dir):
     return e.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
-        _round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
-        _round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
+        (_round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0))
+        .alias("first_val"),
+        (_round(F.element_at("embedding", 64).cast("double"), 4) + F.lit(0.0))
+        .alias("last_val"),
     ).orderBy("vec_id")
 
 
@@ -1147,7 +1151,8 @@ def q34(spark, sf_dir):
 @register(
     "q35",
     oracle="""
-    SELECT vec_id, CAST(pos AS INT) AS pos, ROUND(CAST(val AS DOUBLE) * 10000) / 10000 AS val
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           ROUND(CAST(val AS DOUBLE) * 10000) / 10000 + 0.0 AS val
     FROM (
       SELECT vec_id, unnest(range(len(embedding))) AS pos, unnest(embedding) AS val
       FROM embeddings WHERE vec_id < 20
@@ -1163,7 +1168,7 @@ def q35(spark, sf_dir):
         .select(
             "vec_id",
             F.col("pos").cast("int").alias("pos"),
-            _round(F.col("val").cast("double"), 4).alias("val"),
+            (_round(F.col("val").cast("double"), 4) + F.lit(0.0)).alias("val"),
         )
         .orderBy("vec_id", "pos")
     )
