@@ -435,3 +435,30 @@ def pack_chunks(
             F.col(tokens_col),
         )
     )
+
+
+def curate_top_quality(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-based curation: keep the top-`k` documents per stratum by
+    the composite quality score — the pruning pass between scoring and
+    training-set assembly.
+
+    Ranking uses the ROUNDED (3-dp) score with the id as tie-break, so
+    the cut is deterministic and engine-agnostic (raw float ordering
+    would make the boundary doc depend on summation ulps). One shuffle
+    on the stratum key; the window is a per-partition top-k heap.
+    """
+    scored = quality_score(df, text_col)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(strata_col, id_col, "rnk", "quality")
+    )

@@ -890,6 +890,47 @@ def l_pipeline_end_to_end(spark, sf_dir):
 
 
 @register(
+    "doc_curate_topk",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+        len(string_split(text, ' ')) AS n_tok,
+        len(list_filter(string_split(text, ' '),
+            x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+          AS sw_hits,
+        len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+        ROUND((CASE WHEN LENGTH(text) >= 50 AND LENGTH(text) <= 10000
+                    THEN 0.4 ELSE 0.0 END
+               + LEAST(sw_hits / n_tok * 2, 0.3)
+               + LEAST(n_uniq / n_tok, 1.0) * 0.3) * 1000) / 1000 AS quality
+      FROM s),
+    r AS (
+      SELECT lang, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rnk
+      FROM q)
+    SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk, quality
+    FROM r WHERE rnk <= 10 ORDER BY lang, rnk
+    """,
+    tags=("llm", "curation"),
+)
+def doc_curate_topk(spark, sf_dir):
+    """Quality-based curation: top-10 documents per language by the
+    composite quality score (rounded 3-dp — certified identical via
+    doc_quality — so the cut boundary is engine-agnostic), doc_id
+    tie-break. One shuffle on lang; per-partition top-k window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.curate_top_quality(docs, k=10, strata_col="lang")
+        .withColumn("rnk", F.col("rnk").cast("bigint"))
+        .orderBy("lang", "rnk")
+    )
+
+
+@register(
     "l_pipeline_to_bins",
     oracle="""
     WITH kept AS (

@@ -540,3 +540,19 @@ def test_profile_table_approx_and_nanos(spark):
         )
         # default HLL rsd is 5%; allow 3 sigma
         assert rel <= 0.15, (c, approx[c].n_distinct, exact[c].n_distinct)
+
+
+def test_curate_topk_per_stratum(spark):
+    """Curation keeps at most k docs per stratum, ranked by the rounded
+    quality score with deterministic id tie-break (non-increasing within
+    a stratum)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    rows = text.curate_top_quality(docs, k=5, strata_col="lang").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert len(rs) <= 5
+        qs = [r.quality for r in rs]
+        assert qs == sorted(qs, reverse=True), (lang, qs)
