@@ -267,3 +267,57 @@ def q_funnel(spark, sf_dir):
         F.date_format("purchase_ts", fmt).alias("purchase_ts"),
         "depth",
     ).orderBy("user_id")
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH su AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+            FROM events),
+    j AS (SELECT s.user_id, s.cohort_week,
+                 CAST(date_diff('day', s.cohort_week, a.act_week) / 7
+                      AS BIGINT) AS week_offset
+          FROM su s JOIN act a ON s.user_id = a.user_id
+          WHERE a.act_week >= s.cohort_week)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM j GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("temporal", "cohort"),
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by signup week, counted as
+    active in each subsequent week they produced any event. Both weeks
+    are Monday-truncated in both engines, so offsets are exact multiples
+    of 7 days. Shuffles: per-user signup agg, activity distinct, one
+    co-keyed join, final cell agg — all on user/cohort keys."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    j = (
+        su.join(act, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("bigint")
+            .alias("week_offset"),
+        )
+    )
+    return (
+        j.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
