@@ -26,6 +26,7 @@ def funnel_stages(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """Per-user ordered funnel: for each step name in `steps`, the column
     `<step>_ts` holds the earliest event time of that type at/after the
@@ -34,7 +35,9 @@ def funnel_stages(
 
     Equal timestamps count as progression (ts >= prev), matching the
     common analytics convention for same-instant batched events; the
-    oracle spells the identical >= semantics.
+    oracle spells the identical >= semantics. With `within` (an SQL
+    interval string like "1 hour"), each step must also land AT OR
+    BEFORE prev + within — the conversion-window variant.
     """
     w = Window.partitionBy(user_col)
     out = df
@@ -43,6 +46,11 @@ def funnel_stages(
         cond = F.col(type_col) == step
         if stage_cols:
             cond = cond & (F.col(ts_col) >= F.col(stage_cols[-1]))
+            if within is not None:
+                cond = cond & (
+                    F.col(ts_col)
+                    <= F.col(stage_cols[-1]) + F.expr(f"INTERVAL {within}")
+                )
         col = f"__stage_{i}"
         out = out.withColumn(
             col, F.min(F.when(cond, F.col(ts_col))).over(w)

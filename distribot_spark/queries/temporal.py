@@ -321,3 +321,49 @@ def q_cohort_retention(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q_funnel_windowed",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+           JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t0
+                  AND e.ts <= s0.t0 + INTERVAL 1 HOUR
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+                  AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT u.user_id,
+           strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CAST(CASE WHEN t2 IS NOT NULL THEN 3
+                     WHEN t1 IS NOT NULL THEN 2
+                     WHEN t0 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS depth
+    FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id)
+    ORDER BY user_id
+    """,
+    tags=("temporal", "funnel"),
+)
+def q_funnel_windowed(spark, sf_dir):
+    """Conversion-window funnel: each step must land within 1 hour of
+    the previous step (the `within` variant of operators/funnel.py) —
+    same one-shuffle chained-window plan as q_funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    from distribot_spark.operators.funnel import funnel_stages
+
+    out = funnel_stages(ev, ["view", "click", "purchase"], within="1 hour")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("view_ts", fmt).alias("view_ts"),
+        F.date_format("click_ts", fmt).alias("click_ts"),
+        F.date_format("purchase_ts", fmt).alias("purchase_ts"),
+        "depth",
+    ).orderBy("user_id")
