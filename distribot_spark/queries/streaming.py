@@ -383,3 +383,44 @@ def s10_output_modes(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "s11_stream_doc_quality",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+        len(string_split(text, ' ')) AS n_tok,
+        len(list_filter(string_split(text, ' '),
+            x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+          AS sw_hits,
+        len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+        ROUND((CASE WHEN LENGTH(text) >= 50 AND LENGTH(text) <= 10000
+                    THEN 0.4 ELSE 0.0 END
+               + LEAST(sw_hits / n_tok * 2, 0.3)
+               + LEAST(n_uniq / n_tok, 1.0) * 0.3) * 1000) / 1000 AS quality
+      FROM s)
+    SELECT doc_id, quality FROM q WHERE quality >= 0.5 ORDER BY doc_id
+    """,
+    tags=("streaming", "llm"),
+)
+def s11_stream_doc_quality(spark, sf_dir):
+    """Incremental document ingest: the documents table replayed as a
+    bounded file stream with the quality gate applied per micro-batch —
+    stateless, so streaming result ≡ batch result exactly. The 100 TB
+    story: docs land in the lake continuously and the scoring/filter
+    pipeline runs as a standing query instead of nightly batch. The
+    filter compares the ROUNDED (3-dp, engine-identical) score, so the
+    cut is deterministic."""
+    from distribot_spark.operators import text as text_ops
+
+    src = replay.table_replay_dir(sf_dir, "documents", "doc_id")
+
+    def gate(stream):
+        scored = text_ops.quality_score(stream, "text")
+        return scored.filter(F.col("quality") >= 0.5).select("doc_id", "quality")
+
+    return replay.run_bounded(spark, gate, src, "append").orderBy("doc_id")

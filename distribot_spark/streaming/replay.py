@@ -235,3 +235,28 @@ def run_foreach_batch(
         )
         q.awaitTermination()
     shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+def table_replay_dir(
+    sf_dir: str, table: str, sort_col: str, n_chunks: int = 8
+) -> str:
+    """Chunked replay dir for ANY catalog table (the generic sibling of
+    `replay_dir`'s events-specific path): rows sorted by `sort_col` and
+    split into `n_chunks` parquet files — a deterministic stand-in for
+    incremental arrival of a batch table (e.g. documents landing in the
+    lake). Content-keyed and cached like the events replay."""
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}-{table}-{sort_col}-c{n_chunks}"
+    out = os.path.join(TMP_ROOT, "replay", tag)
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    t = t.take(pc.sort_indices(t, sort_keys=[(sort_col, "ascending")]))
+    n = t.num_rows
+    chunks = [
+        t.slice(i * n // n_chunks, (i + 1) * n // n_chunks - i * n // n_chunks)
+        for i in range(n_chunks)
+    ]
+    for i, chunk in enumerate(chunks):
+        pq.write_table(chunk, os.path.join(out, f"chunk_{i:04d}.parquet"))
+    return out
