@@ -424,3 +424,37 @@ def s11_stream_doc_quality(spark, sf_dir):
         return scored.filter(F.col("quality") >= 0.5).select("doc_id", "quality")
 
     return replay.run_bounded(spark, gate, src, "append").orderBy("doc_id")
+
+
+@register(
+    "s12_stream_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    GROUP BY md5(text) ORDER BY doc_id
+    """,
+    tags=("streaming", "llm", "dedup"),
+)
+def s12_stream_exact_dedup(spark, sf_dir):
+    """Content-hash dedup as a STANDING query — the streaming twin of
+    l1_exact_dedup, sharing its oracle: documents arrive incrementally,
+    state keeps the running min doc_id per md5(text), update mode emits a
+    key whenever its canonical changes, and the final answer is the min
+    over each key's sink rows (a running min's last update). At scale the
+    state is one row per distinct content hash — the dedup index a real
+    ingest pipeline keeps anyway."""
+    src = replay.table_replay_dir(sf_dir, "documents", "doc_id")
+
+    def t(stream):
+        return (
+            stream.withColumn("h", F.md5("text"))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+
+    updates = replay.run_bounded(spark, t, src, "update")
+    return (
+        updates.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
