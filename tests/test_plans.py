@@ -223,3 +223,24 @@ def test_oov_rate_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert not uses_python_eval(q(spark, "doc_oov_rate"))
+
+
+def test_new_round3_queries_stay_jvm_and_equi_joined(spark):
+    """The round-3 additions must keep 100 TB-shaped plans: equi-joins
+    only (no cartesian/broadcast-nested-loop fallback) and no Python
+    evaluation in any of them."""
+    for name in (
+        "dedup_tf_cosine",
+        "q_cohort_retention",
+        "q_funnel",
+        "q_funnel_windowed",
+        "doc_pack",
+        "l_pipeline_to_bins",
+        "q_profile_orders",
+        "doc_curate_topk",
+    ):
+        df = q(spark, name)
+        plan = explain_string(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert not uses_python_eval(df), name
