@@ -270,3 +270,43 @@ def bucketed_tables(spark, sf_dir) -> tuple[str, str]:
             o_t, ["o_orderkey"], 8, sort_by=["o_orderkey"],
         )
     return li_t, o_t
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, CAST(2 AS BIGINT) AS n_copies,
+           CAST(1 AS BIGINT) AS n_legacy_rows, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("sources", "schema"),
+)
+def source_schema_evolution(spark, sf_dir):
+    """Schema evolution on a lake directory: generation 1 files lack the
+    n_regionkey column, generation 2 adds it; a mergeSchema read unions
+    the schemas and null-fills the legacy rows. The aggregate proves both
+    generations surfaced (2 copies per key, exactly 1 legacy row) and
+    the evolved column survived. At 100 TB this is the standard
+    append-only ingest contract: writers add columns, readers merge
+    footers — no rewrite of old data."""
+    out = os.path.join(TMP_ROOT, f"schemaevo_{_tag(sf_dir)}")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        os.path.join(out, "gen=1")
+    )
+    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return (
+        back.groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum(F.col("n_regionkey").isNull().cast("long"))
+            .alias("n_legacy_rows"),
+            F.max("n_regionkey").alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
+    )
