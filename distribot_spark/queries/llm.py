@@ -890,6 +890,41 @@ def l_pipeline_end_to_end(spark, sf_dir):
 
 
 @register(
+    "doc_null_hygiene",
+    oracle="""
+    WITH n AS (SELECT doc_id,
+                      CASE WHEN doc_id % 97 = 0 THEN NULL ELSE text END
+                        AS text
+               FROM documents)
+    SELECT doc_id, text IS NULL AS is_null,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(CAST(LENGTH(text) AS BIGINT), -1) AS n_chars_or_sentinel
+    FROM n ORDER BY doc_id
+    """,
+    tags=("llm", "nulls"),
+)
+def doc_null_hygiene(spark, sf_dir):
+    """Cross-engine NULL discipline certificate: the testdata carries no
+    NULLs, so this query plants them deterministically (doc_id % 97) and
+    pins that split/size/length propagate NULL identically in Spark
+    (ANSI mode) and DuckDB, with an explicit COALESCE sentinel for the
+    guarded path. Real corpora have missing text; operators must not
+    turn that into -1s or crashes silently differing between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    nulled = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None)).otherwise(F.col("text")),
+    )
+    return nulled.select(
+        "doc_id",
+        F.col("text").isNull().alias("is_null"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.length("text").cast("bigint"), F.lit(-1))
+        .alias("n_chars_or_sentinel"),
+    ).orderBy("doc_id")
+
+
+@register(
     "doc_curate_topk",
     oracle="""
     WITH s AS (
