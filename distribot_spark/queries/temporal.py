@@ -367,3 +367,44 @@ def q_funnel_windowed(spark, sf_dir):
         F.date_format("purchase_ts", fmt).alias("purchase_ts"),
         "depth",
     ).orderBy("user_id")
+
+
+@register(
+    "q_compact_latest",
+    oracle="""
+    WITH r AS (SELECT user_id, event_id, event_type, ts, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC)
+                        AS rn
+               FROM events)
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           ROUND(value * 100) / 100 AS value
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("temporal", "compaction"),
+)
+def q_compact_latest(spark, sf_dir):
+    """CDC-style compaction: the latest record per key (ts DESC with
+    event_id tie-break) — the keep-last-write pass that turns an
+    append-only change log into a current-state snapshot. One shuffle on
+    the key; the window is a per-partition top-1, and at scale this is
+    the MERGE-free read-side compaction run before serving."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            stable_round(F.col("value")).alias("value"),
+        )
+        .orderBy("user_id")
+    )
