@@ -471,6 +471,47 @@ def doc_decontaminate(spark, sf_dir):
     )
 
 
+@register(
+    "emb_norm_audit",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        AS nrm
+               FROM embeddings)
+    SELECT CAST(FLOOR(nrm * 10) AS BIGINT) AS bucket, COUNT(*) AS n_vecs,
+           FLOOR(MIN(nrm) * 10000 + 0.5) / 10000 AS min_norm,
+           FLOOR(MAX(nrm) * 10000 + 0.5) / 10000 AS max_norm
+    FROM e GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("llm", "embedding", "audit"),
+)
+def emb_norm_audit(spark, sf_dir):
+    """Pre-flight norm audit for similarity work: histogram of L2 norms
+    (0.1-wide buckets) with per-bucket min/max — proves the corpus is
+    (or is not) unit-normalized before cosine math assumes it. Norms use
+    the index-ordered fold, bit-identical to DuckDB's sequential
+    list_sum, and the per-bucket reductions are order-free (min/max/
+    count), so the query hash-matches despite being pure float math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from distribot_spark.operators.similarity import _norm, _to_double
+
+    nrm = emb.select(
+        _norm(_to_double(F.col("embedding"))).alias("nrm")
+    )
+    return (
+        nrm.groupBy(F.floor(F.col("nrm") * 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.floor(F.min("nrm") * 10000 + F.lit(0.5)) / 10000)
+            .alias("min_norm"),
+            (F.floor(F.max("nrm") * 10000 + F.lit(0.5)) / 10000)
+            .alias("max_norm"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding storage: int8 quantization audit
 # ---------------------------------------------------------------------------
