@@ -1175,6 +1175,36 @@ def q35(spark, sf_dir):
 
 
 @register(
+    "q36_typed",
+    oracle="""
+    SELECT k, COUNT(*) AS cnt,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unparsed
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events)
+    GROUP BY k ORDER BY k
+    """,
+    tags=("json", "typed"),
+)
+def q36_typed(spark, sf_dir):
+    """Typed JSON parsing: `from_json` with an explicit struct schema (vs
+    q36's per-path get_json_object string extraction) — the schema-on-read
+    contract for semi-structured columns, with unparseable rows surfacing
+    as NULL structs instead of job failures."""
+    parsed = _t(spark, sf_dir, "events").select(
+        F.from_json("props", "k INT").alias("p")
+    )
+    return (
+        parsed.groupBy(F.col("p.k").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("p.k").isNull().cast("long")).alias("n_unparsed"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
     "q36",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
