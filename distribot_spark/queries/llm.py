@@ -931,6 +931,44 @@ def l_pipeline_end_to_end(spark, sf_dir):
 
 
 @register(
+    "l4_collocations",
+    oracle="""
+    WITH dd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents),
+    p AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_docs
+          FROM dd a JOIN dd b ON a.doc_id = b.doc_id AND a.t < b.t
+          GROUP BY ta, tb)
+    SELECT ta, tb, n_docs FROM p
+    ORDER BY n_docs DESC, ta, tb LIMIT 20
+    """,
+    tags=("llm", "text", "collocation"),
+)
+def l4_collocations(spark, sf_dir):
+    """Collocation extraction: top-20 term pairs by document
+    co-occurrence (the counting core of PMI/phrase mining — the log-ratio
+    scoring stays engine-local, counts are the exchangeable artifact).
+    Per-doc distinct terms self-join within the doc key, so candidate
+    volume is sum over docs of (distinct terms)^2 — at corpus scale the
+    same document-frequency cap as tf_cosine_pairs prunes the
+    stop-word-dominated pairs. Integer math end to end; total order with
+    pair tie-break makes the top-20 cut deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    dd = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).dropDuplicates(["doc_id", "t"])
+    a = dd.select("doc_id", F.col("t").alias("ta"))
+    b = dd.select("doc_id", F.col("t").alias("tb"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "ta", "tb")
+        .limit(20)
+    )
+
+
+@register(
     "doc_null_hygiene",
     oracle="""
     WITH n AS (SELECT doc_id,
