@@ -1,0 +1,289 @@
+"""Round-4 analytics additions: heavy hitters (exact + sketch twin),
+deterministic weighted sampling, classic TPC-H Q17/Q21 shapes, and a
+snapshot-diff (data reconciliation) operator.
+
+All follow the determinism rules in functions/determinism.py: exact
+decimal for money, spelled-out ROUND(x*10^n)/10^n for float aggregates,
+total ORDER BY, identical aliases both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from distribot_spark.catalog import load_table
+from distribot_spark.functions import stable_round
+from distribot_spark.operators.sampling import weighted_sample_per_group
+from distribot_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+         t AS (SELECT COUNT(*) AS total FROM lineitem)
+    SELECT l_partkey, cnt,
+           ROUND((cnt / total) * 1000000) / 1000000 AS freq
+    FROM c, t WHERE cnt > total * 0.004
+    ORDER BY cnt DESC, l_partkey
+    """,
+    tags=("agg", "heavy-hitters"),
+)
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters: part keys on > 0.4% of lineitems. Two-phase
+    hash agg (map-side combine) + a broadcast 1-row total — the oracle
+    baseline for the `q_freq_items` sketch twin. At 100 TB the exact
+    count-by-key is still the right plan when the key domain fits a
+    shuffle (it's bounded by |part|); the sketch twin is for unbounded
+    domains (URLs, n-grams)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    total = li.agg(F.count("*").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("total") * 0.004)
+        .select(
+            "l_partkey",
+            "cnt",
+            stable_round(F.col("cnt") / F.col("total"), 6).alias("freq"),
+        )
+        .orderBy(F.desc("cnt"), "l_partkey")
+    )
+
+
+@register("q_freq_items", oracle=None, tags=("agg", "heavy-hitters", "approx"))
+def q_freq_items(spark, sf_dir):
+    """Approximate heavy hitters via `df.stat.freqItems` (Karp/
+    Misra–Gries-style mergeable summary — per-partition candidate maps,
+    merged associatively; one pass, O(1/support) state per partition, no
+    exact count shuffle). Guarantee: every key with frequency > support
+    IS in the candidate set (false positives possible, never false
+    negatives) — asserted against `q_heavy_hitters` in
+    tests/test_operators.py. ≈ operator, rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fi = li.select("l_partkey").stat.freqItems(["l_partkey"], support=0.004)
+    return fi.select(
+        F.explode("l_partkey_freqItems").alias("candidate")
+    ).orderBy("candidate")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               * 1.0 / GREATEST(n_chars, 1) AS priority
+      FROM documents),
+    r AS (SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY priority, doc_id) AS rnk
+          FROM pri)
+    SELECT lang, doc_id, n_chars, rnk FROM r WHERE rnk <= 5
+    ORDER BY lang, rnk
+    """,
+    tags=("llm", "sampling"),
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample: 5 documents per language, selection
+    odds ~ n_chars (longer docs favored), via md5-priority top-k
+    (operators/sampling.py). No RNG, no engine hash — the sample is
+    bit-stable across engines, partitionings, and corpus growth."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.greatest("n_chars", F.lit(1)).alias("n_chars")
+    )
+    return (
+        weighted_sample_per_group(docs, ["lang"], "doc_id", "n_chars", k=5)
+        .select("lang", "doc_id", "n_chars", "rnk")
+        .orderBy("lang", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic TPC-H shapes adapted to the trimmed schema
+
+
+@register(
+    "q_tpch17_small_qty",
+    oracle="""
+    SELECT ROUND((ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)::DOUBLE
+                  / 7.0) * 100) / 100 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("relational", "tpch", "subquery"),
+)
+def q_tpch17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated
+    per-part AVG threshold, decorrelated into a pre-aggregated join —
+    the Catalyst-friendly rewrite of `WHERE qty < (SELECT 0.2*AVG ...)`.
+    The brand filter semi-prunes the threshold aggregate before the fact
+    join; both the brand dim and the per-part thresholds broadcast at
+    any scale (bounded by |part|). l_quantity is integer-valued so the
+    AVG is exact in float64 regardless of summation order — the
+    threshold comparison is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    thresholds = (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_threshold"))
+    )
+    return (
+        li.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            stable_round(
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+                .cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q_tpch21_last_to_ship",
+    oracle="""
+    WITH ps AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+                FROM lineitem GROUP BY 1, 2)
+    SELECT p1.l_suppkey AS s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM ps p1 JOIN supplier s ON s.s_suppkey = p1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM ps p2
+                  WHERE p2.l_orderkey = p1.l_orderkey
+                    AND p2.l_suppkey <> p1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ps p3
+                      WHERE p3.l_orderkey = p1.l_orderkey
+                        AND p3.l_suppkey <> p1.l_suppkey
+                        AND p3.supp_last >= p1.supp_last)
+    GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20
+    """,
+    tags=("relational", "tpch", "window"),
+)
+def q_tpch21_last_to_ship(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in every
+    multi-supplier order, blame the unique strictly-last supplier to
+    ship. The oracle spells the classic EXISTS / NOT EXISTS pair; the
+    Spark plan is the decorrelated window form — one shuffle on
+    l_orderkey computes peer count, order-max shipdate, and
+    at-the-max count in a single Window, then a broadcast supplier
+    join. Same semantics, no correlated re-scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    w = Window.partitionBy("l_orderkey")
+    x = (
+        per_supp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("order_last", F.max("supp_last").over(w))
+        .withColumn(
+            "n_at_last",
+            F.sum(
+                F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)
+            ).over(w),
+        )
+    )
+    blamed = x.filter(
+        (F.col("n_supp") >= 2)
+        & (F.col("supp_last") == F.col("order_last"))
+        & (F.col("n_at_last") == 1)
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("l_suppkey").alias("s_suppkey"), "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (data reconciliation)
+
+_DIFF_PRE = "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)"
+
+_DIFF_ORACLE = f"""
+    WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN {_DIFF_PRE} = 'f' THEN o_totalprice * 2.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE {_DIFF_PRE} <> '0'
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice
+      FROM orders WHERE {_DIFF_PRE} = 'e'),
+    d AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    SELECT change_type, COUNT(*) AS cnt, MIN(k) AS min_key, MAX(k) AS max_key
+    FROM d GROUP BY change_type ORDER BY change_type
+"""
+
+
+@register("q_table_diff", oracle=_DIFF_ORACLE, tags=("analytics", "reconcile"))
+def q_table_diff(spark, sf_dir):
+    """Snapshot reconciliation: classify every key across two table
+    versions as added / removed / changed / unchanged via one full-outer
+    join on the key — the audit primitive behind CDC validation and
+    backfill verification. Snapshot B is derived deterministically from
+    orders (md5-prefix delete / double-price update / key-shifted
+    insert) so both engines construct identical inputs. At 100 TB both
+    sides shuffle once on the key; with bucketed snapshots (see
+    source_bucketed_join) the exchange disappears entirely."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    pre = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    b = (
+        orders.filter(pre != "0")
+        .withColumn(
+            "o_totalprice",
+            F.when(pre == "f", F.col("o_totalprice") * 2.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionAll(
+            orders.filter(pre == "e").select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    a = orders.select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_totalprice").alias("a_price")
+    )
+    b = b.select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("b_price")
+    )
+    d = a.join(b, a.a_key == b.b_key, "full_outer").select(
+        F.coalesce("a_key", "b_key").alias("k"),
+        F.when(F.col("a_key").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .when(F.col("a_price") != F.col("b_price"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )

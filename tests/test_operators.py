@@ -556,3 +556,48 @@ def test_curate_topk_per_stratum(spark):
         assert len(rs) <= 5
         qs = [r.quality for r in rs]
         assert qs == sorted(qs, reverse=True), (lang, qs)
+
+
+def test_freq_items_contains_all_true_heavy_hitters(spark):
+    """freqItems' one-sided guarantee: every key whose true frequency
+    exceeds the support threshold appears in the candidate set (false
+    positives allowed, false negatives never)."""
+    exact = {
+        r.l_partkey
+        for r in QUERIES["q_heavy_hitters"].builder(spark, SF_ORACLE).collect()
+    }
+    candidates = {
+        r.candidate for r in QUERIES["q_freq_items"].builder(spark, SF_ORACLE).collect()
+    }
+    assert exact, "exact heavy-hitter baseline unexpectedly empty"
+    missing = exact - candidates
+    assert not missing, f"sketch dropped true heavy hitters: {sorted(missing)[:5]}"
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """The md5-priority sample is identical across runs/layouts and
+    favors heavier rows: the sampled mean weight must exceed the
+    population mean weight per group (longer docs are favored)."""
+    from distribot_spark.catalog import load_table as _lt
+
+    b = QUERIES["q_weighted_sample"].builder
+    s1 = [(r.lang, r.doc_id) for r in b(spark, SF_ORACLE).collect()]
+    s2 = [(r.lang, r.doc_id) for r in b(spark, SF_ORACLE).collect()]
+    assert s1 == s2
+    docs = _lt(spark, SF_ORACLE, "documents")
+    pop = {
+        r.lang: r.m
+        for r in docs.groupBy("lang").agg(F.avg("n_chars").alias("m")).collect()
+    }
+    samp = {}
+    for r in b(spark, SF_ORACLE).collect():
+        samp.setdefault(r.lang, []).append(r.n_chars)
+    biased = sum(
+        1 for lang, ws in samp.items() if sum(ws) / len(ws) > pop[lang]
+    )
+    # weight-proportional selection should beat the population mean in
+    # most strata (allow one unlucky language at this tiny k)
+    assert biased >= len(samp) - 1, (
+        {k: sum(v) / len(v) for k, v in samp.items()},
+        pop,
+    )
