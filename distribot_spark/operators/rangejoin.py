@@ -57,3 +57,52 @@ def point_in_interval_join(
         )
         .drop("_bin")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Inner-join interval relation `a` to interval relation `b` on
+    CLOSED-interval overlap (`a_start <= b_end AND b_start <= a_end`),
+    via the same binned equi-join rewrite as `point_in_interval_join` —
+    the plan stays a shuffled hash join at any cardinality instead of a
+    broadcast-nested-loop/cartesian theta join.
+
+    Columns must be integral (epoch microseconds recommended: exact in
+    int64, `DIV` bin math has no float rounding). Each side explodes to
+    the bins its interval touches; candidates meet on the bin id; the
+    exact overlap predicate refines. De-duplication is positional, not a
+    DISTINCT: a surviving pair is kept only in the bin containing
+    `greatest(a_start, b_start)` — for an overlapping pair that bin lies
+    in BOTH sides' bin ranges (max(starts) <= min(ends)), and it is
+    unique, so every overlapping pair appears exactly once. Replication
+    factor is `len/bin_width + 1` per interval; choose bin_width near
+    the median interval length and let AQE skew-split any hot bin.
+    """
+    def bins(s, e):
+        return F.explode(
+            F.sequence(
+                F.expr(f"{s} DIV {bin_width}"), F.expr(f"{e} DIV {bin_width}")
+            )
+        )
+
+    ae = a.withColumn("_bin", bins(a_start, a_end))
+    be = b.withColumn("_bin", bins(b_start, b_end))
+    return (
+        ae.join(be, "_bin")
+        .filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (
+                F.col("_bin")
+                == F.expr(f"greatest({a_start}, {b_start}) DIV {bin_width}")
+            )
+        )
+        .drop("_bin")
+    )

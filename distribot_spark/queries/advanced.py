@@ -287,3 +287,82 @@ def q_table_diff(spark, sf_dir):
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: user sessions x busy hours
+
+_OVERLAP_ORACLE = """
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    sess AS (SELECT user_id, sid, MIN(epoch_us(ts)) AS s_start,
+                    MAX(epoch_us(ts)) AS s_end
+             FROM s GROUP BY 1, 2),
+    hourly AS (SELECT epoch_us(date_trunc('hour', ts)) AS h_start,
+                      COUNT(*) AS cnt
+               FROM events GROUP BY 1),
+    busy AS (SELECT h_start, h_start + 3600000000 AS h_end FROM hourly
+             WHERE cnt >= (SELECT 1.5 * AVG(cnt) FROM hourly)),
+    ov AS (SELECT user_id, sid FROM sess JOIN busy
+           ON s_start <= h_end AND h_start <= s_end)
+    SELECT user_id, COUNT(*) AS n_overlaps FROM ov
+    GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q_interval_overlap", oracle=_OVERLAP_ORACLE, tags=("temporal", "join"))
+def q_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join: per-user sessions (30-min-gap
+    sessionization) overlapped with 'busy hours' (hourly event count ≥
+    1.5× the hourly mean) — how much of each user's activity lands in
+    peak windows. The oracle is the plain theta join; the Spark plan is
+    the binned EQUI-join rewrite (operators/rangejoin.py
+    interval_overlap_join, 1-hour bins, positional dedup) — no
+    broadcast-nested-loop, no cartesian, scale-safe at any interval
+    cardinality. All interval math in integer epoch-µs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_s"),
+    )
+    sess = (
+        marked.withColumn(
+            "sid",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_start"),
+            F.max(F.unix_micros("ts")).alias("s_end"),
+        )
+    )
+    hourly = ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("h_start")
+    ).agg(F.count("*").alias("cnt"))
+    thresh = hourly.agg((F.avg("cnt") * 1.5).alias("t"))
+    busy = (
+        hourly.join(F.broadcast(thresh))
+        .filter(F.col("cnt") >= F.col("t"))
+        .select("h_start", (F.col("h_start") + 3600000000).alias("h_end"))
+    )
+    from distribot_spark.operators.rangejoin import interval_overlap_join
+
+    ov = interval_overlap_join(
+        sess, busy, "s_start", "s_end", "h_start", "h_end", bin_width=3600000000
+    )
+    return (
+        ov.groupBy("user_id")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("user_id")
+    )

@@ -244,3 +244,36 @@ def test_new_round3_queries_stay_jvm_and_equi_joined(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert not uses_python_eval(df), name
+
+
+def test_q_interval_overlap_binned_shape(spark):
+    """Interval×interval overlap must plan as the binned EQUI-join
+    (SortMerge/ShuffledHash on _bin), never a nested-loop theta join over
+    the interval predicate."""
+    df = q(spark, "q_interval_overlap")
+    plan = explain_string(df)
+    assert "CartesianProduct" not in plan
+    # the only BNLJ allowed is the broadcast of the 1-row threshold agg;
+    # the session x busy-hour candidate join itself must be an equi-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        plan.count("BroadcastHashJoin") >= 1
+    )
+    assert "_bin" in plan, "bin bucketing column missing from the plan"
+
+
+def test_tpch21_window_decorrelation_shape(spark):
+    """The Q21 decorrelation runs at most two Window passes over ONE
+    l_orderkey shuffle (at-max count depends on the order-max, so two is
+    the minimum) — no correlated re-joins of the per-supplier aggregate
+    against itself, and no extra exchange between the passes."""
+    import re
+
+    plan = explain_string(q(spark, "q_tpch21_last_to_ship"))
+    n_windows = len(re.findall(r"\(\d+\) Window", plan))
+    assert n_windows <= 2, plan[:500]
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    # one shuffle for the per-(order,supp) agg + windows sharing the
+    # l_orderkey partitioning, one for the final blame agg; the supplier
+    # join must broadcast (no extra exchange for it)
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
