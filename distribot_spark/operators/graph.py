@@ -1,0 +1,85 @@
+"""Iterative graph analytics on DataFrames: PageRank.
+
+Power iteration as pure joins/aggregations — the classic
+"rank flows along edges" shape (Brin/Page 1998; the Spark-native
+formulation mirrors GraphX's contribution-propagation):
+
+    rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u) / out_deg(u)
+
+Every iteration is one equi-join (edges ⋈ ranks on src) + one
+aggregation (sum contributions by dst) + one left join back onto the
+node set (so sink-only nodes keep receiving the teleport term). Scale
+shape: edges shuffle-partition on src ONCE per iteration, ranks are
+orders of magnitude smaller than edges and co-shuffle; at 100 TB the
+edge relation is the unit of scale and nothing touches the driver.
+`localCheckpoint` cuts the lineage each iteration so the plan doesn't
+grow; `_pinned_shuffle_partitions` (components.py) sizes the loop's
+shuffles to the graph, not the corpus.
+
+Convergence to a fixed tolerance would need a driver-side delta check
+per iteration (an extra action); for the declared query we run a FIXED
+iteration count — deterministic cost, deterministic output, and the
+semantics the rows-only check + numpy-reference test can pin down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distribot_spark.operators.components import _pinned_shuffle_partitions
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """(id, rank) after `iterations` rounds of power iteration over the
+    DIRECTED edge list (duplicate edges should be pre-distinct'd; a node
+    with no out-edges contributes nothing — standard dangling handling
+    is up to the caller, e.g. symmetrize the edge list).
+
+    Returns rank as an unnormalized double (sums to ~1 over nodes when
+    there are no dangling nodes)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ew = e.join(
+        e.groupBy("src").agg(F.count("*").alias("out_deg")), "src"
+    ).localCheckpoint(eager=True)
+    n_edges = ew.count()
+
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    with _pinned_shuffle_partitions(e.sparkSession, n_edges):
+        for _ in range(iterations):
+            contribs = (
+                ew.join(ranks, ew.src == ranks.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                nodes.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return ranks

@@ -366,3 +366,33 @@ def q_interval_overlap(spark, sf_dir):
         .agg(F.count("*").alias("n_overlaps"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+
+
+@register("graph_pagerank", oracle=None, tags=("graph", "iterative"))
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the supplier↔part co-shipment graph (distinct
+    lineitem (suppkey, partkey) pairs, symmetrized so no node dangles;
+    ids namespaced 2k / 2k+1). 5 fixed power iterations, damping 0.85 —
+    pure join+agg per round, lineage cut per iteration
+    (operators/graph.py). Rows-only by design: float contribution sums
+    are order-dependent at the last ulp, so cross-engine hash equality
+    is not defined; tests/test_operators.py pins the values against a
+    numpy power-iteration reference at 1e-9."""
+    from distribot_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iterations=5)
+    return pr.select(
+        F.when(F.col("id") % 2 == 0, "supplier").otherwise("part").alias("node_type"),
+        F.floor(F.col("id") / 2).cast("long").alias("key"),
+        F.col("rank"),
+    ).orderBy(F.desc("rank"), "node_type", "key").limit(20)

@@ -601,3 +601,43 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
         {k: sum(v) / len(v) for k, v in samp.items()},
         pop,
     )
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark pagerank ≡ dense numpy power iteration on the same graph
+    (same damping/iterations/teleport), to 1e-9 absolute."""
+    import numpy as np
+
+    from distribot_spark.operators.graph import pagerank
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    sp = (
+        li.select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = sp.union(
+        sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got = {r.id: r.rank for r in pagerank(edges, iterations=5).collect()}
+
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    ids = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out_deg = np.zeros(n)
+    for s, _ in pairs:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d, tele = 0.85, 0.15 / n
+    for _ in range(5):
+        contrib = np.zeros(n)
+        share = r / out_deg
+        for s, t in pairs:
+            contrib[idx[t]] += share[idx[s]]
+        r = tele + d * contrib
+    assert len(got) == n
+    worst = max(abs(got[v] - r[idx[v]]) for v in ids)
+    assert worst < 1e-9, worst
