@@ -396,3 +396,65 @@ def graph_pagerank(spark, sf_dir):
         F.floor(F.col("id") / 2).cast("long").alias("key"),
         F.col("rank"),
     ).orderBy(F.desc("rank"), "node_type", "key").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+
+from distribot_spark.operators.layout import (  # noqa: E402
+    interleave_expr,
+    quantize_expr,
+)
+
+_Z_QA = quantize_expr("o_custkey", "amin", "amax", 16, "//")
+_Z_QB = quantize_expr("day", "bmin", "bmax", 16, "//")
+
+_ZORDER_ORACLE = f"""
+    WITH d AS (SELECT o_custkey,
+                      CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+               FROM orders),
+    b AS (SELECT MIN(o_custkey) AS amin, MAX(o_custkey) AS amax,
+                 MIN(day) AS bmin, MAX(day) AS bmax FROM d),
+    q AS (SELECT o_custkey, day,
+                 {_Z_QA} AS qa, {_Z_QB} AS qb
+          FROM d, b),
+    z AS (SELECT o_custkey, day,
+                 {interleave_expr("qa", "qb", 16, "//")} AS zval
+          FROM q)
+    SELECT zval // {4 ** 12} AS z_bucket, COUNT(*) AS cnt,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(day) AS min_day, MAX(day) AS max_day
+    FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q_zorder_stats", oracle=_ZORDER_ORACLE, tags=("layout", "zorder"))
+def q_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering audit: orders keyed by
+    (o_custkey, order day) interleaved into a 32-bit z-value — exact
+    integer quantize + interleave (operators/layout.py), identical
+    formula in both engines — then per-z-bucket bounding boxes. Small
+    per-bucket boxes ARE the file-skipping win: each bucket (≈ one
+    output file under write_zordered) covers a tiny (cust × day)
+    rectangle, so a 2-D box predicate prunes most buckets by footer
+    stats alone. The locality evidence on real parquet files is
+    measured in tests/test_operators.py::test_zorder_layout_file_skipping."""
+    orders = load_table(spark, sf_dir, "orders")
+    from distribot_spark.operators.layout import with_zvalue
+
+    d = orders.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+    )
+    z = with_zvalue(d, "o_custkey", "day", bits=16)
+    return (
+        z.groupBy(F.expr(f"zval DIV {4 ** 12}").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -641,3 +641,77 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert len(got) == n
     worst = max(abs(got[v] - r[idx[v]]) for v in ids)
     assert worst < 1e-9, worst
+
+
+def test_zorder_layout_file_skipping(spark, tmp_path):
+    """Z-ordering orders on (custkey, day) must cut the number of files a
+    2-D box predicate touches vs a 1-D custkey sort — measured from real
+    parquet footer stats over a grid of probe boxes. (Both layouts TILE
+    the key space, so total bounding-box area is a wash; the win is that
+    z-order boxes are squares, not full-width slabs.)"""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from distribot_spark.operators.layout import write_zordered
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+        "o_totalprice",
+    )
+    n_files = 64
+    zpath, npath = str(tmp_path / "zorder"), str(tmp_path / "naive")
+    write_zordered(orders, zpath, "o_custkey", "day", n_files)
+    orders.repartitionByRange(n_files, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.mode("overwrite").parquet(npath)
+
+    def boxes(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.read_metadata(f)
+            lo, hi = {}, {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    name = col.path_in_schema
+                    if name in ("o_custkey", "day"):
+                        lo[name] = min(lo.get(name, st.min), st.min)
+                        hi[name] = max(hi.get(name, st.max), st.max)
+            if "o_custkey" in lo and "day" in lo:
+                out.append(
+                    (lo["o_custkey"], hi["o_custkey"], lo["day"], hi["day"])
+                )
+        return out
+
+    zb, nb = boxes(zpath), boxes(npath)
+    assert len(zb) >= n_files // 2 and len(nb) >= n_files // 2
+
+    def touches(bs, c1, c2, d1, d2):
+        return sum(
+            1
+            for (a1, a2, b1, b2) in bs
+            if a1 <= c2 and c1 <= a2 and b1 <= d2 and d1 <= b2
+        )
+
+    st = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("day"), F.max("day")
+    ).collect()[0]
+    cw = max(1, (st[1] - st[0]) // 8)
+    dw = max(1, (st[3] - st[2]) // 8)
+    tz = tn = 0
+    for i in range(4):
+        for j in range(4):
+            c1 = st[0] + (st[1] - st[0]) * (2 * i + 1) // 9
+            d1 = st[2] + (st[3] - st[2]) * (2 * j + 1) // 9
+            tz += touches(zb, c1, c1 + cw, d1, d1 + dw)
+            tn += touches(nb, c1, c1 + cw, d1, d1 + dw)
+    # 16 probe boxes, each 1/8 x 1/8 of the domain: the 1-D layout
+    # touches every file whose custkey slab intersects (day never
+    # prunes); z-order must do strictly better in aggregate
+    assert tz < 0.7 * tn, (tz, tn)
