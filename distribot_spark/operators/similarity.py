@@ -605,3 +605,61 @@ def tf_cosine_pairs(
             .alias("cos"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    seed: int = 11,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then search
+    for near-duplicate pairs ONLY within each cluster — the pruning that
+    turns O(n²) all-pairs into Σ O(|cluster|²), with candidate loss only
+    at cluster boundaries (a pair split across clusters is missed; the
+    paper accepts this, and so do we — recall vs the exact baseline is
+    asserted in tests).
+
+    Returns (doc_id, cluster_id, cluster_size, is_canonical) for every
+    vector that belongs to a semantic-duplicate group (canonical = min
+    id via connected components, same contract as duplicate_clusters).
+
+    Scale shape: centroids train on a deterministic sample
+    (train_ivf_centroids); assignment is one Arrow matmul pass; the
+    within-cluster all-pairs runs as ONE applyInPandas batch per
+    cluster, so n_clusters must scale with the corpus (target ~1e4 rows
+    per cluster at 100 TB — then each batch is a ~60 MB matmul). For
+    clusters too large for one batch, compose blocked_cosine_pairs per
+    cluster instead."""
+    from distribot_spark.operators.components import duplicate_clusters
+
+    centroids = train_ivf_centroids(
+        df, n_clusters, sample_n=sample_n, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    c = df.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("cluster", F.element_at(assign1(F.col("v")), 1))
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"da": [], "db": []}).astype("int64")
+        ids = pdf["id"].to_numpy()
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ X.T
+        ia, ib = np.where(np.triu(S >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "da": np.minimum(ids[ia], ids[ib]),
+                "db": np.maximum(ids[ia], ids[ib]),
+            }
+        )
+
+    pairs = c.groupBy("cluster").applyInPandas(_pairs, "da long, db long")
+    return duplicate_clusters(pairs, "da", "db")

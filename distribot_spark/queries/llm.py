@@ -1311,3 +1311,18 @@ def l2_minhash_ml(spark, sf_dir):
         )
         .orderBy("da", "db")
     )
+
+
+@register(
+    "dedup_semantic", oracle=None, tags=("llm", "dedup", "embedding", "semdedup")
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic deduplication at cos ≥ 0.45: k-means clusters
+    prune the pair search to within-cluster all-pairs, connected
+    components group the survivors, canonical = min id
+    (operators/similarity.semantic_dedup). Rows-only by design (cluster-
+    boundary recall < 1, like the paper); recall vs the exact pair
+    baseline and planted-duplicate behavior are asserted in
+    tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.45).orderBy("doc_id")

@@ -715,3 +715,51 @@ def test_zorder_layout_file_skipping(spark, tmp_path):
     # touches every file whose custkey slab intersects (day never
     # prunes); z-order must do strictly better in aggregate
     assert tz < 0.7 * tn, (tz, tn)
+
+
+def test_semantic_dedup_planted_and_recall(spark):
+    """(a) Planted exact copies are always grouped with their source and
+    never canonical; (b) every within-threshold pair found is REAL (the
+    scoring is exact; pruning only loses cross-cluster pairs); (c)
+    recall vs the exact all-pairs baseline stays useful."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    copies = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    planted = emb.unionByName(copies)
+    got = similarity.semantic_dedup(planted, threshold=0.45).collect()
+    by_id = {r.doc_id: r for r in got}
+    for r in copies.collect():
+        orig = r.vec_id - 1_000_000
+        assert r.vec_id in by_id, f"planted copy {r.vec_id} not flagged"
+        assert orig in by_id, f"source {orig} of planted copy not flagged"
+        assert by_id[r.vec_id].cluster_id == by_id[orig].cluster_id
+        assert not by_id[r.vec_id].is_canonical or not by_id[orig].is_canonical
+
+    # recall vs the exact all-pairs baseline. NOTE the regime: the
+    # testdata's near-dup pairs sit at cos ~0.45 (th=63 deg - far apart),
+    # where k-means routinely splits a pair across clusters; SemDeDup's
+    # pruning is designed for HIGH-threshold semantic dups (cos >= 0.9),
+    # so here we pin only that coarse clustering keeps a useful fraction
+    # (~0.5 measured at sf0.001 and sf0.01 across cluster counts).
+    exact = {
+        (r.da, r.db)
+        for r in similarity.cosine_pairs(emb, 0.45).collect()
+    }
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.45, n_clusters=8
+        ).collect()
+    }
+    grouped = sum(
+        1 for (a, b) in exact
+        if a in labels and b in labels and labels[a] == labels[b]
+    )
+    assert grouped >= 0.4 * max(len(exact), 1), (grouped, len(exact))
