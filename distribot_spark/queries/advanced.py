@@ -458,3 +458,96 @@ def q_zorder_stats(spark, sf_dir):
         )
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (HLL rollup)
+
+
+def _cust_nation_region(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.select("o_custkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("o_custkey", "n_name", "r_name")
+    )
+
+
+@register("q_hll_rollup", oracle=None, tags=("agg", "sketch", "approx"))
+def q_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: per-nation HLL sketches of ordering
+    customers are UNIONED up to region and grand-total level — the
+    nation aggregates are computed ONCE and the coarser levels come
+    from sketch merges, never a re-scan. This is THE 100 TB pattern for
+    distinct-count cubes: persist the finest-grain sketches (bytes per
+    group), serve every coarser rollup by union, including across time
+    partitions. ≈ operator (DataSketches HLL, rows-only); tolerance vs
+    the exact twin `q_hll_rollup_exact` is asserted in
+    tests/test_operators.py."""
+    base = _cust_nation_region(spark, sf_dir)
+    nat = base.groupBy("r_name", "n_name").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    nat_rows = nat.select(
+        F.lit("nation").alias("level"),
+        F.col("n_name").alias("name"),
+        F.hll_sketch_estimate("sk").alias("n_est"),
+    )
+    reg = nat.groupBy("r_name").agg(F.hll_union_agg("sk").alias("sk"))
+    reg_rows = reg.select(
+        F.lit("region").alias("level"),
+        F.col("r_name").alias("name"),
+        F.hll_sketch_estimate("sk").alias("n_est"),
+    )
+    tot_rows = reg.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("total").alias("level"),
+        F.lit("ALL").alias("name"),
+        F.hll_sketch_estimate("sk").alias("n_est"),
+    )
+    return nat_rows.unionByName(reg_rows).unionByName(tot_rows).orderBy(
+        "level", "name"
+    )
+
+
+@register(
+    "q_hll_rollup_exact",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, n_name, r_name
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey)
+    SELECT 'nation' AS level, n_name AS name,
+           COUNT(DISTINCT o_custkey) AS n_exact
+    FROM base GROUP BY n_name
+    UNION ALL
+    SELECT 'region', r_name, COUNT(DISTINCT o_custkey) FROM base GROUP BY r_name
+    UNION ALL
+    SELECT 'total', 'ALL', COUNT(DISTINCT o_custkey) FROM base
+    ORDER BY level, name
+    """,
+    tags=("agg", "sketch"),
+)
+def q_hll_rollup_exact(spark, sf_dir):
+    """Exact twin of q_hll_rollup: the same three rollup levels via
+    COUNT(DISTINCT) — the oracle baseline the sketch tolerance test
+    compares against. (At 100 TB the exact form re-shuffles the full key
+    set per level; the sketch twin replaces that with byte-sized
+    merges.)"""
+    base = _cust_nation_region(spark, sf_dir)
+    nat = base.groupBy("n_name").agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    ).select(F.lit("nation").alias("level"), F.col("n_name").alias("name"), "n_exact")
+    reg = base.groupBy("r_name").agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    ).select(F.lit("region").alias("level"), F.col("r_name").alias("name"), "n_exact")
+    tot = base.agg(F.count_distinct("o_custkey").alias("n_exact")).select(
+        F.lit("total").alias("level"), F.lit("ALL").alias("name"), "n_exact"
+    )
+    return nat.unionByName(reg).unionByName(tot).orderBy("level", "name")

@@ -763,3 +763,23 @@ def test_semantic_dedup_planted_and_recall(spark):
         if a in labels and b in labels and labels[a] == labels[b]
     )
     assert grouped >= 0.4 * max(len(exact), 1), (grouped, len(exact))
+
+
+def test_hll_rollup_tolerance_and_merge_consistency(spark):
+    """Sketch estimates stay within 5% of exact at every rollup level,
+    and the merged total is consistent with the union semantics (>= the
+    max of its parts, <= their sum)."""
+    est = {
+        (r.level, r.name): r.n_est
+        for r in QUERIES["q_hll_rollup"].builder(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        (r.level, r.name): r.n_exact
+        for r in QUERIES["q_hll_rollup_exact"].builder(spark, SF_ORACLE).collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(0.05 * e, 2), (k, est[k], e)
+    region_ests = [v for (lvl, _), v in est.items() if lvl == "region"]
+    total = est[("total", "ALL")]
+    assert total >= max(region_ests) and total <= sum(region_ests)
