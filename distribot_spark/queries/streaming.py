@@ -458,3 +458,48 @@ def s12_stream_exact_dedup(spark, sf_dir):
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "s13_stream_topk",
+    oracle="""
+    WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, user_id, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cnt DESC, user_id) AS rnk
+          FROM c)
+    SELECT event_type, user_id, cnt, rnk FROM r WHERE rnk <= 3
+    ORDER BY event_type, rnk
+    """,
+    tags=("streaming", "topk"),
+)
+def s13_stream_topk(spark, sf_dir):
+    """Streaming 'trending' top-k: running per-(event_type, user) counts
+    as a standing update-mode aggregate; the top-3 users per event type
+    are read off the sink by taking each key's LATEST running count
+    (counts are monotone, so latest = max) and ranking batch-side. This
+    is the production shape for leaderboards: the stream maintains the
+    counts (state = one row per live key), the cheap top-k is a view
+    over the state snapshot, and the ranking never runs inside the
+    stream (a global sort per micro-batch would be the anti-pattern)."""
+    src = replay.replay_dir(sf_dir)
+
+    def t(stream):
+        return stream.groupBy("event_type", "user_id").agg(
+            F.count("*").alias("cnt")
+        )
+
+    updates = replay.run_bounded(spark, t, src, "update")
+    from pyspark.sql import Window
+
+    latest = updates.groupBy("event_type", "user_id").agg(
+        F.max("cnt").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
+    return (
+        latest.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "cnt", "rnk")
+        .orderBy("event_type", "rnk")
+    )
