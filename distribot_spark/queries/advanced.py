@@ -551,3 +551,54 @@ def q_hll_rollup_exact(spark, sf_dir):
         F.lit("total").alias("level"), F.lit("ALL").alias("name"), "n_exact"
     )
     return nat.unionByName(reg).unionByName(tot).orderBy("level", "name")
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE rolling window
+
+
+@register(
+    "q_rolling_range",
+    oracle="""
+    WITH d AS (SELECT o_custkey, o_orderkey,
+                      CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+                      o_totalprice
+               FROM orders)
+    SELECT o_custkey, o_orderkey, day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2)::DOUBLE
+             AS spend_7d
+    FROM d
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "range-frame"),
+)
+def q_rolling_range(spark, sf_dir):
+    """Time-based RANGE frame: per customer, the trailing-7-day order
+    count and spend at every order — a VALUE-range frame (peers = rows
+    within 6 days), not a row-count frame like q21's. Same-day orders
+    share one frame, so the result is layout-independent. One shuffle on
+    o_custkey; money through exact decimal. The gap-handling is what
+    distinguishes RANGE from ROWS: a customer with orders on days 1 and
+    30 gets singleton frames, where ROWS -6 would wrongly reach back."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.count("*").over(w).alias("n_7d"),
+        F.round(F.sum("price").over(w), 2).cast("double").alias("spend_7d"),
+    ).orderBy("o_custkey", "o_orderkey")

@@ -503,3 +503,50 @@ def s13_stream_topk(spark, sf_dir):
         .select("event_type", "user_id", "cnt", "rnk")
         .orderBy("event_type", "rnk")
     )
+
+
+@register(
+    "s14_stream_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2, 2 FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'f'),
+    cur AS (SELECT o_orderkey, arg_max(o_totalprice, version) AS price,
+                   MAX(version) AS v
+            FROM log GROUP BY o_orderkey)
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           ROUND(SUM(CAST(price AS DECIMAL(14,2))), 2)::DOUBLE AS total_current
+    FROM cur
+    """,
+    tags=("streaming", "cdc"),
+)
+def s14_stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC apply: an append-only update log (insert = v1,
+    update = v2, updates strictly later in the stream) is folded into a
+    current-state snapshot by a standing update-mode aggregate —
+    max_by(price, version) per key is exactly the MERGE-latest the
+    batch compaction (q_compact_latest) does offline. State = one row
+    per live key; the sink's last emission per key IS the current row.
+    The oracle folds the same log with arg_max in one batch pass."""
+    src = replay.orders_cdc_replay_dir(sf_dir)
+
+    def t(stream):
+        return stream.groupBy("o_orderkey").agg(
+            F.max("version").alias("v"),
+            F.max_by("o_totalprice", "version").alias("price"),
+        )
+
+    updates = replay.run_bounded(spark, t, src, "update")
+    latest = updates.groupBy("o_orderkey").agg(
+        F.max_by("price", "v").alias("price"), F.max("v").alias("v")
+    )
+    return latest.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("v") == 2, 1).otherwise(0)).alias("n_updated"),
+        F.round(F.sum(F.col("price").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("total_current"),
+    )

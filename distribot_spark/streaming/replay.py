@@ -260,3 +260,46 @@ def table_replay_dir(
     for i, chunk in enumerate(chunks):
         pq.write_table(chunk, os.path.join(out, f"chunk_{i:04d}.parquet"))
     return out
+
+
+def orders_cdc_replay_dir(sf_dir: str, n_chunks: int = 8) -> str:
+    """Chunked replay of a deterministic CDC append-log over `orders`:
+    every row arrives once as version 1 (key order), then keys whose
+    md5(o_orderkey) hex prefix is 'f' (~1/16) get a version-2 update
+    with doubled o_totalprice — updates land in later chunks than their
+    originals by construction (log sorted by version, then key).
+    Content-keyed and cached like the other replay dirs."""
+    import hashlib
+
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}-orders-cdc-c{n_chunks}"
+    out = os.path.join(TMP_ROOT, "replay", tag)
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")]))
+    keys = t["o_orderkey"].to_pylist()
+    prices = t["o_totalprice"].to_pylist()
+    log_keys, log_prices, log_vers = list(keys), list(prices), [1] * len(keys)
+    for k, p in zip(keys, prices):
+        if hashlib.md5(str(k).encode()).hexdigest()[0] == "f":
+            log_keys.append(k)
+            log_prices.append(p * 2.0)
+            log_vers.append(2)
+    log = pa.table(
+        {
+            "o_orderkey": pa.array(log_keys, pa.int64()),
+            "o_totalprice": pa.array(log_prices, pa.float64()),
+            "version": pa.array(log_vers, pa.int32()),
+        }
+    )
+    n = log.num_rows
+    chunks = [
+        log.slice(i * n // n_chunks, (i + 1) * n // n_chunks - i * n // n_chunks)
+        for i in range(n_chunks)
+    ]
+    for i, chunk in enumerate(chunks):
+        pq.write_table(chunk, os.path.join(out, f"chunk_{i:04d}.parquet"))
+    return out
