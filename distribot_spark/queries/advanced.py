@@ -602,3 +602,64 @@ def q_rolling_range(spark, sf_dir):
         F.count("*").over(w).alias("n_7d"),
         F.round(F.sum("price").over(w), 2).cast("double").alias("spend_7d"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance
+
+
+@register(
+    "q_incremental_refresh",
+    oracle="""
+    WITH agg AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             COUNT(value) AS v_cnt, SUM(value) AS raw
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, v_cnt,
+           ROUND(raw * 100) / 100 + 0.0 AS v_sum,
+           ROUND((raw / v_cnt) * 10000) / 10000 + 0.0 AS v_mean
+    FROM agg ORDER BY day, event_type
+    """,
+    tags=("analytics", "incremental"),
+)
+def q_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: the events table
+    arrives as 8 chunks (same replay layout the streaming suite uses);
+    each chunk is folded into a persisted PARTIAL-agg parquet table
+    (count+sum per (day, event_type) — operators/incremental.py), with a
+    write+reread between folds to prove restartability. The finalized
+    view (mean computed only at read time) must equal the one-shot batch
+    aggregate over all events — the oracle. Refresh cost per batch is
+    O(batch + touched groups); history is never re-scanned."""
+    import glob as _glob
+    import os as _os
+    import uuid as _uuid
+
+    from distribot_spark.operators.incremental import finalize, fold_increment
+    from distribot_spark.streaming import replay as _replay
+
+    src = _replay.replay_dir(sf_dir)
+    chunks = sorted(_glob.glob(_os.path.join(src, "chunk_*.parquet")))
+    state_dir = _os.path.join(
+        _replay.TMP_ROOT, "incremental", _uuid.uuid4().hex[:12]
+    )
+    keys, measures = ["day", "event_type"], {"value": "v"}
+    stored = None
+    for i, chunk in enumerate(chunks):
+        batch = spark.read.parquet(chunk).select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "value",
+        )
+        refreshed = fold_increment(stored, batch, keys, measures)
+        path = _os.path.join(state_dir, f"v{i:03d}")
+        refreshed.write.mode("overwrite").parquet(path)
+        stored = spark.read.parquet(path)
+    out = finalize(stored, keys, measures)
+    return out.select(
+        "day",
+        "event_type",
+        "v_cnt",
+        (stable_round(F.col("v_sum")) + 0.0).alias("v_sum"),
+        (stable_round(F.col("v_mean"), 4) + 0.0).alias("v_mean"),
+    ).orderBy("day", "event_type")

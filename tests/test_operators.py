@@ -783,3 +783,33 @@ def test_hll_rollup_tolerance_and_merge_consistency(spark):
     region_ests = [v for (lvl, _), v in est.items() if lvl == "region"]
     total = est[("total", "ALL")]
     assert total >= max(region_ests) and total <= sum(region_ests)
+
+
+def test_incremental_partials_merge_across_pipelines(spark):
+    """Partial tables built independently over disjoint halves must fold
+    together into exactly the whole-corpus partials (associativity) —
+    the property that lets two ingest pipelines share one aggregate."""
+    from distribot_spark.operators.incremental import finalize, fold_increment
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    keys, measures = ["day", "event_type"], {"value": "v"}
+    half_a = ev.filter(F.col("value") >= 0)
+    half_b = ev.filter(F.col("value") < 0)
+    pa_ = fold_increment(None, half_a, keys, measures)
+    pb_ = fold_increment(None, half_b, keys, measures)
+    merged = pa_.unionByName(pb_).groupBy(*keys).agg(
+        F.sum("v_cnt").alias("v_cnt"), F.sum("v_sum").alias("v_sum")
+    )
+    whole = fold_increment(None, ev, keys, measures)
+
+    def norm(df):
+        return {
+            (r.day, r.event_type): (r.v_cnt, round(r.v_sum, 6))
+            for r in finalize(df, keys, measures).collect()
+        }
+
+    assert norm(merged) == norm(whole)
