@@ -61,3 +61,50 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    executors: int = 1000,
+    executor_cores: int = 8,
+    target_partition_mb: int = 192,
+    input_tb: float = 100.0,
+) -> dict[str, str]:
+    """Recommended spark-submit conf for the target deployment (N
+    executors against ~`input_tb` TB of parquet). Not applied by
+    get_spark — pass as `extra_conf` or `--conf` lines; local runs keep
+    the small defaults.
+
+    Rationale per key:
+    - shuffle.partitions ≈ input / target_partition_mb, floored at 2
+      tasks per core so every core has work even post-AQE-coalesce; AQE
+      then owns the runtime splits/merges, so this is a ceiling not a
+      tuning knob.
+    - advisoryPartitionSizeInBytes matches the target so AQE coalesces
+      toward uniform ~target-size partitions.
+    - autoBroadcastJoinThreshold raised to 256m: on 100 TB facts, every
+      dim that fits an executor comfortably SHOULD broadcast (region/
+      nation/part-scale dims), and explicit broadcast() hints in the
+      operators stay authoritative for the rest.
+    - shuffle.service + decommission: executor loss is routine at this
+      scale; shuffle data must outlive executors.
+    - maxResultSize guards the no-driver-collect discipline (operators
+      here never collect data rows; anything hitting this limit is a
+      bug, and 2g fails fast instead of OOMing the driver).
+    """
+    shuffle_parts = max(
+        int(input_tb * 1024 * 1024 / target_partition_mb),
+        2 * executors * executor_cores,
+    )
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
+            f"{target_partition_mb}m"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": "256m",
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.shuffle.service.enabled": "true",
+        "spark.decommission.enabled": "true",
+        "spark.storage.decommission.shuffleBlocks.enabled": "true",
+        "spark.driver.maxResultSize": "2g",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }

@@ -813,3 +813,18 @@ def test_incremental_partials_merge_across_pipelines(spark):
         }
 
     assert norm(merged) == norm(whole)
+
+
+def test_cluster_conf_sizing():
+    """cluster_conf math: partitions track input size over target
+    partition size, floored at 2 tasks/core; all values are strings
+    (spark-submit-safe)."""
+    from distribot_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, executor_cores=8, target_partition_mb=192)
+    assert int(c["spark.sql.shuffle.partitions"]) == max(
+        int(100.0 * 1024 * 1024 / 192), 16000
+    )
+    small = cluster_conf(executors=1000, executor_cores=8, input_tb=0.001)
+    assert int(small["spark.sql.shuffle.partitions"]) == 16000
+    assert all(isinstance(v, str) for v in c.values())
