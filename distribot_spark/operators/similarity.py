@@ -663,3 +663,179 @@ def semantic_dedup(
 
     pairs = c.groupBy("cluster").applyInPandas(_pairs, "da long, db long")
     return duplicate_clusters(pairs, "da", "db")
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 16,
+    k_codes: int = 16,
+    sample_n: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    (L2-normalized) vector into `m` contiguous subspaces and k-means
+    each on the same deterministic hash-ordered sample the IVF trainer
+    uses. Fixed init (first k_codes sample rows per subspace) keeps the
+    codebook matrix bit-reproducible. Returns (m, k_codes, dim/m)
+    float64."""
+    sample = (
+        df.select(
+            _to_double(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.stack(sample["v"].to_numpy()).astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, k_codes, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[:k_codes].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_codes):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-vectorized PQ encoder: nearest codebook entry per subspace
+    of the normalized vector → array<int> of length m (the 100 TB point:
+    m bytes of code replace dim*4 bytes of float — a 32x memory cut at
+    dim=64/m=8, which is what lets a corpus-scale ANN index stay in
+    executor memory)."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = books
+    m, _, dsub = B.shape
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series([row for row in codes])
+
+    return enc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    k_codes: int = 16,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    seed: int = 11,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: corpus compressed to m-byte codes, each
+    query scored against codes via an asymmetric-distance lookup table
+    (one dot product per (subspace, code) — m*k_codes mults per query,
+    then a pure table-gather per corpus row), per-partition top-`rerank`
+    candidates, exact cosine re-rank of the survivors. Same output
+    contract as cosine_topk: (qid, nid, rnk, cos), cos exact.
+
+    Scale shape: the scan side touches only the code column (m ints),
+    queries are collected driver-side (the small side by contract, same
+    as cosine_topk's broadcast) and shipped in the UDF closure; compute
+    per corpus row is O(m) gathers instead of O(dim) mults. Approximation
+    error comes only from candidate selection — the final scores are
+    exact; recall is asserted in tests."""
+    books = train_pq_codebooks(
+        corpus, m=m, k_codes=k_codes, sample_n=sample_n,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    enc = _pq_encode_udf(books)
+    coded = corpus.select(
+        F.col(id_col).alias("nid"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("code", enc(F.col("v")))
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv")
+        )
+        .orderBy("qid")
+        .collect()
+    )
+    qids = np.array([r.qid for r in qrows])
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    dsub = Q.shape[1] // m
+    # LUT[qi, s, c] = <q_sub, codebook[s, c]> ; approx dot = sum_s LUT[...]
+    lut = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), m, dsub), books)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["code"].to_numpy())  # (n, m)
+            out = []
+            for qi in range(len(qids)):
+                approx = lut[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                top = np.argsort(-approx, kind="stable")[:rerank]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids[qi],
+                            "nid": pdf["nid"].to_numpy()[top],
+                            "approx": approx[top],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cands = coded.select("nid", "code").mapInPandas(
+        score, "qid long, nid long, approx double"
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("approx").desc(), F.col("nid"))
+    pruned = cands.withColumn("arnk", F.row_number().over(wq)).filter(
+        F.col("arnk") <= rerank
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv")
+    ).select("qid", "qv", _norm(F.col("qv")).alias("qn"))
+    cvec = coded.select("nid", "v", _norm(F.col("v")).alias("vn"))
+    exact = (
+        pruned.join(F.broadcast(qdf), "qid")
+        .join(cvec, "nid")
+        .select(
+            "qid",
+            "nid",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            "nid",
+            "rnk",
+            (F.round(F.col("cos") * 10000, 0) / 10000).alias("cos"),
+        )
+    )

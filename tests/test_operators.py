@@ -828,3 +828,22 @@ def test_cluster_conf_sizing():
     small = cluster_conf(executors=1000, executor_cores=8, input_tb=0.001)
     assert int(small["spark.sql.shuffle.partitions"]) == 16000
     assert all(isinstance(v, str) for v in c.values())
+
+
+def test_pq_topk_recall_and_exact_scores(spark):
+    """PQ-pruned top-5 must (a) score every returned pair EXACTLY (equal
+    to the brute-force cosine for that pair), and (b) keep recall@5 vs
+    the exact baseline high at rerank=64."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk(corpus, queries, k=5).collect()
+    got = similarity.pq_topk(corpus, queries, k=5, rerank=64).collect()
+    exact_pairs = {(r.qid, r.nid): r.cos for r in exact}
+    got_pairs = {(r.qid, r.nid): r.cos for r in got}
+    hits = sum(1 for p in exact_pairs if p in got_pairs)
+    recall = hits / len(exact_pairs)
+    assert recall >= 0.9, recall
+    for p, cos in got_pairs.items():
+        if p in exact_pairs:
+            assert abs(cos - exact_pairs[p]) < 1e-9, p
