@@ -69,6 +69,26 @@ HEADLINE = [
     # (quality -> dedup -> chunk -> pack) — one plan each, scale-shaped
     "q_funnel",
     "l_pipeline_to_bins",
+    # round 4 additions (documented in BASELINE.md): classic TPC-H
+    # Q17/Q21 shapes, interval-overlap join, snapshot diff, z-order
+    # audit, time-RANGE rolling frame, HLL sketch rollup, heavy hitters,
+    # weighted sampling, SemDeDup, PQ ANN, and 5-round PageRank (the
+    # one deliberately iterative entry — 10 tiny jobs, scheduling-bound
+    # at sf0.1 like dedup_clusters). q_incremental_refresh stays OUT of
+    # the headline: its runtime is 8 parquet write+reread restartability
+    # round-trips, not operator throughput.
+    "q_tpch17_small_qty",
+    "q_tpch21_last_to_ship",
+    "q_heavy_hitters",
+    "q_weighted_sample",
+    "q_interval_overlap",
+    "q_table_diff",
+    "q_zorder_stats",
+    "q_rolling_range",
+    "q_hll_rollup",
+    "dedup_semantic",
+    "l3_pq_topk",
+    "graph_pagerank",
 ]
 
 
