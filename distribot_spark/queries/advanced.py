@@ -663,3 +663,160 @@ def q_incremental_refresh(spark, sf_dir):
         (stable_round(F.col("v_sum")) + 0.0).alias("v_sum"),
         (stable_round(F.col("v_mean"), 4) + 0.0).alias("v_mean"),
     ).orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build from a CDC log
+
+
+@register(
+    "q_scd2_build",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, o_totalprice AS price,
+             CAST(o_orderdate AS DATE) AS valid_from
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2,
+             CAST(o_orderdate AS DATE) + 30
+      FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'f')
+    SELECT o_orderkey, price,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(LEAD(valid_from) OVER w, '%Y-%m-%d'),
+                    '9999-12-31') AS valid_to,
+           (LEAD(valid_from) OVER w IS NULL) AS is_current
+    FROM log WINDOW w AS (PARTITION BY o_orderkey ORDER BY valid_from)
+    ORDER BY o_orderkey, valid_from
+    """,
+    tags=("temporal", "scd2", "cdc"),
+)
+def q_scd2_build(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension) build: fold the same
+    deterministic v1/v2 order update log as s14 into validity-interval
+    rows — valid_from = change date, valid_to = next change via LEAD,
+    open intervals marked current. One shuffle on the business key; the
+    output joins facts by point-in-interval (q_range_join's operator).
+    This is the batch snapshot builder behind temporal `AS OF` joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    pre = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    v1 = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.to_date("o_orderdate").alias("valid_from"),
+    )
+    v2 = orders.filter(pre == "f").select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("price"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("valid_from"),
+    )
+    log = v1.unionByName(v2)
+    w = Window.partitionBy("o_orderkey").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    return log.select(
+        "o_orderkey",
+        "price",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("o_orderkey", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile clipping)
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderstatus,
+           CAST(SUM(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           ROUND(SUM(GREATEST(p05, LEAST(p95, o_totalprice))) * 100) / 100
+             AS winsorized_sum
+    FROM orders o JOIN p ON o.o_orderstatus = p.o_orderstatus
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    tags=("analytics", "cleaning"),
+)
+def q_winsorize(spark, sf_dir):
+    """Winsorization (outlier clipping to [p05, p95] per group) — the
+    data-cleaning primitive before ML feature aggregation. Exact
+    interpolated percentiles (bit-identical across engines, see
+    q_percentiles) computed per group then broadcast back onto the
+    scan; clipping is a pure projection. Two passes over the fact at
+    scale, both map-side-combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.05).alias("p05"),
+        F.percentile("o_totalprice", 0.95).alias("p95"),
+    )
+    clipped = orders.join(F.broadcast(p), "o_orderstatus").select(
+        "o_orderstatus",
+        (F.col("o_totalprice") < F.col("p05")).cast("int").alias("lo"),
+        (F.col("o_totalprice") > F.col("p95")).cast("int").alias("hi"),
+        F.greatest("p05", F.least("p95", F.col("o_totalprice"))).alias("wv"),
+    )
+    return (
+        clipped.groupBy("o_orderstatus")
+        .agg(
+            F.sum("lo").alias("n_clipped_low"),
+            F.sum("hi").alias("n_clipped_high"),
+            stable_round(F.sum("wv")).alias("winsorized_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function)
+
+
+@register(
+    "q_udtf_sentences",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, '. '), 1) AS idx,
+           CAST(length(unnest(string_split(text, '. '))) AS INT) AS n_chars
+    FROM documents ORDER BY doc_id, idx
+    """,
+    tags=("llm", "udtf"),
+)
+def q_udtf_sentences(spark, sf_dir):
+    """Python UDTF (Spark 4 table function): one row per '. '-separated
+    sentence piece with its 1-based index and character count — the
+    remaining Python-API quadrant after scalar pandas UDFs (q39),
+    grouped/cogrouped maps (q40*), and mapInPandas (multimodal). UDTFs
+    run row-at-a-time in Python, so the SCALE NOTE is the same as q40's:
+    use them for genuinely per-row-expanding logic with complex Python
+    state; this declarative piece-split would be `posexplode(split())`
+    (codegen) in production — which is exactly what the oracle does."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, n_chars int")
+    class SentencePieces:
+        def eval(self, text):
+            if text is None:
+                return
+            for i, piece in enumerate(text.split(". ")):
+                yield i + 1, len(piece)
+
+    spark.udtf.register("sentence_pieces", SentencePieces)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT doc_id, p.idx, p.n_chars
+        FROM udtf_docs_v, LATERAL sentence_pieces(text) p
+        ORDER BY doc_id, idx
+        """
+    )
