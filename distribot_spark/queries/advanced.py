@@ -820,3 +820,106 @@ def q_udtf_sentences(spark, sf_dir):
         ORDER BY doc_id, idx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join (banded levenshtein)
+
+
+@register(
+    "q_fuzzy_join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+    tags=("join", "fuzzy"),
+)
+def q_fuzzy_join(spark, sf_dir):
+    """Fuzzy string self-join (edit distance ≤ 3) over the distinct
+    product-name vocabulary — the brand/entity-dedup primitive. The
+    oracle is the plain theta join; the Spark plan blocks by length band
+    first (each left name replicated to its ±1 length-bucket, the right
+    side to its single bucket, so a candidate pair meets exactly once)
+    and only candidates pay the O(len²) levenshtein — an equi-join at
+    any vocabulary size, with the band guarantee |len(a)-len(b)| ≤ 3 <
+    bucket width 4 making the blocking lossless."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    blk = (F.length("p_name") / 4).cast("int")
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(F.array(blk - 1, blk, blk + 1)).alias("blk"),
+    )
+    b = names.select(F.col("p_name").alias("name_b"), blk.alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= 3)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts,
+                                      event_id) AS t_next
+      FROM events),
+    agg AS (
+      SELECT user_id,
+             SUM(value * (t_next - t)) AS num,
+             SUM(t_next - t) AS den,
+             COUNT(*) AS n_intervals
+      FROM s WHERE t_next IS NOT NULL GROUP BY user_id)
+    SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals,
+           ROUND((num / den) * 10000) / 10000 + 0.0 AS twa
+    FROM agg WHERE den > 0 ORDER BY user_id
+    """,
+    tags=("temporal", "twa"),
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of `value` per user over irregular samples:
+    each sample holds until the next one, so its weight is the gap to
+    the successor (last sample carries no duration) — the correct mean
+    for sensor/metric streams where plain AVG over-weights bursts. One
+    window pass for LEAD, one aggregate; integer-µs weights, 4-dp
+    stable rounding (+0.0 both engines: value can be negative)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    agg = s.groupBy("user_id").agg(
+        F.sum(F.col("value") * (F.col("t_next") - F.col("t"))).alias("num"),
+        F.sum(F.col("t_next") - F.col("t")).alias("den"),
+        F.count("*").alias("n_intervals"),
+    )
+    return (
+        agg.filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            (stable_round(F.col("num") / F.col("den"), 4) + 0.0).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
