@@ -24,34 +24,42 @@ from distribot_spark.queries.registry import register
 @register(
     "q_heavy_hitters",
     oracle="""
-    WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+    WITH c AS (SELECT CAST(FLOOR(SQRT(l_partkey)) AS BIGINT) AS part_bucket,
+                      COUNT(*) AS cnt
+               FROM lineitem GROUP BY 1),
          t AS (SELECT COUNT(*) AS total FROM lineitem)
-    SELECT l_partkey, cnt,
+    SELECT part_bucket, cnt,
            ROUND((cnt / total) * 1000000) / 1000000 AS freq
     FROM c, t WHERE cnt > total * 0.004
-    ORDER BY cnt DESC, l_partkey
+    ORDER BY cnt DESC, part_bucket
     """,
     tags=("agg", "heavy-hitters"),
 )
 def q_heavy_hitters(spark, sf_dir):
-    """EXACT heavy hitters: part keys on > 0.4% of lineitems. Two-phase
-    hash agg (map-side combine) + a broadcast 1-row total — the oracle
-    baseline for the `q_freq_items` sketch twin. At 100 TB the exact
-    count-by-key is still the right plan when the key domain fits a
-    shuffle (it's bounded by |part|); the sketch twin is for unbounded
-    domains (URLs, n-grams)."""
+    """EXACT heavy hitters: keys on > 0.4% of lineitems. Two-phase hash
+    agg (map-side combine) + a broadcast 1-row total — the oracle
+    baseline for the `q_freq_items` sketch twin. The testdata's raw keys
+    are uniform, so no absolute heavy hitter survives scale-up (at
+    sf0.01 every l_partkey is < 0.1%); the demo keys on the skewed
+    derived key floor(sqrt(l_partkey)) — bucket b covers ~2b+1 raw keys,
+    so high buckets are genuinely heavy at EVERY sf (exact in IEEE:
+    sqrt is correctly rounded and perfect squares stay exact, so both
+    engines bucket identically). At 100 TB the exact count-by-key is
+    still the right plan when the key domain fits a shuffle; the sketch
+    twin is for unbounded domains (URLs, n-grams)."""
     li = load_table(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    bucket = F.floor(F.sqrt("l_partkey")).alias("part_bucket")
+    counts = li.groupBy(bucket).agg(F.count("*").alias("cnt"))
     total = li.agg(F.count("*").alias("total"))
     return (
         counts.join(F.broadcast(total))
         .filter(F.col("cnt") > F.col("total") * 0.004)
         .select(
-            "l_partkey",
+            "part_bucket",
             "cnt",
             stable_round(F.col("cnt") / F.col("total"), 6).alias("freq"),
         )
-        .orderBy(F.desc("cnt"), "l_partkey")
+        .orderBy(F.desc("cnt"), "part_bucket")
     )
 
 
@@ -63,11 +71,13 @@ def q_freq_items(spark, sf_dir):
     exact count shuffle). Guarantee: every key with frequency > support
     IS in the candidate set (false positives possible, never false
     negatives) — asserted against `q_heavy_hitters` in
-    tests/test_operators.py. ≈ operator, rows-only."""
+    tests/test_operators.py. Same derived skew key as the exact twin.
+    ≈ operator, rows-only."""
     li = load_table(spark, sf_dir, "lineitem")
-    fi = li.select("l_partkey").stat.freqItems(["l_partkey"], support=0.004)
+    keyed = li.select(F.floor(F.sqrt("l_partkey")).alias("part_bucket"))
+    fi = keyed.stat.freqItems(["part_bucket"], support=0.004)
     return fi.select(
-        F.explode("l_partkey_freqItems").alias("candidate")
+        F.explode("part_bucket_freqItems").alias("candidate")
     ).orderBy("candidate")
 
 
@@ -613,11 +623,12 @@ def q_rolling_range(spark, sf_dir):
     oracle="""
     WITH agg AS (
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-             COUNT(value) AS v_cnt, SUM(value) AS raw
+             COUNT(value) AS v_cnt,
+             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS micro
       FROM events GROUP BY 1, 2)
     SELECT day, event_type, v_cnt,
-           ROUND(raw * 100) / 100 + 0.0 AS v_sum,
-           ROUND((raw / v_cnt) * 10000) / 10000 + 0.0 AS v_mean
+           ROUND((micro / 1000000.0) * 100) / 100 + 0.0 AS v_sum,
+           ROUND((micro / 1000000.0 / v_cnt) * 10000) / 10000 + 0.0 AS v_mean
     FROM agg ORDER BY day, event_type
     """,
     tags=("analytics", "incremental"),
@@ -630,7 +641,14 @@ def q_incremental_refresh(spark, sf_dir):
     write+reread between folds to prove restartability. The finalized
     view (mean computed only at read time) must equal the one-shot batch
     aggregate over all events — the oracle. Refresh cost per batch is
-    O(batch + touched groups); history is never re-scanned."""
+    O(batch + touched groups); history is never re-scanned.
+
+    Determinism: the measure is quantized to integer micro-units BEFORE
+    the fold, so partial sums are exact integers and the fold is exactly
+    associative — chunking/merge order can never move a rounded result
+    across a half boundary (a raw-double partial table drifts by fold
+    order; at sf0.001 that flipped one 4-dp mean). Exact partials are
+    the production design, not just an oracle trick."""
     import glob as _glob
     import os as _os
     import uuid as _uuid
@@ -649,19 +667,23 @@ def q_incremental_refresh(spark, sf_dir):
         batch = spark.read.parquet(chunk).select(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
             "event_type",
-            "value",
+            # integer micro-units: ROUND(v*1e6) spelled identically in the
+            # oracle; every partial sum from here on is exact
+            F.round(F.col("value") * 1000000.0, 0).cast("long").alias("value"),
         )
         refreshed = fold_increment(stored, batch, keys, measures)
         path = _os.path.join(state_dir, f"v{i:03d}")
         refreshed.write.mode("overwrite").parquet(path)
         stored = spark.read.parquet(path)
     out = finalize(stored, keys, measures)
+    # same fp-op order as the oracle: micro/1e6 first, then /cnt
+    units = F.col("v_sum") / F.lit(1000000.0)
     return out.select(
         "day",
         "event_type",
         "v_cnt",
-        (stable_round(F.col("v_sum")) + 0.0).alias("v_sum"),
-        (stable_round(F.col("v_mean"), 4) + 0.0).alias("v_mean"),
+        (stable_round(units) + 0.0).alias("v_sum"),
+        (stable_round(units / F.col("v_cnt"), 4) + 0.0).alias("v_mean"),
     ).orderBy("day", "event_type")
 
 

@@ -277,3 +277,42 @@ def q_profile_orders(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_table(orders)
+
+
+@register(
+    "q_regr_ols",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity) * 1000) / 1000 + 0.0
+             AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity) * 1000) / 1000
+             + 0.0 AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity) * 100000) / 100000 + 0.0
+             AS r2
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats", "regression"),
+)
+def q_regr_ols(spark, sf_dir):
+    """Per-group ordinary-least-squares fit (price ~ quantity): slope,
+    intercept, and R² via the SQL-standard REGR_* aggregates — the
+    closed-form single-pass linear model every profiler/drift-monitor
+    needs. One partial-agg'd groupBy over the scan (each REGR_* reduces
+    to the same sum/count/co-moment partials, so the map side combines
+    everything in one pass); no iteration, no driver math. 3-dp /
+    5-dp stable rounding absorbs the co-moment summation-order
+    difference between engines; `+ 0.0` because slope/intercept can be
+    negative (see functions/determinism.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).alias("n"),
+            (stable_round(F.regr_slope(y, x), 3) + 0.0).alias("slope"),
+            (stable_round(F.regr_intercept(y, x), 3) + 0.0).alias("intercept"),
+            (stable_round(F.regr_r2(y, x), 5) + 0.0).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -563,7 +563,7 @@ def test_freq_items_contains_all_true_heavy_hitters(spark):
     exceeds the support threshold appears in the candidate set (false
     positives allowed, false negatives never)."""
     exact = {
-        r.l_partkey
+        r.part_bucket
         for r in QUERIES["q_heavy_hitters"].builder(spark, SF_ORACLE).collect()
     }
     candidates = {
