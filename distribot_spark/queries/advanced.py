@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from distribot_spark.catalog import load_table
-from distribot_spark.functions import stable_round
+from distribot_spark.functions import money, money_sum, stable_round
 from distribot_spark.operators.sampling import weighted_sample_per_group
 from distribot_spark.queries.registry import register
 
@@ -944,4 +944,62 @@ def q_time_weighted_avg(spark, sf_dir):
             (stable_round(F.col("num") / F.col("den"), 4) + 0.0).alias("twa"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join reduction (the bloom-runtime-filter shape, made explicit)
+
+
+@register(
+    "q_semijoin_reduction",
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "scale", "semijoin"),
+)
+def q_semijoin_reduction(spark, sf_dir):
+    """Fact-to-fact join with an explicit semi-join reduction: the
+    selective side's JOIN KEYS are broadcast as a LEFT SEMI prefilter on
+    the big probe side BEFORE the shuffle join, so the probe side's
+    shuffle carries only rows that can match. This is the hand-rolled
+    form of Spark's own runtime bloom/semi filters (InjectRuntimeFilter)
+    and the classic distributed-DB semi-join reduction: at 100 TB the
+    filtered dimension may exceed the broadcast threshold as a ROW SET
+    while its key set still fits comfortably, so the main join stays
+    sort-merge (hinted here to model that regime) but ships a fraction
+    of the data. Logically a no-op — the oracle is the plain join.
+    Plan-gated: tests/test_plans.py asserts the broadcast LeftSemi feeds
+    the SortMergeJoin probe side."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    keys = orders_f.select(F.col("o_orderkey").alias("l_orderkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    li_reduced = li.join(F.broadcast(keys), "l_orderkey", "left_semi")
+    joined = li_reduced.hint("merge").join(
+        orders_f.hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    revenue = money(F.col("l_extendedprice")) * (1 - money(F.col("l_discount")))
+    return (
+        joined.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(revenue, "revenue"),
+        )
+        .orderBy("order_day")
     )

@@ -277,3 +277,16 @@ def test_tpch21_window_decorrelation_shape(spark):
     # join must broadcast (no extra exchange for it)
     assert n_exchanges <= 3, f"{n_exchanges} exchanges"
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semijoin_reduction_plan(spark):
+    """The probe side must be pre-filtered by a broadcast LEFT SEMI join
+    BEFORE the sort-merge join — the shuffle then carries only rows that
+    can match (the explicit runtime-filter shape)."""
+    import re
+
+    plan = explain_string(q(spark, "q_semijoin_reduction"))
+    assert "SortMergeJoin" in plan, "main join must model the no-broadcast regime"
+    assert re.search(
+        r"BroadcastHashJoin[^\n]*LeftSemi", plan
+    ), "broadcast LeftSemi prefilter missing"
