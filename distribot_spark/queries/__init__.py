@@ -18,5 +18,6 @@ from distribot_spark.queries import analytics_extra  # noqa: E402,F401  isort: s
 from distribot_spark.queries import sources  # noqa: E402,F401  isort: skip
 from distribot_spark.queries import temporal  # noqa: E402,F401  isort: skip
 from distribot_spark.queries import advanced  # noqa: E402,F401  isort: skip
+from distribot_spark.queries import quality  # noqa: E402,F401  isort: skip
 
 __all__ = ["QUERIES", "queries", "oracle_sql", "register"]

@@ -847,3 +847,20 @@ def test_pq_topk_recall_and_exact_scores(spark):
     for p, cos in got_pairs.items():
         if p in exact_pairs:
             assert abs(cos - exact_pairs[p]) < 1e-9, p
+
+
+def test_constraints_verdicts_and_fail_branch(spark):
+    """The clean testdata passes every constraint except the
+    deliberately-failing uniqueness_o_custkey (customers repeat across
+    orders); metrics are exact fractions in [0, 1] (row count aside)."""
+    rows = QUERIES["q_constraints"].builder(spark, SF_ORACLE).collect()
+    verdicts = {r["constraint"]: (r.metric, r.passed) for r in rows}
+    assert len(verdicts) == 7
+    assert not verdicts["uniqueness_o_custkey"][1]
+    assert verdicts["uniqueness_o_custkey"][0] < 1.0
+    for name, (metric, passed) in verdicts.items():
+        if name == "uniqueness_o_custkey":
+            continue
+        assert passed, f"{name} unexpectedly failed"
+        if name != "row_count_positive":
+            assert metric == 1.0, name
