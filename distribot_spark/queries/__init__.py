@@ -19,5 +19,6 @@ from distribot_spark.queries import sources  # noqa: E402,F401  isort: skip
 from distribot_spark.queries import temporal  # noqa: E402,F401  isort: skip
 from distribot_spark.queries import advanced  # noqa: E402,F401  isort: skip
 from distribot_spark.queries import quality  # noqa: E402,F401  isort: skip
+from distribot_spark.queries import spatial  # noqa: E402,F401  isort: skip
 
 __all__ = ["QUERIES", "queries", "oracle_sql", "register"]

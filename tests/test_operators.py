@@ -864,3 +864,30 @@ def test_constraints_verdicts_and_fail_branch(spark):
         assert passed, f"{name} unexpectedly failed"
         if name != "row_count_positive":
             assert metric == 1.0, name
+
+
+def test_grid_neighbor_join_exact_vs_bruteforce(spark):
+    """The 3x3-cell covering must find EXACTLY the brute-force pair set,
+    including pairs straddling cell borders and at the radius boundary."""
+    from distribot_spark.operators.geo import grid_neighbor_join
+
+    R = 100
+    # planted: cross-cell neighbor (99,0)-(101,0); exact-boundary pair at
+    # dist==R; far pair; same-cell pair
+    probe = [(1, 99, 0), (2, 250, 250), (3, 500, 500), (4, 120, 40)]
+    build = [(10, 101, 0), (11, 250, 150), (12, 900, 900), (13, 130, 60)]
+    p = spark.createDataFrame(probe, "id long, x long, y long")
+    b = spark.createDataFrame(build, "id long, x long, y long")
+    got = {
+        (r.build_id, r.probe_id, r.dist_sq)
+        for r in grid_neighbor_join(p, b, R).collect()
+    }
+    brute = {
+        (bid, pid, (bx - px) ** 2 + (by - py) ** 2)
+        for (pid, px, py) in probe
+        for (bid, bx, by) in build
+        if (bx - px) ** 2 + (by - py) ** 2 <= R * R
+    }
+    assert (10, 1) in {(x, y) for x, y, _ in brute}, "cross-cell pair planted"
+    assert (11, 2) in {(x, y) for x, y, _ in brute}, "boundary pair planted"
+    assert got == brute

@@ -290,3 +290,12 @@ def test_semijoin_reduction_plan(spark):
     assert re.search(
         r"BroadcastHashJoin[^\n]*LeftSemi", plan
     ), "broadcast LeftSemi prefilter missing"
+
+
+def test_geo_neighbor_join_plan(spark):
+    """Grid bucketing must make the radius join an equi-join: broadcast
+    hash join on cell ids, never a cartesian/BNLJ theta join."""
+    plan = explain_string(q(spark, "q_geo_neighbor_join"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
