@@ -83,3 +83,51 @@ def pagerank(
                 .localCheckpoint(eager=True)
             )
     return ranks
+
+
+def tree_closure(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Transitive closure of a parent FOREST by pointer doubling:
+    (id, root, depth) for every node, in O(log max_depth) rounds.
+
+    `nodes` needs columns (id, parent) with parent NULL for roots. Each
+    round self-joins the state on its current ancestor pointer and
+    contracts two hops into one (ptr' = ptr.ptr, depth' = depth +
+    ptr.depth), so a depth-D chain resolves in ceil(log2 D) shuffles —
+    the reason a driver-side recursive walk (or a per-level loop, O(D)
+    shuffles) is the wrong shape at 100 TB. One `count()` action per
+    round checks convergence; state is localCheckpoint'ed so the plan
+    stays flat. The hierarchy relation is tiny next to the facts it
+    organizes, so the loop pins its shuffle width to the node count
+    (components._pinned_shuffle_partitions)."""
+    state = nodes.select(
+        "id",
+        F.coalesce("parent", F.col("id")).alias("ptr"),
+        F.when(F.col("parent").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("depth"),
+    ).localCheckpoint(eager=True)
+    n_nodes = state.count()
+    with _pinned_shuffle_partitions(nodes.sparkSession, n_nodes):
+        for _ in range(max_rounds):
+            t = state.select(
+                F.col("id").alias("t_id"),
+                F.col("ptr").alias("t_ptr"),
+                F.col("depth").alias("t_d"),
+            )
+            joined = state.join(t, state.ptr == t.t_id)
+            # a row is settled once its pointer IS a root (that root's own
+            # pointer walk has length 0)
+            if joined.filter(F.col("t_d") > 0).count() == 0:
+                break
+            state = joined.select(
+                "id",
+                F.col("t_ptr").alias("ptr"),
+                (F.col("depth") + F.col("t_d")).alias("depth"),
+            ).localCheckpoint(eager=True)
+        else:
+            raise RuntimeError(
+                f"tree_closure: no fixpoint in {max_rounds} rounds "
+                "(cycle in the 'forest', or depth > 2^rounds)"
+            )
+    return state.select("id", F.col("ptr").alias("root"), "depth")

@@ -1003,3 +1003,59 @@ def q_semijoin_reduction(spark, sf_dir):
         )
         .orderBy("order_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy flattening (recursive-CTE twin)
+
+
+@register(
+    "q_hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey = 0 OR
+                       CAST(('0x' || substr(md5('h' || CAST(c_custkey AS
+                         VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+                  THEN NULL
+                  ELSE CAST(('0x' || substr(md5('h' || CAST(c_custkey AS
+                         VARCHAR)), 1, 8)) AS BIGINT) % c_custkey
+             END AS parent
+      FROM customer),
+    walk AS (
+      SELECT id, id AS root, 0 AS depth FROM base WHERE parent IS NULL
+      UNION ALL
+      SELECT b.id, w.root, w.depth + 1
+      FROM base b JOIN walk w ON b.parent = w.id)
+    SELECT id, root, CAST(depth AS BIGINT) AS depth
+    FROM walk ORDER BY id
+    """,
+    tags=("graph", "iterative", "hierarchy"),
+)
+def q_hierarchy_closure(spark, sf_dir):
+    """Hierarchy flattening (the recursive-CTE surface): every node's
+    root ancestor and depth in a parent forest — org charts, category
+    trees, thread ancestry. The forest is md5-derived from customer keys
+    (~5% roots; parent(i) < i so it is acyclic by construction) so both
+    engines build the identical structure. Spark has no RECURSIVE CTE;
+    the operator is pointer doubling (operators/graph.tree_closure):
+    O(log depth) self-joins, each contracting two ancestor hops into
+    one — at 100 TB this beats the O(depth) per-level loop a literal
+    CTE translation would run. The DuckDB oracle IS the recursive CTE."""
+    cust = load_table(spark, sf_dir, "customer")
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("h"), F.col("c_custkey").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    nodes = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            (F.col("c_custkey") == 0) | (u32 % 20 == 0), F.lit(None).cast("long")
+        )
+        .otherwise(u32 % F.col("c_custkey"))
+        .alias("parent"),
+    )
+    from distribot_spark.operators.graph import tree_closure
+
+    return tree_closure(nodes).orderBy("id")

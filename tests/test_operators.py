@@ -891,3 +891,20 @@ def test_grid_neighbor_join_exact_vs_bruteforce(spark):
     assert (10, 1) in {(x, y) for x, y, _ in brute}, "cross-cell pair planted"
     assert (11, 2) in {(x, y) for x, y, _ in brute}, "boundary pair planted"
     assert got == brute
+
+
+def test_tree_closure_deep_chain_and_forest(spark):
+    """Pointer doubling resolves a 150-deep chain (log rounds, not 150)
+    and keeps disjoint trees apart; depths/roots match a Python walk."""
+    from distribot_spark.operators.graph import tree_closure
+
+    # chain 0<-1<-2<-...<-150 plus a star rooted at 200
+    nodes = [(0, None)] + [(i, i - 1) for i in range(1, 151)]
+    nodes += [(200, None)] + [(200 + i, 200) for i in range(1, 4)]
+    df = spark.createDataFrame(nodes, "id long, parent long")
+    got = {r.id: (r.root, r.depth) for r in tree_closure(df).collect()}
+    assert got[150] == (0, 150)
+    assert got[75] == (0, 75)
+    assert got[0] == (0, 0)
+    assert got[200] == (200, 0)
+    assert all(got[200 + i] == (200, 1) for i in range(1, 4))
