@@ -550,3 +550,65 @@ def s14_stream_cdc_apply(spark, sf_dir):
         .cast("double")
         .alias("total_current"),
     )
+
+
+@register(
+    "s15_stream_stream_left_outer",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS view_id
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id AND b.event_type = 'view'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'click'
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def s15_stream_stream_left_outer(spark, sf_dir):
+    """Watermarked LEFT OUTER stream-stream join: every click pairs with
+    views in the following hour, or emits a NULL row once the watermark
+    proves no view can still arrive. Unlike the inner join (s8), the
+    NULL side exists only because state EVICTION is observable — Spark
+    emits the unmatched row when the click's join window closes under
+    the watermark. The replay's `__flush__` sentinels (3 h / 4 h past
+    max ts) close every window; they must FLOW THROUGH both join sides
+    rather than be filtered out, because Catalyst pushes a deterministic
+    event-type filter below the EventTimeWatermark node — a filtered
+    sentinel would never reach the watermark tracker (measured: the last
+    two outer rows never emit). Sentinel rows key on user_id = -1, match
+    only each other, and are dropped from the BATCH result after the
+    memory sink, where the filter cannot push into the stream. Two
+    sentinel chunks because the watermark computed from batch k is
+    applied in batch k+1. In production the sentinels' role is played by
+    ordinary continuing traffic."""
+    src = replay.replay_dir(sf_dir, flush_sentinel=True)
+
+    def t(s_click, s_view):
+        clicks = (
+            s_click.withWatermark("ts", "1 hour")
+            .filter(F.col("event_type").isin("click", "__flush__"))
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        views = (
+            s_view.withWatermark("ts", "1 hour")
+            .filter(F.col("event_type").isin("view", "__flush__"))
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+        )
+        return clicks.join(
+            views,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("c_ts"))
+            & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        ).select("click_id", "view_id")
+
+    out = replay.run_bounded(spark, t, src, "append", n_sources=2)
+    return out.filter(F.col("click_id") >= 0).orderBy("click_id", "view_id")

@@ -47,13 +47,24 @@ def replay_dir(
     n_chunks: int = 8,
     late_split_ts: str | None = None,
     duplicate_last_chunk: bool = False,
+    flush_sentinel: bool = False,
 ) -> str:
-    """Build (or reuse) a chunked replay directory; returns its path."""
+    """Build (or reuse) a chunked replay directory; returns its path.
+
+    `flush_sentinel` appends one final chunk holding a single synthetic
+    `__flush__` event 3 hours past the stream's max ts: a consumer that
+    applies its watermark BEFORE filtering event types gets its watermark
+    pushed beyond every real window/join range, so outer-join NULLs and
+    final windows emit during the availableNow no-data tail batches —
+    the bounded-replay stand-in for a production stream's continuing
+    traffic."""
     tag = f"{os.path.basename(sf_dir.rstrip('/'))}-c{n_chunks}"
     if late_split_ts:
         tag += "-late" + late_split_ts.replace(" ", "T").replace(":", "")
     if duplicate_last_chunk:
         tag += "-dup"
+    if flush_sentinel:
+        tag += "-flush"
     out = os.path.join(TMP_ROOT, "replay", tag)
     if os.path.isdir(out) and os.listdir(out):
         return out
@@ -77,6 +88,31 @@ def replay_dir(
         ]
         if duplicate_last_chunk:
             chunks.append(chunks[-1])
+        if flush_sentinel:
+            max_ts = pc.max(t["ts"]).cast(pa.int64()).as_py()
+            # TWO sentinel chunks: the watermark computed from batch k is
+            # APPLIED in batch k+1, so state whose eviction depends on the
+            # last watermark advance needs one more (non-empty) batch to
+            # actually emit — availableNow does not reliably run a no-data
+            # tail batch for it.
+            for i, hours in enumerate((3, 4)):
+                sentinel_ts = pa.scalar(
+                    max_ts + hours * 3600 * 1_000_000, type=pa.int64()
+                ).cast(pa.timestamp("us", tz="UTC"))
+                chunks.append(
+                    pa.table(
+                        {
+                            "event_id": pa.array([-1 - i], pa.int64()),
+                            "ts": pa.array([sentinel_ts.as_py()],
+                                           pa.timestamp("us", tz="UTC")),
+                            "user_id": pa.array([-1], pa.int64()),
+                            "event_type": pa.array(["__flush__"], pa.string()),
+                            "value": pa.array([0.0], pa.float64()),
+                            "props": pa.array([None], pa.string()),
+                        },
+                        schema=t.schema,
+                    )
+                )
 
     for i, chunk in enumerate(chunks):
         pq.write_table(chunk, os.path.join(out, f"chunk_{i:04d}.parquet"))
