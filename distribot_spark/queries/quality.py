@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from distribot_spark.catalog import load_table
+from distribot_spark.functions import stable_round
 from distribot_spark.queries.registry import register
 
 _CONSTRAINTS_ORACLE = """
@@ -156,3 +157,71 @@ def q_constraints(spark, sf_dir):
         )
     )
     return o_rows.unionByName(ri_rows).orderBy("constraint")
+
+
+@register(
+    "doc_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents),
+    model AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT COUNT(*) AS t FROM toks),
+    lp AS (SELECT tok,
+                  CAST(ROUND(LN(cnt * 1.0 / t) * 1000000) AS BIGINT) AS lp_micro
+           FROM model, total),
+    scored AS (
+      SELECT toks.doc_id, COUNT(*) AS n_tokens, SUM(lp.lp_micro) AS s
+      FROM toks JOIN lp ON toks.tok = lp.tok GROUP BY toks.doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND((-(s / 1000000.0) / n_tokens) * 10000) / 10000 + 0.0
+             AS avg_surprisal
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("llm", "text", "perplexity"),
+)
+def doc_perplexity(spark, sf_dir):
+    """Unigram language-model scoring (the CCNet/Gopher perplexity-filter
+    shape): train token frequencies on the corpus itself, then score each
+    document by mean surprisal -1/n * sum(ln p(tok)) in nats — high =
+    unusual vocabulary, low = boilerplate. Two shuffles (vocab count,
+    per-doc score) plus a broadcast of the model; both aggregates combine
+    map-side, and the corpus streams through the score join once. For an
+    open web-scale vocabulary the model broadcast becomes a shuffle join
+    and the model itself would be min-count-pruned.
+
+    Determinism: each token's log-prob is quantized ONCE to integer
+    micro-nats (ROUND(ln(p)*1e6), one rounding per vocab entry — the
+    only cross-engine float op), so per-doc sums are exact integer
+    arithmetic in any order; no ordered fold needed. Docs with zero
+    [a-z]+ tokens drop out in both engines (inner join after explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("t"))
+    lp = model.join(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") * F.lit(1.0) / F.col("t")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp_micro").alias("s"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (
+            stable_round(
+                -(F.col("s") / F.lit(1000000.0)) / F.col("n_tokens"), 4
+            )
+            + 0.0
+        ).alias("avg_surprisal"),
+    ).orderBy("doc_id")

@@ -908,3 +908,58 @@ def test_tree_closure_deep_chain_and_forest(spark):
     assert got[0] == (0, 0)
     assert got[200] == (200, 0)
     assert all(got[200 + i] == (200, 1) for i in range(1, 4))
+
+
+def test_perplexity_matches_python_reference(spark, tmp_path):
+    """doc_perplexity on a tiny corpus must equal an exact Python
+    re-implementation (same micro-nat quantization), and rarer
+    vocabulary must score strictly higher."""
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the the the the",
+        3: "quantum chromodynamics perturbation",
+        4: "the cat ran",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["t"] * 4, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+        }
+    )
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    toks = {i: re.findall(r"[a-z]+", t.lower()) for i, t in texts.items()}
+    counts = Counter(t for ts in toks.values() for t in ts)
+    total = sum(counts.values())
+    lp = {
+        t: int(
+            math.floor(abs(math.log(c / total)) * 1e6 + 0.5)
+            * (-1 if math.log(c / total) < 0 else 1)
+        )
+        for t, c in counts.items()
+    }
+    expect = {}
+    for i, ts in toks.items():
+        s = sum(lp[t] for t in ts)
+        expect[i] = round((-(s / 1e6) / len(ts)) * 1e4) / 1e4
+
+    got = {
+        r.doc_id: r.avg_surprisal
+        for r in QUERIES["doc_perplexity"].builder(spark, str(d)).collect()
+    }
+    assert got.keys() == expect.keys()
+    for i in expect:
+        assert abs(got[i] - expect[i]) < 1e-9, (i, got[i], expect[i])
+    assert got[2] < got[1] < got[3], "repetition < mixed < rare vocabulary"
