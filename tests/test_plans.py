@@ -72,6 +72,12 @@ def test_relational_queries_stay_jvm_side(spark):
         # IVF centroid assignment/probing is one Arrow matmul per batch
         # (see similarity.ivf_topk); the re-rank stays Catalyst
         "l3_ivf_topk",
+        # PQ-ADC scoring is a LUT gather-sum per batch — one Arrow numpy
+        # kernel (see similarity.pq_topk); the exact re-rank stays Catalyst
+        "l3_pq_topk",
+        # the deliberate Python table-function demo (its SCALE NOTE and
+        # oracle point at the posexplode(split()) codegen twin)
+        "q_udtf_sentences",
     }
     for name, spec in QUERIES.items():
         # streaming/flow queries run differently (skip by TAG, not name
