@@ -1611,3 +1611,104 @@ def q18_corr(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q19_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(10) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS decile
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("window", "ranking"),
+)
+def q19_ntile(spark, sf_dir):
+    """NTILE bucketing — the last ranking-window family member (q19 has
+    row_number/rank/dense_rank, q19_dist the distribution ratios). Both
+    engines implement SQL-standard NTILE (first ``n % k`` buckets take
+    the extra row), so with a unique (acctbal, custkey) ordering the
+    assignment is deterministic. Partitioned by segment so the window
+    parallelizes; a GLOBAL ntile at 100 TB should instead bucket by
+    exact percentile cut-points (see q_winsorize) — a windowless
+    width_bucket projection."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", F.ntile(10).over(w).alias("decile"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "string"),
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg) — deterministic
+    via DISTINCT + explicit ORDER BY inside the aggregate. Spark has no
+    ordered string_agg, so the engine-stable spelling is
+    array_join(array_sort(collect_set(...))): collect_set is
+    order-insensitive and array_sort pins the concat order. SCALE NOTE:
+    only for bounded-cardinality value domains (here: 5 priorities) —
+    collect_set of an unbounded column is a driver-sized row."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                               ORDER BY cnt DESC, o_orderpriority) = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "stats"),
+)
+def q_mode(spark, sf_dir):
+    """Statistical mode per group with a deterministic tie-break (highest
+    count, then lexicographically smallest value) — spelled as
+    count-then-window-top-1 in BOTH engines rather than either engine's
+    native mode() (whose tie behavior is implementation-defined). Two
+    map-side-combined shuffles on low-cardinality keys; the window runs
+    over group-count rows (tiny), never the fact table."""
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+        .orderBy("o_orderstatus")
+    )
