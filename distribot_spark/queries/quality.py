@@ -225,3 +225,172 @@ def doc_perplexity(spark, sf_dir):
             + 0.0
         ).alias("avg_surprisal"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_ks_drift",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS bin,
+             COUNT(*) FILTER (year(o_orderdate) = 1995) AS ca,
+             COUNT(*) FILTER (year(o_orderdate) = 1996) AS cb
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM s),
+    c AS (SELECT bin,
+                 CAST(SUM(ca) OVER (ORDER BY bin) AS BIGINT) AS cuma,
+                 CAST(SUM(cb) OVER (ORDER BY bin) AS BIGINT) AS cumb
+          FROM s)
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ABS(cuma * 1.0 / na - cumb * 1.0 / nb) * 1000000) / 1000000
+             AS ks_stat,
+           bin AS at_bin
+    FROM c, t
+    ORDER BY ABS(cuma * 1.0 / na - cumb * 1.0 / nb) DESC, bin
+    LIMIT 1
+    """,
+    tags=("quality", "drift"),
+)
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic between the 1995 and
+    1996 order-price distributions — the distribution-shift monitor a
+    training pipeline runs between data snapshots before retraining.
+
+    Discrete KS over integer dollar bins: per-bin conditional counts
+    (ONE map-side-combined shuffle over the fact table), cumulative
+    integer counts over the bin spine, D = max |F_a - F_b| with the
+    arg-max bin reported (ties broken toward the smallest bin). All
+    inputs to the doubles are exact int64 (cum counts / totals), so both
+    engines divide identical integers — hash-stable with no rounding
+    slack needed. SCALE NOTE: the windowed spine is bounded by the VALUE
+    RANGE (distinct integer bins), not row count — at 100 TB the spine
+    after partial aggregation is still ~1e5-1e6 rows; a single-partition
+    cumulative over it is deliberate and cheap relative to the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    s = o.groupBy(
+        F.floor("o_totalprice").cast("long").alias("bin")
+    ).agg(
+        F.sum(F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)).alias("cb"),
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = s.select(
+        "bin",
+        F.sum("ca").over(wcum).alias("cuma"),
+        F.sum("cb").over(wcum).alias("cumb"),
+    )
+    t = s.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    diff = F.abs(
+        F.col("cuma") * F.lit(1.0) / F.col("na")
+        - F.col("cumb") * F.lit(1.0) / F.col("nb")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            (F.round(diff * F.lit(1000000.0), 0) / F.lit(1000000.0)).alias(
+                "ks_stat"
+            ),
+            F.col("bin").alias("at_bin"),
+            diff.alias("_d"),
+        )
+        .orderBy(F.col("_d").desc(), "at_bin")
+        .drop("_d")
+        .limit(1)
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1, 2),
+w AS (
+  SELECT event_type, day, rev_cents,
+    CAST(SUM(rev_cents) OVER f AS BIGINT) AS s1,
+    CAST(SUM(rev_cents * rev_cents) OVER f AS BIGINT) AS s2,
+    COUNT(*) OVER f AS n
+  FROM d
+  WINDOW f AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       ROUND(rev_cents / 100.0 * 100) / 100 AS rev,
+       ROUND((rev_cents - s1 * 1.0 / n)
+             / sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) * 1000) / 1000
+         + 0.0 AS z,
+       ABS(ROUND((rev_cents - s1 * 1.0 / n)
+             / sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) * 1000) / 1000)
+         > 2.5 AS is_anomaly
+FROM w
+WHERE n >= 7 AND n * s2 > s1 * s1
+ORDER BY event_type, day
+"""
+
+
+@register("q_anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("quality", "anomaly"))
+def q_anomaly_zscore(spark, sf_dir):
+    """Trailing-window z-score anomaly detection on daily revenue per
+    event type — the metric-monitoring shape (is today's value > 2.5σ
+    from its own trailing-two-week baseline?).
+
+    Determinism by construction: daily revenue is folded to exact int64
+    CENTS, and the baseline mean/std are derived from integer window
+    sums (Σx, Σx², n over a ROWS frame — order-insensitive in integer
+    arithmetic), so both engines evaluate identical doubles; no reliance
+    on cross-engine AVG/STDDEV summation order. One shuffle to the daily
+    grain, one window pass per event_type partition."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("value") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-14, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(f).alias("s1"),
+        F.sum(F.col("rev_cents") * F.col("rev_cents")).over(f).alias("s2"),
+        F.count("*").over(f).alias("n"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) * F.lit(1.0) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    z = (F.col("rev_cents") - mean) / F.sqrt(var)
+    zr = F.round(z * F.lit(1000.0), 0) / F.lit(1000.0)
+    return (
+        w.filter(
+            (F.col("n") >= 7)
+            & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (
+                F.round(F.col("rev_cents") / F.lit(100.0) * F.lit(100.0), 0)
+                / F.lit(100.0)
+            ).alias("rev"),
+            (zr + F.lit(0.0)).alias("z"),
+            (F.abs(zr) > 2.5).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
