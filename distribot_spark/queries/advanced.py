@@ -1059,3 +1059,61 @@ def q_hierarchy_closure(spark, sf_dir):
     from distribot_spark.operators.graph import tree_closure
 
     return tree_closure(nodes).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+
+_TRIANGLES_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey % 3 = 0),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT x, COUNT(*) AS d
+        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+ew AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv
+       FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b
+      FROM ew),
+tri AS (SELECT COUNT(*) AS n_triangles
+        FROM o o1 JOIN o o2 ON o1.b = o2.a
+        WHERE EXISTS (SELECT 1 FROM o o3
+                      WHERE o3.a = o1.a AND o3.b = o2.b)),
+s AS (SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT SUM(d * (d - 1)) // 2 FROM deg) AS n_wedges)
+SELECT n_nodes, n_edges, n_triangles,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       ROUND(3.0 * n_triangles / n_wedges * 1000000) / 1000000 AS clustering
+FROM s, tri
+"""
+
+
+@register("graph_triangles", oracle=_TRIANGLES_ORACLE, tags=("graph",))
+def graph_triangles(spark, sf_dir):
+    """Triangle census + global clustering coefficient of the part
+    co-order graph (parts appearing in the same order, 1-in-3 part
+    subsample to keep the graph sparse-interesting at every SF).
+
+    Degree-ordered orientation (operators/graph.triangle_count) caps the
+    wedge join's fan-out at O(sqrt(m)) per vertex — the property that
+    keeps this runnable on power-law graphs at 100 TB, where the naive
+    wedge join explodes on hub nodes. All outputs are exact integers
+    (plus one integer-ratio double), so the oracle hash is exact."""
+    from distribot_spark.operators.graph import triangle_count
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 3 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -963,3 +963,19 @@ def test_perplexity_matches_python_reference(spark, tmp_path):
     for i in expect:
         assert abs(got[i] - expect[i]) < 1e-9, (i, got[i], expect[i])
     assert got[2] < got[1] < got[3], "repetition < mixed < rare vocabulary"
+
+
+def test_triangle_count_known_graph(spark):
+    """Two triangles sharing edge (2,3): K4 minus edge (1,4).
+    degrees 2,3,3,2 -> wedges 8; triangles 2; clustering 6/8."""
+    from distribot_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], "u long, v long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row.n_nodes == 4
+    assert row.n_edges == 5
+    assert row.n_triangles == 2
+    assert row.n_wedges == 8
+    assert row.clustering == 0.75
