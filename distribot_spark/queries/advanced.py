@@ -1117,3 +1117,94 @@ def graph_triangles(spark, sf_dir):
         .distinct()
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter (runtime filter as data)
+
+from distribot_spark.operators.bloom import (  # noqa: E402
+    build_bloom,
+    positions_sql,
+    probe_bloom,
+)
+
+_BL_M, _BL_K = 8192, 3
+_BP = positions_sql("key", _BL_M, _BL_K)
+_PP = positions_sql("o_custkey", _BL_M, _BL_K)
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT c_custkey AS key FROM customer
+              WHERE c_nationkey = 3),
+pos AS (SELECT {_BP[0]} AS pos FROM keys
+        UNION ALL SELECT {_BP[1]} FROM keys
+        UNION ALL SELECT {_BP[2]} FROM keys),
+bloom AS (SELECT pos // 32 AS word,
+                 bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+          FROM pos GROUP BY 1),
+probe AS (SELECT o_custkey, o_totalprice,
+                 {_PP[0]} AS p0, {_PP[1]} AS p1, {_PP[2]} AS p2
+          FROM orders),
+cand AS (
+  SELECT pr.o_custkey, pr.o_totalprice,
+         (COALESCE(b0.bits, 0) & (1::BIGINT << CAST(p0 % 32 AS INT))) != 0
+     AND (COALESCE(b1.bits, 0) & (1::BIGINT << CAST(p1 % 32 AS INT))) != 0
+     AND (COALESCE(b2.bits, 0) & (1::BIGINT << CAST(p2 % 32 AS INT))) != 0
+           AS bloom_candidate
+  FROM probe pr
+  LEFT JOIN bloom b0 ON pr.p0 // 32 = b0.word
+  LEFT JOIN bloom b1 ON pr.p1 // 32 = b1.word
+  LEFT JOIN bloom b2 ON pr.p2 // 32 = b2.word),
+ex AS (SELECT c.*, keys.key IS NOT NULL AS is_match
+       FROM cand c LEFT JOIN keys ON c.o_custkey = keys.key)
+SELECT COUNT(*) AS n_probed,
+       COUNT(*) FILTER (bloom_candidate) AS n_candidates,
+       COUNT(*) FILTER (is_match) AS n_matches,
+       COUNT(*) FILTER (bloom_candidate AND NOT is_match)
+         AS n_false_positives,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  FILTER (is_match), 2) AS DOUBLE) AS matched_revenue
+FROM ex
+"""
+
+
+@register("q_bloom_prefilter", oracle=_BLOOM_ORACLE, tags=("join", "bloom"))
+def q_bloom_prefilter(spark, sf_dir):
+    """Runtime bloom filter, hand-rolled as data (operators/bloom.py):
+    the nation-3 customer keys build a 1 KB bitmap relation (ONE tiny
+    shuffle), which broadcast-prefilters the orders scan before the
+    real join — the cross-stage, persistable, MERGEABLE form of
+    Spark's runtime.bloomFilter join pruning. Census output proves the
+    contract: zero false negatives (n_candidates ≥ n_matches, and
+    every match is a candidate — asserted in
+    tests/test_operators.py::test_bloom_no_false_negatives), false
+    positives bounded by the (1-e^{-kn/m})^k curve. All counts exact
+    integers; revenue via exact decimal."""
+    cust = load_table(spark, sf_dir, "customer")
+    keys = (
+        cust.filter(F.col("c_nationkey") == 3)
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = build_bloom(keys, "key", m=_BL_M, k=_BL_K)
+    probed = probe_bloom(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "o_custkey",
+        bloom,
+        m=_BL_M,
+        k=_BL_K,
+    )
+    ex = probed.join(
+        F.broadcast(keys), probed.o_custkey == keys.key, "left"
+    ).withColumn("is_match", F.col("key").isNotNull())
+    match_price = F.when(F.col("is_match"), money(F.col("o_totalprice")))
+    return ex.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.when(F.col("bloom_candidate"), 1).otherwise(0)).alias(
+            "n_candidates"
+        ),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_matches"),
+        F.sum(
+            F.when(F.col("bloom_candidate") & ~F.col("is_match"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+        F.round(F.sum(match_price), 2).cast("double").alias("matched_revenue"),
+    )

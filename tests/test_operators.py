@@ -979,3 +979,21 @@ def test_triangle_count_known_graph(spark):
     assert row.n_triangles == 2
     assert row.n_wedges == 8
     assert row.clustering == 0.75
+
+
+def test_bloom_no_false_negatives(spark):
+    """Membership contract: every true key is flagged (no false
+    negatives — the property that makes the prefilter safe), and the
+    false-positive rate stays near the (1-e^{-kn/m})^k curve."""
+    from distribot_spark.operators.bloom import build_bloom, probe_bloom
+
+    keys = spark.range(0, 500, 7).selectExpr("id AS key")  # 72 members
+    bloom = build_bloom(keys, "key", m=1024, k=3)
+    rows = probe_bloom(
+        spark.range(0, 2000).selectExpr("id AS k2"), "k2", bloom, m=1024, k=3
+    ).collect()
+    members = {r.k2 for r in rows if r.k2 < 500 and r.k2 % 7 == 0}
+    flagged = {r.k2 for r in rows if r.bloom_candidate}
+    assert members <= flagged, "bloom produced a false negative"
+    fp = len(flagged - members) / (len(rows) - len(members))
+    assert fp < 0.05, f"false-positive rate {fp:.3f} far off the sizing curve"
