@@ -310,3 +310,89 @@ def source_schema_evolution(spark, sf_dir):
         )
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "source_binaryfile_read",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("sources", "binary"),
+)
+def source_binaryfile_read(spark, sf_dir):
+    """Opaque-blob ingest: documents exported one-file-per-doc by the
+    executor-side blob sink (sources/io.write_blob_files), re-ingested
+    through Spark's `binaryFile` source (path + length + raw content
+    per file — the entry point for image/audio corpora), identity
+    recovered from the path. The oracle recomputes byte length and md5
+    from the original table, so the export→ingest loop must be
+    byte-lossless. SCALE NOTE: binaryFile packs many small files per
+    task (maxPartitionBytes), but file-per-record layouts still pay
+    per-file open cost — pair with compact_small_files / parquet
+    binary columns for the hot path."""
+    import shutil
+
+    out = os.path.join(TMP_ROOT, f"blobs_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    from distribot_spark.sources.io import write_blob_files
+
+    write_blob_files(docs, "doc_id", "text", out, suffix=".txt")
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+    )
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "source_compact_small_files",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS sum_price
+    FROM lineitem WHERE year(l_shipdate) = 1996
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("sources", "maintenance"),
+)
+def source_compact_small_files(spark, sf_dir):
+    """Small-file compaction (nightly OPTIMIZE): a 1996 lineitem slice
+    deliberately fragmented into 64 tiny files, compacted by
+    sources/io.compact_small_files into ceil(bytes/target) files with
+    an atomic directory swap, then aggregated from the compacted
+    layout. The oracle reads the original table — compaction must be
+    content-neutral. File-count shrinkage itself is asserted in
+    tests/test_operators.py::test_compact_small_files_layout."""
+    from distribot_spark.sources.io import compact_small_files
+
+    out = os.path.join(TMP_ROOT, f"compact_{_tag(sf_dir)}")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    li.repartition(64).write.mode("overwrite").parquet(out)
+    compact_small_files(spark, out, target_bytes=16 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -84,3 +84,66 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def write_blob_files(
+    df: DataFrame, id_col: str, payload_col: str, out_dir: str,
+    suffix: str = ".bin",
+) -> None:
+    """Executor-side blob sink: one file per row, named ``<id><suffix>``,
+    payload written raw (str payloads as UTF-8). The inverse of the
+    `binaryFile` source — how opaque media/documents leave a DataFrame
+    for systems that want plain files. foreachPartition so every task
+    writes ITS rows in parallel and nothing rides through the driver; on
+    a cluster `out_dir` is shared/object storage. Caller owns dir
+    cleanup (rewrites are not atomic per-file)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = df.select(id_col, payload_col)
+
+    def _write(part):
+        for r in part:
+            payload = r[1]
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            tmp = os.path.join(out_dir, f".{r[0]}{suffix}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, os.path.join(out_dir, f"{r[0]}{suffix}"))
+
+    rows.foreachPartition(_write)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction (the OPTIMIZE half lakes run nightly):
+    rewrite `path` into ceil(total_bytes / target_bytes) files and
+    return the new file count. Reads the current footprint from the
+    file listing (metadata only), rewrites via repartition — one
+    shuffle whose width IS the output layout — then atomically swaps
+    directories. Small files are a 100 TB killer twice over: open/seek
+    overhead per file at read time, and task-scheduling overhead at
+    planning time (one split per tiny file)."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    tmp = path.rstrip("/") + ".compacting"
+    read_any(spark, path, fmt=fmt).repartition(n_out).write.format(fmt).mode(
+        "overwrite"
+    ).save(tmp)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_out

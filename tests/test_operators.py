@@ -997,3 +997,22 @@ def test_bloom_no_false_negatives(spark):
     assert members <= flagged, "bloom produced a false negative"
     fp = len(flagged - members) / (len(rows) - len(members))
     assert fp < 0.05, f"false-positive rate {fp:.3f} far off the sizing curve"
+
+
+def test_compact_small_files_layout(spark, tmp_path):
+    """Compaction must shrink the file count to ceil(bytes/target) and
+    keep the data identical (atomic swap — no partial state)."""
+    import glob
+
+    from distribot_spark.sources.io import compact_small_files
+
+    p = str(tmp_path / "frag")
+    spark.range(100_000).withColumnRenamed("id", "k").repartition(32) \
+        .write.parquet(p)
+    assert len(glob.glob(p + "/*.parquet")) == 32
+    n_out = compact_small_files(spark, p, target_bytes=1 << 30)
+    files = glob.glob(p + "/*.parquet")
+    assert n_out == 1 and len(files) == 1, "not compacted to one file"
+    df = spark.read.parquet(p)
+    assert df.count() == 100_000
+    assert df.agg({"k": "sum"}).collect()[0][0] == 100_000 * 99_999 // 2
