@@ -1342,3 +1342,20 @@ def l3_pq_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     return similarity.pq_topk(corpus, queries, k=5).orderBy("qid", "rnk")
+
+
+@register("doc_bpe_train", oracle=None, tags=("llm", "tokenizer", "iterative"))
+def doc_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING over the documents corpus (10 merges) —
+    learning the merge table that doc_tokens_bpe-style pre-tokenization
+    would feed (operators/bpe.py; arXiv:1508.07909). Corpus touched in
+    ONE counting pass; the merge loop runs on the bounded (word, count)
+    lexicon with only the 1-row arg-max collected per round. Rows-only
+    by design (an iterative argmax loop has no SQL twin);
+    tests/test_operators.py::test_bpe_train_matches_reference pins the
+    exact merge table against a pure-Python reference implementation."""
+    from distribot_spark.operators.bpe import bpe_train
+
+    return bpe_train(
+        load_table(spark, sf_dir, "documents"), "text", n_merges=10
+    )

@@ -1016,3 +1016,56 @@ def test_compact_small_files_layout(spark, tmp_path):
     df = spark.read.parquet(p)
     assert df.count() == 100_000
     assert df.agg({"k": "sum"}).collect()[0][0] == 100_000 * 99_999 // 2
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE loop must reproduce the classic sequential
+    algorithm exactly: same merges, same order, same weighted counts
+    (ties broken toward the lexicographically smallest pair)."""
+    import re
+    from collections import Counter
+
+    from distribot_spark.operators.bpe import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats eat the mice",
+        "banana bandana cabana",
+        "aaaa aaab abab the the the",
+    ]
+
+    def ref_bpe(corpus, n):
+        lex = Counter()
+        for t in corpus:
+            for w in re.split(r"[^a-z0-9]+", t.lower()):
+                if w:
+                    lex[tuple(w)] += 1
+        merges = []
+        for rank in range(1, n + 1):
+            pc = Counter()
+            for syms, c in lex.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += c
+            if not pc:
+                break
+            (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, l + r, cnt))
+            new = Counter()
+            for syms, c in lex.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                new[tuple(out)] += c
+            lex = new
+        return merges
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(docs, "text", n_merges=8).collect()
+    ]
+    assert got == ref_bpe(texts, 8)
