@@ -1208,3 +1208,98 @@ def q_bloom_prefilter(spark, sf_dir):
         ).alias("n_false_positives"),
         F.round(F.sum(match_price), 2).cast("double").alias("matched_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global sequence assignment without a single-partition window
+
+@register(
+    "q_global_rownum",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS seq
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("window", "scale"),
+)
+def q_global_rownum(spark, sf_dir):
+    """Contiguous GLOBAL row numbers over a total order — without the
+    naive single-partition window (which serializes 100 TB through one
+    task). The two-phase range-partition form: repartitionByRange on
+    the sort key (each partition owns a disjoint key range), local
+    row_number per partition (parallel), per-partition counts (16
+    tiny rows) cumulated into offsets and broadcast back; global seq =
+    offset + local rank. Invariant to where the sampled range
+    boundaries land, because ranges are disjoint and the sort key is
+    unique — the oracle is the naive global window."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .repartitionByRange(16, "o_orderdate", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wl = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
+    local = o.withColumn("rn", F.row_number().over(wl))
+    wc = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .select("pid", F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            (F.col("off") + F.col("rn")).alias("seq"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier)
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT p_retailprice AS price, p_size AS size
+                   FROM part)
+    SELECT price, size FROM pairs p1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs p2
+      WHERE p2.price <= p1.price AND p2.size >= p1.size
+        AND (p2.price < p1.price OR p2.size > p1.size))
+    ORDER BY price, size
+    """,
+    tags=("analytics", "skyline"),
+)
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto frontier (minimize price, maximize size) via the
+    sort-scan formulation: over DISTINCT (price, size) ordered by
+    (price asc, size desc), a point survives iff its size strictly
+    exceeds the running max of everything before it — O(n log n), no
+    O(n²) dominance join. The oracle is the INDEPENDENT NOT-EXISTS
+    dominance test, so the window rewrite is verified against first
+    principles. SCALE NOTE: the window runs on distinct value pairs
+    (bounded by the value domain); for unbounded domains,
+    range-partition by price and prefix-max the per-partition maxima —
+    the q_global_rownum offset pattern."""
+    pairs = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+        )
+        .distinct()
+    )
+    w = (
+        Window.orderBy(F.col("price").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pairs.withColumn("runmax", F.max("size").over(w))
+        .filter(F.col("runmax").isNull() | (F.col("runmax") < F.col("size")))
+        .select("price", "size")
+        .orderBy("price", "size")
+    )
