@@ -150,7 +150,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     clustering (= 3·triangles / wedges, 6 dp — exact-integer inputs so
     the double is engine-stable).
     """
-    e = edges.select("u", "v")
+    # e feeds three consumers (degrees, orientation, census) and o three
+    # self-joins — cut lineage once so the (possibly expensive) edge
+    # derivation runs ONCE, not per consumer (the pagerank pattern).
+    e = edges.select("u", "v").localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
@@ -167,7 +170,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     o = ew.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     wedge = o.join(
         o.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
     )  # a→b→c with both edges oriented upward
