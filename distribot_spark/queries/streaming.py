@@ -612,3 +612,61 @@ def s15_stream_stream_left_outer(spark, sf_dir):
 
     out = replay.run_bounded(spark, t, src, "append", n_sources=2)
     return out.filter(F.col("click_id") >= 0).orderBy("click_id", "view_id")
+
+
+@register(
+    "s16_stream_stream_full_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def s16_stream_stream_full_outer(spark, sf_dir):
+    """Watermarked FULL OUTER stream-stream join — the completion of the
+    s8 (inner) / s15 (left) family: unmatched CLICKS null-fill on
+    watermark eviction exactly as in s15, and unmatched VIEWS now also
+    surface as (NULL, view_id) rows when their possible-match window
+    closes. Same sentinel discipline as s15 (flush rows flow through
+    BOTH sides pre-watermark, keyed user_id = -1 so they only match
+    each other); the batch-side cleanup must keep NULL-keyed rows while
+    dropping sentinel-keyed ones — `IS NULL OR >= 0` on each side, a
+    filter that cannot be pushed into the stream."""
+    src = replay.replay_dir(sf_dir, flush_sentinel=True)
+
+    def t(s_click, s_view):
+        clicks = (
+            s_click.withWatermark("ts", "1 hour")
+            .filter(F.col("event_type").isin("click", "__flush__"))
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        views = (
+            s_view.withWatermark("ts", "1 hour")
+            .filter(F.col("event_type").isin("view", "__flush__"))
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+        )
+        return clicks.join(
+            views,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("c_ts"))
+            & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "full_outer",
+        ).select("click_id", "view_id")
+
+    out = replay.run_bounded(spark, t, src, "append", n_sources=2)
+    return out.filter(
+        (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        & (F.col("view_id").isNull() | (F.col("view_id") >= 0))
+    ).orderBy("click_id", "view_id")

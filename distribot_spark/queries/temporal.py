@@ -408,3 +408,72 @@ def q_compact_latest(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_EWMA_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY 1, 2),
+w AS (
+  SELECT event_type, day,
+         list(rev_cents) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+           AS xs
+  FROM d)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  ROUND(
+    list_sum(list_transform(xs, (x, i) -> x * pow(0.5, len(xs) - i)))
+    / (100.0 * (2.0 - pow(0.5, len(xs) - 1)))
+    * 10000) / 10000 AS ewma
+FROM w ORDER BY event_type, day
+"""
+
+
+@register("q_ewma", oracle=_EWMA_ORACLE, tags=("temporal", "smoothing"))
+def q_ewma(spark, sf_dir):
+    """Exponentially weighted moving average of daily revenue (α = ½,
+    truncated at 16 observations, weights renormalized over the
+    available prefix) — trend smoothing for metric streams.
+
+    Exact by construction: daily revenue folds to int64 CENTS; the
+    weights are DYADIC (2^-k), so every term is an exact binary
+    fraction and the weighted sum is the same double under ANY
+    summation order — no cross-engine fold-order hazard (contrast the
+    emb_norm_audit note, where fold order had to be pinned). Both
+    engines evaluate the same windowed ordered list + indexed-lambda
+    expression; one shuffle to the daily grain, per-key parallel
+    windows. The interpreted-lambda cost rides on DAILY rows (tiny),
+    never the event scan."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("value") * F.lit(100.0), 0)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-15, 0)
+    )
+    w = d.select(
+        "event_type", "day", F.collect_list("rev_cents").over(f).alias("xs")
+    )
+    # Spark's transform lambda index is 0-based (DuckDB's is 1-based):
+    # offset-from-current = size - 1 - i here, size - i there.
+    ewma = F.expr(
+        "aggregate(transform(xs, (x, i) -> x * pow(0.5, size(xs) - 1 - i)),"
+        " 0D, (a, b) -> a + b)"
+    ) / (F.lit(100.0) * (F.lit(2.0) - F.expr("pow(0.5, size(xs) - 1)")))
+    return w.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round(ewma * F.lit(10000.0), 0) / F.lit(10000.0)).alias("ewma"),
+    ).orderBy("event_type", "day")
