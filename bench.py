@@ -89,6 +89,17 @@ HEADLINE = [
     "dedup_semantic",
     "l3_pq_topk",
     "graph_pagerank",
+    # round-4 late additions (documented in BASELINE.md): distribution
+    # drift + anomaly monitoring, the data-side bloom prefilter, the
+    # oriented triangle census (join-heavy), scalable global row
+    # numbering, the skyline scan, and dyadic EWMA smoothing.
+    "q_ks_drift",
+    "q_anomaly_zscore",
+    "q_bloom_prefilter",
+    "graph_triangles",
+    "q_global_rownum",
+    "q_skyline",
+    "q_ewma",
 ]
 
 
