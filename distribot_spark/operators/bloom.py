@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 P = 1_000_000_007
-A = (314159257, 271828171, 161803393)
-B = (1, 7, 13)
+A = (314159257, 271828171, 161803393, 141421357)
+B = (1, 7, 13, 19)
 BITS_PER_WORD = 32
 
 

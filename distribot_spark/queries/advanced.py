@@ -1303,3 +1303,74 @@ def q_skyline(spark, sf_dir):
         .select("price", "size")
         .orderBy("price", "size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+from distribot_spark.operators.cms import (  # noqa: E402
+    build_cms,
+    pos_sql,
+    probe_cms,
+)
+
+_CMS_D, _CMS_W = 4, 2048
+
+_CMS_STREAM = "\nUNION ALL\n".join(
+    f"SELECT {i} AS i, {pos_sql('l_partkey', i, _CMS_W)} AS pos FROM lineitem"
+    for i in range(_CMS_D)
+)
+_CMS_PROBE = "\nUNION ALL\n".join(
+    f"SELECT key, {i} AS i, {pos_sql('key', i, _CMS_W)} AS pos FROM top"
+    for i in range(_CMS_D)
+)
+
+_CMS_ORACLE = f"""
+WITH cnt AS (SELECT l_partkey AS key, COUNT(*) AS exact_cnt
+             FROM lineitem GROUP BY 1),
+top AS (SELECT key, exact_cnt FROM cnt
+        ORDER BY exact_cnt DESC, key LIMIT 10),
+stream AS ({_CMS_STREAM}),
+cms AS (SELECT i, pos, COUNT(*) AS c FROM stream GROUP BY 1, 2),
+probes AS ({_CMS_PROBE}),
+est AS (SELECT p.key, CAST(MIN(cms.c) AS BIGINT) AS cms_estimate
+        FROM probes p JOIN cms ON cms.i = p.i AND cms.pos = p.pos
+        GROUP BY p.key)
+SELECT t.key AS l_partkey, t.exact_cnt, e.cms_estimate,
+       e.cms_estimate - t.exact_cnt AS overestimate
+FROM top t JOIN est e ON e.key = t.key
+ORDER BY exact_cnt DESC, l_partkey
+"""
+
+
+@register("q_cms_frequency", oracle=_CMS_ORACLE, tags=("agg", "sketch"))
+def q_cms_frequency(spark, sf_dir):
+    """Count-Min sketch point-frequency estimation (operators/cms.py):
+    a 4×2048 counter relation summarizes the l_partkey stream; the
+    exact top-10 keys are probed back through the sketch and the
+    overestimate is reported (NEVER negative — the CMS one-sided
+    guarantee, asserted in tests). Because the hash family is
+    spelled-out portable arithmetic, the SKETCH CONTENT itself is
+    engine-deterministic and the whole path hash-oracles — the sketch
+    serves frequency probes at 100 TB from d·w counters without
+    re-scanning, and shards merge by cell-wise sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").alias("exact_cnt")
+    )
+    top = cnt.orderBy(F.desc("exact_cnt"), "key").limit(10)
+    cms = build_cms(li, "l_partkey", d=_CMS_D, w=_CMS_W)
+    est = probe_cms(
+        top.select("key"), "key", cms.withColumnRenamed("cnt", "cnt"),
+        d=_CMS_D, w=_CMS_W,
+    )
+    return (
+        top.join(est, "key")
+        .select(
+            F.col("key").alias("l_partkey"),
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
+    )

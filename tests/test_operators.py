@@ -1069,3 +1069,31 @@ def test_bpe_train_matches_reference(spark):
         for r in bpe_train(docs, "text", n_merges=8).collect()
     ]
     assert got == ref_bpe(texts, 8)
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS one-sided guarantee on EVERY key, and shard-merge
+    consistency: sketch(A) + sketch(B) cell-wise == sketch(A ∪ B)."""
+    import pyspark.sql.functions as SF
+
+    from distribot_spark.operators.cms import build_cms, probe_cms
+
+    stream = spark.range(20_000).selectExpr("id % 157 AS k")
+    exact = stream.groupBy("k").count()
+    cms = build_cms(stream, "k", d=4, w=256)
+    est = probe_cms(exact.select("k"), "k", cms, d=4, w=256)
+    joined = exact.join(est, "k").collect()
+    assert all(r.cms_estimate >= r["count"] for r in joined)
+
+    half_a = build_cms(stream.filter("k < 80"), "k", d=4, w=256)
+    half_b = build_cms(stream.filter("k >= 80"), "k", d=4, w=256)
+    merged = (
+        half_a.unionAll(half_b).groupBy("i", "pos").agg(SF.sum("cnt").alias("cnt"))
+    )
+    diff = (
+        merged.alias("m")
+        .join(cms.alias("c"), ["i", "pos"], "full")
+        .filter("coalesce(m.cnt, 0) <> coalesce(c.cnt, 0)")
+        .count()
+    )
+    assert diff == 0, "merged shard sketches differ from the whole-stream sketch"
