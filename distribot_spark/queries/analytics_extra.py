@@ -316,3 +316,126 @@ def q_regr_ols(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_equidepth_hist",
+    oracle="""
+    WITH cuts AS (SELECT quantile_cont(o_totalprice,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+                  FROM orders),
+    b AS (SELECT o_totalprice AS v,
+                 CAST(1 + len(list_filter(cs, c -> v > c)) AS BIGINT)
+                   AS bucket
+          FROM orders, cuts)
+    SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def q_equidepth_hist(spark, sf_dir):
+    """Equi-depth (quantile-bucketed) histogram: exact interpolated
+    decile cut points (bit-identical across engines, see q_percentiles)
+    broadcast back onto the scan; each row's bucket = 1 + #cuts below
+    its value via an array fold over the 9-element literal — a pure
+    projection, no per-bucket join. This is how range-partition
+    boundaries (q_global_rownum) and equi-depth optimizer statistics
+    are actually built: one percentile pass + one map-only bucketing
+    pass. lo/hi are exact value selections (no float arithmetic)."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr(
+            "percentile(o_totalprice,"
+            " array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("cs")
+    )
+    return (
+        o.select("o_totalprice")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            (
+                F.lit(1)
+                + F.expr(
+                    "aggregate(cs, 0,"
+                    " (a, c) -> a + IF(o_totalprice > c, 1, 0))"
+                )
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_aqp_estimate",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 3))
+                  AS BIGINT) < 41 AS in_sample
+      FROM orders),
+    agg AS (
+      SELECT COUNT(*) AS n_total,
+             COUNT(*) FILTER (in_sample) AS n_sample,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                  AS DOUBLE) AS exact_sum,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                        FILTER (in_sample), 2) AS DOUBLE) AS sample_sum
+      FROM s)
+    SELECT n_total, n_sample, exact_sum,
+           ROUND(sample_sum * (4096.0 / 41.0) * 100) / 100 AS estimated_sum,
+           ROUND(ABS(sample_sum * (4096.0 / 41.0) - exact_sum)
+                 / exact_sum * 1000000) / 1000000 AS rel_err
+    FROM agg
+    """,
+    tags=("agg", "approx", "sampling"),
+)
+def q_aqp_estimate(spark, sf_dir):
+    """Approximate query processing from a DETERMINISTIC ~1% sample:
+    rows whose md5(id) 12-bit prefix < 41 (p = 41/4096), Horvitz-
+    Thompson scale-up by 1/p — the dashboard trick that answers a
+    100 TB SUM from a 1 TB scan. The sample predicate is engine- and
+    layout-stable (same md5 arithmetic as doc_split), so estimate AND
+    realized relative error hash-oracle exactly; the exact sum rides
+    along here as the verification column (at scale you would not
+    compute it — that is the point)."""
+    o = load_table(spark, sf_dir, "orders")
+    in_sample = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 3), 16, 10)
+        .cast("long")
+        < 41
+    )
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    agg = o.select(dec.alias("p"), in_sample.alias("in_sample")).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("n_sample"),
+        F.round(F.sum("p"), 2).cast("double").alias("exact_sum"),
+        F.round(F.sum(F.when(F.col("in_sample"), F.col("p"))), 2)
+        .cast("double")
+        .alias("sample_sum"),
+    )
+    scale = F.lit(4096.0) / F.lit(41.0)
+    return agg.select(
+        "n_total",
+        "n_sample",
+        "exact_sum",
+        (F.round(F.col("sample_sum") * scale * F.lit(100.0), 0) / F.lit(100.0))
+        .alias("estimated_sum"),
+        (
+            F.round(
+                F.abs(F.col("sample_sum") * scale - F.col("exact_sum"))
+                / F.col("exact_sum")
+                * F.lit(1000000.0),
+                0,
+            )
+            / F.lit(1000000.0)
+        ).alias("rel_err"),
+    )

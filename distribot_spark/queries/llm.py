@@ -1359,3 +1359,47 @@ def doc_bpe_train(spark, sf_dir):
     return bpe_train(
         load_table(spark, sf_dir, "documents"), "text", n_merges=10
     )
+
+
+@register(
+    "doc_feature_hash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+               AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 64 AS bucket
+      FROM toks WHERE tok <> '')
+    SELECT doc_id, bucket, COUNT(*) AS cnt
+    FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+    """,
+    tags=("llm", "features"),
+)
+def doc_feature_hash(spark, sf_dir):
+    """Feature hashing (the hashing trick, Weinberger et al. 2009): each
+    token maps to one of 64 buckets via its md5 16-bit prefix — the
+    fixed-width sparse featurization that needs NO vocabulary build,
+    broadcast, or second pass, which is why it is the 100 TB default
+    for bag-of-words models. Engine-portable hash (same md5 arithmetic
+    as doc_split/q_weighted_sample) makes the sparse vectors themselves
+    hash-oracled, not just their shape. Map-side: explode + project;
+    the only shuffle is the (doc, bucket) count, bounded by docs × 64."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+                % 64
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )
