@@ -439,3 +439,54 @@ def q_aqp_estimate(spark, sf_dir):
             / F.lit(1000000.0)
         ).alias("rel_err"),
     )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS n1,
+             LEAD(event_type, 2) OVER w AS n2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || n1 || '>' || n2 AS path, COUNT(*) AS n
+    FROM s WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+    tags=("temporal", "paths"),
+)
+def q_event_paths(spark, sf_dir):
+    """Top event paths (3-step behavioral n-grams per user) — the
+    product-analytics "what do users do next" query and the sequence-
+    mining primitive behind session modeling. ONE shuffle on user_id
+    (the window), then a map-side-combined count over a bounded path
+    domain (|event_types|³); ordering inside the window is pinned by
+    the unique (ts, event_id) pair."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+        )
+        .select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("n1"),
+            F.lead("event_type", 2).over(w).alias("n2"),
+        )
+    )
+    return (
+        s.filter(F.col("n1").isNotNull() & F.col("n2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "n1", "n2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

@@ -1403,3 +1403,125 @@ def doc_feature_hash(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .orderBy("doc_id", "bucket")
     )
+
+
+_CENTROID_CTE = """
+ex AS (
+  SELECT label, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS q
+  FROM embeddings),
+cent AS (
+  SELECT label AS c_label, pos,
+         CAST(ROUND(SUM(q) * 1.0 / COUNT(*)) AS BIGINT) AS cm
+  FROM ex GROUP BY 1, 2)
+"""
+
+
+@register(
+    "emb_centroids",
+    oracle=f"""
+    WITH {_CENTROID_CTE}
+    SELECT c_label AS label, pos, cm AS centroid_micro
+    FROM cent ORDER BY label, pos
+    """,
+    tags=("llm", "embedding", "ml"),
+)
+def emb_centroids(spark, sf_dir):
+    """Per-label mean embedding (class prototypes — the k-means E-step /
+    nearest-class-mean building block). Exactness recipe: every float32
+    component quantizes to int64 MICRO-units first (float→double is
+    exact, both engines round the identical double), so the per-(label,
+    dim) sums are order-free integer arithmetic — no cross-engine float
+    summation hazard, unlike a naive avg(embedding[i]). One explode +
+    one map-side-combined shuffle bounded by labels × dim."""
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("x").cast("double") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        ex.groupBy(F.col("label"), "pos")
+        .agg(
+            F.round(F.sum("q") * F.lit(1.0) / F.count("*"), 0)
+            .cast("long")
+            .alias("centroid_micro")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register(
+    "emb_nearest_centroid",
+    oracle=f"""
+    WITH {_CENTROID_CTE},
+    d AS (
+      SELECT ex.vec_id, ex.label, cent.c_label,
+             SUM((ex.q - cent.cm) * (ex.q - cent.cm)) AS dist
+      FROM ex JOIN cent ON ex.pos = cent.pos
+      GROUP BY 1, 2, 3),
+    a AS (
+      SELECT vec_id, label, c_label AS assigned
+      FROM d
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, c_label) = 1)
+    SELECT label, assigned, COUNT(*) AS n
+    FROM a GROUP BY 1, 2 ORDER BY label, assigned
+    """,
+    tags=("llm", "embedding", "ml"),
+)
+def emb_nearest_centroid(spark, sf_dir):
+    """Nearest-class-mean classification + confusion matrix — the
+    evaluation loop for embedding quality (are labels linearly
+    separated by their prototypes?). Distances are exact integer
+    arithmetic on the micro-quantized components (ties break toward
+    the smallest label), so the confusion matrix hash-oracles. Scale
+    shape: the labels×dim centroid relation broadcasts; the corpus is
+    touched map-only into a (vec, label)-grain partial-agg — the same
+    probe shape the IVF index uses for cluster assignment."""
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("x").cast("double") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(
+            F.round(F.sum("q") * F.lit(1.0) / F.count("*"), 0)
+            .cast("long")
+            .alias("cm")
+        )
+    )
+    d = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum((F.col("q") - F.col("cm")) * (F.col("q") - F.col("cm"))).alias(
+                "dist"
+            )
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wmin = W.partitionBy("vec_id").orderBy("dist", "c_label")
+    return (
+        d.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "assigned")
+    )
