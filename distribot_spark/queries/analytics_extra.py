@@ -490,3 +490,100 @@ def q_event_paths(spark, sf_dir):
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (SELECT src, dst, COUNT(*) AS n FROM s
+          WHERE dst IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.src, c.dst, c.n,
+           ROUND(c.n * 1.0 / t.tot * 1000000) / 1000000 AS p
+    FROM c JOIN t ON c.src = t.src
+    ORDER BY c.src, c.dst
+    """,
+    tags=("temporal", "paths"),
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event | current event), the model behind
+    q_event_paths' raw n-grams. One user_id window shuffle, then two
+    tiny aggregates over the bounded |event_types|² domain; the
+    probabilities divide exact integers, so the matrix hash-oracles."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    c = s.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    t = c.groupBy("src").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            (
+                F.round(F.col("n") * F.lit(1.0) / F.col("tot") * F.lit(1000000.0), 0)
+                / F.lit(1000000.0)
+            ).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "q_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                  AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month) * 1000000) / 1000000
+             + 0.0 AS mom_growth
+    FROM m ORDER BY month
+    """,
+    tags=("temporal", "kpi"),
+)
+def q_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth — the period-over-period KPI
+    window. Monthly sums go through exact decimal; the growth ratio
+    divides two such doubles (identical in both engines) with the
+    signed-round `+ 0.0` guard. The unpartitioned LAG runs over ~tens
+    of month rows AFTER aggregation — spine-sized, never fact-sized."""
+    from pyspark.sql import Window as W
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+                 .alias("month"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = W.orderBy("month")
+    growth = (F.col("revenue") - F.lag("revenue").over(w)) / F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        (
+            F.round(growth * F.lit(1000000.0), 0) / F.lit(1000000.0) + F.lit(0.0)
+        ).alias("mom_growth"),
+    ).orderBy("month")

@@ -394,3 +394,46 @@ def q_anomaly_zscore(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(('0x' || substr(md5(
+                 concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                           strftime(o_orderdate, '%Y-%m-%d'))), 1, 15))
+               AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+    FROM orders
+    """,
+    tags=("quality", "reconciliation"),
+)
+def q_table_checksum(spark, sf_dir):
+    """Order-insensitive table content checksum: each row canonicalizes
+    to a delimited string (decimals and dates formatted, never raw
+    doubles/timestamps), hashes to a 60-bit md5-prefix integer, and
+    the EXACT decimal(38) sum of those integers fingerprints the
+    table. Commutative addition ⇒ partition- and layout-independent;
+    portable hashing ⇒ the same table in ANY engine produces the same
+    checksum — the O(1)-output cross-system reconciliation primitive
+    (cheaper than q_table_diff when you only need equal/not-equal).
+    Map-only scan + a 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h).cast("string").alias("checksum"),
+    )
