@@ -319,6 +319,15 @@ def test_session_round3b_queries_stay_jvm_and_equi_joined(spark):
         "q_anomaly_zscore",
         "q_global_rownum",
         "q_skyline",
+        "q_ewma",
+        "q_cms_frequency",
+        "doc_feature_hash",
+        "emb_centroids",
+        "emb_nearest_centroid",
+        "q_event_paths",
+        "q_markov_transitions",
+        "q_mom_growth",
+        "q_table_checksum",
     ):
         df = q(spark, name)
         plan = explain_string(df)
