@@ -587,3 +587,100 @@ def q_mom_growth(spark, sf_dir):
             F.round(growth * F.lit(1000000.0), 0) / F.lit(1000000.0) + F.lit(0.0)
         ).alias("mom_growth"),
     ).orderBy("month")
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency,
+             COUNT(*) AS frequency,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                  AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1),
+    cuts AS (SELECT quantile_cont(recency * 1.0, [0.25, 0.5, 0.75]) AS rc,
+                    quantile_cont(frequency * 1.0, [0.25, 0.5, 0.75]) AS fc,
+                    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+             FROM cust),
+    scored AS (
+      SELECT monetary,
+             CAST(4 - len(list_filter(rc, c -> recency * 1.0 > c))
+                  AS BIGINT) AS r_score,
+             CAST(1 + len(list_filter(fc, c -> frequency * 1.0 > c))
+                  AS BIGINT) AS f_score,
+             CAST(1 + len(list_filter(mc, c -> monetary > c))
+                  AS BIGINT) AS m_score
+      FROM cust, cuts)
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(monetary AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS segment_revenue
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=("analytics", "segmentation"),
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile scores, 1–4 each; recent = HIGH r_score): per-customer
+    aggregates → exact interpolated quartile cut-points (bit-identical
+    across engines, the q_percentiles guarantee) → score via the
+    9-literal array fold (the q_equidepth_hist bucketing move, so no
+    global NTILE window) → segment rollup. Two bounded shuffles
+    (customer grain, segment grain); the cuts and the corpus-max date
+    broadcast. Money exact-decimal end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("maxd"), F.max("o_orderdate")).alias("recency"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    cuts = cust.agg(
+        F.expr("percentile(recency * 1.0, array(0.25D, 0.5D, 0.75D))").alias("rc"),
+        F.expr("percentile(frequency * 1.0, array(0.25D, 0.5D, 0.75D))").alias(
+            "fc"
+        ),
+        F.expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").alias("mc"),
+    )
+    scored = cust.crossJoin(F.broadcast(cuts)).select(
+        "monetary",
+        (
+            F.lit(4)
+            - F.expr(
+                "aggregate(rc, 0, (a, c) -> a + IF(recency * 1.0 > c, 1, 0))"
+            )
+        )
+        .cast("long")
+        .alias("r_score"),
+        (
+            F.lit(1)
+            + F.expr(
+                "aggregate(fc, 0, (a, c) -> a + IF(frequency * 1.0 > c, 1, 0))"
+            )
+        )
+        .cast("long")
+        .alias("f_score"),
+        (
+            F.lit(1)
+            + F.expr("aggregate(mc, 0, (a, c) -> a + IF(monetary > c, 1, 0))")
+        )
+        .cast("long")
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("monetary").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

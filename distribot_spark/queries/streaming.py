@@ -670,3 +670,86 @@ def s16_stream_stream_full_outer(spark, sf_dir):
         (F.col("click_id").isNull() | (F.col("click_id") >= 0))
         & (F.col("view_id").isNull() | (F.col("view_id") >= 0))
     ).orderBy("click_id", "view_id")
+
+
+@register(
+    "s17_stream_running_stats",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    a AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) AS BIGINT) AS s2
+      FROM c GROUP BY 1)
+    SELECT event_type, n_events,
+           ROUND(s1 * 1.0 / n_events / 100.0 * 10000) / 10000 AS mean_value,
+           ROUND(sqrt((n_events * s2 - s1 * s1) * 1.0
+                      / (n_events * (n_events - 1))) / 100.0 * 10000) / 10000
+             AS std_value
+    FROM a ORDER BY event_type
+    """,
+    tags=("streaming", "stateful", "stats"),
+)
+def s17_stream_running_stats(spark, sf_dir):
+    """Streaming Welford-style running statistics per key
+    (applyInPandasWithState): state = integer (n, Σcents, Σcents²), so
+    the accumulation is EXACTLY order- and batching-independent — the
+    final state equals the batch aggregate bit-for-bit, which is what
+    makes a streaming metric monitor trustworthy (and this oracle
+    possible; contrast s6, whose float sum relies on chunk-order
+    determinism). Mean/std derive from the integer sums with the same
+    spelled-out arithmetic as q_anomaly_zscore. The batch projection
+    keeps each key's final update via max_by(n)."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = replay.replay_dir(sf_dir)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, s1, s2 = state.get
+        else:
+            n, s1, s2 = 0, 0, 0
+        for pdf in pdfs:
+            cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(
+                "int64"
+            )
+            n += len(cents)
+            s1 += int(cents.sum())
+            s2 += int((cents * cents).sum())
+        state.update((n, s1, s2))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "s1": [s1], "s2": [s2]}
+        )
+
+    def t(stream):
+        return stream.groupBy("event_type").applyInPandasWithState(
+            update,
+            "event_type string, n_events long, s1 long, s2 long",
+            "n long, s1 long, s2 long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    updates = replay.run_bounded(spark, t, src, "update")
+    final = updates.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("s1", "n_events").alias("s1"),
+        F.max_by("s2", "n_events").alias("s2"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("n_events") / F.lit(100.0)
+    var = (
+        F.col("n_events") * F.col("s2") - F.col("s1") * F.col("s1")
+    ) * F.lit(1.0) / (F.col("n_events") * (F.col("n_events") - 1))
+    return final.select(
+        "event_type",
+        "n_events",
+        (F.round(mean * F.lit(10000.0), 0) / F.lit(10000.0)).alias("mean_value"),
+        (
+            F.round(F.sqrt(var) / F.lit(100.0) * F.lit(10000.0), 0)
+            / F.lit(10000.0)
+        ).alias("std_value"),
+    ).orderBy("event_type")
