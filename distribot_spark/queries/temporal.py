@@ -477,3 +477,64 @@ def q_ewma(spark, sf_dir):
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         (F.round(ewma * F.lit(10000.0), 0) / F.lit(10000.0)).alias("ewma"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_max_concurrency",
+    oracle="""
+    WITH sess AS (
+      SELECT ts AS start_ts, ts + INTERVAL 5 MINUTE AS end_ts,
+             CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'view'),
+    pts AS (
+      SELECT day, start_ts AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT day, end_ts AS t, -1 AS delta FROM sess),
+    run AS (
+      SELECT day, t,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS concurrent
+      FROM pts)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY day ORDER BY day
+    """,
+    tags=("temporal", "sweep"),
+)
+def q_max_concurrency(spark, sf_dir):
+    """Peak concurrency via the sweep-line (+1/−1) trick: each view
+    opens a 5-minute session; boundary events sorted within the day
+    partition, running sum, per-day max. The O(n log n) answer to "how
+    many sessions were open at once" — the capacity-planning query a
+    naive interval self-join makes O(n²). Start-before-end tie order
+    (delta DESC at equal t) counts back-to-back touching sessions as
+    overlapping in BOTH engines. Day partitions keep every window
+    parallel; sessions are attributed to their start day (documented
+    boundary convention)."""
+    from pyspark.sql import Window as W
+
+    sess = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("end_ts"),
+            F.col("ts").cast("date").alias("day"),
+        )
+    )
+    pts = sess.select(
+        "day", F.col("start_ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select("day", F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        W.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        pts.withColumn("concurrent", F.sum("delta").over(w))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.max("concurrent").cast("long").alias("peak_concurrent"))
+        .orderBy("day")
+    )
