@@ -684,3 +684,82 @@ def q_rfm_segments(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "q_percentiles_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.5) AS p50_disc,
+           quantile_disc(o_totalprice, 0.9) AS p90_disc
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentiles_disc(spark, sf_dir):
+    """PERCENTILE_DISC semantics (smallest value whose cume_dist ≥ p —
+    always an ACTUAL data value, unlike q_percentiles' interpolation).
+    Spark has no disc aggregate, so the SQL-standard definition is
+    spelled directly: cume_dist window + conditional min — which also
+    documents exactly which element the oracle's quantile_disc picks.
+    One window pass per status partition, one aggregate."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    cd = F.cume_dist().over(w)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_totalprice", cd.alias("cd"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min(F.when(F.col("cd") >= 0.5, F.col("o_totalprice"))).alias(
+                "p50_disc"
+            ),
+            F.min(F.when(F.col("cd") >= 0.9, F.col("o_totalprice"))).alias(
+                "p90_disc"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_sequence_gaps",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey AS k,
+             LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM orders)
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - k - 1 AS gap_len
+    FROM s WHERE nxt > k + 1
+    ORDER BY gap_len DESC, gap_start LIMIT 20
+    """,
+    tags=("quality", "sequence"),
+)
+def q_sequence_gaps(spark, sf_dir):
+    """Sequence-gap detection over the order-key space (the "did ingest
+    drop a range" audit): sorted LEAD diff surfaces every missing run as
+    (gap_start, gap_end, len); top-20 by size. The unpartitioned window
+    is over the KEY COLUMN ONLY after column pruning; at 100 TB,
+    range-partition the keys and seam-check partition boundaries with
+    the q_global_rownum offset pattern — the per-partition LEADs stay
+    parallel and only the 16 boundary rows need a second look."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("k")
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .withColumn("nxt", F.lead("k").over(w))
+    )
+    return (
+        s.filter(F.col("nxt") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), "gap_start")
+        .limit(20)
+    )
