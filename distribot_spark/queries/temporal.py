@@ -538,3 +538,82 @@ def q_max_concurrency(spark, sf_dir):
         .agg(F.max("concurrent").cast("long").alias("peak_concurrent"))
         .orderBy("day")
     )
+
+
+@register(
+    "q_rolling_dau_exact",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    contrib AS (
+      SELECT user_id, day + CAST(k AS INTEGER) AS tday
+      FROM d, (SELECT unnest(range(7)) AS k)),
+    r AS (SELECT tday, COUNT(DISTINCT user_id) AS wau
+          FROM contrib GROUP BY tday)
+    SELECT strftime(r.tday, '%Y-%m-%d') AS day, r.wau
+    FROM r, bounds WHERE r.tday BETWEEN bounds.lo AND bounds.hi
+    ORDER BY day
+    """,
+    tags=("temporal", "distinct"),
+)
+def q_rolling_dau_exact(spark, sf_dir):
+    """EXACT trailing-7-day distinct users per day (rolling WAU) — the
+    sliding-distinct problem, which has no algebraic window form
+    (distinct doesn't subtract). The scalable shape: each (user, day)
+    pair CONTRIBUTES itself to the 7 target days it covers (map-only
+    ×7 explode), then one distinct-count per target day — O(7n) work,
+    all equi-grouped, no day×day join and no per-day re-scan. The
+    oracle twin of q_rolling_dau_hll, which replaces the exact distinct
+    with mergeable sketches at 100 TB."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = d.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("k")).alias("tday"))
+    r = contrib.groupBy("tday").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        r.crossJoin(F.broadcast(bounds))
+        .filter(F.col("tday").between(F.col("lo"), F.col("hi")))
+        .select(F.date_format("tday", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+@register("q_rolling_dau_hll", oracle=None, tags=("temporal", "distinct", "approx"))
+def q_rolling_dau_hll(spark, sf_dir):
+    """Sketch-based trailing-7-day distinct users: ONE DataSketches HLL
+    per (user-day grain) day, each day's sketch contributed to its 7
+    covering windows and UNIONED — the mergeable-summary answer to
+    sliding distinct counts. At 100 TB the daily sketches are a few KB
+    each and persist; a new day means 7 sketch unions, not a 7-day
+    re-scan (same argument as q_hll_rollup, applied along time).
+    ≈ operator, rows-only; tolerance vs the exact twin asserted in
+    tests/test_operators.py::test_rolling_dau_hll_tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "day", "sk"
+    ).select(F.date_add("day", F.col("k")).alias("tday"), "sk")
+    r = contrib.groupBy("tday").agg(F.hll_union_agg("sk").alias("sk"))
+    return (
+        r.crossJoin(F.broadcast(bounds))
+        .filter(F.col("tday").between(F.col("lo"), F.col("hi")))
+        .select(
+            F.date_format("tday", "yyyy-MM-dd").alias("day"),
+            F.hll_sketch_estimate("sk").alias("wau_est"),
+        )
+        .orderBy("day")
+    )

@@ -1097,3 +1097,22 @@ def test_cms_never_underestimates_and_merges(spark):
         .count()
     )
     assert diff == 0, "merged shard sketches differ from the whole-stream sketch"
+
+
+def test_rolling_dau_hll_tolerance(spark):
+    """The HLL rolling-distinct estimate must track the exact twin
+    within DataSketches' expected error at default lgK (a few %)."""
+    from distribot_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.day: r.wau
+        for r in QUERIES["q_rolling_dau_exact"].builder(spark, sf).collect()
+    }
+    est = {
+        r.day: r.wau_est
+        for r in QUERIES["q_rolling_dau_hll"].builder(spark, sf).collect()
+    }
+    assert est.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n < 0.05, (day, n, est[day])
