@@ -617,3 +617,165 @@ def q_rolling_dau_hll(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_dedup_within_time",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 10 MINUTE
+                     THEN 1 ELSE 0 END AS is_burst_start
+      FROM s)
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_burst_start) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("temporal", "dedup"),
+)
+def q_dedup_within_time(spark, sf_dir):
+    """Time-bounded burst dedup (the BATCH twin of streaming
+    dropDuplicatesWithinWatermark, with crisp batch semantics): within
+    each (user, type), an event is KEPT iff it starts a burst — no
+    same-key event in the preceding 10 minutes (gaps-and-islands on
+    the LAG gap). Telemetry retry storms collapse to their first
+    occurrence. One shuffle on the dedup key; emitted as per-key
+    kept/total counts so the census itself is the contract."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+    )
+    flagged = s.withColumn(
+        "is_burst_start",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                > 600
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("is_burst_start").cast("long").alias("n_kept"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+_INTERP_ORACLE = """
+WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                       date_trunc('hour', MAX(ts)) AS hi
+                FROM events WHERE event_type = 'purchase'),
+grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+agg AS (SELECT date_trunc('hour', ts) AS h,
+               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND hour(ts) NOT IN (3, 4, 5)
+        GROUP BY 1),
+g AS (SELECT grid.h, CAST(epoch(grid.h) // 3600 AS BIGINT) AS idx, agg.cents
+      FROM grid LEFT JOIN agg ON grid.h = agg.h),
+f AS (
+  SELECT h, idx, cents,
+    last_value(cents IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER wp AS pi,
+    first_value(cents IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER wf AS ni
+  FROM g
+  WINDOW wp AS (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW),
+         wf AS (ORDER BY idx ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING))
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       cents IS NOT NULL AS observed,
+       CAST(ROUND(CASE
+         WHEN cents IS NOT NULL THEN cents * 1.0
+         WHEN pv IS NOT NULL AND nv IS NOT NULL
+           THEN pv + (nv - pv) * 1.0 * (idx - pi) / (ni - pi)
+         ELSE COALESCE(pv, nv) * 1.0
+       END) AS BIGINT) AS filled_cents
+FROM f ORDER BY hour
+"""
+
+
+@register("events_interpolate", oracle=_INTERP_ORACLE, tags=("temporal", "gapfill"))
+def events_interpolate(spark, sf_dir):
+    """LINEAR-interpolation gap fill (the sensor-data sibling of
+    events_resample_gapfill's zero fill): hours 03-05 are deliberately
+    blanked, then reconstructed from the straight line between the
+    nearest observed neighbors — last/first IGNORE NULLS window pulls
+    (prev, next) value+index in one pass each. Integer cents in, exact
+    integer ratio interpolation out (identical doubles → identical
+    rounding), edges fall back to nearest-observed. SCALE NOTE: the
+    window runs over the HOURLY SPINE (bounded by the time range), not
+    events; partition it by month at 100 TB and seam-check boundaries
+    as in q_sequence_gaps."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    agg = (
+        ev.filter(~F.hour("ts").isin(3, 4, 5))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(F.sum("value") * F.lit(100.0), 0).cast("long").alias("cents")
+        )
+    )
+    g = grid.join(agg, "h", "left").select(
+        "h",
+        F.floor(F.col("h").cast("long") / 3600).cast("long").alias("idx"),
+        "cents",
+    )
+    wp = W.orderBy("idx").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.orderBy("idx").rowsBetween(0, W.unboundedFollowing)
+    idx_if_obs = F.when(F.col("cents").isNotNull(), F.col("idx"))
+    f = g.select(
+        "h",
+        "idx",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pv"),
+        F.last(idx_if_obs, ignorenulls=True).over(wp).alias("pi"),
+        F.first("cents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(idx_if_obs, ignorenulls=True).over(wf).alias("ni"),
+    )
+    interp = (
+        F.when(F.col("cents").isNotNull(), F.col("cents") * F.lit(1.0))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.lit(1.0)
+            * (F.col("idx") - F.col("pi"))
+            / (F.col("ni") - F.col("pi")),
+        )
+        .otherwise(F.coalesce("pv", "nv") * F.lit(1.0))
+    )
+    return f.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("cents").isNotNull().alias("observed"),
+        F.round(interp, 0).cast("long").alias("filled_cents"),
+    ).orderBy("hour")
