@@ -1712,3 +1712,43 @@ def q_mode(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q_nullsafe_join",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS k
+               FROM orders WHERE o_orderkey % 100 = 0),
+    b AS (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k, COUNT(*) AS n
+          FROM orders GROUP BY 1)
+    SELECT a.o_orderkey, COALESCE(a.k, 'NULL') AS k, b.n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.o_orderkey
+    """,
+    tags=("join", "null"),
+)
+def q_nullsafe_join(spark, sf_dir):
+    """NULL-safe equality join (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of vanishing — the semantics a
+    plain equi-join silently drops, and the one late-arriving-dimension
+    pipelines actually want ("group the not-yet-classified rows
+    together, don't lose them"). Planner note: Spark compiles `<=>`
+    into a hash-join key (EqualNullSafe is a valid equi-join
+    expression), NOT a nested-loop — so the null-safe form keeps the
+    scalable plan."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    a = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", key.alias("k")
+    )
+    b = o.select(key.alias("k")).groupBy("k").agg(F.count("*").alias("n"))
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")))
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("a.k"), F.lit("NULL")).alias("k"),
+            "n",
+        )
+        .orderBy("o_orderkey")
+    )
