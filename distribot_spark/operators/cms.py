@@ -21,15 +21,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from distribot_spark.operators.bloom import A, B, P
+from distribot_spark.operators.bloom import _positions, positions_sql
 
 
 def _pos(key, i: int, w: int):
-    return ((key % P) * A[i] + B[i]) % P % w
+    """Row i's counter position — the bloom hash family, verbatim."""
+    return _positions(key, w, i + 1)[i]
 
 
 def pos_sql(col: str, i: int, w: int) -> str:
-    return f"(({col} % {P}) * {A[i]} + {B[i]}) % {P} % {w}"
+    """The same position as ANSI SQL (oracle side), from bloom's table."""
+    return positions_sql(col, w, i + 1)[i]
 
 
 def build_cms(stream: DataFrame, key: str, d: int = 4, w: int = 2048) -> DataFrame:

@@ -1360,10 +1360,7 @@ def q_cms_frequency(spark, sf_dir):
     )
     top = cnt.orderBy(F.desc("exact_cnt"), "key").limit(10)
     cms = build_cms(li, "l_partkey", d=_CMS_D, w=_CMS_W)
-    est = probe_cms(
-        top.select("key"), "key", cms.withColumnRenamed("cnt", "cnt"),
-        d=_CMS_D, w=_CMS_W,
-    )
+    est = probe_cms(top.select("key"), "key", cms, d=_CMS_D, w=_CMS_W)
     return (
         top.join(est, "key")
         .select(

@@ -655,13 +655,16 @@ def q_dedup_within_time(spark, sf_dir):
         .select("event_id", "user_id", "event_type", "ts")
         .withColumn("prev_ts", F.lag("ts").over(w))
     )
+    # exact microsecond gap — cast('long') would floor to seconds and
+    # diverge from the oracle's INTERVAL comparison for gaps in
+    # (600s, 601s); events timestamps carry sub-second precision
     flagged = s.withColumn(
         "is_burst_start",
         F.when(
             F.col("prev_ts").isNull()
             | (
-                F.col("ts").cast("long") - F.col("prev_ts").cast("long")
-                > 600
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                > 600_000_000
             ),
             1,
         ).otherwise(0),

@@ -123,14 +123,31 @@ def compact_small_files(
     rewrite `path` into ceil(total_bytes / target_bytes) files and
     return the new file count. Reads the current footprint from the
     file listing (metadata only), rewrites via repartition — one
-    shuffle whose width IS the output layout — then atomically swaps
-    directories. Small files are a 100 TB killer twice over: open/seek
-    overhead per file at read time, and task-scheduling overhead at
-    planning time (one split per tiny file)."""
+    shuffle whose width IS the output layout — then swaps directories.
+
+    Crash-safety contract: the swap is TWO renames, not one atomic op —
+    a crash between them leaves `path` absent with the data intact in
+    `<path>.old` (manual: rename it back). Leftover `.old`/`.compacting`
+    dirs from a crashed run make this function FAIL FAST rather than
+    rename onto them; on a real lake, use the manifest-commit protocol
+    (flow/engine.StateStore.commit_wave_manifest) or a table format
+    whose commits are atomic. Small files are a 100 TB killer twice
+    over: open/seek overhead per file at read time, and task-scheduling
+    overhead at planning time (one split per tiny file)."""
     import math
     import os
     import shutil
 
+    leftovers = [
+        p
+        for p in (path.rstrip("/") + ".old", path.rstrip("/") + ".compacting")
+        if os.path.exists(p)
+    ]
+    if leftovers:
+        raise RuntimeError(
+            f"compact_small_files: leftover dirs from a crashed run: "
+            f"{leftovers}; recover or remove them first"
+        )
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)

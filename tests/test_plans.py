@@ -328,6 +328,12 @@ def test_session_round3b_queries_stay_jvm_and_equi_joined(spark):
         "q_markov_transitions",
         "q_mom_growth",
         "q_table_checksum",
+        "q_nullsafe_join",  # EqualNullSafe must stay a hash-join key
+        "q_percentiles_disc",
+        "q_sequence_gaps",
+        "q_dedup_within_time",
+        "q_max_concurrency",
+        "q_aqp_estimate",
     ):
         df = q(spark, name)
         plan = explain_string(df)
@@ -339,7 +345,14 @@ def test_session_round3b_queries_stay_jvm_and_equi_joined(spark):
     # BroadcastNestedLoopJoin by construction (no join key exists) and
     # is scale-benign; everything else must still be JVM-side with no
     # cartesian on real relations.
-    for name in ("q_ks_drift", "graph_triangles"):
+    for name in (
+        "q_ks_drift",
+        "graph_triangles",
+        "q_equidepth_hist",   # broadcast cuts array
+        "q_rfm_segments",     # broadcast max-date + quartile cuts
+        "q_rolling_dau_exact",  # broadcast day bounds
+        "events_interpolate",   # broadcast hour bounds
+    ):
         df = q(spark, name)
         plan = explain_string(df)
         assert "CartesianProduct" not in plan, name
@@ -365,8 +378,13 @@ def test_global_rownum_no_global_window_on_facts(spark):
     through a single-partition Window."""
     df = q(spark, "q_global_rownum")
     plan = explain_string(df)
-    # the pid-partitioned window must exist
-    assert "partitionBy" not in plan or True  # textual form varies
     assert "Window" in plan
+    # the fact-side rank window must be PARTITIONED (by pid) — a
+    # regression to a global row_number would show a windowspec whose
+    # partition slot is empty. Spec prints as
+    # windowspecdefinition(<partition cols...>, <order cols ASC...>, frame)
+    assert "windowspecdefinition(pid" in plan, (
+        "fact window is not partitioned by pid"
+    )
     # offsets join is broadcast (tiny relation)
     assert has_broadcast_join(df)
