@@ -100,6 +100,13 @@ HEADLINE = [
     "q_global_rownum",
     "q_skyline",
     "q_ewma",
+    # final round-4 additions (documented in BASELINE.md): RFM
+    # segmentation, rolling 7-day distinct, sweep-line concurrency,
+    # and the count-min sketch build+probe.
+    "q_rfm_segments",
+    "q_rolling_dau_exact",
+    "q_max_concurrency",
+    "q_cms_frequency",
 ]
 
 
