@@ -175,3 +175,97 @@ def test_streaming_restart_recovers_from_checkpoint(spark, tmp_path):
     want = {(r.event_type): (r.n, r.cents) for r in expect.collect()}
     assert got == want, "post-restart aggregate diverges from batch answer"
     assert sum(r.n for r in final.collect()) == spark.read.parquet(src).count()
+
+
+def test_stateful_restart_recovers_state_store(spark, tmp_path):
+    """The STATEFUL twin of the checkpoint-recovery test: an
+    applyInPandasWithState aggregation killed mid-replay must restore
+    its per-key (n, Σcents, Σcents²) from the state store on restart
+    and finish with EXACTLY the batch answer — integer state makes the
+    equality bit-for-bit, so silent state loss (restart-from-zero)
+    or double-replay (state applied twice) are both detectable."""
+    import glob
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = replay.replay_dir("/root/testdata/sf0.001")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = spark.read.parquet(src).schema
+
+    def update(key, pdfs, state):
+        n, s1, s2 = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(
+                "int64"
+            )
+            n += len(cents)
+            s1 += int(cents.sum())
+            s2 += int((cents * cents).sum())
+        state.update((n, s1, s2))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "s1": [s1], "s2": [s2]}
+        )
+
+    def sink_fn(bdf, bid):
+        bdf.write.mode("overwrite").parquet(f"{sink}/batch={bid}")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream.groupBy("event_type").applyInPandasWithState(
+            update,
+            "event_type string, n long, s1 long, s2 long",
+            "n long, s1 long, s2 long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        return (
+            out.writeStream.foreachBatch(sink_fn)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while len(glob.glob(sink + "/batch=*")) < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    assert glob.glob(sink + "/batch=*"), "first run made no progress"
+
+    q2 = start()
+    q2.awaitTermination()
+
+    # fold the update stream: last emitted row per key wins (n monotone)
+    updates = spark.read.option("basePath", sink).parquet(sink + "/batch=*")
+    final = updates.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by("s1", "n").alias("s1"),
+        F.max_by("s2", "n").alias("s2"),
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("s1"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                * F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("s2"),
+        )
+    )
+    got = {r.event_type: (r.n, r.s1, r.s2) for r in final.collect()}
+    want = {r.event_type: (r.n, r.s1, r.s2) for r in batch.collect()}
+    assert got == want, f"state diverged after restart: {got} != {want}"
