@@ -1116,3 +1116,29 @@ def test_rolling_dau_hll_tolerance(spark):
     assert est.keys() == exact.keys()
     for day, n in exact.items():
         assert abs(est[day] - n) / n < 0.05, (day, n, est[day])
+
+
+def test_write_audited_metrics_free_pass(spark, tmp_path):
+    """observe()-based write audit: metrics computed IN the write job
+    must equal a separate aggregation, with no second scan needed."""
+    import pyspark.sql.functions as SF
+
+    from distribot_spark.sources.io import write_audited
+
+    df = spark.range(10_000).selectExpr(
+        "id AS k", "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS v"
+    )
+    p = str(tmp_path / "audited")
+    got = write_audited(
+        df,
+        p,
+        {
+            "n_rows": SF.count(SF.lit(1)),
+            "n_null_v": SF.count_if(SF.col("v").isNull()),
+            "sum_k": SF.sum("k"),
+        },
+    )
+    assert got["n_rows"] == 10_000
+    assert got["n_null_v"] == 1_000
+    assert got["sum_k"] == 10_000 * 9_999 // 2
+    assert spark.read.parquet(p).count() == 10_000
