@@ -344,3 +344,45 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         batches, AUDIO_FEATURES_SCHEMA
     )
+
+
+PHASH_SCHEMA = "doc_id LONG, phash_hi LONG, phash_lo LONG"
+
+
+def phash_image(df: DataFrame) -> DataFrame:
+    """Perceptual hash (aHash variant) per image: decode → integer
+    grayscale ((r+g+b)//3) → 8×8 nearest-neighbor downsample → 64-bit
+    signature, bit j set iff its cell is brighter than the image mean
+    (compared as 64·g > Σg — pure integers, no float mean). Near-dup
+    images differ in a few bits; unrelated images in ~32. Packed as two
+    int32 halves so every shift stays < 2^32 (the bloom/CMS overflow
+    discipline). Batch Arrow path over the payload column; pair search
+    composes with the SimHash banded-join machinery (operators/dedup)."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _, img = codecs.decode(bytes(payload))
+                except (ValueError, struct.error):
+                    continue
+                gray = (
+                    img[:, :, 0].astype(np.int64)
+                    + img[:, :, 1]
+                    + img[:, :, 2]
+                ) // 3
+                small = codecs.resize_nearest(gray, 8, 8)
+                total = int(small.sum())
+                bits = (64 * small > total).astype(np.int64)
+                j = (np.arange(8)[:, None] * 8 + np.arange(8)[None, :])
+                lo = int((bits * ((j < 32) << np.clip(j, 0, 31))).sum())
+                hi = int((bits * ((j >= 32) << np.clip(j - 32, 0, 31))).sum())
+                rows.append(
+                    {"doc_id": int(doc_id), "phash_hi": hi, "phash_lo": lo}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "phash_hi", "phash_lo"])
+
+    return df.select("doc_id", "payload").mapInPandas(batches, PHASH_SCHEMA)

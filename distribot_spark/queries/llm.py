@@ -1525,3 +1525,43 @@ def emb_nearest_centroid(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("label", "assigned")
     )
+
+
+_PHASH_ORACLE = """
+WITH cells AS (
+  SELECT d.doc_id, xs.x, ys.y,
+         (((7 * (3 * xs.x) + 13 * (2 * ys.y) + d.doc_id) % 256)
+        + ((3 * (3 * xs.x) + 5 * (2 * ys.y) + 2 * d.doc_id) % 256)
+        + ((11 * (3 * xs.x) + 2 * (2 * ys.y) + 3 * d.doc_id) % 256)) // 3
+           AS g
+  FROM documents d,
+       (SELECT unnest(range(8)) AS x) xs,
+       (SELECT unnest(range(8)) AS y) ys),
+t AS (SELECT doc_id, CAST(SUM(g) AS BIGINT) AS total
+      FROM cells GROUP BY 1),
+b AS (SELECT c.doc_id, c.y * 8 + c.x AS j,
+             CASE WHEN 64 * c.g > t.total THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN t USING (doc_id))
+SELECT doc_id,
+  CAST(SUM(CASE WHEN j >= 32 THEN bit * (1::BIGINT << CAST(j - 32 AS INT))
+           ELSE 0 END) AS BIGINT) AS phash_hi,
+  CAST(SUM(CASE WHEN j < 32 THEN bit * (1::BIGINT << CAST(j AS INT))
+           ELSE 0 END) AS BIGINT) AS phash_lo
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("multimodal_phash", oracle=_PHASH_ORACLE, tags=("llm", "multimodal"))
+def multimodal_phash(spark, sf_dir):
+    """Perceptual image hashing over REAL encoded payloads: every doc's
+    P6 PPM is rendered (synthesize_image), decoded from its actual
+    bytes, grayscaled, 8×8-downsampled and thresholded into a 64-bit
+    aHash (operators/multimodal.phash_image). The oracle replays the
+    ENTIRE pixel pipeline symbolically from the synth_pixel_channels
+    formula — decode, NN-resample coordinates (3x, 2y), integer
+    grayscale, 64·g > Σg threshold, bit packing — so a single wrong
+    pixel anywhere in the codec path breaks the hash. Near-dup IMAGE
+    search = this signature + the SimHash banded-join machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_image(docs, width=24, height=16, fmt="ppm")
+    return multimodal.phash_image(imgs).orderBy("doc_id")

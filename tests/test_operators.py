@@ -1142,3 +1142,36 @@ def test_write_audited_metrics_free_pass(spark, tmp_path):
     assert got["n_null_v"] == 1_000
     assert got["sum_k"] == 10_000 * 9_999 // 2
     assert spark.read.parquet(p).count() == 10_000
+
+
+def test_phash_near_dup_discrimination(spark):
+    """A lightly perturbed image must stay within a few pHash bits of
+    its source; unrelated images must differ by many bits."""
+    import numpy as np
+
+    from distribot_spark.operators import codecs
+    from distribot_spark.operators.multimodal import (
+        phash_image,
+        synth_pixel_channels,
+    )
+
+    ys, xs = np.mgrid[0:16, 0:24]
+    r, g, b = synth_pixel_channels(xs, ys, 1)
+    img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    twin = img.copy()  # perturbed twin: brighten one 3x3 corner patch
+    twin[:3, :3] = np.minimum(twin[:3, :3].astype(int) + 40, 255)
+    inverted = (255 - img.astype(int)).astype(np.uint8)  # tonal opposite
+    rows = [
+        (1, codecs.encode_ppm(img)),
+        (101, codecs.encode_ppm(twin)),
+        (201, codecs.encode_ppm(inverted)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = {r.doc_id: (r.phash_hi, r.phash_lo) for r in phash_image(df).collect()}
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert hamming(h[1], h[101]) <= 6, "perturbed twin drifted too far"
+    # the tonal opposite flips (almost) every above-mean cell
+    assert hamming(h[1], h[201]) >= 40, "opposite image too close"
