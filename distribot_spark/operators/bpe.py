@@ -103,3 +103,35 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int = 10) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame, text_col: str, id_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenize with a LEARNED merge table: per document, the total BPE
+    token count after applying `merges` (ordered (left, right) pairs —
+    bpe_train's output). Same scale split as training: merges apply to
+    the DISTINCT-WORD lexicon (bounded; one chained JVM fold per merge
+    rank), which then broadcast-joins back onto the corpus word stream
+    — the corpus itself is touched by exactly one explode + one count
+    shuffle, never by the per-symbol rewriting."""
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    lex = words.select("w").distinct().select(
+        "w", F.expr("split(w, '')").alias("syms")
+    )
+    for left, right in merges:
+        lex = lex.select(
+            "w", F.expr(_merge_pair_expr("syms", left, right)).alias("syms")
+        )
+    sizes = lex.select("w", F.size("syms").alias("n_word_tokens"))
+    return (
+        words.join(F.broadcast(sizes), "w")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_word_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )

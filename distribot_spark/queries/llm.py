@@ -1565,3 +1565,20 @@ def multimodal_phash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     imgs = multimodal.synthesize_image(docs, width=24, height=16, fmt="ppm")
     return multimodal.phash_image(imgs).orderBy("doc_id")
+
+
+@register("doc_bpe_encode", oracle=None, tags=("llm", "tokenizer"))
+def doc_bpe_encode(spark, sf_dir):
+    """Train-then-APPLY: the 10 merges learned by doc_bpe_train re-
+    tokenize the corpus, yielding per-doc post-merge token counts
+    (operators/bpe.bpe_encode — merges rewrite the bounded lexicon,
+    corpus pays one explode + one count shuffle). Rows-only like the
+    trainer; tests/test_operators.py::test_bpe_encode_matches_reference
+    pins exact counts against the sequential reference."""
+    from distribot_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right) for r in bpe_train(docs, "text", n_merges=10).collect()
+    ]
+    return bpe_encode(docs, "text", "doc_id", merges).orderBy("doc_id")

@@ -1175,3 +1175,42 @@ def test_phash_near_dup_discrimination(spark):
     assert hamming(h[1], h[101]) <= 6, "perturbed twin drifted too far"
     # the tonal opposite flips (almost) every above-mean cell
     assert hamming(h[1], h[201]) >= 40, "opposite image too close"
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Applying a learned merge table must reproduce the sequential
+    encoder's token counts exactly."""
+    import re
+
+    from distribot_spark.operators.bpe import bpe_encode
+
+    texts = ["the cat sat on the mat", "the cats eat the mice",
+             "banana bandana cabana"]
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "a")]
+
+    def ref_count(t):
+        n_words = n_tok = 0
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if not w:
+                continue
+            syms = list(w)
+            for l, r in merges:
+                out = []
+                for x in syms:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                syms = out
+            n_words += 1
+            n_tok += len(syms)
+        return n_words, n_tok
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode(docs, "text", "doc_id", merges).collect()
+    }
+    assert got == {i: ref_count(t) for i, t in enumerate(texts)}
