@@ -1371,3 +1371,72 @@ def q_cms_frequency(spark, sf_dir):
         )
         .orderBy(F.desc("exact_cnt"), "l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance (non-linear recurrence)
+
+@register(
+    "q_clamped_balance",
+    oracle="""
+    WITH moves AS (
+      SELECT l_suppkey,
+             CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+                  ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem),
+    folded AS (
+      SELECT l_suppkey, COUNT(*) AS n_moves,
+             list_reduce(
+               list_prepend(0, list(delta ORDER BY l_shipdate, l_orderkey,
+                                    l_linenumber)),
+               (a, b) -> greatest(a + b, 0)) AS final_balance
+      FROM moves GROUP BY l_suppkey)
+    SELECT l_suppkey, n_moves, CAST(final_balance AS BIGINT) AS final_balance
+    FROM folded ORDER BY l_suppkey
+    """,
+    tags=("analytics", "recurrence"),
+)
+def q_clamped_balance(spark, sf_dir):
+    """Inventory-style CLAMPED running balance (stock never goes
+    negative): per supplier, fold time-ordered ±quantity moves through
+    x → max(x + δ, 0) — a NON-LINEAR recurrence no window frame can
+    express (clamping isn't associative over deltas). Spelled as an
+    ordered struct sort + JVM `aggregate` fold per key — Python never
+    touches it. SCALE NOTE: the per-key list is bounded by per-key
+    history; for unbounded histories the recurrence still parallelizes,
+    because x → max(x+δ, m) forms are CLOSED under composition
+    (max(max(x+a₁,b₁)+a₂, b₂) = max(x+a₁+a₂, max(b₁+a₂, b₂))) — fold
+    each chunk to its (A, B) summary, then compose summaries
+    associatively like any partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    moves = li.select(
+        "l_suppkey",
+        F.struct(
+            # ordering-only field (dropped before output): raw NTZ
+            # timestamp compares fine inside array_sort
+            F.col("l_shipdate").alias("o1"),
+            F.col("l_orderkey").alias("o2"),
+            F.col("l_linenumber").alias("o3"),
+            F.when(
+                F.col("l_returnflag") == "R", F.col("l_quantity").cast("long")
+            )
+            .otherwise(-F.col("l_quantity").cast("long"))
+            .alias("delta"),
+        ).alias("m"),
+    )
+    folded = (
+        moves.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_moves"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(m)),"
+                " x -> x.delta), CAST(0 AS BIGINT),"
+                " (a, b) -> greatest(a + b, CAST(0 AS BIGINT)))"
+            ).alias("final_balance"),
+        )
+    )
+    return folded.select(
+        "l_suppkey", "n_moves", F.col("final_balance").cast("long")
+        .alias("final_balance")
+    ).orderBy("l_suppkey")
