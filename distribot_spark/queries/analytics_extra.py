@@ -763,3 +763,124 @@ def q_sequence_gaps(spark, sf_dir):
         .orderBy(F.desc("gap_len"), "gap_start")
         .limit(20)
     )
+
+
+@register(
+    "q_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+                  AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2)
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region)
+                 * 1000000) / 1000000 AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER () * 1000000) / 1000000
+             AS share_of_total
+    FROM rev ORDER BY region, nation
+    """,
+    tags=("window", "olap"),
+)
+def q_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report (percent-of-total window) — per-nation revenue
+    share within its region and overall, the classic OLAP contribution
+    query. Shares divide the SAME exact-decimal-rounded doubles both
+    engines computed, and the window sums ride on the tiny aggregated
+    grain (nations), so the unpartitioned total window is spine-sized.
+    Dims broadcast onto the fact scan; one fact shuffle."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    r6 = lambda c_: F.round(c_ * F.lit(1000000.0), 0) / F.lit(1000000.0)
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        r6(F.col("revenue") / F.sum("revenue").over(W.partitionBy("region")))
+        .alias("share_of_region"),
+        r6(
+            F.col("revenue")
+            / F.sum("revenue").over(W.partitionBy())
+        ).alias("share_of_total"),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "q_key_skew_audit",
+    oracle="""
+    WITH c AS (SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem
+               GROUP BY 1),
+    r AS (SELECT cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt, k) AS i
+          FROM c),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cnt) AS BIGINT) AS tot,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+                 CAST(SUM(i * cnt) AS BIGINT) AS iw
+          FROM r)
+    SELECT n AS n_keys, tot AS n_rows, max_cnt,
+           ROUND((max_cnt * n * 1.0 / tot) * 1000000) / 1000000
+             AS max_over_mean,
+           ROUND((2.0 * iw / (n * 1.0 * tot) - (n + 1.0) / n) * 1000000)
+             / 1000000 AS gini
+    FROM s
+    """,
+    tags=("quality", "skew"),
+)
+def q_key_skew_audit(spark, sf_dir):
+    """Partition-key skew audit — the numbers that decide whether a join
+    or agg on this key needs salting (operators/skew.py) BEFORE you pay
+    for a failed shuffle: per-key counts, max/mean hot-key ratio, and
+    the exact Gini coefficient of the key distribution (sorted-rank
+    formula G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n over integer counts — all
+    exact inputs, hash-stable). The rank window runs over the KEY-COUNT
+    relation, and the q_global_rownum range-partition form removes even
+    that single-partition window at extreme key cardinality."""
+    from pyspark.sql import Window as W
+
+    c = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    r = c.withColumn(
+        "i", F.row_number().over(W.orderBy("cnt", "k"))
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("tot"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("i") * F.col("cnt")).alias("iw"),
+    )
+    r6 = lambda c_: F.round(c_ * F.lit(1000000.0), 0) / F.lit(1000000.0)
+    return s.select(
+        F.col("n").alias("n_keys"),
+        F.col("tot").alias("n_rows"),
+        "max_cnt",
+        r6(F.col("max_cnt") * F.col("n") * F.lit(1.0) / F.col("tot")).alias(
+            "max_over_mean"
+        ),
+        r6(
+            F.lit(2.0) * F.col("iw") / (F.col("n") * F.lit(1.0) * F.col("tot"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n")
+        ).alias("gini"),
+    )
