@@ -334,6 +334,9 @@ def test_session_round3b_queries_stay_jvm_and_equi_joined(spark):
         "q_dedup_within_time",
         "q_max_concurrency",
         "q_aqp_estimate",
+        "q_clamped_balance",
+        "q_ratio_to_report",
+        "q_key_skew_audit",
     ):
         df = q(spark, name)
         plan = explain_string(df)
