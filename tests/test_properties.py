@@ -205,3 +205,43 @@ def test_repetition_stats_matches_python_reference(spark, words):
     assert row.dup_word_frac == r4(1.0 - len(set(words)) / len(words))
     assert row.dup_2gram_frac == r4(1.0 - len(gc) / gtotal)
     assert row.top_2gram_frac == r4(max(gc.values()) / gtotal)
+
+
+# -- clamped balance: the (A, B) summary composition law ---------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    deltas=st.lists(st.integers(-50, 50), min_size=0, max_size=40),
+    split=st.integers(0, 40),
+)
+def test_clamped_fold_summary_composition(deltas, split):
+    """The scale claim in q_clamped_balance's docstring, checked as a
+    law: folding x → max(x+δ, 0) over a whole sequence equals composing
+    the two chunks' (A, B) summaries (f(x) = max(x + A, B)), for every
+    split point. This is what makes the non-associative-looking
+    recurrence partial-aggregatable at 100 TB."""
+    split = min(split, len(deltas))
+
+    def fold(x, ds):
+        for d in ds:
+            x = max(x + d, 0)
+        return x
+
+    def summary(ds):
+        a, b = 0, None  # identity: f(x) = x
+        for d in ds:
+            # compose with g(x) = max(x + d, 0)
+            a2 = a + d
+            b2 = max((b + d) if b is not None else float("-inf"), 0)
+            a, b = a2, b2
+        return a, b
+
+    def apply(s, x):
+        a, b = s
+        return max(x + a, b) if b is not None else x + a
+
+    whole = fold(0, deltas)
+    left, right = deltas[:split], deltas[split:]
+    composed = apply(summary(right), apply(summary(left), 0))
+    assert composed == whole
