@@ -62,6 +62,9 @@ def test_relational_queries_stay_jvm_side(spark):
         "q39", "q40", "q40_batched", "q40_grouped_agg", "q40_cogroup",
         "dedup_simhash", "multimodal_decode",
         "multimodal_resize", "multimodal_frames", "multimodal_audio",
+        # pHash decodes real payload bytes per batch (same codec path as
+        # multimodal_decode); the oracle replays the pixels symbolically
+        "multimodal_phash",
         # sign-LSH signatures are one Arrow-vectorized matmul: the
         # pure-Catalyst form is O(tables·planes·dim) expression nodes and
         # its analysis/codegen time dwarfs the math (see similarity.py)
