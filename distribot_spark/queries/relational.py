@@ -1752,3 +1752,39 @@ def q_nullsafe_join(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q36_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("json", "variant"),
+)
+def q36_variant(spark, sf_dir):
+    """Semi-structured access through Spark 4's VARIANT type
+    (parse_json → variant_get) — the third JSON quadrant next to q36
+    (string-path get_json_object) and q36_typed (from_json with a
+    declared schema). VARIANT parses ONCE into a binary form that all
+    downstream extractions share, the open-schema answer when documents
+    carry heterogeneous payloads and a fixed struct schema can't be
+    declared up front; at rest, Parquet VARIANT shredding keeps
+    extraction columnar. Aggregates on the extracted int are exact."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
