@@ -1440,3 +1440,49 @@ def q_clamped_balance(spark, sf_dir):
         "l_suppkey", "n_moves", F.col("final_balance").cast("long")
         .alias("final_balance")
     ).orderBy("l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact mergeable distinct via bitmap aggregates
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '*', COUNT(DISTINCT o_custkey) FROM orders
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "bitmap", "distinct"),
+)
+def q_bitmap_distinct(spark, sf_dir):
+    """EXACT mergeable distinct counts via Spark's bitmap aggregates —
+    the exact sibling of the HLL rollup (q_hll_rollup): keys bucket
+    into 32k-bit bitmaps (bitmap_bucket_number / bit_position /
+    construct_agg), per-status counts come from bitmap_count, and the
+    ALL-statuses total is served by OR-MERGING the same materialized
+    bitmaps (bitmap_or_agg) — no re-scan, no approximation. This is
+    the dense-int-key regime where bitmaps beat both COUNT(DISTINCT)
+    re-aggregation (shuffle of raw keys per grouping) and HLL (exact,
+    similar size for dense domains). The oracle is plain
+    COUNT(DISTINCT) at both grains."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = o.selectExpr(
+        "o_orderstatus",
+        "bitmap_bucket_number(o_custkey) AS bkt",
+        "bitmap_bit_position(o_custkey) AS pos",
+    )
+    by_status_bucket = pos.groupBy("o_orderstatus", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    per_status = by_status_bucket.groupBy("o_orderstatus").agg(
+        F.expr("sum(bitmap_count(bm))").cast("long").alias("n_distinct")
+    )
+    total = (
+        by_status_bucket.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").cast("long").alias("n_distinct"))
+        .select(F.lit("*").alias("o_orderstatus"), "n_distinct")
+    )
+    return per_status.unionAll(total).orderBy("o_orderstatus")
