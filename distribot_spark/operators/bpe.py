@@ -59,6 +59,8 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int = 10) -> DataFrame:
     learned order, pair_count = corpus-weighted frequency of the pair
     at the time it was chosen.
     """
+    from distribot_spark.operators.components import _pinned_shuffle_partitions
+
     spark: SparkSession = docs.sparkSession
     lex = (
         docs.select(
@@ -72,33 +74,40 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int = 10) -> DataFrame:
         .select(F.expr("split(w, '')").alias("syms"), "cnt")
         .localCheckpoint(eager=True)
     )
+    n_words = lex.count()  # cheap: counts the checkpointed RDD
 
     merges = []
-    for rank in range(1, n_merges + 1):
-        top = (
-            lex.filter(F.size("syms") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
-                    )
-                ).alias("p"),
-                "cnt",
+    # pin the loop's shuffle width to the LEXICON, not the corpus (the
+    # components.py convention). Measured neutral at sf0.1 (10.6→10.7 s:
+    # the loop cost is 10 sequential collect+checkpoint JOBS, not
+    # shuffle width) — kept because at cluster widths the default would
+    # schedule hundreds of empty reducers per round.
+    with _pinned_shuffle_partitions(spark, n_words):
+        for rank in range(1, n_merges + 1):
+            top = (
+                lex.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), "l", "r")
+                .limit(1)
+                .collect()
             )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
-        merges.append((rank, l, r, l + r, int(n)))
-        lex = lex.select(
-            F.expr(_merge_pair_expr("syms", l, r)).alias("syms"), "cnt"
-        ).localCheckpoint(eager=True)
+            if not top:
+                break
+            l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+            merges.append((rank, l, r, l + r, int(n)))
+            lex = lex.select(
+                F.expr(_merge_pair_expr("syms", l, r)).alias("syms"), "cnt"
+            ).localCheckpoint(eager=True)
 
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
