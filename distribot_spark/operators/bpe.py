@@ -136,11 +136,24 @@ def bpe_encode(
             "w", F.expr(_merge_pair_expr("syms", left, right)).alias("syms")
         )
     sizes = lex.select("w", F.size("syms").alias("n_word_tokens"))
-    return (
+    counts = (
         words.join(F.broadcast(sizes), "w")
         .groupBy(F.col("_id").alias(id_col))
         .agg(
             F.count("*").alias("n_words"),
             F.sum("n_word_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    # empty/punctuation-only/NULL texts produce no words — they must
+    # still appear as (0, 0) rows, not silently vanish from the corpus
+    return (
+        docs.select(F.col(id_col))
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
         )
     )

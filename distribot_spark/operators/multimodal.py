@@ -361,6 +361,11 @@ def phash_image(df: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # job-invariant bit-position masks, built once (not per image)
+    j = np.arange(8)[:, None] * 8 + np.arange(8)[None, :]
+    lo_mask = (j < 32) << np.clip(j, 0, 31)
+    hi_mask = (j >= 32) << np.clip(j - 32, 0, 31)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -377,9 +382,8 @@ def phash_image(df: DataFrame) -> DataFrame:
                 small = codecs.resize_nearest(gray, 8, 8)
                 total = int(small.sum())
                 bits = (64 * small > total).astype(np.int64)
-                j = (np.arange(8)[:, None] * 8 + np.arange(8)[None, :])
-                lo = int((bits * ((j < 32) << np.clip(j, 0, 31))).sum())
-                hi = int((bits * ((j >= 32) << np.clip(j - 32, 0, 31))).sum())
+                lo = int((bits * lo_mask).sum())
+                hi = int((bits * hi_mask).sum())
                 rows.append(
                     {"doc_id": int(doc_id), "phash_hi": hi, "phash_lo": lo}
                 )

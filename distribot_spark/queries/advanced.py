@@ -1381,8 +1381,11 @@ def q_cms_frequency(spark, sf_dir):
     oracle="""
     WITH moves AS (
       SELECT l_suppkey,
-             CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
-                  ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+             -- FLOOR spelled in BOTH engines: DuckDB CAST(double AS
+             -- BIGINT) rounds-to-nearest while Spark's cast truncates
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(FLOOR(l_quantity) AS BIGINT)
+                  ELSE -CAST(FLOOR(l_quantity) AS BIGINT) END AS delta,
              l_shipdate, l_orderkey, l_linenumber
       FROM lineitem),
     folded AS (
@@ -1419,9 +1422,10 @@ def q_clamped_balance(spark, sf_dir):
             F.col("l_orderkey").alias("o2"),
             F.col("l_linenumber").alias("o3"),
             F.when(
-                F.col("l_returnflag") == "R", F.col("l_quantity").cast("long")
+                F.col("l_returnflag") == "R",
+                F.floor("l_quantity").cast("long"),
             )
-            .otherwise(-F.col("l_quantity").cast("long"))
+            .otherwise(-F.floor("l_quantity").cast("long"))
             .alias("delta"),
         ).alias("m"),
     )

@@ -841,7 +841,7 @@ def q_ratio_to_report(spark, sf_dir):
            ROUND((max_cnt * n * 1.0 / tot) * 1000000) / 1000000
              AS max_over_mean,
            ROUND((2.0 * iw / (n * 1.0 * tot) - (n + 1.0) / n) * 1000000)
-             / 1000000 AS gini
+             / 1000000 + 0.0 AS gini
     FROM s
     """,
     tags=("quality", "skew"),
@@ -879,8 +879,12 @@ def q_key_skew_audit(spark, sf_dir):
         r6(F.col("max_cnt") * F.col("n") * F.lit(1.0) / F.col("tot")).alias(
             "max_over_mean"
         ),
-        r6(
-            F.lit(2.0) * F.col("iw") / (F.col("n") * F.lit(1.0) * F.col("tot"))
-            - (F.col("n") + F.lit(1.0)) / F.col("n")
+        (
+            r6(
+                F.lit(2.0) * F.col("iw")
+                / (F.col("n") * F.lit(1.0) * F.col("tot"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n")
+            )
+            + F.lit(0.0)  # -0.0 guard: gini can round up to zero from below
         ).alias("gini"),
     )

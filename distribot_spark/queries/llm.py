@@ -1567,18 +1567,29 @@ def multimodal_phash(spark, sf_dir):
     return multimodal.phash_image(imgs).orderBy("doc_id")
 
 
+_BPE_MERGES_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+
 @register("doc_bpe_encode", oracle=None, tags=("llm", "tokenizer"))
 def doc_bpe_encode(spark, sf_dir):
     """Train-then-APPLY: the 10 merges learned by doc_bpe_train re-
     tokenize the corpus, yielding per-doc post-merge token counts
     (operators/bpe.bpe_encode — merges rewrite the bounded lexicon,
-    corpus pays one explode + one count shuffle). Rows-only like the
-    trainer; tests/test_operators.py::test_bpe_encode_matches_reference
-    pins exact counts against the sequential reference."""
+    corpus pays one explode + one count shuffle). The learned merge
+    table is memoized per sf_dir — training is deterministic, and
+    without the memo every plan BUILD of this query would re-run the
+    trainer's 10 driver-synchronous rounds on top of doc_bpe_train's.
+    Rows-only like the trainer;
+    tests/test_operators.py::test_bpe_encode_matches_reference pins
+    exact counts against the sequential reference."""
     from distribot_spark.operators.bpe import bpe_encode, bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (r.left, r.right) for r in bpe_train(docs, "text", n_merges=10).collect()
-    ]
-    return bpe_encode(docs, "text", "doc_id", merges).orderBy("doc_id")
+    if sf_dir not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[sf_dir] = [
+            (r.left, r.right)
+            for r in bpe_train(docs, "text", n_merges=10).collect()
+        ]
+    return bpe_encode(
+        docs, "text", "doc_id", _BPE_MERGES_CACHE[sf_dir]
+    ).orderBy("doc_id")

@@ -1185,7 +1185,7 @@ def test_bpe_encode_matches_reference(spark):
     from distribot_spark.operators.bpe import bpe_encode
 
     texts = ["the cat sat on the mat", "the cats eat the mice",
-             "banana bandana cabana"]
+             "banana bandana cabana", "!!! ???"]  # last: zero words
     merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "a")]
 
     def ref_count(t):
