@@ -782,3 +782,62 @@ def events_interpolate(spark, sf_dir):
         F.col("cents").isNotNull().alias("observed"),
         F.round(interp, 0).cast("long").alias("filled_cents"),
     ).orderBy("hour")
+
+
+@register(
+    "q_sequence_pattern",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                  WHEN 'purchase' THEN 'P' ELSE 'X' END AS code
+      FROM events),
+    seqs AS (
+      SELECT user_id,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'V[^P]*P')) AS BIGINT)
+             AS n_conversions
+    FROM seqs ORDER BY user_id
+    """,
+    tags=("temporal", "cep"),
+)
+def q_sequence_pattern(spark, sf_dir):
+    """Sequence pattern matching (the MATCH_RECOGNIZE / CEP shape):
+    each user's event history encodes to a letter string in exact
+    (ts, event_id) order, and "a view that eventually converts"
+    (V[^P]*P) is counted by leftmost non-overlapping regex semantics —
+    identical in Spark's regexp_count and the oracle's
+    regexp_extract_all (verified 'VVCPXVP' → 2 in both). ONE shuffle
+    on user_id; the per-user string is bounded by per-user history
+    (session-window the sequence first when histories are unbounded).
+    Spark lacks ordered string_agg, so the order is pinned by
+    array_sort over (ts, event_id, code) structs before the join —
+    the q_string_agg move with a total struct order."""
+    coded = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "view", "V")
+            .when(F.col("event_type") == "click", "C")
+            .when(F.col("event_type") == "purchase", "P")
+            .otherwise("X")
+            .alias("code"),
+        ).alias("m"),
+    )
+    seqs = coded.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("m")), lambda x: x["code"]),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.regexp_count("seq", F.lit("V[^P]*P")).cast("long").alias(
+            "n_conversions"
+        ),
+    ).orderBy("user_id")
