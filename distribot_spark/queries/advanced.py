@@ -1490,3 +1490,75 @@ def q_bitmap_distinct(spark, sf_dir):
         .select(F.lit("*").alias("o_orderstatus"), "n_distinct")
     )
     return per_status.unionAll(total).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Association rules (basket analysis)
+
+_ASSOC_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey % 5 = 0),
+n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+item AS (SELECT p, COUNT(*) AS sup FROM op GROUP BY 1),
+pair AS (SELECT a.p AS ante, b.p AS cons, COUNT(*) AS pair_sup
+         FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+         GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT pair.ante, pair.cons, pair.pair_sup,
+       ROUND(pair.pair_sup * 1.0 / ia.sup * 1000000) / 1000000
+         AS confidence,
+       ROUND((pair.pair_sup * 1.0 / ia.sup) / (ic.sup * 1.0 / n.n_orders)
+             * 1000000) / 1000000 AS lift
+FROM pair
+JOIN item ia ON ia.p = pair.ante
+JOIN item ic ON ic.p = pair.cons, n
+ORDER BY lift DESC, ante, cons LIMIT 20
+"""
+
+
+@register("q_assoc_rules", oracle=_ASSOC_ORACLE, tags=("analytics", "mining"))
+def q_assoc_rules(spark, sf_dir):
+    """Association-rule mining (the Apriori 2-itemset core): from
+    co-order part baskets, rules ante→cons ranked by LIFT =
+    P(cons|ante) / P(cons), with a min-support prune (pair_sup ≥ 3)
+    applied BEFORE the rule math — the prune is what keeps the pair
+    lattice tractable at scale (support is anti-monotone: Agrawal &
+    Srikant 1994). Directional pairs via the basket self-join on the
+    1-in-5 part subsample; all supports are exact integers, ratios
+    divide identical doubles. One distinct + one self-join + two
+    broadcast item joins."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = op.agg(F.count_distinct("o").alias("n_orders"))
+    item = op.groupBy(F.col("p")).agg(F.count("*").alias("sup"))
+    pair = (
+        op.alias("a")
+        .join(op.alias("b"), "o")
+        .filter(F.col("a.p") != F.col("b.p"))
+        .groupBy(F.col("a.p").alias("ante"), F.col("b.p").alias("cons"))
+        .agg(F.count("*").alias("pair_sup"))
+        .filter(F.col("pair_sup") >= 3)
+    )
+    ia = item.select(F.col("p").alias("ante"), F.col("sup").alias("sup_a"))
+    ic = item.select(F.col("p").alias("cons"), F.col("sup").alias("sup_c"))
+    r6 = lambda c_: F.round(c_ * F.lit(1000000.0), 0) / F.lit(1000000.0)
+    conf = F.col("pair_sup") * F.lit(1.0) / F.col("sup_a")
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "pair_sup",
+            r6(conf).alias("confidence"),
+            r6(conf / (F.col("sup_c") * F.lit(1.0) / F.col("n_orders"))).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("lift"), "ante", "cons")
+        .limit(20)
+    )

@@ -1593,3 +1593,66 @@ def doc_bpe_encode(spark, sf_dir):
     return bpe_encode(
         docs, "text", "doc_id", _BPE_MERGES_CACHE[sf_dir]
     ).orderBy("doc_id")
+
+
+_QNORM_ORACLE = """
+WITH g AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS gidx
+  FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         PERCENT_RANK() OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id) AS q
+  FROM documents),
+m AS (SELECT r.doc_id, r.lang, r.n_chars,
+             CAST(ROUND(r.q * (tot.n - 1)) AS BIGINT) AS gidx
+      FROM ranked r, tot)
+SELECT m.doc_id, m.lang, m.n_chars, g.n_chars AS normalized_chars
+FROM m JOIN g ON g.gidx = m.gidx
+ORDER BY m.doc_id
+"""
+
+
+@register("doc_quantile_normalize", oracle=_QNORM_ORACLE, tags=("llm", "ml"))
+def doc_quantile_normalize(spark, sf_dir):
+    """Quantile normalization (the ML-preprocessing shape: map each
+    group's distribution onto the global one by RANK MATCHING): a doc's
+    within-language percent_rank picks the global value at that
+    quantile via an integer index join — no interpolation, always an
+    actual corpus value, deterministic through the (n_chars, doc_id)
+    tie-break. After this, every language's length distribution is the
+    same. The per-lang window is parallel; the global index relation is
+    the only total order, built once — replace it with the
+    q_global_rownum range-partition form at corpus scale."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("n_chars").alias("g_chars"),
+        (F.row_number().over(W.orderBy("n_chars", "doc_id")) - 1).alias("gidx"),
+    )
+    tot = docs.agg(F.count("*").alias("n"))
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.percent_rank()
+        .over(W.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .alias("q"),
+    )
+    m = ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.col("q") * (F.col("n") - 1), 0).cast("long").alias("gidx"),
+    )
+    return (
+        m.join(g, "gidx")
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.col("g_chars").alias("normalized_chars"),
+        )
+        .orderBy("doc_id")
+    )
