@@ -1656,3 +1656,118 @@ def doc_quantile_normalize(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_langid_eval",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], x))) AS hits_de,
+        len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS hits_en,
+        len(list_filter(string_split(text,' '), x -> list_contains(['el','la','de','y','en','que','los','una','por','con'], x))) AS hits_es,
+        len(list_filter(string_split(text,' '), x -> list_contains(['le','la','de','et','en','que','les','une','pour','avec'], x))) AS hits_fr
+      FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+             WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+             WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+             ELSE 'fr' END AS pred_lang
+      FROM h)
+    SELECT lang, pred_lang, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang) * 1000000)
+             / 1000000 AS frac_of_true
+    FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    tags=("llm", "text", "eval"),
+)
+def doc_langid_eval(spark, sf_dir):
+    """Classifier evaluation of the lang-ID heuristic against the
+    corpus's ground-truth labels: the confusion matrix with per-true-
+    language recall fractions — the quality gate you run BEFORE trusting
+    a heuristic to route a 100 TB corpus (doc_langid produces the
+    predictions; this scores them). Counts are exact; fractions divide
+    exact integers. The percent window runs over the |langs|² grid."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.lang_scores(docs, "text")  # passes `lang` through
+    conf = scored.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    return conf.select(
+        "lang",
+        "pred_lang",
+        "n",
+        (
+            F.round(
+                F.col("n") * F.lit(1.0)
+                / F.sum("n").over(W.partitionBy("lang"))
+                * F.lit(1000000.0),
+                0,
+            )
+            / F.lit(1000000.0)
+        ).alias("frac_of_true"),
+    ).orderBy("lang", "pred_lang")
+
+
+@register(
+    "emb_dim_profile",
+    oracle="""
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM embeddings)
+    SELECT pos, COUNT(*) AS n,
+           CAST(MIN(q) AS BIGINT) AS min_micro,
+           CAST(MAX(q) AS BIGINT) AS max_micro,
+           CAST(ROUND(SUM(q) * 1.0 / COUNT(*)) AS BIGINT) AS mean_micro,
+           CAST(ROUND(sqrt((COUNT(*) * SUM(q * q) - SUM(q) * SUM(q)) * 1.0
+                / (COUNT(*) * (COUNT(*) - 1)))) AS BIGINT) AS std_micro
+    FROM ex GROUP BY pos ORDER BY pos
+    """,
+    tags=("llm", "embedding", "audit"),
+)
+def emb_dim_profile(spark, sf_dir):
+    """Per-dimension embedding profile (mean/std/min/max in int64 micro
+    units) — the pre-flight that finds DEAD or degenerate dimensions
+    before similarity search or quantization trusts them (a zero-std
+    dim carries no signal; a huge-range dim dominates unnormalized
+    distances — cf. emb_quantize_int8's max-abs scale). Same integer
+    discipline as emb_centroids: quantize first, every aggregate is an
+    order-free integer sum, std from Σq/Σq²/n exactly like
+    q_anomaly_zscore. One explode + one shuffle bounded by dim."""
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("x").cast("double") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        ex.groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("q").alias("min_micro"),
+            F.max("q").alias("max_micro"),
+            F.round(F.sum("q") * F.lit(1.0) / F.count("*"), 0)
+            .cast("long")
+            .alias("mean_micro"),
+            F.round(
+                F.sqrt(
+                    (F.count("*") * F.sum(F.col("q") * F.col("q"))
+                     - F.sum("q") * F.sum("q"))
+                    * F.lit(1.0)
+                    / (F.count("*") * (F.count("*") - 1))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("std_micro"),
+        )
+        .orderBy("pos")
+    )

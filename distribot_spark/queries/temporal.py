@@ -841,3 +841,90 @@ def q_sequence_pattern(spark, sf_dir):
             "n_conversions"
         ),
     ).orderBy("user_id")
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH su AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    rev AS (SELECT user_id, date_trunc('week', ts) AS rev_week,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2),
+    j AS (SELECT s.cohort_week,
+                 CAST(date_diff('day', s.cohort_week, r.rev_week) / 7
+                      AS BIGINT) AS week_offset,
+                 r.cents
+          FROM su s JOIN rev r ON s.user_id = r.user_id
+          WHERE r.rev_week >= s.cohort_week),
+    cell AS (SELECT cohort_week, week_offset,
+                    CAST(SUM(cents) AS BIGINT) AS cents
+             FROM j GROUP BY 1, 2)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           ROUND(CAST(SUM(cents) OVER (PARTITION BY cohort_week
+                                       ORDER BY week_offset
+                                       ROWS UNBOUNDED PRECEDING)
+                 AS DOUBLE) / 100.0 * 100) / 100 AS cum_ltv
+    FROM cell ORDER BY cohort_week, week_offset
+    """,
+    tags=("temporal", "cohort", "kpi"),
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve — cumulative purchase revenue per signup-week
+    cohort by week-of-life (the retention matrix's revenue sibling).
+    Revenue folds to exact int64 CENTS at the (user, week) grain, so
+    the cumulative window adds exact integers — no float accumulation
+    across the curve. Same key discipline as q_cohort_retention: all
+    shuffles on user/cohort keys; the cumulative window runs per
+    cohort over week offsets (spine-sized)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("week", F.col("ts")).alias("rev_week"))
+        .agg(
+            F.round(F.sum("value") * F.lit(100.0), 0).cast("long").alias("cents")
+        )
+    )
+    j = (
+        su.join(rev, "user_id")
+        .filter(F.col("rev_week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (F.datediff("rev_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "cents",
+        )
+    )
+    cell = j.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").alias("cents")
+    )
+    wc = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        cell.withColumn("cum_cents", F.sum("cents").over(wc))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            (
+                F.round(
+                    F.col("cum_cents").cast("double") / F.lit(100.0)
+                    * F.lit(100.0),
+                    0,
+                )
+                / F.lit(100.0)
+            ).alias("cum_ltv"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
