@@ -1771,3 +1771,74 @@ def emb_dim_profile(spark, sf_dir):
         )
         .orderBy("pos")
     )
+
+
+@register(
+    "q_emb_covariance",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM embeddings),
+    p AS (
+      SELECT a.i AS i, b.i AS j, a.q AS qa, b.q AS qb
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i),
+    s AS (
+      SELECT i, j, COUNT(*) AS n,
+             CAST(SUM(qa * qb) AS BIGINT) AS spp,
+             CAST(SUM(qa) AS BIGINT) AS sa,
+             CAST(SUM(qb) AS BIGINT) AS sb
+      FROM p GROUP BY i, j)
+    SELECT i, j,
+           CAST(ROUND((n * spp - sa * sb) * 1.0 / (n * (n - 1))) AS BIGINT)
+             AS cov_micro2
+    FROM s ORDER BY i, j
+    """,
+    tags=("llm", "embedding", "ml"),
+)
+def q_emb_covariance(spark, sf_dir):
+    """Distributed covariance matrix of the embedding space — the ONE
+    corpus pass that PCA/whitening needs (the 64×64 eigensolve after it
+    is driver-trivial; that split is how PCA actually runs at 100 TB).
+    Upper-triangle (i ≤ j) sample covariances from integer sufficient
+    statistics (Σqᵢqⱼ, Σqᵢ, Σqⱼ, n in micro units — order-free, exact
+    in int64 through sf0.1's 2e16 products), so the matrix hash-oracles
+    exactly. The dim-pair fan-out is O(d²) per row; for d in the
+    thousands, swap the self-join for per-partition BLAS outer-product
+    accumulation in mapInPandas (the blocked_cosine_pairs pattern) —
+    identical sufficient statistics, same exactness.
+    tests/test_operators.py::test_emb_covariance_matches_numpy pins the
+    full matrix against numpy."""
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.col("x").cast("double") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    a = ex.select("vec_id", F.col("i"), F.col("q").alias("qa"))
+    b = ex.select("vec_id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    p = a.join(b, "vec_id").filter(F.col("j") >= F.col("i"))
+    s = p.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("qa") * F.col("qb")).alias("spp"),
+        F.sum("qa").alias("sa"),
+        F.sum("qb").alias("sb"),
+    )
+    return s.select(
+        "i",
+        "j",
+        F.round(
+            (F.col("n") * F.col("spp") - F.col("sa") * F.col("sb"))
+            * F.lit(1.0)
+            / (F.col("n") * (F.col("n") - 1)),
+            0,
+        )
+        .cast("long")
+        .alias("cov_micro2"),
+    ).orderBy("i", "j")

@@ -1214,3 +1214,26 @@ def test_bpe_encode_matches_reference(spark):
         for r in bpe_encode(docs, "text", "doc_id", merges).collect()
     }
     assert got == {i: ref_count(t) for i, t in enumerate(texts)}
+
+
+def test_emb_covariance_matches_numpy(spark):
+    """The distributed sufficient-statistics covariance must equal
+    numpy.cov on the micro-quantized vectors to the unit (exact
+    integer stats, one rounding at the end)."""
+    import numpy as np
+
+    from distribot_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "embeddings").select("embedding").collect()
+    X = np.round(
+        np.array([r.embedding for r in rows], dtype=np.float64) * 1e6
+    )
+    ref = np.cov(X, rowvar=False)  # sample covariance, ddof=1
+    got = {
+        (r.i, r.j): r.cov_micro2
+        for r in QUERIES["q_emb_covariance"].builder(spark, sf).collect()
+    }
+    assert len(got) == 64 * 65 // 2
+    for (i, j), v in got.items():
+        assert abs(v - ref[i - 1, j - 1]) <= 1.0, (i, j, v, ref[i - 1, j - 1])
