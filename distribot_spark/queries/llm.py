@@ -1842,3 +1842,42 @@ def q_emb_covariance(spark, sf_dir):
         .cast("long")
         .alias("cov_micro2"),
     ).orderBy("i", "j")
+
+
+@register("q_emb_pca_variance", oracle=None, tags=("llm", "embedding", "ml"))
+def q_emb_pca_variance(spark, sf_dir):
+    """PCA explained-variance spectrum — the driver-side half of the
+    split q_emb_covariance documents: the 64×64 covariance (ONE
+    distributed pass, exact integer statistics) collects to ~16 KB, the
+    symmetric eigensolve runs in numpy on the driver, and only the
+    spectrum ships back. This is the honest 100 TB shape for PCA /
+    whitening / effective-rank checks: corpus work scales with data,
+    the eigensolve is O(d³) on 64 numbers. Rows-only (eigenvalues of a
+    float solve have no SQL twin);
+    tests/test_operators.py::test_pca_variance_matches_numpy pins the
+    spectrum against numpy.eigh of numpy.cov end-to-end."""
+    import numpy as np
+
+    from distribot_spark.queries import QUERIES
+
+    cov_rows = QUERIES["q_emb_covariance"].builder(spark, sf_dir).collect()
+    d = max(r.j for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = r.cov_micro2
+    w = np.linalg.eigvalsh(C)[::-1]  # descending
+    total = float(w.sum())
+    rows = [
+        (
+            k + 1,
+            float(np.floor(w[k] + 0.5)),
+            float(np.floor(w[k] / total * 1e6 + 0.5) / 1e6),
+            float(np.floor(w[: k + 1].sum() / total * 1e6 + 0.5) / 1e6),
+        )
+        for k in range(d)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue_micro2 double, explained double,"
+        " cumulative double",
+    )

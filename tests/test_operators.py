@@ -1237,3 +1237,25 @@ def test_emb_covariance_matches_numpy(spark):
     assert len(got) == 64 * 65 // 2
     for (i, j), v in got.items():
         assert abs(v - ref[i - 1, j - 1]) <= 1.0, (i, j, v, ref[i - 1, j - 1])
+
+
+def test_pca_variance_matches_numpy(spark):
+    """The split PCA (distributed covariance + driver eigensolve) must
+    reproduce numpy's end-to-end spectrum on the quantized vectors."""
+    import numpy as np
+
+    from distribot_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "embeddings").select("embedding").collect()
+    X = np.round(np.array([r.embedding for r in rows]) * 1e6)
+    ref = np.linalg.eigvalsh(np.cov(X, rowvar=False))[::-1]
+    got = QUERIES["q_emb_pca_variance"].builder(spark, sf).collect()
+    assert len(got) == 64
+    for r in got:
+        # covariance entries round to the unit before the eigensolve;
+        # eigenvalue perturbation is bounded by the matrix norm of the
+        # rounding (Weyl) — well under 1e-3 relative here
+        assert abs(r.eigenvalue_micro2 - ref[r.component - 1]) <= max(
+            1e-3 * abs(ref[r.component - 1]), 64.0
+        )
