@@ -107,6 +107,11 @@ HEADLINE = [
     "q_rolling_dau_exact",
     "q_max_concurrency",
     "q_cms_frequency",
+    # session-final additions (documented in BASELINE.md): the O(d²)
+    # covariance pass, basket-rule mining, and CEP sequence matching.
+    "q_emb_covariance",
+    "q_assoc_rules",
+    "q_sequence_pattern",
 ]
 
 
