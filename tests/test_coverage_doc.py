@@ -38,3 +38,14 @@ def test_declared_totals_match_registry():
     with_oracle = sum(1 for q in QUERIES.values() if q.oracle)
     assert oracled == with_oracle
     assert rows_only == len(QUERIES) - with_oracle
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py headline name must exist in the registry — a typo
+    would silently shrink the benchmark (bench skips unknown names)."""
+    import bench
+
+    from distribot_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench headline names not in registry: {missing}"
