@@ -888,3 +888,93 @@ def q_key_skew_audit(spark, sf_dir):
             + F.lit(0.0)  # -0.0 guard: gini can round up to zero from below
         ).alias("gini"),
     )
+
+
+@register(
+    "q_trend_forecast",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_diff('month', DATE '1995-01-01',
+                            date_trunc('month', o_orderdate)) AS BIGINT) AS x,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100)
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(MAX(x) AS BIGINT) AS last_x
+          FROM m),
+    fit AS (SELECT n, last_x,
+                   (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS slope,
+                   (sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
+                     / n AS icept
+            FROM s),
+    f AS (SELECT last_x + CAST(k AS BIGINT) + 1 AS x, slope, icept
+          FROM fit, (SELECT unnest(range(3)) AS k))
+    SELECT x AS month_idx,
+           ROUND((icept + slope * x) / 100.0 * 100) / 100 AS forecast_revenue
+    FROM f ORDER BY month_idx
+    """,
+    tags=("temporal", "forecast"),
+)
+def q_trend_forecast(spark, sf_dir):
+    """Linear-trend forecasting: OLS fit of monthly revenue (exact
+    int64 cents, month index from a fixed epoch) via integer sufficient
+    statistics — the q_regr_ols closed form re-derived by hand so the
+    fit AND the 3-month extrapolation hash-oracle exactly (identical
+    integer inputs → identical doubles). The monthly aggregate is the
+    only corpus-sized work; the fit and forecast are spine-sized. The
+    honest caveat is in the name: it's a TREND line, the baseline any
+    real forecaster must beat."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100, 0
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    s = m.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("last_x"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(
+        1.0
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    icept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    fit = s.select("last_x", slope.alias("slope"), icept.alias("icept"))
+    f = fit.select(
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("k"),
+        "last_x",
+        "slope",
+        "icept",
+    ).select(
+        (F.col("last_x") + F.col("k")).alias("month_idx"), "slope", "icept"
+    )
+    return f.select(
+        "month_idx",
+        (
+            F.round(
+                (F.col("icept") + F.col("slope") * F.col("month_idx"))
+                / F.lit(100.0)
+                * F.lit(100.0),
+                0,
+            )
+            / F.lit(100.0)
+        ).alias("forecast_revenue"),
+    ).orderBy("month_idx")
