@@ -978,3 +978,41 @@ def q_trend_forecast(spark, sf_dir):
             / F.lit(100.0)
         ).alias("forecast_revenue"),
     ).orderBy("month_idx")
+
+
+@register(
+    "q_dow_hour_heatmap",
+    oracle="""
+    SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 3) % 7 + 1
+             AS dow_iso,
+           CAST(hour(ts) AS INT) AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY dow_iso, hour
+    """,
+    tags=("temporal", "serving"),
+)
+def q_dow_hour_heatmap(spark, sf_dir):
+    """Calendar activity heatmap (ISO day-of-week × hour) — the
+    dashboard serving aggregate. Day-of-week is computed as portable
+    integer arithmetic ((days-since-epoch + 3) % 7 + 1, Monday = 1)
+    rather than either engine's dayofweek(), whose week-start
+    conventions differ (Spark: Sunday=1; DuckDB %w: Sunday=0) — the
+    same class of trap as the -0.0 rounding. One map-side-combined
+    shuffle into a fixed 7×24 grid."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        + 3
+    ) % 7 + 1
+    return (
+        ev.groupBy(
+            dow.cast("long").alias("dow_iso"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("dow_iso", "hour")
+    )
