@@ -753,3 +753,56 @@ def s17_stream_running_stats(spark, sf_dir):
             / F.lit(10000.0)
         ).alias("std_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "s18_stream_range_join",
+    oracle="""
+    WITH win AS (
+      SELECT o_orderkey AS window_id,
+             CAST(o_orderdate AS TIMESTAMP) AS st,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY AS en
+      FROM orders WHERE o_orderkey % 499 = 0)
+    SELECT w.window_id, COUNT(*) AS n_events,
+           ROUND(SUM(e.value) * 100) / 100 AS sum_value
+    FROM events e JOIN win w ON e.ts >= w.st AND e.ts < w.en
+    GROUP BY w.window_id ORDER BY w.window_id
+    """,
+    tags=("streaming", "join", "range"),
+)
+def s18_stream_range_join(spark, sf_dir):
+    """Streaming point-in-interval RANGE join: the live event stream
+    matched against a STATIC interval table on a pure range predicate
+    (no key equality) — the streaming twin of q_range_join. A
+    stream-static inner join permits arbitrary conditions because the
+    static side broadcasts and no join state is kept; each micro-batch
+    is a map-side interval probe, so an unbounded stream joins bounded
+    windows with zero state growth. Complete-mode per-window counts;
+    the oracle replays the same join in batch."""
+    src = replay.replay_dir(sf_dir)
+    win = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 499 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_id"),
+            F.col("o_orderdate").alias("st"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("en"),
+        )
+    )
+
+    def t(stream):
+        joined = stream.join(
+            F.broadcast(win),
+            (stream.ts >= win.st) & (stream.ts < win.en),
+        )
+        return (
+            joined.groupBy("window_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("raw"))
+            .select(
+                "window_id",
+                "n_events",
+                stable_round(F.col("raw")).alias("sum_value"),
+            )
+        )
+
+    return replay.run_bounded(spark, t, src, "complete").orderBy("window_id")
