@@ -437,3 +437,54 @@ def q_table_checksum(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.sum(h).cast("string").alias("checksum"),
     )
+
+
+@register(
+    "q_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           ROUND(c.n * 1.0 / t.total * 1000000) / 1000000 AS observed,
+           ROUND(log10(1.0 + 1.0 / c.digit) * 1000000) / 1000000
+             AS benford_expected
+    FROM c, t ORDER BY c.digit
+    """,
+    tags=("quality", "forensics"),
+)
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit — the numeric-forensics screen
+    for fabricated or truncated monetary data (natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d); synthetic uniform data, like
+    this testdata's prices, visibly does NOT — the deviation itself is
+    the signal the audit reports). First digit via integer/string
+    arithmetic identical in both engines; observed frequencies divide
+    exact counts; the expectation column is a pure log10 literal
+    expression. One map-side-combined shuffle into 9 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    r6 = lambda c_: F.round(c_ * F.lit(1000000.0), 0) / F.lit(1000000.0)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            r6(F.col("n") * F.lit(1.0) / F.col("total")).alias("observed"),
+            r6(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))).alias(
+                "benford_expected"
+            ),
+        )
+        .orderBy("digit")
+    )
