@@ -1016,3 +1016,63 @@ def q_dow_hour_heatmap(spark, sf_dir):
         )
         .orderBy("dow_iso", "hour")
     )
+
+
+@register(
+    "q_user_entropy",
+    oracle="""
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+    e AS (SELECT c.user_id,
+                 CAST(ROUND(SUM(-(c.n * 1.0 / t.tot)
+                                * log2(c.n * 1.0 / t.tot)) * 1000000)
+                      AS BIGINT) AS h_micro
+          FROM c JOIN t USING (user_id) GROUP BY c.user_id)
+    SELECT COUNT(*) AS n_users,
+           ROUND(SUM(h_micro) * 1.0 / COUNT(*) / 1000000.0 * 10000) / 10000
+             AS mean_entropy_bits,
+           ROUND(MAX(h_micro) / 1000000.0 * 10000) / 10000
+             AS max_entropy_bits
+    FROM e
+    """,
+    tags=("analytics", "entropy"),
+)
+def q_user_entropy(spark, sf_dir):
+    """Behavioral diversity: Shannon entropy (bits) of each user's
+    event-type mix, summarized over the user base — the bot/monoculture
+    screen (H = 0 means a user does exactly one thing). Per-user
+    entropy derives from exact integer ratios, then QUANTIZES to int64
+    micro-bits before the cross-user average — the only cross-row float
+    reduction is an exact integer sum (the recurring exactness move).
+    The per-user Σ p·log p sums ≤ |event_types| terms inside one group
+    from identical doubles; the 6-dp round absorbs any ±1-ulp order
+    difference before the integer quantize pins everything after."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * F.lit(1.0) / F.col("tot")
+    e = (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(-p * F.log2(p)) * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("h_micro")
+        )
+    )
+    return e.agg(
+        F.count("*").alias("n_users"),
+        (
+            F.round(
+                F.sum("h_micro") * F.lit(1.0) / F.count("*") / F.lit(1000000.0)
+                * F.lit(10000.0),
+                0,
+            )
+            / F.lit(10000.0)
+        ).alias("mean_entropy_bits"),
+        (
+            F.round(F.max("h_micro") / F.lit(1000000.0) * F.lit(10000.0), 0)
+            / F.lit(10000.0)
+        ).alias("max_entropy_bits"),
+    )

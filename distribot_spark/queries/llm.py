@@ -1881,3 +1881,67 @@ def q_emb_pca_variance(spark, sf_dir):
         "component int, eigenvalue_micro2 double, explained double,"
         " cumulative double",
     )
+
+
+@register(
+    "doc_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+      FROM documents),
+    c AS (SELECT tok, COUNT(*) AS n FROM tf WHERE tok <> '' GROUP BY 1),
+    r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk FROM c),
+    q AS (SELECT CAST(ROUND(log10(rnk) * 1000000) AS BIGINT) AS lx,
+                 CAST(ROUND(log10(n) * 1000000) AS BIGINT) AS ly
+          FROM r),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+                 CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+                 CAST(SUM(lx * lx) AS BIGINT) AS sxx
+          FROM q)
+    SELECT m AS n_terms,
+           ROUND((m * sxy - sx * sy) * 1.0 / (m * sxx - sx * sx) * 10000)
+             / 10000 + 0.0 AS zipf_slope
+    FROM s
+    """,
+    tags=("llm", "text", "audit"),
+)
+def doc_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit: OLS slope of log-frequency on log-rank
+    over the term distribution — natural text sits near −1, and a
+    corpus that drifts far from it (template spam, synthetic filler)
+    fails the linguistic smell test. Log coordinates quantize to int64
+    MICRO units before any summation (the emb_centroids discipline), so
+    the regression's sufficient statistics are exact integers and the
+    slope hash-oracles; the rank window rides on the distinct-term
+    relation. Slope is negative → the spelled-out `+ 0.0` guard."""
+    from pyspark.sql import Window as W
+
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    c = tf.groupBy("tok").agg(F.count("*").alias("n"))
+    r = c.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("n"), "tok"))
+    )
+    q = r.select(
+        F.round(F.log10("rnk") * F.lit(1000000.0), 0).cast("long").alias("lx"),
+        F.round(F.log10("n") * F.lit(1000000.0), 0).cast("long").alias("ly"),
+    )
+    s = q.agg(
+        F.count("*").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(
+        1.0
+    ) / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("m").alias("n_terms"),
+        (F.round(slope * F.lit(10000.0), 0) / F.lit(10000.0) + F.lit(0.0))
+        .alias("zipf_slope"),
+    )
