@@ -1076,3 +1076,129 @@ def q_user_entropy(spark, sf_dir):
             / F.lit(10000.0)
         ).alias("max_entropy_bits"),
     )
+
+
+_KM_ORACLE = """
+WITH su AS (SELECT user_id, MIN(ts) AS s FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+fp AS (SELECT e.user_id, MIN(e.ts) AS p
+       FROM events e JOIN su USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= su.s
+       GROUP BY e.user_id),
+mx AS (SELECT MAX(ts) AS m FROM events),
+obs AS (SELECT su.user_id,
+          CASE WHEN fp.p IS NOT NULL
+               THEN CAST(date_diff('day', su.s, fp.p) AS BIGINT)
+               ELSE CAST(date_diff('day', su.s, mx.m) AS BIGINT) END AS dur,
+          fp.p IS NOT NULL AS observed
+        FROM su LEFT JOIN fp USING (user_id), mx),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+per AS (SELECT dur, COUNT(*) AS c_all,
+               CAST(COUNT(*) FILTER (observed) AS BIGINT) AS d
+        FROM obs GROUP BY 1),
+r AS (SELECT per.dur, per.d,
+             tot.n - COALESCE(SUM(per.c_all) OVER
+               (ORDER BY per.dur ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS n_risk
+      FROM per, tot),
+m AS (SELECT dur, d, CAST(n_risk AS BIGINT) AS n_risk,
+        CASE WHEN d >= n_risk THEN CAST(-100000000 AS BIGINT)
+             WHEN d = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(ROUND(ln(1.0 - d * 1.0 / n_risk) * 1000000)
+                       AS BIGINT) END AS lg
+      FROM r),
+k AS (SELECT dur, d, n_risk,
+        CAST(SUM(lg) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum
+      FROM m)
+SELECT dur AS t_days, n_risk, d AS n_events,
+       ROUND(exp(cum / 1000000.0) * 10000) / 10000 AS survival
+FROM k WHERE d > 0 ORDER BY t_days
+"""
+
+
+@register("q_survival_km", oracle=_KM_ORACLE, tags=("analytics", "survival"))
+def q_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival curve for signup → first purchase (with
+    right-censoring at the corpus horizon for users who never convert)
+    — time-to-event analysis, the product-limit estimator: S(t) =
+    Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ). The cumulative PRODUCT becomes a
+    cumulative SUM of per-step log terms quantized to int64 micro-nats
+    (the q_user_entropy move), so the curve hash-oracles despite its
+    multiplicative definition; the d = n_risk terminal step maps to a
+    −100 log sentinel (S rounds to exactly 0 in both engines). Risk
+    sets come from one cumulative count over the DISTINCT-duration
+    spine (bounded by the time range, not users)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    mx = ev.agg(F.max("ts").alias("m"))
+    obs = (
+        su.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("p").isNotNull(),
+                F.datediff(F.col("p").cast("date"), F.col("s").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("m").cast("date"), F.col("s").cast("date"))
+            )
+            .cast("long")
+            .alias("dur"),
+            F.col("p").isNotNull().alias("observed"),
+        )
+    )
+    tot = obs.agg(F.count("*").alias("n"))
+    per = obs.groupBy("dur").agg(
+        F.count("*").alias("c_all"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+    )
+    wprev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    r = per.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("c_all").over(wprev), F.lit(0)))
+        .cast("long")
+        .alias("n_risk"),
+    )
+    lg = (
+        F.when(F.col("d") >= F.col("n_risk"), F.lit(-100000000).cast("long"))
+        .when(F.col("d") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                F.log(F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("n_risk"))
+                * F.lit(1000000.0),
+                0,
+            ).cast("long")
+        )
+    )
+    wcum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    k = r.withColumn("lg", lg).withColumn("cum", F.sum("lg").over(wcum))
+    return (
+        k.filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("t_days"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            (
+                F.round(
+                    F.exp(F.col("cum") / F.lit(1000000.0)) * F.lit(10000.0), 0
+                )
+                / F.lit(10000.0)
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
