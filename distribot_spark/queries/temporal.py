@@ -928,3 +928,159 @@ def q_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH pur AS (SELECT user_id, ts, event_id, value FROM events
+                 WHERE event_type = 'purchase'),
+    cl AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+    m AS (SELECT p.event_id, p.value, c.ts AS c_ts, p.ts AS p_ts,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM pur p LEFT JOIN cl c
+            ON p.user_id = c.user_id AND c.ts <= p.ts),
+    att AS (SELECT event_id, value,
+                   CASE WHEN c_ts IS NOT NULL
+                             AND c_ts >= p_ts - INTERVAL 24 HOUR
+                        THEN 'click' ELSE 'organic' END AS channel
+            FROM m WHERE rn = 1)
+    SELECT channel, COUNT(*) AS n_purchases,
+           ROUND(SUM(value) * 100) / 100 AS revenue
+    FROM att GROUP BY channel ORDER BY channel
+    """,
+    tags=("temporal", "attribution"),
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within 24 hours, else 'organic' — the marketing-
+    analytics report built on the as-of join with staleness tolerance
+    (operators/asof.py, the asof_click_view machinery pointed at a
+    business question). One merge-shaped shuffle on user_id; the
+    channel rollup is map-side-combined into 2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    cl = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        pur, cl, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_id"], tolerance="24 hours", tie_breaker="click_id",
+    )
+    return (
+        joined.select(
+            F.when(F.col("click_id").isNotNull(), "click")
+            .otherwise("organic")
+            .alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            stable_round(F.sum("value")).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ROLLCORR_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(value) FILTER (event_type = 'purchase') * 100)
+              AS BIGINT) AS xc,
+         CAST(ROUND(SUM(value) FILTER (event_type = 'click') * 100)
+              AS BIGINT) AS yc
+  FROM events GROUP BY 1),
+f AS (SELECT day, COALESCE(xc, 0) AS x, COALESCE(yc, 0) AS y FROM d),
+w AS (
+  SELECT day,
+    COUNT(*) OVER fr AS n,
+    CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+    CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+    CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy,
+    CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,
+    CAST(SUM(y * y) OVER fr AS BIGINT) AS syy
+  FROM f
+  WINDOW fr AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       ROUND((n * sxy - sx * sy) * 1.0
+             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+             * 10000) / 10000 + 0.0 AS corr14
+FROM w
+WHERE n >= 14 AND n * sxx > sx * sx AND n * syy > sy * sy
+ORDER BY day
+"""
+
+
+@register("q_rolling_corr", oracle=_ROLLCORR_ORACLE, tags=("temporal", "stats"))
+def q_rolling_corr(spark, sf_dir):
+    """Rolling 14-day Pearson correlation between the daily purchase
+    and click revenue series — the co-movement monitor (did the two
+    funnels decouple this week?). All six sufficient statistics (n, Σx,
+    Σy, Σxy, Σx², Σy²) are integer window sums over exact cents, so
+    the correlation divides identical integers — the bivariate
+    extension of q_anomaly_zscore's trick; no cross-engine CORR-over-
+    frame order hazard. One shuffle to the daily grain; signed value →
+    the `+ 0.0` guard. INT64 BOUND: x² must stay < 2^63 — daily cents
+    up to ~3e9 (a $30M/day series) are safe; above that, drop to whole
+    dollars or decimal(38) for the squared sums."""
+    from pyspark.sql import Window as W
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.coalesce(
+                F.round(
+                    F.sum(F.when(F.col("event_type") == "purchase", F.col("value")))
+                    * F.lit(100.0),
+                    0,
+                ).cast("long"),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.round(
+                    F.sum(F.when(F.col("event_type") == "click", F.col("value")))
+                    * F.lit(100.0),
+                    0,
+                ).cast("long"),
+                F.lit(0),
+            ).alias("y"),
+        )
+    )
+    fr = W.orderBy("day").rowsBetween(-13, 0)
+    w = d.select(
+        "day",
+        F.count("*").over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.lit(1.0)
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        w.filter(
+            (F.col("n") >= 14)
+            & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (
+                F.round(num * F.lit(1.0) / den * F.lit(10000.0), 0)
+                / F.lit(10000.0)
+                + F.lit(0.0)
+            ).alias("corr14"),
+        )
+        .orderBy("day")
+    )
