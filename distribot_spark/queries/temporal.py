@@ -1084,3 +1084,76 @@ def q_rolling_corr(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_peak_detection",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    w AS (
+      SELECT day, c,
+             LAG(c) OVER (ORDER BY day) AS prv,
+             LEAD(c) OVER (ORDER BY day) AS nxt,
+             CAST(SUM(c) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                               AND 1 PRECEDING) AS BIGINT) AS s7,
+             COUNT(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                            AND 1 PRECEDING) AS n7
+      FROM d)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(c / 100.0 * 100) / 100 AS revenue
+    FROM w
+    WHERE prv IS NOT NULL AND nxt IS NOT NULL AND n7 >= 4
+      AND c > prv AND c > nxt
+      AND c * n7 * 10 > s7 * 12
+    ORDER BY day
+    """,
+    tags=("temporal", "peaks"),
+)
+def q_peak_detection(spark, sf_dir):
+    """Peak detection on the daily revenue series: a day is a peak iff
+    it beats both neighbors AND exceeds 1.2× its trailing-week mean —
+    the spike-finder behind launch/incident review. The mean comparison
+    is cross-multiplied into pure integers (c·n·10 > s·12), so not even
+    a division happens before the hash; neighbors via LAG/LEAD on the
+    bounded daily spine."""
+    from pyspark.sql import Window as W
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("value") * F.lit(100.0), 0).cast("long").alias("c")
+        )
+    )
+    wo = W.orderBy("day")
+    fr = wo.rowsBetween(-7, -1)
+    w = d.select(
+        "day",
+        "c",
+        F.lag("c").over(wo).alias("prv"),
+        F.lead("c").over(wo).alias("nxt"),
+        F.sum("c").over(fr).alias("s7"),
+        F.count("*").over(fr).alias("n7"),
+    )
+    return (
+        w.filter(
+            F.col("prv").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("n7") >= 4)
+            & (F.col("c") > F.col("prv"))
+            & (F.col("c") > F.col("nxt"))
+            & (F.col("c") * F.col("n7") * 10 > F.col("s7") * 12)
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (
+                F.round(F.col("c") / F.lit(100.0) * F.lit(100.0), 0)
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+        .orderBy("day")
+    )
