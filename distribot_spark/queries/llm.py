@@ -1945,3 +1945,67 @@ def doc_zipf_fit(spark, sf_dir):
         (F.round(slope * F.lit(10000.0), 0) / F.lit(10000.0) + F.lit(0.0))
         .alias("zipf_slope"),
     )
+
+
+_CONTAIN_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id AS doc,
+                  unnest([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, len(w) - 1)]) AS s
+           FROM t),
+    dd AS (SELECT DISTINCT doc, s FROM sh),
+    sz AS (SELECT doc, COUNT(*) AS n FROM dd GROUP BY doc),
+    pairs AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS inter
+              FROM dd a JOIN dd b ON a.s = b.s AND a.doc <> b.doc
+              GROUP BY 1, 2)
+    SELECT da, db, CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n AS BIGINT) AS size_a,
+           ROUND(inter * 1.0 / sa.n * 1000) / 1000 AS containment
+    FROM pairs JOIN sz sa ON da = sa.doc
+    WHERE inter * 1.0 / sa.n >= 0.8
+    ORDER BY da, db
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE, tags=("llm", "dedup"))
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC containment near-dup: C(a→b) = |A∩B| / |A| ≥ 0.8 —
+    doc a's shingles mostly inside doc b. This catches quote inclusion
+    and wholesale excerpting (small doc ⊂ big doc), which symmetric
+    Jaccard structurally MISSES: |A∩B|/|A∪B| is tiny when |B| ≫ |A|
+    even at full containment — and so does MinHash LSH, whose collision
+    odds track Jaccard. Directional pairs over the hashed-shingle join
+    (the l2 machinery); SCALE NOTE: the production candidate generator
+    for containment is the contained side's shingles probed against a
+    container-side shingle index with a document-frequency prefix
+    filter (the dedup_tf_cosine max_df move), not symmetric banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_hashes(docs, "text", "doc_id", 3)
+    sz = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc").alias("da"), "h")
+    b = sh.select(F.col("doc").alias("db"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sz.select(F.col("doc").alias("da"), F.col("n").alias("size_a")), "da")
+        .filter(F.col("inter") * F.lit(1.0) / F.col("size_a") >= 0.8)
+        .select(
+            "da",
+            "db",
+            "inter",
+            "size_a",
+            (
+                F.round(
+                    F.col("inter") * F.lit(1.0) / F.col("size_a")
+                    * F.lit(1000.0),
+                    0,
+                )
+                / F.lit(1000.0)
+            ).alias("containment"),
+        )
+        .orderBy("da", "db")
+    )
