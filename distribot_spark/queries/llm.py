@@ -2009,3 +2009,43 @@ def dedup_containment(spark, sf_dir):
         )
         .orderBy("da", "db")
     )
+
+
+@register(
+    "doc_boilerplate_prefixes",
+    oracle="""
+    WITH p AS (
+      SELECT source, doc_id,
+             array_to_string((string_split(lower(text), ' '))[1:6], ' ')
+               AS prefix
+      FROM documents),
+    c AS (SELECT source, prefix, COUNT(*) AS n_docs
+          FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT source, prefix, n_docs FROM c
+    ORDER BY n_docs DESC, source, prefix LIMIT 20
+    """,
+    tags=("llm", "text", "boilerplate"),
+)
+def doc_boilerplate_prefixes(spark, sf_dir):
+    """Boilerplate detection (the C4-style template screen): leading
+    6-token prefixes shared by ≥ 3 documents of the same source —
+    repeated openings mark scraper templates, cookie banners, and
+    licence headers that a cleaning pass should strip before training.
+    Pure codegen projection + one map-side-combined count on (source,
+    prefix); the HAVING prune keeps only template candidates. At
+    corpus scale the same query runs per-shard and merges by summing
+    counts (plain additive aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "source",
+        F.array_join(
+            F.slice(F.split(F.lower("text"), " "), 1, 6), " "
+        ).alias("prefix"),
+    )
+    return (
+        p.groupBy("source", "prefix")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), "source", "prefix")
+        .limit(20)
+    )
