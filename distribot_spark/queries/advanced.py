@@ -1544,7 +1544,8 @@ def q_assoc_rules(spark, sf_dir):
     )
     ia = item.select(F.col("p").alias("ante"), F.col("sup").alias("sup_a"))
     ic = item.select(F.col("p").alias("cons"), F.col("sup").alias("sup_c"))
-    r6 = lambda c_: F.round(c_ * F.lit(1000000.0), 0) / F.lit(1000000.0)
+    def r6(c_):  # stable_round at 6 dp — the shared determinism helper
+        return stable_round(c_, 6)
     conf = F.col("pair_sup") * F.lit(1.0) / F.col("sup_a")
     return (
         pair.join(F.broadcast(ia), "ante")

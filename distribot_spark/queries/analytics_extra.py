@@ -810,7 +810,8 @@ def q_ratio_to_report(spark, sf_dir):
             .alias("revenue")
         )
     )
-    r6 = lambda c_: F.round(c_ * F.lit(1000000.0), 0) / F.lit(1000000.0)
+    def r6(c_):  # stable_round at 6 dp — the shared determinism helper
+        return stable_round(c_, 6)
     return rev.select(
         "region",
         "nation",
@@ -871,7 +872,8 @@ def q_key_skew_audit(spark, sf_dir):
         F.max("cnt").alias("max_cnt"),
         F.sum(F.col("i") * F.col("cnt")).alias("iw"),
     )
-    r6 = lambda c_: F.round(c_ * F.lit(1000000.0), 0) / F.lit(1000000.0)
+    def r6(c_):  # stable_round at 6 dp — the shared determinism helper
+        return stable_round(c_, 6)
     return s.select(
         F.col("n").alias("n_keys"),
         F.col("tot").alias("n_rows"),
@@ -914,7 +916,8 @@ def q_key_skew_audit(spark, sf_dir):
     f AS (SELECT last_x + CAST(k AS BIGINT) + 1 AS x, slope, icept
           FROM fit, (SELECT unnest(range(3)) AS k))
     SELECT x AS month_idx,
-           ROUND((icept + slope * x) / 100.0 * 100) / 100 AS forecast_revenue
+           ROUND((icept + slope * x) / 100.0 * 100) / 100 + 0.0
+             AS forecast_revenue
     FROM f ORDER BY month_idx
     """,
     tags=("temporal", "forecast"),
@@ -976,6 +979,7 @@ def q_trend_forecast(spark, sf_dir):
                 0,
             )
             / F.lit(100.0)
+            + F.lit(0.0)  # signed-round guard: a declining fit can go < 0
         ).alias("forecast_revenue"),
     ).orderBy("month_idx")
 

@@ -1844,6 +1844,9 @@ def q_emb_covariance(spark, sf_dir):
     ).orderBy("i", "j")
 
 
+_PCA_SPECTRUM_CACHE: dict[str, list] = {}
+
+
 @register("q_emb_pca_variance", oracle=None, tags=("llm", "embedding", "ml"))
 def q_emb_pca_variance(spark, sf_dir):
     """PCA explained-variance spectrum — the driver-side half of the
@@ -1860,22 +1863,28 @@ def q_emb_pca_variance(spark, sf_dir):
 
     from distribot_spark.queries import QUERIES
 
-    cov_rows = QUERIES["q_emb_covariance"].builder(spark, sf_dir).collect()
-    d = max(r.j for r in cov_rows)
-    C = np.zeros((d, d))
-    for r in cov_rows:
-        C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = r.cov_micro2
-    w = np.linalg.eigvalsh(C)[::-1]  # descending
-    total = float(w.sum())
-    rows = [
-        (
-            k + 1,
-            float(np.floor(w[k] + 0.5)),
-            float(np.floor(w[k] / total * 1e6 + 0.5) / 1e6),
-            float(np.floor(w[: k + 1].sum() / total * 1e6 + 0.5) / 1e6),
-        )
-        for k in range(d)
-    ]
+    # memoized per sf_dir (the BPE-merges pattern): building this
+    # DataFrame necessarily RUNS the covariance job + eigensolve, and
+    # plan-enumeration consumers (test_plans' builder loop, repeated
+    # parity runs) must not pay it more than once per corpus
+    if sf_dir not in _PCA_SPECTRUM_CACHE:
+        cov_rows = QUERIES["q_emb_covariance"].builder(spark, sf_dir).collect()
+        d = max(r.j for r in cov_rows)
+        C = np.zeros((d, d))
+        for r in cov_rows:
+            C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = r.cov_micro2
+        w = np.linalg.eigvalsh(C)[::-1]  # descending
+        total = float(w.sum())
+        _PCA_SPECTRUM_CACHE[sf_dir] = [
+            (
+                k + 1,
+                float(np.floor(w[k] + 0.5)),
+                float(np.floor(w[k] / total * 1e6 + 0.5) / 1e6),
+                float(np.floor(w[: k + 1].sum() / total * 1e6 + 0.5) / 1e6),
+            )
+            for k in range(d)
+        ]
+    rows = _PCA_SPECTRUM_CACHE[sf_dir]
     return spark.createDataFrame(
         rows,
         "component int, eigenvalue_micro2 double, explained double,"

@@ -475,7 +475,8 @@ def q_benford_audit(spark, sf_dir):
     )
     c = d.groupBy("digit").agg(F.count("*").alias("n"))
     t = c.agg(F.sum("n").alias("total"))
-    r6 = lambda c_: F.round(c_ * F.lit(1000000.0), 0) / F.lit(1000000.0)
+    def r6(c_):  # stable_round at 6 dp — the shared determinism helper
+        return stable_round(c_, 6)
     return (
         c.crossJoin(F.broadcast(t))
         .select(

@@ -1025,9 +1025,10 @@ def q_rolling_corr(spark, sf_dir):
     the correlation divides identical integers — the bivariate
     extension of q_anomaly_zscore's trick; no cross-engine CORR-over-
     frame order hazard. One shuffle to the daily grain; signed value →
-    the `+ 0.0` guard. INT64 BOUND: x² must stay < 2^63 — daily cents
-    up to ~3e9 (a $30M/day series) are safe; above that, drop to whole
-    dollars or decimal(38) for the squared sums."""
+    the `+ 0.0` guard. INT64 BOUND: the binding term is n·Σx² (14
+    squared terms summed, then ×14 again) — daily cents must stay
+    under ~2.1e8 (≈ $2M/day per series) to keep n·Σx² < 2^63; above
+    that, drop to whole dollars or decimal(38) for the squared sums."""
     from pyspark.sql import Window as W
 
     d = (
