@@ -1158,3 +1158,65 @@ def q_peak_detection(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_time_to_convert",
+    oracle="""
+    WITH fv AS (SELECT user_id, MIN(ts) AS v FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    fp AS (SELECT e.user_id, MIN(e.ts) AS p
+           FROM events e JOIN fv ON fv.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= fv.v
+           GROUP BY e.user_id),
+    d AS (SELECT CAST((epoch_us(fp.p) - epoch_us(fv.v)) // 60000000
+                      AS BIGINT) AS mins
+          FROM fv JOIN fp USING (user_id)),
+    r AS (SELECT mins, cume_dist() OVER (ORDER BY mins) AS cd FROM d)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           MIN(CASE WHEN cd >= 0.5 THEN mins END) AS p50_minutes,
+           MIN(CASE WHEN cd >= 0.9 THEN mins END) AS p90_minutes
+    FROM r
+    """,
+    tags=("temporal", "funnel", "kpi"),
+)
+def q_time_to_convert(spark, sf_dir):
+    """Conversion latency: first view → first subsequent purchase per
+    user, summarized as PERCENTILE_DISC latencies over integer MINUTES
+    (the q_percentiles_disc spelling: cume_dist + conditional min —
+    always an actual duration, integer-exact in both engines; measured
+    here first: interpolated quantile_cont diverged from Spark's
+    percentile in the last place on this very data, so disc semantics
+    are the robust choice for durations) — the 'how long does the
+    funnel take' KPI pairing q_funnel's 'how many make it'. Two
+    per-user aggregates + one co-keyed join."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    d = fv.join(fp, "user_id").select(
+        (
+            F.floor(
+                (F.unix_micros("p") - F.unix_micros("v")) / F.lit(60_000_000)
+            )
+        )
+        .cast("long")
+        .alias("mins")
+    )
+    from pyspark.sql import Window as W
+
+    r = d.withColumn("cd", F.cume_dist().over(W.orderBy("mins")))
+    return r.agg(
+        F.count("*").alias("n_converted"),
+        F.min(F.when(F.col("cd") >= 0.5, F.col("mins"))).alias("p50_minutes"),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("mins"))).alias("p90_minutes"),
+    )
