@@ -2058,3 +2058,111 @@ def doc_boilerplate_prefixes(spark, sf_dir):
         .orderBy(F.desc("n_docs"), "source", "prefix")
         .limit(20)
     )
+
+
+_L2_EXPR = """
+      list_sum(list_transform(qv, x -> x * x))
+      + list_sum(list_transform(v, x -> x * x))
+      - 2 * list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]))
+"""
+
+
+@register(
+    "l3_rrf_fusion",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS nid, v FROM e WHERE vec_id >= 10),
+    pairs AS (SELECT qid, nid, {_COSINE_EXPR} AS cos, {_L2_EXPR} AS d2
+              FROM q, c),
+    r1 AS (SELECT qid, nid,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, nid) AS rnk
+           FROM pairs QUALIFY rnk <= 20),
+    r2 AS (SELECT qid, nid,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY d2, nid) AS rnk
+           FROM pairs QUALIFY rnk <= 20),
+    fused AS (
+      SELECT COALESCE(r1.qid, r2.qid) AS qid,
+             COALESCE(r1.nid, r2.nid) AS nid,
+             COALESCE(1.0 / (60 + r1.rnk), 0)
+           + COALESCE(1.0 / (60 + r2.rnk), 0) AS score
+      FROM r1 FULL JOIN r2 ON r1.qid = r2.qid AND r1.nid = r2.nid),
+    top AS (SELECT qid, nid,
+                   ROUND(score * 1000000) / 1000000 AS rrf_score,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, nid) AS rnk
+            FROM fused QUALIFY rnk <= 5)
+    SELECT qid, nid, rnk, rrf_score FROM top ORDER BY qid, rnk
+    """,
+    tags=("llm", "similarity", "fusion"),
+)
+def l3_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. 2009) — THE hybrid-
+    retrieval combiner: two top-20 candidate pools ranked by DIFFERENT
+    metrics (cosine and L2 — proxies for the dense/lexical pair in a
+    RAG stack) merge by Σ 1/(60 + rank), which needs no score
+    calibration between the systems. Scores derive from INTEGER ranks,
+    so the fusion hash-oracles exactly; pools full-outer-join on
+    (qid, nid) and absent ranks contribute nothing — the standard RRF
+    pool convention. Per-query windows over 20-row pools; at 100 TB
+    the pools come from the IVF/PQ tiers, fusion cost is unchanged."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    r1 = similarity.cosine_topk(corpus, queries, k=20).select(
+        "qid", "nid", F.col("rnk").alias("r1")
+    )
+    # L2 pool with the same staged-norm discipline as cosine_topk
+    q = queries.selectExpr(
+        "vec_id AS qid", "transform(embedding, x -> CAST(x AS DOUBLE)) AS qv"
+    ).selectExpr(
+        "qid", "qv",
+        "aggregate(transform(qv, x -> x * x), 0D, (a, b) -> a + b) AS qs",
+    )
+    c = corpus.selectExpr(
+        "vec_id AS nid", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    ).selectExpr(
+        "nid", "v",
+        "aggregate(transform(v, x -> x * x), 0D, (a, b) -> a + b) AS vs",
+    )
+    scored = F.broadcast(q).crossJoin(c).selectExpr(
+        "qid", "nid",
+        "qs + vs - 2 * aggregate(zip_with(qv, v, (a, b) -> a * b),"
+        " 0D, (a, b) -> a + b) AS d2",
+    )
+    w2 = W.partitionBy("qid").orderBy("d2", "nid")
+    r2 = (
+        scored.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= 20)
+        .select("qid", "nid", "r2")
+    )
+    fused = (
+        r1.join(r2, ["qid", "nid"], "full")
+        .select(
+            "qid",
+            "nid",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r1")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r2")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("score"), "nid")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "qid",
+            "nid",
+            "rnk",
+            (F.round(F.col("score") * F.lit(1000000.0), 0) / F.lit(1000000.0))
+            .alias("rrf_score"),
+        )
+        .orderBy("qid", "rnk")
+    )
