@@ -340,6 +340,22 @@ def test_session_round3b_queries_stay_jvm_and_equi_joined(spark):
         "q_clamped_balance",
         "q_ratio_to_report",
         "q_key_skew_audit",
+        "q_attribution_last_touch",
+        "q_rolling_corr",
+        "q_peak_detection",
+        "dedup_containment",
+        "doc_boilerplate_prefixes",
+        "q_time_to_convert",
+        "doc_zipf_fit",
+        "q_user_entropy",
+        "q_cohort_ltv",
+        "doc_langid_eval",
+        "emb_dim_profile",
+        "q_emb_covariance",
+        "q_dow_hour_heatmap",
+        "q_trend_forecast",
+        "q_bitmap_distinct",
+        "q36_variant",
     ):
         df = q(spark, name)
         plan = explain_string(df)
@@ -358,6 +374,10 @@ def test_session_round3b_queries_stay_jvm_and_equi_joined(spark):
         "q_rfm_segments",     # broadcast max-date + quartile cuts
         "q_rolling_dau_exact",  # broadcast day bounds
         "events_interpolate",   # broadcast hour bounds
+        "q_survival_km",        # broadcast horizon + total
+        "q_benford_audit",      # broadcast 1-row total
+        "q_assoc_rules",        # broadcast 1-row basket total
+        "l3_rrf_fusion",        # deliberate bounded query×corpus cross
     ):
         df = q(spark, name)
         plan = explain_string(df)
