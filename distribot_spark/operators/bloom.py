@@ -34,18 +34,31 @@ B = (1, 7, 13, 19)
 BITS_PER_WORD = 32
 
 
+def _position(key, m: int, i: int):
+    """Bit position i for a key — int64-safe, engine-portable.
+
+    ``abs(key)`` guards the signed-key trap: Spark and DuckDB ``%``
+    both keep the dividend's sign, so a negative key would produce a
+    negative position and a negative shift count, where shiftleft
+    semantics diverge across engines (Java wraps mod 64)."""
+    return ((F.abs(key) % P) * A[i] + B[i]) % P % m
+
+
 def _positions(key, m: int, k: int):
     """k bit positions for a key — int64-safe, engine-portable."""
-    return [
-        ((key % P) * A[i] + B[i]) % P % m for i in range(k)
-    ]
+    assert k <= len(A), f"hash family has {len(A)} rows, asked for {k}"
+    return [_position(key, m, i) for i in range(k)]
+
+
+def position_sql(col: str, m: int, i: int) -> str:
+    """The SAME position expression as ANSI SQL (oracle side)."""
+    return f"((ABS({col}) % {P}) * {A[i]} + {B[i]}) % {P} % {m}"
 
 
 def positions_sql(col: str, m: int, k: int) -> list[str]:
     """The SAME k position expressions as ANSI SQL strings (oracle side)."""
-    return [
-        f"(({col} % {P}) * {A[i]} + {B[i]}) % {P} % {m}" for i in range(k)
-    ]
+    assert k <= len(A), f"hash family has {len(A)} rows, asked for {k}"
+    return [position_sql(col, m, i) for i in range(k)]
 
 
 def build_bloom(keys: DataFrame, key: str, m: int = 8192, k: int = 3) -> DataFrame:

@@ -21,17 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from distribot_spark.operators.bloom import _positions, positions_sql
+from distribot_spark.operators.bloom import A as _HASH_A
+from distribot_spark.operators.bloom import _position, position_sql
 
 
 def _pos(key, i: int, w: int):
-    """Row i's counter position — the bloom hash family, verbatim."""
-    return _positions(key, w, i + 1)[i]
+    """Row i's counter position — the bloom hash family, verbatim
+    (single expression node; no redundant siblings)."""
+    return _position(key, w, i)
 
 
 def pos_sql(col: str, i: int, w: int) -> str:
     """The same position as ANSI SQL (oracle side), from bloom's table."""
-    return positions_sql(col, w, i + 1)[i]
+    return position_sql(col, w, i)
+
+
+def _check_depth(d: int) -> None:
+    """d is a public parameter but the portable hash family has only
+    len(A) rows — fail loudly instead of IndexError mid-plan-build."""
+    if not 1 <= d <= len(_HASH_A):
+        raise ValueError(f"cms depth d={d} not in [1, {len(_HASH_A)}]")
 
 
 def build_cms(stream: DataFrame, key: str, d: int = 4, w: int = 2048) -> DataFrame:
@@ -39,6 +48,7 @@ def build_cms(stream: DataFrame, key: str, d: int = 4, w: int = 2048) -> DataFra
     shuffle over ≤ d·w distinct (i, pos) cells; the d-way explode costs
     d rows per input row BEFORE the partial aggregate collapses them,
     so shuffle volume is bounded by the cell count, not the stream."""
+    _check_depth(d)
     kc = F.col(key)
     return (
         stream.select(
@@ -64,6 +74,7 @@ def probe_cms(
 ) -> DataFrame:
     """Append ``cms_estimate`` (= min over the d rows) to `keys` via one
     explode + one broadcast equi-join on (i, pos) + one min-agg."""
+    _check_depth(d)
     kc = F.col(key)
     probes = keys.select(
         key,

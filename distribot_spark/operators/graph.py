@@ -190,12 +190,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         "n_edges",
         "n_triangles",
         "n_wedges",
-        (
+        # Zero-wedge guard: Spark's x/0 double division yields NULL while
+        # DuckDB may yield inf depending on ieee_floating_point_ops — make
+        # the no-wedge case an explicit NULL in BOTH engines (oracle has
+        # the matching CASE WHEN n_wedges > 0).
+        F.when(
+            F.col("n_wedges") > 0,
             F.round(
                 F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
                 * F.lit(1000000.0),
                 0,
             )
-            / F.lit(1000000.0)
+            / F.lit(1000000.0),
         ).alias("clustering"),
     )

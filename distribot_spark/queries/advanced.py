@@ -1085,7 +1085,9 @@ s AS (SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
              (SELECT SUM(d * (d - 1)) // 2 FROM deg) AS n_wedges)
 SELECT n_nodes, n_edges, n_triangles,
        CAST(n_wedges AS BIGINT) AS n_wedges,
-       ROUND(3.0 * n_triangles / n_wedges * 1000000) / 1000000 AS clustering
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3.0 * n_triangles / n_wedges * 1000000) / 1000000
+       END AS clustering
 FROM s, tri
 """
 
@@ -1333,8 +1335,8 @@ top AS (SELECT key, exact_cnt FROM cnt
 stream AS ({_CMS_STREAM}),
 cms AS (SELECT i, pos, COUNT(*) AS c FROM stream GROUP BY 1, 2),
 probes AS ({_CMS_PROBE}),
-est AS (SELECT p.key, CAST(MIN(cms.c) AS BIGINT) AS cms_estimate
-        FROM probes p JOIN cms ON cms.i = p.i AND cms.pos = p.pos
+est AS (SELECT p.key, CAST(MIN(COALESCE(cms.c, 0)) AS BIGINT) AS cms_estimate
+        FROM probes p LEFT JOIN cms ON cms.i = p.i AND cms.pos = p.pos
         GROUP BY p.key)
 SELECT t.key AS l_partkey, t.exact_cnt, e.cms_estimate,
        e.cms_estimate - t.exact_cnt AS overestimate
