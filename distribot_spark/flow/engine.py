@@ -83,12 +83,26 @@ class FlowEngine:
         registry: HandlerRegistry | None = None,
         max_retries: int = 2,
         tasks_per_partition: int = 100,
+        wave_slices: int = 1,
+        claim_lease_sec: float = 60.0,
+        poll_interval: float = 0.05,
     ) -> None:
         self.spark = spark
         self.state = StateStore(state_root)
         self.registry = registry or DEFAULT_REGISTRY
         self.max_retries = max_retries
         self.tasks_per_partition = tasks_per_partition
+        # -- competing-consumer knobs (reference worker.rb:72-85: N worker
+        # replicas share one queue). Engines pointed at the SAME state root
+        # split each attempt's tasks into `wave_slices` hash slices and
+        # claim them exclusively (StateStore.try_claim), so a phase drains
+        # across processes with each task processed by one engine.
+        # Cooperating engines must agree on wave_slices, and handler
+        # enumerate() must be deterministic (same tasks in every engine).
+        self.wave_slices = max(1, wave_slices)
+        self.claim_lease_sec = claim_lease_sec
+        self.poll_interval = poll_interval
+        self.worker_id = uuid.uuid4().hex[:12]
         # R32 fanout: (event-pattern, flow-pattern, callback) triples
         self._subscribers: list[tuple[str, str, object]] = []
 
@@ -283,10 +297,10 @@ class FlowEngine:
             except PhaseFailed:
                 if phase.on_error_transition_to:
                     # the declared-but-dead reference config (phase.rb:9),
-                    # implemented: route to the error phase and keep going
-                    self.state.add_transition(
-                        flow_id, cur, phase.on_error_transition_to
-                    )
+                    # implemented: route to the error phase and keep going.
+                    # Fenced like any phase exit: competing engines both
+                    # hit PhaseFailed, one appends the routing transition.
+                    self._advance(flow_id, cur, phase.on_error_transition_to)
                     continue
                 raise
 
@@ -303,14 +317,60 @@ class FlowEngine:
             nxt = spec.next_phase(cur)
             if nxt is None:
                 # flow.finished: deregister active (flow_finished_handler.rb:7-11)
-                # and broadcast to every subscriber (flow_finished_handler.rb:11)
-                self.state.set_control(flow_id, "finished")
+                # and broadcast to every subscriber (flow_finished_handler.rb:11).
+                # The STATE write is fenced (one engine records it); the
+                # fanout + callback run in every engine — each process has
+                # its own subscribers, like every reference daemon getting
+                # its own copy of the broadcast.
+                gate = self._gate_key(flow_id, cur)
+                if self.state.try_claim(flow_id, gate, self.worker_id):
+                    self.state.set_control(flow_id, "finished")
+                else:
+                    self._await(
+                        lambda: self.state.control_state(flow_id) == "finished",
+                        recover=lambda: self.state.set_control(flow_id, "finished"),
+                    )
                 self._emit("flow.finished", flow_id)
                 if on_complete is not None:
                     on_complete(flow_id)
                 return "finished"
             # phase.finished → transition_to! next (phase_finished_handler.rb:7-17)
+            self._advance(flow_id, cur, nxt)
+
+    def _gate_key(self, flow_id: str, phase: str) -> str:
+        return f"_adv.{phase}.e{self._phase_epoch(flow_id, phase)}"
+
+    def _phase_epoch(self, flow_id: str, phase: str) -> int:
+        """How many times the flow has ENTERED `phase` (1 on first entry;
+        bumps on resume-after-pause and error-loop re-entry). Epochs
+        namespace work claims, so a re-entered phase claims fresh slots
+        instead of finding its previous visit's claims occupied."""
+        return sum(1 for t in self.state.transitions(flow_id) if t["to"] == phase)
+
+    def _advance(self, flow_id: str, cur: str, nxt: str) -> None:
+        """Append the cur→nxt transition exactly once across competing
+        engines: the gate claim picks one writer; losers wait for the
+        transition to appear (with a lease-length recovery append in case
+        the winner died between winning and writing — idempotent, since a
+        duplicate cur→nxt leaves current_phase unchanged)."""
+        if self.state.try_claim(flow_id, self._gate_key(flow_id, cur), self.worker_id):
             self.state.add_transition(flow_id, cur, nxt)
+            return
+        self._await(
+            lambda: self.current_phase(flow_id) != cur
+            or self.state.control_state(flow_id) in (CANCELED, "pause"),
+            recover=lambda: self.state.add_transition(flow_id, cur, nxt),
+        )
+
+    def _await(self, done, recover) -> None:
+        """Poll until `done()`; after claim_lease_sec, run `recover()` —
+        the idempotent repair for a gate winner that died mid-write."""
+        deadline = time.time() + self.claim_lease_sec
+        while not done():
+            if time.time() > deadline:
+                recover()
+                return
+            time.sleep(self.poll_interval)
 
     def run_new(self, spec, on_complete=None) -> tuple[str, str]:
         fid = self.create_flow(spec)
@@ -336,6 +396,7 @@ class FlowEngine:
         handler_ids = [ctx.handler for ctx, _ in resolved]
         if self.state.phase_drained(flow_id, phase.name, handler_ids):
             return  # already completed (re-entry after pause/resume)
+        epoch = self._phase_epoch(flow_id, phase.name)
         self._emit("phase.started", flow_id, phase=phase.name)
 
         # All handlers of a phase run CONCURRENTLY, as in the reference
@@ -344,11 +405,13 @@ class FlowEngine:
         # Spark jobs, so one slow handler no longer serializes the phase.
         if len(resolved) == 1:
             ctx, impl = resolved[0]
-            self._run_handler(flow_id, phase.name, ctx, impl)
+            self._run_handler(flow_id, phase.name, ctx, impl, epoch)
         else:
             with ThreadPoolExecutor(max_workers=len(resolved)) as pool:
                 futures = [
-                    pool.submit(self._run_handler, flow_id, phase.name, ctx, impl)
+                    pool.submit(
+                        self._run_handler, flow_id, phase.name, ctx, impl, epoch
+                    )
                     for ctx, impl in resolved
                 ]
                 errors = []
@@ -368,7 +431,9 @@ class FlowEngine:
         assert self.state.phase_drained(flow_id, phase.name, handler_ids)
         self._emit("phase.finished", flow_id, phase=phase.name)
 
-    def _run_handler(self, flow_id: str, phase: str, ctx: HandlerContext, impl) -> None:
+    def _run_handler(
+        self, flow_id: str, phase: str, ctx: HandlerContext, impl, epoch: int = 1
+    ) -> None:
         """enumerate (worker.rb:55-70,112-119) then process. Handlers may
         enumerate either a driver-side iterable of dicts
         (reference-faithful) or — the 100 TB path — a DataFrame with a
@@ -402,7 +467,7 @@ class FlowEngine:
             tasks = self.spark.createDataFrame(
                 pd.DataFrame(rows, columns=["task_id", "payload"])
             ).repartition(n_parts)
-        self._run_waves(flow_id, phase, ctx, impl, tasks)
+        self._run_waves(flow_id, phase, ctx, impl, tasks, epoch)
 
     # explicit read schema for committed task-log files (flow identity is
     # established by WHICH files the manifest/partition listing yields, not
@@ -420,59 +485,168 @@ class FlowEngine:
     )
 
     def _run_waves(
-        self, flow_id: str, phase: str, ctx: HandlerContext, impl, tasks: DataFrame
+        self,
+        flow_id: str,
+        phase: str,
+        ctx: HandlerContext,
+        impl,
+        tasks: DataFrame,
+        epoch: int = 1,
     ) -> None:
         """The distributed wave loop shared by both enumerate routes.
         Results are written once to the task_log parquet (re-running the
         lazy plan would re-execute side-effecting processors) under the
         flow's hive partition, so every retry read prunes to one
-        directory instead of scanning the ever-growing log."""
-        total = tasks.count()
+        directory instead of scanning the ever-growing log.
 
-        prior = self.state.task_results(flow_id, phase)
-        if not prior.empty:
-            done = prior[(prior.handler == ctx.handler) & (prior.status == "ok")]
-            if not done.empty:
-                done_df = self.spark.createDataFrame(done[["task_id"]])
-                tasks = tasks.join(done_df, "task_id", "left_anti")
-        remaining_cnt = tasks.count()
+        COMPETING CONSUMERS (reference worker.rb:72-85): each attempt's
+        remaining tasks are split into `wave_slices` hash slices; every
+        slice is processed by exactly one engine (exclusive file claim,
+        StateStore.try_claim), and an attempt completes when every
+        slice's wave has COMMITTED — by this engine or a peer sharing the
+        state root. With the default wave_slices=1 this degenerates to
+        the single-engine loop (one claim per attempt, zero contention).
+        A peer that dies between claiming and committing is aged out by
+        claim_lease_sec and its slice is re-run — the at-least-once
+        redelivery window, same as the reference's unacked-message
+        requeue (connector.rb:56-73); accounting stays effectively-once
+        because task_results keeps the last attempt per task."""
+        total = tasks.count()
+        remaining = self._remaining_tasks(flow_id, phase, ctx.handler, tasks)
+        remaining_cnt = remaining.count()
         self.state.upsert_progress(flow_id, phase, ctx.handler, total, remaining_cnt)
+        n_slices = max(1, min(self.wave_slices, total))
 
         attempt = 0
         while remaining_cnt:
             self._check_control(flow_id)
             attempt += 1
-            results = self._wave_df(ctx, impl, tasks, attempt).select(
-                F.lit(phase).alias("phase"),
-                F.lit(ctx.handler).alias("handler"),
-                "task_id",
-                F.lit(attempt).cast("int").alias("attempt"),
-                "status",
-                "result",
-                F.lit(time.time()).alias("ts"),
+            if attempt > self.max_retries + 1:
+                res = self.state.task_results(flow_id, phase)
+                bad = res[(res.handler == ctx.handler) & (res.status != "ok")]
+                raise PhaseFailed(phase, ctx.handler, list(bad.result.head(3)))
+            self._cooperative_attempt(
+                flow_id, phase, ctx, impl, remaining, epoch, attempt, n_slices
             )
-            self._append_wave(results, flow_id)
-            logged = (
-                self.spark.read.schema(self._TASK_LOG_SCHEMA)
-                .parquet(*self.state.committed_task_files(flow_id))
-                .filter(
-                    (F.col("phase") == phase)
-                    & (F.col("handler") == ctx.handler)
-                    & (F.col("attempt") == attempt)
-                )
-            )
-            failed = logged.filter(F.col("status") != "ok").select("task_id")
-            remaining_cnt = failed.count()
-            tasks = tasks.join(failed, "task_id", "left_semi")
+            remaining = self._remaining_tasks(flow_id, phase, ctx.handler, tasks)
+            remaining_cnt = remaining.count()
             self.state.upsert_progress(
                 flow_id, phase, ctx.handler, total, remaining_cnt
             )
-            if remaining_cnt and attempt > self.max_retries:
-                sample = [
-                    r.result
-                    for r in logged.filter(F.col("status") != "ok").limit(3).collect()
-                ]
-                raise PhaseFailed(phase, ctx.handler, sample)
+
+    def _remaining_tasks(
+        self, flow_id: str, phase: str, handler: str, tasks: DataFrame
+    ) -> DataFrame:
+        """Tasks with no committed ok result — the anti-join stays a Spark
+        plan over the committed log files (never a driver-side id list),
+        so a million-task phase resumes without materializing anything."""
+        files = self.state.committed_task_files(flow_id)
+        if not files:
+            return tasks
+        ok = (
+            self.spark.read.schema(self._TASK_LOG_SCHEMA)
+            .parquet(*files)
+            .filter(
+                (F.col("phase") == phase)
+                & (F.col("handler") == handler)
+                & (F.col("status") == "ok")
+            )
+            .select("task_id")
+        )
+        return tasks.join(ok, "task_id", "left_anti")
+
+    def _cooperative_attempt(
+        self,
+        flow_id: str,
+        phase: str,
+        ctx: HandlerContext,
+        impl,
+        remaining: DataFrame,
+        epoch: int,
+        attempt: int,
+        n_slices: int,
+    ) -> None:
+        """Run attempt N as `n_slices` exclusively-claimed waves; return
+        when every slice has committed (locally or by a peer engine)."""
+        prefix = f"{phase}.{ctx.handler}.e{epoch}.a{attempt}"
+        pending = set(range(n_slices))
+        # engines start their scan at different slices, so two workers
+        # arriving together immediately diverge instead of racing slot 0
+        start = int(self.worker_id[:6], 16) % n_slices
+        while pending:
+            progressed = False
+            for sl in sorted(pending, key=lambda s: (s - start) % n_slices):
+                key = f"{prefix}.s{sl}"
+                if self.state.claim_done(flow_id, key):
+                    pending.discard(sl)
+                    progressed = True
+                    continue
+                won, stolen = self._claim_slice(flow_id, key)
+                if not won:
+                    continue
+                slice_tasks = (
+                    remaining
+                    if n_slices == 1
+                    else remaining.filter(
+                        F.pmod(F.xxhash64("task_id"), F.lit(n_slices)) == sl
+                    )
+                )
+                if stolen:
+                    # the dead claimant may have committed before dying:
+                    # re-exclude its results so the redelivery window only
+                    # re-runs genuinely unlogged tasks
+                    slice_tasks = self._remaining_tasks(
+                        flow_id, phase, ctx.handler, slice_tasks
+                    )
+                self._process_wave(flow_id, phase, ctx, impl, slice_tasks, attempt)
+                self.state.mark_claim_done(flow_id, key, self.worker_id)
+                pending.discard(sl)
+                progressed = True
+            if pending and not progressed:
+                self._check_control(flow_id)
+                time.sleep(self.poll_interval)
+
+    def _claim_slice(self, flow_id: str, key: str) -> tuple[bool, bool]:
+        """(won, stolen): claim the slice; repossess a claim THIS engine
+        left uncommitted (its own crash-recovery re-run — within an engine
+        a (phase, handler) slot never has two live claimants); or — if a
+        PEER claimant has held it past the lease without committing —
+        claim the single steal slot. Repossessed/stolen slices re-exclude
+        committed results before re-running (stolen=True)."""
+        if self.state.try_claim(flow_id, key, self.worker_id):
+            return True, False
+        if self.state.claim_done(flow_id, key):
+            return False, False
+        info = self.state.claim_info(flow_id, key)
+        if info is None:
+            return False, False
+        if info.get("owner") == self.worker_id:
+            return True, True
+        if time.time() - info["ts"] > self.claim_lease_sec and self.state.try_claim(
+            flow_id, key + ".steal", self.worker_id
+        ):
+            return True, True
+        return False, False
+
+    def _process_wave(
+        self,
+        flow_id: str,
+        phase: str,
+        ctx: HandlerContext,
+        impl,
+        tasks: DataFrame,
+        attempt: int,
+    ) -> None:
+        results = self._wave_df(ctx, impl, tasks, attempt).select(
+            F.lit(phase).alias("phase"),
+            F.lit(ctx.handler).alias("handler"),
+            "task_id",
+            F.lit(attempt).cast("int").alias("attempt"),
+            "status",
+            "result",
+            F.lit(time.time()).alias("ts"),
+        )
+        self._append_wave(results, flow_id)
 
     def _append_wave(self, results: DataFrame, flow_id: str,
                      batch_id: int | None = None) -> None:

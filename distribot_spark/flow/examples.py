@@ -84,6 +84,7 @@ def example_registry() -> HandlerRegistry:
     reg.register("AlwaysFails", "1.0.0", AlwaysFails())
     reg.register("ErrorEmailer", "1.0.0", ErrorEmailer())
     reg.register("SlowWorker", "1.0.0", SlowWorker())
+    reg.register("SleepyLister", "1.0.0", SleepyLister())
     reg.register("BigLister", "1.0.0", BigLister())
     reg.register("Napper", "1.0.0", Napper())
     reg.register("Napper2", "1.0.0", Napper2())
@@ -212,6 +213,36 @@ CONT_FLOW = {
          "handlers": ["StreamSquarer"]},
         {"name": "label", "transitions_to": "done",
          "handlers": ["StreamLabeler"]},
+        {"name": "done", "is_final": True},
+    ],
+}
+
+
+class SleepyLister:
+    """Configurable fan-out with per-task sleep — the competing-consumer
+    tests' workload: enough slices of slow-enough work that two engines
+    racing the claim table both win some (reference worker.rb:72-85, N
+    replicas splitting one queue)."""
+
+    def enumerate(self, ctx):
+        d = ctx.data_dict()
+        n = d.get("n_tasks", 24)
+        sec = d.get("task_sec", 0.2)
+        return [{"task_id": f"s-{i}", "i": i, "sec": sec} for i in range(n)]
+
+    def process(self, ctx, task):
+        import time
+
+        time.sleep(task["sec"])
+        return {"i": task["i"]}
+
+
+COMPETE_FLOW = {
+    "name": "compete",
+    "data": {"n_tasks": 30, "task_sec": 0.15},
+    "phases": [
+        {"name": "work", "is_initial": True, "transitions_to": "done",
+         "handlers": ["SleepyLister"]},
         {"name": "done", "is_final": True},
     ],
 }

@@ -300,6 +300,93 @@ class StateStore:
         df = df.sort_values(["handler", "task_id", "attempt"], kind="stable")
         return df.groupby(["handler", "task_id"], as_index=False).last()
 
+    # -- work claims (competing engines, reference worker.rb:72-85) -------------
+    # The reference deploys N worker replicas against one shared queue; the
+    # broker gives each task to exactly one consumer. Here the shared medium
+    # is the state root, and exclusivity comes from O_CREAT|O_EXCL file
+    # creation — the one filesystem primitive that is atomic across
+    # processes (and maps to a conditional PUT / if-none-match on an object
+    # store). A claim key names a unit of work (one wave slice, one phase
+    # transition); exactly one engine process wins each key.
+
+    def _claim_path(self, flow_id: str, key: str) -> str:
+        import hashlib
+        import re
+
+        safe = re.sub(r"[^A-Za-z0-9._@=-]", "_", key)
+        suffix = hashlib.md5(key.encode()).hexdigest()[:8]
+        return os.path.join(
+            self.root, "claims", f"flow_id={flow_id}", f"{safe}-{suffix}"
+        )
+
+    def try_claim(self, flow_id: str, key: str, owner: str) -> bool:
+        """Atomically claim `key`; True iff THIS caller created the claim.
+        Exactly-one-winner across threads and processes sharing the root."""
+        path = self._claim_path(flow_id, key) + ".claim"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"owner": owner, "ts": _now(), "key": key}, fh)
+        return True
+
+    def claim_info(self, flow_id: str, key: str) -> dict | None:
+        """Owner/ts of an existing claim (None if unclaimed). A claim whose
+        body was never written (crash between create and write) reports its
+        file mtime as ts, so lease-based stealing still ages it out."""
+        path = self._claim_path(flow_id, key) + ".claim"
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            return {"owner": None, "ts": os.path.getmtime(path), "key": key}
+
+    def mark_claim_done(self, flow_id: str, key: str, owner: str) -> None:
+        """Record that the claimed work unit COMMITTED (its wave manifest /
+        transition is durable). tmp+rename, so `.done` is all-or-nothing."""
+        path = self._claim_path(flow_id, key) + ".done"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            json.dump({"owner": owner, "ts": _now(), "key": key}, fh)
+        os.replace(tmp, path)
+
+    def claim_done(self, flow_id: str, key: str) -> bool:
+        return os.path.exists(self._claim_path(flow_id, key) + ".done")
+
+    def claims(self, flow_id: str) -> pd.DataFrame:
+        """All claims + done markers for a flow (test/ops introspection):
+        columns key, owner, ts, done, done_owner."""
+        d = os.path.join(self.root, "claims", f"flow_id={flow_id}")
+        if not os.path.isdir(d):
+            return pd.DataFrame(
+                columns=["key", "owner", "ts", "done", "done_owner"]
+            )
+        rows = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".claim"):
+                continue
+            with open(os.path.join(d, f)) as fh:
+                try:
+                    info = json.load(fh)
+                except json.JSONDecodeError:
+                    info = {"owner": None, "ts": None, "key": f[:-6]}
+            done_path = os.path.join(d, f[:-6] + ".done")
+            done_owner = None
+            if os.path.exists(done_path):
+                with open(done_path) as fh:
+                    done_owner = json.load(fh).get("owner")
+            rows.append(
+                {"key": info.get("key"), "owner": info.get("owner"),
+                 "ts": info.get("ts"), "done": done_owner is not None,
+                 "done_owner": done_owner}
+            )
+        return pd.DataFrame(rows)
+
     # -- control flags (pause/cancel) ------------------------------------------------
 
     _CONTROL = pa.schema(

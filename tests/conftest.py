@@ -5,6 +5,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavyweight integration test (extra JVM spin-up)"
+    )
+
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 

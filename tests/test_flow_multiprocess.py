@@ -1,0 +1,220 @@
+"""Competing engine workers: N engines sharing one state root split a
+phase's tasks with each task processed by exactly one engine — the
+reference's core deployment story (N worker replicas against one shared
+queue, worker.rb:72-85; the broker's one-consumer-per-message guarantee
+becomes the claim table's O_CREAT|O_EXCL one-winner-per-slice guarantee).
+
+Covers: in-process engine pairs (threads), a genuinely separate worker
+PROCESS (second JVM), claim-table primitives (single winner, lease steal,
+own-crash repossession), and phase-transition fencing (no duplicate
+transitions with two engines racing the phase exit).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import pyarrow.parquet as pq
+import pytest
+
+from distribot_spark.flow.engine import FlowEngine
+from distribot_spark.flow.examples import COMPETE_FLOW, example_registry
+
+
+def _mkengine(spark, state_root, **kw):
+    kw.setdefault("registry", example_registry())
+    kw.setdefault("tasks_per_partition", 5)
+    kw.setdefault("wave_slices", 6)
+    kw.setdefault("claim_lease_sec", 120.0)
+    return FlowEngine(spark, state_root, **kw)
+
+
+def _state_root():
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    return tempfile.mkdtemp(prefix="mp_flow_", dir="/root/repo/.tmp")
+
+
+def _raw_task_rows(state, flow_id):
+    """RAW committed task-log rows (not the last-wins view): the strict
+    no-double-processing assertion reads every committed file."""
+    import pandas as pd
+
+    files = state.committed_task_files(flow_id)
+    frames = [pq.read_table(p).to_pandas() for p in files]
+    return (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=["phase", "handler", "task_id", "status"])
+    )
+
+
+def test_claim_single_winner_across_threads(spark):
+    state = _mkengine(spark, _state_root()).state
+    with ThreadPoolExecutor(16) as pool:
+        wins = list(
+            pool.map(lambda i: state.try_claim("f1", "slot-x", f"w{i}"), range(16))
+        )
+    assert sum(wins) == 1
+    info = state.claim_info("f1", "slot-x")
+    assert info["owner"] == f"w{wins.index(True)}"
+    assert not state.claim_done("f1", "slot-x")
+    state.mark_claim_done("f1", "slot-x", info["owner"])
+    assert state.claim_done("f1", "slot-x")
+
+
+def test_claim_lease_steal_and_repossession(spark):
+    root = _state_root()
+    ea = _mkengine(spark, root, claim_lease_sec=0.3)
+    eb = _mkengine(spark, root, claim_lease_sec=0.3)
+    assert ea.state.try_claim("f1", "s0", ea.worker_id)
+    # peer can't take a live claim...
+    assert eb._claim_slice("f1", "s0") == (False, False)
+    # ...but ages it out after the lease (claimant died uncommitted)
+    time.sleep(0.35)
+    assert eb._claim_slice("f1", "s0") == (True, True)
+    # a third engine can't steal again (single steal slot)
+    ec = _mkengine(spark, root, claim_lease_sec=0.3)
+    assert ec._claim_slice("f1", "s0") == (False, False)
+    # own-crash repossession: the original claimant may redo its own
+    # uncommitted slice immediately, no lease wait
+    assert ea._claim_slice("f1", "s1") == (True, False)
+    assert ea._claim_slice("f1", "s1") == (True, True)
+    # a committed slice is final for everyone
+    ea.state.mark_claim_done("f1", "s1", ea.worker_id)
+    assert ea._claim_slice("f1", "s1") == (False, False)
+    assert eb._claim_slice("f1", "s1") == (False, False)
+
+
+def test_two_engine_instances_split_one_phase(spark):
+    """Two engines (threads; separate claim identities) drain one flow:
+    every task processed exactly once (raw log rows, not last-wins), both
+    engines commit work, no duplicate phase transitions."""
+    root = _state_root()
+    ea = _mkengine(spark, root)
+    eb = _mkengine(spark, root)
+    spec = dict(COMPETE_FLOW, data={"n_tasks": 30, "task_sec": 0.15})
+    fid = ea.create_flow(spec)
+    with ThreadPoolExecutor(2) as pool:
+        fa = pool.submit(ea.run, fid)
+        fb = pool.submit(eb.run, fid)
+        ra, rb = fa.result(timeout=180), fb.result(timeout=180)
+    assert (ra, rb) == ("finished", "finished")
+
+    raw = _raw_task_rows(ea.state, fid)
+    work = raw[raw.phase == "work"]
+    assert len(work) == 30, "each task logged exactly once (no double-processing)"
+    assert work.task_id.nunique() == 30
+    assert (work.status == "ok").all()
+
+    claims = ea.state.claims(fid)
+    waves = claims[claims.key.str.contains(".a1.s", regex=False)]
+    owners = set(waves.done_owner) - {None}
+    assert owners <= {ea.worker_id, eb.worker_id}
+    assert len(owners) == 2, f"both engines must commit slices, got {owners}"
+
+    trans = [(t["from"], t["to"]) for t in ea.state.transitions(fid)]
+    assert len(trans) == len(set(trans)), f"duplicate transitions: {trans}"
+    assert [t[1] for t in trans] == ["work", "done"]
+
+    prog = ea.status(fid)
+    row = prog[prog.phase == "work"].iloc[0]
+    assert row.total == 30 and row.remaining == 0
+
+
+def test_two_engine_instances_with_retries(spark):
+    """Competing engines + transient failures: retry waves are also split
+    and the attempt budget is honored across engines."""
+    root = _state_root()
+    ea = _mkengine(spark, root, wave_slices=3)
+    eb = _mkengine(spark, root, wave_slices=3)
+    spec = {
+        "name": "flaky_compete",
+        "phases": [
+            {"name": "work", "is_initial": True, "transitions_to": "done",
+             "handlers": ["FlakyWorker"]},
+            {"name": "done", "is_final": True},
+        ],
+    }
+    fid = ea.create_flow(spec)
+    with ThreadPoolExecutor(2) as pool:
+        ra = pool.submit(ea.run, fid)
+        rb = pool.submit(eb.run, fid)
+        assert {ra.result(120), rb.result(120)} == {"finished"}
+    res = ea.state.task_results(fid, "work")
+    assert len(res) == 9 and (res.status == "ok").all()
+    # every-third task fails attempt 1 → exactly those have attempt 2
+    assert set(res[res.attempt == 2].task_id) == {"flaky-0", "flaky-3", "flaky-6"}
+
+
+@pytest.mark.slow
+def test_two_processes_compete(spark):
+    """THE multi-process proof: a second engine in a second OS process
+    (own JVM, own SparkSession) shares the state root and splits the
+    phase. Task log shows each task processed once; both processes'
+    worker ids appear among the committed slice claims."""
+    root = _state_root()
+    engine = _mkengine(spark, root, wave_slices=8)
+    spec = dict(COMPETE_FLOW, data={"n_tasks": 48, "task_sec": 0.25})
+    fid = engine.create_flow(spec)
+
+    ready = os.path.join(root, "worker_b_ready.txt")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "flow_worker_proc.py"), root, fid, ready],
+        cwd="/root/repo",
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        while not os.path.exists(ready):
+            assert proc.poll() is None, "worker process died during startup"
+            assert time.time() < deadline, "worker process never became ready"
+            time.sleep(0.2)
+        worker_b = open(ready).read().strip()
+
+        result = engine.run(fid)
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert result == "finished"
+    assert proc.returncode == 0, out
+    assert "RESULT:finished" in out
+
+    raw = _raw_task_rows(engine.state, fid)
+    work = raw[raw.phase == "work"]
+    assert len(work) == 48 and work.task_id.nunique() == 48
+    assert (work.status == "ok").all()
+
+    claims = engine.state.claims(fid)
+    waves = claims[claims.key.str.contains(".a1.s", regex=False)]
+    owners = set(waves.done_owner) - {None}
+    assert owners == {engine.worker_id, worker_b}, (
+        f"both processes must commit slices: {owners}"
+    )
+
+    trans = [(t["from"], t["to"]) for t in engine.state.transitions(fid)]
+    assert len(trans) == len(set(trans))
+
+
+def test_late_joining_engine_is_harmless(spark):
+    """An engine that attaches after the flow drained observes finished
+    state and returns immediately — no reprocessing, no new claims."""
+    root = _state_root()
+    ea = _mkengine(spark, root)
+    fid, result = ea.run_new(dict(COMPETE_FLOW, data={"n_tasks": 6,
+                                                      "task_sec": 0.01}))
+    assert result == "finished"
+    n_claims = len(ea.state.claims(fid))
+    raw_before = len(_raw_task_rows(ea.state, fid))
+
+    eb = _mkengine(spark, root)
+    assert eb.run(fid) == "finished"
+    assert len(eb.state.claims(fid)) == n_claims
+    assert len(_raw_task_rows(eb.state, fid)) == raw_before
