@@ -806,3 +806,45 @@ def s18_stream_range_join(spark, sf_dir):
         )
 
     return replay.run_bounded(spark, t, src, "complete").orderBy("window_id")
+
+
+@register(
+    "s19_broker_effectively_once",
+    oracle="""
+    SELECT event_id, event_type, value FROM events ORDER BY event_id
+    """,
+    tags=("streaming", "dedup", "source"),
+)
+def s19_broker_effectively_once(spark, sf_dir):
+    """R30–R31's at-least-once → effectively-once story at the SOURCE
+    layer (s5's pattern moved down into the transport): a Kafka-shaped
+    broker replay (streaming/broker.py) delivers the events log through
+    a consumer that CRASHES between processing and offset commit — the
+    restarted consumer resumes from the last committed offsets and the
+    broker redelivers the uncommitted tail (reference connector.rb:56-73
+    requeue semantics). Dedup on (partition, offset) — the record's
+    physical identity, never its payload — restores exactly-once output;
+    the oracle is the plain batch table, so the hash only matches if
+    every redelivered record was dropped exactly once. At 100 TB the
+    source swaps to readStream.format("kafka") with the identical record
+    schema, and the watermark delay is sized to the broker's maximum
+    redelivery window (a rebalance, not 720 demo hours)."""
+    import os as _os
+
+    from distribot_spark.streaming import broker as B
+
+    root = _os.path.join(
+        replay.TMP_ROOT, "broker", _os.path.basename(sf_dir.rstrip("/"))
+    )
+    log = B.events_broker_log(sf_dir, root)
+    src = B.BrokerReplaySource(log, max_files_per_trigger=2)
+
+    def t(stream):
+        return (
+            stream.withWatermark("ts", "720 hours")
+            .dropDuplicatesWithinWatermark(["partition", "offset"])
+            .select(F.from_json("value", B.EVENT_VALUE_DDL).alias("e"))
+            .select("e.event_id", "e.event_type", "e.value")
+        )
+
+    return replay.run_bounded(spark, t, src, "append").orderBy("event_id")

@@ -269,3 +269,106 @@ def test_stateful_restart_recovers_state_store(spark, tmp_path):
     got = {r.event_type: (r.n, r.s1, r.s2) for r in final.collect()}
     want = {r.event_type: (r.n, r.s1, r.s2) for r in batch.collect()}
     assert got == want, f"state diverged after restart: {got} != {want}"
+
+
+# ---------------------------------------------------------------------------
+# Broker-shaped source: offset commits, crash, redelivery (connector.rb:56-73)
+
+import json as _json
+import os as _os
+
+from distribot_spark.streaming import broker as B
+
+
+@pytest.fixture(scope="module")
+def broker_src():
+    root = _os.path.join(replay.TMP_ROOT, "broker", _os.path.basename(SF))
+    log = B.events_broker_log(SF, root)
+    return log, B.BrokerReplaySource(log, max_files_per_trigger=2)
+
+
+def test_broker_log_offsets_dense_and_keyed(broker_src):
+    """The broker side honors Kafka's contract: dense per-partition
+    offsets from 0, keyed partitioning (partition = key mod N), and
+    per-partition ts order (offsets assigned in delivery order)."""
+    log, _ = broker_src
+    recs = log.records()
+    parts = recs["partition"].to_pylist()
+    offsets = recs["offset"].to_pylist()
+    keys = recs["key"].to_pylist()
+    ts = recs["ts"].to_pylist()
+    by_part = {}
+    for p, o, k, t in zip(parts, offsets, keys, ts):
+        assert int(k) % log.n_partitions == p, "keyed partitioning"
+        by_part.setdefault(p, []).append((o, t))
+    for p, rows in by_part.items():
+        rows.sort()
+        assert [o for o, _ in rows] == list(range(len(rows))), "dense offsets"
+        assert [t for _, t in rows] == sorted(t for _, t in rows), (
+            "per-partition offsets follow time order"
+        )
+    assert log.end_offsets() == {p: len(rows) for p, rows in by_part.items()}
+
+
+def test_broker_commit_ledger_monotone_and_lagging(broker_src):
+    """Offset commits are monotone per partition, and session 1's LAST
+    commit strictly precedes its delivery frontier (the crash window is
+    non-empty — there is something to redeliver)."""
+    log, src = broker_src
+    ledger = src.ledger()
+    assert any(e["session"] == 1 for e in ledger)
+    assert any(e["session"] == 2 for e in ledger)
+    last: dict[str, int] = {}
+    for e in ledger:
+        for p, o in e["offsets"].items():
+            assert o >= last.get(p, 0), "committed offsets never move backward"
+            last[p] = o
+    # final commit == the log's end offsets (everything acknowledged)
+    assert {int(p): o for p, o in ledger[-1]["offsets"].items()} == log.end_offsets()
+
+
+def test_broker_redelivery_window_is_exactly_the_uncommitted_tail(broker_src):
+    """The redelivered records are PRECISELY session 1's
+    processed-but-uncommitted tail: at-least-once, with the duplicate set
+    fully characterized by the commit ledger."""
+    log, src = broker_src
+    session1_commits = [e for e in src.ledger() if e["session"] == 1]
+    committed = {int(p): o for p, o in session1_commits[-1]["offsets"].items()}
+
+    redelivered = src.redelivered()
+    assert redelivered, "the injected crash must produce redelivery"
+    for p, o in redelivered:
+        assert o >= committed.get(p, 0), (
+            "nothing at-or-before the last commit may redeliver"
+        )
+
+    n_log = log.records().num_rows
+    delivered = src.delivered()
+    # every record delivered at least once; duplicates == redelivered set
+    pairs = list(zip(delivered["partition"].to_pylist(),
+                     delivered["offset"].to_pylist()))
+    assert len(set(pairs)) == n_log
+    assert len(pairs) == n_log + len(redelivered)
+
+
+def test_broker_consumer_dedup_restores_exactly_once(spark, broker_src):
+    """End-to-end through the Spark file-stream replay: without dedup the
+    sink shows the duplicates; with (partition, offset) dedup the sink is
+    exactly the log — the s19 oracle semantics, asserted structurally."""
+    log, src = broker_src
+    raw = replay.run_bounded(
+        spark, lambda s: s.select("partition", "offset"), src, "append"
+    )
+    n_log = log.records().num_rows
+    assert raw.count() == n_log + len(src.redelivered())
+
+    deduped = replay.run_bounded(
+        spark,
+        lambda s: s.withWatermark("ts", "720 hours")
+        .dropDuplicatesWithinWatermark(["partition", "offset"])
+        .select("partition", "offset"),
+        src,
+        "append",
+    )
+    assert deduped.count() == n_log
+    assert deduped.distinct().count() == n_log
