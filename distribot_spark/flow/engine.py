@@ -376,6 +376,47 @@ class FlowEngine:
         fid = self.create_flow(spec)
         return fid, self.run(fid, on_complete=on_complete)
 
+    # -- capability deployment (deploy-is-register) ---------------------------------
+
+    def deploy(self, name: str, version: str, impl) -> None:
+        """Deploy a handler version LIVE: register it in this engine's
+        registry AND in the shared capabilities table, so every engine on
+        this state root resolves it from the next phase start onward —
+        the reference's deployment-is-registration
+        (phase_started_handler.rb:59-67: versions are discovered by
+        listing live queues, so starting a worker IS registering it).
+        The impl's class must be importable by module path (the same
+        constraint executors already impose on handlers)."""
+        self.registry.register(name, version, impl)
+        cls = type(impl)
+        self.state.register_capability(
+            name, version, cls.__module__, cls.__qualname__, self.worker_id
+        )
+
+    def _resolve(self, name: str, requirement: str | None):
+        """Best semver match over local-registry ∪ LIVE capability-table
+        versions, evaluated at phase start. A table-only winner is
+        imported by class path, instantiated, and cached locally."""
+        from distribot_spark.flow.registry import best_match
+
+        local = set(self.registry.versions(name))
+        live: dict[str, tuple[str, str]] = {}
+        caps = self.state.capabilities()
+        if not caps.empty:
+            for _, r in caps[caps.name == name].iterrows():
+                live[r.version] = (r.module, r.qualname)
+        version = best_match(sorted(local | set(live)), requirement, name)
+        if version in local:
+            return self.registry.resolve(name, version)
+        import importlib
+
+        obj = importlib.import_module(live[version][0])
+        for part in live[version][1].split("."):
+            obj = getattr(obj, part)
+        impl = obj()
+        self.registry.register(name, version, impl)
+        return version, impl
+
     # -- phase internals ------------------------------------------------------------
 
     def _run_phase(self, flow_id: str, flow: dict, phase) -> None:
@@ -383,7 +424,7 @@ class FlowEngine:
             return  # empty-phase short-circuit (phase_started_handler.rb:11-16)
         resolved = []
         for ph in phase.handlers:
-            version, impl = self.registry.resolve(ph.name, ph.version)
+            version, impl = self._resolve(ph.name, ph.version)
             resolved.append((
                 HandlerContext(
                     flow_id=flow_id,

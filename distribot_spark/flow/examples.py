@@ -218,6 +218,28 @@ CONT_FLOW = {
 }
 
 
+class ListerV15(Lister):
+    """A NEWER Lister deployed mid-flow in the live-capability tests —
+    never in example_registry(); it reaches engines only through
+    FlowEngine.deploy → capabilities table."""
+
+    def process(self, ctx, task):
+        out = super().process(ctx, task)
+        out["lister_version"] = "1.5.0"
+        return out
+
+
+class SoloHandler:
+    """Registered in NO local registry — resolvable only via the shared
+    capabilities table (deploy-is-register across engines)."""
+
+    def enumerate(self, ctx):
+        return [{"task_id": f"solo-{i}", "i": i} for i in range(3)]
+
+    def process(self, ctx, task):
+        return {"solo": task["i"]}
+
+
 class SleepyLister:
     """Configurable fan-out with per-task sleep — the competing-consumer
     tests' workload: enough slices of slow-enough work that two engines

@@ -38,17 +38,7 @@ class HandlerRegistry:
         """Highest registered version satisfying the requirement; raises if
         none — the reference aborts phase start the same way
         (phase_started_handler.rb:19-22,45-57)."""
-        candidates = self.versions(name)
-        if not candidates:
-            raise LookupError(f"no handler registered under {name!r}")
-        if requirement:
-            spec = SpecifierSet(_gemish_to_pep440(requirement))
-            candidates = [v for v in candidates if Version(v) in spec]
-            if not candidates:
-                raise LookupError(
-                    f"no version of {name!r} satisfies {requirement!r}"
-                )
-        return max(candidates, key=Version)
+        return best_match(self.versions(name), requirement, name)
 
     def resolve(self, name: str, requirement: str | None = None):
         version = self.best_version(name, requirement)
@@ -62,6 +52,20 @@ class HandlerRegistry:
             return cls
 
         return deco
+
+
+def best_match(candidates: list[str], requirement: str | None, name: str) -> str:
+    """Highest version among `candidates` satisfying `requirement` —
+    shared by the in-process registry and the engine's LIVE capability
+    resolution (local ∪ state-table versions; engine._resolve)."""
+    if not candidates:
+        raise LookupError(f"no handler registered under {name!r}")
+    if requirement:
+        spec = SpecifierSet(_gemish_to_pep440(requirement))
+        candidates = [v for v in candidates if Version(v) in spec]
+        if not candidates:
+            raise LookupError(f"no version of {name!r} satisfies {requirement!r}")
+    return max(candidates, key=Version)
 
 
 def _gemish_to_pep440(req: str) -> str:

@@ -300,6 +300,40 @@ class StateStore:
         df = df.sort_values(["handler", "task_id", "attempt"], kind="stable")
         return df.groupby(["handler", "task_id"], as_index=False).last()
 
+    # -- capabilities (deploy-is-register, phase_started_handler.rb:59-67) ------
+    # The reference discovers handler versions by listing LIVE RabbitMQ
+    # queues at phase start — deploying a worker IS registering it. Here
+    # the live medium is a shared `capabilities` table: FlowEngine.deploy
+    # appends (name, version, module, qualname), and every engine on the
+    # state root resolves phase handlers against local ∪ table versions
+    # at PHASE START, so a version deployed mid-flow is picked up by the
+    # next phase with no engine restart.
+
+    _CAPABILITIES = pa.schema(
+        [("name", pa.string()), ("version", pa.string()),
+         ("module", pa.string()), ("qualname", pa.string()),
+         ("worker", pa.string()), ("ts", pa.float64())]
+    )
+
+    def register_capability(
+        self, name: str, version: str, module: str, qualname: str, worker: str
+    ) -> None:
+        self._append(
+            "capabilities",
+            [{"name": name, "version": version, "module": module,
+              "qualname": qualname, "worker": worker, "ts": _now()}],
+            self._CAPABILITIES,
+        )
+
+    def capabilities(self) -> pd.DataFrame:
+        """Latest row per (name, version) — re-deploying a version points
+        it at the newest class path."""
+        df = self._read("capabilities")
+        if df.empty:
+            return df
+        df = df.sort_values("ts", kind="stable")
+        return df.groupby(["name", "version"], as_index=False).last()
+
     # -- work claims (competing engines, reference worker.rb:72-85) -------------
     # The reference deploys N worker replicas against one shared queue; the
     # broker gives each task to exactly one consumer. Here the shared medium

@@ -455,3 +455,81 @@ def test_wave_commit_is_atomic_under_crash(engine, monkeypatch):
     assert len(res) == 20
     assert (res.status == "ok").all()
     assert res.attempt.le(2).all(), "recovered run must not re-burn attempts"
+
+
+# ---------------------------------------------------------------------------
+# Live capability registration (deploy-is-register,
+# phase_started_handler.rb:59-67: versions discovered at PHASE START)
+
+
+def test_deploy_mid_flow_picked_up_by_next_phase(engine):
+    """Registering a newer handler version mid-flow is picked up by the
+    next phase's resolution — the reference's list-live-queues-at-phase-
+    start behavior, against the shared capabilities table."""
+    from distribot_spark.flow.examples import ListerV15
+
+    spec = {
+        "name": "rolling_deploy",
+        "data": {"n_tasks": 4},
+        "phases": [
+            {"name": "first", "is_initial": True, "transitions_to": "second",
+             "handlers": [{"name": "Lister", "version": "~> 1.0"}]},
+            {"name": "second", "transitions_to": "done",
+             "handlers": [{"name": "Lister", "version": "~> 1.0"}]},
+            {"name": "done", "is_final": True},
+        ],
+    }
+
+    def on_phase_finished(event, flow_id, payload):
+        if payload.get("phase") == "first":
+            engine.deploy("Lister", "1.5.0", ListerV15())
+
+    engine.subscribe(on_phase_finished, event="phase.finished")
+    fid, result = engine.run_new(spec)
+    assert result == "finished"
+    handlers = set(engine.status(fid).handler)
+    # phase 1 resolved before the deploy, phase 2 after — same requirement
+    assert "Lister@1.2.0" in handlers and "Lister@1.5.0" in handlers
+    res = engine.state.task_results(fid, "second")
+    assert all(
+        json.loads(r)["lister_version"] == "1.5.0" for r in res.result
+    )
+
+
+def test_capability_resolution_across_engines(spark, engine):
+    """A handler deployed by ONE engine is resolvable by a DIFFERENT
+    engine (empty local registry) sharing the state root: the capability
+    row carries the class path, the resolver imports and instantiates."""
+    from distribot_spark.flow import FlowEngine
+    from distribot_spark.flow.examples import SoloHandler
+    from distribot_spark.flow.registry import HandlerRegistry
+
+    engine.deploy("SoloWorker", "1.0.0", SoloHandler())
+
+    other = FlowEngine(spark, engine.state.root, registry=HandlerRegistry(),
+                       tasks_per_partition=5)
+    version, impl = other._resolve("SoloWorker", None)
+    assert version == "1.0.0" and isinstance(impl, SoloHandler)
+
+    spec = {
+        "name": "solo",
+        "phases": [
+            {"name": "work", "is_initial": True, "handlers": ["SoloWorker"]},
+        ],
+    }
+    fid, result = other.run_new(spec)
+    assert result == "finished"
+    res = other.state.task_results(fid, "work")
+    assert len(res) == 3 and (res.status == "ok").all()
+
+
+def test_capability_semver_still_governs(engine):
+    """Live versions join the candidate set but the phase requirement
+    still filters: a deployed 9.x does not hijack a ~> 1.0 phase."""
+    from distribot_spark.flow.examples import ListerV15
+
+    engine.deploy("Lister", "9.9.9", ListerV15())
+    v_any, _ = engine._resolve("Lister", None)
+    v_pinned, _ = engine._resolve("Lister", "~> 1.0")
+    assert v_any == "9.9.9"
+    assert v_pinned == "1.2.0"
