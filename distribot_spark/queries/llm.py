@@ -1844,6 +1844,88 @@ def q_emb_covariance(spark, sf_dir):
     ).orderBy("i", "j")
 
 
+@register("q_emb_covariance_blas", oracle=None, tags=("llm", "embedding", "ml"))
+def q_emb_covariance_blas(spark, sf_dir):
+    """The LARGE-d covariance path q_emb_covariance's docstring
+    prescribes, as code: per-partition Gram accumulation in mapInPandas
+    — each partition quantizes its vectors to int64 micros and emits ONE
+    (n, Σq, QᵀQ) partial of d + d² longs; a d²-row final aggregate sums
+    the partials and applies the same single terminal rounding. Shuffle
+    volume is partitions × d² longs instead of rows × d² pair tuples —
+    the blocked-matmul discipline (operators/similarity.py) applied to
+    sufficient statistics, which is how a 100 TB corpus computes a
+    d=4096 covariance. The matmul runs on int64 (vectorized C; the
+    float64-BLAS drop-in trades the exact-integer guarantee above ~9e15
+    per-partition sums), so the sufficient statistics are bit-identical
+    to the dim-pair join's and the output equals q_emb_covariance
+    EXACTLY — pinned by test_emb_covariance_blas_equals_joined.
+    Rows-only: the oracle twin IS the oracle-green q_emb_covariance."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    d = emb.select(F.size("embedding").alias("d")).first()["d"]
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((d, d), np.int64)
+        s = np.zeros(d, np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
+            # Spark ROUND = half-away-from-zero (BigDecimal HALF_UP):
+            # floor(|v|+0.5)·sign(v), NOT np.rint's banker's rounding
+            Q = (np.sign(M) * np.floor(np.abs(M) + 0.5)).astype(np.int64)
+            G += Q.T @ Q
+            s += Q.sum(axis=0)
+            n += Q.shape[0]
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [G.reshape(-1).tolist()]}
+            )
+
+    parts = emb.mapInPandas(gram, "n bigint, s array<bigint>, g array<bigint>")
+    n_df = parts.agg(F.sum("n").alias("n"))
+    ssum = (
+        parts.select(F.posexplode("s").alias("k", "sv"))
+        .groupBy("k")
+        .agg(F.sum("sv").alias("sval"))
+    )
+    gsum = (
+        parts.select(F.posexplode("g").alias("k", "gv"))
+        .groupBy("k")
+        .agg(F.sum("gv").alias("spp"))
+        .select(
+            F.floor(F.col("k") / d).cast("int").alias("i0"),
+            F.pmod(F.col("k"), F.lit(d)).cast("int").alias("j0"),
+            "spp",
+        )
+        .filter(F.col("j0") >= F.col("i0"))
+    )
+    out = (
+        gsum.join(ssum.select(F.col("k").cast("int").alias("i0"),
+                              F.col("sval").alias("sa")), "i0")
+        .join(ssum.select(F.col("k").cast("int").alias("j0"),
+                          F.col("sval").alias("sb")), "j0")
+        .crossJoin(F.broadcast(n_df))
+    )
+    return out.select(
+        (F.col("i0") + 1).alias("i"),
+        (F.col("j0") + 1).alias("j"),
+        F.round(
+            (F.col("n") * F.col("spp") - F.col("sa") * F.col("sb"))
+            * F.lit(1.0)
+            / (F.col("n") * (F.col("n") - 1)),
+            0,
+        )
+        .cast("long")
+        .alias("cov_micro2"),
+    ).orderBy("i", "j")
+
+
 _PCA_SPECTRUM_CACHE: dict[str, list] = {}
 
 

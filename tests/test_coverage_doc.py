@@ -49,3 +49,29 @@ def test_bench_headline_names_resolve():
 
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, f"bench headline names not in registry: {missing}"
+
+
+# The driver certifies only the FIRST 50 entries of __spark_entry__.queries()
+# (every CORRECTNESS_r*.json has exactly 50 rows). Pin that window so no
+# future module-import reshuffle silently swaps a driver-green query out of
+# the certified set (VERDICT r3, next-round task 4).
+_DRIVER_CERTIFIED_50 = [
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
+    "q11", "q12", "q13", "q14", "q14_distinct", "q15_exact", "q15", "q16",
+    "q16_cube", "q16_gsets", "q17", "q18", "q19", "q20", "q21", "q22", "q23",
+    "q24_union", "q24_union_all", "q24_intersect", "q24_except", "q25_scalar",
+    "q25_correlated", "q26", "q27", "q28", "q29", "q29_datediff", "q30",
+    "q31", "q32", "q33", "q33_agg", "q34", "q35", "q36_typed", "q36", "q37",
+    "q38", "q39",
+]
+
+
+def test_first_50_registry_entries_stay_driver_certified():
+    import __spark_entry__ as entry
+
+    first50 = list(entry.queries())[:50]
+    assert first50 == _DRIVER_CERTIFIED_50, (
+        "registry import order changed inside the driver's 50-entry "
+        "certification window — restore it (registration order is "
+        "SURVEY-inventory order, distribot_spark/queries/registry.py)"
+    )

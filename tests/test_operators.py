@@ -1259,3 +1259,21 @@ def test_pca_variance_matches_numpy(spark):
         assert abs(r.eigenvalue_micro2 - ref[r.component - 1]) <= max(
             1e-3 * abs(ref[r.component - 1]), 64.0
         )
+
+
+def test_emb_covariance_blas_equals_joined(spark):
+    """The mapInPandas Gram-accumulation covariance (the large-d path)
+    must equal the oracle-green dim-pair-join form EXACTLY — identical
+    integer sufficient statistics, identical single terminal rounding."""
+    from distribot_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    joined = {
+        (r.i, r.j): r.cov_micro2
+        for r in QUERIES["q_emb_covariance"].builder(spark, sf).collect()
+    }
+    blas = {
+        (r.i, r.j): r.cov_micro2
+        for r in QUERIES["q_emb_covariance_blas"].builder(spark, sf).collect()
+    }
+    assert blas == joined

@@ -81,6 +81,10 @@ def test_relational_queries_stay_jvm_side(spark):
         # the deliberate Python table-function demo (its SCALE NOTE and
         # oracle point at the posexplode(split()) codegen twin)
         "q_udtf_sentences",
+        # per-partition int64 Gram accumulation (QᵀQ) in mapInPandas —
+        # the large-d covariance path; exact twin of the Catalyst
+        # dim-pair join, pinned by test_emb_covariance_blas_equals_joined
+        "q_emb_covariance_blas",
     }
     for name, spec in QUERIES.items():
         # streaming/flow queries run differently (skip by TAG, not name
@@ -414,3 +418,48 @@ def test_global_rownum_no_global_window_on_facts(spark):
     )
     # offsets join is broadcast (tiny relation)
     assert has_broadcast_join(df)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The AUTOMATIC 100 TB skew answer next to the manual one
+    (test_q_salted_join_shape): a deliberately skewed shuffle join under
+    AQE must show OptimizeSkewedJoin taking effect — the executed plan
+    carries SortMergeJoin(skew=true) with a 'skewed' AQEShuffleRead, the
+    hot partition split into advisory-sized reads. Thresholds are
+    lowered so local-scale data exhibits the condition a 100 TB hot key
+    hits at the defaults; the result count pins correctness alongside
+    the plan shape."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 90% of the fact side lands on key 0 — one hot reducer partition
+        fact = spark.range(400000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = fact.join(dim, "k").groupBy().agg(F.count("*").alias("n"))
+        [row] = j.collect()  # AQE decides at runtime: execute, THEN inspect
+        assert row.n == 360200
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, (
+            "OptimizeSkewedJoin did not split the hot partition"
+        )
+        assert "skewed" in executed, "AQEShuffleRead must mark the skewed read"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
