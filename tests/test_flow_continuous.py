@@ -7,6 +7,7 @@ query restart. See distribot_spark/flow/continuous.py.
 import os
 import tempfile
 
+import pandas as pd
 import pytest
 
 from distribot_spark.flow import ContinuousFlowRunner, FlowEngine
@@ -272,3 +273,94 @@ def test_continuous_flow_over_rate_source(spark, engine):
     results = {r.task_id: json.loads(r.result) for r in ok.itertuples()}
     assert results["7"] == {"squared": 49}
     assert engine.canceled(fid)
+
+
+def test_continuous_multi_flow_soak(spark, engine):
+    """Soak: THREE continuous flows over unbounded rate sources, one
+    engine/state store, with interleaved control ops landing while all
+    are live (the reference daemons' serve-many-flows mode). Exact task
+    accounting at the end: per flow, every task appears in BOTH pipeline
+    stages exactly once (raw committed rows, not just last-wins),
+    buffered backlogs flush losslessly on resume, and a canceled flow's
+    counts freeze."""
+    import time as _time
+
+    from distribot_spark.streaming.sources import RateEventsSource
+
+    class _RateTasks:
+        bounded = False
+
+        def load(self, sp):
+            ev = RateEventsSource(rows_per_batch=20, num_partitions=2).load(sp)
+            return ev.select(
+                ev.event_id.cast("string").alias("task_id"),
+                ev.event_id.alias("item"),
+            )
+
+    runners = [
+        ContinuousFlowRunner(engine, CONT_FLOW, _RateTasks(), n_shards=2)
+        for _ in range(3)
+    ]
+    fids = [r.start() for r in runners]
+    assert len(set(fids)) == 3
+    try:
+        for r in runners:
+            r.wait_for(lambda c: c.get(("label", "ok"), 0) >= 20,
+                       timeout_sec=90)
+
+        # interleaved control: pause flows 0 and 2, leave 1 running
+        engine.pause(fids[0])
+        engine.pause(fids[2])
+        runners[0].wait_for(lambda c: c.get(("_pending", "buffered"), 0) >= 10,
+                            timeout_sec=90)
+        runners[2].wait_for(lambda c: c.get(("_pending", "buffered"), 0) >= 10,
+                            timeout_sec=90)
+        frozen0 = runners[0].counts().get(("label", "ok"), 0)
+        # flow 1 keeps processing while its siblings are paused
+        runners[1].wait_for(lambda c: c.get(("label", "ok"), 0) >= 60,
+                            timeout_sec=90)
+        assert runners[0].counts().get(("label", "ok"), 0) == frozen0
+
+        # resume 0: its backlog flushes and processing continues past it
+        buffered0 = runners[0].counts().get(("_pending", "buffered"), 0)
+        engine.resume(fids[0])
+        runners[0].wait_for(
+            lambda c: c.get(("label", "ok"), 0) >= frozen0 + buffered0,
+            timeout_sec=90,
+        )
+
+        # cancel 2 while paused-with-backlog: backlog drops, counts freeze
+        engine.cancel(fids[2])
+        runners[2].wait_for(lambda c: c.get(("_pending", "canceled"), 0) >= 1,
+                            timeout_sec=90)
+        frozen2 = runners[2].counts().get(("label", "ok"), 0)
+        _time.sleep(1.5)  # several more micro-batches
+        assert runners[2].counts().get(("label", "ok"), 0) == frozen2
+    finally:
+        for r in runners:
+            r.stop()
+
+    # exact accounting from the committed log, per flow
+    import pyarrow.parquet as pq
+
+    for i, fid in enumerate(fids):
+        res = engine.state.task_results(fid)
+        work = res[~res.phase.str.startswith("_")]
+        sq = work[(work.phase == "square") & (work.status == "ok")]
+        lb = work[(work.phase == "label") & (work.status == "ok")]
+        # a task that cleared stage 1 in a committed batch also cleared
+        # stage 2 in that same batch (stages run in one state invocation)
+        assert set(sq.task_id) == set(lb.task_id), f"flow {i} stage mismatch"
+        assert sq.task_id.nunique() == len(sq), f"flow {i} double-counted"
+        # RAW committed rows: each (phase, task) logged exactly once —
+        # no restart happened, so even pre-dedup the log must be clean
+        files = engine.state.committed_task_files(fid)
+        raw = pd.concat([pq.read_table(p).to_pandas() for p in files])
+        raw_ok = raw[(raw.status == "ok") & (raw.phase == "square")]
+        assert len(raw_ok) == raw_ok.task_id.nunique(), (
+            f"flow {i} raw log shows double-processing"
+        )
+        # status() parity on a continuous flow
+        status = engine.status(fid)
+        row = status[(status.phase == "label")].iloc[0]
+        assert row.total == lb.task_id.nunique()

@@ -372,3 +372,77 @@ def test_broker_consumer_dedup_restores_exactly_once(spark, broker_src):
     )
     assert deduped.count() == n_log
     assert deduped.distinct().count() == n_log
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas canary (S6's Spark-4 primitive)
+
+import importlib.util
+
+_PROTOBUF_OK = importlib.util.find_spec("google") is not None and (
+    importlib.util.find_spec("google.protobuf") is not None
+)
+
+
+@pytest.mark.skipif(
+    not _PROTOBUF_OK,
+    reason="transformWithStateInPandas needs google.protobuf, missing in "
+    "this container (see queries/streaming.py s6 docstring) — this test "
+    "AUTO-ACTIVATES when the install is fixed, upgrading S6's coverage "
+    "to the Spark-4 primitive",
+)
+def test_transform_with_state_counter_matches_batch(spark):
+    """S6's per-user running counter on transformWithStateInPandas (the
+    newer stateful API applyInPandasWithState currently stands in for):
+    integer cent-sums so the final state equals the batch aggregate
+    exactly, batching order notwithstanding."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    src = replay.replay_dir(SF)
+
+    class Counter(StatefulProcessor):
+        def init(self, handle):
+            self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].sum()) * 100))
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+            )
+
+        def close(self):
+            pass
+
+    def t(stream):
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Counter(),
+            outputStructType="user_id BIGINT, n_events BIGINT, cents BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    result = replay.run_bounded(spark, t, src, "update")
+    import pyspark.sql.functions as SF_
+
+    final = (
+        result.groupBy("user_id")
+        .agg(SF_.max("n_events").alias("n_events"), SF_.max("cents").alias("cents"))
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            SF_.count("*").alias("n_events"),
+            SF_.sum("value").alias("sv"),
+        )
+    )
+    got = {r.user_id: (r.n_events, r.cents) for r in final.collect()}
+    for r in batch.collect():
+        n, cents = got[r.user_id]
+        assert n == r.n_events
+        assert abs(cents - round(r.sv * 100)) <= len(got)  # per-batch cent rounding
