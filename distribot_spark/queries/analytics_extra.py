@@ -1206,3 +1206,94 @@ def q_survival_km(spark, sf_dir):
         )
         .orderBy("t_days")
     )
+
+
+@register(
+    "q_quantile_histogram",
+    oracle="""
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    hist AS (SELECT c // 100000 AS bin, COUNT(*) AS n FROM c GROUP BY 1),
+    h2 AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum,
+                  SUM(n) OVER (ORDER BY bin) - n AS cum_prev FROM hist),
+    tot AS (SELECT COUNT(*) AS total FROM c),
+    q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS qnum),
+    spec AS (SELECT qnum, (total * qnum + 9999) // 10000 AS t FROM q, tot),
+    pick AS (SELECT s.qnum, s.t, h.bin, h.n, h.cum_prev
+             FROM spec s JOIN h2 h ON h.cum >= s.t AND h.cum_prev < s.t),
+    ranked AS (SELECT p.qnum, p.t, p.cum_prev, p.bin, p.n, c.c,
+                      ROW_NUMBER() OVER (PARTITION BY p.qnum ORDER BY c.c)
+                        AS rn
+               FROM pick p JOIN c ON c.c // 100000 = p.bin)
+    SELECT qnum,
+           CAST(bin * 100000 + (100000 * (t - cum_prev)) // n AS BIGINT)
+             AS est_cents,
+           c AS exact_cents,
+           CAST(bin * 100000 + (100000 * (t - cum_prev)) // n - c AS BIGINT)
+             AS err_cents
+    FROM ranked WHERE rn = t - cum_prev
+    ORDER BY qnum
+    """,
+    tags=("agg", "sketch", "percentile"),
+)
+def q_quantile_histogram(spark, sf_dir):
+    """Mergeable QUANTILE sketch — the missing member of the sketch
+    family (HLL distincts, CMS frequencies, Bloom membership, bitmap
+    rollups, freqItems heavy hitters): a fixed-width histogram of
+    o_totalprice in $1000 bins. The histogram is (bin, n) integer counts
+    — shards/days merge by ``groupBy(bin).sum(n)`` exactly like the
+    other sketches — and any percentile is served from the ~550-row
+    summary with error ≤ one bin width, no re-scan. Both halves of the
+    answer ship: the histogram ESTIMATE (within-bin linear
+    interpolation, integer DIV arithmetic so both engines agree) and the
+    EXACT value via the scalable two-pass quantile: cumulative bin
+    counts locate (bin, k), then only that bin's members are ranked —
+    never a global sort or a corpus-wide window. The cumulative window
+    runs over the bounded bin relation (domain/width rows, the
+    sketch-sized exception test_q_global_rownum's gate allows), so at
+    100 TB the only corpus-wide work is one map-side-combined groupBy.
+    A pytest pins |err| ≤ bin width for every percentile."""
+    from pyspark.sql.window import Window
+
+    W = 100_000  # cents per bin ($1000)
+    c = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    )
+    hist = c.groupBy(F.expr("c DIV 100000").alias("bin")).agg(
+        F.count("*").alias("n")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    h2 = hist.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("n")
+    )
+    tot = c.agg(F.count("*").alias("total"))
+    q = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (2500, 5000, 7500, 9000, 9900)]))
+        .alias("qnum")
+    )
+    spec = q.crossJoin(F.broadcast(tot)).select(
+        "qnum", F.expr("(total * qnum + 9999) DIV 10000").alias("t")
+    )
+    pick = spec.join(
+        h2, (F.col("cum") >= F.col("t")) & (F.col("cum_prev") < F.col("t"))
+    ).select("qnum", "t", "bin", "n", "cum_prev")
+    members = c.withColumn("bin", F.expr("c DIV 100000")).join(
+        F.broadcast(pick), "bin"
+    )
+    ranked = members.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qnum").orderBy("c")
+        ),
+    ).filter(F.col("rn") == F.col("t") - F.col("cum_prev"))
+    return ranked.select(
+        "qnum",
+        F.expr("bin * 100000 + (100000 * (t - cum_prev)) DIV n")
+        .cast("long")
+        .alias("est_cents"),
+        F.col("c").alias("exact_cents"),
+        F.expr("bin * 100000 + (100000 * (t - cum_prev)) DIV n - c")
+        .cast("long")
+        .alias("err_cents"),
+    ).orderBy("qnum")

@@ -1277,3 +1277,18 @@ def test_emb_covariance_blas_equals_joined(spark):
         for r in QUERIES["q_emb_covariance_blas"].builder(spark, sf).collect()
     }
     assert blas == joined
+
+
+def test_quantile_histogram_error_bounded_by_bin_width(spark):
+    """The histogram quantile's error bound is structural: the estimate
+    interpolates inside the bin the exact value lives in, so |err| can
+    never exceed one bin width ($1000 = 100000 cents)."""
+    from distribot_spark.queries import QUERIES
+
+    rows = QUERIES["q_quantile_histogram"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.qnum for r in rows] == [2500, 5000, 7500, 9000, 9900]
+    for r in rows:
+        assert abs(r.err_cents) <= 100_000, r
+        assert r.est_cents - r.exact_cents == r.err_cents
