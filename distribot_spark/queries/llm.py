@@ -2248,3 +2248,107 @@ def l3_rrf_fusion(spark, sf_dir):
         )
         .orderBy("qid", "rnk")
     )
+
+
+@register(
+    "doc_dup_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, i AS p, array_to_string(w[i:i+4], ' ') AS g
+          FROM w, LATERAL unnest(range(1, len(w) - 3)) AS t(i)),
+    dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    seeds AS (SELECT doc_id, p FROM g JOIN dup USING (g)),
+    lagged AS (SELECT doc_id, p,
+                      LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+               FROM seeds),
+    isl AS (SELECT doc_id, p,
+                   SUM(CASE WHEN prev IS NULL OR p - prev > 5 THEN 1 ELSE 0
+                       END) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+            FROM lagged),
+    spans AS (SELECT doc_id, isl, MIN(p) AS fp, MAX(p) AS lp
+              FROM isl GROUP BY 1, 2),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_spans,
+                       SUM(lp - fp + 5) AS dup_tokens
+                FROM spans GROUP BY 1)
+    SELECT d.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(dup_tokens AS BIGINT) AS dup_tokens,
+           CAST(len(w.w) AS BIGINT) AS n_tokens,
+           ROUND(dup_tokens * 1.0 / len(w.w) * 1000000) / 1000000 AS dup_frac
+    FROM per_doc d JOIN w USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def doc_dup_spans(spark, sf_dir):
+    """Exact duplicated-SPAN detection — the substring tier of the dedup
+    ladder (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": suffix-array ExactSubstr dedup), distributed: a
+    5-token gram shared by ≥2 documents is a duplication seed, and a
+    doc's overlapping/adjacent seeds merge into MAXIMAL duplicated spans
+    via per-doc gaps-and-islands (new island when the next seed starts
+    past the previous seed's coverage). Reports per contaminated doc the
+    span census (n_spans, dup_tokens, dup_frac) a span-level scrubber
+    would cut — document-level near-dup (MinHash) can't see a copied
+    paragraph inside an otherwise-unique page; this can. All shuffles
+    are bounded: grams partial-aggregate map-side, only multi-doc grams
+    come back (semi-join), islands are per-doc windows. At 100 TB the
+    gram string is replaced by xxhash64(gram) before the shuffle (8
+    bytes vs ~30) — kept as text here so the census stays
+    hash-oracle-able against DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 5  # sequence(1, n<1) would step DOWNWARD in Spark
+    )
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 4),"
+                " i -> struct(i AS p, concat_ws(' ', slice(w, i, 5)) AS g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.p", "s.g")
+    dup = (
+        g.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    seeds = g.join(dup, "g", "left_semi").select("doc_id", "p")
+    from pyspark.sql.window import Window
+
+    byp = Window.partitionBy("doc_id").orderBy("p")
+    isl = (
+        seeds.withColumn("prev", F.lag("p").over(byp))
+        .withColumn(
+            "isl",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("p") - F.col("prev") > 5), 1
+                ).otherwise(0)
+            ).over(byp.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("p").alias("fp"), F.max("p").alias("lp")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("lp") - F.col("fp") + 5).alias("dup_tokens"),
+    )
+    return (
+        per_doc.join(w.select("doc_id", F.size("w").alias("nt")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.col("nt").cast("long").alias("n_tokens"),
+            (
+                F.round(
+                    F.col("dup_tokens") * F.lit(1.0) / F.col("nt") * 1000000.0, 0
+                )
+                / F.lit(1000000.0)
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

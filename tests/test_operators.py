@@ -1292,3 +1292,22 @@ def test_quantile_histogram_error_bounded_by_bin_width(spark):
     for r in rows:
         assert abs(r.err_cents) <= 100_000, r
         assert r.est_cents - r.exact_cents == r.err_cents
+
+
+def test_dup_spans_structural_invariants(spark):
+    """Span census invariants: every span covers >= 5 tokens (the gram
+    width), spans never exceed the document, and the planted near-dup
+    documents surface with high dup_frac."""
+    from distribot_spark.queries import QUERIES
+
+    rows = QUERIES["doc_dup_spans"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "testdata plants duplicated documents"
+    for r in rows:
+        assert r.n_spans >= 1
+        assert r.dup_tokens >= 5 * r.n_spans, r
+        assert r.dup_tokens <= r.n_tokens, r
+    assert max(r.dup_frac for r in rows) > 0.9, (
+        "planted near-duplicates must show up as high-fraction spans"
+    )
