@@ -385,3 +385,56 @@ def contamination_hits(
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated spans (ExactSubstr tier — Lee et al. 2022, arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+
+def dup_spans(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document.
+
+    An n-token gram appearing in ≥2 distinct documents is a duplication
+    seed; a document's overlapping/adjacent seeds merge into maximal
+    spans by per-doc gaps-and-islands (new island when the next seed
+    starts past the previous seed's coverage). Returns one row per span:
+    (id_col, fp, lp) — token positions are 1-based, the span covers
+    [fp, lp + n - 1], and spans of one document are DISJOINT by
+    construction.
+
+    Scale shape: gram counts partial-aggregate map-side and only
+    multi-doc grams return (semi-join, broadcast when small); islands
+    are per-document windows. At 100 TB, shuffle xxhash64(gram) instead
+    of the gram text (callers that need oracle parity keep the text)."""
+    w = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    ).filter(F.size("w") >= n)  # Spark sequence(1, k<1) steps DOWNWARD
+    g = w.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {n - 1}),"
+                f" i -> struct(i AS p, concat_ws(' ', slice(w, i, {n})) AS g))"
+            )
+        ).alias("s"),
+    ).select(id_col, "s.p", "s.g")
+    dup = (
+        g.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    seeds = g.join(dup, "g", "left_semi").select(id_col, "p")
+    byp = Window.partitionBy(id_col).orderBy("p")
+    isl = seeds.withColumn("prev", F.lag("p").over(byp)).withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("p") - F.col("prev") > n), 1
+            ).otherwise(0)
+        ).over(byp.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return isl.groupBy(id_col, "isl").agg(
+        F.min("p").alias("fp"), F.max("p").alias("lp")
+    ).drop("isl")

@@ -2295,43 +2295,11 @@ def doc_dup_spans(spark, sf_dir):
     gram string is replaced by xxhash64(gram) before the shuffle (8
     bytes vs ~30) — kept as text here so the census stays
     hash-oracle-able against DuckDB."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 5  # sequence(1, n<1) would step DOWNWARD in Spark
-    )
-    g = w.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 4),"
-                " i -> struct(i AS p, concat_ws(' ', slice(w, i, 5)) AS g))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.p", "s.g")
-    dup = (
-        g.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
-    )
-    seeds = g.join(dup, "g", "left_semi").select("doc_id", "p")
-    from pyspark.sql.window import Window
+    from distribot_spark.operators.dedup import dup_spans
 
-    byp = Window.partitionBy("doc_id").orderBy("p")
-    isl = (
-        seeds.withColumn("prev", F.lag("p").over(byp))
-        .withColumn(
-            "isl",
-            F.sum(
-                F.when(
-                    F.col("prev").isNull() | (F.col("p") - F.col("prev") > 5), 1
-                ).otherwise(0)
-            ).over(byp.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
-    )
-    spans = isl.groupBy("doc_id", "isl").agg(
-        F.min("p").alias("fp"), F.max("p").alias("lp")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    spans = dup_spans(docs, "text", "doc_id", n=5)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("lp") - F.col("fp") + 5).alias("dup_tokens"),
@@ -2349,6 +2317,106 @@ def doc_dup_spans(spark, sf_dir):
                 )
                 / F.lit(1000000.0)
             ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_scrub_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, i AS p, array_to_string(w[i:i+4], ' ') AS g
+          FROM w, LATERAL unnest(range(1, len(w) - 3)) AS t(i)),
+    dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    seeds AS (SELECT doc_id, p FROM g JOIN dup USING (g)),
+    lagged AS (SELECT doc_id, p,
+                      LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+               FROM seeds),
+    isl AS (SELECT doc_id, p,
+                   SUM(CASE WHEN prev IS NULL OR p - prev > 5 THEN 1 ELSE 0
+                       END) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+            FROM lagged),
+    spans AS (SELECT doc_id, isl, MIN(p) AS fp, MAX(p) + 4 AS cov
+              FROM isl GROUP BY 1, 2),
+    toks AS (SELECT doc_id, i AS p, w[i] AS tok
+             FROM w, LATERAL unnest(range(1, len(w) + 1)) AS t(i)),
+    kept AS (SELECT t.doc_id, t.p, t.tok
+             FROM toks t
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = t.doc_id
+                                 AND t.p BETWEEN s.fp AND s.cov)),
+    scrubbed AS (SELECT doc_id,
+                        COALESCE(string_agg(tok, ' ' ORDER BY p), '') AS txt,
+                        COUNT(*) AS n_after
+                 FROM kept GROUP BY doc_id)
+    SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens_before,
+           CAST(COALESCE(s.n_after, 0) AS BIGINT) AS n_tokens_after,
+           md5(COALESCE(s.txt,
+                        CASE WHEN len(w.w) >= 5 THEN ''
+                             ELSE array_to_string(w.w, ' ') END))
+             AS scrubbed_md5
+    FROM w LEFT JOIN scrubbed s USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def doc_scrub_spans(spark, sf_dir):
+    """The REMOVAL half of span-level dedup (doc_dup_spans detects; this
+    scrubs): every token covered by a cross-document duplicated span is
+    cut, the survivors rejoin in order, and the census reports
+    before/after token counts plus the md5 of the scrubbed text — the
+    content hash a downstream exact-dedup pass would key on, and what
+    makes the full rewrite hash-verifiable against the oracle. Fully
+    scrubbed documents (the planted near-dups) come out empty — the rows
+    a quality gate drops. Shapes: the span set rejoins the token stream
+    per document (equi-join on doc_id + bounded range predicate; spans
+    per doc are few), ordered reassembly is an array_sort over (p, tok)
+    structs — no window, no driver. Documents shorter than the gram
+    width pass through untouched by construction."""
+    from distribot_spark.operators.dedup import dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    spans = dup_spans(docs, "text", "doc_id", n=5).select(
+        "doc_id", "fp", (F.col("lp") + 4).alias("cov")
+    )
+    toks = w.select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    covered = toks.join(
+        spans,
+        (toks.doc_id == spans.doc_id)
+        & (toks.p >= spans.fp)
+        # bracket access: DataFrame.cov is the covariance METHOD
+        & (toks.p <= spans["cov"]),
+        "left_semi",
+    )
+    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
+    scrubbed = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("txt"),
+        F.count("*").alias("n_after"),
+    )
+    return (
+        w.join(scrubbed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_tokens_after"),
+            F.md5(
+                F.coalesce(
+                    F.col("txt"),
+                    F.when(F.size("w") >= 5, F.lit("")).otherwise(
+                        F.concat_ws(" ", F.col("w"))
+                    ),
+                )
+            ).alias("scrubbed_md5"),
         )
         .orderBy("doc_id")
     )
