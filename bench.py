@@ -112,6 +112,12 @@ HEADLINE = [
     "q_emb_covariance",
     "q_assoc_rules",
     "q_sequence_pattern",
+    # round-4 additions (documented in BASELINE.md): duplicated-span
+    # detection + scrub (the ExactSubstr dedup tier — gram-explosion
+    # heavy), and the mergeable quantile-histogram sketch.
+    "doc_dup_spans",
+    "doc_scrub_spans",
+    "q_quantile_histogram",
 ]
 
 
