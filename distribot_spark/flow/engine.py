@@ -617,6 +617,12 @@ class FlowEngine:
         while pending:
             progressed = False
             for sl in sorted(pending, key=lambda s: (s - start) % n_slices):
+                # control granularity = slice boundaries: pause/cancel
+                # landing mid-attempt takes effect before the NEXT claim
+                # (never between a claim and its commit), so an operator
+                # action interrupts a many-slice attempt promptly and the
+                # resumed epoch re-runs only unprocessed slices
+                self._check_control(flow_id)
                 key = f"{prefix}.s{sl}"
                 if self.state.claim_done(flow_id, key):
                     pending.discard(sl)

@@ -218,3 +218,59 @@ def test_late_joining_engine_is_harmless(spark):
     assert eb.run(fid) == "finished"
     assert len(eb.state.claims(fid)) == n_claims
     assert len(_raw_task_rows(eb.state, fid)) == raw_before
+
+
+def test_two_engines_pause_resume_epochs(spark):
+    """Control ops under competition: pause lands while two engines split
+    a phase; both return PAUSED; the resumed re-entry claims FRESH slots
+    (epoch bump) instead of deadlocking on the interrupted attempt's
+    claims, and drains to completion with exactly-once raw accounting."""
+    import threading
+
+    root = _state_root()
+    ea = _mkengine(spark, root, wave_slices=6)
+    eb = _mkengine(spark, root, wave_slices=6)
+    spec = dict(COMPETE_FLOW, data={"n_tasks": 36, "task_sec": 0.25})
+    fid = ea.create_flow(spec)
+
+    paused = threading.Event()
+
+    def pauser():
+        # wait until some work committed, then pause mid-phase
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(ea.state.claims(fid)) >= 2:
+                break
+            time.sleep(0.05)
+        ea.pause(fid)
+        paused.set()
+
+    t = threading.Thread(target=pauser)
+    t.start()
+    with ThreadPoolExecutor(2) as pool:
+        ra = pool.submit(ea.run, fid)
+        rb = pool.submit(eb.run, fid)
+        assert {ra.result(120), rb.result(120)} == {"paused"}
+    t.join()
+    assert paused.is_set()
+
+    done_before = ea.state.task_results(fid, "work")
+    n_before = 0 if done_before.empty else int((done_before.status == "ok").sum())
+
+    ea.resume(fid)
+    with ThreadPoolExecutor(2) as pool:
+        ra = pool.submit(ea.run, fid)
+        rb = pool.submit(eb.run, fid)
+        assert {ra.result(180), rb.result(180)} == {"finished"}
+
+    raw = _raw_task_rows(ea.state, fid)
+    work = raw[raw.phase == "work"]
+    assert len(work) == 36 and work.task_id.nunique() == 36, (
+        f"pre-pause {n_before} + post-resume must cover every task ONCE"
+    )
+    assert (work.status == "ok").all()
+    # the resumed entry ran under a fresh epoch namespace
+    claims = ea.state.claims(fid)
+    assert claims.key.str.contains(".e2.", regex=False).any(), (
+        "resume must bump the claim epoch"
+    )

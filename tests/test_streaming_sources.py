@@ -446,3 +446,22 @@ def test_transform_with_state_counter_matches_batch(spark):
         n, cents = got[r.user_id]
         assert n == r.n_events
         assert abs(cents - round(r.sv * 100)) <= len(got)  # per-batch cent rounding
+
+
+def test_broker_consumer_groups_are_independent(broker_src):
+    """Two consumer GROUPS on one log get independent offset ledgers and
+    crash windows — the broker-side half of R32's fanout (every group
+    sees the whole stream, like bound fanout exchanges)."""
+    log, src_g1 = broker_src
+    src_g2 = B.BrokerReplaySource(log, group="g2", n_polls=8,
+                                  commit_every=3, crash_after_poll=3)
+    assert src_g2.delivery_root != src_g1.delivery_root
+    n_log = log.records().num_rows
+    for src in (src_g1, src_g2):
+        d = src.delivered()
+        pairs = set(zip(d["partition"].to_pylist(), d["offset"].to_pylist()))
+        assert len(pairs) == n_log, "each group sees the whole stream"
+    # different commit cadences → different redelivery windows
+    assert src_g2.redelivered() != src_g1.redelivered()
+    assert {int(p): o for p, o in src_g2.ledger()[-1]["offsets"].items()} \
+        == log.end_offsets()
