@@ -193,13 +193,30 @@ class ContinuousFlowRunner:
         n_shards: int = 8,
         trigger_interval: str = "0.3 seconds",
         state_timeout_ms: int = 400,
+        worker_index: int = 0,
+        n_workers: int = 1,
     ) -> None:
+        if not 0 <= worker_index < n_workers:
+            raise ValueError("worker_index must be in [0, n_workers)")
         self.engine = engine
         self.spec = spec if isinstance(spec, FlowSpec) else FlowSpec.parse(spec)
         self.source = source
         self.n_shards = n_shards
         self.trigger_interval = trigger_interval
         self.state_timeout_ms = state_timeout_ms
+        # -- sharded replicas (the streaming twin of the batch engine's
+        # competing workers, reference worker.rb:72-85): N runners on ONE
+        # flow each own the task-id shard pmod(xxhash64(task_id), N) ==
+        # worker_index — disjoint by construction, so each task is
+        # processed by exactly one replica. Each replica runs its own
+        # streaming query (own checkpoint, own batch-id sequence, own
+        # per-worker progress rows suffixed '#wK'); accounting stays
+        # flow-level through the shared task log (counts()).
+        self.worker_index = worker_index
+        self.n_workers = n_workers
+        self.worker_tag = (
+            f"w{worker_index}of{n_workers}" if n_workers > 1 else None
+        )
         self.flow_id: str | None = None
         self.checkpoint: str | None = None
         self.query = None
@@ -250,11 +267,17 @@ class ContinuousFlowRunner:
         # (its wave never committed → the sink appends and counts it
         # once). There is no third state.
         self._progress = {}
-        self._counted_batch = engine.state.max_committed_batch(fid)
+        self._counted_batch = engine.state.max_committed_batch(
+            fid, worker=self.worker_tag
+        )
         self._stopping.clear()
         prior = engine.state.task_results(fid)
         if not prior.empty:
             prior = prior[~prior.phase.str.startswith("_")]
+            if self.worker_tag is not None:
+                # seed only THIS replica's progress rows ('#wK' labels);
+                # peers own their own counters
+                prior = prior[prior.handler.str.endswith(f"#{self.worker_tag}")]
             for (phase, handler), grp in prior.groupby(["phase", "handler"]):
                 final = grp.drop_duplicates("task_id", keep="last")
                 self._progress[(phase, handler)] = {
@@ -276,6 +299,8 @@ class ContinuousFlowRunner:
             for ph in phase.handlers:
                 version, impl = engine.registry.resolve(ph.name, ph.version)
                 label = f"{ph.name}@{version}"
+                if self.worker_tag is not None:
+                    label += f"#{self.worker_tag}"
                 ctx = HandlerContext(flow_id=fid, phase=phase.name,
                                      handler=label, data=spec.data)
                 handlers.append((label, ctx, impl))
@@ -294,6 +319,12 @@ class ContinuousFlowRunner:
             F.to_json(F.struct(*payload_cols)).alias("payload"),
             F.pmod(F.xxhash64("task_id"), F.lit(self.n_shards)).alias("shard"),
         )
+        if self.n_workers > 1:
+            # this replica's shard of the stream — disjoint across workers
+            tasks = tasks.filter(
+                F.pmod(F.xxhash64("task_id"), F.lit(self.n_workers))
+                == self.worker_index
+            )
 
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -355,7 +386,11 @@ class ContinuousFlowRunner:
                     "status", "result",
                     F.lit(time.time()).alias("ts"),
                 )
-                engine._append_wave(wave, fid, batch_id=batch_id)
+                if self.worker_tag is None:
+                    engine._append_wave(wave, fid, batch_id=batch_id)
+                else:
+                    engine._append_wave(wave, fid, batch_id=batch_id,
+                                        worker=self.worker_tag)
                 # progress counters for engine.status() parity with batch
                 # flows: per-stage COUNTS cross to the driver (a few
                 # rows), never task rows. Exact accounting per batch:
@@ -409,7 +444,10 @@ class ContinuousFlowRunner:
 
         # deterministic per-flow checkpoint: a restart with the same
         # flow_id resumes source offsets AND shard state from here
-        checkpoint = os.path.join(engine.state.root, "cont_ckpt", fid)
+        checkpoint = os.path.join(
+            engine.state.root, "cont_ckpt",
+            fid if self.worker_tag is None else f"{fid}-{self.worker_tag}",
+        )
         os.makedirs(checkpoint, exist_ok=True)
         self.checkpoint = checkpoint
         self.query = (

@@ -696,7 +696,8 @@ class FlowEngine:
         self._append_wave(results, flow_id)
 
     def _append_wave(self, results: DataFrame, flow_id: str,
-                     batch_id: int | None = None) -> None:
+                     batch_id: int | None = None,
+                     worker: str | None = None) -> None:
         """Transactionally append a wave's results to the flow's task log.
 
         The Spark job writes to its own wave directory (concurrent handler
@@ -717,7 +718,8 @@ class FlowEngine:
             for f in os.listdir(wave_dir)
             if f.endswith(".parquet")
         )
-        self.state.commit_wave_manifest(flow_id, files, batch_id=batch_id)
+        self.state.commit_wave_manifest(flow_id, files, batch_id=batch_id,
+                                        worker=worker)
 
     def _wave_df(
         self, ctx: HandlerContext, impl, tasks: DataFrame, attempt: int

@@ -211,7 +211,8 @@ class StateStore:
     )
 
     def commit_wave_manifest(self, flow_id: str, files: list[str],
-                             batch_id: int | None = None) -> None:
+                             batch_id: int | None = None,
+                             worker: str | None = None) -> None:
         """Atomically commit a distributed wave: ONE manifest file names
         the wave's data files (which stay where the Spark job wrote them,
         outside any reader's directory listing). The commit is a single
@@ -233,13 +234,21 @@ class StateStore:
         payload = {"files": sorted(files)}
         if batch_id is not None:
             payload["batch_id"] = batch_id
+        if worker is not None:
+            # sharded continuous mode: batch ids are per-WORKER sequences
+            # (each worker replica runs its own streaming query), so the
+            # replay watermark must be scoped to the committing worker
+            payload["worker"] = worker
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
         os.replace(tmp, os.path.join(part_dir, name))
 
-    def max_committed_batch(self, flow_id: str) -> int:
+    def max_committed_batch(self, flow_id: str,
+                            worker: str | None = None) -> int:
         """Highest streaming micro-batch id among committed wave manifests
-        (-1 if none): the restart watermark for continuous flows."""
+        (-1 if none): the restart watermark for continuous flows. With
+        ``worker`` given, only that worker replica's manifests count —
+        sharded runners have independent batch-id sequences."""
         part_dir = os.path.join(self.root, "task_log", f"flow_id={flow_id}")
         if not os.path.isdir(part_dir):
             return -1
@@ -247,7 +256,9 @@ class StateStore:
         for f in os.listdir(part_dir):
             if f.endswith(".manifest.json"):
                 with open(os.path.join(part_dir, f)) as fh:
-                    best = max(best, json.load(fh).get("batch_id", -1))
+                    payload = json.load(fh)
+                if payload.get("worker") == worker:
+                    best = max(best, payload.get("batch_id", -1))
         return best
 
     def committed_task_files(self, flow_id: str) -> list[str]:

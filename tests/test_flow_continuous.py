@@ -364,3 +364,61 @@ def test_continuous_multi_flow_soak(spark, engine):
         status = engine.status(fid)
         row = status[(status.phase == "label")].iloc[0]
         assert row.total == lb.task_id.nunique()
+
+
+def test_sharded_continuous_runners_split_stream(spark, engine):
+    """The streaming twin of the batch engine's competing workers: TWO
+    runner replicas on ONE flow, each owning a disjoint task-id shard of
+    the same unbounded source — every task processed by exactly one
+    replica, independent checkpoints/batch-id sequences, per-worker
+    progress rows, flow-level accounting through the shared task log."""
+    import pyarrow.parquet as pq
+
+    src_dir = tempfile.mkdtemp(prefix="taskq_", dir="/root/repo/.tmp")
+    write_task_chunk(src_dir, _chunk(0, 30))
+
+    r0 = ContinuousFlowRunner(
+        engine, CONT_FLOW, FileReplaySource(src_dir, max_files_per_trigger=4),
+        n_shards=2, worker_index=0, n_workers=2)
+    r1 = ContinuousFlowRunner(
+        engine, CONT_FLOW, FileReplaySource(src_dir, max_files_per_trigger=4),
+        n_shards=2, worker_index=1, n_workers=2)
+    fid = r0.start()
+    assert r1.start(flow_id=fid) == fid
+    try:
+        r0.wait_for(lambda c: c.get(("label", "ok"), 0) == 30, timeout_sec=90)
+        # second chunk arrives live; both replicas take their halves
+        write_task_chunk(src_dir, _chunk(30, 30))
+        r0.wait_for(lambda c: c.get(("label", "ok"), 0) == 60, timeout_sec=90)
+    finally:
+        r0.stop()
+        r1.stop()
+
+    res = engine.state.task_results(fid)
+    ok = res[(res.phase == "label") & (res.status == "ok")]
+    assert len(ok) == 60 and ok.task_id.nunique() == 60
+
+    # both replicas actually worked, on DISJOINT task sets
+    by_worker = {
+        w: set(ok[ok.handler.str.endswith(w)].task_id)
+        for w in ("#w0of2", "#w1of2")
+    }
+    assert all(len(s) > 0 for s in by_worker.values()), by_worker
+    assert not (by_worker["#w0of2"] & by_worker["#w1of2"])
+    assert by_worker["#w0of2"] | by_worker["#w1of2"] == set(ok.task_id)
+
+    # RAW committed rows: exactly one ok row per (stage, task) — the
+    # shard split means no replica ever touched the other's tasks
+    files = engine.state.committed_task_files(fid)
+    raw = pd.concat([pq.read_table(p).to_pandas() for p in files])
+    raw_ok = raw[(raw.status == "ok") & (raw.phase == "label")]
+    assert len(raw_ok) == raw_ok.task_id.nunique() == 60
+
+    # independent batch watermarks per replica
+    assert engine.state.max_committed_batch(fid, worker="w0of2") >= 0
+    assert engine.state.max_committed_batch(fid, worker="w1of2") >= 0
+    # per-worker progress rows both present and consistent
+    status = engine.status(fid)
+    lab = status[status.phase == "label"]
+    assert set(lab.handler.str[-6:]) == {"#w0of2", "#w1of2"}
+    assert int(lab.total.sum()) == 60
