@@ -2420,3 +2420,112 @@ def doc_scrub_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_MIX_HASH = None  # filled below from the portable hash family
+
+
+def _mix_hash_sql() -> str:
+    from distribot_spark.operators.bloom import position_sql
+
+    return position_sql("doc_id", 1000000, 0)
+
+
+@register(
+    "doc_mixture_plan",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+               FROM documents),
+    per AS (SELECT source, COUNT(*) AS n_docs, SUM(tok) AS tok_s
+            FROM d GROUP BY 1),
+    perq AS (SELECT source, n_docs, tok_s,
+                    CAST(FLOOR(SQRT(CAST(tok_s AS DOUBLE)) * 1000000)
+                         AS BIGINT) AS qs
+             FROM per),
+    tot AS (SELECT SUM(tok_s) AS tk_total, SUM(qs) AS q_total FROM perq),
+    plan AS (SELECT source, n_docs, tok_s,
+                    (qs * 1000000) // q_total AS share_micro,
+                    LEAST(1000000,
+                          (((tk_total // 2) * ((qs * 1000000) // q_total))
+                           // 1000000) * 1000000 // tok_s) AS rate_micro
+             FROM perq, tot),
+    kept AS (SELECT d.source, d.tok
+             FROM d JOIN plan USING (source)
+             WHERE {{hash}} < rate_micro)
+    SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.tok_s AS BIGINT) AS n_tokens,
+           CAST(p.share_micro AS BIGINT) AS share_micro,
+           CAST(p.rate_micro AS BIGINT) AS rate_micro,
+           CAST(COALESCE(k.sd, 0) AS BIGINT) AS sampled_docs,
+           CAST(COALESCE(k.st, 0) AS BIGINT) AS sampled_tokens
+    FROM plan p
+    LEFT JOIN (SELECT source, COUNT(*) AS sd, SUM(tok) AS st
+               FROM kept GROUP BY 1) k USING (source)
+    ORDER BY p.source
+    """.replace("{hash}", "((ABS(doc_id) % 1000000007) * 314159257 + 1)"
+                          " % 1000000007 % 1000000"),
+    tags=("llm", "sampling"),
+)
+def doc_mixture_plan(spark, sf_dir):
+    """Training-data MIXTURE planning + execution in one pass:
+    temperature sampling over sources (the multilingual-LM standard,
+    τ = 0.5 — target share ∝ √tokens, which up-weights small sources
+    without letting any one dominate), then a DETERMINISTIC hash sample
+    at the per-source rate that hits the half-corpus token budget.
+    Everything after one IEEE sqrt per source is integer arithmetic
+    (micro-quantized shares, integer DIV), and the sample predicate is
+    the spelled-out portable hash family (operators/bloom.py), so the
+    PLAN and the ACTUAL SAMPLED COUNTS both hash-oracle. At 100 TB the
+    plan side is a per-source aggregate (map-side combined) and the
+    sample is a map-only filter with the broadcast 5-row rate table —
+    re-runnable idempotently because membership is a pure function of
+    doc_id, the property that lets a mixture refresh resample without
+    reshuffling previous epochs."""
+    from distribot_spark.operators.bloom import _position
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("tok").alias("tok_s")
+    )
+    perq = per.withColumn(
+        "qs",
+        F.floor(F.sqrt(F.col("tok_s").cast("double")) * 1000000.0).cast("long"),
+    )
+    tot = perq.agg(
+        F.sum("tok_s").alias("tk_total"), F.sum("qs").alias("q_total")
+    )
+    plan = perq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok_s",
+        F.expr("(qs * 1000000) DIV q_total").alias("share_micro"),
+        F.least(
+            F.lit(1000000),
+            F.expr(
+                "(((tk_total DIV 2) * ((qs * 1000000) DIV q_total))"
+                " DIV 1000000) * 1000000 DIV tok_s"
+            ),
+        ).alias("rate_micro"),
+    )
+    kept = docs.join(
+        F.broadcast(plan.select("source", "rate_micro")), "source"
+    ).filter(_position(F.col("doc_id"), 1000000, 0) < F.col("rate_micro"))
+    sampled = kept.groupBy("source").agg(
+        F.count("*").alias("sd"), F.sum("tok").alias("st")
+    )
+    return (
+        plan.join(sampled, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("tok_s").cast("long").alias("n_tokens"),
+            F.col("share_micro").cast("long").alias("share_micro"),
+            F.col("rate_micro").cast("long").alias("rate_micro"),
+            F.coalesce("sd", F.lit(0)).cast("long").alias("sampled_docs"),
+            F.coalesce("st", F.lit(0)).cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("source")
+    )
