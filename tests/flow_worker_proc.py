@@ -15,7 +15,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(state_root: str, flow_id: str, ready_file: str) -> int:
+def main(state_root: str, flow_id: str, ready_file: str,
+         wave_slices: int = 8, claim_lease_sec: float = 120.0) -> int:
     from distribot_spark.flow.engine import FlowEngine
     from distribot_spark.flow.examples import example_registry
     from distribot_spark.session import get_spark
@@ -27,8 +28,8 @@ def main(state_root: str, flow_id: str, ready_file: str) -> int:
         state_root,
         registry=example_registry(),
         tasks_per_partition=5,
-        wave_slices=8,
-        claim_lease_sec=120.0,
+        wave_slices=wave_slices,
+        claim_lease_sec=claim_lease_sec,
     )
     with open(ready_file, "w") as fh:
         fh.write(eng.worker_id)
@@ -38,4 +39,9 @@ def main(state_root: str, flow_id: str, ready_file: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
+    extra = {}
+    if len(sys.argv) > 4:
+        extra["wave_slices"] = int(sys.argv[4])
+    if len(sys.argv) > 5:
+        extra["claim_lease_sec"] = float(sys.argv[5])
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], **extra))

@@ -274,3 +274,70 @@ def test_two_engines_pause_resume_epochs(spark):
     assert claims.key.str.contains(".e2.", regex=False).any(), (
         "resume must bump the claim epoch"
     )
+
+
+@pytest.mark.slow
+def test_survivor_steals_claims_of_killed_worker(spark):
+    """Crash-recovery across processes: a worker replica is SIGKILLed
+    mid-phase (claims held, waves uncommitted); the surviving engine ages
+    the dead worker's claims past the lease, STEALS them, re-runs only
+    what never committed, and drains the flow — the reference broker's
+    unacked-message requeue (connector.rb:56-73), spelled with leases.
+    Accounting stays effectively-once through last-attempt-wins."""
+    import signal
+
+    root = _state_root()
+    # the killed worker starts FIRST and owns early claims; short lease so
+    # the survivor steals within the test budget
+    spec = dict(COMPETE_FLOW, data={"n_tasks": 48, "task_sec": 0.4})
+    engine = _mkengine(spark, root, wave_slices=8, claim_lease_sec=4.0)
+    fid = engine.create_flow(spec)
+
+    ready = os.path.join(root, "victim_ready.txt")
+    proc = subprocess.Popen(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "flow_worker_proc.py"),
+         root, fid, ready, "8", "4.0"],
+        cwd="/root/repo",
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,  # own process group: the kill takes the JVM too
+    )
+    try:
+        deadline = time.time() + 120
+        while not os.path.exists(ready):
+            assert proc.poll() is None, "victim died during startup"
+            assert time.time() < deadline
+            time.sleep(0.2)
+        victim = open(ready).read().strip()
+        # let the victim claim (and start processing) some slices
+        while time.time() < deadline:
+            claims = engine.state.claims(fid)
+            if len(claims) and (claims.owner == victim).any():
+                break
+            time.sleep(0.1)
+        assert (engine.state.claims(fid).owner == victim).any()
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+
+    # the survivor drains the flow, stealing the victim's stale claims
+    assert engine.run(fid) == "finished"
+
+    res = engine.state.task_results(fid, "work")
+    assert len(res) == 48 and (res.status == "ok").all(), (
+        "every task accounted exactly once after the crash"
+    )
+    claims = engine.state.claims(fid)
+    stolen = claims[claims.key.str.endswith(".steal")]
+    assert (claims.owner == victim).any(), "victim held claims before dying"
+    # the survivor either stole a stale claim or the victim died before
+    # committing anything it claimed; in both cases the victim's claimed
+    # slices were completed by the survivor
+    victim_unfinished = claims[
+        (claims.owner == victim) & ~claims.key.str.endswith(".steal")
+    ]
+    assert ((victim_unfinished.done_owner == engine.worker_id)
+            | victim_unfinished.done).all() or len(stolen) > 0
