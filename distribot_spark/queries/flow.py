@@ -66,3 +66,103 @@ def flow_news_transitions(spark, sf_dir):
         (i + 1, t["to"]) for i, t in enumerate(engine.state.transitions(fid))
     ]
     return spark.createDataFrame(rows, "seq int, phase string")
+
+
+@register(
+    "flow_competing_workers",
+    oracle="""
+    SELECT 's-' || CAST(i AS VARCHAR) AS task_id, CAST(i AS BIGINT) AS i
+    FROM range(24) t(i) ORDER BY i
+    """,
+    tags=("flow",),
+)
+def flow_competing_workers(spark, sf_dir):
+    """TWO engine instances (separate claim identities, one shared state
+    root) compete to drain one phase — the reference's N-replica worker
+    deployment (worker.rb:72-85) as a declared query: the claim table
+    splits the waves, the task log holds each task exactly once, and the
+    results hash-check against the constant oracle. The two-OS-process
+    variant of the same protocol is proven in
+    tests/test_flow_multiprocess.py (second JVM, SIGKILL steal)."""
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from distribot_spark.flow.examples import COMPETE_FLOW
+
+    root = tempfile.mkdtemp(prefix="flowq_mp_", dir=TMP_ROOT)
+    mk = lambda: FlowEngine(  # noqa: E731
+        spark, root, registry=example_registry(), tasks_per_partition=5,
+        wave_slices=4, claim_lease_sec=120.0,
+    )
+    ea, eb = mk(), mk()
+    fid = ea.create_flow(dict(COMPETE_FLOW,
+                              data={"n_tasks": 24, "task_sec": 0.05}))
+    with ThreadPoolExecutor(2) as pool:
+        fa = pool.submit(ea.run, fid)
+        fb = pool.submit(eb.run, fid)
+        assert {fa.result(180), fb.result(180)} == {"finished"}
+    res = ea.state.task_results(fid, "work")
+    rows = sorted(
+        (r.task_id, int(_json.loads(r.result)["i"])) for r in res.itertuples()
+    )
+    assert len(rows) == 24
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: r[1]), "task_id string, i long"
+    )
+
+
+@register(
+    "flow_sharded_continuous",
+    oracle="""
+    SELECT 't-' || CAST(i AS VARCHAR) AS task_id,
+           'item-' || CAST(i AS VARCHAR) || '=' || CAST(i * i AS VARCHAR)
+             AS label
+    FROM range(20) t(i) ORDER BY task_id
+    """,
+    tags=("flow", "streaming"),
+)
+def flow_sharded_continuous(spark, sf_dir):
+    """TWO sharded continuous runner replicas on ONE flow, each owning a
+    disjoint task-id shard of the same stream (worker_index/n_workers) —
+    the daemon-model twin of competing batch workers, as a declared
+    query: both replicas' outputs land in the shared task log and the
+    combined label-stage results hash-check against the constant
+    oracle."""
+    import json as _json
+
+    from distribot_spark.flow import ContinuousFlowRunner
+    from distribot_spark.flow.continuous import write_task_chunk
+    from distribot_spark.flow.examples import CONT_FLOW
+    from distribot_spark.streaming.sources import FileReplaySource
+
+    engine = FlowEngine(
+        spark, tempfile.mkdtemp(prefix="flowq_sh_", dir=TMP_ROOT),
+        registry=example_registry(),
+    )
+    src_dir = tempfile.mkdtemp(prefix="flowq_shq_", dir=TMP_ROOT)
+    write_task_chunk(
+        src_dir, [{"task_id": f"t-{i}", "item": i} for i in range(20)]
+    )
+    runners = [
+        ContinuousFlowRunner(
+            engine, CONT_FLOW,
+            FileReplaySource(src_dir, max_files_per_trigger=4),
+            n_shards=2, worker_index=i, n_workers=2,
+        )
+        for i in range(2)
+    ]
+    fid = runners[0].start()
+    runners[1].start(flow_id=fid)
+    try:
+        runners[0].wait_for(lambda c: c.get(("label", "ok"), 0) == 20,
+                            timeout_sec=120)
+    finally:
+        for r in runners:
+            r.stop()
+    res = engine.state.task_results(fid)
+    ok = res[(res.phase == "label") & (res.status == "ok")]
+    rows = sorted(
+        (r.task_id, _json.loads(r.result)["label"]) for r in ok.itertuples()
+    )
+    assert len(rows) == 20
+    return spark.createDataFrame(rows, "task_id string, label string")
