@@ -848,3 +848,71 @@ def s19_broker_effectively_once(spark, sf_dir):
         )
 
     return replay.run_bounded(spark, t, src, "append").orderBy("event_id")
+
+
+@register(
+    "s20_stream_quantile_histogram",
+    oracle="""
+    WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+    hist AS (SELECT c // 500 AS bin, COUNT(*) AS n FROM c GROUP BY 1),
+    h2 AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum,
+                  SUM(n) OVER (ORDER BY bin) - n AS cum_prev FROM hist),
+    tot AS (SELECT COUNT(*) AS total FROM c),
+    q AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS qnum),
+    spec AS (SELECT qnum, (total * qnum + 9999) // 10000 AS t FROM q, tot)
+    SELECT s.qnum,
+           CAST(h.bin * 500 + (500 * (s.t - h.cum_prev)) // h.n AS BIGINT)
+             AS est_cents
+    FROM spec s JOIN h2 h ON h.cum >= s.t AND h.cum_prev < s.t
+    ORDER BY s.qnum
+    """,
+    tags=("streaming", "sketch", "percentile"),
+)
+def s20_stream_quantile_histogram(spark, sf_dir):
+    """The quantile sketch as a STANDING QUERY (q_quantile_histogram's
+    streaming twin): the fixed-width histogram is a complete-mode
+    streaming aggregate — counts merge across micro-batches exactly like
+    across shards, the mergeable-summary property doing double duty —
+    and any percentile is served from the ~20-row final sink by the same
+    integer interpolation. Quantization is FLOOR(value·100), immune to
+    the cross-engine ROUND-tie trap by construction. This is the 100 TB
+    monitoring shape: the stream maintains domain/width counters, p99
+    queries never touch raw history."""
+    src = replay.replay_dir(sf_dir)
+
+    def t(stream):
+        return (
+            stream.select(
+                F.floor(F.col("value") * 100).cast("long").alias("c")
+            )
+            .groupBy(F.expr("c DIV 500").alias("bin"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    hist = replay.run_bounded(spark, t, src, "complete")
+
+    from pyspark.sql.window import Window
+
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    h2 = hist.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("n")
+    )
+    tot = hist.agg(F.sum("n").alias("total"))
+    q = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (2500, 5000, 7500, 9000, 9900)]))
+        .alias("qnum")
+    )
+    spec = q.crossJoin(F.broadcast(tot)).select(
+        "qnum", F.expr("(total * qnum + 9999) DIV 10000").alias("t")
+    )
+    return (
+        spec.join(h2, (F.col("cum") >= F.col("t")) & (F.col("cum_prev") < F.col("t")))
+        .select(
+            "qnum",
+            F.expr("bin * 500 + (500 * (t - cum_prev)) DIV n")
+            .cast("long")
+            .alias("est_cents"),
+        )
+        .orderBy("qnum")
+    )

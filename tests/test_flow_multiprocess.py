@@ -341,3 +341,31 @@ def test_survivor_steals_claims_of_killed_worker(spark):
     ]
     assert ((victim_unfinished.done_owner == engine.worker_id)
             | victim_unfinished.done).all() or len(stolen) > 0
+
+
+def test_competing_engines_dataframe_enumerate(spark):
+    """Competing workers on the DISTRIBUTED-enumerate route: the task set
+    is a DataFrame (spark.range — deterministic in every engine, the
+    contract the docstring states), tasks never touch the driver, and two
+    engines still split the waves exactly-once."""
+    root = _state_root()
+    ea = _mkengine(spark, root, wave_slices=4)
+    eb = _mkengine(spark, root, wave_slices=4)
+    spec = {
+        "name": "big_compete",
+        "data": {"n_tasks": 400},
+        "phases": [
+            {"name": "fanout", "is_initial": True, "handlers": ["BigLister"]},
+        ],
+    }
+    fid = ea.create_flow(spec)
+    with ThreadPoolExecutor(2) as pool:
+        ra = pool.submit(ea.run, fid)
+        rb = pool.submit(eb.run, fid)
+        assert {ra.result(180), rb.result(180)} == {"finished"}
+    raw = _raw_task_rows(ea.state, fid)
+    work = raw[raw.phase == "fanout"]
+    assert len(work) == 400 and work.task_id.nunique() == 400
+    assert (work.status == "ok").all()
+    res = ea.state.task_results(fid, "fanout")
+    assert json.loads(res[res.task_id == "42"].iloc[0].result)["double"] == 84
