@@ -1565,3 +1565,149 @@ def q_assoc_rules(spark, sf_dir):
         .orderBy(F.desc("lift"), "ante", "cons")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch11_important_suppliers",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS value
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING 500 * SUM(CAST(l_extendedprice AS DECIMAL(12,2))) >
+           (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FROM lineitem)
+    ORDER BY value DESC, l_suppkey
+    """,
+    tags=("agg", "subquery", "tpch"),
+)
+def q_tpch11_important_suppliers(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-supplier value filtered
+    against a GLOBAL-share threshold computed as a scalar aggregate. The
+    threshold compare is exact: both sides stay DECIMAL and the share
+    test is spelled multiplicatively (500·value > total) — no decimal
+    division, no float drift — with ONE terminal rounding for display.
+    At 100 TB: one map-side-combined groupBy for the per-supplier sums,
+    one scalar aggregate broadcast back; the filter prunes before any
+    downstream join would see the long tail."""
+    from distribot_spark.queries.relational import _money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.sum(_money("l_extendedprice")).alias("v")
+    )
+    total = li.agg(F.sum(_money("l_extendedprice")).alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 500 > F.col("tot"))
+        .select(
+            "l_suppkey",
+            F.round(F.col("v"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_suppkey")
+    )
+
+
+@register(
+    "q_tpch15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(rev.r, 2) AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("agg", "subquery", "tpch"),
+)
+def q_tpch15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the one(s) EQUAL to the maximum — the view + scalar-max
+    pattern. The equality compares unrounded DECIMAL revenue (exact in
+    both engines; a double compare could split ties differently), and
+    MAX over decimals is order-free. The scalar max broadcasts; the
+    supplier dim joins after the filter, so only the winners join."""
+    from distribot_spark.queries.relational import _money
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+        ).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mr"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("r"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_tpch22_idle_rich_customers",
+    oracle="""
+    WITH nat AS (
+      SELECT c_nationkey,
+             SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
+             COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey),
+    idle AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderkey IS NULL)
+    SELECT i.c_nationkey, COUNT(*) AS n_custs,
+           CAST(ROUND(SUM(CAST(i.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM idle i JOIN nat ON i.c_nationkey = nat.c_nationkey
+    WHERE nat.cnt * CAST(i.c_acctbal AS DECIMAL(12,2)) > nat.s
+    GROUP BY i.c_nationkey
+    ORDER BY i.c_nationkey
+    """,
+    tags=("join", "anti", "subquery", "tpch"),
+)
+def q_tpch22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity), adapted to the schema
+    (nation key standing in for the phone country code): customers with
+    NO orders whose balance exceeds their nation's positive-balance
+    AVERAGE — anti-join + correlated-threshold aggregate. The average
+    test is spelled multiplicatively (cnt·bal > sum, both DECIMAL) so no
+    engine ever divides: exact compare, identical tie behavior. Shapes:
+    one anti-join (orders never aggregates), a per-nation aggregate
+    broadcast back onto the survivors."""
+    from distribot_spark.queries.relational import _money
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    nat = (
+        c.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_nationkey")
+        .agg(F.sum(_money("c_acctbal")).alias("s"), F.count("*").alias("cnt"))
+    )
+    idle = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(nat), "c_nationkey")
+        .filter(F.col("cnt") * _money("c_acctbal") > F.col("s"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum(_money("c_acctbal")), 2).cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
