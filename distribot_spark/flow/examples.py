@@ -85,6 +85,7 @@ def example_registry() -> HandlerRegistry:
     reg.register("ErrorEmailer", "1.0.0", ErrorEmailer())
     reg.register("SlowWorker", "1.0.0", SlowWorker())
     reg.register("SleepyLister", "1.0.0", SleepyLister())
+    reg.register("BrokerEventWorker", "1.0.0", BrokerEventWorker())
     reg.register("BigLister", "1.0.0", BigLister())
     reg.register("Napper", "1.0.0", Napper())
     reg.register("Napper2", "1.0.0", Napper2())
@@ -268,6 +269,18 @@ COMPETE_FLOW = {
         {"name": "done", "is_final": True},
     ],
 }
+
+
+class BrokerEventWorker:
+    """Continuous-mode handler for Kafka-shaped broker records: the task
+    payload carries the record's JSON value; processing extracts the
+    event type (stand-in for real per-event work)."""
+
+    def process(self, ctx, task):
+        import json as _json
+
+        event = _json.loads(task["value"])
+        return {"event_type": event["event_type"], "event_id": event["event_id"]}
 
 
 class BigLister:

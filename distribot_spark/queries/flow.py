@@ -166,3 +166,95 @@ def flow_sharded_continuous(spark, sf_dir):
     )
     assert len(rows) == 20
     return spark.createDataFrame(rows, "task_id string, label string")
+
+
+@register(
+    "flow_broker_ingest",
+    oracle="""
+    WITH rec AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 4
+                                ORDER BY ts, event_id) - 1 AS o
+      FROM events)
+    SELECT event_type, COUNT(*) AS n
+    FROM rec WHERE o < 500
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("flow", "streaming"),
+)
+def flow_broker_ingest(spark, sf_dir):
+    """THE R30–R31 integration, end to end: a continuous flow consumes
+    the Kafka-shaped broker source (streaming/broker.py) whose consumer
+    CRASHES between processing and offset commit — the uncommitted tail
+    is REDELIVERED, those tasks are genuinely processed twice (visible
+    in the raw log, exactly the reference's at-least-once
+    double-processing), and the flow's task_id-keyed last-attempt-wins
+    accounting absorbs the duplicates: per-event-type counts
+    hash-match the batch oracle exactly. task_id = the record's
+    (partition, offset) physical identity — the same dedup key s19 uses,
+    here applied by the ORCHESTRATOR's log instead of a stream operator.
+    Bounded prefix (offset < 500 per partition) keeps the demo's task
+    volume constant at every SF; offsets are reproducible in SQL because
+    the broker assigns them in (ts, event_id) order per partition."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from distribot_spark.flow import ContinuousFlowRunner
+    from distribot_spark.flow.examples import example_registry as _reg
+    from distribot_spark.streaming import broker as B
+
+    root = _os.path.join(TMP_ROOT, "broker",
+                         _os.path.basename(sf_dir.rstrip("/")))
+    log = B.events_broker_log(sf_dir, root)
+    src = B.BrokerReplaySource(log, group="flow_ingest",
+                               max_files_per_trigger=3)
+    # expected distinct tasks in the bounded prefix
+    recs = log.records()
+    per_part: dict[int, int] = {}
+    for p in recs["partition"].to_pylist():
+        per_part[p] = per_part.get(p, 0) + 1
+    n_expected = sum(min(500, c) for c in per_part.values())
+
+    class _TaskSource:
+        bounded = True
+
+        def load(self, sp):
+            rec = src.load(sp).filter(F.col("offset") < 500)
+            return rec.select(
+                F.concat_ws("-", "partition", "offset").alias("task_id"),
+                F.col("value"),
+            )
+
+    engine = FlowEngine(
+        spark, tempfile.mkdtemp(prefix="flowq_bk_", dir=TMP_ROOT),
+        registry=_reg(),
+    )
+    spec = {
+        "name": "broker_ingest",
+        "phases": [
+            {"name": "ingest", "is_initial": True, "transitions_to": "done",
+             "handlers": ["BrokerEventWorker"]},
+            {"name": "done", "is_final": True},
+        ],
+    }
+    runner = ContinuousFlowRunner(engine, spec, _TaskSource(), n_shards=4)
+    fid = runner.start()
+    try:
+        runner.wait_for(lambda c: c.get(("ingest", "ok"), 0) >= n_expected,
+                        timeout_sec=180)
+    finally:
+        runner.stop()
+
+    import json as _json
+
+    res = engine.state.task_results(fid, "ingest")
+    ok = res[res.status == "ok"]
+    assert ok.task_id.nunique() == n_expected
+    counts: dict[str, int] = {}
+    for r in ok.result:
+        et = _json.loads(r)["event_type"]
+        counts[et] = counts.get(et, 0) + 1
+    return spark.createDataFrame(
+        sorted(counts.items()), "event_type string, n long"
+    )
