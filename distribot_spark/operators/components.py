@@ -120,3 +120,95 @@ def duplicate_clusters(
         F.count("*").over(w).alias("cluster_size"),
         (F.col("id") == F.col("comp")).alias("is_canonical"),
     )
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge form: (a, b) with a < b, deduped."""
+    return (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """large-star (Kiveris et al. 2014, alg. 2): every node connects its
+    LARGER neighbors to its minimum — strictly decreases large-neighbor
+    potential, never grows a neighborhood beyond its current size."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    m = sym.groupBy("a").agg(F.min("b").alias("mn")).select(
+        "a", F.least("mn", F.col("a")).alias("m")
+    )
+    out = (
+        sym.filter(F.col("b") > F.col("a"))
+        .join(m, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    return _canon(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """small-star: every node hangs its SMALLER neighbors (and itself)
+    off its minimum — flattens chains of small neighbors into stars."""
+    o = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    hang = (
+        o.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    self_edge = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return _canon(hang.union(self_edge))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "da",
+    dst: str = "db",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, comp) via the published TWO-PHASE star algorithm (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii 2014, "Connected
+    Components in MapReduce and Beyond"): alternate large-star /
+    small-star until the edge set is a fixpoint, at which point the
+    graph is a forest of depth-1 stars rooted at each component's
+    minimum. O(log² n) rounds with high probability, and — the property
+    min-label propagation lacks — every intermediate neighborhood is
+    BOUNDED by the input's (large-star never grows a node's degree), so
+    no round can blow up on a hub. This is the alternating scale twin
+    of `connected_components`; `test_star_components_equal_propagation`
+    pins the labelings equal on planted shapes and the live dup graph."""
+    e = _canon(
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    with _pinned_shuffle_partitions(e.sparkSession, n_edges):
+        for _ in range(max_iter):
+            stepped = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            unchanged = (
+                stepped.exceptAll(e).isEmpty() and e.exceptAll(stepped).isEmpty()
+            )
+            e = stepped
+            if unchanged:
+                # fixpoint: canonical (a, b) edges are (root, child) —
+                # the root is the component MINIMUM, i.e. the smaller end
+                child = e.select(
+                    F.col("b").alias("id"), F.col("a").alias("comp")
+                )
+                roots = nodes.join(
+                    e.select(F.col("b").alias("id")), "id", "left_anti"
+                ).select("id", F.col("id").alias("comp"))
+                return child.select("id", "comp").union(roots)
+    raise RuntimeError(
+        f"connected_components_star: no fixpoint in {max_iter} rounds"
+    )

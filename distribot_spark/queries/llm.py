@@ -21,7 +21,7 @@ from distribot_spark.operators import (
     similarity,
     text,
 )
-from distribot_spark.queries.registry import register
+from distribot_spark.queries.registry import QUERIES, register
 
 # Shared oracle fragments -----------------------------------------------------
 
@@ -2529,3 +2529,34 @@ def doc_mixture_plan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=QUERIES["dedup_clusters"].oracle,
+    tags=("llm", "dedup", "components"),
+)
+def dedup_clusters_star(spark, sf_dir):
+    """dedup_clusters computed by the PUBLISHED two-phase star algorithm
+    (Kiveris et al. 2014; operators/components.connected_components_star)
+    instead of min-label propagation: alternate large-star / small-star
+    until the pair graph is a forest of depth-1 stars rooted at each
+    component's minimum. Same clusters, same oracle (the recursive-CTE
+    closure) — the algorithm whose intermediate neighborhoods are
+    BOUNDED by the input's, the property that matters when a 100 TB dup
+    graph contains hub documents (boilerplate duplicated everywhere)
+    that would make propagation's neighbor-min fan-in a hot key."""
+    from pyspark.sql import Window as _W
+
+    from distribot_spark.operators.components import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs, "text", "doc_id", threshold=0.5)
+    cc = connected_components_star(pairs)
+    w = _W.partitionBy("comp")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    ).orderBy("doc_id")

@@ -1311,3 +1311,36 @@ def test_dup_spans_structural_invariants(spark):
     assert max(r.dup_frac for r in rows) > 0.9, (
         "planted near-duplicates must show up as high-fraction spans"
     )
+
+
+def test_star_components_equal_propagation(spark):
+    """The two-phase star algorithm must produce the identical labeling
+    as min-label propagation on adversarial planted shapes (long chain,
+    clique, hub star, bridged cliques) and on the live dup-pair graph."""
+    from distribot_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    shapes = {
+        "chain": [(i, i + 1) for i in range(1, 60)],
+        "clique": [(a, b) for a in range(100, 110) for b in range(a + 1, 110)],
+        "hub": [(7, v) for v in range(200, 240)],
+        "bridged": [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (3, 10),
+                    (50, 51)],
+        "reversed_chain": [(i + 1, i) for i in range(1, 40)],
+    }
+    for name, edges in shapes.items():
+        df = spark.createDataFrame(edges, "da long, db long")
+        a = {(r.id, r.comp) for r in connected_components(df).collect()}
+        b = {(r.id, r.comp) for r in connected_components_star(df).collect()}
+        assert a == b, f"shape {name}: star != propagation"
+
+    from distribot_spark.operators import dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.minhash_candidate_pairs(docs, "text", "doc_id",
+                                          threshold=0.5)
+    a = {(r.id, r.comp) for r in connected_components(pairs).collect()}
+    b = {(r.id, r.comp) for r in connected_components_star(pairs).collect()}
+    assert a == b and len(a) > 0
