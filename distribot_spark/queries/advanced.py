@@ -1711,3 +1711,96 @@ def q_tpch22_idle_rich_customers(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q_tpch18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120)
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(ROUND(big.q, 2) AS DOUBLE) AS sum_qty,
+           o.o_totalprice
+    FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+             JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+    tags=("agg", "join", "tpch"),
+)
+def q_tpch18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose TOTAL
+    lineitem quantity clears a threshold, decorated with customer info.
+    The IN-subquery decorrelates to aggregate-then-join — the fact
+    table aggregates FIRST (map-side combine on l_orderkey, its natural
+    key), the HAVING prunes before either dimension join, and the
+    threshold compares unrounded DECIMAL against an integer literal —
+    exact in both engines."""
+    from distribot_spark.queries.relational import _money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_money("l_quantity")).alias("q"))
+        .filter(F.col("q") > 120)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey",
+            F.round(F.col("q"), 2).cast("double").alias("sum_qty"),
+            "o_totalprice",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_tpch20_heavy_shippers",
+    oracle="""
+    WITH greens AS (SELECT p_partkey FROM part WHERE p_name LIKE '%a%'
+                      AND p_size < 10),
+    heavy AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN greens ON l_partkey = p_partkey
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 60)
+    SELECT s.s_suppkey, s.s_name, s.s_nationkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("join", "semi", "subquery", "tpch"),
+)
+def q_tpch20_heavy_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): the nested semi-join
+    chain — part filter → per-(supplier, part) quantity aggregate with a
+    HAVING threshold → DISTINCT suppliers → semi-join the supplier dim.
+    The part filter broadcasts into the fact scan, the aggregate's
+    grouping key contains the join key (no extra shuffle), and the final
+    semi-join sends only supplier IDs. DECIMAL-vs-integer threshold —
+    exact, no tie drift."""
+    from distribot_spark.queries.relational import _money
+
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%a%") & (F.col("p_size") < 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_money("l_quantity")).alias("q"))
+        .filter(F.col("q") > 60)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
