@@ -36,6 +36,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(id, rank) after `iterations` rounds of power iteration over the
     DIRECTED edge list (duplicate edges should be pre-distinct'd; a node
@@ -61,7 +62,7 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     with _pinned_shuffle_partitions(e.sparkSession, n_edges):
-        for _ in range(iterations):
+        for i in range(iterations):
             contribs = (
                 ew.join(ranks, ew.src == ranks.id)
                 .select(
@@ -71,17 +72,19 @@ def pagerank(
                 .groupBy("id")
                 .agg(F.sum("c").alias("s"))
             )
-            ranks = (
-                nodes.join(contribs, "id", "left")
-                .select(
-                    "id",
-                    (
-                        F.lit(teleport)
-                        + F.lit(damping) * F.coalesce("s", F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = nodes.join(contribs, "id", "left").select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
             )
+            # lineage cut every k-th round (and on exit): an EAGER
+            # checkpoint is a full materialization job, and a plan two
+            # iterations deep is still trivially analyzable — halving the
+            # job count is pure scheduling win on short iteration loops
+            if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
