@@ -2384,15 +2384,15 @@ def doc_scrub_spans(spark, sf_dir):
     toks = w.select(
         "doc_id", F.posexplode("w").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    covered = toks.join(
+    # one range ANTI-join: a token survives iff no span of its doc covers
+    # its position (bracket access: DataFrame.cov is the covariance METHOD)
+    kept = toks.join(
         spans,
         (toks.doc_id == spans.doc_id)
         & (toks.p >= spans.fp)
-        # bracket access: DataFrame.cov is the covariance METHOD
         & (toks.p <= spans["cov"]),
-        "left_semi",
+        "left_anti",
     )
-    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
     scrubbed = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
