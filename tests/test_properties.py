@@ -245,3 +245,76 @@ def test_clamped_fold_summary_composition(deltas, split):
     left, right = deltas[:split], deltas[split:]
     composed = apply(summary(right), apply(summary(left), 0))
     assert composed == whole
+
+
+# -- duplicated spans: equals brute force on random corpora ------------------
+
+from distribot_spark.operators.dedup import dup_spans
+
+docs_st = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=18),
+    min_size=2, max_size=5,
+)
+
+
+@settings(**_SETTINGS)
+@given(docs=docs_st)
+def test_dup_spans_matches_bruteforce(spark, docs):
+    """Seed detection (cross-doc n-gram sharing) + island merging must
+    equal the obvious quadratic reference for any random corpus over a
+    tiny vocabulary (small alphabet forces real gram collisions)."""
+    n = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.fp, r.lp)
+        for r in dup_spans(df, "text", "doc_id", n=n).collect()
+    }
+
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - n + 1):
+            gram_docs[tuple(toks[i:i + n])].add(d)
+    want = set()
+    for d, toks in enumerate(docs):
+        seeds = [
+            i + 1
+            for i in range(len(toks) - n + 1)
+            if len(gram_docs[tuple(toks[i:i + n])]) >= 2
+        ]
+        spans = []
+        for p in seeds:
+            if spans and p - spans[-1][1] <= n:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        want.update((d, fp, lp) for fp, lp in spans)
+    assert got == want
+
+
+# -- star components ≡ propagation on random graphs --------------------------
+
+from distribot_spark.operators.components import connected_components_star
+
+edges_st = st.lists(
+    st.tuples(st.integers(1, 25), st.integers(1, 25)),
+    min_size=1, max_size=35,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_st)
+def test_star_equals_propagation_random(spark, edges):
+    """The two-phase star algorithm and min-label propagation must agree
+    on arbitrary random multigraphs (duplicates, both orientations,
+    arbitrary topology)."""
+    edges = [(a, b) for a, b in edges if a != b] or [(1, 2)]
+    df = spark.createDataFrame(edges, "da long, db long")
+    a = {(r.id, r.comp) for r in connected_components(df).collect()}
+    b = {(r.id, r.comp) for r in connected_components_star(df).collect()}
+    assert a == b
