@@ -1804,3 +1804,107 @@ def q_tpch20_heavy_shippers(spark, sf_dir):
         .select("s_suppkey", "s_name", "s_nationkey")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q_tpch19_disjunctive",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("join", "filter", "tpch"),
+)
+def q_tpch19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-conjunctions spanning BOTH join sides. The optimizer work this
+    exercises: the per-side residues of the disjunction
+    (p_brand ∈ {..}, p_size ≤ 40 / l_quantity ≤ 50) are derivable and
+    pushable even though the full predicate must evaluate post-join —
+    Catalyst's CNF conversion extracts them so each scan prunes before
+    the join. Revenue via exact decimal, one terminal rounding."""
+    from distribot_spark.queries.relational import _money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    br = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(15, 40)
+        & F.col("l_quantity").between(20, 50)
+    )
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    return j.filter(br).agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "q_tpch14_promo_share",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(SUM(CASE WHEN p_type LIKE 'type1%'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT)
+               AS promo_e4,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000
+                  AS BIGINT) AS total_e4
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-02-01')
+    SELECT promo_e4, total_e4,
+           promo_e4 * 1000000 // total_e4 AS promo_share_micro
+    FROM m
+    """,
+    tags=("agg", "conditional", "tpch"),
+)
+def q_tpch14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional aggregation share
+    — CASE WHEN inside the SUM, one pass. The ratio is served as integer
+    micros over exact decimal-derived CENTS (promo·10⁶ DIV total), so no
+    engine ever divides floats or decimals — the same no-division
+    discipline as the other share queries. Month-filtered fact side:
+    the shipdate predicate reaches PushedFilters."""
+    from distribot_spark.queries.relational import _money
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    m = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            # rev carries FOUR decimal places (price scale 2 x (1-disc)
+            # scale 2): x10000 makes the decimal->long cast fraction-free,
+            # where truncation (Spark) and rounding (DuckDB) agree
+            (F.sum(F.when(F.col("p_type").like("type1%"), rev).otherwise(zero))
+             * 10000).cast("long").alias("promo_e4"),
+            (F.sum(rev) * 10000).cast("long").alias("total_e4"),
+        )
+    )
+    return m.select(
+        "promo_e4", "total_e4",
+        F.expr("promo_e4 * 1000000 DIV total_e4").alias("promo_share_micro"),
+    )
