@@ -463,3 +463,33 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_round4_additions_plan_shapes(spark):
+    """Plan gates for this round's additions: the span scrubber's
+    coverage test stays ONE range anti-join (a semi+anti pair over the
+    token explosion is the regression this pins out — the only LeftSemi
+    is dup-gram detection inside dup_spans); Q20's supplier filter is a
+    semi-join (IDs only cross); Q19's OR-of-conjunctions pushes its
+    per-side residues into BOTH parquet scans."""
+    import re
+
+    scrub = explain_string(q(spark, "doc_scrub_spans"))
+    # count TREE nodes ('<X>Join LeftAnti ...'), not the detail echoes
+    assert len(re.findall(r"\w+Join LeftAnti", scrub)) == 1, (
+        "coverage must be one anti-join"
+    )
+    assert len(re.findall(r"\w+Join LeftSemi", scrub)) == 1, (
+        "only the dup-gram semi-join"
+    )
+
+    heavy = explain_string(q(spark, "q_tpch20_heavy_shippers"))
+    assert "LeftSemi" in heavy, "supplier filter must be a semi-join"
+
+    disj = explain_string(q(spark, "q_tpch19_disjunctive"))
+    assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in disj.replace(" ", ""), (
+        "part-side residue of the disjunction must reach the part scan"
+    )
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in disj.replace(" ", ""), (
+        "lineitem-side residue must reach the lineitem scan"
+    )
