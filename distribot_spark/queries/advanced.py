@@ -1814,11 +1814,11 @@ def q_tpch20_heavy_shippers(spark, sf_dir):
                 * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
            AND l_quantity BETWEEN 1 AND 20)
-       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 5 AND 20
            AND l_quantity BETWEEN 10 AND 30)
-       OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 15 AND 40
            AND l_quantity BETWEEN 20 AND 50)
     """,
     tags=("join", "filter", "tpch"),
@@ -1837,15 +1837,15 @@ def q_tpch19_disjunctive(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     j = li.join(p, li.l_partkey == p.p_partkey)
     br = (
-        (F.col("p_brand") == "Brand#1")
+        (F.col("p_brand") == "Brand#13")
         & F.col("p_size").between(1, 10)
         & F.col("l_quantity").between(1, 20)
     ) | (
-        (F.col("p_brand") == "Brand#2")
+        (F.col("p_brand") == "Brand#22")
         & F.col("p_size").between(5, 20)
         & F.col("l_quantity").between(10, 30)
     ) | (
-        (F.col("p_brand") == "Brand#3")
+        (F.col("p_brand") == "Brand#25")
         & F.col("p_size").between(15, 40)
         & F.col("l_quantity").between(20, 50)
     )
@@ -1860,7 +1860,7 @@ def q_tpch19_disjunctive(spark, sf_dir):
     "q_tpch14_promo_share",
     oracle="""
     WITH m AS (
-      SELECT CAST(SUM(CASE WHEN p_type LIKE 'type1%'
+      SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
                       * (1 - CAST(l_discount AS DECIMAL(12,2)))
                  ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT)
@@ -1899,7 +1899,7 @@ def q_tpch14_promo_share(spark, sf_dir):
             # rev carries FOUR decimal places (price scale 2 x (1-disc)
             # scale 2): x10000 makes the decimal->long cast fraction-free,
             # where truncation (Spark) and rounding (DuckDB) agree
-            (F.sum(F.when(F.col("p_type").like("type1%"), rev).otherwise(zero))
+            (F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero))
              * 10000).cast("long").alias("promo_e4"),
             (F.sum(rev) * 10000).cast("long").alias("total_e4"),
         )

@@ -487,7 +487,7 @@ def test_round4_additions_plan_shapes(spark):
     assert "LeftSemi" in heavy, "supplier filter must be a semi-join"
 
     disj = explain_string(q(spark, "q_tpch19_disjunctive"))
-    assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in disj.replace(" ", ""), (
+    assert "Or(Or(And(EqualTo(p_brand,Brand#13)" in disj.replace(" ", ""), (
         "part-side residue of the disjunction must reach the part scan"
     )
     assert "GreaterThanOrEqual(l_quantity,1.0)" in disj.replace(" ", ""), (
