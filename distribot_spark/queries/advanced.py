@@ -1908,3 +1908,308 @@ def q_tpch14_promo_share(spark, sf_dir):
         "promo_e4", "total_e4",
         F.expr("promo_e4 * 1000000 DIV total_e4").alias("promo_share_micro"),
     )
+
+
+@register(
+    "q_tpch03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+             AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-15'
+      AND l_shipdate  > TIMESTAMP '1996-06-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    tags=("join", "topk", "tpch"),
+)
+def q_tpch03_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): segment-filtered 3-way join,
+    revenue per unshipped order, top 10 — the filter-join-agg-topk
+    composition. Total order (revenue DESC, orderkey) makes the LIMIT
+    deterministic under ties; the top-k plans as TakeOrderedAndProject,
+    never a global sort."""
+    from distribot_spark.queries.relational import _money
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-06-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-15").cast("timestamp")
+    )
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch07_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=("join", "multiway", "tpch"),
+)
+def q_tpch07_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the nation-PAIR join — the same
+    dimension joined twice under different roles, with a symmetric
+    pair predicate, per-year rollup. Both nation copies broadcast; the
+    pair filter evaluates post-join on two broadcast columns (tiny), and
+    year extraction groups the fact side once."""
+    from distribot_spark.queries.relational import _money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("k1"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"),
+                  F.col("n_name").alias("cust_nation"))
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_tpch08_market_share",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                   THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                   ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000 AS BIGINT)
+               AS nation_e4,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000
+                  AS BIGINT) AS total_e4
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    JOIN region    ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1)
+    SELECT o_year, nation_e4, total_e4,
+           nation_e4 * 1000000 // total_e4 AS share_micro
+    FROM v ORDER BY o_year
+    """,
+    tags=("join", "conditional", "tpch"),
+)
+def q_tpch08_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): one supplier nation's
+    share of a region's revenue per year — conditional aggregation over
+    a 6-way join with the nation dim in two roles. Shares in integer
+    micros over exact scale-4 units (the Q14 no-division discipline)."""
+    from distribot_spark.queries.relational import _money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("k1"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"),
+                  F.col("n_regionkey").alias("rk2"))
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .join(F.broadcast(r), F.col("rk2") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_5", rev)
+                   .otherwise(zero)) * 10000).cast("long").alias("nation_e4"),
+            (F.sum(rev) * 10000).cast("long").alias("total_e4"),
+        )
+    )
+    return v.select(
+        "o_year", "nation_e4", "total_e4",
+        F.expr("nation_e4 * 1000000 DIV total_e4").alias("share_micro"),
+    ).orderBy("o_year")
+
+
+@register(
+    "q_tpch09_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                        - CAST(p_retailprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))
+                          * CAST(0.08 AS DECIMAL(4,2))), 2) AS DOUBLE)
+             AS profit
+    FROM lineitem JOIN part     ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("join", "multiway", "tpch"),
+)
+def q_tpch09_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): profit per (supplier
+    nation, order year) over name-filtered parts. The schema has no
+    partsupp, so unit cost is 8% of retail price — spelled as exact
+    DECIMAL arithmetic (scale-4 products, one terminal rounding), which
+    keeps the cross-engine hash exact where a float cost model would
+    drift. Part filter broadcast; the fact side aggregates once."""
+    from distribot_spark.queries.relational import _money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = _money("l_extendedprice") * (F.lit(1) - _money("l_discount")) - (
+        _money("p_retailprice")
+        * _money("l_quantity")
+        * F.lit("0.08").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "q_tpch10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+             AS revenue
+    FROM customer JOIN orders  ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+                  JOIN nation  ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=("join", "topk", "tpch"),
+)
+def q_tpch10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned items): revenue lost to returns per
+    customer in a half-year window, top 20 — returnflag + date filters
+    pushed to the scans, nation broadcast, deterministic top-k (total
+    order under ties) via TakeOrderedAndProject."""
+    from distribot_spark.queries.relational import _money
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_name NOT LIKE '%rod%'
+      AND p_size IN (1, 4, 9, 16, 25)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    tags=("agg", "distinct", "tpch"),
+)
+def q_tpch16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (part/supplier relationship): DISTINCT supplier
+    counts per part attribute bucket with negated predicates (<>,
+    NOT LIKE, IN-list). countDistinct expands to a two-level aggregate —
+    partial distinct map-side, exact count after one shuffle — and every
+    predicate reaches the part scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_name").like("%rod%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
