@@ -556,7 +556,18 @@ class FlowEngine:
         remaining = self._remaining_tasks(flow_id, phase, ctx.handler, tasks)
         remaining_cnt = remaining.count()
         self.state.upsert_progress(flow_id, phase, ctx.handler, total, remaining_cnt)
+        # the slice count must be IDENTICAL across cooperating engines
+        # (the slot namespace and the hash-slice predicate both derive
+        # from it): the first engine into the phase PINS it via a config
+        # claim; later engines adopt the pinned value, so replicas with
+        # different wave_slices settings still split disjointly
         n_slices = max(1, min(self.wave_slices, total))
+        cfg_key = f"{phase}.{ctx.handler}.e{epoch}.cfg"
+        if not self.state.try_claim(
+            flow_id, cfg_key, self.worker_id, meta={"n_slices": n_slices}
+        ):
+            info = self.state.claim_info(flow_id, cfg_key) or {}
+            n_slices = int(info.get("n_slices", n_slices))
 
         attempt = 0
         while remaining_cnt:

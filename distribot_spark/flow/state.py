@@ -364,9 +364,13 @@ class StateStore:
             self.root, "claims", f"flow_id={flow_id}", f"{safe}-{suffix}"
         )
 
-    def try_claim(self, flow_id: str, key: str, owner: str) -> bool:
+    def try_claim(self, flow_id: str, key: str, owner: str,
+                  meta: dict | None = None) -> bool:
         """Atomically claim `key`; True iff THIS caller created the claim.
-        Exactly-one-winner across threads and processes sharing the root."""
+        Exactly-one-winner across threads and processes sharing the root.
+        ``meta`` rides in the claim body — the winner can pin shared
+        configuration (e.g. an attempt's slice count) that losers adopt
+        via claim_info."""
         path = self._claim_path(flow_id, key) + ".claim"
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
@@ -374,7 +378,9 @@ class StateStore:
         except FileExistsError:
             return False
         with os.fdopen(fd, "w") as fh:
-            json.dump({"owner": owner, "ts": _now(), "key": key}, fh)
+            json.dump(
+                {"owner": owner, "ts": _now(), "key": key, **(meta or {})}, fh
+            )
         return True
 
     def claim_info(self, flow_id: str, key: str) -> dict | None:

@@ -369,3 +369,27 @@ def test_competing_engines_dataframe_enumerate(spark):
     assert (work.status == "ok").all()
     res = ea.state.task_results(fid, "fanout")
     assert json.loads(res[res.task_id == "42"].iloc[0].result)["double"] == 84
+
+
+def test_mismatched_wave_slices_config_pinned(spark):
+    """Engines configured with DIFFERENT wave_slices still split
+    disjointly: the first engine into the phase pins the slice count via
+    a config claim, the other adopts it — misconfiguration cannot cause
+    overlapping slices (double-processing)."""
+    root = _state_root()
+    ea = _mkengine(spark, root, wave_slices=2)
+    eb = _mkengine(spark, root, wave_slices=5)
+    spec = dict(COMPETE_FLOW, data={"n_tasks": 30, "task_sec": 0.15})
+    fid = ea.create_flow(spec)
+    with ThreadPoolExecutor(2) as pool:
+        ra = pool.submit(ea.run, fid)
+        rb = pool.submit(eb.run, fid)
+        assert {ra.result(180), rb.result(180)} == {"finished"}
+    raw = _raw_task_rows(ea.state, fid)
+    work = raw[raw.phase == "work"]
+    assert len(work) == 30 and work.task_id.nunique() == 30, (
+        "mismatched configs must not double-process"
+    )
+    cfg = ea.state.claims(fid)
+    pinned = cfg[cfg.key.str.endswith(".cfg")]
+    assert len(pinned) == 1, "exactly one pinned slice config per phase entry"
