@@ -2213,3 +2213,78 @@ def q_tpch16_supplier_cnt(spark, sf_dir):
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
     )
+
+
+@register(
+    "q_tpch13_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "outer", "agg", "tpch"),
+)
+def q_tpch13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): count-of-counts over a
+    LEFT OUTER join whose filter lives in the ON clause — the Q13 trick:
+    a WHERE would silently drop zero-order customers, the ON keeps them
+    as c_count = 0 (COUNT of a NULL column skips nulls). Two cascaded
+    aggregations, the second over ≤ max-order-count rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_tpch04_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("join", "semi", "subquery", "tpch"),
+)
+def q_tpch04_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS with
+    an INEQUALITY between the outer and inner rows (shipped > 60 days
+    after ordering — the schema's stand-in for commit < receipt).
+    Catalyst decorrelates to a LEFT SEMI join with the inequality as a
+    join condition; the date window prunes orders at the scan first."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
