@@ -2288,3 +2288,55 @@ def q_tpch04_priority_check(spark, sf_dir):
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_tpch02_min_cost_supplier",
+    oracle="""
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS v
+      FROM lineitem GROUP BY 1, 2),
+    mn AS (SELECT l_partkey, MIN(v) AS mv FROM sp GROUP BY 1)
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+           CAST(ROUND(sp.v, 2) AS DOUBLE) AS value
+    FROM sp JOIN mn ON sp.l_partkey = mn.l_partkey AND sp.v = mn.mv
+            JOIN part p ON sp.l_partkey = p.p_partkey
+            JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+    WHERE p.p_size < 5
+    ORDER BY p.p_partkey, s.s_suppkey
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q_tpch02_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for each filtered part,
+    the supplier(s) achieving the MINIMUM shipped value — the correlated
+    scalar-min decorrelated to aggregate + per-key min + equality join.
+    The min equality compares unrounded DECIMALs (ties kept, all
+    returned, total order), and the part filter pre-applies before the
+    per-(part, supplier) aggregate — per-part minima are independent
+    across parts, so filtering early is plan-visible and
+    semantics-invisible."""
+    from distribot_spark.queries.relational import _money
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 5)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_money("l_extendedprice")).alias("v"))
+    )
+    mn = sp.groupBy(F.col("l_partkey").alias("mk")).agg(F.min("v").alias("mv"))
+    return (
+        sp.join(mn, (sp.l_partkey == mn.mk) & (sp.v == mn.mv))
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              sp.l_partkey == F.col("p_partkey"))
+        .join(s, sp.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name",
+            F.round(F.col("v"), 2).cast("double").alias("value"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
