@@ -916,3 +916,51 @@ def s20_stream_quantile_histogram(spark, sf_dir):
         )
         .orderBy("qnum")
     )
+
+
+@register(
+    "s21_stream_dup_gram_census",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+          FROM w, LATERAL unnest(range(1, len(w) - 3)) AS t(i)),
+    dup AS (SELECT g, COUNT(*) AS nd FROM g GROUP BY g HAVING COUNT(*) >= 2)
+    SELECT g, CAST(nd AS BIGINT) AS nd FROM dup ORDER BY g
+    """,
+    tags=("streaming", "dedup", "text"),
+)
+def s21_stream_dup_gram_census(spark, sf_dir):
+    """doc_dup_spans' SEED DETECTION as a STANDING QUERY: documents
+    arrive incrementally (bounded replay of the lake), per-doc distinct
+    5-grams explode statelessly, and a complete-mode aggregate maintains
+    each gram's document count — the final sink filtered to counts ≥ 2
+    is the live cross-document contamination census, updated as
+    documents land instead of recomputed per batch job. State is one row
+    per distinct gram (the same cardinality the batch census shuffles);
+    at 100 TB the gram text is xxhash64'd (kept as text here for the
+    oracle hash). The approx_count_distinct twin of this census is the
+    sketch family's job; this one is exact."""
+    src = replay.table_replay_dir(sf_dir, "documents", "doc_id")
+
+    def t(stream):
+        g = stream.select(
+            "doc_id", F.split("text", " ").alias("w")
+        ).filter(F.size("w") >= 5).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 4),"
+                    " i -> concat_ws(' ', slice(w, i, 5)))"
+                )
+            ).alias("g"),
+        ).distinct()  # stateful Deduplicate: (doc, gram) pairs once each
+        # count(*) over the deduped pairs ≡ countDistinct(doc_id), which
+        # streams forbid as a direct aggregate
+        return g.groupBy("g").agg(F.count("*").alias("nd"))
+
+    hist = replay.run_bounded(spark, t, src, "complete")
+    return (
+        hist.filter(F.col("nd") >= 2)
+        .select("g", F.col("nd").cast("long").alias("nd"))
+        .orderBy("g")
+    )
