@@ -103,6 +103,10 @@ class FlowEngine:
         self.claim_lease_sec = claim_lease_sec
         self.poll_interval = poll_interval
         self.worker_id = uuid.uuid4().hex[:12]
+        # liveness announcement (reference consumer listing): one row at
+        # start, refreshed at every phase entry — `state.workers()` is
+        # the ops view of which engine replicas are alive
+        self.state.worker_heartbeat(self.worker_id)
         # R32 fanout: (event-pattern, flow-pattern, callback) triples
         self._subscribers: list[tuple[str, str, object]] = []
 
@@ -438,6 +442,7 @@ class FlowEngine:
         if self.state.phase_drained(flow_id, phase.name, handler_ids):
             return  # already completed (re-entry after pause/resume)
         epoch = self._phase_epoch(flow_id, phase.name)
+        self.state.worker_heartbeat(self.worker_id)
         self._emit("phase.started", flow_id, phase=phase.name)
 
         # All handlers of a phase run CONCURRENTLY, as in the reference

@@ -438,6 +438,45 @@ class StateStore:
             )
         return pd.DataFrame(rows)
 
+    # -- worker liveness (reference queue/consumer introspection) ----------------
+    # The reference can list live consumers by inspecting RabbitMQ queues
+    # (Distribot.debug / rabbitmq management API); here engines announce
+    # themselves in a `workers` table — one row per start/heartbeat — and
+    # liveness is last-heartbeat recency. Ops introspection only: claims,
+    # not heartbeats, fence the actual work.
+
+    _WORKERS = pa.schema(
+        [("worker", pa.string()), ("host", pa.string()), ("pid", pa.int64()),
+         ("ts", pa.float64())]
+    )
+
+    def worker_heartbeat(self, worker: str) -> None:
+        import socket
+
+        self._append(
+            "workers",
+            [{"worker": worker, "host": socket.gethostname(),
+              "pid": int(os.getpid()), "ts": _now()}],
+            self._WORKERS,
+        )
+
+    def workers(self, ttl_sec: float = 60.0) -> pd.DataFrame:
+        """Engines whose last heartbeat is within ``ttl_sec``: columns
+        worker, host, pid, last_seen (epoch), age_sec."""
+        df = self._read("workers")
+        if df.empty:
+            return pd.DataFrame(
+                columns=["worker", "host", "pid", "last_seen", "age_sec"]
+            )
+        df = df.sort_values("ts", kind="stable")
+        last = df.groupby("worker", as_index=False).last()
+        now = _now()
+        last = last.rename(columns={"ts": "last_seen"})
+        last["age_sec"] = (now - last.last_seen).round(3)
+        return last[last.age_sec <= ttl_sec][
+            ["worker", "host", "pid", "last_seen", "age_sec"]
+        ].reset_index(drop=True)
+
     # -- control flags (pause/cancel) ------------------------------------------------
 
     _CONTROL = pa.schema(

@@ -393,3 +393,24 @@ def test_mismatched_wave_slices_config_pinned(spark):
     cfg = ea.state.claims(fid)
     pinned = cfg[cfg.key.str.endswith(".cfg")]
     assert len(pinned) == 1, "exactly one pinned slice config per phase entry"
+
+
+def test_worker_liveness_listing(spark):
+    """Engines announce themselves (reference consumer/queue listing):
+    workers() shows live replicas with host/pid, and a replica whose
+    heartbeats stop ages out past the ttl."""
+    root = _state_root()
+    ea = _mkengine(spark, root)
+    eb = _mkengine(spark, root)
+    live = ea.state.workers(ttl_sec=60)
+    assert set(live.worker) >= {ea.worker_id, eb.worker_id}
+    assert (live.pid == os.getpid()).all()
+    # a worker silent beyond the ttl disappears from the live view
+    import pandas as _pd
+
+    silent = ea.state.workers(ttl_sec=0.0)
+    assert isinstance(silent, _pd.DataFrame)
+    time.sleep(0.05)
+    assert eb.worker_id not in set(ea.state.workers(ttl_sec=0.01).worker)
+    eb.state.worker_heartbeat(eb.worker_id)
+    assert eb.worker_id in set(ea.state.workers(ttl_sec=5).worker)
