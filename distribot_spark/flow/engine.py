@@ -24,9 +24,11 @@ import inspect
 import json
 import math
 import os
+import threading
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import pandas as pd
@@ -661,35 +663,91 @@ class FlowEngine:
                     slice_tasks = self._remaining_tasks(
                         flow_id, phase, ctx.handler, slice_tasks
                     )
-                self._process_wave(flow_id, phase, ctx, impl, slice_tasks, attempt)
-                self.state.mark_claim_done(flow_id, key, self.worker_id)
+                with self._lease_heartbeat(flow_id, key):
+                    self._process_wave(
+                        flow_id, phase, ctx, impl, slice_tasks, attempt
+                    )
+                    self.state.mark_claim_done(flow_id, key, self.worker_id)
                 pending.discard(sl)
                 progressed = True
             if pending and not progressed:
                 self._check_control(flow_id)
                 time.sleep(self.poll_interval)
 
+    def _steal_key(self, key: str, gen: int) -> str:
+        return key + (".steal" if gen == 1 else f".steal{gen}")
+
+    def _steal_chain(self, flow_id: str, key: str):
+        """Walk key, key.steal, key.steal2, ... and return
+        (newest_info, next_gen): the NEWEST claimant in the chain (the
+        one whose liveness matters) and the generation a further steal
+        would open."""
+        info, g = self.state.claim_info(flow_id, key), 1
+        while True:
+            ni = self.state.claim_info(flow_id, self._steal_key(key, g))
+            if ni is None:
+                return info, g
+            info, g = ni, g + 1
+
     def _claim_slice(self, flow_id: str, key: str) -> tuple[bool, bool]:
-        """(won, stolen): claim the slice; repossess a claim THIS engine
-        left uncommitted (its own crash-recovery re-run — within an engine
-        a (phase, handler) slot never has two live claimants); or — if a
-        PEER claimant has held it past the lease without committing —
-        claim the single steal slot. Repossessed/stolen slices re-exclude
-        committed results before re-running (stolen=True)."""
+        """(won, stolen): claim the slice; repossess a chain claim THIS
+        engine left uncommitted (its own crash-recovery re-run — within an
+        engine a (phase, handler) slot never has two live claimants); or —
+        if the NEWEST claimant in the steal chain has held it past the
+        lease without committing — open the next steal generation. Steal
+        claims are themselves lease-aged (a stealer that dies uncommitted
+        is aged out by the next engine — no livelock on a single slot),
+        while a live owner renews its lease from the wave heartbeat, so a
+        slow wave is never stolen from a living worker.
+        Repossessed/stolen slices re-exclude committed results before
+        re-running (stolen=True)."""
         if self.state.try_claim(flow_id, key, self.worker_id):
             return True, False
         if self.state.claim_done(flow_id, key):
             return False, False
-        info = self.state.claim_info(flow_id, key)
+        info, next_gen = self._steal_chain(flow_id, key)
         if info is None:
             return False, False
         if info.get("owner") == self.worker_id:
             return True, True
         if time.time() - info["ts"] > self.claim_lease_sec and self.state.try_claim(
-            flow_id, key + ".steal", self.worker_id
+            flow_id, self._steal_key(key, next_gen), self.worker_id
         ):
             return True, True
         return False, False
+
+    def _renew_claim_chain(self, flow_id: str, key: str) -> None:
+        """Refresh the lease ts on every chain claim THIS engine owns
+        (renew_claim no-ops on peers' claims)."""
+        self.state.renew_claim(flow_id, key, self.worker_id)
+        g = 1
+        while True:
+            sk = self._steal_key(key, g)
+            if self.state.claim_info(flow_id, sk) is None:
+                return
+            self.state.renew_claim(flow_id, sk, self.worker_id)
+            g += 1
+
+    @contextmanager
+    def _lease_heartbeat(self, flow_id: str, key: str):
+        """Background lease renewal while a claimed wave runs: a
+        live-but-slow owner keeps its claim fresh, so peers only age out
+        claimants that actually died (reference: the broker's connection
+        heartbeat keeps unacked deliveries owned; connector.rb:56-73)."""
+        stop = threading.Event()
+        period = max(0.05, self.claim_lease_sec / 3.0)
+
+        def beat() -> None:
+            while not stop.wait(period):
+                self._renew_claim_chain(flow_id, key)
+
+        t = threading.Thread(target=beat, daemon=True)
+        t.start()
+        try:
+            yield
+        finally:
+            stop.set()
+            t.join(timeout=2.0)
 
     def _process_wave(
         self,

@@ -373,15 +373,23 @@ class StateStore:
         via claim_info."""
         path = self._claim_path(flow_id, key) + ".claim"
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as fh:
+        # Body is written to a tmp file FIRST, then hard-linked into place:
+        # link(2) is atomic and fails if the target exists, so the winner is
+        # unique AND every reader that sees the claim file sees its full
+        # body — a loser can never read a half-written meta (e.g. the
+        # n_slices config pin) and silently fall back to its own value.
+        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
             json.dump(
                 {"owner": owner, "ts": _now(), "key": key, **(meta or {})}, fh
             )
-        return True
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     def claim_info(self, flow_id: str, key: str) -> dict | None:
         """Owner/ts of an existing claim (None if unclaimed). A claim whose
@@ -395,6 +403,21 @@ class StateStore:
                 return json.load(fh)
         except (json.JSONDecodeError, OSError):
             return {"owner": None, "ts": os.path.getmtime(path), "key": key}
+
+    def renew_claim(self, flow_id: str, key: str, owner: str) -> None:
+        """Refresh the lease timestamp of a claim this owner holds. Called
+        periodically while the claimed work unit is still running, so a
+        live-but-slow owner is not aged out by lease-based stealing.
+        Atomic (tmp + rename); no-op if the claim is not this owner's."""
+        path = self._claim_path(flow_id, key) + ".claim"
+        info = self.claim_info(flow_id, key)
+        if not info or info.get("owner") != owner:
+            return
+        info["ts"] = _now()
+        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            json.dump(info, fh)
+        os.replace(tmp, path)
 
     def mark_claim_done(self, flow_id: str, key: str, owner: str) -> None:
         """Record that the claimed work unit COMMITTED (its wave manifest /

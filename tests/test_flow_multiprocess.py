@@ -76,9 +76,15 @@ def test_claim_lease_steal_and_repossession(spark):
     # ...but ages it out after the lease (claimant died uncommitted)
     time.sleep(0.35)
     assert eb._claim_slice("f1", "s0") == (True, True)
-    # a third engine can't steal again (single steal slot)
+    # a third engine can't steal a LIVE steal claim...
     ec = _mkengine(spark, root, claim_lease_sec=0.3)
     assert ec._claim_slice("f1", "s0") == (False, False)
+    # ...but if the stealer ALSO dies uncommitted, the steal claim itself
+    # ages out and the next generation opens — no livelock on one slot
+    time.sleep(0.35)
+    assert ec._claim_slice("f1", "s0") == (True, True)
+    info, next_gen = ec._steal_chain("f1", "s0")
+    assert info["owner"] == ec.worker_id and next_gen == 3
     # own-crash repossession: the original claimant may redo its own
     # uncommitted slice immediately, no lease wait
     assert ea._claim_slice("f1", "s1") == (True, False)
@@ -87,6 +93,51 @@ def test_claim_lease_steal_and_repossession(spark):
     ea.state.mark_claim_done("f1", "s1", ea.worker_id)
     assert ea._claim_slice("f1", "s1") == (False, False)
     assert eb._claim_slice("f1", "s1") == (False, False)
+
+
+def test_lease_heartbeat_protects_slow_live_owner(spark):
+    """A wave that legitimately outlives claim_lease_sec is NOT stolen:
+    the owner's heartbeat renews the claim ts, so peers see a live lease
+    for the whole (slow) wave — stealing targets dead workers only."""
+    root = _state_root()
+    ea = _mkengine(spark, root, claim_lease_sec=0.3)
+    eb = _mkengine(spark, root, claim_lease_sec=0.3)
+    assert ea._claim_slice("f1", "slow") == (True, False)
+    with ea._lease_heartbeat("f1", "slow"):
+        time.sleep(1.2)  # 4x the lease
+        assert eb._claim_slice("f1", "slow") == (False, False), (
+            "peer must not steal a renewed claim"
+        )
+    # once the owner stops renewing (crashed), aging works as before
+    time.sleep(0.35)
+    assert eb._claim_slice("f1", "slow") == (True, True)
+    # heartbeat renews the whole chain: eb now owns the steal claim
+    with eb._lease_heartbeat("f1", "slow"):
+        time.sleep(0.7)
+        ec = _mkengine(spark, root, claim_lease_sec=0.3)
+        assert ec._claim_slice("f1", "slow") == (False, False), (
+            "steal-generation claims are renewed too"
+        )
+
+
+def test_claim_meta_visible_atomically_with_claim(spark):
+    """try_claim writes body-then-link: any loser that observes the claim
+    observes its full meta — the n_slices config pin can never be read
+    half-written (the mismatched-wave_slices overlap hazard)."""
+    state = _mkengine(spark, _state_root()).state
+
+    def contend(i):
+        won = state.try_claim("f1", "cfg-x", f"w{i}", meta={"n_slices": 7})
+        info = state.claim_info("f1", "cfg-x")
+        return won, info
+
+    with ThreadPoolExecutor(16) as pool:
+        results = list(pool.map(contend, range(16)))
+    assert sum(w for w, _ in results) == 1
+    for _, info in results:
+        assert info is not None and info.get("n_slices") == 7, (
+            "every observer sees the pinned config, never a partial body"
+        )
 
 
 def test_two_engine_instances_split_one_phase(spark):
@@ -331,13 +382,13 @@ def test_survivor_steals_claims_of_killed_worker(spark):
         "every task accounted exactly once after the crash"
     )
     claims = engine.state.claims(fid)
-    stolen = claims[claims.key.str.endswith(".steal")]
+    stolen = claims[claims.key.str.contains(r"\.steal\d*$")]
     assert (claims.owner == victim).any(), "victim held claims before dying"
     # the survivor either stole a stale claim or the victim died before
     # committing anything it claimed; in both cases the victim's claimed
     # slices were completed by the survivor
     victim_unfinished = claims[
-        (claims.owner == victim) & ~claims.key.str.endswith(".steal")
+        (claims.owner == victim) & ~claims.key.str.contains(r"\.steal\d*$")
     ]
     assert ((victim_unfinished.done_owner == engine.worker_id)
             | victim_unfinished.done).all() or len(stolen) > 0
