@@ -149,11 +149,15 @@ def compact_line(detail: dict, limit: int = 1900) -> str:
     if len(line) > limit:
         out["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
-    if len(line) > limit:
-        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+    keep = 40
+    while len(line) > limit:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:keep])
         out["queries"] = {k: round(v, 2) for k, v in slowest.items()}
         out["queries_omitted"] = len(timings) - len(slowest)
         line = json.dumps(out, separators=(",", ":"))
+        if keep == 0:
+            break  # totals-only line; can't shrink further
+        keep //= 2
     return line
 
 

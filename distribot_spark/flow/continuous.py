@@ -254,6 +254,30 @@ class ContinuousFlowRunner:
             fid = flow_id
         self.flow_id = fid
 
+        # Sharded-replica config pin (the streaming twin of the batch
+        # engine's n_slices .cfg claim, engine.py): the first replica into
+        # a flow pins n_workers in the shared claim table; a replica
+        # started with a DIFFERENT n_workers is rejected outright —
+        # mismatched shard moduli (pmod(h, 2) vs pmod(h, 3)) would leave
+        # some task-id shards owned by nobody (silent loss) and others by
+        # two replicas (double-processing). Unlike the batch engine the
+        # value can't be adopted: worker_index is only meaningful under
+        # the modulus this replica was deployed with.
+        if not engine.state.try_claim(
+            fid, "continuous.shardcfg", f"w{self.worker_index}",
+            meta={"n_workers": self.n_workers},
+        ):
+            info = engine.state.claim_info(fid, "continuous.shardcfg") or {}
+            pinned = int(info.get("n_workers", self.n_workers))
+            if pinned != self.n_workers:
+                raise ValueError(
+                    f"flow {fid} is pinned to n_workers={pinned}; this "
+                    f"replica was started with n_workers={self.n_workers}"
+                    " — mismatched shard moduli would drop or "
+                    "double-process tasks. Drain and create a new flow "
+                    "to change the replica count."
+                )
+
         # Restart bookkeeping, exact in every crash window:
         #   watermark  — highest micro-batch id among committed wave
         #                manifests (the batch id rides the SAME atomic

@@ -1208,12 +1208,17 @@ def q_survival_km(spark, sf_dir):
     )
 
 
+#: q_quantile_histogram bin width, cents per bin ($1000) — interpolated
+#: into BOTH engines' expressions so the width lives in exactly one place
+_QH_W = 100_000
+
+
 @register(
     "q_quantile_histogram",
-    oracle="""
+    oracle=f"""
     WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
                FROM orders),
-    hist AS (SELECT c // 100000 AS bin, COUNT(*) AS n FROM c GROUP BY 1),
+    hist AS (SELECT c // {_QH_W} AS bin, COUNT(*) AS n FROM c GROUP BY 1),
     h2 AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum,
                   SUM(n) OVER (ORDER BY bin) - n AS cum_prev FROM hist),
     tot AS (SELECT COUNT(*) AS total FROM c),
@@ -1224,12 +1229,12 @@ def q_survival_km(spark, sf_dir):
     ranked AS (SELECT p.qnum, p.t, p.cum_prev, p.bin, p.n, c.c,
                       ROW_NUMBER() OVER (PARTITION BY p.qnum ORDER BY c.c)
                         AS rn
-               FROM pick p JOIN c ON c.c // 100000 = p.bin)
+               FROM pick p JOIN c ON c.c // {_QH_W} = p.bin)
     SELECT qnum,
-           CAST(bin * 100000 + (100000 * (t - cum_prev)) // n AS BIGINT)
+           CAST(bin * {_QH_W} + ({_QH_W} * (t - cum_prev)) // n AS BIGINT)
              AS est_cents,
            c AS exact_cents,
-           CAST(bin * 100000 + (100000 * (t - cum_prev)) // n - c AS BIGINT)
+           CAST(bin * {_QH_W} + ({_QH_W} * (t - cum_prev)) // n - c AS BIGINT)
              AS err_cents
     FROM ranked WHERE rn = t - cum_prev
     ORDER BY qnum
@@ -1255,11 +1260,10 @@ def q_quantile_histogram(spark, sf_dir):
     A pytest pins |err| ≤ bin width for every percentile."""
     from pyspark.sql.window import Window
 
-    W = 100_000  # cents per bin ($1000)
     c = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
     )
-    hist = c.groupBy(F.expr("c DIV 100000").alias("bin")).agg(
+    hist = c.groupBy(F.expr(f"c DIV {_QH_W}").alias("bin")).agg(
         F.count("*").alias("n")
     )
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
@@ -1278,7 +1282,7 @@ def q_quantile_histogram(spark, sf_dir):
     pick = spec.join(
         h2, (F.col("cum") >= F.col("t")) & (F.col("cum_prev") < F.col("t"))
     ).select("qnum", "t", "bin", "n", "cum_prev")
-    members = c.withColumn("bin", F.expr("c DIV 100000")).join(
+    members = c.withColumn("bin", F.expr(f"c DIV {_QH_W}")).join(
         F.broadcast(pick), "bin"
     )
     ranked = members.withColumn(
@@ -1289,11 +1293,11 @@ def q_quantile_histogram(spark, sf_dir):
     ).filter(F.col("rn") == F.col("t") - F.col("cum_prev"))
     return ranked.select(
         "qnum",
-        F.expr("bin * 100000 + (100000 * (t - cum_prev)) DIV n")
+        F.expr(f"bin * {_QH_W} + ({_QH_W} * (t - cum_prev)) DIV n")
         .cast("long")
         .alias("est_cents"),
         F.col("c").alias("exact_cents"),
-        F.expr("bin * 100000 + (100000 * (t - cum_prev)) DIV n - c")
+        F.expr(f"bin * {_QH_W} + ({_QH_W} * (t - cum_prev)) DIV n - c")
         .cast("long")
         .alias("err_cents"),
     ).orderBy("qnum")

@@ -21,6 +21,7 @@ from distribot_spark.operators import (
     similarity,
     text,
 )
+from distribot_spark.operators.bloom import position_sql as _bloom_position_sql
 from distribot_spark.queries.registry import QUERIES, register
 
 # Shared oracle fragments -----------------------------------------------------
@@ -2422,15 +2423,6 @@ def doc_scrub_spans(spark, sf_dir):
     )
 
 
-_MIX_HASH = None  # filled below from the portable hash family
-
-
-def _mix_hash_sql() -> str:
-    from distribot_spark.operators.bloom import position_sql
-
-    return position_sql("doc_id", 1000000, 0)
-
-
 @register(
     "doc_mixture_plan",
     oracle=f"""
@@ -2463,8 +2455,7 @@ def _mix_hash_sql() -> str:
     LEFT JOIN (SELECT source, COUNT(*) AS sd, SUM(tok) AS st
                FROM kept GROUP BY 1) k USING (source)
     ORDER BY p.source
-    """.replace("{hash}", "((ABS(doc_id) % 1000000007) * 314159257 + 1)"
-                          " % 1000000007 % 1000000"),
+    """.replace("{hash}", _bloom_position_sql("doc_id", 1000000, 0)),
     tags=("llm", "sampling"),
 )
 def doc_mixture_plan(spark, sf_dir):

@@ -854,7 +854,12 @@ def s19_broker_effectively_once(spark, sf_dir):
     "s20_stream_quantile_histogram",
     oracle="""
     WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
-    hist AS (SELECT c // 500 AS bin, COUNT(*) AS n FROM c GROUP BY 1),
+    -- floor division spelled via the non-negative mod so BOTH engines
+    -- agree for negative c too (DuckDB // floors, Spark DIV truncates
+    -- toward zero — they differ on sign; the subtraction makes the
+    -- numerator an exact multiple of 500, where the two coincide)
+    hist AS (SELECT (c - ((c % 500) + 500) % 500) // 500 AS bin,
+                    COUNT(*) AS n FROM c GROUP BY 1),
     h2 AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum,
                   SUM(n) OVER (ORDER BY bin) - n AS cum_prev FROM hist),
     tot AS (SELECT COUNT(*) AS total FROM c),
@@ -885,7 +890,12 @@ def s20_stream_quantile_histogram(spark, sf_dir):
             stream.select(
                 F.floor(F.col("value") * 100).cast("long").alias("c")
             )
-            .groupBy(F.expr("c DIV 500").alias("bin"))
+            # floor-div spelling safe for negative c (see oracle comment):
+            # Spark DIV truncates toward zero, so feed it an exact
+            # multiple of the width via the non-negative mod
+            .groupBy(
+                F.expr("(c - ((c % 500) + 500) % 500) DIV 500").alias("bin")
+            )
             .agg(F.count("*").alias("n"))
         )
 

@@ -95,8 +95,12 @@ class BrokerLog:
         for r in records:
             p = int(r["key"]) % self.n_partitions
             by_part.setdefault(p, []).append(r)
+        # one end_offsets() scan per append, not one per partition (each
+        # call reads every partition file — per-partition calls made a
+        # P-partition append O(P^2) file reads)
+        ends = self.end_offsets()
         for p, rows in by_part.items():
-            start = self.end_offsets().get(p, 0)
+            start = ends.get(p, 0)
             tbl = pa.table(
                 {
                     "topic": pa.array([self.topic] * len(rows)),
@@ -213,7 +217,11 @@ class BrokerReplaySource(StreamSource):
         self.commit_every = commit_every
         self.crash_after_poll = crash_after_poll
         self.max_files_per_trigger = max_files_per_trigger
-        tag = f"group={group}-p{n_polls}-c{commit_every}-x{crash_after_poll}"
+        # v2: the crash poll itself never commits (a commit_every multiple
+        # landing on crash_after_poll used to commit the crash poll and
+        # empty the redelivery window); versioned tag invalidates cached
+        # deliveries materialized under the old semantics
+        tag = f"group={group}-p{n_polls}-c{commit_every}-x{crash_after_poll}-v2"
         self.delivery_root = os.path.join(log.root, "delivery", tag)
         self._materialize()
 
@@ -249,12 +257,18 @@ class BrokerReplaySource(StreamSource):
             return out
 
         # session 1: delivered polls 0..crash_after_poll; the consumer's
-        # POSITION advances every poll but the COMMIT lags (commit_every)
+        # POSITION advances every poll but the COMMIT lags (commit_every).
+        # The crash lands BETWEEN processing the crash poll and any commit
+        # it would have made (i == crash_after_poll never commits), so the
+        # crash poll is always inside the redelivery window — otherwise a
+        # (crash_after_poll+1) that is a multiple of commit_every would
+        # commit the crash poll and the redelivery window would silently
+        # be empty, contradicting the class contract.
         position: dict[int, int] = {}
         for i, tbl in enumerate(polls[: self.crash_after_poll + 1]):
             write_chunk(tbl)
             position = advance(position, tbl)
-            if (i + 1) % self.commit_every == 0:
+            if (i + 1) % self.commit_every == 0 and i != self.crash_after_poll:
                 committed = dict(position)
                 ledger.append(
                     {"session": 1, "poll": i,

@@ -41,11 +41,22 @@ def test_oversized_headline_set_degrades_but_stays_parseable():
     line = bench.compact_line(_detail(timings))
     assert len(line) + 1 <= 2000, len(line)
     parsed = json.loads(line)
-    assert parsed["queries_omitted"] == 360
-    assert len(parsed["queries"]) == 40
+    assert parsed["queries_omitted"] + len(parsed["queries"]) == 400
+    assert 0 < len(parsed["queries"]) <= 40
     # the kept entries are the slowest ones
     assert "q_some_very_long_operator_name_399" in parsed["queries"]
     assert "q_some_very_long_operator_name_000" not in parsed["queries"]
+
+
+def test_pathological_names_still_fit():
+    # even 40 kept entries can overflow when names are huge — the
+    # fallback must keep shrinking until the line fits
+    timings = {f"q_{'x' * 120}_{i:03d}": float(i) for i in range(200)}
+    line = bench.compact_line(_detail(timings))
+    assert len(line) + 1 <= 2000, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == _detail(timings)["value"]
+    assert parsed["queries_omitted"] + len(parsed["queries"]) == 200
 
 
 def test_totals_survive_compaction():

@@ -366,6 +366,34 @@ def test_continuous_multi_flow_soak(spark, engine):
         assert row.total == lb.task_id.nunique()
 
 
+def test_sharded_runner_rejects_mismatched_n_workers(spark, engine):
+    """The n_workers modulus is pinned per flow (first replica wins, via
+    the shared claim table); a replica deployed with a different modulus
+    is rejected at start() — pmod(h,2) vs pmod(h,3) shard filters would
+    leave some task-id shards unowned (silent loss) and others doubly
+    owned. The batch engine ADOPTS its pinned n_slices; here adoption is
+    impossible (worker_index is meaningless under another modulus), so
+    the replica fails fast instead."""
+    fid = engine.create_flow(CONT_FLOW)
+    # first replica's pin (what its start() records before launching)
+    assert engine.state.try_claim(fid, "continuous.shardcfg", "w0",
+                                  meta={"n_workers": 2})
+    src_dir = tempfile.mkdtemp(prefix="taskq_", dir="/root/repo/.tmp")
+    write_task_chunk(src_dir, _chunk(0, 4))
+    bad = ContinuousFlowRunner(
+        engine, CONT_FLOW, FileReplaySource(src_dir),
+        n_shards=2, worker_index=1, n_workers=3)
+    with pytest.raises(ValueError, match="pinned to n_workers=2"):
+        bad.start(flow_id=fid)
+    # a replica with the MATCHING modulus is accepted (pin check passes
+    # before the query launches; stop immediately)
+    ok_r = ContinuousFlowRunner(
+        engine, CONT_FLOW, FileReplaySource(src_dir),
+        n_shards=2, worker_index=1, n_workers=2)
+    assert ok_r.start(flow_id=fid) == fid
+    ok_r.stop()
+
+
 def test_sharded_continuous_runners_split_stream(spark, engine):
     """The streaming twin of the batch engine's competing workers: TWO
     runner replicas on ONE flow, each owning a disjoint task-id shard of

@@ -448,6 +448,30 @@ def test_transform_with_state_counter_matches_batch(spark):
         assert abs(cents - round(r.sv * 100)) <= len(got)  # per-batch cent rounding
 
 
+def test_broker_crash_poll_never_commits(broker_src):
+    """When (crash_after_poll+1) is a multiple of commit_every, the
+    commit that would land on the crash poll must NOT happen — the crash
+    interrupts between processing and commit, so the crash poll is always
+    redelivered. (Regression: the aligned config used to commit the crash
+    poll, silently emptying the redelivery window.)"""
+    log, _ = broker_src
+    src = B.BrokerReplaySource(log, group="gx", n_polls=8,
+                               commit_every=2, crash_after_poll=3)
+    red = src.redelivered()
+    assert red, "aligned crash/commit config must still redeliver"
+    # no session-1 ledger entry for the crash poll
+    s1 = [e for e in src.ledger() if e["session"] == 1]
+    assert all(e["poll"] != 3 for e in s1)
+    # and the window is exactly the polls after the last commit: polls
+    # 2..3 of session 1 (last commit at poll 1)
+    polls = src._polls(log.records())
+    expect = set()
+    for tbl in polls[2:4]:
+        expect |= set(zip(tbl["partition"].to_pylist(),
+                          tbl["offset"].to_pylist()))
+    assert red == expect
+
+
 def test_broker_consumer_groups_are_independent(broker_src):
     """Two consumer GROUPS on one log get independent offset ledgers and
     crash windows — the broker-side half of R32's fanout (every group
