@@ -736,6 +736,11 @@ class FlowEngine:
         heartbeat keeps unacked deliveries owned; connector.rb:56-73)."""
         stop = threading.Event()
         period = max(0.05, self.claim_lease_sec / 3.0)
+        # synchronous first renewal: a REPOSSESSED claim enters the wave
+        # with a ts already past the lease — waiting period for the first
+        # beat would leave it steal-eligible (a peer could open the next
+        # steal generation against a live worker) for up to lease/3
+        self._renew_claim_chain(flow_id, key)
 
         def beat() -> None:
             while not stop.wait(period):
