@@ -88,6 +88,7 @@ HEADLINE = [
     "q_hll_rollup",
     "dedup_semantic",
     "l3_pq_topk",
+    "l3_bm25_topk",
     "graph_pagerank",
     # round-4 late additions (documented in BASELINE.md): distribution
     # drift + anomaly monitoring, the data-side bloom prefilter, the

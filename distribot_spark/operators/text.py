@@ -124,6 +124,112 @@ def tfidf(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_query_docs: int = 3,
+    terms_per_query: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Okapi BM25 sparse retrieval (k1=1.2, b=0.75), query-by-example:
+    the ``n_query_docs`` smallest doc ids become queries (their top
+    ``terms_per_query`` TF-IDF terms), every corpus document is scored,
+    and the top ``k`` per query return as (qdoc, doc, rnk, bm25).
+
+    The sparse half of hybrid retrieval (dense ANN lives in
+    ``operators/similarity.py``; fuse with ``l3_rrf_fusion``'s RRF).
+
+    Scale shape — the inverted-index plan, not a per-query scan:
+      * postings ``tf(doc, term)`` are built once (one map-side-combined
+        shuffle) and the per-doc lengths ``dl`` fold off them;
+      * the query-term table (n_query_docs × terms_per_query rows, with
+        BM25 idf pre-joined) is BROADCAST, so matching postings is a
+        map-only semi-join reduction — only postings of queried terms
+        flow into scoring, the corpus never reshuffles per query;
+      * per-(query, doc) scores sum INTEGER-quantized per-term
+        contributions (round(score·1e4) as long) — exact, order-free,
+        so the result hash-matches a sequential engine despite float
+        addition being non-associative;
+      * top-k per query is a window over the matched set only.
+    At 100 TB, ``tf``/``dl``/``df`` are the persistent index tables a
+    real system materializes once and reuses across query batches.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    stats = dl.agg(
+        (F.sum("dl") / F.count("*")).alias("avgdl")
+    ).crossJoin(F.broadcast(n_docs))
+
+    # Query derivation mirrors tfidf() exactly (same idf spelling).
+    qd = df.select(F.col(id_col).alias("qdoc")).orderBy("qdoc").limit(n_query_docs)
+    tfidf_idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+    )
+    q_scored = (
+        tf.join(F.broadcast(qd), tf.doc == qd.qdoc)
+        .join(tfidf_idf, "term")
+        .withColumn("s", F.col("tf") * F.col("idf"))
+    )
+    wq = Window.partitionBy("qdoc").orderBy(F.col("s").desc(), F.col("term"))
+    qterms = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= terms_per_query)
+        .select("qdoc", "term")
+    )
+
+    # BM25 idf, pre-joined onto the (tiny) query-term table.
+    bidf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("bidf"),
+    )
+    qt = qterms.join(bidf, "term")
+
+    matched = tf.join(F.broadcast(qt), "term").join(dl, "doc").crossJoin(
+        F.broadcast(stats)
+    )
+    # Per-term contribution, micro-quantized to int64 (1e-4): the SUM over
+    # a query's terms is then exact integer math in any order/engine.
+    contrib = matched.select(
+        "qdoc",
+        "doc",
+        F.round(
+            F.col("bidf")
+            * F.col("tf")
+            * 2.2
+            / (
+                F.col("tf")
+                + 1.2 * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    scores = contrib.groupBy("qdoc", "doc").agg(F.sum("c").alias("ci"))
+    wr = Window.partitionBy("qdoc").orderBy(F.col("ci").desc(), F.col("doc"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qdoc",
+            "doc",
+            "rnk",
+            (F.col("ci") / F.lit(10000.0)).alias("bm25"),
+        )
+        .orderBy("qdoc", "rnk")
+    )
+
+
 # PII patterns kept inside the RE2 ∩ Java-regex common subset (no
 # backrefs/lookaround) so the DuckDB oracle runs the IDENTICAL patterns.
 PII_PATTERNS = {

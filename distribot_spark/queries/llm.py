@@ -2252,6 +2252,63 @@ def l3_rrf_fusion(spark, sf_dir):
 
 
 @register(
+    "l3_bm25_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY 1),
+    n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT SUM(dl) / CAST(COUNT(*) AS DOUBLE) FROM dl) AS avgdl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    qd AS (SELECT doc_id AS qdoc FROM documents ORDER BY doc_id LIMIT 3),
+    ti AS (SELECT term, LN((n_docs + 1) / (df + 1)) + 1 AS idf FROM dfreq, n),
+    qs AS (SELECT tf.doc AS qdoc, tf.term, tf.tf * idf AS s
+           FROM tf JOIN qd ON tf.doc = qd.qdoc JOIN ti ON tf.term = ti.term),
+    qt AS (SELECT qdoc, term FROM (
+             SELECT qdoc, term,
+                    ROW_NUMBER() OVER (PARTITION BY qdoc
+                                       ORDER BY s DESC, term) AS r
+             FROM qs) WHERE r <= 3),
+    bi AS (SELECT term,
+                  LN(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) AS bidf
+           FROM dfreq, n),
+    contrib AS (SELECT qt.qdoc, tf.doc,
+                  CAST(ROUND(bidf * tf.tf * 2.2e0
+                    / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / avgdl))
+                    * 10000) AS BIGINT) AS c
+                FROM qt JOIN tf ON tf.term = qt.term
+                JOIN bi ON bi.term = qt.term
+                JOIN dl ON dl.doc = tf.doc, n),
+    scores AS (SELECT qdoc, doc, SUM(c) AS ci FROM contrib GROUP BY 1, 2),
+    ranked AS (SELECT qdoc, doc, ci,
+                      ROW_NUMBER() OVER (PARTITION BY qdoc
+                                         ORDER BY ci DESC, doc) AS rnk
+               FROM scores)
+    SELECT qdoc, doc, rnk, ci / CAST(10000 AS DOUBLE) AS bm25
+    FROM ranked WHERE rnk <= 5 ORDER BY qdoc, rnk
+    """,
+    tags=("llm", "retrieval", "text"),
+)
+def l3_bm25_topk(spark, sf_dir):
+    """Okapi BM25 sparse retrieval (Robertson & Zaragoza 2009), the
+    lexical half of hybrid search next to the dense l3 tiers (exact /
+    LSH / IVF / PQ) — fuse the two pools with l3_rrf_fusion's RRF.
+    Query-by-example: the 3 smallest doc_ids query the corpus with
+    their top-3 TF-IDF terms; top-5 per query by BM25 (k1=1.2, b=0.75).
+    Determinism: per-term contributions are quantized to int64 (1e-4)
+    BEFORE the per-(query, doc) sum, so float addition order can't
+    shift the hash; idf/length math is one identical IEEE expression
+    tree in both engines (e-notation literals keep DuckDB in DOUBLE,
+    not DECIMAL). Scale shape in operators/text.py:bm25_topk — postings
+    built once, query-term table broadcast (map-only semi-join
+    reduction), corpus never reshuffles per query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, "text", "doc_id", n_query_docs=3,
+                          terms_per_query=3, k=5)
+
+
+@register(
     "doc_dup_spans",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

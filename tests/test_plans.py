@@ -228,6 +228,18 @@ def test_decontaminate_broadcasts_probe_grams(spark):
     assert not uses_python_eval(q(spark, "doc_decontaminate"))
 
 
+def test_bm25_broadcasts_query_terms(spark):
+    """BM25's inverted-index plan: the query-term table (9 rows, idf
+    pre-joined) must BROADCAST against the postings relation — the
+    corpus-sized tf/dl sides are the 100 TB scan and may only shuffle
+    for their own partial-agg'd builds, never sort-merge against the
+    query set. No Python anywhere."""
+    df = q(spark, "l3_bm25_topk")
+    plan = explain_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert not uses_python_eval(df)
+
+
 def test_oov_rate_broadcasts_vocab(spark):
     """The top-K vocabulary must broadcast; the corpus token relation is
     the 100 TB side and may only shuffle for the per-doc partial-agg'd
