@@ -2251,10 +2251,10 @@ def l3_rrf_fusion(spark, sf_dir):
     )
 
 
-@register(
-    "l3_bm25_topk",
-    oracle="""
-    WITH toks AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+# Okapi BM25 per-(query, doc) integer-quantized scores over the documents
+# table (shared by l3_bm25_topk and the hybrid fusion): ends at CTE
+# `scores(qdoc, doc, ci)` where ci = Σ round(per-term BM25 · 1e4).
+_BM25_SCORES_CTE = """toks AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
                   FROM documents),
     tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
     dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY 1),
@@ -2280,7 +2280,13 @@ def l3_rrf_fusion(spark, sf_dir):
                 FROM qt JOIN tf ON tf.term = qt.term
                 JOIN bi ON bi.term = qt.term
                 JOIN dl ON dl.doc = tf.doc, n),
-    scores AS (SELECT qdoc, doc, SUM(c) AS ci FROM contrib GROUP BY 1, 2),
+    scores AS (SELECT qdoc, doc, SUM(c) AS ci FROM contrib GROUP BY 1, 2)"""
+
+
+@register(
+    "l3_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORES_CTE},
     ranked AS (SELECT qdoc, doc, ci,
                       ROW_NUMBER() OVER (PARTITION BY qdoc
                                          ORDER BY ci DESC, doc) AS rnk
@@ -2306,6 +2312,88 @@ def l3_bm25_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text.bm25_topk(docs, "text", "doc_id", n_query_docs=3,
                           terms_per_query=3, k=5)
+
+
+@register(
+    "l3_hybrid_bm25_dense",
+    oracle=f"""
+    WITH {_BM25_SCORES_CTE},
+    lexr AS (SELECT qdoc AS qid, doc AS nid,
+                    ROW_NUMBER() OVER (PARTITION BY qdoc
+                                       ORDER BY ci DESC, doc) AS rl
+             FROM scores QUALIFY rl <= 20),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+    c AS (SELECT vec_id AS nid, v FROM e),
+    pairs AS (SELECT qid, nid, {_COSINE_EXPR} AS cos FROM q, c),
+    denser AS (SELECT qid, nid,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, nid) AS rd
+               FROM pairs QUALIFY rd <= 20),
+    fused AS (
+      SELECT COALESCE(l.qid, d.qid) AS qid,
+             COALESCE(l.nid, d.nid) AS nid,
+             COALESCE(1.0 / (60 + l.rl), 0)
+           + COALESCE(1.0 / (60 + d.rd), 0) AS score
+      FROM lexr l FULL JOIN denser d ON l.qid = d.qid AND l.nid = d.nid),
+    top AS (SELECT qid, nid,
+                   ROUND(score * 1000000) / 1000000 AS hybrid_score,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, nid) AS rnk
+            FROM fused QUALIFY rnk <= 5)
+    SELECT qid, nid, rnk, hybrid_score FROM top ORDER BY qid, rnk
+    """,
+    tags=("llm", "retrieval", "fusion"),
+)
+def l3_hybrid_bm25_dense(spark, sf_dir):
+    """TRUE hybrid retrieval — the RAG-stack shape l3_rrf_fusion proxies:
+    a LEXICAL pool (Okapi BM25 top-20 over documents.text) and a DENSE
+    pool (exact cosine top-20 over the row-aligned embeddings table,
+    doc_id ≡ vec_id) fused per query by reciprocal-rank Σ 1/(60+rank).
+    The two rankers run on DIFFERENT MODALITIES of the same corpus; RRF
+    needs no score calibration between them, and integer ranks make the
+    fusion hash-exact. Scale: each pool is the already-plan-gated
+    operator (BM25 = broadcast query terms over postings; dense =
+    broadcast queries, window top-k), and the fusion joins two ≤(q×20)
+    pools — cost independent of corpus size. Swap the dense pool for
+    the IVF/PQ tier at 100 TB; the fusion is unchanged."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(
+        docs, "text", "doc_id", n_query_docs=3, terms_per_query=3, k=20
+    ).select(
+        F.col("qdoc").alias("qid"),
+        F.col("doc").alias("nid"),
+        F.col("rnk").alias("rl"),
+    )
+    dense = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=20
+    ).select("qid", "nid", F.col("rnk").alias("rd"))
+    fused = lex.join(dense, ["qid", "nid"], "full").select(
+        "qid",
+        "nid",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rl")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rd")), F.lit(0.0))
+        ).alias("score"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("score"), "nid")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "qid",
+            "nid",
+            "rnk",
+            (F.round(F.col("score") * F.lit(1000000.0), 0) / F.lit(1000000.0))
+            .alias("hybrid_score"),
+        )
+        .orderBy("qid", "rnk")
+    )
 
 
 @register(
