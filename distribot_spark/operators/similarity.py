@@ -78,6 +78,44 @@ def cosine_topk(
     )
 
 
+def rrf_fuse(
+    pool_a: DataFrame,
+    pool_b: DataFrame,
+    k: int = 5,
+    c: int = 60,
+    score_col: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two candidate
+    pools — THE calibration-free hybrid-retrieval combiner. Expects
+    ``pool_a`` with columns (qid, nid, ra) and ``pool_b`` with
+    (qid, nid, rb), integer ranks; pools full-outer-join on (qid, nid),
+    absent ranks contribute nothing, score = Σ 1/(c + rank) with the
+    fixed a-then-b addition order so the hash is engine-stable. Returns
+    (qid, nid, rnk, score_col) UNSORTED — callers apply the total ORDER
+    BY. The ONE fusion spelling shared by l3_rrf_fusion and
+    l3_hybrid_bm25_dense (oracle twin: ``_rrf_oracle_tail``)."""
+    fused = pool_a.join(pool_b, ["qid", "nid"], "full").select(
+        "qid",
+        "nid",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rb")), F.lit(0.0))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "nid")
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            "nid",
+            "rnk",
+            (F.round(F.col("score") * F.lit(1000000.0), 0) / F.lit(1000000.0))
+            .alias(score_col),
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -91,6 +91,32 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _term_stats(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared term-statistics construction for the lexical operators:
+    postings ``tf(doc, term, tf)``, document frequency ``docfreq(term,
+    df)``, and the 1-row ``n_docs`` scalar. One map-side-combined shuffle
+    for tf; docfreq folds off it."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    return tf, docfreq, n_docs
+
+
+def _smoothed_idf(docfreq: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """The ONE smoothed-idf spelling — ln((N+1)/(df+1)) + 1 — shared by
+    tfidf() and bm25_topk()'s query-term selection (and mirrored verbatim
+    in their DuckDB oracles)."""
+    return docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+    )
+
+
 def tfidf(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_per_doc: int = 3
 ) -> DataFrame:
@@ -100,16 +126,8 @@ def tfidf(
     Two shuffles total (term stats, per-doc window) regardless of corpus
     size; the doc-count scalar is broadcast via crossJoin of a 1-row agg.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
-    )
-    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = df.select(F.count("*").alias("n_docs"))
-    idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
-        "term",
-        (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
-    )
+    tf, docfreq, n_docs = _term_stats(df, text_col, id_col)
+    idf = _smoothed_idf(docfreq, n_docs)
     scored = tf.join(idf, "term").withColumn("tfidf", F.col("tf") * F.col("idf"))
     w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -154,24 +172,20 @@ def bm25_topk(
       * top-k per query is a window over the matched set only.
     At 100 TB, ``tf``/``dl``/``df`` are the persistent index tables a
     real system materializes once and reuses across query batches.
+
+    Returns UNSORTED (like cosine_topk) — callers apply their own total
+    ORDER BY; a terminal sort here would cost a dead range-exchange when
+    the pool feeds a downstream join (the hybrid fusion).
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
-    )
-    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    tf, docfreq, n_docs = _term_stats(df, text_col, id_col)
     dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = df.select(F.count("*").alias("n_docs"))
     stats = dl.agg(
         (F.sum("dl") / F.count("*")).alias("avgdl")
     ).crossJoin(F.broadcast(n_docs))
 
-    # Query derivation mirrors tfidf() exactly (same idf spelling).
+    # Query-term selection = tfidf()'s scoring (shared idf helper).
     qd = df.select(F.col(id_col).alias("qdoc")).orderBy("qdoc").limit(n_query_docs)
-    tfidf_idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
-        "term",
-        (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
-    )
+    tfidf_idf = _smoothed_idf(docfreq, n_docs)
     q_scored = (
         tf.join(F.broadcast(qd), tf.doc == qd.qdoc)
         .join(tfidf_idf, "term")
@@ -226,7 +240,6 @@ def bm25_topk(
             "rnk",
             (F.col("ci") / F.lit(10000.0)).alias("bm25"),
         )
-        .orderBy("qdoc", "rnk")
     )
 
 

@@ -51,6 +51,25 @@ _COSINE_EXPR = """
 """
 
 
+def _rrf_oracle_tail(pool_a: str, pool_b: str, ra: str, rb: str, alias: str) -> str:
+    """Oracle twin of ``similarity.rrf_fuse``: the ONE reciprocal-rank
+    fusion SQL spelling (c=60, 1e-6 terminal rounding, top-5, a-then-b
+    addition order, nid tie-break) over two rank CTEs."""
+    return f"""fused AS (
+      SELECT COALESCE(a.qid, b.qid) AS qid,
+             COALESCE(a.nid, b.nid) AS nid,
+             COALESCE(1.0 / (60 + a.{ra}), 0)
+           + COALESCE(1.0 / (60 + b.{rb}), 0) AS score
+      FROM {pool_a} a FULL JOIN {pool_b} b
+        ON a.qid = b.qid AND a.nid = b.nid),
+    top AS (SELECT qid, nid,
+                   ROUND(score * 1000000) / 1000000 AS {alias},
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, nid) AS rnk
+            FROM fused QUALIFY rnk <= 5)
+    SELECT qid, nid, rnk, {alias} FROM top ORDER BY qid, rnk"""
+
+
 # ---------------------------------------------------------------------------
 # L1: exact dedup
 # ---------------------------------------------------------------------------
@@ -2168,18 +2187,7 @@ _L2_EXPR = """
                   ROW_NUMBER() OVER (PARTITION BY qid
                                      ORDER BY d2, nid) AS rnk
            FROM pairs QUALIFY rnk <= 20),
-    fused AS (
-      SELECT COALESCE(r1.qid, r2.qid) AS qid,
-             COALESCE(r1.nid, r2.nid) AS nid,
-             COALESCE(1.0 / (60 + r1.rnk), 0)
-           + COALESCE(1.0 / (60 + r2.rnk), 0) AS score
-      FROM r1 FULL JOIN r2 ON r1.qid = r2.qid AND r1.nid = r2.nid),
-    top AS (SELECT qid, nid,
-                   ROUND(score * 1000000) / 1000000 AS rrf_score,
-                   ROW_NUMBER() OVER (PARTITION BY qid
-                                      ORDER BY score DESC, nid) AS rnk
-            FROM fused QUALIFY rnk <= 5)
-    SELECT qid, nid, rnk, rrf_score FROM top ORDER BY qid, rnk
+    {_rrf_oracle_tail("r1", "r2", "rnk", "rnk", "rrf_score")}
     """,
     tags=("llm", "similarity", "fusion"),
 )
@@ -2225,30 +2233,11 @@ def l3_rrf_fusion(spark, sf_dir):
         .filter(F.col("r2") <= 20)
         .select("qid", "nid", "r2")
     )
-    fused = (
-        r1.join(r2, ["qid", "nid"], "full")
-        .select(
-            "qid",
-            "nid",
-            (
-                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r1")), F.lit(0.0))
-                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r2")), F.lit(0.0))
-            ).alias("score"),
-        )
-    )
-    wf = W.partitionBy("qid").orderBy(F.desc("score"), "nid")
-    return (
-        fused.withColumn("rnk", F.row_number().over(wf))
-        .filter(F.col("rnk") <= 5)
-        .select(
-            "qid",
-            "nid",
-            "rnk",
-            (F.round(F.col("score") * F.lit(1000000.0), 0) / F.lit(1000000.0))
-            .alias("rrf_score"),
-        )
-        .orderBy("qid", "rnk")
-    )
+    return similarity.rrf_fuse(
+        r1.withColumnRenamed("r1", "ra"),
+        r2.withColumnRenamed("r2", "rb"),
+        score_col="rrf_score",
+    ).orderBy("qid", "rnk")
 
 
 # Okapi BM25 per-(query, doc) integer-quantized scores over the documents
@@ -2310,8 +2299,9 @@ def l3_bm25_topk(spark, sf_dir):
     built once, query-term table broadcast (map-only semi-join
     reduction), corpus never reshuffles per query."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.bm25_topk(docs, "text", "doc_id", n_query_docs=3,
-                          terms_per_query=3, k=5)
+    return text.bm25_topk(
+        docs, "text", "doc_id", n_query_docs=3, terms_per_query=3, k=5
+    ).orderBy("qdoc", "rnk")
 
 
 @register(
@@ -2325,25 +2315,15 @@ def l3_bm25_topk(spark, sf_dir):
     e AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e
+          JOIN qd ON e.vec_id = qd.qdoc),
     c AS (SELECT vec_id AS nid, v FROM e),
     pairs AS (SELECT qid, nid, {_COSINE_EXPR} AS cos FROM q, c),
     denser AS (SELECT qid, nid,
                       ROW_NUMBER() OVER (PARTITION BY qid
                                          ORDER BY cos DESC, nid) AS rd
                FROM pairs QUALIFY rd <= 20),
-    fused AS (
-      SELECT COALESCE(l.qid, d.qid) AS qid,
-             COALESCE(l.nid, d.nid) AS nid,
-             COALESCE(1.0 / (60 + l.rl), 0)
-           + COALESCE(1.0 / (60 + d.rd), 0) AS score
-      FROM lexr l FULL JOIN denser d ON l.qid = d.qid AND l.nid = d.nid),
-    top AS (SELECT qid, nid,
-                   ROUND(score * 1000000) / 1000000 AS hybrid_score,
-                   ROW_NUMBER() OVER (PARTITION BY qid
-                                      ORDER BY score DESC, nid) AS rnk
-            FROM fused QUALIFY rnk <= 5)
-    SELECT qid, nid, rnk, hybrid_score FROM top ORDER BY qid, rnk
+    {_rrf_oracle_tail("lexr", "denser", "rl", "rd", "hybrid_score")}
     """,
     tags=("llm", "retrieval", "fusion"),
 )
@@ -2359,40 +2339,27 @@ def l3_hybrid_bm25_dense(spark, sf_dir):
     broadcast queries, window top-k), and the fusion joins two ≤(q×20)
     pools — cost independent of corpus size. Swap the dense pool for
     the IVF/PQ tier at 100 TB; the fusion is unchanged."""
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE query-id set for both modalities: the 3 smallest doc_ids
+    # (doc_id ≡ vec_id row alignment; the dense queries semi-join this
+    # set rather than re-deriving it with a literal predicate).
+    qd = docs.select(F.col("doc_id").alias("qdoc")).orderBy("qdoc").limit(3)
     lex = text.bm25_topk(
         docs, "text", "doc_id", n_query_docs=3, terms_per_query=3, k=20
     ).select(
         F.col("qdoc").alias("qid"),
         F.col("doc").alias("nid"),
-        F.col("rnk").alias("rl"),
+        F.col("rnk").alias("ra"),
     )
-    dense = similarity.cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 3), k=20
-    ).select("qid", "nid", F.col("rnk").alias("rd"))
-    fused = lex.join(dense, ["qid", "nid"], "full").select(
-        "qid",
-        "nid",
-        (
-            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rl")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rd")), F.lit(0.0))
-        ).alias("score"),
+    dense_queries = emb.join(
+        F.broadcast(qd), emb.vec_id == qd.qdoc
+    ).select(emb.vec_id, emb.embedding, emb.label)
+    dense = similarity.cosine_topk(emb, dense_queries, k=20).select(
+        "qid", "nid", F.col("rnk").alias("rb")
     )
-    wf = W.partitionBy("qid").orderBy(F.desc("score"), "nid")
-    return (
-        fused.withColumn("rnk", F.row_number().over(wf))
-        .filter(F.col("rnk") <= 5)
-        .select(
-            "qid",
-            "nid",
-            "rnk",
-            (F.round(F.col("score") * F.lit(1000000.0), 0) / F.lit(1000000.0))
-            .alias("hybrid_score"),
-        )
-        .orderBy("qid", "rnk")
+    return similarity.rrf_fuse(lex, dense, score_col="hybrid_score").orderBy(
+        "qid", "rnk"
     )
 
 

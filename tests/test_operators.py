@@ -1344,3 +1344,28 @@ def test_star_components_equal_propagation(spark):
     a = {(r.id, r.comp) for r in connected_components(pairs).collect()}
     b = {(r.id, r.comp) for r in connected_components_star(pairs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_bm25_self_retrieval_and_rank_contract(spark):
+    """Query-by-example sanity for BM25: each query doc appears in its
+    own top-5 (it carries all of its top-TF-IDF query terms by
+    construction; rank 1 is NOT guaranteed — b=0.75 length
+    normalization legitimately promotes shorter docs bearing the same
+    terms, observed at sf0.001). Ranks are dense 1..k per query and
+    scores are positive and non-increasing down each ranking."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = text.bm25_topk(docs, "text", "doc_id", n_query_docs=3,
+                         terms_per_query=3, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qdoc, []).append(r)
+    assert len(by_q) == 3
+    for qdoc, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert any(r.doc == qdoc for r in rows), (
+            f"query {qdoc} not in its own top-5"
+        )
+        scores = [r.bm25 for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert scores[-1] > 0

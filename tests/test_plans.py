@@ -237,6 +237,7 @@ def test_bm25_broadcasts_query_terms(spark):
     df = q(spark, "l3_bm25_topk")
     plan = explain_string(df)
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert not uses_python_eval(df)
 
 
