@@ -88,6 +88,88 @@ def pagerank(
     return ranks
 
 
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+    checkpoint_every: int = 2,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank with INTEGER sufficient statistics — the repo's
+    exactness pattern extended to an iterative algorithm, making power
+    iteration hash-oracle-able across engines. Ranks live as int64
+    micro-units (``scale`` = total mass). Per iteration, each edge's
+    contribution is ONE identical IEEE expression —
+    ``round(damping * r / out_deg)`` on a fraction-exact double (r and
+    out_deg are integers < 2^53) — immediately re-quantized to int64, so
+    the per-node SUM is exact integer math in ANY accumulation order;
+    the float non-associativity that forces the classic float
+    ``pagerank`` to stay rows-only never arises. Quantization drift is
+    ≤ n_edges/2 micro-units per iteration out of 10^12 — ~1e-6 relative
+    on real graphs, far below ranking resolution. Returns
+    (id, rank_micro: long, rank: double) where rank = rank_micro/scale
+    (one exact double division). Same join+agg+checkpoint scale shape
+    as ``pagerank``."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ew = e.join(
+        e.groupBy("src").agg(F.count("*").alias("out_deg")), "src"
+    ).localCheckpoint(eager=True)
+    n_edges = ew.count()
+
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    # floor-div of positives: unambiguous across engines
+    r0 = scale // n
+    # teleport rounds IN-ENGINE (Spark round == DuckDB round on the same
+    # positive double; Python round() is banker's — never use it here)
+    teleport_int = (
+        nodes.sparkSession.range(1)
+        .select(
+            F.round(F.lit(1.0 - damping) * F.lit(float(scale)) / F.lit(n))
+            .cast("long")
+            .alias("t")
+        )
+        .collect()[0]["t"]
+    )
+
+    ranks = nodes.withColumn("r", F.lit(r0).cast("long"))
+    with _pinned_shuffle_partitions(e.sparkSession, n_edges):
+        for i in range(iterations):
+            contribs = (
+                ew.join(ranks, ew.src == ranks.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    F.round(
+                        F.lit(damping) * F.col("r") / F.col("out_deg")
+                    )
+                    .cast("long")
+                    .alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = nodes.join(contribs, "id", "left").select(
+                "id",
+                (
+                    F.lit(teleport_int) + F.coalesce("s", F.lit(0))
+                ).cast("long").alias("r"),
+            )
+            if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "id",
+        F.col("r").alias("rank_micro"),
+        (F.col("r") / F.lit(float(scale))).alias("rank"),
+    )
+
+
 def tree_closure(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
     """Transitive closure of a parent FOREST by pointer doubling:
     (id, root, depth) for every node, in O(log max_depth) rounds.

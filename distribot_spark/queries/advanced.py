@@ -382,17 +382,60 @@ def q_interval_overlap(spark, sf_dir):
 # PageRank
 
 
-@register("graph_pagerank", oracle=None, tags=("graph", "iterative"))
+# One unrolled power-iteration step (i reads ranks r{j}): per-edge
+# contribution is ONE IEEE double expression re-quantized to int64 so the
+# per-node SUM is exact integer math in any order — what makes iterative
+# PageRank hash-oracle-able at all (mirrors operators/graph.py:
+# pagerank_quantized step for step).
+_PR_ITER_SQL = """
+    c{i} AS (SELECT e.dst AS id,
+                    CAST(ROUND(0.85e0 * r.r / d.out_deg) AS BIGINT) AS c
+             FROM e JOIN deg d ON e.src = d.src
+             JOIN r{j} r ON r.id = e.src),
+    s{i} AS (SELECT id, SUM(c) AS s FROM c{i} GROUP BY id),
+    r{i} AS (SELECT nodes.id, CAST(t + COALESCE(s, 0) AS BIGINT) AS r
+             FROM nodes CROSS JOIN tp
+             LEFT JOIN s{i} ON nodes.id = s{i}.id)"""
+
+_PR_ORACLE = (
+    """
+    WITH sp AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+                FROM lineitem),
+    e AS (SELECT src, dst FROM sp
+          UNION ALL SELECT dst AS src, src AS dst FROM sp),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    tp AS (SELECT CAST(ROUND((1.0e0 - 0.85e0) * 1000000000000 / n) AS BIGINT)
+                    AS t FROM nn),
+    r0 AS (SELECT id, CAST(1000000000000 // n AS BIGINT) AS r
+           FROM nodes, nn),"""
+    + ",".join(_PR_ITER_SQL.format(i=i, j=i - 1) for i in range(1, 6))
+    + """
+    SELECT CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+           CAST(id // 2 AS BIGINT) AS key,
+           r AS rank_micro,
+           r / CAST(1000000000000 AS DOUBLE) AS rank
+    FROM r5 ORDER BY r DESC, node_type, key LIMIT 20
+    """
+)
+
+
+@register("graph_pagerank", oracle=_PR_ORACLE, tags=("graph", "iterative"))
 def graph_pagerank(spark, sf_dir):
     """PageRank over the supplier↔part co-shipment graph (distinct
     lineitem (suppkey, partkey) pairs, symmetrized so no node dangles;
     ids namespaced 2k / 2k+1). 5 fixed power iterations, damping 0.85 —
-    pure join+agg per round, lineage cut per iteration
-    (operators/graph.py). Rows-only by design: float contribution sums
-    are order-dependent at the last ulp, so cross-engine hash equality
-    is not defined; tests/test_operators.py pins the values against a
-    numpy power-iteration reference at 1e-9."""
-    from distribot_spark.operators.graph import pagerank
+    pure join+agg per round, lineage cut every 2nd round
+    (operators/graph.py). HASH-ORACLE-CHECKED, unusually for an
+    iterative float algorithm: ranks are int64 micro-units and each
+    edge contribution re-quantizes after one identical IEEE expression
+    (`pagerank_quantized`), so contribution sums are exact integer math
+    in any accumulation order and DuckDB's 5 unrolled CTE iterations
+    reproduce Spark's distributed result bit-for-bit; the classic float
+    twin (`operators/graph.py:pagerank`) stays for reference, pinned to
+    a numpy power iteration by test_pagerank_matches_numpy."""
+    from distribot_spark.operators.graph import pagerank_quantized
 
     li = load_table(spark, sf_dir, "lineitem")
     sp = li.select(
@@ -400,12 +443,13 @@ def graph_pagerank(spark, sf_dir):
         (F.col("l_partkey") * 2 + 1).alias("dst"),
     ).distinct()
     edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pr = pagerank(edges, iterations=5)
+    pr = pagerank_quantized(edges, iterations=5)
     return pr.select(
         F.when(F.col("id") % 2 == 0, "supplier").otherwise("part").alias("node_type"),
         F.floor(F.col("id") / 2).cast("long").alias("key"),
-        F.col("rank"),
-    ).orderBy(F.desc("rank"), "node_type", "key").limit(20)
+        "rank_micro",
+        "rank",
+    ).orderBy(F.desc("rank_micro"), "node_type", "key").limit(20)
 
 
 # ---------------------------------------------------------------------------

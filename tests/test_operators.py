@@ -642,6 +642,21 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     worst = max(abs(got[v] - r[idx[v]]) for v in ids)
     assert worst < 1e-9, worst
 
+    # the hash-oracle-able int64-quantized twin tracks the float truth:
+    # per-iteration drift is ≤ 1 micro-unit per in-edge, so even hub
+    # nodes sit within a few n_edges/1e12 of the exact power iteration
+    from distribot_spark.operators.graph import pagerank_quantized
+
+    q = {
+        row.id: (row.rank_micro, row.rank)
+        for row in pagerank_quantized(edges, iterations=5).collect()
+    }
+    assert len(q) == n
+    worst_q = max(abs(q[v][1] - r[idx[v]]) for v in ids)
+    assert worst_q < 1e-6, worst_q
+    # rank is exactly rank_micro / 1e12 (one exact double division)
+    assert all(m / 1e12 == rk for m, rk in q.values())
+
 
 def test_zorder_layout_file_skipping(spark, tmp_path):
     """Z-ordering orders on (custkey, day) must cut the number of files a
