@@ -86,6 +86,7 @@ HEADLINE = [
     "q_zorder_stats",
     "q_rolling_range",
     "q_hll_rollup",
+    "q_hll_portable",
     "dedup_semantic",
     "l3_pq_topk",
     "l3_bm25_topk",

@@ -607,6 +607,101 @@ def q_hll_rollup_exact(spark, sf_dir):
     return nat.unionByName(reg).unionByName(tot).orderBy("level", "name")
 
 
+from distribot_spark.operators import hll as _hll  # noqa: E402
+
+_HLL_PORTABLE_ORACLE = f"""
+    WITH base AS (
+      SELECT o_custkey AS k, n_name, r_name
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey),
+    hashed AS (SELECT n_name, r_name, {_hll.hash_sql('k')} AS h FROM base),
+    regs_n AS (SELECT n_name AS grp, {_hll.bucket_sql('h')} AS b,
+                      MAX({_hll.rho_sql('h', '//')}) AS m_rho
+               FROM hashed GROUP BY 1, 2),
+    nmap AS (SELECT DISTINCT n_name, r_name FROM base),
+    regs_r AS (SELECT r_name AS grp, b, MAX(m_rho) AS m_rho
+               FROM regs_n JOIN nmap ON regs_n.grp = nmap.n_name
+               GROUP BY 1, 2),
+    regs_t AS (SELECT 'ALL' AS grp, b, MAX(m_rho) AS m_rho
+               FROM regs_n GROUP BY 1, 2),
+    est_n AS ({_hll.estimate_from_registers_sql('regs_n', 'grp')}),
+    est_r AS ({_hll.estimate_from_registers_sql('regs_r', 'grp')}),
+    est_t AS ({_hll.estimate_from_registers_sql('regs_t', 'grp')}),
+    ex_n AS (SELECT n_name AS grp, COUNT(DISTINCT k) AS ex FROM base
+             GROUP BY 1),
+    ex_r AS (SELECT r_name AS grp, COUNT(DISTINCT k) AS ex FROM base
+             GROUP BY 1),
+    ex_t AS (SELECT 'ALL' AS grp, COUNT(DISTINCT k) AS ex FROM base),
+    u AS (
+      SELECT 'nation' AS level, est_n.grp AS name, est, ex
+      FROM est_n JOIN ex_n ON est_n.grp = ex_n.grp
+      UNION ALL
+      SELECT 'region', est_r.grp, est, ex
+      FROM est_r JOIN ex_r ON est_r.grp = ex_r.grp
+      UNION ALL
+      SELECT 'total', est_t.grp, est, ex
+      FROM est_t JOIN ex_t ON est_t.grp = ex_t.grp)
+    SELECT level, name,
+           ROUND(est * 10000) / 10000 AS est_distinct,
+           CAST(ex AS BIGINT) AS exact_distinct
+    FROM u ORDER BY level, name
+    """
+
+
+@register("q_hll_portable", oracle=_HLL_PORTABLE_ORACLE,
+          tags=("agg", "sketch"))
+def q_hll_portable(spark, sf_dir):
+    """The HLL rollup with a PORTABLE sketch (operators/hll.py): unlike
+    q_hll_rollup's engine-private DataSketches registers, these
+    registers come from the spelled-out bloom/CMS hash family and the
+    estimate's harmonic sum runs over INTEGER sufficient statistics —
+    so the whole thing (register content, nation→region→total merges,
+    and the final estimate doubles) HASH-MATCHES DuckDB exactly, the
+    first approx-distinct operator in the registry with a full oracle.
+    Same 100 TB shape as q_hll_rollup: finest-grain registers persist
+    (≤256 rows per group), every coarser level is a byte-sized MAX
+    merge, the corpus is scanned once. Exact counts ride along per
+    level for visible error."""
+    base = _cust_nation_region(spark, sf_dir).select(
+        F.col("o_custkey").alias("k"), "n_name", "r_name"
+    )
+    regs_n = _hll.build_hll(base, "k", ["n_name"])
+    nmap = base.select("n_name", "r_name").distinct()
+    regs_r = _hll.merge_hll(
+        regs_n.join(F.broadcast(nmap), "n_name"), ["r_name"]
+    )
+    regs_t = _hll.merge_hll(
+        regs_n.select(F.lit("ALL").alias("grp"), "b", "m_rho"), ["grp"]
+    )
+
+    est_n = _hll.estimate_hll(regs_n, ["n_name"])
+    est_r = _hll.estimate_hll(regs_r, ["r_name"])
+    est_t = _hll.estimate_hll(regs_t, ["grp"])
+
+    ex_n = base.groupBy("n_name").agg(F.count_distinct("k").alias("ex"))
+    ex_r = base.groupBy("r_name").agg(F.count_distinct("k").alias("ex"))
+    ex_t = base.agg(F.count_distinct("k").alias("ex")).select(
+        F.lit("ALL").alias("grp"), "ex"
+    )
+
+    def _lvl(est, ex, key, level):
+        return est.join(ex, key).select(
+            F.lit(level).alias("level"),
+            F.col(key).alias("name"),
+            (F.round(F.col("est") * 10000, 0) / 10000).alias("est_distinct"),
+            F.col("ex").cast("long").alias("exact_distinct"),
+        )
+
+    return (
+        _lvl(est_n, ex_n, "n_name", "nation")
+        .unionByName(_lvl(est_r, ex_r, "r_name", "region"))
+        .unionByName(_lvl(est_t, ex_t, "grp", "total"))
+        .orderBy("level", "name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-RANGE rolling window
 

@@ -1384,3 +1384,48 @@ def test_bm25_self_retrieval_and_rank_contract(spark):
         scores = [r.bm25 for r in rows]
         assert scores == sorted(scores, reverse=True)
         assert scores[-1] > 0
+
+
+def test_hll_portable_merge_identity_and_error(spark):
+    """Portable-HLL invariants: (1) a region's registers MERGED from its
+    nations' registers are bit-identical to registers built directly
+    from the region's keys (MAX is associative — the mergeable-summary
+    contract); (2) every rollup level estimates within a loose 20%
+    envelope of the exact distinct count (σ ≈ 1.04/√256 ≈ 6.5%;
+    measured worst ≤ 15.6% across sf0.001/0.01/0.1)."""
+    from distribot_spark.operators import hll as H
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    cust = load_table(spark, SF_ORACLE, "customer")
+    nation = load_table(spark, SF_ORACLE, "nation")
+    base = (
+        orders.select("o_custkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("o_custkey").alias("k"), "n_name", "n_regionkey")
+    )
+    regs_n = H.build_hll(base, "k", ["n_name", "n_regionkey"])
+    merged = {
+        (r.n_regionkey, r.b): r.m_rho
+        for r in H.merge_hll(regs_n, ["n_regionkey"]).collect()
+    }
+    direct = {
+        (r.n_regionkey, r.b): r.m_rho
+        for r in H.build_hll(base, "k", ["n_regionkey"]).collect()
+    }
+    assert merged == direct  # bit-identical registers
+
+    est = {
+        r.n_regionkey: r.est
+        for r in H.estimate_hll(
+            H.merge_hll(regs_n, ["n_regionkey"]), ["n_regionkey"]
+        ).collect()
+    }
+    exact = {
+        r.n_regionkey: r.ex
+        for r in base.groupBy("n_regionkey")
+        .agg(F.count_distinct("k").alias("ex"))
+        .collect()
+    }
+    for rk, ex in exact.items():
+        assert abs(est[rk] - ex) / ex < 0.20, (rk, est[rk], ex)
