@@ -147,6 +147,71 @@ def doc_rolling_hash(spark, sf_dir):
     return docs.select("doc_id", rolling.alias("rhash")).orderBy("doc_id")
 
 
+_FP_P = 1_000_000_007
+
+
+def _fp_term_sql(div_unused: str = "") -> str:
+    """One character's fingerprint contribution: (c+1) · W(i) mod P,
+    W(i) = the validated two-round quadratic mixer from operators/hll.py
+    (affine weights would make anagram-with-compensating-positions
+    collisions trivial). c ≤ 0x10FFFF and W < P ≈ 2^30, so each term
+    < 2^51 — int64-safe, identical text in both engines."""
+    from distribot_spark.operators.hll import hash_sql
+
+    return f"(((c + 1) * {hash_sql('i')}) % {_FP_P})"
+
+
+@register(
+    "doc_fingerprint_positional",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(1, length(text))) AS i0
+      FROM documents
+    ), chars AS (
+      SELECT doc_id, CAST(i0 AS BIGINT) AS i,
+             CAST(ord(substr(text, CAST(i0 AS INT), 1)) AS BIGINT) AS c
+      FROM pos
+    )
+    SELECT doc_id, CAST(SUM({_fp_term_sql()}) % {_FP_P} AS BIGINT) AS fp
+    FROM chars GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def doc_fingerprint_positional(spark, sf_dir):
+    """Order-sensitive document fingerprint that hash-oracles — the
+    portable answer to doc_rolling_hash's murmur3 limitation:
+    fp = Σ_i (c_i + 1)·W(i) mod P, with W(i) the spelled-out two-round
+    quadratic mixer (operators/hll.py) on the 1-based char position.
+    Position weighting keeps it order-sensitive (transpositions change
+    the sum — pinned by test_positional_fingerprint_order_sensitive)
+    while the SUM of independent per-char terms is exact in ANY
+    accumulation order over int64 (term < 2^51; docs up to 2^12 chars
+    keep the sum < 2^63).
+
+    100 TB shape: unlike a sequential rolling fold (interpreted HOF,
+    one lambda step per char), this is posexplode → whole-stage-codegen
+    arithmetic → map-side partial SUM per doc — embarrassingly parallel,
+    and two halves of a split document combine by modular addition
+    (shift the second half's positions), so shard fingerprints merge
+    without re-reading text."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i0"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("i0").cast("long").alias("i"),
+        F.expr("ascii(substring(text, i0, 1))").cast("long").alias("c"),
+    )
+    return (
+        chars.groupBy("doc_id")
+        .agg(F.expr(f"SUM({_fp_term_sql()}) % {_FP_P}").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "q_salted_agg",
     oracle="""

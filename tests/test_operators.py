@@ -289,6 +289,38 @@ def test_rolling_hash_deterministic_and_discriminative(spark):
     assert distinct_ratio > 0.95, "fingerprints should discriminate docs"
 
 
+def test_positional_fingerprint_order_sensitive(spark):
+    """doc_fingerprint_positional must distinguish permutations of the
+    same characters (the property the md5 SET fingerprints lack) —
+    transposing the first two distinct chars of a doc changes the fp."""
+    from distribot_spark.queries.analytics_extra import _FP_P, _fp_term_sql
+
+    rows = [("d1", "abcd"), ("d2", "bacd"), ("d3", "abdc")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    chars = df.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i0"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("i0").cast("long").alias("i"),
+        F.expr("ascii(substring(text, i0, 1))").cast("long").alias("c"),
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in chars.groupBy("doc_id")
+        .agg(F.expr(f"SUM({_fp_term_sql()}) % {_FP_P}").alias("fp"))
+        .collect()
+    }
+    assert len(set(fps.values())) == 3, f"permutation collision: {fps}"
+    # and on the real table: discriminative + in-range
+    out = {r.doc_id: r.fp
+           for r in QUERIES["doc_fingerprint_positional"]
+           .builder(spark, SF_ORACLE).collect()}
+    assert all(0 <= v < _FP_P for v in out.values())
+    assert len(set(out.values())) / len(out) > 0.95
+
+
 def test_multimodal_resize_and_frames(spark):
     import numpy as np
 
