@@ -124,6 +124,53 @@ def source_partitioned_read(spark, sf_dir):
 
 
 @register(
+    "source_dpp_join",
+    oracle="""
+    SELECT n_name, COUNT(*) AS cnt,
+           ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2)::DOUBLE + 0.0
+             AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 0
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("sources", "partitioning", "join"),
+)
+def source_dpp_join(spark, sf_dir):
+    """Dynamic partition pruning: customer is hive-partitioned on the
+    join key (c_nationkey); the only filter lives on the OTHER side
+    (nation.n_regionkey), so static pruning can't help — at runtime the
+    broadcast nation result is reused as a partition filter and the fact
+    scan touches 5 of 25 directories (dynamicpruningexpression in the
+    scan, asserted in tests/test_plans.py::test_dpp_prunes_fact_scan).
+    This is AQE-era table stakes at 100 TB: the date-dim → fact pattern
+    where the fact never materializes a full scan. Static twin:
+    source_partitioned_read."""
+    out = os.path.join(TMP_ROOT, f"part_customer_{_tag(sf_dir)}")
+    cust = load_table(spark, sf_dir, "customer")
+    if not os.path.isdir(out):
+        write_partitioned(
+            cust.select("c_custkey", "c_acctbal", "c_nationkey"),
+            out, ["c_nationkey"],
+        )
+    fact = read_any(spark, out, fmt="parquet")
+    dim = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    return (
+        fact.join(
+            F.broadcast(dim), fact.c_nationkey == dim.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            (
+                F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)")), 2)
+                .cast("double") + F.lit(0.0)
+            ).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
     "source_bucketed_join",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS cnt,

@@ -121,6 +121,21 @@ def test_partitioned_scan_prunes(spark):
     assert m and "o_orderstatus" in m.group(1)
 
 
+def test_dpp_prunes_fact_scan(spark):
+    """source_dpp_join: the only filter is on the dim side, so the fact's
+    partition filter must be DYNAMIC — a dynamicpruningexpression fed by
+    the reused broadcast of nation, not a static literal list (and not a
+    post-scan row filter)."""
+    df = q(spark, "source_dpp_join")
+    plan = explain_string(df)
+    assert "dynamicpruning" in plan.lower(), (
+        "fact scan is not dynamically pruned:\n" + plan[:2000]
+    )
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "c_nationkey" in m.group(1)
+
+
 def test_bucketed_join_no_exchange(spark):
     """Both sides bucketed on the join key ⇒ SortMergeJoin without any
     Exchange: the shuffle was paid at write time."""
