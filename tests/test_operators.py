@@ -321,6 +321,35 @@ def test_positional_fingerprint_order_sensitive(spark):
     assert len(set(out.values())) / len(out) > 0.95
 
 
+def test_positional_fingerprint_shards_merge(spark):
+    """The docstring's merge claim, pinned: a document split into two
+    shards fingerprints to the SAME value when the second shard keeps
+    its GLOBAL char positions — shard sums combine by modular addition,
+    no re-read of the full text."""
+    from distribot_spark.queries.analytics_extra import _FP_P, _fp_term_sql
+
+    text = "the quick brown fox jumps over the lazy dog"
+    cut = 17
+    shards = [("whole", text, 0), ("s1", text[:cut], 0), ("s2", text[cut:], cut)]
+    df = spark.createDataFrame(shards, "part string, text string, off long")
+    chars = df.select(
+        "part",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i0"),
+        "text", "off",
+    ).select(
+        "part",
+        (F.col("i0").cast("long") + F.col("off")).alias("i"),
+        F.expr("ascii(substring(text, i0, 1))").cast("long").alias("c"),
+    )
+    sums = {
+        r.part: r.s
+        for r in chars.groupBy("part")
+        .agg(F.expr(f"SUM({_fp_term_sql()})").alias("s"))
+        .collect()
+    }
+    assert (sums["s1"] + sums["s2"]) % _FP_P == sums["whole"] % _FP_P
+
+
 def test_multimodal_resize_and_frames(spark):
     import numpy as np
 
