@@ -48,7 +48,11 @@ _C2 = 271828171
 
 M_BUCKETS = 256
 RHO_BITS = 22  # usable bits above the 8 bucket bits under P ~ 2^30
-_ALPHA_SQL = "0.7213e0 / (1.0e0 + 1.079e0 / 256)"
+# Derived — every literal in the estimate comes from M_BUCKETS/RHO_BITS
+# so retuning the sketch cannot leave a stale constant in one engine.
+_UNIT = 1 << (RHO_BITS + 1)  # harmonic-sum unit 2^-(RHO_BITS+1) → int64
+_LINEAR_CUTOFF = (5 * M_BUCKETS) // 2  # classic 2.5·m small-range switch
+_ALPHA_SQL = f"0.7213e0 / (1.0e0 + 1.079e0 / {M_BUCKETS})"
 
 
 def hash_sql(col: str) -> str:
@@ -112,10 +116,10 @@ def estimate_sql() -> str:
     in 2^-23 units, BIGINT) and V (empty buckets) — ONE identical
     expression tree in both engines. Small-range branch: linear
     counting when the raw estimate ≤ 2.5m and V > 0."""
-    raw = f"({_ALPHA_SQL}) * 65536 * 8388608 / S"
+    raw = f"({_ALPHA_SQL}) * {M_BUCKETS * M_BUCKETS} * {_UNIT} / S"
     return (
-        f"CASE WHEN ({raw}) <= 640 AND V > 0"
-        f" THEN 256 * LN(256.0e0 / V)"
+        f"CASE WHEN ({raw}) <= {_LINEAR_CUTOFF} AND V > 0"
+        f" THEN {M_BUCKETS} * LN({M_BUCKETS}.0e0 / V)"
         f" ELSE ({raw}) END"
     )
 
@@ -125,14 +129,15 @@ def estimate_hll(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
     shiftleft(1, 23 - m_rho) over PRESENT buckets (int64, exact in any
     order) plus V·2^23 for the absent ones."""
     agg = sketch.groupBy(*group_cols).agg(
-        F.sum(F.expr("shiftleft(1, 23 - m_rho)")).cast("long").alias("s_present"),
+        F.sum(F.expr(f"shiftleft(1, {RHO_BITS + 1} - m_rho)"))
+        .cast("long").alias("s_present"),
         F.count("*").alias("n_present"),
     )
     return agg.select(
         *group_cols,
         (
             F.col("s_present")
-            + (F.lit(M_BUCKETS) - F.col("n_present")) * F.lit(1 << (RHO_BITS + 1))
+            + (F.lit(M_BUCKETS) - F.col("n_present")) * F.lit(_UNIT)
         ).cast("long").alias("S"),
         (F.lit(M_BUCKETS) - F.col("n_present")).cast("long").alias("V"),
     ).select(*group_cols, F.expr(estimate_sql()).alias("est"))
@@ -145,8 +150,8 @@ def estimate_from_registers_sql(registers_cte: str, group_expr: str) -> str:
     return f"""
     SELECT grp, {estimate_sql()} AS est FROM (
       SELECT grp,
-             CAST(SUM(1 << (23 - m_rho))
-                  + (256 - COUNT(*)) * 8388608 AS BIGINT) AS S,
-             CAST(256 - COUNT(*) AS BIGINT) AS V
+             CAST(SUM(1 << ({RHO_BITS + 1} - m_rho))
+                  + ({M_BUCKETS} - COUNT(*)) * {_UNIT} AS BIGINT) AS S,
+             CAST({M_BUCKETS} - COUNT(*) AS BIGINT) AS V
       FROM {registers_cte} GROUP BY {group_expr})
     """

@@ -150,7 +150,7 @@ def doc_rolling_hash(spark, sf_dir):
 _FP_P = 1_000_000_007
 
 
-def _fp_term_sql(div_unused: str = "") -> str:
+def _fp_term_sql() -> str:
     """One character's fingerprint contribution: (c+1) · W(i) mod P,
     W(i) = the validated two-round quadratic mixer from operators/hll.py
     (affine weights would make anagram-with-compensating-positions
@@ -167,7 +167,7 @@ def _fp_term_sql(div_unused: str = "") -> str:
     WITH pos AS (
       SELECT doc_id, text,
              UNNEST(generate_series(1, length(text))) AS i0
-      FROM documents
+      FROM documents WHERE length(text) > 0
     ), chars AS (
       SELECT doc_id, CAST(i0 AS BIGINT) AS i,
              CAST(ord(substr(text, CAST(i0 AS INT), 1)) AS BIGINT) AS c
@@ -195,7 +195,10 @@ def doc_fingerprint_positional(spark, sf_dir):
     and two halves of a split document combine by modular addition
     (shift the second half's positions), so shard fingerprints merge
     without re-reading text."""
-    docs = load_table(spark, sf_dir, "documents")
+    # length > 0 on BOTH sides: Spark sequence(1, 0) steps DOWN to [1, 0]
+    # while DuckDB generate_series(1, 0) is empty — an empty doc would
+    # fingerprint in one engine and vanish in the other.
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     chars = docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i0"),
