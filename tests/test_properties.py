@@ -318,3 +318,56 @@ def test_star_equals_propagation_random(spark, edges):
     a = {(r.id, r.comp) for r in connected_components(df).collect()}
     b = {(r.id, r.comp) for r in connected_components_star(df).collect()}
     assert a == b
+
+
+# -- positional fingerprint: equals the pure-python model on any ASCII text --
+
+_fp_texts_st = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0, max_size=40),
+    min_size=1, max_size=8,
+)
+
+
+def _fp_model(text: str) -> int:
+    """Pure-python twin of _fp_term_sql: (c+1)·mixer(i) mod P summed."""
+    P_BIG = 1_000_000_007  # bloom.P, the mixer modulus
+    FP_P = 1_000_000_007
+    out = 0
+    for i, ch in enumerate(text, 1):
+        x0 = abs(i) % P_BIG
+        x1 = (x0 * x0 + 314159257) % P_BIG
+        w = (x1 * x1 + 271828171) % P_BIG
+        out += ((ord(ch) + 1) * w) % FP_P
+    return out % FP_P
+
+
+@settings(**_SETTINGS)
+@given(texts=_fp_texts_st)
+def test_positional_fingerprint_matches_python_model(spark, texts):
+    """The Spark expression tree computes EXACTLY the python model for
+    arbitrary printable-ASCII strings — including the empty-string rule
+    (no output row, mirroring the oracle's generate_series(1,0))."""
+    from pyspark.sql import functions as F
+
+    from distribot_spark.queries.analytics_extra import _FP_P, _fp_term_sql
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chars = df.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i0"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("i0").cast("long").alias("i"),
+        F.expr("ascii(substring(text, i0, 1))").cast("long").alias("c"),
+    )
+    got = {
+        r.doc_id: r.fp
+        for r in chars.groupBy("doc_id")
+        .agg(F.expr(f"SUM({_fp_term_sql()}) % {_FP_P}").alias("fp"))
+        .collect()
+    }
+    want = {i: _fp_model(t) for i, t in rows if len(t) > 0}
+    assert got == want
