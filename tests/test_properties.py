@@ -371,3 +371,47 @@ def test_positional_fingerprint_matches_python_model(spark, texts):
     }
     want = {i: _fp_model(t) for i, t in rows if len(t) > 0}
     assert got == want
+
+
+# -- sketches on SIGNED key domains: the abs() guard is load-bearing --------
+
+_signed_keys_st = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    min_size=1, max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(keys=_signed_keys_st)
+def test_bloom_no_false_negatives_on_signed_keys(spark, keys):
+    """build_bloom/probe_bloom on keys spanning the full signed range:
+    every inserted key must probe as a candidate (the one-sided Bloom
+    guarantee), and the abs() in _position must keep bit positions and
+    shift counts non-negative — a negative shift is where Spark (Java
+    mod-64 wrap) and DuckDB diverge silently."""
+    from distribot_spark.operators.bloom import build_bloom, probe_bloom
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = build_bloom(df, "k", m=1024, k=3)
+    probed = probe_bloom(df, "k", bloom, m=1024, k=3).collect()
+    misses = [r.k for r in probed if not r.bloom_candidate]
+    assert not misses, f"false negatives on signed keys: {misses[:5]}"
+
+
+@settings(**_SETTINGS)
+@given(keys=_signed_keys_st)
+def test_cms_never_underestimates_on_signed_keys(spark, keys):
+    """CMS one-sided guarantee on a signed key domain: the estimate for
+    every key is >= its true count."""
+    from collections import Counter
+
+    from distribot_spark.operators.cms import build_cms, probe_cms
+
+    truth = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    cms = build_cms(df, "k", d=3, w=64)
+    distinct = spark.createDataFrame([(k,) for k in truth], "k long")
+    est = {r.k: r.cms_estimate
+           for r in probe_cms(distinct, "k", cms, d=3, w=64).collect()}
+    under = {k: (est[k], truth[k]) for k in truth if est[k] < truth[k]}
+    assert not under, f"CMS underestimated: {dict(list(under.items())[:5])}"
