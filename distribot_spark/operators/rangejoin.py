@@ -41,6 +41,13 @@ def point_in_interval_join(
     `point_col` / `start_col` / `end_col` must be numeric (cast
     timestamps to epoch or day numbers first) and the two inputs must not
     share column names. Returns points+intervals columns, `_bin` dropped.
+
+    PRECONDITION: intervals must satisfy start <= end. An inverted
+    interval still returns no matches (the refine filter is
+    unsatisfiable) but explodes a DESCENDING bin sequence in Spark where
+    a SQL oracle's generate_series would be empty — wasted candidates
+    and a cross-engine row-shape difference if an oracle ever counts the
+    candidate stage. See CLAUDE.md's sequence/generate_series note.
     """
     def nbin(c):
         return F.floor(F.col(c) / F.lit(bin_width)).cast("long")
