@@ -321,7 +321,10 @@ class ContinuousFlowRunner:
         for phase in spec.phases:
             handlers = []
             for ph in phase.handlers:
-                version, impl = engine.registry.resolve(ph.name, ph.version)
+                # Resolve over local-registry UNION live capabilities so a
+                # version deployed mid-flow via FlowEngine.deploy is visible
+                # to continuous flows too (same path batch phases use).
+                version, impl = engine._resolve(ph.name, ph.version)
                 label = f"{ph.name}@{version}"
                 if self.worker_tag is not None:
                     label += f"#{self.worker_tag}"

@@ -332,10 +332,25 @@ class FlowEngine:
                 if self.state.try_claim(flow_id, gate, self.worker_id):
                     self.state.set_control(flow_id, "finished")
                 else:
+                    # A cancel/pause can land between the winner's claim and
+                    # its control write: exit the wait on ANY terminal or
+                    # pause state, and make the lease-age recovery a no-op
+                    # when the control is already terminal (never overwrite
+                    # "canceled" with "finished").
                     self._await(
-                        lambda: self.state.control_state(flow_id) == "finished",
-                        recover=lambda: self.state.set_control(flow_id, "finished"),
+                        lambda: self.state.control_state(flow_id)
+                        in ("finished", CANCELED, "pause"),
+                        recover=lambda: (
+                            self.state.control_state(flow_id)
+                            in ("finished", CANCELED, "pause")
+                            or self.state.set_control(flow_id, "finished")
+                        ),
                     )
+                ctl = self.state.control_state(flow_id)
+                if ctl == CANCELED:
+                    return CANCELED
+                if ctl == "pause":
+                    return PAUSED
                 self._emit("flow.finished", flow_id)
                 if on_complete is not None:
                     on_complete(flow_id)

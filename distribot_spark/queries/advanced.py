@@ -2011,7 +2011,8 @@ def q_tpch19_disjunctive(spark, sf_dir):
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-02-01')
     SELECT promo_e4, total_e4,
-           promo_e4 * 1000000 // total_e4 AS promo_share_micro
+           (promo_e4 // 10000) * 1000000 // (total_e4 // 10000)
+             AS promo_share_micro
     FROM m
     """,
     tags=("agg", "conditional", "tpch"),
@@ -2045,7 +2046,13 @@ def q_tpch14_promo_share(spark, sf_dir):
     )
     return m.select(
         "promo_e4", "total_e4",
-        F.expr("promo_e4 * 1000000 DIV total_e4").alias("promo_share_micro"),
+        # Share computed from whole-dollar units: e4 sums at sf>=1 would
+        # overflow int64 when multiplied by 1e6 (Spark wraps, DuckDB
+        # raises). DIV 10000 first gives ~1e4x headroom (overflow needs
+        # > $9.2e12 revenue per group, ~sf3000); both operands are
+        # non-negative so Spark DIV (truncate) == DuckDB // (floor).
+        F.expr("(promo_e4 DIV 10000) * 1000000 DIV (total_e4 DIV 10000)")
+         .alias("promo_share_micro"),
     )
 
 
@@ -2177,7 +2184,8 @@ def q_tpch07_volume_shipping(spark, sf_dir):
       WHERE r_name = 'ASIA'
       GROUP BY 1)
     SELECT o_year, nation_e4, total_e4,
-           nation_e4 * 1000000 // total_e4 AS share_micro
+           (nation_e4 // 10000) * 1000000 // (total_e4 // 10000)
+             AS share_micro
     FROM v ORDER BY o_year
     """,
     tags=("join", "conditional", "tpch"),
@@ -2217,7 +2225,10 @@ def q_tpch08_market_share(spark, sf_dir):
     )
     return v.select(
         "o_year", "nation_e4", "total_e4",
-        F.expr("nation_e4 * 1000000 DIV total_e4").alias("share_micro"),
+        # Whole-dollar downscale before the 1e6 scale-up: keeps the int64
+        # product in range to ~sf3000 (see q_tpch14_promo_share).
+        F.expr("(nation_e4 DIV 10000) * 1000000 DIV (total_e4 DIV 10000)")
+         .alias("share_micro"),
     ).orderBy("o_year")
 
 

@@ -116,7 +116,15 @@ class BrokerLog:
             if os.path.exists(self._part_path(p)):
                 old = pq.read_table(self._part_path(p))
                 tbl = pa.concat_tables([old, tbl])
-            pq.write_table(tbl, self._part_path(p))
+            # Atomic replace (the repo's tmp-then-rename discipline,
+            # flow/state.py): a crash mid-write leaves the old partition
+            # file intact instead of a torn parquet. NOTE: each append
+            # rewrites the full partition file — O(n) per append — which
+            # is fine for the bounded test broker; a production log would
+            # append per-chunk segment files instead.
+            tmp = self._part_path(p) + f".tmp.{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, self._part_path(p))
 
     def records(self) -> pa.Table:
         """Every record, globally ordered by (ts, partition, offset) — the
