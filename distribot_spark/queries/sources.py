@@ -282,6 +282,109 @@ def source_merge_upsert(spark, sf_dir):
     )
 
 
+@register(
+    "source_merge_concurrent",
+    oracle="""
+    WITH ua AS (
+      SELECT o_orderkey, 'P' AS st,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2) AS DOUBLE)
+               AS price
+      FROM orders WHERE o_orderkey % 1000 = 0),
+    ub AS (
+      SELECT o_orderkey, 'Q' AS st,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 3, 2) AS DOUBLE)
+               AS price
+      FROM orders WHERE o_orderkey % 1000 = 8),
+    merged AS (
+      SELECT o.o_orderkey,
+             COALESCE(ub.st, ua.st, o.o_orderstatus) AS o_orderstatus,
+             COALESCE(ub.price, ua.price, o.o_totalprice) AS o_totalprice
+      FROM orders o
+      LEFT JOIN ua ON o.o_orderkey = ua.o_orderkey
+      LEFT JOIN ub ON o.o_orderkey = ub.o_orderkey)
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("sources", "merge", "acid"),
+)
+def source_merge_concurrent(spark, sf_dir):
+    """TWO writers MERGE into ONE table through the optimistic-commit
+    log (sources/acid.py — the flow/state.py O_CREAT|O_EXCL claim
+    discipline extended to data-table versions), with the conflict path
+    exercised DETERMINISTICALLY: writer B snapshots, computes its bucket
+    rewrite, and only then writer A commits a version touching B's
+    buckets — B's first commit loses, it rebases against A's state and
+    commits on the retry. The final table therefore contains BOTH update
+    sets (no lost update), which the oracle checks by applying both
+    relationally. Writers touch overlapping buckets (keys ≡0 and ≡8
+    mod 1000 share buckets {0,8} mod 16) so the rebase is a genuine
+    recompute, not the cheap disjoint re-commit. The stochastic
+    two-OS-process version of this is tests/test_table_acid.py."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        merge_upsert_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_orders_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+
+    def updates(mod_rem: int, status: str, mult: int):
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 1000 == mod_rem)
+            .select(
+                "o_orderkey",
+                F.lit(status).alias("o_orderstatus"),
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * mult, 2)
+                .cast("double").alias("o_totalprice"),
+            )
+        )
+
+    stats = {}
+
+    def interleave_a(parent_version):
+        # runs between B's compute and B's first commit attempt — commit
+        # A's update set so B's parent moves under it (first call only)
+        if "a" not in stats:
+            stats["a"] = merge_upsert_spark(
+                spark, table, updates(0, "P", 2), "o_orderkey", 16, "writer-a"
+            )
+
+    stats["b"] = merge_upsert_spark(
+        spark, table, updates(8, "Q", 3), "o_orderkey", 16, "writer-b",
+        pre_commit_hook=interleave_a,
+    )
+    # the forced interleaving must have actually conflicted: B needed two
+    # attempts and one rebase, and both writers' versions committed
+    assert stats["a"]["committed_version"] == 1, stats
+    assert stats["b"] == {"committed_version": 2, "attempts": 2,
+                          "recomputes": 1}, stats
+    table.vacuum()
+
+    # read THROUGH the snapshot (the log's live file set), not the raw
+    # directory — the reader-side half of the isolation contract
+    back = spark.read.parquet(*table.live_paths())
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _drop_orphan_location(spark, table: str) -> None:
     """A fresh session's in-memory catalog forgets tables but their
     warehouse directories persist; clear the orphan so saveAsTable can

@@ -1,5 +1,11 @@
 """Sources & sinks: format readers/writers and layout-aware sinks."""
 
+from distribot_spark.sources.acid import (
+    TableLog,
+    merge_upsert_pandas,
+    merge_upsert_spark,
+    write_initial_spark,
+)
 from distribot_spark.sources.io import (
     read_any,
     write_any,
@@ -7,4 +13,8 @@ from distribot_spark.sources.io import (
     write_partitioned,
 )
 
-__all__ = ["read_any", "write_any", "write_partitioned", "write_bucketed_table"]
+__all__ = [
+    "read_any", "write_any", "write_partitioned", "write_bucketed_table",
+    "TableLog", "merge_upsert_pandas", "merge_upsert_spark",
+    "write_initial_spark",
+]

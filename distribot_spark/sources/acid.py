@@ -1,0 +1,422 @@
+"""Multi-writer ACID table commits on plain parquet.
+
+The reference's durability story is shared mutable state that stays
+correct under many concurrent writers (flow.rb:31-52 — every daemon
+mutates one Redis hash; connector.rb:59 — durable queues absorb
+competing producers). The repo's *flow* state already has that property
+via the claim table's O_CREAT|O_EXCL one-winner discipline
+(flow/state.py). This module extends the same discipline to DATA TABLE
+writes, so two engine processes can MERGE into one table concurrently
+with serializable outcomes — the capability Delta/Iceberg would provide,
+rebuilt from the one primitive the sandbox has (no `delta` package here;
+see tests/test_format_canaries.py for the auto-activating Delta twin).
+
+Design (a minimal Delta-style log):
+
+- ``data/`` holds immutable parquet files, each covering exactly ONE
+  key bucket, named by uuid — writers never modify a file in place, so
+  uncommitted work is invisible and torn writes are impossible.
+- ``_log/v{N:012d}.json`` is commit N: ``{parent, adds, removes,
+  writer}``. It is created tmp-then-``os.link`` — link(2) is atomic and
+  fails if the target exists, so exactly one writer wins each version
+  (the flow/state.py:367 claim primitive; maps to a conditional PUT on
+  an object store). The live file set at version V is the fold of
+  adds∖removes over v0..vV.
+- Every CHECKPOINT_EVERY commits the winner also writes
+  ``v{N}.checkpoint.json`` with the full live set, so a snapshot reads
+  O(CHECKPOINT_EVERY) log files, not O(V) — the Delta `_last_checkpoint`
+  pattern, which is what keeps log replay flat at millions of commits.
+
+MERGE protocol (optimistic concurrency):
+
+1. read snapshot (version V, live files);
+2. compute the merged content of the TOUCHED buckets only and write it
+   as new data files (cost scales with the update set, not the table);
+3. try to commit V+1 removing the replaced bucket files and adding the
+   new ones;
+4. on losing V+1: re-read the snapshot. If no committed-in-between
+   version touched our buckets (all our `removes` still live), RE-COMMIT
+   the same files at the next version — no recompute, the cheap
+   disjoint-writer path. Otherwise recompute step 2 against the new
+   snapshot (rebase) and retry.
+
+No lost updates: every commit names its parent snapshot; a writer whose
+parent moved either proves bucket-disjointness or rebases. Two writers
+upserting interleaved key sets therefore serialize to the same state as
+any sequential order (upserts on distinct keys commute), which
+tests/test_table_acid.py proves with two OS processes.
+
+Buckets use ``pmod(key, n_buckets)`` — portable across Spark / DuckDB /
+pandas so every engine (and the hash oracle) agrees on file boundaries.
+At 100 TB the bucket fn would be ``pmod(xxhash64(key), n)`` for skew
+resistance; modulo keeps the demo engine-portable, the protocol is
+identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+CHECKPOINT_EVERY = 10
+
+
+def _pmod(x: int, n: int) -> int:
+    return ((x % n) + n) % n
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first."""
+
+
+class TableLog:
+    """Versioned parquet table with atomic multi-process commits."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        self.data_dir = os.path.join(path, "data")
+
+    # -- log primitives ---------------------------------------------------
+
+    def init(self) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    def _commit_path(self, v: int) -> str:
+        return os.path.join(self.log_dir, f"v{v:012d}.json")
+
+    def _checkpoint_path(self, v: int) -> str:
+        return os.path.join(self.log_dir, f"v{v:012d}.checkpoint.json")
+
+    def version(self) -> int:
+        """Highest committed version, -1 for an empty table."""
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return -1
+        vs = [
+            int(n[1:13]) for n in names
+            if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        ]
+        return max(vs, default=-1)
+
+    def read_commit(self, v: int) -> dict:
+        with open(self._commit_path(v)) as fh:
+            return json.load(fh)
+
+    def snapshot(self) -> tuple[int, dict[str, int]]:
+        """(version, {data file name -> bucket}) of the latest committed
+        state. Replays from the newest checkpoint at or below the head,
+        so cost is bounded by CHECKPOINT_EVERY regardless of history."""
+        v = self.version()
+        live: dict[str, int] = {}
+        if v < 0:
+            return v, live
+        start = 0
+        ckpt = (v // CHECKPOINT_EVERY) * CHECKPOINT_EVERY
+        while ckpt > 0:
+            p = self._checkpoint_path(ckpt)
+            if os.path.exists(p):
+                with open(p) as fh:
+                    live = {f: int(b) for f, b in json.load(fh)["live"].items()}
+                start = ckpt + 1
+                break
+            ckpt -= CHECKPOINT_EVERY
+        for i in range(start, v + 1):
+            c = self.read_commit(i)
+            for f in c["removes"]:
+                live.pop(f, None)
+            for a in c["adds"]:
+                live[a["file"]] = int(a["pb"])
+        return v, live
+
+    def try_commit(
+        self,
+        parent: int,
+        adds: list[dict],
+        removes: list[str],
+        writer: str,
+    ) -> bool:
+        """Atomically commit version ``parent+1``; True iff THIS caller
+        created it. Body is full before the link lands (tmp-then-link),
+        so a reader never sees a torn manifest — the flow/state.py claim
+        discipline applied to table versions."""
+        v = parent + 1
+        path = self._commit_path(v)
+        body = {
+            "version": v,
+            "parent": parent,
+            "writer": writer,
+            "ts": time.time(),
+            "adds": adds,
+            "removes": removes,
+        }
+        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        if v > 0 and v % CHECKPOINT_EVERY == 0:
+            # winner-only, crash-tolerant: a missing checkpoint just means
+            # snapshot() replays from the previous one.
+            _, live = self._replay_to(v)
+            ctmp = self._checkpoint_path(v) + f".tmp{uuid.uuid4().hex[:6]}"
+            with open(ctmp, "w") as fh:
+                json.dump({"version": v, "live": live}, fh)
+            os.replace(ctmp, self._checkpoint_path(v))
+        return True
+
+    def _replay_to(self, v: int) -> tuple[int, dict[str, int]]:
+        live: dict[str, int] = {}
+        for i in range(0, v + 1):
+            c = self.read_commit(i)
+            for f in c["removes"]:
+                live.pop(f, None)
+            for a in c["adds"]:
+                live[a["file"]] = int(a["pb"])
+        return v, live
+
+    # -- data files -------------------------------------------------------
+
+    def new_data_file(self, bucket: int) -> str:
+        return f"pb{bucket:05d}-{uuid.uuid4().hex}.parquet"
+
+    def data_path(self, name: str) -> str:
+        return os.path.join(self.data_dir, name)
+
+    def live_paths(self, buckets: set[int] | None = None) -> list[str]:
+        _, live = self.snapshot()
+        return [
+            self.data_path(f)
+            for f, b in sorted(live.items())
+            if buckets is None or b in buckets
+        ]
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO commit's live set — debris
+        from writers that crashed between writing data and committing, or
+        files replaced by later versions. Safe because files are
+        immutable and the live set is read atomically from the log.
+        (A production vacuum would also honor a retention window so
+        in-flight readers of old snapshots finish; readers here re-resolve
+        the snapshot per query.)"""
+        _, live = self.snapshot()
+        removed = []
+        for name in os.listdir(self.data_dir):
+            if name not in live:
+                os.unlink(self.data_path(name))
+                removed.append(name)
+        return removed
+
+
+# -- engine-agnostic MERGE (pandas/pyarrow client) -------------------------
+
+
+def merge_upsert_pandas(
+    table: TableLog,
+    updates,
+    key: str,
+    n_buckets: int,
+    writer: str,
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """Keyed MERGE (upsert) of a pandas frame through the OCC protocol.
+
+    The protocol does not care which engine computes the bucket rewrite —
+    this pandas path is what a lightweight client (or a test worker
+    process, tests/acid_worker_proc.py) uses; `merge_upsert_spark` is the
+    cluster path. Returns writer stats: {committed_version, attempts,
+    recomputes}. ``pre_commit_hook`` (tests only) runs between compute
+    and commit to force deterministic interleavings."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    up = updates.copy()
+    up["_pb"] = up[key].astype("int64").map(lambda k: _pmod(int(k), n_buckets))
+    touched = set(int(b) for b in up["_pb"].unique())
+    attempts = 0
+    recomputes = 0
+    staged: list[dict] | None = None
+    replaced: list[str] | None = None
+    parent = -2  # force first compute
+
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        bucket_files = {
+            f: b for f, b in live.items() if b in touched
+        }
+        need_compute = staged is None or set(bucket_files) != set(replaced)
+        if need_compute:
+            # (re)compute the merged content of each touched bucket
+            if staged is not None:
+                recomputes += 1
+                for a in staged:  # abandon unreferenced files
+                    try:
+                        os.unlink(table.data_path(a["file"]))
+                    except FileNotFoundError:
+                        pass
+            staged, replaced = [], sorted(bucket_files)
+            for b in sorted(touched):
+                paths = [
+                    table.data_path(f)
+                    for f, bb in sorted(bucket_files.items()) if bb == b
+                ]
+                base = (
+                    pd.concat([pq.read_table(p).to_pandas() for p in paths],
+                              ignore_index=True)
+                    if paths else up.iloc[0:0].drop(columns=["_pb"])
+                )
+                u = up[up["_pb"] == b].drop(columns=["_pb"])
+                keep = base[~base[key].isin(set(u[key]))]
+                merged = pd.concat([keep, u], ignore_index=True)
+                merged = merged.sort_values(key).reset_index(drop=True)
+                name = table.new_data_file(b)
+                pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                               table.data_path(name))
+                staged.append({"file": name, "pb": b, "rows": len(merged)})
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        attempts += 1
+        if table.try_commit(v, staged, replaced, writer):
+            return {
+                "committed_version": v + 1,
+                "attempts": attempts,
+                "recomputes": recomputes,
+            }
+        # lost the race: loop re-reads the snapshot. If the winner's
+        # commit left our buckets untouched, replaced == new bucket_files
+        # and we re-commit the SAME staged files (no recompute).
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+# -- Spark MERGE -----------------------------------------------------------
+
+
+def merge_upsert_spark(
+    spark,
+    table: TableLog,
+    updates_df,
+    key: str,
+    n_buckets: int,
+    writer: str,
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """Keyed MERGE of a DataFrame through the OCC protocol.
+
+    Scale shape: the update set's buckets are the ONLY data read or
+    written — `live_paths(touched)` prunes at the file level before any
+    scan, the anti-join discards replaced keys, and the rewrite lands as
+    one immutable file per touched bucket. Commit cost is one atomic
+    link regardless of data size, so 1000 executors can prepare rewrites
+    while the driver serializes only the metadata append. Updates are
+    collected once to assign buckets driver-side ONLY for their distinct
+    bucket ids; the data path stays in Spark."""
+    from pyspark.sql import functions as F
+
+    up = updates_df.withColumn(
+        "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets)).cast("int")
+    )
+    touched = {int(r["_pb"]) for r in up.select("_pb").distinct().collect()}
+    cols = updates_df.columns
+    attempts = 0
+    recomputes = 0
+    staged: list[dict] | None = None
+    replaced: list[str] | None = None
+
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        bucket_files = {f: b for f, b in live.items() if b in touched}
+        need_compute = staged is None or set(bucket_files) != set(replaced)
+        if need_compute:
+            if staged is not None:
+                recomputes += 1
+                for a in staged:
+                    try:
+                        os.unlink(table.data_path(a["file"]))
+                    except FileNotFoundError:
+                        pass
+            replaced = sorted(bucket_files)
+            paths = [table.data_path(f) for f in replaced]
+            if paths:
+                base = spark.read.parquet(*paths).withColumn(
+                    "_pb",
+                    F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
+                    .cast("int"),
+                )
+                merged = (
+                    base.join(up.select(key), key, "left_anti")
+                    .select(*cols, "_pb")
+                    .unionByName(up.select(*cols, "_pb"))
+                )
+            else:
+                merged = up.select(*cols, "_pb")
+            # one output file per touched bucket: repartition ON the bucket
+            # column, then relocate Spark's part files under content names
+            tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")
+            (
+                merged.repartition(max(len(touched), 1), "_pb")
+                .write.mode("overwrite").partitionBy("_pb").parquet(tmp_out)
+            )
+            staged = []
+            for d in os.listdir(tmp_out):
+                if not d.startswith("_pb="):
+                    continue
+                b = int(d.split("=")[1])
+                for part in os.listdir(os.path.join(tmp_out, d)):
+                    if not part.endswith(".parquet"):
+                        continue
+                    name = table.new_data_file(b)
+                    shutil.move(os.path.join(tmp_out, d, part),
+                                table.data_path(name))
+                    staged.append({"file": name, "pb": b})
+            shutil.rmtree(tmp_out, ignore_errors=True)
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        attempts += 1
+        if table.try_commit(v, staged, replaced, writer):
+            return {
+                "committed_version": v + 1,
+                "attempts": attempts,
+                "recomputes": recomputes,
+            }
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+def write_initial_spark(spark, table: TableLog, df, key: str,
+                        n_buckets: int, writer: str = "init") -> int:
+    """Create version 0 from a DataFrame (one file per bucket)."""
+    from pyspark.sql import functions as F
+
+    table.init()
+    up = df.withColumn(
+        "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets)).cast("int")
+    )
+    tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")
+    (up.repartition(n_buckets, "_pb")
+       .write.mode("overwrite").partitionBy("_pb").parquet(tmp_out))
+    adds = []
+    for d in os.listdir(tmp_out):
+        if not d.startswith("_pb="):
+            continue
+        b = int(d.split("=")[1])
+        for part in os.listdir(os.path.join(tmp_out, d)):
+            if part.endswith(".parquet"):
+                name = table.new_data_file(b)
+                shutil.move(os.path.join(tmp_out, d, part),
+                            table.data_path(name))
+                adds.append({"file": name, "pb": b})
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    if not table.try_commit(-1, adds, [], writer):
+        raise CommitConflict("table already initialized")
+    return 0
