@@ -16,6 +16,8 @@ Output-mode choices per operator:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -672,9 +674,7 @@ def s16_stream_stream_full_outer(spark, sf_dir):
     ).orderBy("click_id", "view_id")
 
 
-@register(
-    "s17_stream_running_stats",
-    oracle="""
+_S17_ORACLE = """
     WITH c AS (
       SELECT event_type,
              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
@@ -690,7 +690,12 @@ def s16_stream_stream_full_outer(spark, sf_dir):
                       / (n_events * (n_events - 1))) / 100.0 * 10000) / 10000
              AS std_value
     FROM a ORDER BY event_type
-    """,
+"""
+
+
+@register(
+    "s17_stream_running_stats",
+    oracle=_S17_ORACLE,
     tags=("streaming", "stateful", "stats"),
 )
 def s17_stream_running_stats(spark, sf_dir):
@@ -703,6 +708,10 @@ def s17_stream_running_stats(spark, sf_dir):
     determinism). Mean/std derive from the integer sums with the same
     spelled-out arithmetic as q_anomaly_zscore. The batch projection
     keeps each key's final update via max_by(n)."""
+    return _running_stats(spark, sf_dir)
+
+
+def _running_stats(spark, sf_dir, checkpoint_dir=None):
     import numpy as np
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -734,7 +743,8 @@ def s17_stream_running_stats(spark, sf_dir):
             GroupStateTimeout.NoTimeout,
         )
 
-    updates = replay.run_bounded(spark, t, src, "update")
+    updates = replay.run_bounded(spark, t, src, "update",
+                                 checkpoint_dir=checkpoint_dir)
     final = updates.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("s1", "n_events").alias("s1"),
@@ -753,6 +763,45 @@ def s17_stream_running_stats(spark, sf_dir):
             / F.lit(10000.0)
         ).alias("std_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "s22_rocksdb_running_stats",
+    oracle=_S17_ORACLE,
+    tags=("streaming", "stateful", "rocksdb"),
+)
+def s22_rocksdb_running_stats(spark, sf_dir):
+    """s17's keyed running statistics executed under Spark's bundled
+    ROCKSDB state store provider (replay.rocksdb_state_store) — the
+    100 TB streaming-state lever: the default HDFS-backed provider holds
+    every key's state on-heap per executor, RocksDB spills keyed state
+    to local disk with an off-heap cache, so state size is bounded by
+    SSD, not JVM heap. Identical transform, identical oracle — the
+    provider must be semantics-invisible, which this oracle certifies.
+    The query PROVES the provider ran by inspecting the kept checkpoint:
+    RocksDB writes per-version `*.zip` snapshot artifacts where the
+    HDFS provider writes `*.delta` files."""
+    import glob
+    import shutil
+    import tempfile
+
+    from distribot_spark.streaming.replay import TMP_ROOT
+
+    ck = tempfile.mkdtemp(prefix="ckpt_rocksdb_", dir=TMP_ROOT)
+    try:
+        with replay.rocksdb_state_store(spark):
+            out = _running_stats(spark, sf_dir, checkpoint_dir=ck)
+        zips = glob.glob(os.path.join(ck, "state", "**", "*.zip"),
+                         recursive=True)
+        deltas = glob.glob(os.path.join(ck, "state", "**", "*.delta"),
+                           recursive=True)
+        assert zips and not deltas, (
+            f"RocksDB provider did not run: {len(zips)} zip / "
+            f"{len(deltas)} delta artifacts under {ck}"
+        )
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return out
 
 
 @register(

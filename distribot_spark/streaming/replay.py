@@ -145,6 +145,50 @@ class _few_state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+class rocksdb_state_store:
+    """Run stateful streaming under Spark's bundled RocksDB state store.
+
+    The default HDFS-backed provider keeps every key's state ON-HEAP in
+    each executor — fine for bounded replays, a hard ceiling for
+    100 TB-scale keyed state (dedup sets, session maps, running stats
+    over billions of keys). RocksDB spills state to local SSD with an
+    off-heap block cache, which is the provider a production deployment
+    of S6/S12/S17-class queries runs on. The provider class is read from
+    the session conf at QUERY START and baked into the checkpoint, so
+    this context only affects queries started inside it."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            self.spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", self.prev
+            )
+
+
 def run_bounded(
     spark: SparkSession,
     transform,
@@ -152,6 +196,7 @@ def run_bounded(
     output_mode: str,
     max_files_per_trigger: int = 1,
     n_sources: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run `transform(stream, ...)` over a bounded replay to completion and
     return the memory-sink result as a batch DataFrame.
@@ -159,6 +204,9 @@ def run_bounded(
     `source_dir` is a chunked-replay directory path or any bounded
     `sources.StreamSource`; `transform` receives `n_sources` independent
     readStream handles over the same source (stream-stream joins need two).
+    `checkpoint_dir` pins the checkpoint location AND keeps it after the
+    run (callers that inspect state-store artifacts, e.g. the RocksDB
+    provider proof); by default a temp checkpoint is used and removed.
     """
     from distribot_spark.streaming.sources import FileReplaySource, StreamSource
 
@@ -173,7 +221,7 @@ def run_bounded(
     _counter[0] += 1
     name = f"sink_{_counter[0]}_{uuid.uuid4().hex[:8]}"
     os.makedirs(TMP_ROOT, exist_ok=True)
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_", dir=TMP_ROOT)
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_", dir=TMP_ROOT)
     with _few_state_partitions(spark):
         out = transform(*streams)
         q = (
@@ -186,7 +234,8 @@ def run_bounded(
         )
         q.awaitTermination()
     result = spark.table(name)
-    shutil.rmtree(checkpoint, ignore_errors=True)
+    if checkpoint_dir is None:
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return result
 
 
