@@ -1,0 +1,228 @@
+"""Persisted retrieval indexes: train once, serve many.
+
+The per-query builders (`text.bm25_topk`, `similarity.ivf_topk`)
+recompute their index structures — postings / document frequencies /
+IVF centroids — on every call. A real pipeline materializes those ONCE
+and serves query batches against the artifacts; at 100 TB the build is
+a full-corpus job you cannot afford per query, while the artifacts are
+a pruned read (query-term postings only; probed IVF partitions only).
+
+This module persists both index families as plain parquet:
+
+BM25 (`build_bm25_index` / `load_bm25_index` / `serve_bm25_topk`):
+  postings/  (doc, term, tf)   — the inverted index
+  docfreq/   (term, df)
+  doclen/    (doc, dl)         — docs with ≥1 token (mirrors the builder)
+  docs/      (doc)             — ALL corpus ids (query-by-example pool)
+  stats/     (n_docs, sum_dl, n_dl) — additive scalars
+Serving routes the loaded relations through the SAME `text._bm25_rank`
+core the direct builder uses, so build-then-serve cannot drift — pinned
+exactly by tests and by the `l3_bm25_serve` oracle.
+
+Incremental maintenance (`merge_bm25_shard`): a NEW corpus shard
+(doc ids disjoint from the base — the append-only ingest contract)
+merges in shard-local work only: postings/doclen/docs union (disjoint
+docs), docfreq adds per-term, stats add. Every statistic BM25 reads is
+a sum over docs, so merge(build(A), B) ≡ build(A ∪ B) EXACTLY — the
+staleness contract tests/test_retrieval_index.py pins table-for-table.
+
+IVF (`build_ivf_index` / `serve_ivf_topk`):
+  centroids/ (cid, centroid array<double>) — the trained codebook
+  vectors/   partitioned by cluster (cid=…/) — corpus with assignment
+Serving loads the codebook (k×dim, driver-bounded), probes each query's
+`n_probe` nearest centroids, and scores exactly within the probed
+clusters; the cluster-partitioned layout makes the probe a PARTITION-
+PRUNED scan (only cid=… directories of probed clusters are read) —
+the artifact IS the pruning structure.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distribot_spark.operators import similarity, text
+
+# -- BM25 ------------------------------------------------------------------
+
+
+def build_bm25_index(
+    df: DataFrame, out_dir: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Materialize the BM25 index artifacts for `df` under `out_dir`."""
+    tf, docfreq, _ = text._term_stats(df, text_col, id_col)
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    docs = df.select(F.col(id_col).alias("doc"))
+    stats = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count("*").alias("n_dl")
+    ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
+    tf.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+    docfreq.write.mode("overwrite").parquet(os.path.join(out_dir, "docfreq"))
+    dl.write.mode("overwrite").parquet(os.path.join(out_dir, "doclen"))
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+    stats.select("n_docs", "sum_dl", "n_dl").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats")
+    )
+
+
+def load_bm25_index(spark: SparkSession, index_dir: str) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.parquet(os.path.join(index_dir, name))
+        for name in ("postings", "docfreq", "doclen", "docs", "stats")
+    }
+
+
+def serve_bm25_topk(
+    spark: SparkSession,
+    index_dir: str,
+    n_query_docs: int = 3,
+    terms_per_query: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Score query-by-example BM25 from PERSISTED artifacts — no corpus
+    scan, no stats recompute; identical output contract (and identical
+    ranking code path) to `text.bm25_topk` on the same corpus."""
+    ix = load_bm25_index(spark, index_dir)
+    n_docs = ix["stats"].select("n_docs")
+    qd = (
+        ix["docs"].select(F.col("doc").alias("qdoc"))
+        .orderBy("qdoc").limit(n_query_docs)
+    )
+    return text._bm25_rank(
+        ix["postings"], ix["docfreq"], n_docs, ix["doclen"], qd,
+        terms_per_query, k,
+    )
+
+
+def merge_bm25_shard(
+    spark: SparkSession,
+    base_dir: str,
+    shard_df: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally fold a NEW corpus shard into a persisted BM25 index.
+
+    Contract: shard doc ids are DISJOINT from the base corpus (append-
+    only ingest). Work is shard-local — the base corpus is never re-read,
+    only its (much smaller) artifact tables: postings/doclen/docs union,
+    docfreq adds per term, stats add. Result ≡ `build_bm25_index` on the
+    unioned corpus, table for table (pinned by the contract test)."""
+    base = load_bm25_index(spark, base_dir)
+    tf_s, docfreq_s, _ = text._term_stats(shard_df, text_col, id_col)
+    dl_s = tf_s.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    docs_s = shard_df.select(F.col(id_col).alias("doc"))
+
+    postings = base["postings"].unionByName(tf_s)
+    docfreq = (
+        base["docfreq"].unionByName(docfreq_s)
+        .groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    doclen = base["doclen"].unionByName(dl_s)
+    docs = base["docs"].unionByName(docs_s)
+    stats_s = dl_s.agg(
+        F.sum("dl").alias("sum_dl"), F.count("*").alias("n_dl")
+    ).crossJoin(F.broadcast(docs_s.agg(F.count("*").alias("n_docs"))))
+    stats = (
+        base["stats"].unionByName(stats_s.select("n_docs", "sum_dl", "n_dl"))
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+            F.sum("n_dl").alias("n_dl"),
+        )
+    )
+    postings.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+    docfreq.write.mode("overwrite").parquet(os.path.join(out_dir, "docfreq"))
+    doclen.write.mode("overwrite").parquet(os.path.join(out_dir, "doclen"))
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+    stats.write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+
+
+# -- IVF -------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    out_dir: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    seed: int = 11,
+) -> None:
+    """Train the IVF codebook once and lay the corpus out by cluster:
+    centroids/ holds the (k × dim) codebook; vectors/ is the corpus
+    with its assignment, PARTITIONED BY cid so a probe reads only the
+    probed clusters' directories (partition pruning is the recall/cost
+    dial, not a full scan)."""
+    spark = corpus.sparkSession
+    centroids = similarity.train_ivf_centroids(
+        corpus, n_clusters, sample_n=sample_n,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    )
+    cdf.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    assign1 = similarity._nearest_centroids_udf(centroids, 1)
+    vectors = corpus.select(
+        F.col(id_col).alias("nid"),
+        similarity._to_double(F.col(vec_col)).alias("v"),
+    ).withColumn("cid", F.element_at(assign1(F.col("v")), 1))
+    (
+        vectors.repartition(n_clusters, "cid")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+
+
+def load_ivf_codebook(spark: SparkSession, index_dir: str) -> np.ndarray:
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cid").collect()
+    )
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def serve_ivf_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: codebook loads driver-side (k × dim,
+    bounded), each query explodes to its `n_probe` nearest clusters, and
+    the cluster equi-join against the cid-partitioned vectors scans ONLY
+    the probed partitions. Output contract = `similarity.ivf_topk`; with
+    the same codebook parameters the results are identical rows (pinned
+    by test)."""
+    from pyspark.sql import Window
+
+    centroids = load_ivf_codebook(spark, index_dir)
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    proben = similarity._nearest_centroids_udf(centroids, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        similarity._to_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("probes", proben(F.col("qv")))
+    qx = q.select("qid", "qv", F.explode("probes").alias("cid"))
+    cands = F.broadcast(qx).join(vectors, "cid")
+    scored = cands.select(
+        "qid", "nid",
+        similarity.cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "rnk",
+                (F.round(F.col("cos") * 10000, 0) / 10000).alias("cos"))
+    )

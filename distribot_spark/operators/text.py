@@ -179,12 +179,28 @@ def bm25_topk(
     """
     tf, docfreq, n_docs = _term_stats(df, text_col, id_col)
     dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    qd = df.select(F.col(id_col).alias("qdoc")).orderBy("qdoc").limit(n_query_docs)
+    return _bm25_rank(tf, docfreq, n_docs, dl, qd, terms_per_query, k)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    docfreq: DataFrame,
+    n_docs: DataFrame,
+    dl: DataFrame,
+    qd: DataFrame,
+    terms_per_query: int,
+    k: int,
+) -> DataFrame:
+    """BM25 ranking core over term-statistics RELATIONS — the same code
+    path whether the stats were just computed (`bm25_topk`) or loaded
+    from persisted index artifacts (`operators/index.py` serve path), so
+    build-then-serve cannot drift from build-and-score."""
     stats = dl.agg(
         (F.sum("dl") / F.count("*")).alias("avgdl")
     ).crossJoin(F.broadcast(n_docs))
 
     # Query-term selection = tfidf()'s scoring (shared idf helper).
-    qd = df.select(F.col(id_col).alias("qdoc")).orderBy("qdoc").limit(n_query_docs)
     tfidf_idf = _smoothed_idf(docfreq, n_docs)
     q_scored = (
         tf.join(F.broadcast(qd), tf.doc == qd.qdoc)
