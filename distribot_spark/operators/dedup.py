@@ -392,7 +392,10 @@ def contamination_hits(
 # ---------------------------------------------------------------------------
 
 
-def dup_spans(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+def dup_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5,
+    hashed: bool = False,
+) -> DataFrame:
     """Maximal cross-document duplicated token spans per document.
 
     An n-token gram appearing in ≥2 distinct documents is a duplication
@@ -405,8 +408,15 @@ def dup_spans(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFram
 
     Scale shape: gram counts partial-aggregate map-side and only
     multi-doc grams return (semi-join, broadcast when small); islands
-    are per-document windows. At 100 TB, shuffle xxhash64(gram) instead
-    of the gram text (callers that need oracle parity keep the text)."""
+    are per-document windows. ``hashed=True`` is the 100 TB path: the
+    gram COLUMN becomes xxhash64(gram) before any shuffle, so the
+    count-distinct and seed semi-join carry 8-byte longs instead of
+    n-token strings (an n=5 gram averages ~30 bytes and the gram table
+    is the widest shuffle in the job). Identical span sets modulo
+    64-bit hash collisions (~n_grams²/2⁶⁵ expected false seeds —
+    at 10¹² grams that's <0.03 spurious seed pairs corpus-wide);
+    equality on the test corpus is pinned by
+    `test_dup_spans_hashed_matches_text_path`."""
     w = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("w")
     ).filter(F.size("w") >= n)  # Spark sequence(1, k<1) steps DOWNWARD
@@ -419,6 +429,8 @@ def dup_spans(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFram
             )
         ).alias("s"),
     ).select(id_col, "s.p", "s.g")
+    if hashed:
+        g = g.select(id_col, "p", F.xxhash64("g").alias("g"))
     dup = (
         g.groupBy("g")
         .agg(F.countDistinct(id_col).alias("nd"))

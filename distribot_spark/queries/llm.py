@@ -2426,9 +2426,7 @@ def l3_hybrid_bm25_dense(spark, sf_dir):
     )
 
 
-@register(
-    "doc_dup_spans",
-    oracle="""
+_DUP_SPANS_ORACLE = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     g AS (SELECT doc_id, i AS p, array_to_string(w[i:i+4], ' ') AS g
           FROM w, LATERAL unnest(range(1, len(w) - 3)) AS t(i)),
@@ -2452,7 +2450,12 @@ def l3_hybrid_bm25_dense(spark, sf_dir):
            ROUND(dup_tokens * 1.0 / len(w.w) * 1000000) / 1000000 AS dup_frac
     FROM per_doc d JOIN w USING (doc_id)
     ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "doc_dup_spans",
+    oracle=_DUP_SPANS_ORACLE,
     tags=("llm", "dedup", "text"),
 )
 def doc_dup_spans(spark, sf_dir):
@@ -2469,13 +2472,34 @@ def doc_dup_spans(spark, sf_dir):
     are bounded: grams partial-aggregate map-side, only multi-doc grams
     come back (semi-join), islands are per-doc windows. At 100 TB the
     gram string is replaced by xxhash64(gram) before the shuffle (8
-    bytes vs ~30) — kept as text here so the census stays
-    hash-oracle-able against DuckDB."""
+    bytes vs ~30) — that path is `doc_dup_spans_hashed` (same oracle);
+    this one keeps the text so both spellings stay certified."""
+    return _dup_span_census(spark, sf_dir, hashed=False)
+
+
+@register(
+    "doc_dup_spans_hashed",
+    oracle=_DUP_SPANS_ORACLE,
+    tags=("llm", "dedup", "text", "hashed"),
+)
+def doc_dup_spans_hashed(spark, sf_dir):
+    """doc_dup_spans' 100 TB spelling: `dup_spans(..., hashed=True)`
+    shuffles xxhash64(gram) longs instead of gram TEXT — the widest
+    shuffle of the job drops from ~30 bytes/row to 8 — with the span
+    logic untouched. Shares doc_dup_spans' full oracle: identical span
+    census modulo 64-bit collisions, which the oracle run certifies are
+    absent on this corpus (and are ~n_grams²/2⁶⁵ expected at scale).
+    The scrubber composes unchanged
+    (`test_scrub_composes_with_hashed_spans`)."""
+    return _dup_span_census(spark, sf_dir, hashed=True)
+
+
+def _dup_span_census(spark, sf_dir, hashed):
     from distribot_spark.operators.dedup import dup_spans
 
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
-    spans = dup_spans(docs, "text", "doc_id", n=5)
+    spans = dup_spans(docs, "text", "doc_id", n=5, hashed=hashed)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("lp") - F.col("fp") + 5).alias("dup_tokens"),
@@ -2549,12 +2573,18 @@ def doc_scrub_spans(spark, sf_dir):
     per document (equi-join on doc_id + bounded range predicate; spans
     per doc are few), ordered reassembly is an array_sort over (p, tok)
     structs — no window, no driver. Documents shorter than the gram
-    width pass through untouched by construction."""
+    width pass through untouched by construction. Composes unchanged
+    with the hashed-gram span path (`_scrub_span_census(hashed=True)`,
+    pinned by `test_scrub_composes_with_hashed_spans`)."""
+    return _scrub_span_census(spark, sf_dir, hashed=False)
+
+
+def _scrub_span_census(spark, sf_dir, hashed):
     from distribot_spark.operators.dedup import dup_spans
 
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
-    spans = dup_spans(docs, "text", "doc_id", n=5).select(
+    spans = dup_spans(docs, "text", "doc_id", n=5, hashed=hashed).select(
         "doc_id", "fp", (F.col("lp") + 4).alias("cov")
     )
     toks = w.select(

@@ -1389,6 +1389,45 @@ def test_dup_spans_structural_invariants(spark):
     )
 
 
+def test_dup_spans_hashed_matches_text_path(spark):
+    """The 100 TB spelling (shuffle xxhash64(gram) longs instead of gram
+    text) must produce the IDENTICAL span set as the text path on the
+    test corpus — hashing only narrows the shuffled column, never the
+    semantics (collisions are ~n_grams²/2⁶⁵; zero here by assertion)."""
+    from distribot_spark.operators.dedup import dup_spans
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    text = {
+        (r.doc_id, r.fp, r.lp)
+        for r in dup_spans(docs, "text", "doc_id", n=5).collect()
+    }
+    hashed = {
+        (r.doc_id, r.fp, r.lp)
+        for r in dup_spans(docs, "text", "doc_id", n=5, hashed=True).collect()
+    }
+    assert text and hashed == text
+
+
+def test_scrub_composes_with_hashed_spans(spark):
+    """doc_scrub_spans' rewrite must be byte-identical whether the span
+    census upstream shuffled gram text or xxhash64(gram) longs — the
+    scrubber consumes only (doc_id, fp, lp) and must not care."""
+    from distribot_spark.queries.llm import _scrub_span_census
+
+    sf = "/root/testdata/sf0.001"
+    text = {
+        (r.doc_id, r.n_tokens_before, r.n_tokens_after, r.scrubbed_md5)
+        for r in _scrub_span_census(spark, sf, hashed=False).collect()
+    }
+    hashed = {
+        (r.doc_id, r.n_tokens_before, r.n_tokens_after, r.scrubbed_md5)
+        for r in _scrub_span_census(spark, sf, hashed=True).collect()
+    }
+    assert text and hashed == text
+
+
 def test_star_components_equal_propagation(spark):
     """The two-phase star algorithm must produce the identical labeling
     as min-label propagation on adversarial planted shapes (long chain,
