@@ -702,6 +702,47 @@ def q_hll_portable(spark, sf_dir):
     )
 
 
+_Q15_HLL_ORACLE = f"""
+    WITH hashed AS (SELECT {_hll.hash_sql('l_partkey')} AS h FROM lineitem),
+    regs AS (SELECT 'ALL' AS grp, {_hll.bucket_sql('h')} AS b,
+                    MAX({_hll.rho_sql('h', '//')}) AS m_rho
+             FROM hashed GROUP BY 1, 2),
+    est AS ({_hll.estimate_from_registers_sql('regs', 'grp')}),
+    ex AS (SELECT COUNT(DISTINCT l_partkey) AS ex FROM lineitem)
+    SELECT ROUND(est * 10000) / 10000 AS est_distinct,
+           CAST(ex AS BIGINT) AS exact_distinct
+    FROM est, ex
+    """
+
+
+@register("q15_hll", oracle=_Q15_HLL_ORACLE, tags=("agg", "sketch", "approx"))
+def q15_hll(spark, sf_dir):
+    """The CERTIFIED sibling of q15 (queries/relational.py): the same
+    query shape — global distinct l_partkey over lineitem — but the
+    approx-distinct estimate comes from the portable HLL
+    (operators/hll.py) instead of Spark's engine-private
+    approx_count_distinct, so unlike q15 (rows-only ≈ by design) this
+    twin carries a FULL hash oracle: registers, integer harmonic sum,
+    and the one terminal double all match DuckDB bit-for-bit. The exact
+    count rides along for visible error (≤15 % guard in pytest; the
+    1.04/√m envelope at m=256 is ~6.5 %). 100 TB shape: one corpus
+    scan into a ≤256-row register table via map-side partial MAX —
+    the same merge-by-MAX registers a rollup or a daily incremental
+    build would reuse."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("ALL").alias("grp"), F.col("l_partkey").alias("k")
+    )
+    regs = _hll.build_hll(li, "k", ["grp"])
+    est = _hll.estimate_hll(regs, ["grp"])
+    ex = load_table(spark, sf_dir, "lineitem").agg(
+        F.count_distinct("l_partkey").alias("ex")
+    )
+    return est.crossJoin(ex).select(
+        (F.round(F.col("est") * 10000, 0) / 10000).alias("est_distinct"),
+        F.col("ex").cast("long").alias("exact_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-RANGE rolling window
 

@@ -1389,6 +1389,18 @@ def test_dup_spans_structural_invariants(spark):
     )
 
 
+def test_q15_hll_estimate_within_envelope(spark):
+    """q15's certified sibling: the portable-HLL estimate must land
+    within a loose 15% of the exact distinct count (1.04/sqrt(256) is
+    ~6.5%) — the same guard bound the rollup HLL family uses."""
+    from distribot_spark.queries import QUERIES
+
+    r = QUERIES["q15_hll"].builder(spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    est, exact = r[0].est_distinct, r[0].exact_distinct
+    assert exact > 0 and abs(est - exact) / exact <= 0.15, (est, exact)
+
+
 def test_dup_spans_hashed_matches_text_path(spark):
     """The 100 TB spelling (shuffle xxhash64(gram) longs instead of gram
     text) must produce the IDENTICAL span set as the text path on the
