@@ -1023,3 +1023,70 @@ def s21_stream_dup_gram_census(spark, sf_dir):
         .select("g", F.col("nd").cast("long").alias("nd"))
         .orderBy("g")
     )
+
+
+@register(
+    "s23_stream_cdc_acid_sink",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2, 2 FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'f'),
+    cur AS (SELECT o_orderkey, arg_max(o_totalprice, version) AS price,
+                   MAX(version) AS v
+            FROM log GROUP BY o_orderkey)
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           ROUND(SUM(CAST(price AS DECIMAL(14,2))), 2)::DOUBLE AS total_current
+    FROM cur
+    """,
+    tags=("streaming", "cdc", "sink", "acid"),
+)
+def s23_stream_cdc_acid_sink(spark, sf_dir):
+    """CDC stream → DURABLE ACID table: s14 folds the update log in
+    streaming STATE; this lands every micro-batch in the multi-writer
+    OCC commit log (sources/acid.py) through a foreachBatch
+    VERSION-CONDITIONAL MERGE — Delta's ``WHEN MATCHED AND u.v > t.v``
+    rebuilt on the repo's own log, the missing durability half of the
+    CDC story (the table other engines/readers see, snapshot-isolated
+    at every commit). Every batch is deliberately applied TWICE — the
+    at-least-once worst case a foreachBatch restart produces — and the
+    version condition makes the second application (and any stale
+    out-of-order update, pinned by `test_versioned_merge_rejects_stale`)
+    a no-op, so the hash oracle certifies effectively-once end to end.
+    Scale shape: each merge rewrites only the touched key buckets via
+    `merge_upsert_spark` (executor-side rewrite, one atomic driver-side
+    link per commit); reapplied batches cost one bucket read, no lost
+    updates possible at any interleaving."""
+    import tempfile
+
+    from distribot_spark.sources import acid
+
+    src = replay.orders_cdc_replay_dir(sf_dir)
+    root = tempfile.mkdtemp(prefix="s23_", dir=replay.TMP_ROOT)
+    table = acid.TableLog(os.path.join(root, "table"))
+    table.init()
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        up = batch_df.select("o_orderkey", "o_totalprice", "version")
+        for _ in range(2):  # injected redelivery: worst-case reapply
+            acid.merge_upsert_spark(
+                spark, table, up, "o_orderkey", 8,
+                writer=f"b{batch_id}", version="version",
+            )
+
+    replay.run_foreach_batch(spark, lambda s: s, src, sink, "append")
+
+    cur = spark.read.parquet(*table.live_paths())
+    return cur.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("total_current"),
+    )

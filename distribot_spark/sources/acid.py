@@ -228,6 +228,7 @@ def merge_upsert_pandas(
     writer: str,
     max_attempts: int = 50,
     pre_commit_hook=None,
+    version: str | None = None,
 ) -> dict:
     """Keyed MERGE (upsert) of a pandas frame through the OCC protocol.
 
@@ -236,7 +237,15 @@ def merge_upsert_pandas(
     process, tests/acid_worker_proc.py) uses; `merge_upsert_spark` is the
     cluster path. Returns writer stats: {committed_version, attempts,
     recomputes}. ``pre_commit_hook`` (tests only) runs between compute
-    and commit to force deterministic interleavings."""
+    and commit to force deterministic interleavings.
+
+    ``version`` switches the rewrite from blind last-writer-wins to a
+    CONDITIONAL merge (Delta's ``WHEN MATCHED AND u.v > t.v``): per key
+    the row with the highest version survives, base or update — so
+    applying a STALE update (or re-applying a delivered batch) is a
+    no-op and the merge is idempotent under at-least-once delivery,
+    even out of order. Ties keep the update row; callers must make
+    (key, version) identify a payload (CDC logs do)."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -277,8 +286,17 @@ def merge_upsert_pandas(
                     if paths else up.iloc[0:0].drop(columns=["_pb"])
                 )
                 u = up[up["_pb"] == b].drop(columns=["_pb"])
-                keep = base[~base[key].isin(set(u[key]))]
-                merged = pd.concat([keep, u], ignore_index=True)
+                if version is None:
+                    keep = base[~base[key].isin(set(u[key]))]
+                    merged = pd.concat([keep, u], ignore_index=True)
+                else:
+                    # conditional merge: highest version per key wins;
+                    # concat order makes the update win version ties
+                    merged = (
+                        pd.concat([base, u], ignore_index=True)
+                        .sort_values([key, version], kind="stable")
+                        .drop_duplicates(key, keep="last")
+                    )
                 merged = merged.sort_values(key).reset_index(drop=True)
                 name = table.new_data_file(b)
                 pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
@@ -311,6 +329,7 @@ def merge_upsert_spark(
     writer: str,
     max_attempts: int = 50,
     pre_commit_hook=None,
+    version: str | None = None,
 ) -> dict:
     """Keyed MERGE of a DataFrame through the OCC protocol.
 
@@ -321,7 +340,14 @@ def merge_upsert_spark(
     link regardless of data size, so 1000 executors can prepare rewrites
     while the driver serializes only the metadata append. Updates are
     collected once to assign buckets driver-side ONLY for their distinct
-    bucket ids; the data path stays in Spark."""
+    bucket ids; the data path stays in Spark.
+
+    ``version`` = conditional merge (see `merge_upsert_pandas`): the
+    highest-version row per key survives — idempotent under redelivery
+    and immune to out-of-order stale updates. The rewrite becomes one
+    per-key window argmax instead of the anti-join, still confined to
+    the touched buckets."""
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     up = updates_df.withColumn(
@@ -354,13 +380,43 @@ def merge_upsert_spark(
                     F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
                     .cast("int"),
                 )
-                merged = (
-                    base.join(up.select(key), key, "left_anti")
-                    .select(*cols, "_pb")
-                    .unionByName(up.select(*cols, "_pb"))
-                )
+                if version is None:
+                    merged = (
+                        base.join(up.select(key), key, "left_anti")
+                        .select(*cols, "_pb")
+                        .unionByName(up.select(*cols, "_pb"))
+                    )
+                else:
+                    # conditional: argmax by (version, origin) per key —
+                    # origin=1 makes the update win exact-version ties
+                    both = base.select(*cols, "_pb").withColumn(
+                        "_og", F.lit(0)
+                    ).unionByName(
+                        up.select(*cols, "_pb").withColumn("_og", F.lit(1))
+                    )
+                    rn = F.row_number().over(
+                        W.partitionBy(key).orderBy(
+                            F.col(version).desc(), F.col("_og").desc()
+                        )
+                    )
+                    merged = (
+                        both.withColumn("_rn", rn)
+                        .filter(F.col("_rn") == 1)
+                        .select(*cols, "_pb")
+                    )
             else:
                 merged = up.select(*cols, "_pb")
+                if version is not None:
+                    # a batch can carry several versions of one key even
+                    # with no base files yet — collapse to the newest
+                    rn = F.row_number().over(
+                        W.partitionBy(key).orderBy(F.col(version).desc())
+                    )
+                    merged = (
+                        merged.withColumn("_rn", rn)
+                        .filter(F.col("_rn") == 1)
+                        .select(*cols, "_pb")
+                    )
             # one output file per touched bucket: repartition ON the bucket
             # column, then relocate Spark's part files under content names
             tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")

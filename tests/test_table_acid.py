@@ -120,6 +120,40 @@ def test_merge_upsert_sequential_matches_pandas_oracle():
     pd.testing.assert_frame_equal(got, expect.astype(got.dtypes.to_dict()))
 
 
+def test_versioned_merge_rejects_stale():
+    """Conditional merge (version=) — the CDC contract s23 rides on:
+    newest version per key wins regardless of ARRIVAL order, re-applying
+    a delivered batch is a no-op, and a within-batch v1+v2 pair
+    collapses to v2. Blind merge would lose the v2 row on every one of
+    these."""
+    t = TableLog(_tmp_table())
+    t.init()
+    seed = pd.DataFrame({"k": [1, 2, 3], "val": [10.0, 20.0, 30.0],
+                         "v": [1, 1, 1]})
+    merge_upsert_pandas(t, seed, "k", 4, "seed", version="v")
+
+    # newer then STALE, out of order: v2 sticks, late v1 is a no-op
+    up2 = pd.DataFrame({"k": [2], "val": [22.0], "v": [2]})
+    merge_upsert_pandas(t, up2, "k", 4, "w", version="v")
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [2], "val": [20.0], "v": [1]}),
+        "k", 4, "late", version="v",
+    )
+    # redelivery: the SAME batch applied again
+    merge_upsert_pandas(t, up2, "k", 4, "redeliver", version="v")
+    # one batch carrying both versions of a fresh key
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [9, 9], "val": [90.0, 99.0], "v": [1, 2]}),
+        "k", 4, "mixed", version="v",
+    )
+
+    got = _read_table(t)
+    expect = pd.DataFrame({"k": [1, 2, 3, 9],
+                           "val": [10.0, 22.0, 30.0, 99.0],
+                           "v": [1, 2, 1, 2]})
+    pd.testing.assert_frame_equal(got, expect.astype(got.dtypes.to_dict()))
+
+
 def test_conflict_forces_rebase_and_no_lost_update():
     """Deterministic interleave: B computes against v0, then A commits a
     version touching B's buckets; B's first commit must lose, rebase on
