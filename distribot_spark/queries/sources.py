@@ -385,6 +385,97 @@ def source_merge_concurrent(spark, sf_dir):
     )
 
 
+@register(
+    "source_acid_time_travel",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    ua AS (SELECT o_orderkey,
+                  CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                       AS DOUBLE) AS price
+           FROM orders WHERE o_orderkey % 1000 = 0),
+    ub AS (SELECT o_orderkey,
+                  CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 3, 2)
+                       AS DOUBLE) AS price
+           FROM orders WHERE o_orderkey % 1000 = 8),
+    v0 AS (SELECT o_orderkey, o_totalprice FROM base),
+    v1 AS (SELECT b.o_orderkey, COALESCE(ua.price, b.o_totalprice)
+             AS o_totalprice
+           FROM base b LEFT JOIN ua ON b.o_orderkey = ua.o_orderkey),
+    v2 AS (SELECT v1.o_orderkey, COALESCE(ub.price, v1.o_totalprice)
+             AS o_totalprice
+           FROM v1 LEFT JOIN ub ON v1.o_orderkey = ub.o_orderkey),
+    u AS (
+      SELECT 0 AS version, COUNT(*) AS cnt,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) AS total FROM v0
+      UNION ALL
+      SELECT 1, COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM v1
+      UNION ALL
+      SELECT 2, COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM v2)
+    SELECT CAST(version AS INT) AS version, cnt, total
+    FROM u ORDER BY version
+    """,
+    tags=("sources", "acid", "time-travel"),
+)
+def source_acid_time_travel(spark, sf_dir):
+    """Snapshot isolation made queryable — Delta's ``VERSION AS OF`` on
+    the OCC commit log (sources/acid.py `snapshot_at`): three committed
+    versions (seed, then two successive MERGE waves) are read back
+    CONCURRENTLY as of v0, v1 and v2, and each census must equal the
+    relational fold of exactly the updates committed by then. This pins
+    the property that makes the log a lake table rather than a mutable
+    directory: later commits never disturb an earlier snapshot's bytes
+    (immutable data files + append-only log), so long-running readers
+    and writers never block each other — the reader half of the
+    concurrent-writer story `source_merge_concurrent` proves. vacuum()
+    is deliberately NOT run here: reclamation trades against the
+    retention window time travel needs."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        merge_upsert_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_tt_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+
+    def updates(mod_rem: int, mult: int):
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 1000 == mod_rem)
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * mult, 2)
+                .cast("double").alias("o_totalprice"),
+            )
+        )
+
+    merge_upsert_spark(spark, table, updates(0, 2), "o_orderkey", 16, "w-a")
+    merge_upsert_spark(spark, table, updates(8, 3), "o_orderkey", 16, "w-b")
+
+    def census(v: int):
+        snap = spark.read.parquet(*table.live_paths_at(v))
+        return snap.agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        ).select(F.lit(v).cast("int").alias("version"), "cnt", "total")
+    return census(0).unionByName(census(1)).unionByName(census(2)).orderBy(
+        "version"
+    )
+
+
 def _drop_orphan_location(spark, table: str) -> None:
     """A fresh session's in-memory catalog forgets tables but their
     warehouse directories persist; clear the orphan so saveAsTable can

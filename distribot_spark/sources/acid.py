@@ -174,6 +174,22 @@ class TableLog:
             os.replace(ctmp, self._checkpoint_path(v))
         return True
 
+    def snapshot_at(self, v: int) -> tuple[int, dict[str, int]]:
+        """Time travel: the live file set AS OF version ``v`` (Delta's
+        ``VERSION AS OF``). Data files are immutable and commits only
+        append, so any historical snapshot stays byte-exact readable
+        until `vacuum()` reclaims its replaced files — time-travel
+        readers and vacuum trade off through a retention window, which
+        this demo log spells as 'don't vacuum what you still query'."""
+        head = self.version()
+        if not 0 <= v <= head:
+            raise ValueError(f"version {v} outside [0, {head}]")
+        return self._replay_to(v)
+
+    def live_paths_at(self, v: int) -> list[str]:
+        _, live = self.snapshot_at(v)
+        return [self.data_path(f) for f in sorted(live)]
+
     def _replay_to(self, v: int) -> tuple[int, dict[str, int]]:
         live: dict[str, int] = {}
         for i in range(0, v + 1):
