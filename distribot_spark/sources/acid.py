@@ -362,7 +362,16 @@ def merge_upsert_spark(
     highest-version row per key survives — idempotent under redelivery
     and immune to out-of-order stale updates. The rewrite becomes one
     per-key window argmax instead of the anti-join, still confined to
-    the touched buckets."""
+    the touched buckets.
+
+    Schema EVOLUTION (Delta's mergeSchema): the rewritten buckets carry
+    the UNION of base and update columns — a column new in the updates
+    back-fills NULL for surviving base rows, a base column the updates
+    don't carry back-fills NULL for inserted rows. Readers must read
+    snapshots with mergeSchema (see `read_snapshot_spark`) since
+    untouched buckets keep their old file schema. A NULL version (rows
+    written before the version column existed) sorts OLDEST, so any
+    versioned update supersedes pre-evolution rows."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -370,7 +379,8 @@ def merge_upsert_spark(
         "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets)).cast("int")
     )
     touched = {int(r["_pb"]) for r in up.select("_pb").distinct().collect()}
-    cols = updates_df.columns
+    up_cols = updates_df.columns
+    up_types = dict(updates_df.dtypes)
     attempts = 0
     recomputes = 0
     staged: list[dict] | None = None
@@ -391,24 +401,39 @@ def merge_upsert_spark(
             replaced = sorted(bucket_files)
             paths = [table.data_path(f) for f in replaced]
             if paths:
-                base = spark.read.parquet(*paths).withColumn(
+                base = spark.read.option("mergeSchema", "true").parquet(
+                    *paths
+                ).withColumn(
                     "_pb",
                     F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
                     .cast("int"),
                 )
+                # schema evolution: rewrite carries the column UNION,
+                # NULL-backfilled on whichever side lacks a column
+                base_cols = [c for c in base.columns if c != "_pb"]
+                base_types = dict(base.dtypes)
+                cols = list(dict.fromkeys(base_cols + up_cols))
+                bx, ux = base, up
+                for c in up_cols:
+                    if c not in base_cols:
+                        bx = bx.withColumn(c, F.lit(None).cast(up_types[c]))
+                for c in base_cols:
+                    if c not in up_cols:
+                        ux = ux.withColumn(c, F.lit(None).cast(base_types[c]))
                 if version is None:
                     merged = (
-                        base.join(up.select(key), key, "left_anti")
+                        bx.join(up.select(key), key, "left_anti")
                         .select(*cols, "_pb")
-                        .unionByName(up.select(*cols, "_pb"))
+                        .unionByName(ux.select(*cols, "_pb"))
                     )
                 else:
                     # conditional: argmax by (version, origin) per key —
-                    # origin=1 makes the update win exact-version ties
-                    both = base.select(*cols, "_pb").withColumn(
+                    # origin=1 makes the update win exact-version ties;
+                    # desc puts NULL versions (pre-evolution rows) last
+                    both = bx.select(*cols, "_pb").withColumn(
                         "_og", F.lit(0)
                     ).unionByName(
-                        up.select(*cols, "_pb").withColumn("_og", F.lit(1))
+                        ux.select(*cols, "_pb").withColumn("_og", F.lit(1))
                     )
                     rn = F.row_number().over(
                         W.partitionBy(key).orderBy(
@@ -421,6 +446,7 @@ def merge_upsert_spark(
                         .select(*cols, "_pb")
                     )
             else:
+                cols = up_cols
                 merged = up.select(*cols, "_pb")
                 if version is not None:
                     # a batch can carry several versions of one key even
@@ -492,3 +518,16 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
     if not table.try_commit(-1, adds, [], writer):
         raise CommitConflict("table already initialized")
     return 0
+
+
+def read_snapshot_spark(spark, table: TableLog, version: int | None = None):
+    """Read a snapshot (head, or AS OF ``version``) with mergeSchema —
+    the reader half of schema evolution: buckets untouched since an
+    evolving MERGE keep their old file schema, so the union schema only
+    exists at read time. Missing columns surface as NULL, matching what
+    the next rewrite of that bucket would materialize."""
+    paths = (
+        table.live_paths() if version is None
+        else table.live_paths_at(version)
+    )
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

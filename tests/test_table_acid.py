@@ -275,3 +275,49 @@ def test_two_processes_same_bucket_contention_rebases():
     _assert_final_state(t, n_batches=3)
     assert sum(s["recomputes"] for s in stats) >= 1
     assert sum(s["attempts"] for s in stats) >= 7
+
+
+def test_schema_evolution_merge_and_read(spark):
+    """MERGE with an EVOLVED schema (Delta mergeSchema semantics on the
+    OCC log): updates carry a NEW column and drop a base column — the
+    rewritten bucket materializes the union schema (NULL-backfilled both
+    ways), untouched buckets keep their old file schema, and
+    read_snapshot_spark's mergeSchema read surfaces the union."""
+    import pyarrow.parquet as _pq
+
+    from distribot_spark.sources.acid import (
+        merge_upsert_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(8)], "k long, val double"
+    )
+    write_initial_spark(spark, t, base, "k", n_buckets=4)
+    up = spark.createDataFrame(
+        [(1, "u"), (5, "u"), (9, "u")], "k long, src string"
+    )  # keys ≡ 1 mod 4: exactly one bucket rewritten
+    merge_upsert_spark(spark, t, up, "k", 4, "evo")
+
+    got = read_snapshot_spark(spark, t)
+    assert set(got.columns) == {"k", "val", "src"}
+    rows = {r.k: (r.val, r.src) for r in got.collect()}
+    assert len(rows) == 9
+    for k in (0, 2, 3, 4, 6, 7):  # untouched rows: old data, NULL src
+        assert rows[k] == (float(k), None)
+    for k in (1, 5, 9):  # upserted rows: new column set, dropped col NULL
+        assert rows[k] == (None, "u")
+
+    # untouched buckets physically keep the PRE-evolution schema: the
+    # union only exists at read time (mergeSchema) or on next rewrite
+    _, live = t.snapshot()
+    untouched = [f for f, b in live.items() if b != 1]
+    assert untouched
+    for f in untouched:
+        assert _pq.read_schema(t.data_path(f)).names == ["k", "val"]
+    rewritten = [f for f, b in live.items() if b == 1]
+    assert rewritten
+    for f in rewritten:
+        assert set(_pq.read_schema(t.data_path(f)).names) == {"k", "val", "src"}
