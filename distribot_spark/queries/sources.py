@@ -476,6 +476,100 @@ def source_acid_time_travel(spark, sf_dir):
     )
 
 
+@register(
+    "source_merge_cdc_delete",
+    oracle="""
+    WITH ua AS (SELECT o_orderkey,
+                       CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                            AS DOUBLE) AS price
+                FROM orders WHERE o_orderkey % 1000 = 0),
+    del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 8),
+    fin AS (SELECT o.o_orderkey,
+                   COALESCE(ua.price, o.o_totalprice) AS o_totalprice
+            FROM orders o
+            LEFT JOIN ua ON o.o_orderkey = ua.o_orderkey
+            WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM del))
+    SELECT COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total,
+           (SELECT COUNT(*) FROM del) AS n_tombstones
+    FROM fin
+    """,
+    tags=("sources", "acid", "cdc", "delete"),
+)
+def source_merge_cdc_delete(spark, sf_dir):
+    """The DELETE half of CDC MERGE (Delta's ``WHEN MATCHED AND op='d'
+    THEN DELETE``) on the OCC log: deletes arrive as TOMBSTONE rows and
+    merge under the same version condition as upserts — so (1) deleted
+    keys vanish from tombstone-filtered reads, (2) a STALE out-of-order
+    upsert wave (version 0, delivered last) cannot resurrect anything —
+    the oracle contains no trace of it, (3) `purge_tombstones_pandas`
+    physically reclaims tombstones in one OCC commit after the
+    redelivery horizon with the logical census provably unchanged (the
+    builder asserts purged == pre-purge before returning). Unit-level
+    pins: `test_cdc_delete_tombstones_and_purge`."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        merge_upsert_spark,
+        purge_tombstones_pandas,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_del_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit(1).alias("v"), F.lit("u").alias("op"),
+    )
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+
+    def wave(mod_rem: int, mult, v: int, op: str):
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 1000 == mod_rem)
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * mult, 2)
+                .cast("double").alias("o_totalprice"),
+                F.lit(v).alias("v"), F.lit(op).alias("op"),
+            )
+        )
+
+    merge_upsert_spark(spark, table, wave(0, 2, 2, "u"),
+                       "o_orderkey", 16, "upserts", version="v")
+    merge_upsert_spark(spark, table, wave(8, 1, 2, "d"),
+                       "o_orderkey", 16, "deletes", version="v")
+    # stale wave delivered LAST: version 0 loses to everything above
+    merge_upsert_spark(spark, table, wave(0, 9, 0, "u"),
+                       "o_orderkey", 16, "stale", version="v")
+
+    def census(n_tomb_df):
+        live = read_snapshot_spark(spark, table, tombstone_col="op")
+        return live.agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        ).crossJoin(n_tomb_df)
+
+    raw = read_snapshot_spark(spark, table)
+    n_tomb = raw.filter(F.col("op") == "d").agg(
+        F.count("*").alias("n_tombstones")
+    )
+    before = census(n_tomb).collect()[0]
+    purge_tombstones_pandas(table, "op")
+    after = census(n_tomb).collect()[0]
+    assert before == after, (before, after)  # purge is logically invisible
+    assert read_snapshot_spark(spark, table).filter(
+        F.col("op") == "d"
+    ).count() == 0  # ...but physically complete
+    return spark.createDataFrame([before])
+
+
 def _drop_orphan_location(spark, table: str) -> None:
     """A fresh session's in-memory catalog forgets tables but their
     warehouse directories persist; clear the orphan so saveAsTable can

@@ -4,6 +4,7 @@ from distribot_spark.sources.acid import (
     TableLog,
     merge_upsert_pandas,
     merge_upsert_spark,
+    purge_tombstones_pandas,
     read_snapshot_spark,
     write_initial_spark,
 )
@@ -17,5 +18,5 @@ from distribot_spark.sources.io import (
 __all__ = [
     "read_any", "write_any", "write_partitioned", "write_bucketed_table",
     "TableLog", "merge_upsert_pandas", "merge_upsert_spark",
-    "read_snapshot_spark", "write_initial_spark",
+    "purge_tombstones_pandas", "read_snapshot_spark", "write_initial_spark",
 ]

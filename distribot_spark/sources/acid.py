@@ -520,14 +520,85 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
     return 0
 
 
-def read_snapshot_spark(spark, table: TableLog, version: int | None = None):
+def read_snapshot_spark(
+    spark,
+    table: TableLog,
+    version: int | None = None,
+    tombstone_col: str | None = None,
+):
     """Read a snapshot (head, or AS OF ``version``) with mergeSchema —
     the reader half of schema evolution: buckets untouched since an
     evolving MERGE keep their old file schema, so the union schema only
     exists at read time. Missing columns surface as NULL, matching what
-    the next rewrite of that bucket would materialize."""
+    the next rewrite of that bucket would materialize.
+
+    ``tombstone_col`` is the reader half of CDC DELETE semantics: a
+    delete arrives as a row whose op column is ``'d'`` and MERGES like
+    any other versioned row — the tombstone must PERSIST in the data
+    files so a stale out-of-order upsert (lower version, delivered
+    late) cannot resurrect the key; readers filter it out here. Physical
+    reclamation is `purge_tombstones_pandas` after the redelivery
+    horizon."""
+    from pyspark.sql import functions as F
+
     paths = (
         table.live_paths() if version is None
         else table.live_paths_at(version)
     )
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if tombstone_col is not None:
+        df = df.filter(
+            F.col(tombstone_col).isNull() | (F.col(tombstone_col) != "d")
+        )
+    return df
+
+
+def purge_tombstones_pandas(
+    table: TableLog, op_col: str, writer: str = "purge",
+    max_attempts: int = 50,
+) -> dict:
+    """Physically drop delete tombstones — the DELETE half of vacuum,
+    run once redelivery of older CDC versions is impossible (the
+    retention horizon): rewrites every bucket holding a ``op_col='d'``
+    row without them, as ONE ordinary OCC commit (concurrent merges
+    conflict-and-rebase against it like any other writer). Buckets with
+    no tombstones are untouched. After purge, a late stale upsert for a
+    purged key would insert again — which is why the horizon gates
+    this, exactly Delta's vacuum-vs-time-travel retention contract."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    attempts = 0
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        staged, replaced = [], []
+        for f, b in sorted(live.items()):
+            tbl = pq.read_table(table.data_path(f))
+            if op_col not in tbl.column_names:
+                continue
+            # keep NULL-op rows (pre-evolution data is not a tombstone);
+            # pyarrow end to end so an emptied bucket keeps its exact
+            # schema (a pandas round-trip degrades empty object columns
+            # to arrow `null`, which mergeSchema then rejects)
+            kept = tbl.filter(
+                pc.fill_null(pc.not_equal(tbl[op_col], "d"), True)
+            )
+            if kept.num_rows == tbl.num_rows:
+                continue
+            replaced.append(f)
+            name = table.new_data_file(b)
+            pq.write_table(kept, table.data_path(name))
+            staged.append({"file": name, "pb": b, "rows": kept.num_rows})
+        attempts += 1
+        if not replaced:
+            return {"committed_version": v, "attempts": attempts,
+                    "purged_files": 0}
+        if table.try_commit(v, staged, replaced, writer):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "purged_files": len(replaced)}
+        for a in staged:  # lost the race: recompute against the new head
+            try:
+                os.unlink(table.data_path(a["file"]))
+            except FileNotFoundError:
+                pass
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")

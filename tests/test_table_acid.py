@@ -321,3 +321,51 @@ def test_schema_evolution_merge_and_read(spark):
     assert rewritten
     for f in rewritten:
         assert set(_pq.read_schema(t.data_path(f)).names) == {"k", "val", "src"}
+
+
+def test_cdc_delete_tombstones_and_purge(spark):
+    """CDC DELETE end to end: a tombstone (op='d') merges like any
+    versioned row, so (a) the key disappears from tombstone-filtered
+    reads, (b) a STALE out-of-order upsert cannot resurrect it — the
+    persisted tombstone outranks it — and (c) purge_tombstones_pandas
+    physically reclaims it in one OCC commit without touching clean
+    buckets, after which the logical read is unchanged."""
+    from distribot_spark.sources.acid import (
+        merge_upsert_pandas,
+        purge_tombstones_pandas,
+        read_snapshot_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    t.init()
+    seed = pd.DataFrame({"k": [0, 1, 2, 3], "val": [0.0, 1.0, 2.0, 3.0],
+                         "v": [1] * 4, "op": ["u"] * 4})
+    merge_upsert_pandas(t, seed, "k", 4, "seed", version="v")
+
+    # delete k=2 at v3, then a LATE stale upsert of k=2 at v2 arrives
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [2], "val": [float("nan")], "v": [3],
+                         "op": ["d"]}),
+        "k", 4, "del", version="v",
+    )
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [2], "val": [22.0], "v": [2], "op": ["u"]}),
+        "k", 4, "stale", version="v",
+    )
+
+    live = read_snapshot_spark(spark, t, tombstone_col="op")
+    assert sorted(r.k for r in live.collect()) == [0, 1, 3]
+    # the tombstone itself is still physically present (resurrection guard)
+    raw = read_snapshot_spark(spark, t)
+    assert {(r.k, r.op) for r in raw.collect()} == {
+        (0, "u"), (1, "u"), (3, "u"), (2, "d")
+    }
+
+    before = dict(t.snapshot()[1])
+    st = purge_tombstones_pandas(t, "op")
+    assert st["purged_files"] == 1  # only k=2's bucket rewritten
+    after = dict(t.snapshot()[1])
+    untouched = {f for f, b in before.items() if b != 2}
+    assert untouched <= set(after)  # clean buckets keep their files
+    raw2 = read_snapshot_spark(spark, t)
+    assert sorted(r.k for r in raw2.collect()) == [0, 1, 3]
