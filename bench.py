@@ -120,6 +120,11 @@ HEADLINE = [
     "doc_dup_spans",
     "doc_scrub_spans",
     "q_quantile_histogram",
+    # round-5 addition (documented in BASELINE.md): the hashed-gram
+    # ExactSubstr twin — benched NEXT TO doc_dup_spans so the
+    # narrow-shuffle claim (xxhash64 longs vs gram text) is measured
+    # every round, not asserted.
+    "doc_dup_spans_hashed",
 ]
 
 

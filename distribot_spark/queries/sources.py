@@ -570,6 +570,124 @@ def source_merge_cdc_delete(spark, sf_dir):
     return spark.createDataFrame([before])
 
 
+@register(
+    "source_acid_change_feed",
+    oracle="""
+    WITH seed AS (SELECT o_orderkey, o_totalprice FROM orders),
+    tot AS (SELECT COUNT(*) AS c,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                        AS DOUBLE) AS s
+            FROM seed),
+    ua AS (SELECT o_totalprice FROM seed WHERE o_orderkey % 1000 = 0),
+    uat AS (SELECT COUNT(*) AS c,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                        AS DOUBLE) AS s_pre,
+                   CAST(ROUND(SUM(CAST(
+                        ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                        AS DECIMAL(14,2))), 2) AS DOUBLE) AS s_post
+            FROM ua),
+    del AS (SELECT o_totalprice FROM seed WHERE o_orderkey % 1000 = 8),
+    delt AS (SELECT COUNT(*) AS c,
+                    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                         AS DOUBLE) AS s_pre,
+                    CAST(ROUND(SUM(CAST(
+                         ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 1, 2)
+                         AS DECIMAL(14,2))), 2) AS DOUBLE) AS s_post
+             FROM del),
+    ins AS (SELECT COUNT(*) AS c,
+                   CAST(ROUND(SUM(CAST(100 + i AS DECIMAL(14,2))), 2)
+                        AS DOUBLE) AS s
+            FROM range(10) t(i)),
+    u AS (
+      SELECT 0 AS version, 'insert' AS change_type, c AS cnt, s AS total
+      FROM tot
+      UNION ALL SELECT 1, 'update_pre', c, s_pre FROM uat
+      UNION ALL SELECT 1, 'update_post', c, s_post FROM uat
+      UNION ALL SELECT 2, 'insert', c, s FROM ins
+      UNION ALL SELECT 3, 'update_pre', c, s_pre FROM delt
+      UNION ALL SELECT 3, 'update_post', c, s_post FROM delt
+      UNION ALL SELECT 4, 'delete', c, s_post FROM delt)
+    SELECT CAST(version AS INT) AS version, change_type, cnt, total
+    FROM u ORDER BY version, change_type
+    """,
+    tags=("sources", "acid", "cdc", "cdf"),
+)
+def source_acid_change_feed(spark, sf_dir):
+    """CHANGE DATA FEED (Delta's ``table_changes``) derived purely from
+    the OCC commit log: five commits — seed, an update wave, an insert
+    wave of brand-new keys, a tombstone-DELETE wave, and a physical
+    purge — replayed as row-level changes by `table_changes_spark`
+    (sources/acid.py): each commit's removed files are the pre-image,
+    its added files the post-image, a key-level full-outer diff
+    classifies insert / delete / update_pre+update_post, and rows a
+    bucket rewrite carried UNCHANGED are suppressed by the null-safe
+    struct compare — the hash oracle certifies exactly that: every
+    census row matches the relational definition of the wave that
+    produced it, nothing leaks from the co-rewritten rows. This is the
+    piece that turns the table into an incremental SOURCE (consumers
+    fold deltas from their last seen version — the batch mirror of the
+    broker's offset commits). Pre-images live in replaced files:
+    readable until vacuum, same retention contract as time travel."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        merge_upsert_spark,
+        purge_tombstones_pandas,
+        table_changes_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_cdf_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit(1).alias("v"), F.lit("u").alias("op"),
+    )
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+
+    def wave(mod_rem: int, mult, v: int, op: str):
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 1000 == mod_rem)
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * mult, 2)
+                .cast("double").alias("o_totalprice"),
+                F.lit(v).alias("v"), F.lit(op).alias("op"),
+            )
+        )
+
+    inserts = spark.range(10).select(
+        (F.lit(1_000_000_000) + F.col("id")).alias("o_orderkey"),
+        (F.lit(100.0) + F.col("id")).alias("o_totalprice"),
+        F.lit(1).alias("v"), F.lit("u").alias("op"),
+    )
+    merge_upsert_spark(spark, table, wave(0, 2, 2, "u"),
+                       "o_orderkey", 16, "upserts", version="v")
+    merge_upsert_spark(spark, table, inserts,
+                       "o_orderkey", 16, "inserts", version="v")
+    merge_upsert_spark(spark, table, wave(8, 1, 2, "d"),
+                       "o_orderkey", 16, "deletes", version="v")
+    purge_tombstones_pandas(table, "op")
+
+    ch = table_changes_spark(spark, table, "o_orderkey")
+    return (
+        ch.groupBy(
+            F.col("_commit_version").cast("int").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        )
+        .orderBy("version", "change_type")
+    )
+
+
 def _drop_orphan_location(spark, table: str) -> None:
     """A fresh session's in-memory catalog forgets tables but their
     warehouse directories persist; clear the orphan so saveAsTable can

@@ -6,6 +6,7 @@ from distribot_spark.sources.acid import (
     merge_upsert_spark,
     purge_tombstones_pandas,
     read_snapshot_spark,
+    table_changes_spark,
     write_initial_spark,
 )
 from distribot_spark.sources.io import (
@@ -18,5 +19,6 @@ from distribot_spark.sources.io import (
 __all__ = [
     "read_any", "write_any", "write_partitioned", "write_bucketed_table",
     "TableLog", "merge_upsert_pandas", "merge_upsert_spark",
-    "purge_tombstones_pandas", "read_snapshot_spark", "write_initial_spark",
+    "purge_tombstones_pandas", "read_snapshot_spark", "table_changes_spark",
+    "write_initial_spark",
 ]

@@ -602,3 +602,112 @@ def purge_tombstones_pandas(
             except FileNotFoundError:
                 pass
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+def table_changes_spark(
+    spark,
+    table: TableLog,
+    key: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+):
+    """CHANGE DATA FEED from the commit log (Delta's
+    ``table_changes``): row-level changes between two versions, derived
+    purely from the log — each commit's ``removes`` hold the pre-image
+    of the rewritten buckets and its ``adds`` the post-image, so a
+    key-level full-outer diff classifies every row as ``insert``
+    (post only), ``delete`` (pre only), or an ``update_pre`` /
+    ``update_post`` pair (both sides, payload differs); rows a bucket
+    rewrite carried over UNCHANGED are suppressed by a null-safe struct
+    compare. Output = data columns + ``_change_type`` +
+    ``_commit_version``.
+
+    This is what turns the table into an incremental SOURCE: a consumer
+    remembers its last version and folds only the delta — the
+    batch-side mirror of the broker's offset commits, and the feed an
+    incremental view maintenance or downstream MERGE would read.
+    Scale shape: each version's diff touches exactly the files that
+    commit rewrote (bounded by the update set, never the table), and
+    consumers page one version at a time, so the plan never grows with
+    history. Pre-images live in REPLACED data files — readable until
+    `vacuum()`, the same retention contract as time travel.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    head = table.version()
+    hi = head if to_version is None else to_version
+    if not 0 <= from_version <= hi <= head:
+        raise ValueError(f"bad version range [{from_version}, {hi}]")
+
+    def _aligned(paths):
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    frames = []
+    for v in range(from_version, hi + 1):
+        c = table.read_commit(v)
+        adds = [table.data_path(a["file"]) for a in c["adds"]]
+        removes = [table.data_path(f) for f in c["removes"]]
+        if not adds and not removes:
+            continue
+        a_df = _aligned(adds) if adds else None
+        r_df = _aligned(removes) if removes else None
+        # schema evolution: align both sides on the column union
+        cols = []
+        for d in (r_df, a_df):
+            if d is not None:
+                cols += [x for x in d.columns if x not in cols]
+        data_cols = [x for x in cols if x != key]
+        def _fill(d):
+            types = {}
+            for dd in (a_df, r_df):
+                if dd is not None:
+                    types.update(dict(dd.dtypes))
+            for x in cols:
+                if x not in d.columns:
+                    d = d.withColumn(x, F.lit(None).cast(types[x]))
+            return d.select(key, F.struct(*data_cols).alias("_p"))
+        if r_df is None:
+            ch = _fill(a_df).select(
+                key, "_p", F.lit("insert").alias("_change_type")
+            )
+        else:
+            j = (
+                _fill(a_df).withColumnRenamed("_p", "_a")
+                .join(
+                    _fill(r_df).withColumnRenamed("_p", "_r"),
+                    key, "full_outer",
+                )
+            )
+            ins = j.filter(F.col("_r").isNull()).select(
+                key, F.col("_a").alias("_p"),
+                F.lit("insert").alias("_change_type"),
+            )
+            dele = j.filter(F.col("_a").isNull()).select(
+                key, F.col("_r").alias("_p"),
+                F.lit("delete").alias("_change_type"),
+            )
+            upd = j.filter(
+                F.col("_a").isNotNull() & F.col("_r").isNotNull()
+                & ~F.col("_a").eqNullSafe(F.col("_r"))
+            )
+            ch = reduce(
+                lambda x, y: x.unionByName(y),
+                [
+                    ins,
+                    dele,
+                    upd.select(key, F.col("_r").alias("_p"),
+                               F.lit("update_pre").alias("_change_type")),
+                    upd.select(key, F.col("_a").alias("_p"),
+                               F.lit("update_post").alias("_change_type")),
+                ],
+            )
+        frames.append(
+            ch.select(key, "_p.*", "_change_type",
+                      F.lit(v).alias("_commit_version"))
+        )
+    if not frames:
+        raise ValueError("no commits in range")
+    return reduce(lambda x, y: x.unionByName(y, allowMissingColumns=True),
+                  frames)

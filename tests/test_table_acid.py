@@ -369,3 +369,38 @@ def test_cdc_delete_tombstones_and_purge(spark):
     assert untouched <= set(after)  # clean buckets keep their files
     raw2 = read_snapshot_spark(spark, t)
     assert sorted(r.k for r in raw2.collect()) == [0, 1, 3]
+
+
+def test_change_feed_pages_by_version(spark):
+    """CDF consumer contract: paging [v, v] per version concatenates to
+    the full-range feed (a consumer folding one version at a time sees
+    exactly the history), and a version whose rewrite only CARRIES rows
+    (no payload change) contributes nothing."""
+    from distribot_spark.sources.acid import (
+        merge_upsert_pandas,
+        table_changes_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    t.init()
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [0, 1, 2, 3], "val": [0, 1, 2, 3]}),
+        "k", 2, "seed",
+    )
+    merge_upsert_pandas(t, pd.DataFrame({"k": [1], "val": [11]}), "k", 2, "w1")
+    # re-apply the SAME value: bucket rewritten, every row carried equal
+    merge_upsert_pandas(t, pd.DataFrame({"k": [1], "val": [11]}), "k", 2, "w2")
+    merge_upsert_pandas(t, pd.DataFrame({"k": [9], "val": [9]}), "k", 2, "w3")
+
+    def rows(lo, hi):
+        return sorted(
+            (r.k, r.val, r._change_type, r._commit_version)
+            for r in table_changes_spark(spark, t, "k", lo, hi).collect()
+        )
+
+    full = rows(0, 3)
+    paged = sorted(sum((rows(v, v) for v in range(4)), []))
+    assert paged == full
+    assert [x for x in full if x[3] == 2] == []  # carried-equal: silent
+    assert [x for x in full if x[3] == 3] == [(9, 9, "insert", 3)]
+    assert {x[2] for x in full if x[3] == 1} == {"update_pre", "update_post"}
