@@ -688,6 +688,111 @@ def source_acid_change_feed(spark, sf_dir):
     )
 
 
+@register(
+    "source_cdf_incremental_view",
+    oracle="""
+    WITH ua AS (SELECT o_orderkey,
+                       CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                            AS DOUBLE) AS p
+                FROM orders WHERE o_orderkey % 1000 = 0),
+    fin AS (
+      SELECT o.o_orderkey, COALESCE(ua.p, o.o_totalprice) AS p
+      FROM orders o LEFT JOIN ua ON o.o_orderkey = ua.o_orderkey
+      WHERE o.o_orderkey % 1000 <> 8
+      UNION ALL
+      SELECT 1000000000 + i, CAST(100 + i AS DOUBLE) FROM range(10) t(i))
+    SELECT CAST(o_orderkey % 7 AS INT) AS g, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM fin GROUP BY 1 ORDER BY g
+    """,
+    tags=("sources", "acid", "cdf", "ivm"),
+)
+def source_cdf_incremental_view(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE off the change feed — the consumer
+    side of `source_acid_change_feed` and the reason a CDF exists: a
+    grouped aggregate (count + cent-sum per key-group) is maintained by
+    folding ONLY row-level deltas — insert ⇒ (+1, +cents), delete ⇒
+    (−1, −cents), update ⇒ (0, post−pre) — never rescanning the table.
+    The query materializes the view at v0 from the seed commit's
+    inserts, folds versions 1..head in one signed aggregation, and the
+    hash oracle certifies the folded view equals the direct aggregate
+    of the FINAL table state (updates, inserts, a tombstone delete and
+    its physical purge all folded through; the purge's CDF deletes and
+    the tombstone's update-to-op='d' must cancel to exactly one logical
+    removal — any double-count breaks the hash). Integer cents keep the
+    fold exact in any order (the repo's float-SUM quantization rule).
+    At scale this is the nightly-rollup replacement: O(changed rows)
+    per refresh against an O(table) rescan."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        merge_upsert_spark,
+        purge_tombstones_pandas,
+        table_changes_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_ivm_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit(1).alias("v"), F.lit("u").alias("op"),
+    )
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+
+    def wave(mod_rem: int, mult, v: int, op: str):
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 1000 == mod_rem)
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * mult, 2)
+                .cast("double").alias("o_totalprice"),
+                F.lit(v).alias("v"), F.lit(op).alias("op"),
+            )
+        )
+
+    inserts = spark.range(10).select(
+        (F.lit(1_000_000_000) + F.col("id")).alias("o_orderkey"),
+        (F.lit(100.0) + F.col("id")).alias("o_totalprice"),
+        F.lit(1).alias("v"), F.lit("u").alias("op"),
+    )
+    merge_upsert_spark(spark, table, wave(0, 2, 2, "u"),
+                       "o_orderkey", 16, "upserts", version="v")
+    merge_upsert_spark(spark, table, inserts,
+                       "o_orderkey", 16, "inserts", version="v")
+    merge_upsert_spark(spark, table, wave(8, 1, 2, "d"),
+                       "o_orderkey", 16, "deletes", version="v")
+    purge_tombstones_pandas(table, "op")
+
+    # the view never reads the table after v0 — only the change feed.
+    # op='d' rows are LOGICAL deletes the moment they land (readers
+    # filter them), so the view drops the key at the tombstone UPDATE
+    # and must ignore the later physical purge's CDF rows for it.
+    ch = table_changes_spark(spark, table, "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    live_row = F.col("op").isNull() | (F.col("op") != "d")
+    pre = F.col("_change_type").isin("update_pre", "delete")
+    deltas = ch.select(
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("int").alias("g"),
+        F.when(~live_row, F.lit(0))  # tombstone payloads carry no weight
+        .when(pre, F.lit(-1)).otherwise(F.lit(1)).alias("dcnt"),
+        F.when(~live_row, F.lit(0))
+        .when(pre, -cents).otherwise(cents).alias("dcents"),
+    )
+    return (
+        deltas.groupBy("g")
+        .agg(
+            F.sum("dcnt").cast("long").alias("cnt"),
+            F.sum("dcents").cast("long").alias("total_cents"),
+        )
+        .orderBy("g")
+    )
+
+
 def _drop_orphan_location(spark, table: str) -> None:
     """A fresh session's in-memory catalog forgets tables but their
     warehouse directories persist; clear the orphan so saveAsTable can
