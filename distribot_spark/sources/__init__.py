@@ -2,8 +2,10 @@
 
 from distribot_spark.sources.acid import (
     TableLog,
+    append_spark,
     merge_upsert_pandas,
     merge_upsert_spark,
+    optimize_table_spark,
     purge_tombstones_pandas,
     read_snapshot_spark,
     table_changes_spark,
@@ -18,7 +20,7 @@ from distribot_spark.sources.io import (
 
 __all__ = [
     "read_any", "write_any", "write_partitioned", "write_bucketed_table",
-    "TableLog", "merge_upsert_pandas", "merge_upsert_spark",
-    "purge_tombstones_pandas", "read_snapshot_spark", "table_changes_spark",
-    "write_initial_spark",
+    "TableLog", "append_spark", "merge_upsert_pandas", "merge_upsert_spark",
+    "optimize_table_spark", "purge_tombstones_pandas", "read_snapshot_spark",
+    "table_changes_spark", "write_initial_spark",
 ]

@@ -216,6 +216,53 @@ class TableLog:
             if buckets is None or b in buckets
         ]
 
+    def live_stats(self, version: int | None = None) -> dict[str, dict]:
+        """{live data file -> per-column stats} as of ``version`` (head
+        if None). Stats ride in each commit's ``adds`` manifest entries
+        (``{"stats": {col: {"min", "max"}}}``, attached by writers that
+        opt in via ``stats_cols``) — the Delta/Iceberg pattern of
+        metadata-level min/max so planning never opens a data file.
+        Files added without stats map to ``{}`` and are never pruned.
+
+        Replays the full log (stats are not folded into checkpoints in
+        this demo; a production log would carry them there too, keeping
+        this O(CHECKPOINT_EVERY) like `snapshot`)."""
+        head = self.version()
+        v = head if version is None else version
+        if not 0 <= v <= head:
+            raise ValueError(f"version {v} outside [0, {head}]")
+        live: dict[str, dict] = {}
+        for i in range(0, v + 1):
+            c = self.read_commit(i)
+            for f in c["removes"]:
+                live.pop(f, None)
+            for a in c["adds"]:
+                live[a["file"]] = a.get("stats") or {}
+        return live
+
+    def live_paths_pruned(
+        self, col: str, lo, hi, version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """FILE SKIPPING off manifest stats: live paths whose
+        ``[min, max]`` range for ``col`` intersects ``[lo, hi]``, plus
+        the count of files PRUNED without being opened. Conservative by
+        construction — a file with no recorded stats for ``col`` is
+        always kept — so a pruned read is always semantically equal to
+        the full read plus the predicate (which is how the oracle checks
+        it). Bounds must be the same JSON-scalar type the stats carry
+        (dates/timestamps travel as ISO strings, which order
+        lexicographically)."""
+        stats = self.live_stats(version)
+        kept: list[str] = []
+        pruned = 0
+        for f in sorted(stats):
+            s = stats[f].get(col)
+            if s is not None and (s["max"] < lo or s["min"] > hi):
+                pruned += 1
+                continue
+            kept.append(self.data_path(f))
+        return kept, pruned
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO commit's live set — debris
         from writers that crashed between writing data and committing, or
@@ -596,6 +643,227 @@ def purge_tombstones_pandas(
         if table.try_commit(v, staged, replaced, writer):
             return {"committed_version": v + 1, "attempts": attempts,
                     "purged_files": len(replaced)}
+        for a in staged:  # lost the race: recompute against the new head
+            try:
+                os.unlink(table.data_path(a["file"]))
+            except FileNotFoundError:
+                pass
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+def _json_scalar(v):
+    """Parquet-footer stat value -> JSON scalar with the SAME ordering:
+    numbers stay numbers, strings stay strings, dates/timestamps become
+    ISO strings (lexicographic == chronological), bytes decode utf-8."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def parquet_file_stats(path: str, cols) -> dict[str, dict]:
+    """Per-column {min, max} lifted from a parquet FOOTER (no data
+    read): the min/max over the file's row-group statistics. A column
+    absent from the file or missing stats in any row group is omitted —
+    `live_paths_pruned` then keeps the file, so omission is safe, never
+    wrong. Driver-side here (files are staged locally); at cluster
+    scale the same read happens executor-side during the write task and
+    travels back with the add entry."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx: dict[str, int] = {}
+    for j in range(md.num_columns):
+        idx[md.schema.column(j).name] = j
+    out: dict[str, dict] = {}
+    for c in cols:
+        j = idx.get(c)
+        if j is None:
+            continue
+        mins, maxs = [], []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            out[c] = {
+                "min": _json_scalar(min(mins)),
+                "max": _json_scalar(max(maxs)),
+            }
+    return out
+
+
+def _stage_bucketed(
+    spark, table: TableLog, df_pb, n_partitions: int,
+    sort_cols=None, range_cols=None, stats_cols=(),
+) -> list[dict]:
+    """Write ``df_pb`` (must carry ``_pb``) as immutable staged data
+    files, one-bucket-per-file by construction (``partitionBy("_pb")``
+    splits exactly on the bucket even when a shuffle partition straddles
+    two buckets), and return their add-manifest entries. ``range_cols``
+    range-partitions rows first — that is what CLUSTERS a bucket's rows
+    into files covering narrow key ranges; ``sort_cols`` orders rows
+    inside each file so row-group stats are tight too. ``stats_cols``
+    min/max are lifted from each staged footer into the manifest."""
+    part = (
+        df_pb.repartitionByRange(n_partitions, *range_cols)
+        if range_cols else df_pb.repartition(n_partitions, "_pb")
+    )
+    if sort_cols:
+        part = part.sortWithinPartitions(*sort_cols)
+    tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")
+    part.write.mode("overwrite").partitionBy("_pb").parquet(tmp_out)
+    staged: list[dict] = []
+    for d in sorted(os.listdir(tmp_out)):
+        if not d.startswith("_pb="):
+            continue
+        b = int(d.split("=")[1])
+        for p in sorted(os.listdir(os.path.join(tmp_out, d))):
+            if not p.endswith(".parquet"):
+                continue
+            name = table.new_data_file(b)
+            shutil.move(os.path.join(tmp_out, d, p), table.data_path(name))
+            entry = {"file": name, "pb": b}
+            if stats_cols:
+                entry["stats"] = parquet_file_stats(
+                    table.data_path(name), stats_cols
+                )
+            staged.append(entry)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    return staged
+
+
+def append_spark(
+    spark,
+    table: TableLog,
+    df,
+    key: str,
+    n_buckets: int,
+    writer: str,
+    stats_cols=(),
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """Blind INSERT (Delta's ``append`` mode) through the OCC log: the
+    batch is bucketed and staged as NEW files, committed adds-only. No
+    base file is read or removed, so an append never needs a rebase —
+    on losing a version race it re-commits the SAME staged files at the
+    next version (adds-only commutes with every other commit; a
+    concurrent MERGE whose bucket gained a file mid-flight detects the
+    changed file set and recomputes, folding the appended rows in).
+    This is the streaming-micro-batch fast path — and the reason real
+    tables FRAGMENT: every append adds a file per touched bucket, which
+    `optimize_table_spark` later bin-packs.
+
+    Caller contract: rows are NEW keys (fact/event append). Appending a
+    key that already exists duplicates it — by design, exactly like
+    parquet/Delta append; use `merge_upsert_spark` for upserts."""
+    from pyspark.sql import functions as F
+
+    up = df.withColumn(
+        "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets)).cast("int")
+    )
+    staged = _stage_bucketed(
+        spark, table, up, n_buckets, sort_cols=["_pb", key],
+        stats_cols=stats_cols,
+    )
+    attempts = 0
+    while attempts < max_attempts:
+        v = table.version()
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        attempts += 1
+        if table.try_commit(v, staged, [], writer):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "files_added": len(staged)}
+    for a in staged:
+        try:
+            os.unlink(table.data_path(a["file"]))
+        except FileNotFoundError:
+            pass
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+def optimize_table_spark(
+    spark,
+    table: TableLog,
+    key: str,
+    n_buckets: int,
+    writer: str,
+    sort_col: str | None = None,
+    files_per_bucket: int = 1,
+    stats_cols=(),
+    rewrite_all: bool = False,
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """OPTIMIZE: bin-pack fragmented buckets (many small append files →
+    ``files_per_bucket`` files), optionally CLUSTERING rows on
+    ``sort_col`` so per-file ``stats_cols`` min/max ranges become
+    narrow and `live_paths_pruned` can skip files for range predicates
+    — Delta's ``OPTIMIZE ... ZORDER BY`` specialized to one dimension
+    (compose `operators.layout.with_zvalue` upstream for true 2-D
+    clustering of the sort key). Pure LAYOUT change: the logical table
+    is untouched, which `table_changes_spark` makes checkable — the
+    optimize version's change feed is EMPTY (every row is carried over
+    and suppressed by the pre/post struct compare).
+
+    Runs as ONE ordinary OCC commit (removes = replaced files, adds =
+    packed files), so concurrent writers serialize against it like any
+    MERGE: losing the race triggers a full recompute against the new
+    head. Only buckets holding more than ``files_per_bucket`` files are
+    rewritten (``rewrite_all`` forces every bucket, e.g. to apply a new
+    ``sort_col`` clustering to an already-compact table).
+
+    Scale shape: the rewrite is one Spark job over exactly the selected
+    buckets' files — range-partitioned into ``buckets ×
+    files_per_bucket`` tasks, each writing its slice sorted; commit
+    cost stays one atomic link. Old files remain for time-travel
+    readers until `vacuum()`, the standard retention trade."""
+    from pyspark.sql import functions as F
+
+    attempts = 0
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        by_bucket: dict[int, list[str]] = {}
+        for f, b in live.items():
+            by_bucket.setdefault(b, []).append(f)
+        work = {
+            b: fs for b, fs in by_bucket.items()
+            if len(fs) > files_per_bucket or rewrite_all
+        }
+        files_before = sum(len(fs) for fs in by_bucket.values())
+        if not work:
+            return {"committed_version": v, "attempts": attempts,
+                    "rewritten_buckets": 0, "files_before": files_before,
+                    "files_after": files_before}
+        replaced = sorted(f for fs in work.values() for f in fs)
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[table.data_path(f) for f in replaced]
+        ).withColumn(
+            "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
+            .cast("int"),
+        )
+        order = ["_pb", sort_col] if sort_col else ["_pb", key]
+        staged = _stage_bucketed(
+            spark, table, df, max(len(work), 1) * files_per_bucket,
+            sort_cols=order, range_cols=order, stats_cols=stats_cols,
+        )
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        attempts += 1
+        if table.try_commit(v, staged, replaced, writer):
+            _, live2 = table.snapshot()
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "rewritten_buckets": len(work),
+                    "files_before": files_before,
+                    "files_after": len(live2)}
         for a in staged:  # lost the race: recompute against the new head
             try:
                 os.unlink(table.data_path(a["file"]))

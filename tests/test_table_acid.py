@@ -404,3 +404,189 @@ def test_change_feed_pages_by_version(spark):
     assert [x for x in full if x[3] == 2] == []  # carried-equal: silent
     assert [x for x in full if x[3] == 3] == [(9, 9, "insert", 3)]
     assert {x[2] for x in full if x[3] == 1} == {"update_pre", "update_post"}
+
+
+# -- append / OPTIMIZE / manifest-stats file skipping -----------------------
+
+
+def _spark_rows(spark, t: TableLog, version=None):
+    paths = t.live_paths_at(version) if version is not None \
+        else t.live_paths()
+    return sorted(
+        (r.k, r.val)
+        for r in spark.read.parquet(*paths).select("k", "val").collect()
+    )
+
+
+def test_append_is_adds_only_and_rewinnable(spark):
+    """Blind append stages NEW files only (no base file read or
+    removed), and on losing a version race re-commits the SAME staged
+    files at the next version — adds-only commutes, so attempts=2 with
+    zero recompute and no lost rows on either side."""
+    from distribot_spark.sources.acid import append_spark, merge_upsert_pandas
+
+    t = TableLog(_tmp_table())
+    t.init()
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [0, 1, 2, 3], "val": [0, 1, 2, 3]}),
+        "k", 4, "seed",
+    )
+    live_before = t.snapshot()[1]
+
+    fired = []
+
+    def interloper(v):
+        if not fired:
+            fired.append(v)
+            merge_upsert_pandas(
+                t, pd.DataFrame({"k": [2], "val": [22]}), "k", 4, "racer"
+            )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [10, 11, 12, 13], "val": [10, 11, 12, 13]})
+    )
+    st = append_spark(
+        spark, t, df, "k", 4, "appender", pre_commit_hook=interloper
+    )
+    assert st["attempts"] == 2  # lost once, re-committed same files
+    assert st["files_added"] == 4
+    _, live_after = t.snapshot()
+    # every pre-race base file the racer didn't rewrite is still live
+    racer_bucket = 2 % 4
+    kept = {f for f, b in live_before.items() if b != racer_bucket}
+    assert kept <= set(live_after)
+    assert _spark_rows(spark, t) == sorted(
+        [(0, 0), (1, 1), (2, 22), (3, 3),
+         (10, 10), (11, 11), (12, 12), (13, 13)]
+    )
+
+
+def test_optimize_bin_packs_is_layout_only_and_noop_when_compact(spark):
+    """Six fragmented appends -> OPTIMIZE packs each bucket to one
+    file; rows identical before/after; the optimize version's change
+    feed is empty (pure layout); a second OPTIMIZE is a no-op commit-
+    free return."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        optimize_table_spark,
+        table_changes_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    t.init()
+    for w in range(3):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": range(w * 20, w * 20 + 20),
+                          "val": range(w * 20, w * 20 + 20)})
+        )
+        append_spark(spark, t, df, "k", 4, f"a{w}")
+    before = _spark_rows(spark, t)
+    v_before, live = t.snapshot()
+    assert max(
+        sum(1 for b in live.values() if b == i) for i in range(4)
+    ) == 3  # fragmented: 3 files per bucket
+
+    st = optimize_table_spark(spark, t, "k", 4, "opt")
+    assert st["rewritten_buckets"] == 4
+    assert st["files_after"] == 4 < st["files_before"] == 12
+    assert _spark_rows(spark, t) == before
+    # time travel still serves the pre-optimize layout
+    assert _spark_rows(spark, t, version=v_before) == before
+    cdf = table_changes_spark(
+        spark, t, "k",
+        from_version=st["committed_version"],
+        to_version=st["committed_version"],
+    )
+    assert cdf.count() == 0
+
+    st2 = optimize_table_spark(spark, t, "k", 4, "opt2")
+    assert st2["rewritten_buckets"] == 0
+    assert st2["committed_version"] == st["committed_version"]  # no commit
+
+
+def test_optimize_losing_race_folds_concurrent_append(spark):
+    """OPTIMIZE serializes like any OCC commit: an append landing
+    between its snapshot and commit forces a recompute against the new
+    head, so the packed layout CONTAINS the appended rows — no lost
+    update, no stale-layout commit."""
+    from distribot_spark.sources.acid import append_spark, optimize_table_spark
+
+    t = TableLog(_tmp_table())
+    t.init()
+    for w in range(2):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": range(w * 10, w * 10 + 10),
+                          "val": range(w * 10, w * 10 + 10)})
+        )
+        append_spark(spark, t, df, "k", 2, f"a{w}")
+
+    fired = []
+
+    def interloper(v):
+        if not fired:
+            fired.append(v)
+            append_spark(
+                spark, t,
+                spark.createDataFrame(pd.DataFrame({"k": [100], "val": [100]})),
+                "k", 2, "racer",
+            )
+
+    st = optimize_table_spark(
+        spark, t, "k", 2, "opt", pre_commit_hook=interloper
+    )
+    assert st["attempts"] == 2
+    assert (100, 100) in _spark_rows(spark, t)
+    _, live = t.snapshot()
+    assert len(live) == 2  # racer's file folded into the packed layout
+
+
+def test_manifest_stats_pruning_is_conservative():
+    """live_paths_pruned: intersecting ranges kept, disjoint pruned,
+    and a file with NO recorded stats for the column is always kept —
+    omission can never drop data."""
+    t = TableLog(_tmp_table())
+    t.init()
+    adds = [
+        {"file": t.new_data_file(0), "pb": 0,
+         "stats": {"d": {"min": "1995-01-01", "max": "1995-12-31"}}},
+        {"file": t.new_data_file(1), "pb": 1,
+         "stats": {"d": {"min": "1996-03-01", "max": "1996-04-30"}}},
+        {"file": t.new_data_file(2), "pb": 2, "stats": {}},  # no stats
+    ]
+    for a in adds:
+        with open(t.data_path(a["file"]), "wb"):
+            pass
+    assert t.try_commit(t.version(), adds, [], "w")
+    kept, pruned = t.live_paths_pruned("d", "1996-01-01", "1996-06-30")
+    assert pruned == 1
+    assert {os.path.basename(p) for p in kept} == {
+        adds[1]["file"], adds[2]["file"]
+    }
+    # fully-covering range prunes nothing
+    kept2, pruned2 = t.live_paths_pruned("d", "1990-01-01", "2999-01-01")
+    assert pruned2 == 0 and len(kept2) == 3
+
+
+def test_parquet_footer_stats_round_trip(spark):
+    """parquet_file_stats lifts footer min/max into JSON scalars whose
+    ordering matches the column's (dates -> ISO strings); a column
+    missing from the file is omitted, not fabricated."""
+    import tempfile
+
+    from distribot_spark.sources.acid import parquet_file_stats
+
+    d = tempfile.mkdtemp(prefix="stats_", dir="/root/repo/.tmp")
+    pdf = pd.DataFrame({
+        "k": [3, 1, 2],
+        "d": pd.to_datetime(["1996-05-01", "1995-01-15", "1997-12-31"]),
+        "s": ["m", "a", "z"],
+    })
+    pdf["d"] = pdf["d"].dt.date
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(d, "f.parquet"))
+    st = parquet_file_stats(os.path.join(d, "f.parquet"),
+                            ["k", "d", "s", "absent"])
+    assert st["k"] == {"min": 1, "max": 3}
+    assert st["d"] == {"min": "1995-01-15", "max": "1997-12-31"}
+    assert st["s"] == {"min": "a", "max": "z"}
+    assert "absent" not in st
