@@ -1,0 +1,104 @@
+"""Shared CDF-consumer pieces: the 5-version demo history, the signed
+delta fold, and the final-state oracle — used by the batch incremental
+view (`queries/sources.py: source_cdf_incremental_view`) and its
+streaming twin (`queries/streaming.py: s24_stream_cdf_source`). Lives
+in its own registration-free module so either query module can import
+it without perturbing registry order (imports of query modules REGISTER
+queries; this module must stay side-effect-free)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distribot_spark.catalog import load_table
+
+
+def build_cdf_demo_table(spark, sf_dir, out):
+    """The shared 5-version ACID history the CDF consumers fold: v0
+    seed = full orders, v1 doubled prices for keys ≡0 (mod 1000), v2
+    ten synthetic inserts, v3 tombstone-deletes keys ≡8 (mod 1000), v4
+    physical purge. Final logical state is what `CDF_VIEW_ORACLE`
+    aggregates."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        merge_upsert_spark,
+        purge_tombstones_pandas,
+        write_initial_spark,
+    )
+
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit(1).alias("v"), F.lit("u").alias("op"),
+    )
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+
+    def wave(mod_rem: int, mult, v: int, op: str):
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 1000 == mod_rem)
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * mult, 2)
+                .cast("double").alias("o_totalprice"),
+                F.lit(v).alias("v"), F.lit(op).alias("op"),
+            )
+        )
+
+    inserts = spark.range(10).select(
+        (F.lit(1_000_000_000) + F.col("id")).alias("o_orderkey"),
+        (F.lit(100.0) + F.col("id")).alias("o_totalprice"),
+        F.lit(1).alias("v"), F.lit("u").alias("op"),
+    )
+    merge_upsert_spark(spark, table, wave(0, 2, 2, "u"),
+                       "o_orderkey", 16, "upserts", version="v")
+    merge_upsert_spark(spark, table, inserts,
+                       "o_orderkey", 16, "inserts", version="v")
+    merge_upsert_spark(spark, table, wave(8, 1, 2, "d"),
+                       "o_orderkey", 16, "deletes", version="v")
+    purge_tombstones_pandas(table, "op")
+    return table
+
+
+def cdf_view_deltas(ch):
+    """Change-feed rows → signed view deltas (g, dcnt, dcents): insert
+    ⇒ (+1, +cents), delete ⇒ (−1, −cents), update ⇒ ±cents across the
+    pre/post pair. op='d' tombstone payloads carry ZERO weight — the
+    logical delete lands at the tombstone UPDATE (its live pre-image
+    subtracts), so the later physical purge's CDF deletes fold to
+    nothing. Integer cents keep the fold exact in any order/batching
+    (the repo's float-SUM quantization rule) — which is exactly what
+    lets the streaming twin (s24) equal the batch fold bit-for-bit."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    live_row = F.col("op").isNull() | (F.col("op") != "d")
+    pre = F.col("_change_type").isin("update_pre", "delete")
+    return ch.select(
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("int").alias("g"),
+        F.when(~live_row, F.lit(0))  # tombstone payloads carry no weight
+        .when(pre, F.lit(-1)).otherwise(F.lit(1)).alias("dcnt"),
+        F.when(~live_row, F.lit(0))
+        .when(pre, -cents).otherwise(cents).alias("dcents"),
+    )
+
+
+#: final-state aggregate of the build_cdf_demo_table history — shared by
+#: source_cdf_incremental_view and s24_stream_cdf_source.
+CDF_VIEW_ORACLE = """
+    WITH ua AS (SELECT o_orderkey,
+                       CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                            AS DOUBLE) AS p
+                FROM orders WHERE o_orderkey % 1000 = 0),
+    fin AS (
+      SELECT o.o_orderkey, COALESCE(ua.p, o.o_totalprice) AS p
+      FROM orders o LEFT JOIN ua ON o.o_orderkey = ua.o_orderkey
+      WHERE o.o_orderkey % 1000 <> 8
+      UNION ALL
+      SELECT 1000000000 + i, CAST(100 + i AS DOUBLE) FROM range(10) t(i))
+    SELECT CAST(o_orderkey % 7 AS INT) AS g, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM fin GROUP BY 1 ORDER BY g
+"""

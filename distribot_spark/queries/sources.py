@@ -8,6 +8,11 @@ import os
 from pyspark.sql import functions as F
 
 from distribot_spark.catalog import load_table
+from distribot_spark.queries.cdf_shared import (
+    CDF_VIEW_ORACLE,
+    build_cdf_demo_table,
+    cdf_view_deltas,
+)
 from distribot_spark.queries.registry import register
 from distribot_spark.sources import (
     read_any,
@@ -690,21 +695,7 @@ def source_acid_change_feed(spark, sf_dir):
 
 @register(
     "source_cdf_incremental_view",
-    oracle="""
-    WITH ua AS (SELECT o_orderkey,
-                       CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
-                            AS DOUBLE) AS p
-                FROM orders WHERE o_orderkey % 1000 = 0),
-    fin AS (
-      SELECT o.o_orderkey, COALESCE(ua.p, o.o_totalprice) AS p
-      FROM orders o LEFT JOIN ua ON o.o_orderkey = ua.o_orderkey
-      WHERE o.o_orderkey % 1000 <> 8
-      UNION ALL
-      SELECT 1000000000 + i, CAST(100 + i AS DOUBLE) FROM range(10) t(i))
-    SELECT CAST(o_orderkey % 7 AS INT) AS g, COUNT(*) AS cnt,
-           CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
-    FROM fin GROUP BY 1 ORDER BY g
-    """,
+    oracle=CDF_VIEW_ORACLE,
     tags=("sources", "acid", "cdf", "ivm"),
 )
 def source_cdf_incremental_view(spark, sf_dir):
@@ -723,66 +714,18 @@ def source_cdf_incremental_view(spark, sf_dir):
     fold exact in any order (the repo's float-SUM quantization rule).
     At scale this is the nightly-rollup replacement: O(changed rows)
     per refresh against an O(table) rescan."""
-    import shutil
+    from distribot_spark.sources import table_changes_spark
 
-    from distribot_spark.sources import (
-        TableLog,
-        merge_upsert_spark,
-        purge_tombstones_pandas,
-        table_changes_spark,
-        write_initial_spark,
+    table = build_cdf_demo_table(
+        spark, sf_dir, os.path.join(TMP_ROOT, f"acid_ivm_{_tag(sf_dir)}")
     )
-
-    out = os.path.join(TMP_ROOT, f"acid_ivm_{_tag(sf_dir)}")
-    shutil.rmtree(out, ignore_errors=True)
-    table = TableLog(out)
-    orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderkey", "o_totalprice",
-        F.lit(1).alias("v"), F.lit("u").alias("op"),
-    )
-    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
-
-    def wave(mod_rem: int, mult, v: int, op: str):
-        return (
-            load_table(spark, sf_dir, "orders")
-            .filter(F.col("o_orderkey") % 1000 == mod_rem)
-            .select(
-                "o_orderkey",
-                F.round(F.col("o_totalprice").cast("decimal(12,2)") * mult, 2)
-                .cast("double").alias("o_totalprice"),
-                F.lit(v).alias("v"), F.lit(op).alias("op"),
-            )
-        )
-
-    inserts = spark.range(10).select(
-        (F.lit(1_000_000_000) + F.col("id")).alias("o_orderkey"),
-        (F.lit(100.0) + F.col("id")).alias("o_totalprice"),
-        F.lit(1).alias("v"), F.lit("u").alias("op"),
-    )
-    merge_upsert_spark(spark, table, wave(0, 2, 2, "u"),
-                       "o_orderkey", 16, "upserts", version="v")
-    merge_upsert_spark(spark, table, inserts,
-                       "o_orderkey", 16, "inserts", version="v")
-    merge_upsert_spark(spark, table, wave(8, 1, 2, "d"),
-                       "o_orderkey", 16, "deletes", version="v")
-    purge_tombstones_pandas(table, "op")
 
     # the view never reads the table after v0 — only the change feed.
     # op='d' rows are LOGICAL deletes the moment they land (readers
     # filter them), so the view drops the key at the tombstone UPDATE
     # and must ignore the later physical purge's CDF rows for it.
     ch = table_changes_spark(spark, table, "o_orderkey")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    live_row = F.col("op").isNull() | (F.col("op") != "d")
-    pre = F.col("_change_type").isin("update_pre", "delete")
-    deltas = ch.select(
-        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("int").alias("g"),
-        F.when(~live_row, F.lit(0))  # tombstone payloads carry no weight
-        .when(pre, F.lit(-1)).otherwise(F.lit(1)).alias("dcnt"),
-        F.when(~live_row, F.lit(0))
-        .when(pre, -cents).otherwise(cents).alias("dcents"),
-    )
+    deltas = cdf_view_deltas(ch)
     return (
         deltas.groupBy("g")
         .agg(
@@ -790,6 +733,102 @@ def source_cdf_incremental_view(spark, sf_dir):
             F.sum("dcents").cast("long").alias("total_cents"),
         )
         .orderBy("g")
+    )
+
+
+@register(
+    "source_acid_optimize",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m-%d')
+          BETWEEN '1996-01-01' AND '1996-06-30'
+    GROUP BY month ORDER BY month
+    """,
+    tags=("sources", "acid", "optimize", "skipping"),
+)
+def source_acid_optimize(spark, sf_dir):
+    """OPTIMIZE + manifest-stats FILE SKIPPING on the OCC table
+    (sources/acid.py `append_spark` / `optimize_table_spark` /
+    `live_paths_pruned`) — the lakehouse maintenance loop Delta spells
+    ``OPTIMIZE ... ZORDER BY`` + data skipping, rebuilt on the commit
+    log: six blind append waves fragment every bucket into three files
+    whose o_orderdate min/max spans the whole 1995–2001 domain (a date
+    predicate can skip NOTHING — asserted); one OPTIMIZE commit
+    bin-packs each bucket into two files CLUSTERED on the date, after
+    which the manifest min/max alone prunes files for the six-month
+    window (asserted >0 skipped) WITHOUT opening them. Three invariants
+    are checked in-flight: the change feed of the optimize version is
+    EMPTY (pure layout change — carried-row suppression proves the
+    logical table untouched), pruning is conservative (pruned read ∪
+    predicate ≡ full read ∪ predicate, which the oracle certifies
+    end-to-end), and append-only commits never conflict. The returned
+    monthly census is computed FROM THE PRUNED FILE LIST, so the hash
+    oracle certifies skipping correctness, not just the happy path.
+    Reference parity: distribot durably appends work and compacts
+    queues (connector.rb:59); scale shape: appends never read base
+    data, optimize touches only fragmented buckets, planning reads
+    manifests not footers."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        append_spark,
+        optimize_table_spark,
+        table_changes_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_opt_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    table.init()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    for m in range(6):
+        st = append_spark(
+            spark, table, orders.filter(F.col("o_orderkey") % 6 == m),
+            "o_orderkey", 16, f"appender-{m}", stats_cols=("o_orderdate",),
+        )
+        assert st["attempts"] == 1, st  # appends never conflict
+    # fragmented: every file spans the full date domain -> nothing skips
+    _, pruned0 = table.live_paths_pruned(
+        "o_orderdate", "1996-01-01", "1996-06-30"
+    )
+    assert pruned0 == 0, f"unclustered appends pruned {pruned0} files"
+    st = optimize_table_spark(
+        spark, table, "o_orderkey", 16, "optimizer",
+        sort_col="o_orderdate", files_per_bucket=2,
+        stats_cols=("o_orderdate",),
+    )
+    assert st["rewritten_buckets"] == 16, st
+    assert st["files_after"] < st["files_before"], st
+    # layout-only: the optimize commit emits ZERO change-feed rows
+    cdf = table_changes_spark(
+        spark, table, "o_orderkey",
+        from_version=st["committed_version"],
+        to_version=st["committed_version"],
+    )
+    assert cdf.count() == 0, "optimize must be invisible to the CDF"
+    kept, pruned = table.live_paths_pruned(
+        "o_orderdate", "1996-01-01", "1996-06-30"
+    )
+    assert pruned > 0 and kept, f"clustered layout pruned {pruned}"
+    return (
+        spark.read.parquet(*kept)
+        .filter(F.col("o_orderdate").between("1996-01-01", "1996-06-30"))
+        .groupBy(F.substring("o_orderdate", 1, 7).alias("month"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("revenue"),
+        )
+        .orderBy("month")
     )
 
 

@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 from distribot_spark.catalog import load_table
 from distribot_spark.functions import stable_round
 from distribot_spark.queries.registry import register
+from distribot_spark.queries.cdf_shared import (
+    CDF_VIEW_ORACLE,
+    build_cdf_demo_table,
+    cdf_view_deltas,
+)
 from distribot_spark.streaming import replay
 
 _FMT_S = "yyyy-MM-dd HH:mm:ss"
@@ -1090,3 +1095,80 @@ def s23_stream_cdc_acid_sink(spark, sf_dir):
         .cast("double")
         .alias("total_current"),
     )
+
+
+@register(
+    "s24_stream_cdf_source",
+    oracle=CDF_VIEW_ORACLE,  # shared with the batch IVM twin
+    tags=("streaming", "cdc", "source", "acid", "ivm"),
+)
+def s24_stream_cdf_source(spark, sf_dir):
+    """ACID table as a STREAMING SOURCE — Delta's ``readChangeFeed``
+    streaming contract rebuilt on the repo's commit log, the read-side
+    twin of s23 (which lands a stream INTO the log): each commit
+    version's change feed (`table_changes_spark`, one version per
+    micro-batch via maxFilesPerTrigger=1, commit order preserved)
+    flows through readStream into an update-mode signed aggregation
+    that maintains the same grouped view as the batch IVM
+    (`source_cdf_incremental_view`) — and the SHARED oracle certifies
+    the standing query's final state equals the direct aggregate of
+    the final table. Folding through a 5-version history (seed,
+    updates, inserts, tombstone delete, physical purge) proves the
+    hard part: deltas arrive split across micro-batches, so only the
+    integer-cents order/batching-independent fold (`cdf_view_deltas`)
+    can match the batch hash. The per-g running row count is monotone,
+    so the batch-side projection keeps each group's last update via
+    max_by(n_rows). Scale shape: state is one row per view group (the
+    aggregate's own grain, not the table's); each micro-batch costs
+    O(that commit's changed rows) — the standing-query replacement for
+    the nightly O(table) rescan."""
+    import shutil
+    import uuid as _uuid
+
+    from distribot_spark.sources import table_changes_spark
+
+    root = os.path.join(replay.TMP_ROOT, f"s24_{_uuid.uuid4().hex[:8]}")
+    table = build_cdf_demo_table(
+        spark, sf_dir, os.path.join(root, "table")
+    )
+    # materialize each version's CDF as one replay chunk: the bounded
+    # deterministic stand-in for a streaming-source offset = log version
+    chunks = os.path.join(root, "cdf_chunks")
+    os.makedirs(chunks, exist_ok=True)
+    head = table.version()
+    for v in range(head + 1):
+        ch = table_changes_spark(
+            spark, table, "o_orderkey", from_version=v, to_version=v
+        )
+        tmp = os.path.join(root, f"_v{v}")
+        ch.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part),
+                  os.path.join(chunks, f"chunk_{v:04d}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def t(stream):
+        return (
+            cdf_view_deltas(stream)
+            .groupBy("g")
+            .agg(
+                F.sum("dcnt").alias("cnt"),
+                F.sum("dcents").alias("total_cents"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    updates = replay.run_bounded(spark, t, chunks, "update")
+    out = (
+        updates.groupBy("g")
+        .agg(
+            F.max_by("cnt", "n_rows").cast("long").alias("cnt"),
+            F.max_by("total_cents", "n_rows").cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("g")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
