@@ -832,6 +832,104 @@ def source_acid_optimize(spark, sf_dir):
     )
 
 
+@register(
+    "source_acid_optimize_zorder",
+    oracle="""
+    WITH dd AS (SELECT o_custkey,
+                       CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+                       o_totalprice
+                FROM orders),
+    b AS (SELECT MAX(o_custkey) AS cmax FROM dd)
+    SELECT day // 90 AS qtr,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM dd, b
+    WHERE o_custkey BETWEEN cmax // 8 AND cmax // 4
+      AND day BETWEEN 9131 AND 9495
+    GROUP BY 1 ORDER BY qtr
+    """,
+    tags=("sources", "acid", "optimize", "zorder", "skipping"),
+)
+def source_acid_optimize_zorder(spark, sf_dir):
+    """OPTIMIZE ... ZORDER BY on the OCC table: `source_acid_optimize`
+    skips on ONE date dimension; this clusters on the Morton interleave
+    of (o_custkey, day) (operators/layout.py — exact integer quantize +
+    interleave, static-bounds zval computed once so every append shares
+    one curve) and proves ONE layout serves BOX predicates on BOTH
+    dimensions: after three fragmenting appends a mid-domain 2-D box
+    prunes nothing (every file's min/max spans each full domain —
+    asserted); after one OPTIMIZE commit sorted on zval, manifest
+    min/max prune files on the custkey axis AND on the day axis
+    (both asserted >0), and the kept sets INTERSECT — the 2-D skipping
+    Delta ships as OPTIMIZE ZORDER BY. The quarterly census is computed
+    from the intersected pruned file list, so the hash oracle certifies
+    2-D skipping never drops a row. day ≥ 0 and o_custkey ≥ 1, so the
+    DIV/// binning and bounds are floor-division-safe cross-engine.
+    Scale shape: planning cost is manifest-only (no footer reads at
+    query time); the rewrite is one range-partitioned job over exactly
+    the fragmented buckets."""
+    import shutil
+
+    from distribot_spark.operators.layout import with_zvalue
+    from distribot_spark.sources import (
+        TableLog,
+        append_spark,
+        optimize_table_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_zopt_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    table.init()
+    orders = with_zvalue(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .alias("day"),
+            "o_totalprice",
+        ),
+        "o_custkey", "day", bits=16,
+    )
+    cmax = orders.agg(F.max("o_custkey")).first()[0]  # one scalar
+    clo, chi = cmax // 8, cmax // 4
+    for m in range(3):
+        append_spark(
+            spark, table, orders.filter(F.col("o_orderkey") % 3 == m),
+            "o_orderkey", 4, f"appender-{m}",
+            stats_cols=("o_custkey", "day"),
+        )
+    kc0 = table.live_paths_pruned("o_custkey", clo, chi)[1]
+    kd0 = table.live_paths_pruned("day", 9131, 9495)[1]
+    assert kc0 == 0 and kd0 == 0, (kc0, kd0)  # unclustered: nothing skips
+    st = optimize_table_spark(
+        spark, table, "o_orderkey", 4, "optimizer",
+        sort_col="zval", files_per_bucket=16,
+        stats_cols=("o_custkey", "day"),
+        rewrite_all=True,  # re-cluster, not compact: target > current
+    )
+    assert st["rewritten_buckets"] == 4, st
+    kept_c, pr_c = table.live_paths_pruned("o_custkey", clo, chi)
+    kept_d, pr_d = table.live_paths_pruned("day", 9131, 9495)
+    assert pr_c > 0 and pr_d > 0, (pr_c, pr_d)  # BOTH axes skip
+    kept = sorted(set(kept_c) & set(kept_d))
+    assert kept and len(kept) < st["files_after"], (len(kept), st)
+    return (
+        spark.read.parquet(*kept)
+        .filter(
+            F.col("o_custkey").between(clo, chi)
+            & F.col("day").between(9131, 9495)
+        )
+        .groupBy(F.expr("day DIV 90").cast("long").alias("qtr"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").alias("total_cents"),
+        )
+        .orderBy("qtr")
+    )
+
+
 def _drop_orphan_location(spark, table: str) -> None:
     """A fresh session's in-memory catalog forgets tables but their
     warehouse directories persist; clear the orphan so saveAsTable can
