@@ -2052,7 +2052,7 @@ def q_tpch19_disjunctive(spark, sf_dir):
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-02-01')
     SELECT promo_e4, total_e4,
-           (promo_e4 // 10000) * 1000000 // (total_e4 // 10000)
+           (promo_e4 // 10000) * 1000000 // GREATEST(total_e4 // 10000, 1)
              AS promo_share_micro
     FROM m
     """,
@@ -2092,8 +2092,13 @@ def q_tpch14_promo_share(spark, sf_dir):
         # raises). DIV 10000 first gives ~1e4x headroom (overflow needs
         # > $9.2e12 revenue per group, ~sf3000); both operands are
         # non-negative so Spark DIV (truncate) == DuckDB // (floor).
-        F.expr("(promo_e4 DIV 10000) * 1000000 DIV (total_e4 DIV 10000)")
-         .alias("promo_share_micro"),
+        # GREATEST(.., 1): a group under $1 floors the divisor to 0,
+        # where Spark DIV yields NULL but DuckDB // raises — clamp
+        # identically on both sides so degenerate data can't diverge.
+        F.expr(
+            "(promo_e4 DIV 10000) * 1000000 "
+            "DIV GREATEST(total_e4 DIV 10000, 1)"
+        ).alias("promo_share_micro"),
     )
 
 
@@ -2225,7 +2230,7 @@ def q_tpch07_volume_shipping(spark, sf_dir):
       WHERE r_name = 'ASIA'
       GROUP BY 1)
     SELECT o_year, nation_e4, total_e4,
-           (nation_e4 // 10000) * 1000000 // (total_e4 // 10000)
+           (nation_e4 // 10000) * 1000000 // GREATEST(total_e4 // 10000, 1)
              AS share_micro
     FROM v ORDER BY o_year
     """,
@@ -2267,9 +2272,12 @@ def q_tpch08_market_share(spark, sf_dir):
     return v.select(
         "o_year", "nation_e4", "total_e4",
         # Whole-dollar downscale before the 1e6 scale-up: keeps the int64
-        # product in range to ~sf3000 (see q_tpch14_promo_share).
-        F.expr("(nation_e4 DIV 10000) * 1000000 DIV (total_e4 DIV 10000)")
-         .alias("share_micro"),
+        # product in range to ~sf3000; GREATEST clamps a <$1 group's
+        # divisor away from 0 (see q_tpch14_promo_share).
+        F.expr(
+            "(nation_e4 DIV 10000) * 1000000 "
+            "DIV GREATEST(total_e4 DIV 10000, 1)"
+        ).alias("share_micro"),
     ).orderBy("o_year")
 
 

