@@ -681,6 +681,103 @@ def source_merge_cdc_delete(spark, sf_dir):
 
 
 @register(
+    "source_acid_delete_vectors",
+    oracle="""
+    WITH del AS (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_orderkey % 97 = 0),
+    keep AS (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey % 97 <> 0),
+    u AS (
+      SELECT 'cdf_deletes' AS phase, COUNT(*) AS cnt,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) AS total FROM del
+      UNION ALL
+      SELECT 'dv_read', COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM keep
+      UNION ALL
+      SELECT 'optimized', COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM keep)
+    SELECT phase, cnt, total FROM u ORDER BY phase
+    """,
+    tags=("sources", "acid", "delete", "dv"),
+)
+def source_acid_delete_vectors(spark, sf_dir):
+    """DELETION VECTORS — row-level DELETE without bucket rewrites
+    (Delta/Iceberg DVs on the OCC log, sources/acid.py
+    `delete_keys_spark`): deleting every 97th order commits tiny
+    per-file key-set sidecars and NOT ONE base data file changes
+    (asserted: the live data-file set is byte-identical to the seed's),
+    readers fold the DVs with a broadcast anti-join, the change feed
+    reports exactly the deleted rows (its census is oracle-certified
+    against the relational definition of the delete set), and a later
+    OPTIMIZE compacts the DVs into the base in one commit (asserted:
+    live_dvs empty after) with the logical table unchanged — the oracle
+    certifies the same census before (dv_read) and after (optimized).
+    At 100 TB this turns a sparse delete from rewriting ~every touched
+    file (write amplification ~bucket_size/delete_size) into O(deleted
+    rows) sidecar bytes; `test_dv_delete_equals_rewrite_delete_and_
+    cdf_parity` pins mode='dv' ≡ mode='rewrite' row-for-row."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        delete_keys_spark,
+        optimize_table_spark,
+        read_snapshot_spark,
+        table_changes_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_dv_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+    live0 = set(table.snapshot()[1])
+
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey")
+    )
+    st = delete_keys_spark(spark, table, keys, "o_orderkey", 16, "deleter")
+    assert st["dv_files"] > 0 and st["deleted_rows"] > 0, st
+    # THE point: not one data file was rewritten by the delete
+    assert set(table.snapshot()[1]) == live0, "DV delete must not rewrite"
+
+    def census(phase: str, df):
+        return df.agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        ).select(F.lit(phase).alias("phase"), "cnt", "total")
+
+    cdf = table_changes_spark(
+        spark, table, "o_orderkey",
+        from_version=st["committed_version"],
+        to_version=st["committed_version"],
+    ).filter(F.col("_change_type") == "delete")
+    r_cdf = census("cdf_deletes", cdf)
+    r_dv = census(
+        "dv_read", read_snapshot_spark(spark, table, dv_key="o_orderkey")
+    )
+
+    opt = optimize_table_spark(
+        spark, table, "o_orderkey", 16, "optimizer", files_per_bucket=1,
+    )
+    assert opt["rewritten_buckets"] > 0, opt
+    assert table.live_dvs() == {}, "OPTIMIZE must compact every DV"
+    r_opt = census(
+        "optimized", read_snapshot_spark(spark, table, dv_key="o_orderkey")
+    )
+    return r_cdf.unionByName(r_dv).unionByName(r_opt).orderBy("phase")
+
+
+@register(
     "source_acid_change_feed",
     oracle="""
     WITH seed AS (SELECT o_orderkey, o_totalprice FROM orders),

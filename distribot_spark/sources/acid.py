@@ -271,6 +271,47 @@ class TableLog:
                 live[a["file"]] = int(a["pb"])
         return v, live
 
+    # -- deletion vectors -------------------------------------------------
+
+    def new_dv_file(self) -> str:
+        return f"dv-{uuid.uuid4().hex}.parquet"
+
+    def live_dvs(
+        self, version: int | None = None,
+    ) -> dict[str, list[str]]:
+        """{live data file -> its deletion-vector sidecars, commit
+        order} as of ``version`` (head if None). A file's DV list dies
+        with the file: a rewrite (MERGE/OPTIMIZE) removes the file, so
+        the fold clears its DVs — folding them into the base is exactly
+        what the rewrite did. A dv entry naming a file no longer live
+        when its commit lands (the writer lost a race to a rewrite) is
+        ignored: the rewrite already materialized a state the DV writer
+        must re-derive against.
+
+        Replays the full log (like `live_stats`, DVs are not folded
+        into checkpoints in this demo; a production log carries them
+        there, keeping this O(CHECKPOINT_EVERY))."""
+        head = self.version()
+        v = head if version is None else version
+        if v < 0 <= head or v > head:
+            raise ValueError(f"version {v} outside [0, {head}]")
+        if head < 0:
+            return {}  # empty table: nothing committed yet
+        self._check_not_expired(v)
+        live: set[str] = set()
+        dvs: dict[str, list[str]] = {}
+        for i in range(0, v + 1):
+            c = self.read_commit(i)
+            for f in c["removes"]:
+                live.discard(f)
+                dvs.pop(f, None)
+            for a in c["adds"]:
+                live.add(a["file"])
+            for f, d in (c.get("dvs") or {}).items():
+                if f in live:
+                    dvs.setdefault(f, []).append(d)
+        return dvs
+
     # -- data files -------------------------------------------------------
 
     def new_data_file(self, bucket: int) -> str:
@@ -346,14 +387,21 @@ class TableLog:
         floor = self.expired_before()
         referenced: set[str] = set()
         live: dict[str, int] = {}
+        dvs: dict[str, list[str]] = {}
         for i in range(0, head + 1):
             c = self.read_commit(i)
             for f in c["removes"]:
                 live.pop(f, None)
+                dvs.pop(f, None)
             for a in c["adds"]:
                 live[a["file"]] = int(a["pb"])
+            for f, d in (c.get("dvs") or {}).items():
+                if f in live:
+                    dvs.setdefault(f, []).append(d)
             if i >= floor:
                 referenced.update(live)
+                for ds in dvs.values():
+                    referenced.update(ds)
         return referenced
 
     def vacuum(
@@ -440,6 +488,7 @@ def merge_upsert_pandas(
     recomputes = 0
     staged: list[dict] | None = None
     replaced: list[str] | None = None
+    replaced_dvstate: dict | None = None
     parent = -2  # force first compute
 
     while attempts < max_attempts:
@@ -447,7 +496,12 @@ def merge_upsert_pandas(
         bucket_files = {
             f: b for f, b in live.items() if b in touched
         }
-        need_compute = staged is None or set(bucket_files) != set(replaced)
+        dvmap = {
+            f: ds for f, ds in table.live_dvs().items() if f in bucket_files
+        }
+        # DV state is part of conflict detection (see merge_upsert_spark)
+        dvstate = {f: tuple(dvmap.get(f, ())) for f in bucket_files}
+        need_compute = staged is None or dvstate != replaced_dvstate
         if need_compute:
             # (re)compute the merged content of each touched bucket
             if staged is not None:
@@ -458,15 +512,25 @@ def merge_upsert_pandas(
                     except FileNotFoundError:
                         pass
             staged, replaced = [], sorted(bucket_files)
+            replaced_dvstate = dvstate
+
+            def _read_minus_dv(f):
+                fr = pq.read_table(table.data_path(f)).to_pandas()
+                for d in dvmap.get(f, ()):
+                    dead = set(
+                        pq.read_table(table.data_path(d)).to_pandas()[key]
+                    )
+                    fr = fr[~fr[key].isin(dead)]
+                return fr
+
             for b in sorted(touched):
-                paths = [
-                    table.data_path(f)
-                    for f, bb in sorted(bucket_files.items()) if bb == b
+                names = [
+                    f for f, bb in sorted(bucket_files.items()) if bb == b
                 ]
                 base = (
-                    pd.concat([pq.read_table(p).to_pandas() for p in paths],
+                    pd.concat([_read_minus_dv(f) for f in names],
                               ignore_index=True)
-                    if paths else up.iloc[0:0].drop(columns=["_pb"])
+                    if names else up.iloc[0:0].drop(columns=["_pb"])
                 )
                 u = up[up["_pb"] == b].drop(columns=["_pb"])
                 if version is None:
@@ -564,11 +628,20 @@ def merge_upsert_spark(
     recomputes = 0
     staged: list[dict] | None = None
     replaced: list[str] | None = None
+    replaced_dvstate: dict | None = None
 
     while attempts < max_attempts:
         v, live = table.snapshot()
         bucket_files = {f: b for f, b in live.items() if b in touched}
-        need_compute = staged is None or set(bucket_files) != set(replaced)
+        dvmap = {
+            f: ds for f, ds in table.live_dvs().items() if f in bucket_files
+        }
+        # DV state participates in conflict detection: a deletion-vector
+        # commit landing on our buckets changes content without changing
+        # the file set, and our rewrite (which REMOVES those files,
+        # killing their DVs) would resurrect the deleted rows
+        dvstate = {f: tuple(dvmap.get(f, ())) for f in bucket_files}
+        need_compute = staged is None or dvstate != replaced_dvstate
         if need_compute:
             if staged is not None:
                 recomputes += 1
@@ -578,10 +651,14 @@ def merge_upsert_spark(
                     except FileNotFoundError:
                         pass
             replaced = sorted(bucket_files)
+            replaced_dvstate = dvstate
             paths = [table.data_path(f) for f in replaced]
             if paths:
                 base = spark.read.option("mergeSchema", "true").parquet(
                     *paths
+                )
+                base = _apply_dvs(
+                    spark, table, base, key, dvmap
                 ).withColumn(
                     "_pb",
                     F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
@@ -705,6 +782,8 @@ def read_snapshot_spark(
     table: TableLog,
     version: int | None = None,
     tombstone_col: str | None = None,
+    apply_dvs: bool = True,
+    dv_key: str | None = None,
 ):
     """Read a snapshot (head, or AS OF ``version``) with mergeSchema —
     the reader half of schema evolution: buckets untouched since an
@@ -718,7 +797,13 @@ def read_snapshot_spark(
     files so a stale out-of-order upsert (lower version, delivered
     late) cannot resurrect the key; readers filter it out here. Physical
     reclamation is `purge_tombstones_pandas` after the redelivery
-    horizon."""
+    horizon.
+
+    Deletion vectors (``delete_keys_spark``) fold automatically: rows a
+    live DV names are anti-joined away (broadcast — the DV side scales
+    with deletes, not the table). ``apply_dvs=False`` exposes the raw
+    physical rows (debug/audit only). ``dv_key`` names the join key for
+    the DV fold; required only when DVs exist."""
     from pyspark.sql import functions as F
 
     paths = (
@@ -726,6 +811,12 @@ def read_snapshot_spark(
         else table.live_paths_at(version)
     )
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if apply_dvs:
+        dvmap = table.live_dvs(version)
+        if dvmap:
+            if dv_key is None:
+                raise ValueError("table has deletion vectors: pass dv_key")
+            df = _apply_dvs(spark, table, df, dv_key, dvmap)
     if tombstone_col is not None:
         df = df.filter(
             F.col(tombstone_col).isNull() | (F.col(tombstone_col) != "d")
@@ -781,6 +872,195 @@ def purge_tombstones_pandas(
                 os.unlink(table.data_path(a["file"]))
             except FileNotFoundError:
                 pass
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+# -- deletion vectors ------------------------------------------------------
+
+
+def _file_col():
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+
+def _dv_paths(table: TableLog, dvmap: dict[str, list[str]],
+              files=None) -> list[str]:
+    return [
+        table.data_path(d)
+        for f, ds in sorted(dvmap.items())
+        if files is None or f in files
+        for d in ds
+    ]
+
+
+def _apply_dvs(spark, table: TableLog, base, key: str,
+               dvmap: dict[str, list[str]], files=None,
+               keep_file_col: bool = False):
+    """Fold deletion vectors at read: anti-join base rows against the
+    (data file, key) pairs the DV sidecars record. The DV side is tiny
+    by construction (it scales with deletes, not the table), so this
+    plans as a BROADCAST anti-join over the scan — per-file precision
+    without per-file jobs. ``base`` must be a direct read of the live
+    paths (or already carry ``_f``): `input_file_name` is only legal on
+    a single-source plan, so the file tag is attached HERE, before any
+    join, and kept when the caller asks (``keep_file_col``)."""
+    from pyspark.sql import functions as F
+
+    tagged = base if "_f" in base.columns else base.withColumn(
+        "_f", _file_col()
+    )
+    paths = _dv_paths(table, dvmap, files)
+    if not paths:
+        return tagged if keep_file_col else tagged.drop("_f")
+    dv = spark.read.parquet(*paths).select(
+        F.col("_df"), F.col(key).alias("_dk")
+    )
+    out = tagged.join(
+        F.broadcast(dv),
+        (tagged["_f"] == dv["_df"]) & (tagged[key] == dv["_dk"]),
+        "left_anti",
+    )
+    return out if keep_file_col else out.drop("_f")
+
+
+def delete_keys_spark(
+    spark,
+    table: TableLog,
+    keys_df,
+    key: str,
+    n_buckets: int,
+    writer: str,
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+    mode: str = "dv",
+) -> dict:
+    """Row-level DELETE. ``mode='dv'`` (default) writes DELETION VECTOR
+    sidecars — per-data-file key sets recorded in one commit with NO
+    base rewrite (Delta/Iceberg DVs): at 100 TB a sparse delete costs
+    O(deleted rows) sidecar bytes instead of rewriting ~every touched
+    file; readers fold DVs with a broadcast anti-join and OPTIMIZE later
+    compacts them into the base. ``mode='rewrite'`` is the classical
+    path (anti-join rewrite of every touched bucket) — same logical
+    result and the comparison baseline tests pin DV reads against.
+
+    The scan to FIND affected files touches only the keys' buckets and
+    applies existing DVs first, so a key never lands in two sidecars of
+    one file — which is what lets the change feed report each deleted
+    row exactly once. OCC discipline matches MERGE: losing a race to a
+    commit that changed the touched buckets' files OR their DV state
+    forces a recompute; an unrelated winner allows a cheap re-commit.
+
+    Returns {committed_version, attempts, deleted_rows, dv_files}
+    (rewrite mode reports dv_files=0 and deleted_rows=-1 — its census
+    is the table itself)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    if mode not in ("dv", "rewrite"):
+        raise ValueError(f"mode {mode!r}")
+    up = keys_df.select(key).distinct().withColumn(
+        "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets)).cast("int")
+    )
+    touched = {int(r["_pb"]) for r in up.select("_pb").distinct().collect()}
+    attempts = 0
+    recomputes = 0
+    staged: list[dict] | None = None   # rewrite mode: replacement files
+    staged_dvs: dict[str, str] | None = None
+    replaced: list[str] | None = None
+    replaced_dvstate: dict[str, tuple] | None = None
+    deleted_rows = 0
+
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        bucket_files = {f: b for f, b in live.items() if b in touched}
+        dvmap = {
+            f: ds for f, ds in table.live_dvs().items() if f in bucket_files
+        }
+        dvstate = {f: tuple(dvmap.get(f, ())) for f in bucket_files}
+        need_compute = (
+            (staged is None and staged_dvs is None)
+            or dvstate != replaced_dvstate
+        )
+        if need_compute:
+            if staged_dvs or staged:
+                recomputes += 1
+                _unlink_staged(
+                    table,
+                    (staged or [])
+                    + [{"file": d} for d in (staged_dvs or {}).values()],
+                )
+            staged, staged_dvs = None, None
+            replaced = sorted(bucket_files)
+            replaced_dvstate = dvstate
+            if not replaced:
+                return {"committed_version": v, "attempts": attempts,
+                        "deleted_rows": 0, "dv_files": 0}
+            paths = [table.data_path(f) for f in replaced]
+            base = spark.read.option("mergeSchema", "true").parquet(*paths)
+            if mode == "dv":
+                visible = _apply_dvs(
+                    spark, table, base, key, dvmap, keep_file_col=True
+                )
+                hits = (
+                    visible
+                    .join(F.broadcast(up.select(key)), key, "left_semi")
+                    .select("_f", key)
+                )
+                tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")
+                (
+                    hits.withColumn("_df", F.col("_f"))
+                    .repartition(max(len(replaced), 1), "_f")
+                    .write.mode("overwrite").partitionBy("_f")
+                    .parquet(tmp_out)
+                )
+                staged_dvs, deleted_rows = {}, 0
+                for d in sorted(os.listdir(tmp_out)):
+                    if not d.startswith("_f="):
+                        continue
+                    data_file = d.split("=", 1)[1]
+                    for p in sorted(os.listdir(os.path.join(tmp_out, d))):
+                        if not p.endswith(".parquet"):
+                            continue
+                        name = table.new_dv_file()
+                        shutil.move(os.path.join(tmp_out, d, p),
+                                    table.data_path(name))
+                        staged_dvs[data_file] = name
+                        deleted_rows += pq.read_metadata(
+                            table.data_path(name)
+                        ).num_rows
+                shutil.rmtree(tmp_out, ignore_errors=True)
+                if not staged_dvs:  # nothing matched: no commit needed
+                    return {"committed_version": v, "attempts": attempts,
+                            "deleted_rows": 0, "dv_files": 0}
+            else:
+                visible = _apply_dvs(spark, table, base, key, dvmap)
+                kept = visible.join(
+                    F.broadcast(up.select(key)), key, "left_anti"
+                ).withColumn(
+                    "_pb",
+                    F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
+                    .cast("int"),
+                )
+                deleted_rows = -1  # rewrite mode reports via census
+                staged = _stage_bucketed(
+                    spark, table, kept, max(len(touched), 1)
+                )
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        attempts += 1
+        if mode == "dv":
+            ok = table.try_commit(v, [], [], writer, dvs=staged_dvs)
+        else:
+            ok = table.try_commit(v, staged, replaced, writer)
+        if ok:
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "deleted_rows": deleted_rows,
+                    "dv_files": len(staged_dvs or {})}
+    _unlink_staged(
+        table,
+        (staged or []) + [{"file": d} for d in (staged_dvs or {}).values()],
+    )
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
@@ -964,12 +1244,16 @@ def optimize_table_spark(
     attempts = 0
     while attempts < max_attempts:
         v, live = table.snapshot()
+        dvmap = table.live_dvs()
         by_bucket: dict[int, list[str]] = {}
         for f, b in live.items():
             by_bucket.setdefault(b, []).append(f)
         work = {
             b: fs for b, fs in by_bucket.items()
             if len(fs) > files_per_bucket or rewrite_all
+            # a file carrying deletion vectors is maintenance debt too:
+            # OPTIMIZE is what compacts DVs back into the base
+            or any(f in dvmap for f in fs)
         }
         files_before = sum(len(fs) for fs in by_bucket.values())
         if not work:
@@ -979,6 +1263,11 @@ def optimize_table_spark(
         replaced = sorted(f for fs in work.values() for f in fs)
         df = spark.read.option("mergeSchema", "true").parquet(
             *[table.data_path(f) for f in replaced]
+        )
+        # fold the replaced files' DVs into the rewrite — the removal of
+        # those files clears their DV lists in the same commit
+        df = _apply_dvs(
+            spark, table, df, key, dvmap, files=set(replaced)
         ).withColumn(
             "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
             .cast("int"),
@@ -1066,6 +1355,31 @@ def table_changes_spark(
         c = table.read_commit(v)
         adds = [table.data_path(a["file"]) for a in c["adds"]]
         removes = [table.data_path(f) for f in c["removes"]]
+        dvl = c.get("dvs") or {}
+        if dvl:
+            # deletion-vector commit: the deleted rows are the named
+            # data files' rows whose key the sidecar records — each
+            # recorded exactly once (delete_keys_spark applies existing
+            # DVs before staging new ones), so the feed equals what a
+            # rewrite-mode delete of the same keys would report
+            b_df = _aligned([table.data_path(f) for f in sorted(dvl)])
+            dv = spark.read.parquet(
+                *[table.data_path(d) for _, d in sorted(dvl.items())]
+            ).select(F.col("_df"), F.col(key).alias("_dk"))
+            tagged = b_df.withColumn("_f", _file_col())
+            hit = tagged.join(
+                F.broadcast(dv),
+                (tagged["_f"] == dv["_df"]) & (tagged[key] == dv["_dk"]),
+                "left_semi",
+            ).drop("_f")
+            dcols = [x for x in b_df.columns if x != key]
+            frames.append(
+                hit.select(
+                    key, F.struct(*dcols).alias("_p"),
+                    F.lit("delete").alias("_change_type"),
+                ).select(key, "_p.*", "_change_type",
+                         F.lit(v).alias("_commit_version"))
+            )
         if not adds and not removes:
             continue
         a_df = _aligned(adds) if adds else None

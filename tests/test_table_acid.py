@@ -345,6 +345,184 @@ def _rows_at(t, v):
     )
 
 
+# -- deletion vectors ------------------------------------------------------
+
+
+def _seed_spark_table(spark, n_buckets=4, n_keys=20):
+    from distribot_spark.sources.acid import write_initial_spark
+
+    t = TableLog(_tmp_table())
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(n_keys)], "k long, val double"
+    )
+    write_initial_spark(spark, t, df, "k", n_buckets=n_buckets)
+    return t
+
+
+def _logical_rows(spark, t):
+    from distribot_spark.sources.acid import read_snapshot_spark
+
+    return sorted(
+        (r.k, r.val)
+        for r in read_snapshot_spark(spark, t, dv_key="k").collect()
+    )
+
+
+def test_delete_vectors_no_rewrite_then_optimize_compacts(spark):
+    """DV DELETE end to end: the delete commit rewrites NO data file
+    (sidecars only), reads fold the DVs, a second wave never re-records
+    an already-deleted key, a MERGE on a DV'd bucket folds-then-clears
+    its DVs without resurrecting rows, and OPTIMIZE compacts every
+    remaining DV into the base so physical == logical again."""
+    from distribot_spark.sources.acid import (
+        delete_keys_spark,
+        merge_upsert_spark,
+        optimize_table_spark,
+        read_snapshot_spark,
+    )
+
+    t = _seed_spark_table(spark)
+    live0 = set(t.snapshot()[1])
+
+    keys = spark.createDataFrame([(3,), (7,), (11,)], "k long")
+    st = delete_keys_spark(spark, t, keys, "k", 4, "del-1")
+    assert st["deleted_rows"] == 3 and st["dv_files"] >= 1
+    assert set(t.snapshot()[1]) == live0  # NO base file rewritten
+    assert _logical_rows(spark, t) == [
+        (k, float(k)) for k in range(20) if k not in (3, 7, 11)
+    ]
+
+    # second wave: 7 is already DV-deleted, only 4 is new
+    st2 = delete_keys_spark(
+        spark, t, spark.createDataFrame([(7,), (4,)], "k long"),
+        "k", 4, "del-2",
+    )
+    assert st2["deleted_rows"] == 1
+    assert set(t.snapshot()[1]) == live0
+    assert _logical_rows(spark, t) == [
+        (k, float(k)) for k in range(20) if k not in (3, 4, 7, 11)
+    ]
+
+    # MERGE re-inserts k=3: its bucket rewrite folds + clears that
+    # bucket's DVs; other buckets' DVs stay live
+    merge_upsert_spark(
+        spark, t,
+        spark.createDataFrame([(3, 333.0)], "k long, val double"),
+        "k", 4, "reborn",
+    )
+    assert _logical_rows(spark, t) == sorted(
+        [(3, 333.0)]
+        + [(k, float(k)) for k in range(20) if k not in (3, 4, 7, 11)]
+    )
+    dvafter = t.live_dvs()
+    assert dvafter  # buckets 0 (k=4) and... k=7,11 ≡ 3 mod 4 rewritten
+    # k=7 and k=11 live in bucket 3 == rewritten bucket; their DVs died
+    # with the rewrite and must NOT resurrect the rows (checked above)
+
+    st3 = optimize_table_spark(spark, t, "k", 4, "opt", files_per_bucket=1)
+    assert st3["rewritten_buckets"] >= 1
+    assert t.live_dvs() == {}  # all DVs compacted into the base
+    assert _logical_rows(spark, t) == sorted(
+        [(3, 333.0)]
+        + [(k, float(k)) for k in range(20) if k not in (3, 4, 7, 11)]
+    )
+    # physical now equals logical: nothing left to fold
+    raw = sorted(
+        (r.k, r.val)
+        for r in read_snapshot_spark(spark, t, apply_dvs=False).collect()
+    )
+    assert raw == _logical_rows(spark, t)
+
+
+def test_dv_delete_equals_rewrite_delete_and_cdf_parity(spark):
+    """The two DELETE modes are observationally identical on the same
+    history: final reads match row-for-row AND the change feed reports
+    the same delete rows at the same version — DVs change the COST of a
+    delete, never its meaning."""
+    from distribot_spark.sources.acid import (
+        delete_keys_spark,
+        table_changes_spark,
+    )
+
+    rows = {}
+    feeds = {}
+    for mode in ("dv", "rewrite"):
+        t = _seed_spark_table(spark)
+        keys = spark.createDataFrame([(2,), (9,), (13,)], "k long")
+        st = delete_keys_spark(spark, t, keys, "k", 4, "d", mode=mode)
+        assert st["committed_version"] == 1
+        rows[mode] = _logical_rows(spark, t)
+        feeds[mode] = sorted(
+            (r.k, r.val, r._change_type, r._commit_version)
+            for r in table_changes_spark(spark, t, "k", 1, 1).collect()
+        )
+    assert rows["dv"] == rows["rewrite"]
+    assert feeds["dv"] == feeds["rewrite"] == [
+        (2, 2.0, "delete", 1), (9, 9.0, "delete", 1),
+        (13, 13.0, "delete", 1),
+    ]
+
+
+def test_dv_commit_conflicts_merge_must_recompute(spark):
+    """A deletion-vector commit changes bucket CONTENT without changing
+    the file set; a concurrent MERGE that compared only file sets would
+    re-commit its stale rewrite and resurrect the deleted row. DV state
+    is part of conflict detection, so the merge recomputes."""
+    from distribot_spark.sources.acid import (
+        delete_keys_spark,
+        merge_upsert_spark,
+    )
+
+    t = _seed_spark_table(spark, n_buckets=2)
+    fired = []
+
+    def dv_interloper(v):
+        if not fired:
+            fired.append(v)
+            delete_keys_spark(
+                spark, t, spark.createDataFrame([(2,)], "k long"),
+                "k", 2, "racer",
+            )
+
+    st = merge_upsert_spark(
+        spark, t,
+        spark.createDataFrame([(4, 44.0)], "k long, val double"),
+        "k", 2, "merger", pre_commit_hook=dv_interloper,
+    )
+    assert st["attempts"] == 2 and st["recomputes"] == 1
+    got = _logical_rows(spark, t)
+    assert (2, 2.0) not in got  # the racer's delete survived the merge
+    assert (4, 44.0) in got
+
+
+def test_vacuum_keeps_live_dv_sidecars():
+    """DV sidecars are manifest-referenced files: vacuum must treat
+    them as live, and they become reclaimable only when the retention
+    floor passes the versions that referenced them."""
+    import pyarrow as pa
+
+    t = TableLog(_tmp_table())
+    t.init()
+    name = t.new_data_file(0)
+    pq.write_table(pa.table({"k": [0, 1], "val": [0, 1]}),
+                   t.data_path(name))
+    assert t.try_commit(-1, [{"file": name, "pb": 0}], [], "w")
+    dv = t.new_dv_file()
+    pq.write_table(pa.table({"_df": [name], "k": [1]}), t.data_path(dv))
+    assert t.try_commit(0, [], [], "w", dvs={name: dv})
+    assert t.live_dvs() == {name: [dv]}
+
+    assert t.vacuum(min_age_seconds=0.0) == []  # both files referenced
+    # a rewrite clears the DV; after expiry both old file and dv go
+    name2 = t.new_data_file(0)
+    pq.write_table(pa.table({"k": [0], "val": [0]}), t.data_path(name2))
+    assert t.try_commit(1, [{"file": name2, "pb": 0}], [name], "w")
+    assert t.live_dvs() == {}
+    t.expire_snapshots(keep_last=1)
+    removed = set(t.vacuum(min_age_seconds=0.0))
+    assert removed == {name, dv}
+
+
 def test_change_feed_duplicate_keys_fail_loudly(spark):
     """append can legally duplicate a key (each copy is its own CDF
     insert); but a REWRITE commit whose pre-image carries duplicates
