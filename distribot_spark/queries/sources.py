@@ -681,6 +681,122 @@ def source_merge_cdc_delete(spark, sf_dir):
 
 
 @register(
+    "source_acid_concurrency_matrix",
+    oracle="""
+    WITH both_halves AS (
+      SELECT o_orderkey, o_totalprice FROM orders),
+    ua AS (SELECT o_orderkey,
+                  CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                       AS DOUBLE) AS price
+           FROM orders WHERE o_orderkey % 1000 = 0),
+    fin AS (SELECT b.o_orderkey,
+                   COALESCE(ua.price, b.o_totalprice) AS o_totalprice
+            FROM both_halves b
+            LEFT JOIN ua ON b.o_orderkey = ua.o_orderkey
+            WHERE b.o_orderkey % 1000 <> 8)
+    SELECT COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total,
+           CAST(4 AS INT) AS head_version
+    FROM fin
+    """,
+    tags=("sources", "acid", "optimize", "merge", "delete", "concurrency"),
+)
+def source_acid_concurrency_matrix(spark, sf_dir):
+    """Three-writer FORCED schedule across the whole commit matrix:
+    OPTIMIZE snapshots the fragmented table and computes its packed
+    layout; between its compute and commit a MERGE (×2 price on keys
+    ≡0 mod 1000) and a DELETION-VECTOR delete (keys ≡8 mod 1000) both
+    commit under it. OPTIMIZE's first commit loses, its rebase folds
+    BOTH racers — the merged rows survive the rewrite (no pre-merge
+    resurrection), the deleted keys stay deleted, and the racer's DV is
+    compacted away (live_dvs empty, asserted) — and the final census
+    hash-matches the relational application of merge-then-delete. The
+    deterministic in-process twin of the two-OS-process schedule in
+    `test_matrix_merge_and_dv_delete_commit_during_optimize`; the
+    reverse directions (OPTIMIZE landing inside MERGE / inside DELETE,
+    tombstones carried through rewrites) are pinned by the other matrix
+    tests. Versions: v0 seed, v1 fragmenting append, v2 merge, v3
+    delete, v4 rebased optimize — head_version certifies the schedule
+    itself."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        append_spark,
+        delete_keys_spark,
+        merge_upsert_spark,
+        optimize_table_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_matrix_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # split on a HIGH-order bit so both halves hit every bucket
+    # (bucket = key mod 16 — a key-parity split would land the halves
+    # in disjoint buckets and nothing would fragment)
+    write_initial_spark(
+        spark, table,
+        orders.filter(F.expr("(o_orderkey DIV 16) % 2 = 0")),
+        "o_orderkey", n_buckets=16,
+    )
+    append_spark(
+        spark, table,
+        orders.filter(F.expr("(o_orderkey DIV 16) % 2 = 1")),
+        "o_orderkey", 16, "fragmenter",
+    )
+
+    fired = []
+
+    def racers(parent):
+        if fired:
+            return
+        fired.append(parent)
+        merge_upsert_spark(
+            spark, table,
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 1000 == 0)
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * 2, 2)
+                .cast("double").alias("o_totalprice"),
+            ),
+            "o_orderkey", 16, "merge-racer",
+        )
+        st_d = delete_keys_spark(
+            spark, table,
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 1000 == 8)
+            .select("o_orderkey"),
+            "o_orderkey", 16, "delete-racer",
+        )
+        assert st_d["dv_files"] > 0, st_d
+
+    st = optimize_table_spark(
+        spark, table, "o_orderkey", 16, "optimizer",
+        pre_commit_hook=racers,
+    )
+    assert st["attempts"] == 2, st  # lost to the racers, rebased, won
+    assert table.live_dvs() == {}, "rebase must compact the racer's DV"
+    assert table.version() == 4, table.version()
+
+    snap = read_snapshot_spark(spark, table, dv_key="o_orderkey")
+    return snap.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double").alias("total"),
+    ).select(
+        "cnt", "total",
+        F.lit(table.version()).cast("int").alias("head_version"),
+    )
+
+
+@register(
     "source_acid_delete_vectors",
     oracle="""
     WITH del AS (SELECT o_orderkey, o_totalprice FROM orders

@@ -924,6 +924,80 @@ def _apply_dvs(spark, table: TableLog, base, key: str,
     return out if keep_file_col else out.drop("_f")
 
 
+def delete_keys_pandas(
+    table: TableLog,
+    keys,
+    key: str,
+    n_buckets: int,
+    writer: str,
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """Lightweight-client twin of `delete_keys_spark(mode='dv')`: stages
+    one deletion-vector sidecar per affected data file from a plain
+    key iterable, no JVM required — what a test worker process or a
+    small CDC consumer uses. Same OCC discipline: losing a race to a
+    commit that changed the touched buckets' files or DV state forces a
+    recompute; existing DVs are applied first so a key never lands in
+    two sidecars of one file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    kset = {int(k) for k in keys}
+    touched = {_pmod(k, n_buckets) for k in kset}
+    attempts = 0
+    staged_dvs: dict[str, str] | None = None
+    replaced_dvstate: dict | None = None
+    deleted_rows = 0
+
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        bucket_files = {f: b for f, b in live.items() if b in touched}
+        dvmap = {
+            f: ds for f, ds in table.live_dvs().items() if f in bucket_files
+        }
+        dvstate = {f: tuple(dvmap.get(f, ())) for f in bucket_files}
+        if staged_dvs is None or dvstate != replaced_dvstate:
+            if staged_dvs:
+                _unlink_staged(
+                    table, [{"file": d} for d in staged_dvs.values()]
+                )
+            staged_dvs, deleted_rows = {}, 0
+            replaced_dvstate = dvstate
+            for f in sorted(bucket_files):
+                frame = pq.read_table(
+                    table.data_path(f), columns=[key]
+                ).to_pandas()
+                dead: set = set()
+                for d in dvmap.get(f, ()):
+                    dead |= set(
+                        pq.read_table(table.data_path(d)).to_pandas()[key]
+                    )
+                hit = frame[frame[key].isin(kset) & ~frame[key].isin(dead)]
+                if hit.empty:
+                    continue
+                name = table.new_dv_file()
+                pq.write_table(
+                    pa.table({"_df": [f] * len(hit),
+                              key: hit[key].tolist()}),
+                    table.data_path(name),
+                )
+                staged_dvs[f] = name
+                deleted_rows += len(hit)
+            if not staged_dvs:
+                return {"committed_version": v, "attempts": attempts,
+                        "deleted_rows": 0, "dv_files": 0}
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        attempts += 1
+        if table.try_commit(v, [], [], writer, dvs=staged_dvs):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "deleted_rows": deleted_rows,
+                    "dv_files": len(staged_dvs)}
+    _unlink_staged(table, [{"file": d} for d in staged_dvs.values()])
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
 def delete_keys_spark(
     spark,
     table: TableLog,

@@ -17,6 +17,7 @@ import subprocess
 import sys
 import tempfile
 import threading
+import time
 
 import pandas as pd
 import pyarrow.parquet as pq
@@ -521,6 +522,214 @@ def test_vacuum_keeps_live_dv_sidecars():
     t.expire_snapshots(keep_last=1)
     removed = set(t.vacuum(min_age_seconds=0.0))
     assert removed == {name, dv}
+
+
+# -- OPTIMIZE × MERGE × DELETE concurrency matrix --------------------------
+
+
+def test_matrix_merge_and_dv_delete_commit_during_optimize(spark):
+    """Three writers, deterministic schedule, two of them REAL OS
+    processes: OPTIMIZE computes its packed layout, then a MERGE and a
+    DV DELETE (both raced against the same parent) commit under it.
+    OPTIMIZE's first commit must lose and its rebase must fold BOTH —
+    the merged rows survive (no pre-merge resurrection), the deleted
+    rows stay deleted, and the racer's deletion vector is compacted by
+    the rebased rewrite."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        optimize_table_spark,
+    )
+
+    path = _tmp_table()
+    t = TableLog(path)
+    df1 = spark.createDataFrame(
+        [(k, k) for k in range(20)], "k long, val long"
+    )
+    df2 = spark.createDataFrame(
+        [(k, k) for k in range(20, 40)], "k long, val long"
+    )
+    from distribot_spark.sources.acid import write_initial_spark
+    write_initial_spark(spark, t, df1, "k", n_buckets=4)
+    append_spark(spark, t, df2, "k", 4, "fragmenter")
+    v_base = t.version()
+
+    rdv = path + ".rdv"
+    os.makedirs(rdv, exist_ok=True)
+    start = path + ".start"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "tests/acid_matrix_proc.py", path, role,
+             "4", start, rdv],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd="/root/repo",
+        )
+        for role in ("merge", "delete_dv")
+    ]
+    open(start, "w").write("go")
+    # both racers computed against v_base and are parked pre-commit
+    deadline = time.time() + 60
+    while not (os.path.exists(os.path.join(rdv, "merge.computed"))
+               and os.path.exists(os.path.join(rdv, "delete_dv.computed"))):
+        assert time.time() < deadline, "workers never computed"
+        time.sleep(0.01)
+
+    fired = []
+
+    def release_racers(parent):
+        if fired:
+            return
+        fired.append(parent)
+        assert parent == v_base
+        open(os.path.join(rdv, "commit_go"), "w").write("go")
+        stop = time.time() + 60
+        while t.version() < v_base + 2:  # both racers committed
+            assert time.time() < stop, "racers never committed"
+            time.sleep(0.01)
+
+    st = optimize_table_spark(
+        spark, t, "k", 4, "optimizer", pre_commit_hook=release_racers
+    )
+    assert st["attempts"] == 2, st  # lost once, rebased, won
+
+    stats = []
+    for p in procs:
+        out, err = p.communicate(timeout=60)
+        assert p.returncode == 0, err[-2000:]
+        line = [l for l in out.splitlines() if l.startswith("STATS:")][0]
+        stats.append(json.loads(line[6:]))
+    by_role = {s["role"]: s for s in stats}
+    assert by_role["merge"]["committed_version"] in (v_base + 1, v_base + 2)
+    assert by_role["delete_dv"]["deleted_rows"] == 2
+
+    expect = {k: k for k in range(40)}
+    expect.update({1: 7001, 5: 7005, 9: 7009})
+    del expect[2], expect[6]
+    assert _logical_rows(spark, t) == sorted(
+        (k, v) for k, v in expect.items()
+    )
+    assert t.live_dvs() == {}  # the rebase compacted the racer's DV
+
+
+def test_matrix_optimize_commits_during_merge(spark):
+    """The reverse race: OPTIMIZE lands between a MERGE's compute and
+    commit. The merge's bucket files all changed, so it must recompute
+    against the packed layout — and the packed bucket keeps exactly one
+    file with the merged content."""
+    from distribot_spark.sources.acid import (
+        merge_upsert_spark,
+        optimize_table_spark,
+        write_initial_spark,
+        append_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    append_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8, 16)],
+                              "k long, val double"),
+        "k", 2, "fragmenter",
+    )
+    fired = []
+
+    def optimize_interloper(v):
+        if not fired:
+            fired.append(v)
+            st = optimize_table_spark(spark, t, "k", 2, "racer")
+            assert st["rewritten_buckets"] == 2
+
+    st = merge_upsert_spark(
+        spark, t,
+        spark.createDataFrame([(3, 333.0)], "k long, val double"),
+        "k", 2, "merger", pre_commit_hook=optimize_interloper,
+    )
+    assert st["attempts"] == 2 and st["recomputes"] == 1, st
+    got = _logical_rows(spark, t)
+    assert (3, 333.0) in got and len(got) == 16
+
+
+def test_matrix_optimize_commits_during_dv_delete(spark):
+    """OPTIMIZE lands between a DV delete's compute and commit: the
+    staged sidecars name files the rewrite just killed, so committing
+    them would silently delete nothing. The delete must recompute
+    against the packed files — and its keys stay deleted."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        delete_keys_spark,
+        optimize_table_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    append_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8, 16)],
+                              "k long, val double"),
+        "k", 2, "fragmenter",
+    )
+    fired = []
+
+    def optimize_interloper(v):
+        if not fired:
+            fired.append(v)
+            optimize_table_spark(spark, t, "k", 2, "racer")
+
+    st = delete_keys_spark(
+        spark, t, spark.createDataFrame([(4,), (9,)], "k long"),
+        "k", 2, "deleter", pre_commit_hook=optimize_interloper,
+    )
+    assert st["attempts"] == 2 and st["deleted_rows"] == 2, st
+    got = _logical_rows(spark, t)
+    assert {k for k, _ in got} == set(range(16)) - {4, 9}
+    # the committed DVs name files that are actually live
+    _, live = t.snapshot()
+    assert set(t.live_dvs()) <= set(live)
+
+
+def test_matrix_tombstone_survives_optimize(spark):
+    """CDC tombstones are ordinary versioned rows: an OPTIMIZE rewrite
+    must CARRY them (they are the resurrection guard), so a stale
+    out-of-order upsert arriving after the optimize still loses."""
+    from distribot_spark.sources.acid import (
+        merge_upsert_pandas,
+        optimize_table_spark,
+        read_snapshot_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    t.init()
+    seed = pd.DataFrame({"k": [0, 1, 2, 3], "val": [0.0, 1.0, 2.0, 3.0],
+                         "v": [1] * 4, "op": ["u"] * 4})
+    merge_upsert_pandas(t, seed, "k", 2, "seed", version="v")
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [2], "val": [float("nan")], "v": [3],
+                         "op": ["d"]}),
+        "k", 2, "del", version="v",
+    )
+    st = optimize_table_spark(spark, t, "k", 2, "opt", rewrite_all=True)
+    assert st["rewritten_buckets"] == 2
+    raw = read_snapshot_spark(spark, t)
+    assert {(r.k, r.op) for r in raw.collect()} == {
+        (0, "u"), (1, "u"), (3, "u"), (2, "d")  # tombstone carried
+    }
+    # stale upsert AFTER the optimize: the carried tombstone outranks it
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [2], "val": [22.0], "v": [2], "op": ["u"]}),
+        "k", 2, "stale", version="v",
+    )
+    live = read_snapshot_spark(spark, t, tombstone_col="op")
+    assert sorted(r.k for r in live.collect()) == [0, 1, 3]
 
 
 def test_change_feed_duplicate_keys_fail_loudly(spark):
