@@ -797,6 +797,82 @@ def source_acid_concurrency_matrix(spark, sf_dir):
 
 
 @register(
+    "source_acid_hash_buckets",
+    tags=("sources", "acid", "skew", "bucketing"),
+)
+def source_acid_hash_buckets(spark, sf_dir):
+    """Skew-resistant bucketing (``hash_buckets=True`` table option):
+    a deliberately HOT key domain — every order key ≡ 0 mod 16, i.e.
+    exactly one modulo bucket — is written to two tables, plain-modulo
+    and xxhash64-bucketed, then the same MERGE wave runs through both.
+    Asserted in-flight: the modulo table concentrates every live file
+    in ONE bucket (the hotspot a single dominant tenant creates at
+    100 TB — every writer conflicts, every read hits one file chain)
+    while the hashed table spreads the SAME keys across ≥ 12 of 16
+    buckets; and the two tables' final contents are row-for-row equal
+    (serve-equals-direct — the certification route for a bucket
+    function DuckDB cannot reproduce, the q15_hll precedent; DuckDB has
+    no xxhash64, hence rows-only). The conflict-rate payoff is pinned
+    deterministically by `test_skewed_keys_conflict_under_modulo_not_
+    under_hash`; python↔JVM hash agreement by
+    `test_python_xxh64_long_matches_spark`. Returns the census + the
+    bucket-spread counts (deterministic: xxhash64 is a fixed function
+    of the data)."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        merge_upsert_spark,
+        write_initial_spark,
+    )
+
+    hot = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 16 == 0
+    ).select("o_orderkey", "o_totalprice")
+    wave = hot.filter(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(12,2)") * 2, 2)
+        .cast("double").alias("o_totalprice"),
+    )
+
+    tables = {}
+    for mode, hashed in (("mod", False), ("hash", True)):
+        out = os.path.join(TMP_ROOT, f"acid_hb_{mode}_{_tag(sf_dir)}")
+        shutil.rmtree(out, ignore_errors=True)
+        t = TableLog(out)
+        write_initial_spark(spark, t, hot, "o_orderkey", n_buckets=16,
+                            hash_buckets=hashed)
+        merge_upsert_spark(spark, t, wave, "o_orderkey", 16, "w")
+        tables[mode] = t
+
+    spread = {
+        mode: len({b for _, b in t.snapshot()[1].items()})
+        for mode, t in tables.items()
+    }
+    assert spread["mod"] == 1, spread    # the hotspot, made visible
+    assert spread["hash"] >= 12, spread  # xxhash64 spreads the domain
+
+    reads = {
+        mode: spark.read.parquet(*t.live_paths())
+        .select("o_orderkey", "o_totalprice")
+        for mode, t in tables.items()
+    }
+    # serve-equals-direct: identical logical content, either direction
+    assert reads["hash"].exceptAll(reads["mod"]).count() == 0
+    assert reads["mod"].exceptAll(reads["hash"]).count() == 0
+
+    return reads["hash"].agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("total_cents"),
+    ).select(
+        "cnt", "total_cents",
+        F.lit(spread["mod"]).cast("int").alias("modulo_buckets"),
+        F.lit(spread["hash"]).cast("int").alias("hash_buckets"),
+    )
+
+
+@register(
     "source_acid_delete_vectors",
     oracle="""
     WITH del AS (SELECT o_orderkey, o_totalprice FROM orders

@@ -75,6 +75,56 @@ def _pmod(x: int, n: int) -> int:
     return ((x % n) + n) % n
 
 
+# XXH64 of one 8-byte little-endian block, seed 42 — bit-identical to
+# Spark's `xxhash64(CAST(k AS BIGINT))` (XxHash64Function.hashLong), so
+# the JVM-free pandas clients and Spark writers agree on hash-bucket
+# boundaries; pinned against F.xxhash64 in tests/test_table_acid.py.
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_long(v: int, seed: int = 42) -> int:
+    x = v & _M64  # two's-complement view of the long
+    h = (seed + _XP5 + 8) & _M64
+    h ^= (_rotl64((x * _XP2) & _M64, 31) * _XP1) & _M64
+    h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h  # signed, like Spark
+
+
+def _bucket_of_py(k: int, n_buckets: int, hashed: bool) -> int:
+    """Python-side bucket id — MUST agree with `_bucket_expr`."""
+    return _pmod(_xxh64_long(int(k)) if hashed else int(k), n_buckets)
+
+
+def _bucket_expr(key: str, n_buckets: int, hashed: bool):
+    """Spark-side bucket id column. ``hashed`` is the skew-resistant
+    mode: `pmod(xxhash64(key), n)` spreads a clustered/hot key domain
+    (sequential ids, one dominant tenant) uniformly across buckets, so
+    writers touching disjoint keys rarely collide on a bucket and OCC
+    conflicts stay rare — the 100 TB default. Plain modulo stays the
+    engine-portable demo default (DuckDB can reproduce it, so hash
+    oracles can cross file boundaries)."""
+    from pyspark.sql import functions as F
+
+    col = F.col(key).cast("long")
+    if hashed:
+        col = F.xxhash64(col)
+    return F.pmod(col, F.lit(n_buckets)).cast("int")
+
+
 class CommitConflict(Exception):
     """Another writer committed this version first."""
 
@@ -97,9 +147,31 @@ class TableLog:
 
     # -- log primitives ---------------------------------------------------
 
-    def init(self) -> None:
+    def init(self, hash_buckets: bool = False) -> None:
+        """Create the table directories and persist immutable table
+        options. ``hash_buckets=True`` switches the bucket function to
+        `pmod(xxhash64(key), n)` for skew resistance — recorded in
+        ``_log/_table.json`` so EVERY writer (Spark or pandas, any
+        process) derives the same file boundaries; a bucket-function
+        mismatch would silently corrupt merge semantics, so it is table
+        metadata, not a per-call argument."""
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        meta = os.path.join(self.log_dir, "_table.json")
+        if not os.path.exists(meta):
+            tmp = meta + f".tmp{uuid.uuid4().hex[:6]}"
+            with open(tmp, "w") as fh:
+                json.dump({"hash_buckets": bool(hash_buckets)}, fh)
+            os.replace(tmp, meta)
+
+    def hash_buckets(self) -> bool:
+        """The persisted bucket-function mode (False for tables created
+        before the option existed — plain modulo)."""
+        try:
+            with open(os.path.join(self.log_dir, "_table.json")) as fh:
+                return bool(json.load(fh).get("hash_buckets", False))
+        except FileNotFoundError:
+            return False
 
     def _commit_path(self, v: int) -> str:
         return os.path.join(self.log_dir, f"v{v:012d}.json")
@@ -482,7 +554,10 @@ def merge_upsert_pandas(
     import pyarrow.parquet as pq
 
     up = updates.copy()
-    up["_pb"] = up[key].astype("int64").map(lambda k: _pmod(int(k), n_buckets))
+    hashed = table.hash_buckets()
+    up["_pb"] = up[key].astype("int64").map(
+        lambda k: _bucket_of_py(k, n_buckets, hashed)
+    )
     touched = set(int(b) for b in up["_pb"].unique())
     attempts = 0
     recomputes = 0
@@ -619,7 +694,7 @@ def merge_upsert_spark(
     from pyspark.sql import functions as F
 
     up = updates_df.withColumn(
-        "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets)).cast("int")
+        "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
     touched = {int(r["_pb"]) for r in up.select("_pb").distinct().collect()}
     up_cols = updates_df.columns
@@ -660,9 +735,7 @@ def merge_upsert_spark(
                 base = _apply_dvs(
                     spark, table, base, key, dvmap
                 ).withColumn(
-                    "_pb",
-                    F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
-                    .cast("int"),
+                    "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
                 )
                 # schema evolution: rewrite carries the column UNION,
                 # NULL-backfilled on whichever side lacks a column
@@ -749,13 +822,15 @@ def merge_upsert_spark(
 
 
 def write_initial_spark(spark, table: TableLog, df, key: str,
-                        n_buckets: int, writer: str = "init") -> int:
-    """Create version 0 from a DataFrame (one file per bucket)."""
-    from pyspark.sql import functions as F
-
-    table.init()
+                        n_buckets: int, writer: str = "init",
+                        hash_buckets: bool = False) -> int:
+    """Create version 0 from a DataFrame (one file per bucket).
+    ``hash_buckets=True`` persists the skew-resistant bucket function
+    (see `TableLog.init`); every later writer reads it from the table
+    metadata, never from a call argument."""
+    table.init(hash_buckets=hash_buckets)
     up = df.withColumn(
-        "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets)).cast("int")
+        "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
     tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")
     (up.repartition(n_buckets, "_pb")
@@ -944,7 +1019,8 @@ def delete_keys_pandas(
     import pyarrow.parquet as pq
 
     kset = {int(k) for k in keys}
-    touched = {_pmod(k, n_buckets) for k in kset}
+    touched = {_bucket_of_py(k, n_buckets, table.hash_buckets())
+               for k in kset}
     attempts = 0
     staged_dvs: dict[str, str] | None = None
     replaced_dvstate: dict | None = None
@@ -1034,7 +1110,7 @@ def delete_keys_spark(
     if mode not in ("dv", "rewrite"):
         raise ValueError(f"mode {mode!r}")
     up = keys_df.select(key).distinct().withColumn(
-        "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets)).cast("int")
+        "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
     touched = {int(r["_pb"]) for r in up.select("_pb").distinct().collect()}
     attempts = 0
@@ -1112,9 +1188,7 @@ def delete_keys_spark(
                 kept = visible.join(
                     F.broadcast(up.select(key)), key, "left_anti"
                 ).withColumn(
-                    "_pb",
-                    F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
-                    .cast("int"),
+                    "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
                 )
                 deleted_rows = -1  # rewrite mode reports via census
                 staged = _stage_bucketed(
@@ -1254,7 +1328,7 @@ def append_spark(
     from pyspark.sql import functions as F
 
     up = df.withColumn(
-        "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets)).cast("int")
+        "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
     staged = _stage_bucketed(
         spark, table, up, n_buckets, sort_cols=["_pb", key],
@@ -1343,8 +1417,7 @@ def optimize_table_spark(
         df = _apply_dvs(
             spark, table, df, key, dvmap, files=set(replaced)
         ).withColumn(
-            "_pb", F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
-            .cast("int"),
+            "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
         )
         order = ["_pb", sort_col] if sort_col else ["_pb", key]
         staged = _stage_bucketed(

@@ -524,6 +524,132 @@ def test_vacuum_keeps_live_dv_sidecars():
     assert removed == {name, dv}
 
 
+# -- skew-resistant hash bucketing -----------------------------------------
+
+
+def test_python_xxh64_long_matches_spark(spark):
+    """The pure-python XXH64(long, seed 42) MUST be bit-identical to
+    Spark's xxhash64 — it is what lets JVM-free clients agree with
+    Spark writers on hash-bucket file boundaries."""
+    from pyspark.sql import functions as F
+
+    from distribot_spark.sources.acid import _xxh64_long
+
+    ks = list(range(-17, 40)) + [2**40 + 7, -(2**52) - 3, 2**62, -1]
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    got = {
+        r.k: r.h
+        for r in df.select(
+            "k", F.xxhash64(F.col("k")).alias("h")
+        ).collect()
+    }
+    for k in ks:
+        assert _xxh64_long(k) == got[k], k
+
+
+def test_hash_bucketed_table_serves_all_operations(spark):
+    """hash_buckets=True end to end: the option persists in table
+    metadata (a fresh TableLog handle picks it up), Spark MERGE, pandas
+    MERGE, append, DV delete and OPTIMIZE all run green under it, and
+    the final read equals the direct dict-fold of the same operations
+    (serve-equals-direct — the certification route for a bucket
+    function DuckDB cannot reproduce, the q15_hll precedent)."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        delete_keys_pandas,
+        merge_upsert_spark,
+        optimize_table_spark,
+        write_initial_spark,
+    )
+
+    path = _tmp_table()
+    t = TableLog(path)
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(40)],
+                              "k long, val double"),
+        "k", n_buckets=4, hash_buckets=True,
+    )
+    assert TableLog(path).hash_buckets()  # persisted, not per-call
+
+    merge_upsert_spark(
+        spark, t,
+        spark.createDataFrame([(3, 33.0), (17, 177.0)],
+                              "k long, val double"),
+        "k", 4, "w-spark",
+    )
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": [5, 28], "val": [55.0, 288.0]}), "k", 4,
+        "w-pandas",
+    )
+    append_spark(
+        spark, t,
+        spark.createDataFrame([(100, 100.0), (101, 101.0)],
+                              "k long, val double"),
+        "k", 4, "appender",
+    )
+    delete_keys_pandas(t, [17, 100], "k", 4, "deleter")
+    optimize_table_spark(spark, t, "k", 4, "opt", files_per_bucket=1)
+    assert t.live_dvs() == {}
+
+    expect = {k: float(k) for k in range(40)}
+    expect.update({3: 33.0, 17: 177.0, 5: 55.0, 28: 288.0,
+                   100: 100.0, 101: 101.0})
+    del expect[17], expect[100]
+    assert _logical_rows(spark, t) == sorted(expect.items())
+
+    # every live file really holds exactly its xxhash bucket
+    from distribot_spark.sources.acid import _bucket_of_py
+    _, live = t.snapshot()
+    for f, b in live.items():
+        ks = pq.read_table(t.data_path(f)).to_pandas()["k"]
+        assert {(_bucket_of_py(k, 4, True)) for k in ks} <= {b}
+
+
+def test_skewed_keys_conflict_under_modulo_not_under_hash():
+    """The reason the option exists: sequential/hot key domains (all
+    multiples of n_buckets) land in ONE modulo bucket, so disjoint-key
+    writers always collide and pay a rebase; xxhash64 spreads them so
+    the same schedule re-commits without recompute. Deterministic: keys
+    chosen so their hash buckets provably differ."""
+    from distribot_spark.sources.acid import _bucket_of_py
+
+    n = 8
+    # a skewed domain: every key ≡ 0 (mod 8) — one modulo bucket
+    ka, kb = 8, 16
+    assert _bucket_of_py(ka, n, False) == _bucket_of_py(kb, n, False) == 0
+    assert _bucket_of_py(ka, n, True) != _bucket_of_py(kb, n, True)
+
+    stats = {}
+    for hashed in (False, True):
+        t = TableLog(_tmp_table())
+        t.init(hash_buckets=hashed)
+        merge_upsert_pandas(
+            t, pd.DataFrame({"k": [0], "val": [0]}), "k", n, "seed"
+        )
+
+        done = {}
+
+        def commit_a_first(parent, _t=t):
+            if "a" not in done:
+                done["a"] = merge_upsert_pandas(
+                    _t, pd.DataFrame({"k": [ka], "val": [1]}), "k", n, "a"
+                )
+
+        stats[hashed] = merge_upsert_pandas(
+            t, pd.DataFrame({"k": [kb], "val": [2]}), "k", n, "b",
+            pre_commit_hook=commit_a_first,
+        )
+        # both writers landed either way — correctness never depends on
+        # the bucket function, only the conflict COST does
+        got = _read_table(t)
+        assert got.loc[got.k == ka, "val"].item() == 1
+        assert got.loc[got.k == kb, "val"].item() == 2
+    assert stats[False]["recomputes"] == 1  # modulo: same bucket, rebase
+    assert stats[True]["recomputes"] == 0   # hash: disjoint, re-commit
+    assert stats[True]["attempts"] == 2     # still raced the version
+
+
 # -- OPTIMIZE × MERGE × DELETE concurrency matrix --------------------------
 
 
