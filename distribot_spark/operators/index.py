@@ -41,6 +41,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -145,6 +146,60 @@ def merge_bm25_shard(
 # -- IVF -------------------------------------------------------------------
 
 
+def _assign_dist_udf(centroids: np.ndarray):
+    """Arrow-vectorized: nearest centroid id (same first-max tie rule
+    as `_nearest_centroids_udf`) PLUS the cosine distance to it in
+    integer micro units — the additive drift statistic. One BLAS matmul
+    per batch; int64 quantization keeps the later sums exact in any
+    accumulation order (the repo's float-SUM rule)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids
+
+    @pandas_udf("struct<cid:int, dist_e6:long>")
+    def f(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cid": pd.Series([], dtype="int32"),
+                                 "dist_e6": pd.Series([], dtype="int64")})
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ C.T
+        cid = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(cid)), cid]
+        return pd.DataFrame({
+            "cid": cid.astype(np.int32),
+            "dist_e6": np.rint((1.0 - best) * 1e6).astype(np.int64),
+        })
+
+    return f
+
+
+def _write_ivf_layout(corpus, out_dir, centroids, n_clusters,
+                      id_col, vec_col, mode: str) -> None:
+    """Assign `corpus` to `centroids` and write the cid-partitioned
+    vectors plus the additive drift partials in ONE corpus pass."""
+    assigned = corpus.select(
+        F.col(id_col).alias("nid"),
+        similarity._to_double(F.col(vec_col)).alias("v"),
+    ).withColumn("_a", _assign_dist_udf(centroids)(F.col("v"))).select(
+        "nid", "v", F.col("_a.cid").alias("cid"),
+        F.col("_a.dist_e6").alias("dist_e6"),
+    )
+    (
+        assigned.select("nid", "v", "cid")
+        .repartition(n_clusters, "cid")
+        .write.mode(mode).partitionBy("cid")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    # drift sufficient statistics are PARTIAL rows (cid, n, sum_dist):
+    # appends add partials, readers sum — no base re-read, ever
+    (
+        assigned.groupBy("cid")
+        .agg(F.count("*").alias("n"), F.sum("dist_e6").alias("sum_dist_e6"))
+        .write.mode(mode).parquet(os.path.join(out_dir, "drift"))
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     out_dir: str,
@@ -153,32 +208,77 @@ def build_ivf_index(
     vec_col: str = "embedding",
     sample_n: int = 4096,
     seed: int = 11,
+    codebook: np.ndarray | None = None,
 ) -> None:
     """Train the IVF codebook once and lay the corpus out by cluster:
     centroids/ holds the (k × dim) codebook; vectors/ is the corpus
     with its assignment, PARTITIONED BY cid so a probe reads only the
     probed clusters' directories (partition pruning is the recall/cost
-    dial, not a full scan)."""
+    dial, not a full scan); drift/ holds additive (cid, n, Σdist)
+    partials — the staleness statistic `append_ivf_shard` maintains.
+    Pass ``codebook`` to SKIP training and lay out under an existing
+    codebook (the rebuild half of the merge≡rebuild staleness
+    contract)."""
     spark = corpus.sparkSession
-    centroids = similarity.train_ivf_centroids(
-        corpus, n_clusters, sample_n=sample_n,
-        id_col=id_col, vec_col=vec_col, seed=seed,
+    centroids = codebook if codebook is not None else (
+        similarity.train_ivf_centroids(
+            corpus, n_clusters, sample_n=sample_n,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
     )
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
         "cid int, centroid array<double>",
     )
     cdf.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
-    assign1 = similarity._nearest_centroids_udf(centroids, 1)
-    vectors = corpus.select(
-        F.col(id_col).alias("nid"),
-        similarity._to_double(F.col(vec_col)).alias("v"),
-    ).withColumn("cid", F.element_at(assign1(F.col("v")), 1))
-    (
-        vectors.repartition(n_clusters, "cid")
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(os.path.join(out_dir, "vectors"))
+    _write_ivf_layout(corpus, out_dir, centroids, len(centroids),
+                      id_col, vec_col, mode="overwrite")
+
+
+def append_ivf_shard(
+    spark: SparkSession,
+    index_dir: str,
+    shard_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally fold a NEW vector shard into a persisted IVF index
+    — the IVF twin of `merge_bm25_shard`. The EXISTING codebook is NOT
+    retrained: the shard is assigned to it in one shard-local job and
+    its files land inside the cid-partitioned layout (plus additive
+    drift partials), so serve-after-append ≡ serve-after-rebuild with
+    the SAME codebook, row for row (pinned by test). The honest
+    staleness contract is the drift metric: as appended data wanders
+    from the training distribution, mean distance-to-assigned-centroid
+    rises — `ivf_drift` is the retrain signal, and the returned dict
+    carries it before/after this shard.
+
+    Contract: shard ids are disjoint from the corpus (append-only
+    ingest). Scale shape: cost is O(shard) — assignment is a broadcast
+    codebook matmul, the write touches only the shard's rows; the base
+    vectors/ directories are never read or rewritten."""
+    before = ivf_drift(spark, index_dir)
+    centroids = load_ivf_codebook(spark, index_dir)
+    n_appended = shard_df.count()
+    _write_ivf_layout(shard_df, index_dir, centroids, len(centroids),
+                      id_col, vec_col, mode="append")
+    after = ivf_drift(spark, index_dir)
+    return {"n_appended": n_appended,
+            "mean_dist_e6_before": before, "mean_dist_e6_after": after}
+
+
+def ivf_drift(spark: SparkSession, index_dir: str) -> int:
+    """Mean cosine distance to the assigned centroid over the WHOLE
+    index, in integer micro units — folded from the additive drift/
+    partials (never a vectors/ rescan). Rising drift means the frozen
+    codebook no longer describes the data: retrain when it crosses the
+    operator's budget (the honest answer to 'when do I rebuild?')."""
+    r = (
+        spark.read.parquet(os.path.join(index_dir, "drift"))
+        .agg(F.sum("sum_dist_e6").alias("s"), F.sum("n").alias("n"))
+        .first()
     )
+    return int(r["s"] // r["n"]) if r["n"] else 0
 
 
 def load_ivf_codebook(spark: SparkSession, index_dir: str) -> np.ndarray:

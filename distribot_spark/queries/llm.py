@@ -2367,6 +2367,47 @@ def l3_ivf_serve(spark, sf_dir):
     ).orderBy("qid", "rnk")
 
 
+@register("l3_ivf_append_serve", oracle=None,
+          tags=("llm", "similarity", "index", "incremental"))
+def l3_ivf_append_serve(spark, sf_dir):
+    """IVF incremental maintenance (operators/index.py
+    `append_ivf_shard` — the IVF twin of merge_bm25_shard): the index
+    is built on HALF the corpus (training the codebook), the other half
+    is appended as a shard assigned to the EXISTING codebook in a
+    shard-local job writing straight into the cid-partitioned layout —
+    the base vectors are never re-read — and serving probes the merged
+    index. Drift sufficient statistics (additive int64 micro partials)
+    ride along as the honest retrain signal; the builder asserts the
+    appended rows landed and drift stayed finite. merge ≡
+    rebuild-with-same-codebook and the drift-rises-on-shift contract
+    are pinned by tests/test_retrieval_index.py (rows-only here: the
+    scores need the trained codebook, which DuckDB cannot reproduce —
+    same ≈ status as l3_ivf_serve)."""
+    import os as _os
+    import shutil as _shutil
+
+    from distribot_spark.operators import index as rindex
+    from distribot_spark.streaming.replay import TMP_ROOT
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    ix_dir = _os.path.join(TMP_ROOT, f"ivf_app_{tag}")
+    _shutil.rmtree(ix_dir, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    half = emb.filter(F.col("vec_id") >= 10).agg(
+        F.expr("percentile(vec_id, 0.5e0)")
+    ).first()[0]
+    base = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= half))
+    shard = emb.filter(F.col("vec_id") > half)
+    rindex.build_ivf_index(base, ix_dir, n_clusters=16)
+    st = rindex.append_ivf_shard(spark, ix_dir, shard)
+    assert st["n_appended"] > 0, st
+    assert 0 < st["mean_dist_e6_after"] < 2_000_000, st
+    return rindex.serve_ivf_topk(
+        spark, ix_dir, queries, k=5, n_probe=4
+    ).orderBy("qid", "rnk")
+
+
 @register(
     "l3_hybrid_bm25_dense",
     oracle=f"""

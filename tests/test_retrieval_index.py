@@ -99,3 +99,85 @@ def test_ivf_layout_partitioned_by_cluster(spark):
         assert "PartitionFilters" in plan and "cid" in plan
     finally:
         shutil.rmtree(ix, ignore_errors=True)
+
+
+def test_ivf_append_shard_equals_rebuild_same_codebook(spark):
+    """IVF incremental maintenance: appending a new shard assigns it to
+    the EXISTING codebook in a shard-local job; serving the appended
+    index equals serving a from-scratch layout of the full corpus under
+    the SAME codebook, row for row — and the drift partials fold to the
+    same statistic either way (merge ≡ rebuild, the BM25 contract
+    extended to IVF)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    half = emb.filter(F.col("vec_id") >= 10).agg(
+        F.expr("percentile(vec_id, 0.5e0)")
+    ).first()[0]
+    base_corpus = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") <= half)
+    )
+    shard = emb.filter(F.col("vec_id") > half)
+    appended, rebuilt = _tmp(), _tmp()
+    try:
+        rindex.build_ivf_index(base_corpus, appended, n_clusters=16)
+        codebook = rindex.load_ivf_codebook(spark, appended)
+        st = rindex.append_ivf_shard(spark, appended, shard)
+        assert st["n_appended"] == shard.count()
+
+        rindex.build_ivf_index(
+            emb.filter(F.col("vec_id") >= 10), rebuilt,
+            n_clusters=16, codebook=codebook,
+        )
+        sa = rindex.serve_ivf_topk(spark, appended, queries, k=5, n_probe=4)
+        sr = rindex.serve_ivf_topk(spark, rebuilt, queries, k=5, n_probe=4)
+        assert _rows(sa) == _rows(sr)
+        assert rindex.ivf_drift(spark, appended) == rindex.ivf_drift(
+            spark, rebuilt
+        )
+    finally:
+        shutil.rmtree(appended, ignore_errors=True)
+        shutil.rmtree(rebuilt, ignore_errors=True)
+
+
+def test_ivf_drift_signals_distribution_shift(spark):
+    """The staleness contract, pinned deterministically: a corpus of
+    tight clusters around orthogonal axes trains a codebook whose
+    centroids sit on those axes; appending MORE on-axis vectors barely
+    moves mean distance-to-centroid, appending vectors pointing at the
+    equal-angle diagonal (cos 1/sqrt(8) to every axis) drives it up by
+    an order of magnitude. That rise is the retrain signal."""
+    import math
+
+    dim, axes = 16, 8
+
+    def on_axis(i):
+        a = i % axes
+        v = [0.0] * dim
+        v[a] = 1.0
+        v[(a + axes) % dim] = 0.05 * math.sin(i)  # deterministic jitter
+        return (i, v)
+
+    diag = [1.0 / math.sqrt(axes)] * axes + [0.0] * (dim - axes)
+    corpus = spark.createDataFrame(
+        [on_axis(i) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    in_dist = spark.createDataFrame(
+        [on_axis(i) for i in range(400, 480)],
+        "vec_id long, embedding array<double>",
+    )
+    shifted = spark.createDataFrame(
+        [(i, diag) for i in range(1000, 1080)],
+        "vec_id long, embedding array<double>",
+    )
+    ix = _tmp()
+    try:
+        rindex.build_ivf_index(corpus, ix, n_clusters=axes)
+        st1 = rindex.append_ivf_shard(spark, ix, in_dist)
+        st2 = rindex.append_ivf_shard(spark, ix, shifted)
+        assert st2["mean_dist_e6_after"] > st2["mean_dist_e6_before"]
+        rise = st2["mean_dist_e6_after"] - st2["mean_dist_e6_before"]
+        wobble = abs(st1["mean_dist_e6_after"] - st1["mean_dist_e6_before"])
+        assert rise > 10 * max(wobble, 100), (rise, wobble)
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
