@@ -1172,3 +1172,92 @@ def s24_stream_cdf_source(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "s25_stream_acid_ingest_rate",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2, 2 FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'f')
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v2,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)::DOUBLE
+             AS total
+    FROM log
+    """,
+    tags=("streaming", "acid", "sink", "ingest", "scaling"),
+)
+def s25_stream_acid_ingest_rate(spark, sf_dir):
+    """ACID log AT STREAMING INGEST RATES: ≥100 micro-batch commits
+    (one blind append per batch — the adds-only fast path s23's MERGE
+    sink is the keyed twin of) land in the OCC log, and the claim that
+    the checkpointed manifest keeps metadata cost FLAT is measured
+    in-flight: per-batch append time and per-batch snapshot() latency
+    are both recorded, and the last decile must not grow past 4× the
+    first (appends stage O(batch) files and never read base data;
+    snapshot folds from the newest checkpoint, never the whole log —
+    the IO shape behind both is pinned deterministically by
+    test_snapshot_and_commit_cost_bounded_by_checkpoint_interval, and
+    scaling.py --table-log records the 10/100/1000-commit wall-clock
+    curve for BASELINE.md). After the stream, one OPTIMIZE compacts the
+    ~800 append fragments (asserted shrinking) and the census is read
+    from the compacted snapshot, so the hash oracle certifies the
+    whole ingest→compact loop lost nothing. The fragmenting it cleans
+    up is real: 100 appends × touched buckets files, exactly the
+    small-file debt streaming tables accrue."""
+    import statistics
+    import tempfile
+    import time as _time
+
+    from distribot_spark.sources import acid
+
+    src = replay.orders_cdc_replay_dir(sf_dir, n_chunks=100)
+    root = tempfile.mkdtemp(prefix="s25_", dir=replay.TMP_ROOT)
+    table = acid.TableLog(os.path.join(root, "table"))
+    table.init()
+    append_secs: list[float] = []
+    snap_secs: list[float] = []
+
+    def sink(batch_df, batch_id):
+        pdf = batch_df.toPandas()
+        if pdf.empty:
+            return
+        t0 = _time.monotonic()
+        table.snapshot()
+        snap_secs.append(_time.monotonic() - t0)
+        t0 = _time.monotonic()
+        acid.append_pandas(
+            table, pdf[["o_orderkey", "o_totalprice", "version"]],
+            "o_orderkey", 8, writer=f"b{batch_id}",
+        )
+        append_secs.append(_time.monotonic() - t0)
+
+    replay.run_foreach_batch(spark, lambda s: s, src, sink, "append")
+    assert table.version() >= 99, table.version()
+    assert os.path.exists(table._checkpoint_path(90))  # checkpoints live
+
+    def flat(xs, floor):
+        first = statistics.median(xs[:10])
+        last = statistics.median(xs[-10:])
+        assert last <= max(4 * first, floor), (first, last)
+
+    flat(append_secs, 0.25)  # O(batch) staging, no base reads
+    flat(snap_secs, 0.05)    # checkpointed-manifest fold, never O(V)
+
+    st = acid.optimize_table_spark(
+        spark, table, "o_orderkey", 8, "compactor", files_per_bucket=1,
+    )
+    assert st["files_after"] < st["files_before"] // 10, st
+
+    cur = spark.read.parquet(*table.live_paths())
+    return cur.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0))
+        .cast("long").alias("n_v2"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double").alias("total"),
+    )

@@ -4,6 +4,7 @@ from distribot_spark.sources.acid import (
     CommitConflict,
     SnapshotExpired,
     TableLog,
+    append_pandas,
     append_spark,
     delete_keys_spark,
     merge_upsert_pandas,
@@ -24,7 +25,7 @@ from distribot_spark.sources.io import (
 __all__ = [
     "read_any", "write_any", "write_partitioned", "write_bucketed_table",
     "CommitConflict", "SnapshotExpired",
-    "TableLog", "append_spark", "delete_keys_spark",
+    "TableLog", "append_pandas", "append_spark", "delete_keys_spark",
     "merge_upsert_pandas", "merge_upsert_spark",
     "optimize_table_spark", "purge_tombstones_pandas", "read_snapshot_spark",
     "table_changes_spark", "write_initial_spark",

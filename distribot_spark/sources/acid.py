@@ -221,18 +221,42 @@ class TableLog:
                 f"(expire_snapshots ran; files may be vacuumed)"
             )
 
+    def _head_hint_path(self) -> str:
+        return os.path.join(self.log_dir, "_head.json")
+
     def version(self) -> int:
-        """Highest committed version, -1 for an empty table."""
+        """Highest committed version, -1 for an empty table.
+
+        O(1) amortized: reads the advisory ``_head.json`` hint (written
+        by commit winners — Delta's ``_last_checkpoint`` discipline)
+        and probes FORWARD for commits the hint hasn't caught up to, so
+        a stale or missing hint (crash between link and hint write, an
+        old table) costs only the gap; correctness never depends on the
+        hint. The full directory listing is the hint-less fallback —
+        without this, every snapshot pays an O(versions) listing, which
+        is what rots a manifest under micro-batch ingest."""
+        h = -1
         try:
-            names = os.listdir(self.log_dir)
-        except FileNotFoundError:
-            return -1
-        vs = [
-            int(n[1:13]) for n in names
-            if n.endswith(".json") and not n.endswith(".checkpoint.json")
-            and n.startswith("v") and n[1:13].isdigit()
-        ]
-        return max(vs, default=-1)
+            with open(self._head_hint_path()) as fh:
+                h = int(json.load(fh)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            h = -1
+        if h >= 0 and not os.path.exists(self._commit_path(h)):
+            h = -1  # foreign/corrupt hint: trust only real commits
+        if h < 0:
+            try:
+                names = os.listdir(self.log_dir)
+            except FileNotFoundError:
+                return -1
+            vs = [
+                int(n[1:13]) for n in names
+                if n.endswith(".json") and not n.endswith(".checkpoint.json")
+                and n.startswith("v") and n[1:13].isdigit()
+            ]
+            h = max(vs, default=-1)
+        while os.path.exists(self._commit_path(h + 1)):
+            h += 1
+        return h
 
     def read_commit(self, v: int) -> dict:
         with open(self._commit_path(v)) as fh:
@@ -243,12 +267,26 @@ class TableLog:
         state. Replays from the newest checkpoint at or below the head,
         so cost is bounded by CHECKPOINT_EVERY regardless of history."""
         v = self.version()
-        live: dict[str, int] = {}
         if v < 0:
-            return v, live
+            return v, {}
+        return self._fold_from_checkpoint(v)
+
+    def _fold_from_checkpoint(
+        self, v: int, skip_ckpt_at_v: bool = False,
+    ) -> tuple[int, dict[str, int]]:
+        """Fold the live set at ``v`` starting from the newest usable
+        checkpoint ≤ v — O(CHECKPOINT_EVERY) log reads, never O(v).
+        ``skip_ckpt_at_v`` is for the checkpoint WRITER itself (the
+        checkpoint for v does not exist yet when building it), which is
+        what keeps COMMIT cost flat too: each checkpoint folds from the
+        previous one plus its tail, not from a full-log replay."""
+        live: dict[str, int] = {}
         start = 0
         ckpt = (v // CHECKPOINT_EVERY) * CHECKPOINT_EVERY
         while ckpt > 0:
+            if skip_ckpt_at_v and ckpt == v:
+                ckpt -= CHECKPOINT_EVERY
+                continue
             p = self._checkpoint_path(ckpt)
             if os.path.exists(p):
                 with open(p) as fh:
@@ -304,10 +342,19 @@ class TableLog:
             return False
         finally:
             os.unlink(tmp)
+        # advisory head hint (atomic replace; losing a race to a NEWER
+        # hint is harmless — version() probes forward from any hint)
+        htmp = self._head_hint_path() + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(htmp, "w") as fh:
+            json.dump({"version": v}, fh)
+        os.replace(htmp, self._head_hint_path())
         if v > 0 and v % CHECKPOINT_EVERY == 0:
             # winner-only, crash-tolerant: a missing checkpoint just means
-            # snapshot() replays from the previous one.
-            _, live = self._replay_to(v)
+            # snapshot() replays from the previous one. Folds from the
+            # PREVIOUS checkpoint (O(CHECKPOINT_EVERY)), so commit cost
+            # stays flat at any version count — the streaming-ingest
+            # property scaling.py measures.
+            _, live = self._fold_from_checkpoint(v, skip_ckpt_at_v=True)
             ctmp = self._checkpoint_path(v) + f".tmp{uuid.uuid4().hex[:6]}"
             with open(ctmp, "w") as fh:
                 json.dump({"version": v, "live": live}, fh)
@@ -1348,6 +1395,48 @@ def append_spark(
             os.unlink(table.data_path(a["file"]))
         except FileNotFoundError:
             pass
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+def append_pandas(
+    table: TableLog,
+    batch,
+    key: str,
+    n_buckets: int,
+    writer: str,
+    max_attempts: int = 50,
+) -> dict:
+    """Blind INSERT of a pandas frame — the JVM-free micro-batch ingest
+    client (the lightweight twin of `append_spark`, same contract: rows
+    are NEW keys; duplicates duplicate). Stages one file per touched
+    bucket and commits adds-only, so cost is O(batch) regardless of
+    table size and a lost version race re-commits the same files —
+    what keeps per-batch ingest time FLAT at any commit count
+    (s25_stream_acid_ingest_rate measures exactly this)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hashed = table.hash_buckets()
+    pb = batch[key].astype("int64").map(
+        lambda k: _bucket_of_py(k, n_buckets, hashed)
+    )
+    staged: list[dict] = []
+    for b in sorted(pb.unique()):
+        part = batch[pb == b].sort_values(key)
+        name = table.new_data_file(int(b))
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            table.data_path(name),
+        )
+        staged.append({"file": name, "pb": int(b)})
+    attempts = 0
+    while attempts < max_attempts:
+        v = table.version()
+        attempts += 1
+        if table.try_commit(v, staged, [], writer):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "files_added": len(staged)}
+    _unlink_staged(table, staged)
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 

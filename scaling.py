@@ -28,6 +28,65 @@ DEFAULT = ["graph_pagerank", "dedup_clusters", "l2_minhash_pairs"]
 RUNS = 3  # per (query, sf); best-of to shed warm-up noise
 
 
+def table_log_curve():
+    """ACID-log scaling at streaming ingest rates: snapshot and commit
+    latency at 10 / 100 / 1000 committed versions. Both must be FLAT —
+    snapshot folds from the newest checkpoint (O(CHECKPOINT_EVERY) log
+    reads) and each checkpoint folds from the previous one, so neither
+    grows with history. The counterfactual column replays the full log
+    with checkpoints ignored (what an uncheckpointed manifest costs) to
+    show the checkpoint is what buys the flatness. IO shape itself is
+    pinned deterministically by
+    tests/test_table_acid.py::test_snapshot_and_commit_cost_bounded_by_checkpoint_interval;
+    this is the wall-clock evidence. Usage: python scaling.py --table-log
+    """
+    import tempfile
+
+    from distribot_spark.sources.acid import TableLog
+
+    root = tempfile.mkdtemp(prefix="acid_scale_")
+    t = TableLog(root)
+    t.init()
+    assert t.try_commit(-1, [{"file": "f0", "pb": 0}], [], "w")
+    out = []
+    head = 0
+    for target in (10, 100, 1000):
+        commit_times = []
+        while head < target:
+            head += 1
+            t0 = time.monotonic()
+            assert t.try_commit(
+                head - 1, [{"file": f"f{head}", "pb": 0}],
+                [f"f{head-1}"], "w",
+            )
+            commit_times.append(time.monotonic() - t0)
+        snap_best = min(
+            _timed(t.snapshot) for _ in range(20)
+        )
+        replay_best = min(
+            _timed(lambda: t._replay_to(head)) for _ in range(5)
+        )
+        out.append({
+            "versions": head,
+            "snapshot_ms": round(snap_best * 1000, 3),
+            "uncheckpointed_replay_ms": round(replay_best * 1000, 3),
+            "commit_ms_mean": round(
+                1000 * sum(commit_times) / len(commit_times), 3
+            ),
+            "commit_ms_max": round(1000 * max(commit_times), 3),
+        })
+        print(json.dumps(out[-1]), flush=True)
+    flat = out[-1]["snapshot_ms"] / max(out[0]["snapshot_ms"], 1e-6)
+    print(json.dumps({"snapshot_1000_over_10": round(flat, 2)}), flush=True)
+    return out
+
+
+def _timed(fn):
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
+
+
 def main(names):
     from distribot_spark.queries import QUERIES
     from distribot_spark.session import get_spark
@@ -73,4 +132,7 @@ def main(names):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or DEFAULT)
+    if "--table-log" in sys.argv:
+        table_log_curve()
+    else:
+        main(sys.argv[1:] or DEFAULT)

@@ -524,6 +524,37 @@ def test_vacuum_keeps_live_dv_sidecars():
     assert removed == {name, dv}
 
 
+def test_snapshot_and_commit_cost_bounded_by_checkpoint_interval():
+    """Streaming-ingest scaling contract, pinned by IO SHAPE (not
+    timing): at 1000+ commits, snapshot() folds from the newest
+    checkpoint — ≤ CHECKPOINT_EVERY commit reads — and the checkpoint
+    WRITER folds from the previous checkpoint, so commit cost is flat
+    too (an O(v)-per-checkpoint log would quadratically rot under
+    micro-batch ingest; scaling.py --table-log measures the wall-clock
+    side of the same claim)."""
+    t = TableLog(_tmp_table())
+    t.init()
+    assert t.try_commit(-1, [{"file": "f0", "pb": 0}], [], "w")
+
+    reads = []
+    orig = t.read_commit
+    t.read_commit = lambda v: (reads.append(v), orig(v))[1]
+
+    for i in range(1, 1005):
+        assert t.try_commit(i - 1, [{"file": f"f{i}", "pb": 0}],
+                            [f"f{i-1}"], "w")
+    # checkpoint writes during 1004 commits: ~100 checkpoints, each
+    # folding at most CHECKPOINT_EVERY commits + its own version
+    assert len(reads) <= (1004 // CHECKPOINT_EVERY + 1) * (
+        CHECKPOINT_EVERY + 1
+    ), len(reads)
+
+    reads.clear()
+    v, live = t.snapshot()
+    assert (v, live) == (1004, {"f1004": 0})
+    assert len(reads) <= CHECKPOINT_EVERY + 1, len(reads)  # flat replay
+
+
 # -- skew-resistant hash bucketing -----------------------------------------
 
 
