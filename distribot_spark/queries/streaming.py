@@ -1261,3 +1261,116 @@ def s25_stream_acid_ingest_rate(spark, sf_dir):
         F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
         .cast("double").alias("total"),
     )
+
+
+@register(
+    "s26_stream_cdf_watermark_late",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "cdc", "source", "acid", "watermark", "late"),
+)
+def s26_stream_cdf_watermark_late(spark, sf_dir):
+    """WATERMARKED late data through the CDF SOURCE — the S4 discipline
+    applied to the new source: the ACID table ingests append commits in
+    commit order (events up to max−2h; the last two hours, advancing
+    the watermark to the stream max; then a LATE commit whose ten
+    synthetic rows sit 5 hours BEFORE the stream start; finally two
+    far-future flush-sentinel commits, the replay_dir flush
+    discipline). The feed replays one commit per micro-batch and an
+    hourly windowed aggregate layers `withWatermark` over it in append
+    mode. The late commit exercises the half of the watermark contract
+    s4 cannot: Spark filters late input against the PREVIOUS
+    micro-batch's watermark, so rows arriving once the watermark has
+    already passed them are DROPPED — deterministic here because the
+    late commit lands two batches after the watermark advanced (in s4
+    the late file is the stream's second batch, its filtering watermark
+    is still the initial one, and never-seen windows emit — both modes
+    verified on Spark 4.1.2, which is why the oracle aggregates events
+    ONLY: the ten late rows must leave no trace). Sentinels flow
+    THROUGH the aggregation (a pre-aggregation filter would be pushed
+    below the EventTimeWatermark node and could never advance it) and
+    their far-future windows are trimmed from the RESULT; the final
+    watermark clears every real window, so closure = the full hourly
+    aggregate over events, complete counts, each window exactly once,
+    integer-cents exact under any batch split. Scale shape: state is
+    one row per open window; each micro-batch costs O(that commit's
+    changed rows)."""
+    import datetime
+    import shutil
+    import uuid as _uuid
+
+    from distribot_spark.sources import acid, table_changes_spark
+
+    root = os.path.join(replay.TMP_ROOT, f"s26_{_uuid.uuid4().hex[:8]}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+    split = tmax - datetime.timedelta(hours=2)
+    late_base = tmin.replace(minute=0, second=0, microsecond=0) \
+        - datetime.timedelta(hours=5)
+    late = spark.createDataFrame(
+        [(-1 - i, late_base + datetime.timedelta(minutes=i), float(i))
+         for i in range(10)],
+        "event_id long, ts timestamp, value double",
+    )
+
+    table = acid.TableLog(os.path.join(root, "table"))
+    table.init()
+    acid.append_spark(spark, table, ev.filter(F.col("ts") <= split),
+                      "event_id", 8, "seed")
+    acid.append_spark(spark, table, ev.filter(F.col("ts") > split),
+                      "event_id", 8, "tail")
+    acid.append_spark(spark, table, late, "event_id", 8, "late-cdc")
+    for i, hours in enumerate((3, 4)):  # flush sentinels (see replay_dir)
+        sent = spark.createDataFrame(
+            [(-100 - i, tmax + datetime.timedelta(hours=hours), 0.0)],
+            "event_id long, ts timestamp, value double",
+        )
+        acid.append_spark(spark, table, sent, "event_id", 8, f"flush-{i}")
+
+    chunks = os.path.join(root, "cdf_chunks")
+    os.makedirs(chunks, exist_ok=True)
+    for v in range(table.version() + 1):
+        ch = table_changes_spark(
+            spark, table, "event_id", from_version=v, to_version=v
+        )
+        tmp = os.path.join(root, f"_v{v}")
+        ch.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part),
+                  os.path.join(chunks, f"chunk_{v:04d}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def t(stream):
+        return (
+            stream.filter(F.col("_change_type") == "insert")
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("long").alias("cents"),
+            )
+            .select(
+                F.date_format("window.start", _FMT_S).alias("window_start"),
+                "cnt", "cents",
+            )
+        )
+
+    # drop the sentinels' own far-future windows from the RESULT (their
+    # job was advancing the watermark); real window starts are <= tmax,
+    # sentinel windows >= tmax+3h, and _FMT_S sorts chronologically
+    tmax_str = tmax.strftime("%Y-%m-%d %H:%M:%S")
+    out = (
+        replay.run_bounded(spark, t, chunks, "append")
+        .filter(F.col("window_start") <= tmax_str)
+        .orderBy("window_start")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
