@@ -274,13 +274,27 @@ class TableLog:
     def _fold_from_checkpoint(
         self, v: int, skip_ckpt_at_v: bool = False,
     ) -> tuple[int, dict[str, int]]:
-        """Fold the live set at ``v`` starting from the newest usable
-        checkpoint ≤ v — O(CHECKPOINT_EVERY) log reads, never O(v).
-        ``skip_ckpt_at_v`` is for the checkpoint WRITER itself (the
-        checkpoint for v does not exist yet when building it), which is
-        what keeps COMMIT cost flat too: each checkpoint folds from the
-        previous one plus its tail, not from a full-log replay."""
+        live, _, _ = self._fold_entries(v, skip_ckpt_at_v)
+        return v, live
+
+    def _fold_entries(
+        self, v: int, skip_ckpt_at_v: bool = False,
+    ) -> tuple[dict[str, int], dict[str, dict], dict[str, list[str]]]:
+        """Fold (live file→bucket, file→column stats, file→DV list) at
+        ``v`` starting from the newest usable checkpoint ≤ v —
+        O(CHECKPOINT_EVERY) log reads, never O(v), for EVERY metadata
+        consumer: snapshots, time travel, manifest-stats pruning and
+        deletion-vector resolution all share this fold (the Delta
+        pattern of checkpoints carrying the full table state, not just
+        the file list). ``skip_ckpt_at_v`` is for the checkpoint WRITER
+        itself (its own checkpoint does not exist yet), which keeps
+        COMMIT cost flat too: each checkpoint folds from the previous
+        one plus its tail. A checkpoint from before stats/DVs were
+        folded in (no such tables persist, but be safe) is skipped and
+        the fold falls back to an earlier one or the full log."""
         live: dict[str, int] = {}
+        stats: dict[str, dict] = {}
+        dvs: dict[str, list[str]] = {}
         start = 0
         ckpt = (v // CHECKPOINT_EVERY) * CHECKPOINT_EVERY
         while ckpt > 0:
@@ -290,7 +304,13 @@ class TableLog:
             p = self._checkpoint_path(ckpt)
             if os.path.exists(p):
                 with open(p) as fh:
-                    live = {f: int(b) for f, b in json.load(fh)["live"].items()}
+                    body = json.load(fh)
+                if "stats" not in body or "dvs" not in body:
+                    ckpt -= CHECKPOINT_EVERY
+                    continue  # legacy checkpoint: keep searching lower
+                live = {f: int(b) for f, b in body["live"].items()}
+                stats = {f: body["stats"].get(f) or {} for f in live}
+                dvs = {f: list(d) for f, d in body["dvs"].items()}
                 start = ckpt + 1
                 break
             ckpt -= CHECKPOINT_EVERY
@@ -298,9 +318,15 @@ class TableLog:
             c = self.read_commit(i)
             for f in c["removes"]:
                 live.pop(f, None)
+                stats.pop(f, None)
+                dvs.pop(f, None)
             for a in c["adds"]:
                 live[a["file"]] = int(a["pb"])
-        return v, live
+                stats[a["file"]] = a.get("stats") or {}
+            for f, d in (c.get("dvs") or {}).items():
+                if f in live:
+                    dvs.setdefault(f, []).append(d)
+        return live, stats, dvs
 
     def try_commit(
         self,
@@ -353,11 +379,14 @@ class TableLog:
             # snapshot() replays from the previous one. Folds from the
             # PREVIOUS checkpoint (O(CHECKPOINT_EVERY)), so commit cost
             # stays flat at any version count — the streaming-ingest
-            # property scaling.py measures.
-            _, live = self._fold_from_checkpoint(v, skip_ckpt_at_v=True)
+            # property scaling.py measures. Carries the FULL table
+            # state (live set + column stats + DV lists) so every
+            # metadata consumer stays flat, not just snapshot().
+            live, stats, dvmap = self._fold_entries(v, skip_ckpt_at_v=True)
             ctmp = self._checkpoint_path(v) + f".tmp{uuid.uuid4().hex[:6]}"
             with open(ctmp, "w") as fh:
-                json.dump({"version": v, "live": live}, fh)
+                json.dump({"version": v, "live": live,
+                           "stats": stats, "dvs": dvmap}, fh)
             os.replace(ctmp, self._checkpoint_path(v))
         return True
 
@@ -374,7 +403,7 @@ class TableLog:
         if not 0 <= v <= head:
             raise ValueError(f"version {v} outside [0, {head}]")
         self._check_not_expired(v)
-        return self._replay_to(v)
+        return self._fold_from_checkpoint(v)  # O(CHECKPOINT_EVERY)
 
     def live_paths_at(self, v: int) -> list[str]:
         _, live = self.snapshot_at(v)
@@ -407,9 +436,9 @@ class TableLog:
         ignored: the rewrite already materialized a state the DV writer
         must re-derive against.
 
-        Replays the full log (like `live_stats`, DVs are not folded
-        into checkpoints in this demo; a production log carries them
-        there, keeping this O(CHECKPOINT_EVERY))."""
+        O(CHECKPOINT_EVERY): DV lists ride in checkpoints alongside the
+        live set (`_fold_entries`), so resolving them never replays the
+        full log."""
         head = self.version()
         v = head if version is None else version
         if v < 0 <= head or v > head:
@@ -417,18 +446,7 @@ class TableLog:
         if head < 0:
             return {}  # empty table: nothing committed yet
         self._check_not_expired(v)
-        live: set[str] = set()
-        dvs: dict[str, list[str]] = {}
-        for i in range(0, v + 1):
-            c = self.read_commit(i)
-            for f in c["removes"]:
-                live.discard(f)
-                dvs.pop(f, None)
-            for a in c["adds"]:
-                live.add(a["file"])
-            for f, d in (c.get("dvs") or {}).items():
-                if f in live:
-                    dvs.setdefault(f, []).append(d)
+        _, _, dvs = self._fold_entries(v)
         return dvs
 
     # -- data files -------------------------------------------------------
@@ -455,22 +473,17 @@ class TableLog:
         metadata-level min/max so planning never opens a data file.
         Files added without stats map to ``{}`` and are never pruned.
 
-        Replays the full log (stats are not folded into checkpoints in
-        this demo; a production log would carry them there too, keeping
-        this O(CHECKPOINT_EVERY) like `snapshot`)."""
+        O(CHECKPOINT_EVERY): stats ride in checkpoints alongside the
+        live set (`_fold_entries`), so PLANNING cost is flat at any
+        version count — the property that makes manifest pruning usable
+        under micro-batch ingest."""
         head = self.version()
         v = head if version is None else version
         if not 0 <= v <= head:
             raise ValueError(f"version {v} outside [0, {head}]")
         self._check_not_expired(v)
-        live: dict[str, dict] = {}
-        for i in range(0, v + 1):
-            c = self.read_commit(i)
-            for f in c["removes"]:
-                live.pop(f, None)
-            for a in c["adds"]:
-                live[a["file"]] = a.get("stats") or {}
-        return live
+        _, stats, _ = self._fold_entries(v)
+        return stats
 
     def live_paths_pruned(
         self, col: str, lo, hi, version: int | None = None,

@@ -75,8 +75,9 @@ def test_relational_queries_stay_jvm_side(spark):
         # IVF centroid assignment/probing is one Arrow matmul per batch
         # (see similarity.ivf_topk); the re-rank stays Catalyst — the
         # served-from-persisted-index twin probes through the same
-        # Arrow kernel (operators/index.serve_ivf_topk)
-        "l3_ivf_topk", "l3_ivf_serve",
+        # Arrow kernel (operators/index.serve_ivf_topk), as does the
+        # incremental-append twin (shard assignment + probe)
+        "l3_ivf_topk", "l3_ivf_serve", "l3_ivf_append_serve",
         # PQ-ADC scoring is a LUT gather-sum per batch — one Arrow numpy
         # kernel (see similarity.pq_topk); the exact re-rank stays Catalyst
         "l3_pq_topk",

@@ -554,6 +554,17 @@ def test_snapshot_and_commit_cost_bounded_by_checkpoint_interval():
     assert (v, live) == (1004, {"f1004": 0})
     assert len(reads) <= CHECKPOINT_EVERY + 1, len(reads)  # flat replay
 
+    # stats, DV resolution and TIME TRAVEL share the checkpointed fold:
+    # every metadata consumer is flat, not just snapshot()
+    for probe in (
+        lambda: t.live_stats(),
+        lambda: t.live_dvs(),
+        lambda: t.snapshot_at(997),
+    ):
+        reads.clear()
+        probe()
+        assert len(reads) <= CHECKPOINT_EVERY + 1, len(reads)
+
 
 # -- skew-resistant hash bucketing -----------------------------------------
 
