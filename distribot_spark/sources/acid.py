@@ -508,19 +508,70 @@ class TableLog:
             kept.append(self.data_path(f))
         return kept, pruned
 
+    def _floor_checkpoint(self) -> int:
+        """Newest full-format checkpoint at or below the retention
+        floor — the earliest log entry any retained fold can start
+        from; 0 when none exists."""
+        floor = self.expired_before()
+        c = (floor // CHECKPOINT_EVERY) * CHECKPOINT_EVERY
+        while c > 0:
+            p = self._checkpoint_path(c)
+            if os.path.exists(p):
+                with open(p) as fh:
+                    body = json.load(fh)
+                if "stats" in body and "dvs" in body:
+                    return c
+            c -= CHECKPOINT_EVERY
+        return 0
+
+    def truncate_log(self) -> list[str]:
+        """Physically shrink the LOG itself: delete commit and
+        checkpoint files strictly below the newest checkpoint at or
+        below the retention floor (Delta's ``logRetentionDuration``
+        half of expiry — `expire_snapshots` makes old versions
+        unreadable, this reclaims their metadata). Safe because every
+        retained fold (snapshot / time travel / stats / DVs / vacuum's
+        referenced-set) starts at or above that checkpoint; reads below
+        the floor already raise `SnapshotExpired` before touching the
+        log. No-op until a checkpoint at/below the floor exists."""
+        cstar = self._floor_checkpoint()
+        if cstar <= 0:
+            return []
+        removed = []
+        for name in sorted(os.listdir(self.log_dir)):
+            if not (name.startswith("v") and name.endswith(".json")
+                    and name[1:13].isdigit()):
+                continue
+            if int(name[1:13]) < cstar:
+                os.unlink(os.path.join(self.log_dir, name))
+                removed.append(name)
+        return removed
+
     def referenced_files(self) -> set[str]:
         """Every data file some RETAINED snapshot (version >= the
         retention floor) references — the set `vacuum` must never touch.
         With no expiry this is every file any commit ever added minus
         those removed before the floor, so historical snapshots, CDF
         pre-images and time travel all stay readable until
-        `expire_snapshots` explicitly gives them up."""
+        `expire_snapshots` explicitly gives them up. Folds from the
+        floor checkpoint when one exists, so it works on a truncated
+        log and never replays unbounded history."""
         head = self.version()
         floor = self.expired_before()
         referenced: set[str] = set()
         live: dict[str, int] = {}
         dvs: dict[str, list[str]] = {}
-        for i in range(0, head + 1):
+        start = 0
+        cstar = self._floor_checkpoint()
+        if cstar > 0:
+            with open(self._checkpoint_path(cstar)) as fh:
+                body = json.load(fh)
+            live = {f: int(b) for f, b in body["live"].items()}
+            dvs = {f: list(d) for f, d in body["dvs"].items()}
+            start = cstar + 1
+            if cstar >= floor:  # can't happen (cstar <= floor), but safe
+                referenced.update(live)
+        for i in range(start, head + 1):
             c = self.read_commit(i)
             for f in c["removes"]:
                 live.pop(f, None)

@@ -318,6 +318,45 @@ def test_vacuum_respects_retention_then_reclaims_expired():
     assert set(os.listdir(t.data_dir)) == live12
 
 
+def test_truncate_log_reclaims_expired_metadata():
+    """Log retention (Delta's logRetentionDuration): after
+    expire_snapshots, truncate_log deletes commit/checkpoint files
+    below the floor checkpoint. Retained reads stay byte-exact off the
+    surviving checkpoints, expired reads still raise SnapshotExpired
+    (never FileNotFound on a missing commit), and vacuum's
+    referenced-set fold works on the truncated log."""
+    from distribot_spark.sources.acid import SnapshotExpired
+
+    t = TableLog(_tmp_table())
+    t.init()
+    assert t.try_commit(-1, [{"file": "f0", "pb": 0}], [], "w")
+    for i in range(1, 25):
+        open(t.data_path(f"f{i}"), "wb").write(b"x")
+        assert t.try_commit(i - 1, [{"file": f"f{i}", "pb": 0}],
+                            [f"f{i-1}"], "w")
+    open(t.data_path("f0"), "wb").write(b"x")
+
+    assert t.truncate_log() == []  # nothing expired: full no-op
+    assert t.expire_snapshots(keep_last=5) == 20
+    pre = {v: t.snapshot_at(v) for v in range(20, 25)}
+
+    removed = t.truncate_log()
+    assert f"v{0:012d}.json" in removed
+    assert f"v{19:012d}.json" in removed
+    assert f"v{10:012d}.checkpoint.json" in removed
+    assert not any(int(n[1:13]) >= 20 for n in removed)
+    assert t.version() == 24
+    for v in range(20, 25):
+        assert t.snapshot_at(v) == pre[v]  # retained reads unharmed
+    with pytest.raises(SnapshotExpired):
+        t.snapshot_at(19)
+
+    assert t.referenced_files() == {f"f{v}" for v in range(20, 25)}
+    reclaimed = set(t.vacuum(min_age_seconds=0.0))
+    assert reclaimed == {f"f{v}" for v in range(0, 20)}
+    assert t.snapshot_at(24) == pre[24]
+
+
 def test_change_feed_refuses_expired_preimages(spark):
     """Commit v's pre-image is snapshot v-1, so once the floor is F the
     feed must start at F+1 — asking earlier raises SnapshotExpired
