@@ -125,6 +125,16 @@ HEADLINE = [
     # narrow-shuffle claim (xxhash64 longs vs gram text) is measured
     # every round, not asserted.
     "doc_dup_spans_hashed",
+    # round-6 additions (documented in BASELINE.md): the ACID table
+    # layer's new write-path families — deletion-vector DELETE +
+    # OPTIMIZE compaction, snapshot expiry + retention vacuum composed
+    # with time travel, the skew-resistant hash-bucket option, and
+    # IVF incremental shard append + serve. These measure the table
+    # WRITE path round-over-round, not just read throughput.
+    "source_acid_delete_vectors",
+    "source_acid_vacuum_travel",
+    "source_acid_hash_buckets",
+    "l3_ivf_append_serve",
 ]
 
 
