@@ -873,6 +873,126 @@ def source_acid_hash_buckets(spark, sf_dir):
 
 
 @register(
+    "source_acid_sync_snapshot",
+    oracle="""
+    WITH upd AS (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_orderkey % 1000 = 0),
+    del AS (SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 1000 = 8),
+    ins AS (SELECT 1000000000 + i AS k, CAST(100 + i AS DOUBLE) AS p
+            FROM range(10) t(i)),
+    fin AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 1000 = 0
+                  THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                       AS DOUBLE)
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 1000 <> 8
+      UNION ALL SELECT k, p FROM ins),
+    u AS (
+      SELECT 'final' AS kind, COUNT(*) AS cnt,
+             CAST(ROUND(SUM(CAST(p AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS total FROM fin
+      UNION ALL SELECT 'insert', COUNT(*),
+             CAST(ROUND(SUM(CAST(p AS DECIMAL(14,2))), 2) AS DOUBLE)
+             FROM ins
+      UNION ALL SELECT 'delete', COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM del
+      UNION ALL SELECT 'update_pre', COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM upd
+      UNION ALL SELECT 'update_post', COUNT(*),
+             CAST(ROUND(SUM(CAST(
+                  ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                  AS DECIMAL(14,2))), 2) AS DOUBLE) FROM upd)
+    SELECT kind, cnt, total FROM u ORDER BY kind
+    """,
+    tags=("sources", "acid", "merge", "sync", "cdf"),
+)
+def source_acid_sync_snapshot(spark, sf_dir):
+    """Full-snapshot SYNC — Delta's three-clause MERGE (WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT / WHEN NOT MATCHED BY SOURCE
+    DELETE) in one OCC commit (`sync_snapshot_spark`): the upstream
+    extract updates every 1000th order, drops keys ≡8 mod 1000, and
+    adds ten new keys; after the sync the table EQUALS the extract.
+    Write cost is O(changed buckets) — asserted: exactly the 10 buckets
+    the changed keys map to are rewritten, every other bucket keeps its
+    files — and the change feed of the sync version reports EXACTLY the
+    logical diff (carried-equal rows in rewritten buckets suppressed),
+    which the hash oracle certifies per change type alongside the final
+    census. This is the nightly snapshot-ingest pattern plain upsert
+    cannot express (vanished rows must delete); idempotence (re-sync
+    commits nothing) and the DV-conflict path are pinned by the sync
+    tests in tests/test_table_acid.py."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        sync_snapshot_spark,
+        table_changes_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_sync_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_initial_spark(spark, table, orders, "o_orderkey", n_buckets=16)
+    live0 = dict(table.snapshot()[1])
+
+    source = (
+        orders.filter(F.col("o_orderkey") % 1000 != 8)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 1000 == 0,
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * 2, 2)
+                .cast("double"),
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.range(10).select(
+                (F.lit(1_000_000_000) + F.col("id")).alias("o_orderkey"),
+                (F.lit(100.0) + F.col("id")).alias("o_totalprice"),
+            )
+        )
+    )
+    st = sync_snapshot_spark(spark, table, source, "o_orderkey", 16, "sync")
+    # changed keys map to buckets {0..9} (updates/deletes ⊂ {0,8},
+    # inserts 1e9+i ≡ i mod 16): write cost is the changed set
+    assert st["rewritten_buckets"] == 10, st
+    _, live1 = table.snapshot()
+    untouched = {f for f, b in live0.items() if b >= 10}
+    assert untouched and untouched <= set(live1)
+
+    def census(kind, df, col):
+        return df.agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col(col).cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        ).select(F.lit(kind).alias("kind"), "cnt", "total")
+
+    ch = table_changes_spark(
+        spark, table, "o_orderkey",
+        from_version=st["committed_version"],
+        to_version=st["committed_version"],
+    )
+    parts = [census("final", spark.read.parquet(*table.live_paths()),
+                    "o_totalprice")]
+    for kind in ("insert", "delete", "update_pre", "update_post"):
+        parts.append(census(
+            kind, ch.filter(F.col("_change_type") == kind), "o_totalprice"
+        ))
+    out_df = parts[0]
+    for p in parts[1:]:
+        out_df = out_df.unionByName(p)
+    return out_df.orderBy("kind")
+
+
+@register(
     "source_acid_delete_vectors",
     oracle="""
     WITH del AS (SELECT o_orderkey, o_totalprice FROM orders

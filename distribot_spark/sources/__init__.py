@@ -12,6 +12,7 @@ from distribot_spark.sources.acid import (
     optimize_table_spark,
     purge_tombstones_pandas,
     read_snapshot_spark,
+    sync_snapshot_spark,
     table_changes_spark,
     write_initial_spark,
 )
@@ -28,5 +29,6 @@ __all__ = [
     "TableLog", "append_pandas", "append_spark", "delete_keys_spark",
     "merge_upsert_pandas", "merge_upsert_spark",
     "optimize_table_spark", "purge_tombstones_pandas", "read_snapshot_spark",
+    "sync_snapshot_spark",
     "table_changes_spark", "write_initial_spark",
 ]

@@ -932,6 +932,108 @@ def merge_upsert_spark(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+def sync_snapshot_spark(
+    spark,
+    table: TableLog,
+    source_df,
+    key: str,
+    n_buckets: int,
+    writer: str,
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """Full-snapshot SYNC — Delta's three-clause MERGE in one commit:
+    WHEN MATCHED (payload differs) UPDATE, WHEN NOT MATCHED INSERT,
+    WHEN NOT MATCHED BY SOURCE DELETE. After it, the table's logical
+    content EQUALS ``source_df`` — the nightly snapshot-ingest pattern
+    (an upstream system hands you today's full extract; rows it no
+    longer carries must vanish, which plain upsert cannot express).
+
+    Write cost is O(changed buckets): a key-level full-outer diff
+    (carried-equal rows suppressed by the null-safe struct compare, the
+    CDF discipline) finds the buckets where ANYTHING changed, and only
+    those are rewritten with the source's content — an unchanged bucket
+    keeps its files byte-for-byte, so the change feed of the sync
+    version reports exactly the logical diff. The COMPARE is O(table ∪
+    source) — inherent to full sync; at 100 TB you scope the sync to a
+    partition/tenant slice and run one sync per slice. Source schema
+    defines the rewritten buckets (same-schema sync is the contract;
+    evolution goes through merge_upsert_spark). DV state folds into the
+    diff and participates in OCC conflict detection like MERGE.
+
+    Returns {committed_version, attempts, recomputes,
+    rewritten_buckets} (committed_version = current head when nothing
+    changed — no empty commit)."""
+    from pyspark.sql import functions as F
+
+    hashed = table.hash_buckets()
+    src = source_df.withColumn("_pb", _bucket_expr(key, n_buckets, hashed))
+    data_cols = [c for c in source_df.columns if c != key]
+    attempts = 0
+    recomputes = 0
+    staged: list[dict] | None = None
+    replaced: list[str] | None = None
+    replaced_dvstate: dict | None = None
+
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        dvmap = {f: ds for f, ds in table.live_dvs().items() if f in live}
+        dvstate = {f: tuple(dvmap.get(f, ())) for f in live}
+        need_compute = staged is None or dvstate != replaced_dvstate
+        if need_compute:
+            if staged is not None:
+                recomputes += 1
+                _unlink_staged(table, staged)
+            replaced_dvstate = dvstate
+            if live:
+                base = spark.read.option("mergeSchema", "true").parquet(
+                    *[table.data_path(f) for f in sorted(live)]
+                )
+                base = _apply_dvs(spark, table, base, key, dvmap)
+                b2 = base.select(
+                    key,
+                    _bucket_expr(key, n_buckets, hashed).alias("_bpb"),
+                    F.struct(*data_cols).alias("_b"),
+                )
+                s2 = src.select(
+                    key, F.col("_pb").alias("_spb"),
+                    F.struct(*data_cols).alias("_s"),
+                )
+                j = b2.join(s2, key, "full_outer")
+                changed = j.filter(
+                    F.col("_b").isNull() | F.col("_s").isNull()
+                    | ~F.col("_b").eqNullSafe(F.col("_s"))
+                ).select(
+                    F.coalesce("_spb", "_bpb").alias("_cb")
+                ).distinct()
+                touched = {int(r["_cb"]) for r in changed.collect()}
+            else:
+                touched = {
+                    int(r["_pb"])
+                    for r in src.select("_pb").distinct().collect()
+                }
+            if not touched:
+                return {"committed_version": v, "attempts": attempts,
+                        "recomputes": recomputes, "rewritten_buckets": 0}
+            replaced = sorted(
+                f for f, b in live.items() if b in touched
+            )
+            staged = _stage_bucketed(
+                spark, table,
+                src.filter(F.col("_pb").isin(sorted(touched))),
+                max(len(touched), 1), sort_cols=["_pb", key],
+            )
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        attempts += 1
+        if table.try_commit(v, staged, replaced, writer):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "recomputes": recomputes,
+                    "rewritten_buckets": len({a["pb"] for a in staged})}
+    _unlink_staged(table, staged)
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
 def write_initial_spark(spark, table: TableLog, df, key: str,
                         n_buckets: int, writer: str = "init",
                         hash_buckets: bool = False) -> int:

@@ -524,3 +524,31 @@ def test_round4_additions_plan_shapes(spark):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in disj.replace(" ", ""), (
         "lineitem-side residue must reach the lineitem scan"
     )
+
+
+def test_dv_fold_is_broadcast_anti_join(spark):
+    """Deletion-vector reads must plan the DV fold as a BROADCAST
+    anti-join (the DV side scales with deletes, never the table): a
+    shuffled anti-join here would re-partition the whole corpus to
+    subtract a handful of rows, exactly the 100 TB failure mode DVs
+    exist to avoid."""
+    import pandas as pd
+
+    from distribot_spark.sources.acid import (
+        TableLog,
+        delete_keys_pandas,
+        merge_upsert_pandas,
+        read_snapshot_spark,
+    )
+    from tests.test_table_acid import _tmp_table
+
+    t = TableLog(_tmp_table())
+    t.init()
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": range(64), "val": range(64)}), "k", 4, "seed"
+    )
+    delete_keys_pandas(t, [3, 17], "k", 4, "del")
+    df = read_snapshot_spark(spark, t, dv_key="k")
+    plan = explain_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

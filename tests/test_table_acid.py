@@ -731,6 +731,106 @@ def test_skewed_keys_conflict_under_modulo_not_under_hash():
     assert stats[True]["attempts"] == 2     # still raced the version
 
 
+# -- full-snapshot sync (three-clause MERGE) -------------------------------
+
+
+def test_sync_snapshot_three_clause_merge(spark):
+    """sync_snapshot_spark: after the sync the table EQUALS the source
+    (update + insert + not-matched-by-source delete in ONE commit),
+    unchanged buckets keep their files byte-for-byte, the change feed
+    of the sync version reports exactly the logical diff, and a
+    no-change re-sync commits nothing."""
+    from distribot_spark.sources.acid import (
+        sync_snapshot_spark,
+        table_changes_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(16)], "k long, val double"
+    )
+    write_initial_spark(spark, t, base, "k", n_buckets=4)
+    live0 = dict(t.snapshot()[1])
+
+    # source: k=1 updated, k=2 and k=6 gone, k=100 new; rest identical.
+    # changed buckets: {1 % 4, 2 % 4, 6 % 4, 100 % 4} = {1, 2, 0}
+    src_rows = (
+        [(k, float(k)) for k in range(16) if k not in (1, 2, 6)]
+        + [(1, 111.0), (100, 100.0)]
+    )
+    src = spark.createDataFrame(src_rows, "k long, val double")
+    st = sync_snapshot_spark(spark, t, src, "k", 4, "sync")
+    assert st["rewritten_buckets"] == 3, st
+
+    assert _logical_rows(spark, t) == sorted(
+        (k, v) for k, v in src_rows
+    )
+    # bucket 3 was untouched: its file survives identically
+    _, live1 = t.snapshot()
+    for f, b in live0.items():
+        if b == 3:
+            assert live1.get(f) == 3
+    # CDF of the sync version = exactly the logical diff
+    ch = sorted(
+        (r.k, r.val, r._change_type)
+        for r in table_changes_spark(
+            spark, t, "k", st["committed_version"], st["committed_version"]
+        ).collect()
+    )
+    assert ch == [
+        (1, 1.0, "update_pre"), (1, 111.0, "update_post"),
+        (2, 2.0, "delete"), (6, 6.0, "delete"),
+        (100, 100.0, "insert"),
+    ]
+    # idempotent: re-syncing the same source commits NOTHING
+    st2 = sync_snapshot_spark(spark, t, src, "k", 4, "resync")
+    assert st2["rewritten_buckets"] == 0
+    assert st2["committed_version"] == st["committed_version"]
+
+
+def test_sync_snapshot_folds_dvs_and_detects_conflicts(spark):
+    """A DV delete landing between the sync's diff and its commit
+    changes bucket content without changing the file set — the sync
+    must recompute (DV state is in its conflict detection) and the
+    final table still equals the source (the sync re-inserts the key
+    the racer deleted, because the SOURCE says it exists)."""
+    from distribot_spark.sources.acid import (
+        delete_keys_spark,
+        sync_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    fired = []
+
+    def dv_racer(v):
+        if not fired:
+            fired.append(v)
+            delete_keys_spark(
+                spark, t, spark.createDataFrame([(4,)], "k long"),
+                "k", 2, "racer",
+            )
+
+    src = spark.createDataFrame(
+        [(k, float(k)) for k in range(8) if k != 7] + [(9, 9.0)],
+        "k long, val double",
+    )
+    st = sync_snapshot_spark(spark, t, src, "k", 2, "sync",
+                             pre_commit_hook=dv_racer)
+    assert st["attempts"] == 2 and st["recomputes"] == 1, st
+    # source wins: k=4 exists in the source, so the sync restores it
+    assert _logical_rows(spark, t) == sorted(
+        [(k, float(k)) for k in range(8) if k != 7] + [(9, 9.0)]
+    )
+
+
 # -- OPTIMIZE × MERGE × DELETE concurrency matrix --------------------------
 
 
