@@ -1374,3 +1374,119 @@ def s26_stream_cdf_watermark_late(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "s27_stream_cdc_dv_delete_sink",
+    oracle="""
+    WITH fin AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 1000 = 0
+                  THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2, 2)
+                       AS DOUBLE)
+                  ELSE o_totalprice END AS p,
+             CASE WHEN o_orderkey % 1000 = 0 THEN 2 ELSE 1 END AS v
+      FROM orders WHERE o_orderkey % 1000 <> 8)
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated,
+           CAST(ROUND(SUM(CAST(p AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total_current
+    FROM fin
+    """,
+    tags=("streaming", "cdc", "sink", "acid", "dv", "delete"),
+)
+def s27_stream_cdc_dv_delete_sink(spark, sf_dir):
+    """CDC stream with DELETES routed to DELETION VECTORS — the
+    streaming face of `delete_keys_spark`, completing s23 (which sinks
+    upserts): each micro-batch splits by op — upserts flow through the
+    version-conditional MERGE, deletes land as DV sidecars with ZERO
+    base-file rewrites (asserted per delete batch: the live data-file
+    set is unchanged) — so a high-churn delete stream never pays bucket
+    rewrite amplification; a later update wave rewrites its buckets and
+    compacts their DVs in passing, with the deleted keys staying
+    deleted (the merge folds DVs before rewriting). Contract note,
+    stated honestly: DV deletes carry NO tombstone, so they suit
+    in-order feeds (this replay); under at-least-once redelivery with
+    stale upserts, use the tombstone path (`source_merge_cdc_delete`)
+    whose persisted markers outrank stale versions. The hash oracle
+    certifies the final census: every 1000th order doubled, keys ≡8 mod
+    1000 gone. Scale shape: per batch, merge cost is O(touched
+    buckets), delete cost is O(deleted rows) sidecar bytes; commit cost
+    one atomic link each."""
+    import tempfile
+    import uuid as _uuid
+
+    from distribot_spark.sources import acid
+
+    root = tempfile.mkdtemp(prefix="s27_", dir=replay.TMP_ROOT)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    chunks = os.path.join(root, "chunks")
+    os.makedirs(chunks, exist_ok=True)
+
+    def write_chunk(i, df):
+        tmp = os.path.join(root, f"_c{i}")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part),
+                  os.path.join(chunks, f"chunk_{i:04d}.parquet"))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # 8 insert waves (op=u, v=1), one delete wave, one update wave
+    for i in range(8):
+        write_chunk(i, orders.filter(F.col("o_orderkey") % 8 == i).select(
+            "o_orderkey", "o_totalprice",
+            F.lit(1).alias("v"), F.lit("u").alias("op"),
+        ))
+    write_chunk(8, orders.filter(F.col("o_orderkey") % 1000 == 8).select(
+        "o_orderkey", "o_totalprice",
+        F.lit(2).alias("v"), F.lit("d").alias("op"),
+    ))
+    write_chunk(9, orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(12,2)") * 2, 2)
+        .cast("double").alias("o_totalprice"),
+        F.lit(2).alias("v"), F.lit("u").alias("op"),
+    ))
+
+    table = acid.TableLog(os.path.join(root, "table"))
+    table.init()
+    stats = {"dv_files": 0, "delete_batches": 0}
+
+    def sink(batch_df, batch_id):
+        ups = batch_df.filter(F.col("op") == "u").select(
+            "o_orderkey", "o_totalprice", "v"
+        )
+        dels = batch_df.filter(F.col("op") == "d").select("o_orderkey")
+        if not ups.isEmpty():
+            acid.merge_upsert_spark(
+                spark, table, ups, "o_orderkey", 16,
+                writer=f"up-{batch_id}", version="v",
+            )
+        if not dels.isEmpty():
+            live_before = set(table.snapshot()[1])
+            st = acid.delete_keys_spark(
+                spark, table, dels, "o_orderkey", 16,
+                writer=f"del-{batch_id}",
+            )
+            # THE DV point: a delete batch rewrites no base file
+            assert set(table.snapshot()[1]) == live_before
+            stats["dv_files"] += st["dv_files"]
+            stats["delete_batches"] += 1
+
+    replay.run_foreach_batch(spark, lambda s: s, chunks, sink, "append")
+    assert stats["delete_batches"] == 1 and stats["dv_files"] > 0, stats
+
+    cur = acid.read_snapshot_spark(spark, table, dv_key="o_orderkey")
+    return cur.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("v") == 2, 1).otherwise(0))
+        .cast("long").alias("n_updated"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double").alias("total_current"),
+    )

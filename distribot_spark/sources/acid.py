@@ -409,6 +409,30 @@ class TableLog:
         _, live = self.snapshot_at(v)
         return [self.data_path(f) for f in sorted(live)]
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Delta's ``TIMESTAMP AS OF``: the latest RETAINED version
+        whose commit timestamp is <= ``ts`` (epoch seconds). Commit
+        timestamps are writer wall clocks — the log order is the truth
+        and the scan takes the LAST qualifying version, so bounded
+        clock jitter between racing writers cannot resurrect an older
+        state. Scans only retained commits (floor..head), so it works
+        on a truncated log and never replays unbounded history; compose
+        with `snapshot_at` / `live_paths_at` for the actual read."""
+        head = self.version()
+        floor = self.expired_before()
+        if head < 0:
+            raise ValueError("empty table")
+        best = -1
+        for v in range(floor, head + 1):
+            if self.read_commit(v)["ts"] <= ts:
+                best = v
+        if best < 0:
+            raise SnapshotExpired(
+                f"no retained version at or before timestamp {ts} "
+                f"(retention floor {floor})"
+            )
+        return best
+
     def _replay_to(self, v: int) -> tuple[int, dict[str, int]]:
         live: dict[str, int] = {}
         for i in range(0, v + 1):

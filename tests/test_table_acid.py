@@ -731,6 +731,71 @@ def test_skewed_keys_conflict_under_modulo_not_under_hash():
     assert stats[True]["attempts"] == 2     # still raced the version
 
 
+def test_timestamp_as_of_resolves_to_commit_versions():
+    """TIMESTAMP AS OF: a timestamp between commits resolves to the
+    last commit at or before it; before the first retained commit it
+    raises SnapshotExpired (not a silent v0); clock jitter (an older
+    version stamped later) cannot resurrect an older state because the
+    LAST qualifying version wins."""
+    from distribot_spark.sources.acid import SnapshotExpired
+
+    t = _three_version_table()
+    ts = [t.read_commit(v)["ts"] for v in range(3)]
+    assert t.version_at_timestamp(ts[0]) == 0
+    assert t.version_at_timestamp((ts[0] + ts[1]) / 2) == 0
+    assert t.version_at_timestamp(ts[1]) == 1
+    assert t.version_at_timestamp(ts[2] + 1000) == 2
+    with pytest.raises(SnapshotExpired):
+        t.version_at_timestamp(ts[0] - 1)
+    # jittered clock: rewrite commit 1's ts to be LATER than commit 2's
+    body = t.read_commit(1)
+    body["ts"] = ts[2] + 5
+    with open(t._commit_path(1) + ".tmp", "w") as fh:
+        json.dump(body, fh)
+    os.replace(t._commit_path(1) + ".tmp", t._commit_path(1))
+    assert t.version_at_timestamp(ts[2] + 10) == 2  # log order wins
+    # expiry narrows the resolvable range
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(SnapshotExpired):
+        t.version_at_timestamp(ts[0])
+
+
+def test_optimize_rebuckets_to_new_bucket_count(spark):
+    """Changing the bucket count is one rewrite_all OPTIMIZE with the
+    NEW n_buckets: every row lands in its new bucket (verified file by
+    file), content is untouched, and later writers using the new count
+    merge correctly. Coordination contract: n_buckets is a caller
+    argument, so all writers must switch together — the rebucket is the
+    commit they switch at."""
+    from distribot_spark.sources.acid import (
+        merge_upsert_pandas,
+        optimize_table_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(32)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    before = _logical_rows(spark, t)
+    st = optimize_table_spark(spark, t, "k", 8, "rebucket",
+                              rewrite_all=True)
+    assert st["rewritten_buckets"] == 2  # all OLD buckets rewritten
+    _, live = t.snapshot()
+    assert {b for b in live.values()} == set(range(8))
+    for f, b in live.items():
+        ks = pq.read_table(t.data_path(f)).to_pandas()["k"]
+        assert all(int(k) % 8 == b for k in ks)
+    assert _logical_rows(spark, t) == before
+
+    merge_upsert_pandas(t, pd.DataFrame({"k": [5], "val": [55.0]}),
+                        "k", 8, "w-new-count")
+    assert (5, 55.0) in _logical_rows(spark, t)
+
+
 # -- full-snapshot sync (three-clause MERGE) -------------------------------
 
 
