@@ -16,6 +16,7 @@ from distribot_spark.sources.acid import (
     table_changes_spark,
     write_initial_spark,
 )
+from distribot_spark.sources.table import Table
 from distribot_spark.sources.io import (
     read_any,
     write_any,
@@ -24,6 +25,7 @@ from distribot_spark.sources.io import (
 )
 
 __all__ = [
+    "Table",
     "read_any", "write_any", "write_partitioned", "write_bucketed_table",
     "CommitConflict", "SnapshotExpired",
     "TableLog", "append_pandas", "append_spark", "delete_keys_spark",

@@ -1810,6 +1810,20 @@ def table_changes_spark(
             continue
         a_df = _aligned(adds) if adds else None
         r_df = _aligned(removes) if removes else None
+        if r_df is not None and v > 0:
+            # the pre-image is the removed files MINUS their deletion
+            # vectors as of v-1: a DV'd row was already logically
+            # deleted (and already reported) when its DV committed, so
+            # a later rewrite/compaction of the file must not report it
+            # again — this is what keeps OPTIMIZE CDF-invisible on
+            # DV-carrying files
+            removed_names = set(c["removes"])
+            dv_pre = {
+                f: ds for f, ds in table.live_dvs(v - 1).items()
+                if f in removed_names
+            }
+            if dv_pre:
+                r_df = _apply_dvs(spark, table, r_df, key, dv_pre)
         # schema evolution: align both sides on the column union
         cols = []
         for d in (r_df, a_df):

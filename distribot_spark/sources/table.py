@@ -1,0 +1,158 @@
+"""User-facing table facade over the OCC commit log — the DeltaTable-
+shaped API (`DeltaTable.forPath(...)`) so a caller drives the whole
+layer through one handle instead of the free functions:
+
+    t = Table.create(spark, path, df, key="k", n_buckets=16)
+    t.merge(updates)                      # upsert (optionally versioned)
+    t.delete(keys)                        # deletion vectors, no rewrites
+    t.sync(snapshot)                      # three-clause MERGE
+    t.optimize(sort_col="d")              # bin-pack / cluster / compact DVs
+    t.read()                              # DV-folded current snapshot
+    t.read(version=3); t.read(timestamp=ts)
+    t.change_feed(from_version=2)
+    t.history()                           # DESCRIBE HISTORY
+    t.expire_snapshots(keep_last=10); t.vacuum(); t.truncate_log()
+
+Every method delegates to the tested free functions (sources/acid.py) —
+the facade adds ZERO protocol logic, so the OCC/retention/DV guarantees
+are exactly the ones the acid test-suite pins. Reference parity: the
+reference exposes its durable state through one handle per flow
+(flow.rb:31); this is the data-table analog.
+"""
+
+from __future__ import annotations
+
+from distribot_spark.sources import acid
+
+
+class Table:
+    """Handle for one logged table. Cheap to construct; all state lives
+    in the log directory, so handles in different processes see the
+    same table (the multi-writer story)."""
+
+    def __init__(self, spark, path: str, key: str, n_buckets: int) -> None:
+        self.spark = spark
+        self.log = acid.TableLog(path)
+        self.key = key
+        self.n_buckets = n_buckets
+
+    # -- creation ---------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark, path: str, df, key: str, n_buckets: int,
+               hash_buckets: bool = False) -> "Table":
+        """Create version 0 from a DataFrame (fails if the table
+        exists); ``hash_buckets`` persists the skew-resistant bucket
+        function in table metadata."""
+        t = cls(spark, path, key, n_buckets)
+        acid.write_initial_spark(spark, t.log, df, key, n_buckets,
+                                 hash_buckets=hash_buckets)
+        return t
+
+    @classmethod
+    def for_path(cls, spark, path: str, key: str, n_buckets: int) -> "Table":
+        """Attach to an existing table."""
+        t = cls(spark, path, key, n_buckets)
+        if t.log.version() < 0:
+            raise FileNotFoundError(f"no table at {path}")
+        return t
+
+    # -- reads ------------------------------------------------------------
+
+    def read(self, version: int | None = None, timestamp: float | None = None,
+             tombstone_col: str | None = None, apply_dvs: bool = True):
+        """Current snapshot (or VERSION AS OF / TIMESTAMP AS OF), with
+        deletion vectors folded and optional tombstone filtering."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.log.version_at_timestamp(timestamp)
+        return acid.read_snapshot_spark(
+            self.spark, self.log, version=version,
+            tombstone_col=tombstone_col, apply_dvs=apply_dvs,
+            dv_key=self.key,
+        )
+
+    def change_feed(self, from_version: int = 0,
+                    to_version: int | None = None):
+        """Row-level change data feed (insert/delete/update_pre/post)."""
+        return acid.table_changes_spark(
+            self.spark, self.log, self.key, from_version, to_version
+        )
+
+    def history(self):
+        """DESCRIBE HISTORY: one row per retained commit — version,
+        writer, timestamp, files added/removed, DV attachments. Reads
+        only commit manifests (floor..head), never data files."""
+        rows = []
+        head = self.log.version()
+        for v in range(self.log.expired_before(), head + 1):
+            c = self.log.read_commit(v)
+            rows.append((
+                v, c.get("writer", ""), float(c["ts"]),
+                len(c["adds"]), len(c["removes"]),
+                len(c.get("dvs") or {}),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version int, writer string, ts double, "
+            "n_adds int, n_removes int, n_dvs int",
+        )
+
+    def version(self) -> int:
+        return self.log.version()
+
+    # -- writes -----------------------------------------------------------
+
+    def merge(self, updates_df, version_col: str | None = None,
+              writer: str = "merge") -> dict:
+        """Keyed upsert; ``version_col`` switches to the conditional
+        (idempotent, out-of-order-safe) CDC merge."""
+        return acid.merge_upsert_spark(
+            self.spark, self.log, updates_df, self.key, self.n_buckets,
+            writer, version=version_col,
+        )
+
+    def append(self, df, writer: str = "append", stats_cols=()) -> dict:
+        """Blind insert (new keys), the streaming micro-batch fast path."""
+        return acid.append_spark(
+            self.spark, self.log, df, self.key, self.n_buckets, writer,
+            stats_cols=stats_cols,
+        )
+
+    def delete(self, keys_df, writer: str = "delete",
+               mode: str = "dv") -> dict:
+        """Row-level delete — deletion vectors by default (no base
+        rewrites), ``mode='rewrite'`` for the classical path."""
+        return acid.delete_keys_spark(
+            self.spark, self.log, keys_df, self.key, self.n_buckets,
+            writer, mode=mode,
+        )
+
+    def sync(self, source_df, writer: str = "sync") -> dict:
+        """Three-clause MERGE: after it the table equals ``source_df``."""
+        return acid.sync_snapshot_spark(
+            self.spark, self.log, source_df, self.key, self.n_buckets,
+            writer,
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def optimize(self, sort_col: str | None = None,
+                 files_per_bucket: int = 1, stats_cols=(),
+                 rewrite_all: bool = False, writer: str = "optimize") -> dict:
+        """Bin-pack fragments, cluster on ``sort_col``, compact DVs."""
+        return acid.optimize_table_spark(
+            self.spark, self.log, self.key, self.n_buckets, writer,
+            sort_col=sort_col, files_per_bucket=files_per_bucket,
+            stats_cols=stats_cols, rewrite_all=rewrite_all,
+        )
+
+    def expire_snapshots(self, keep_last: int) -> int:
+        return self.log.expire_snapshots(keep_last)
+
+    def vacuum(self, min_age_seconds: float = acid.DEFAULT_VACUUM_MIN_AGE):
+        return self.log.vacuum(min_age_seconds=min_age_seconds)
+
+    def truncate_log(self):
+        return self.log.truncate_log()

@@ -462,6 +462,13 @@ def test_delete_vectors_no_rewrite_then_optimize_compacts(spark):
     st3 = optimize_table_spark(spark, t, "k", 4, "opt", files_per_bucket=1)
     assert st3["rewritten_buckets"] >= 1
     assert t.live_dvs() == {}  # all DVs compacted into the base
+    # DV compaction is layout-only to the CDF: the pre-image folds the
+    # files' DVs (those deletes were reported when the DVs committed),
+    # so the optimize version emits NOTHING
+    from distribot_spark.sources.acid import table_changes_spark
+    assert table_changes_spark(
+        spark, t, "k", st3["committed_version"], st3["committed_version"]
+    ).count() == 0
     assert _logical_rows(spark, t) == sorted(
         [(3, 333.0)]
         + [(k, float(k)) for k in range(20) if k not in (3, 4, 7, 11)]
@@ -1512,3 +1519,68 @@ def test_parquet_footer_stats_round_trip(spark):
     assert st["d"] == {"min": "1995-01-15", "max": "1997-12-31"}
     assert st["s"] == {"min": "a", "max": "z"}
     assert "absent" not in st
+
+
+# -- user-facing facade ----------------------------------------------------
+
+
+def test_table_facade_end_to_end(spark):
+    """The DeltaTable-shaped handle (sources/table.Table) drives the
+    whole layer — create / merge / append / DV delete / sync / optimize
+    / time travel by version AND timestamp / change feed / history /
+    expiry+vacuum — purely by delegation, so this is an API-surface
+    test: every call must land on the already-pinned free function and
+    the states must compose."""
+    from distribot_spark.sources import Table
+    from distribot_spark.sources.acid import SnapshotExpired
+
+    path = _tmp_table() + "/t"
+    t = Table.create(
+        spark,
+        path,
+        spark.createDataFrame([(k, float(k)) for k in range(16)],
+                              "k long, val double"),
+        key="k", n_buckets=4,
+    )
+    t.merge(spark.createDataFrame([(3, 33.0)], "k long, val double"))
+    t.append(spark.createDataFrame([(100, 100.0)], "k long, val double"))
+    st = t.delete(spark.createDataFrame([(5,)], "k long"))
+    assert st["dv_files"] > 0
+
+    rows = sorted((r.k, r.val) for r in t.read().collect())
+    expect = {k: float(k) for k in range(16)}
+    expect.update({3: 33.0, 100: 100.0})
+    del expect[5]
+    assert rows == sorted(expect.items())
+
+    # timestamp travel to just after v0 sees the original 16 rows
+    ts0 = t.log.read_commit(0)["ts"]
+    assert t.read(timestamp=ts0).count() == 16
+    assert t.read(version=0).count() == 16
+
+    t.sync(spark.createDataFrame(
+        sorted(expect.items()) + [(200, 200.0)], "k long, val double"
+    ))
+    t.optimize()
+    assert t.log.live_dvs() == {}
+
+    hist = {r.version: r for r in t.history().collect()}
+    assert set(hist) == set(range(t.version() + 1))
+    assert hist[0].writer == "init" and hist[0].n_removes == 0
+    assert any(r.n_dvs > 0 for r in hist.values())  # the DV commit
+
+    ch = t.change_feed(from_version=t.version(), to_version=t.version())
+    assert ch.count() == 0  # optimize: layout-only
+
+    t.expire_snapshots(keep_last=2)
+    assert t.vacuum(min_age_seconds=0.0)
+    with pytest.raises(SnapshotExpired):
+        t.read(version=0)
+    final = sorted((r.k, r.val) for r in t.read().collect())
+    assert final == sorted(list(expect.items()) + [(200, 200.0)])
+
+    # a second handle (fresh process stand-in) sees the same table
+    from distribot_spark.sources import Table as T2
+    t2 = T2.for_path(spark, path, key="k", n_buckets=4)
+    assert t2.version() == t.version()
+    assert sorted((r.k, r.val) for r in t2.read().collect()) == final
