@@ -147,31 +147,50 @@ class TableLog:
 
     # -- log primitives ---------------------------------------------------
 
-    def init(self, hash_buckets: bool = False) -> None:
+    def init(self, hash_buckets: bool = False,
+             constraints: dict | None = None) -> None:
         """Create the table directories and persist immutable table
         options. ``hash_buckets=True`` switches the bucket function to
         `pmod(xxhash64(key), n)` for skew resistance — recorded in
         ``_log/_table.json`` so EVERY writer (Spark or pandas, any
         process) derives the same file boundaries; a bucket-function
         mismatch would silently corrupt merge semantics, so it is table
-        metadata, not a per-call argument."""
+        metadata, not a per-call argument.
+
+        ``constraints`` are CHECK constraints (Delta's ``ALTER TABLE
+        ADD CONSTRAINT``, fixed at creation here): ``{name: {"col": c,
+        "not_null": bool, "min": x, "max": x, "isin": [...]}}`` — a
+        deliberately PORTABLE predicate DSL so the Spark writers
+        (enforced executor-side inside the stage job, no extra pass)
+        and the JVM-free pandas clients reject the same rows. A write
+        carrying a violating row FAILS before staging lands in the
+        log; range checks pass NULL unless not_null is also set
+        (SQL CHECK semantics)."""
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         meta = os.path.join(self.log_dir, "_table.json")
         if not os.path.exists(meta):
             tmp = meta + f".tmp{uuid.uuid4().hex[:6]}"
             with open(tmp, "w") as fh:
-                json.dump({"hash_buckets": bool(hash_buckets)}, fh)
+                json.dump({"hash_buckets": bool(hash_buckets),
+                           "constraints": constraints or {}}, fh)
             os.replace(tmp, meta)
+
+    def _meta(self) -> dict:
+        try:
+            with open(os.path.join(self.log_dir, "_table.json")) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
 
     def hash_buckets(self) -> bool:
         """The persisted bucket-function mode (False for tables created
         before the option existed — plain modulo)."""
-        try:
-            with open(os.path.join(self.log_dir, "_table.json")) as fh:
-                return bool(json.load(fh).get("hash_buckets", False))
-        except FileNotFoundError:
-            return False
+        return bool(self._meta().get("hash_buckets", False))
+
+    def constraints(self) -> dict:
+        """The persisted CHECK constraints ({} when none)."""
+        return self._meta().get("constraints") or {}
 
     def _commit_path(self, v: int) -> str:
         return os.path.join(self.log_dir, f"v{v:012d}.json")
@@ -688,6 +707,7 @@ def merge_upsert_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    _constraint_guard_pandas(updates, table.constraints())
     up = updates.copy()
     hashed = table.hash_buckets()
     up["_pb"] = up[key].astype("int64").map(
@@ -775,6 +795,67 @@ def merge_upsert_pandas(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+def _constraint_guard_spark(df, constraints: dict):
+    """Wrap ``df`` so the NEXT job over it fails on any CHECK-violating
+    row (assert_true inside a filter — evaluated executor-side in the
+    same stage, no extra pass; the filter-on-assert spelling survives
+    column pruning, see the CDF dup-key guard). Range checks pass NULL
+    rows unless not_null is also declared — SQL CHECK semantics."""
+    if not constraints:
+        return df
+    from pyspark.sql import functions as F
+
+    for name in sorted(constraints):
+        c = constraints[name]
+        col = F.col(c["col"])
+        ok = F.lit(True)
+        if c.get("not_null"):
+            ok = ok & col.isNotNull()
+        if "min" in c:
+            ok = ok & (col.isNull() | (col >= F.lit(c["min"])))
+        if "max" in c:
+            ok = ok & (col.isNull() | (col <= F.lit(c["max"])))
+        if "isin" in c:
+            ok = ok & (col.isNull() | col.isin(list(c["isin"])))
+        df = df.filter(
+            F.assert_true(
+                ok,
+                F.concat(
+                    F.lit(f"CHECK constraint '{name}' violated: "
+                          f"{c['col']}="),
+                    col.cast("string"),
+                ),
+            ).isNull()
+        )
+    return df
+
+
+def _constraint_guard_pandas(frame, constraints: dict) -> None:
+    """pandas-client half of CHECK enforcement: same DSL, same
+    semantics, raises ValueError before anything is staged."""
+    if not constraints:
+        return
+    import pandas as pd
+
+    for name in sorted(constraints):
+        c = constraints[name]
+        s = frame[c["col"]]
+        bad = pd.Series(False, index=frame.index)
+        if c.get("not_null"):
+            bad |= s.isna()
+        if "min" in c:
+            bad |= s.notna() & (s < c["min"])
+        if "max" in c:
+            bad |= s.notna() & (s > c["max"])
+        if "isin" in c:
+            bad |= s.notna() & ~s.isin(list(c["isin"]))
+        if bad.any():
+            raise ValueError(
+                f"CHECK constraint '{name}' violated by "
+                f"{int(bad.sum())} row(s) on column {c['col']!r}"
+            )
+
+
 def _unlink_staged(table: TableLog, staged: list[dict] | None) -> None:
     """Abandon staged-but-uncommitted data files so a writer that gives
     up (CommitConflict after max_attempts) leaves no orphans for vacuum
@@ -828,6 +909,7 @@ def merge_upsert_spark(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    updates_df = _constraint_guard_spark(updates_df, table.constraints())
     up = updates_df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -991,6 +1073,7 @@ def sync_snapshot_spark(
     from pyspark.sql import functions as F
 
     hashed = table.hash_buckets()
+    source_df = _constraint_guard_spark(source_df, table.constraints())
     src = source_df.withColumn("_pb", _bucket_expr(key, n_buckets, hashed))
     data_cols = [c for c in source_df.columns if c != key]
     attempts = 0
@@ -1060,12 +1143,15 @@ def sync_snapshot_spark(
 
 def write_initial_spark(spark, table: TableLog, df, key: str,
                         n_buckets: int, writer: str = "init",
-                        hash_buckets: bool = False) -> int:
+                        hash_buckets: bool = False,
+                        constraints: dict | None = None) -> int:
     """Create version 0 from a DataFrame (one file per bucket).
     ``hash_buckets=True`` persists the skew-resistant bucket function
-    (see `TableLog.init`); every later writer reads it from the table
-    metadata, never from a call argument."""
-    table.init(hash_buckets=hash_buckets)
+    and ``constraints`` the CHECK constraints (see `TableLog.init`);
+    every later writer reads both from the table metadata, never from
+    a call argument."""
+    table.init(hash_buckets=hash_buckets, constraints=constraints)
+    df = _constraint_guard_spark(df, table.constraints())
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1564,6 +1650,7 @@ def append_spark(
     parquet/Delta append; use `merge_upsert_spark` for upserts."""
     from pyspark.sql import functions as F
 
+    df = _constraint_guard_spark(df, table.constraints())
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1606,6 +1693,7 @@ def append_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    _constraint_guard_pandas(batch, table.constraints())
     hashed = table.hash_buckets()
     pb = batch[key].astype("int64").map(
         lambda k: _bucket_of_py(k, n_buckets, hashed)

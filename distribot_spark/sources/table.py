@@ -40,13 +40,16 @@ class Table:
 
     @classmethod
     def create(cls, spark, path: str, df, key: str, n_buckets: int,
-               hash_buckets: bool = False) -> "Table":
+               hash_buckets: bool = False,
+               constraints: dict | None = None) -> "Table":
         """Create version 0 from a DataFrame (fails if the table
         exists); ``hash_buckets`` persists the skew-resistant bucket
-        function in table metadata."""
+        function and ``constraints`` the CHECK constraints in table
+        metadata — every writer on any client enforces them."""
         t = cls(spark, path, key, n_buckets)
         acid.write_initial_spark(spark, t.log, df, key, n_buckets,
-                                 hash_buckets=hash_buckets)
+                                 hash_buckets=hash_buckets,
+                                 constraints=constraints)
         return t
 
     @classmethod

@@ -1584,3 +1584,85 @@ def test_table_facade_end_to_end(spark):
     t2 = T2.for_path(spark, path, key="k", n_buckets=4)
     assert t2.version() == t.version()
     assert sorted((r.k, r.val) for r in t2.read().collect()) == final
+
+
+# -- CHECK constraints -----------------------------------------------------
+
+
+def test_check_constraints_enforced_on_every_write_path(spark):
+    """CHECK constraints (Delta's ADD CONSTRAINT, fixed at create):
+    persisted in table metadata, enforced by the SPARK writers
+    executor-side inside the stage job and by the JVM-free pandas
+    clients before staging — same DSL, same semantics (range checks
+    pass NULL unless not_null). A violating write fails BEFORE anything
+    lands in the log; valid writes are unaffected."""
+    from distribot_spark.sources import Table
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        merge_upsert_pandas,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k), "a") for k in range(8)],
+                              "k long, val double, tag string"),
+        "k", n_buckets=2,
+        constraints={
+            "val_nonneg": {"col": "val", "min": 0},
+            "tag_known": {"col": "tag", "isin": ["a", "b"]},
+            "val_set": {"col": "val", "not_null": True},
+        },
+    )
+    assert set(t.constraints()) == {"val_nonneg", "tag_known", "val_set"}
+    v0 = t.version()
+
+    from distribot_spark.sources.acid import append_spark, merge_upsert_spark
+
+    # valid writes pass on every path
+    merge_upsert_spark(
+        spark, t, spark.createDataFrame([(1, 11.0, "b")],
+                                        "k long, val double, tag string"),
+        "k", 2, "ok-merge",
+    )
+    append_pandas(t, pd.DataFrame({"k": [100], "val": [1.5], "tag": ["a"]}),
+                  "k", 2, "ok-append")
+
+    # violations fail loudly, per path, per clause — and commit nothing
+    v_ok = t.version()
+    with pytest.raises(Exception, match="val_nonneg"):
+        append_spark(
+            spark, t,
+            spark.createDataFrame([(200, -1.0, "a")],
+                                  "k long, val double, tag string"),
+            "k", 2, "bad-append",
+        )
+    with pytest.raises(Exception, match="tag_known"):
+        merge_upsert_spark(
+            spark, t,
+            spark.createDataFrame([(2, 2.0, "z")],
+                                  "k long, val double, tag string"),
+            "k", 2, "bad-merge",
+        )
+    with pytest.raises(ValueError, match="val_set"):
+        merge_upsert_pandas(
+            t, pd.DataFrame({"k": [3], "val": [float("nan")],
+                             "tag": ["a"]}),
+            "k", 2, "bad-pandas",
+        )
+    with pytest.raises(ValueError, match="val_nonneg"):
+        append_pandas(
+            t, pd.DataFrame({"k": [300], "val": [-5.0], "tag": ["b"]}),
+            "k", 2, "bad-pandas-append",
+        )
+    assert t.version() == v_ok  # failed writes committed nothing
+    assert v0 == 0
+
+    # the facade surfaces constraints at create too
+    t2 = Table.create(
+        spark, _tmp_table() + "/t",
+        spark.createDataFrame([(1, 1.0)], "k long, val double"),
+        key="k", n_buckets=2,
+    )
+    assert t2.log.constraints() == {}
