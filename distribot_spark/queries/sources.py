@@ -376,7 +376,7 @@ def source_merge_concurrent(spark, sf_dir):
     # attempts and one rebase, and both writers' versions committed
     assert stats["a"]["committed_version"] == 1, stats
     assert stats["b"] == {"committed_version": 2, "attempts": 2,
-                          "recomputes": 1}, stats
+                          "recomputes": 1, "quarantined": 0}, stats
     # reclaim the replaced pre-merge files: expire history first (vacuum
     # honors the retention floor), then vacuum with min-age 0 — both
     # writers above have committed, so no in-flight staged files exist

@@ -707,7 +707,7 @@ def merge_upsert_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    _constraint_guard_pandas(updates, table.constraints())
+    updates, _nq = _apply_constraints_pandas(table, updates, writer)
     up = updates.copy()
     hashed = table.hash_buckets()
     up["_pb"] = up[key].astype("int64").map(
@@ -787,6 +787,7 @@ def merge_upsert_pandas(
                 "committed_version": v + 1,
                 "attempts": attempts,
                 "recomputes": recomputes,
+                "quarantined": _nq,
             }
         # lost the race: loop re-reads the snapshot. If the winner's
         # commit left our buckets untouched, replaced == new bucket_files
@@ -795,39 +796,159 @@ def merge_upsert_pandas(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+def _constraint_ok_expr(c: dict):
+    """The DSL predicate as a Spark Column (True = row passes)."""
+    from pyspark.sql import functions as F
+
+    col = F.col(c["col"])
+    ok = F.lit(True)
+    if c.get("not_null"):
+        ok = ok & col.isNotNull()
+    if "min" in c:
+        ok = ok & (col.isNull() | (col >= F.lit(c["min"])))
+    if "max" in c:
+        ok = ok & (col.isNull() | (col <= F.lit(c["max"])))
+    if "isin" in c:
+        ok = ok & (col.isNull() | col.isin(list(c["isin"])))
+    return ok
+
+
 def _constraint_guard_spark(df, constraints: dict):
     """Wrap ``df`` so the NEXT job over it fails on any CHECK-violating
     row (assert_true inside a filter — evaluated executor-side in the
     same stage, no extra pass; the filter-on-assert spelling survives
     column pruning, see the CDF dup-key guard). Range checks pass NULL
-    rows unless not_null is also declared — SQL CHECK semantics."""
+    rows unless not_null is also declared — SQL CHECK semantics. Only
+    fail-mode constraints belong here; quarantine-mode ones go through
+    `_apply_constraints_spark`."""
     if not constraints:
         return df
     from pyspark.sql import functions as F
 
     for name in sorted(constraints):
         c = constraints[name]
-        col = F.col(c["col"])
-        ok = F.lit(True)
-        if c.get("not_null"):
-            ok = ok & col.isNotNull()
-        if "min" in c:
-            ok = ok & (col.isNull() | (col >= F.lit(c["min"])))
-        if "max" in c:
-            ok = ok & (col.isNull() | (col <= F.lit(c["max"])))
-        if "isin" in c:
-            ok = ok & (col.isNull() | col.isin(list(c["isin"])))
         df = df.filter(
             F.assert_true(
-                ok,
+                _constraint_ok_expr(c),
                 F.concat(
                     F.lit(f"CHECK constraint '{name}' violated: "
                           f"{c['col']}="),
-                    col.cast("string"),
+                    F.col(c["col"]).cast("string"),
                 ),
             ).isNull()
         )
     return df
+
+
+def quarantine_dir(table: TableLog) -> str:
+    return os.path.join(table.path, "quarantine")
+
+
+def read_quarantine(spark, table: TableLog):
+    """The dead-letter area: every row a quarantine-mode constraint
+    diverted, with ``_constraint`` (which expectation failed),
+    ``_writer`` and ``_qts`` provenance columns. Empty-schema-safe only
+    when something was quarantined — callers check `os.path.isdir`."""
+    return spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(quarantine_dir(table))
+
+
+def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
+    """Split CHECK enforcement by each constraint's ``on_violation``
+    policy (dlt's expectations): ``fail`` (default) aborts the write
+    inside the stage job; ``quarantine`` DIVERTS violating rows to the
+    table's dead-letter area tagged with the failed constraint and
+    keeps the write going with the clean rows — the production posture
+    for dirty upstream feeds, where one bad row must not stall the
+    pipeline but must also never silently vanish. Returns
+    (clean_df, n_quarantined). The quarantine write is one extra job
+    and only runs when quarantine-mode constraints exist."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    cons = table.constraints()
+    if not cons:
+        return df, 0
+    fail = {n: c for n, c in cons.items()
+            if c.get("on_violation", "fail") == "fail"}
+    quar = {n: c for n, c in cons.items()
+            if c.get("on_violation") == "quarantine"}
+    df = _constraint_guard_spark(df, fail)
+    if not quar:
+        return df, 0
+    # first failing constraint name per row (NULL = clean)
+    tag = reduce(
+        lambda acc, name: acc.when(
+            ~_constraint_ok_expr(quar[name]), F.lit(name)
+        ),
+        sorted(quar),
+        F.when(F.lit(False), F.lit(None)),
+    )
+    tagged = df.withColumn("_constraint", tag)
+    out = os.path.join(quarantine_dir(table), uuid.uuid4().hex)
+    bad = tagged.filter(F.col("_constraint").isNotNull()).withColumn(
+        "_writer", F.lit(writer)
+    ).withColumn("_qts", F.lit(time.time()))
+    bad.write.mode("overwrite").parquet(out)
+    import pyarrow.parquet as pq
+
+    nq = sum(
+        pq.read_metadata(os.path.join(out, p)).num_rows
+        for p in os.listdir(out) if p.endswith(".parquet")
+    )
+    if nq == 0:
+        shutil.rmtree(out, ignore_errors=True)
+    clean = tagged.filter(F.col("_constraint").isNull()).drop("_constraint")
+    return clean, nq
+
+
+def _apply_constraints_pandas(table: TableLog, frame, writer: str):
+    """pandas-client half of policy-split enforcement: fail-mode raises
+    before staging, quarantine-mode writes the diverted rows and
+    returns (clean_frame, n_quarantined)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cons = table.constraints()
+    if not cons:
+        return frame, 0
+    fail = {n: c for n, c in cons.items()
+            if c.get("on_violation", "fail") == "fail"}
+    quar = {n: c for n, c in cons.items()
+            if c.get("on_violation") == "quarantine"}
+    _constraint_guard_pandas(frame, fail)
+    if not quar:
+        return frame, 0
+    import pandas as pd
+
+    tag = pd.Series([None] * len(frame), index=frame.index, dtype=object)
+    for name in sorted(quar, reverse=True):  # first name wins, like Spark
+        c = quar[name]
+        s = frame[c["col"]]
+        bad = pd.Series(False, index=frame.index)
+        if c.get("not_null"):
+            bad |= s.isna()
+        if "min" in c:
+            bad |= s.notna() & (s < c["min"])
+        if "max" in c:
+            bad |= s.notna() & (s > c["max"])
+        if "isin" in c:
+            bad |= s.notna() & ~s.isin(list(c["isin"]))
+        tag[bad] = name
+    bad_mask = tag.notna()
+    nq = int(bad_mask.sum())
+    if nq:
+        q = frame[bad_mask].copy()
+        q["_constraint"] = tag[bad_mask]
+        q["_writer"] = writer
+        q["_qts"] = time.time()
+        out = os.path.join(quarantine_dir(table), uuid.uuid4().hex)
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
+                       os.path.join(out, "part-0.parquet"))
+    return frame[~bad_mask], nq
 
 
 def _constraint_guard_pandas(frame, constraints: dict) -> None:
@@ -909,7 +1030,8 @@ def merge_upsert_spark(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    updates_df = _constraint_guard_spark(updates_df, table.constraints())
+    updates_df, _nq = _apply_constraints_spark(spark, table, updates_df,
+                                               writer)
     up = updates_df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1033,6 +1155,7 @@ def merge_upsert_spark(
                 "committed_version": v + 1,
                 "attempts": attempts,
                 "recomputes": recomputes,
+                "quarantined": _nq,
             }
     _unlink_staged(table, staged)
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
@@ -1073,7 +1196,8 @@ def sync_snapshot_spark(
     from pyspark.sql import functions as F
 
     hashed = table.hash_buckets()
-    source_df = _constraint_guard_spark(source_df, table.constraints())
+    source_df, _nq = _apply_constraints_spark(spark, table, source_df,
+                                              writer)
     src = source_df.withColumn("_pb", _bucket_expr(key, n_buckets, hashed))
     data_cols = [c for c in source_df.columns if c != key]
     attempts = 0
@@ -1136,7 +1260,8 @@ def sync_snapshot_spark(
         if table.try_commit(v, staged, replaced, writer):
             return {"committed_version": v + 1, "attempts": attempts,
                     "recomputes": recomputes,
-                    "rewritten_buckets": len({a["pb"] for a in staged})}
+                    "rewritten_buckets": len({a["pb"] for a in staged}),
+                    "quarantined": _nq}
     _unlink_staged(table, staged)
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
@@ -1151,7 +1276,7 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
     every later writer reads both from the table metadata, never from
     a call argument."""
     table.init(hash_buckets=hash_buckets, constraints=constraints)
-    df = _constraint_guard_spark(df, table.constraints())
+    df, _nq = _apply_constraints_spark(spark, table, df, writer)
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1650,7 +1775,7 @@ def append_spark(
     parquet/Delta append; use `merge_upsert_spark` for upserts."""
     from pyspark.sql import functions as F
 
-    df = _constraint_guard_spark(df, table.constraints())
+    df, _nq = _apply_constraints_spark(spark, table, df, writer)
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1666,7 +1791,7 @@ def append_spark(
         attempts += 1
         if table.try_commit(v, staged, [], writer):
             return {"committed_version": v + 1, "attempts": attempts,
-                    "files_added": len(staged)}
+                    "files_added": len(staged), "quarantined": _nq}
     for a in staged:
         try:
             os.unlink(table.data_path(a["file"]))
@@ -1693,7 +1818,7 @@ def append_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    _constraint_guard_pandas(batch, table.constraints())
+    batch, _nq = _apply_constraints_pandas(table, batch, writer)
     hashed = table.hash_buckets()
     pb = batch[key].astype("int64").map(
         lambda k: _bucket_of_py(k, n_buckets, hashed)
@@ -1713,7 +1838,7 @@ def append_pandas(
         attempts += 1
         if table.try_commit(v, staged, [], writer):
             return {"committed_version": v + 1, "attempts": attempts,
-                    "files_added": len(staged)}
+                    "files_added": len(staged), "quarantined": _nq}
     _unlink_staged(table, staged)
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 

@@ -174,7 +174,7 @@ def test_conflict_forces_rebase_and_no_lost_update():
     )
     assert stats["a"]["committed_version"] == 1
     assert stats["b"] == {"committed_version": 2, "attempts": 2,
-                          "recomputes": 1}
+                          "recomputes": 1, "quarantined": 0}
     got = _read_table(t)
     assert got.loc[got.k == 0, "val"].item() == 100
     assert got.loc[got.k == 1, "val"].item() == 200
@@ -198,7 +198,7 @@ def test_disjoint_buckets_recommit_without_recompute():
         pre_commit_hook=commit_a_first,
     )
     assert stats["b"] == {"committed_version": 2, "attempts": 2,
-                          "recomputes": 0}
+                          "recomputes": 0, "quarantined": 0}
 
 
 def test_crash_debris_invisible_and_vacuumed():
@@ -1666,3 +1666,79 @@ def test_check_constraints_enforced_on_every_write_path(spark):
         key="k", n_buckets=2,
     )
     assert t2.log.constraints() == {}
+
+
+def test_quarantine_mode_diverts_instead_of_failing(spark):
+    """dlt-style expectations: a constraint with
+    on_violation='quarantine' DIVERTS violating rows to the table's
+    dead-letter area (tagged with the failed constraint + writer) and
+    the write proceeds with the clean rows — per path, Spark and
+    pandas; fail-mode constraints on the same table still abort. Bad
+    rows never reach the log, never silently vanish."""
+    import os as _os
+
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        merge_upsert_spark,
+        quarantine_dir,
+        read_quarantine,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+        constraints={
+            "val_nonneg": {"col": "val", "min": 0,
+                           "on_violation": "quarantine"},
+            "val_cap": {"col": "val", "max": 1e6},  # fail-mode
+        },
+    )
+
+    st = append_spark(
+        spark, t,
+        spark.createDataFrame([(100, 100.0), (101, -1.0), (102, -2.0)],
+                              "k long, val double"),
+        "k", 2, "feed-a",
+    )
+    assert st["quarantined"] == 2, st
+    st2 = merge_upsert_spark(
+        spark, t,
+        spark.createDataFrame([(3, -33.0), (4, 44.0)],
+                              "k long, val double"),
+        "k", 2, "feed-b",
+    )
+    assert st2["quarantined"] == 1, st2
+    st3 = append_pandas(
+        t, pd.DataFrame({"k": [200, 201], "val": [-9.0, 9.0]}),
+        "k", 2, "feed-c",
+    )
+    assert st3["quarantined"] == 1, st3
+
+    got = dict(_logical_rows(spark, t))
+    assert got[100] == 100.0 and got[4] == 44.0 and got[201] == 9.0
+    assert 101 not in got and 102 not in got and 200 not in got
+    assert got[3] == 3.0  # the bad update never landed
+
+    q = read_quarantine(spark, t)
+    qrows = sorted((r.k, r.val, r._constraint, r._writer)
+                   for r in q.collect())
+    assert qrows == [
+        (3, -33.0, "val_nonneg", "feed-b"),
+        (101, -1.0, "val_nonneg", "feed-a"),
+        (102, -2.0, "val_nonneg", "feed-a"),
+        (200, -9.0, "val_nonneg", "feed-c"),
+    ]
+    assert _os.path.isdir(quarantine_dir(t))
+
+    # fail-mode still aborts the whole write
+    with pytest.raises(Exception, match="val_cap"):
+        append_spark(
+            spark, t,
+            spark.createDataFrame([(300, 2e6)], "k long, val double"),
+            "k", 2, "feed-d",
+        )
