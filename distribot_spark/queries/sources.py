@@ -1605,3 +1605,138 @@ def source_compact_small_files(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "source_acid_alter_constraints",
+    oracle="""
+    WITH app AS (
+        SELECT o_orderkey + 100000000 AS k,
+               CASE WHEN o_orderkey % 2000 = 0
+                    THEN -o_totalprice ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    upd AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,2)) * 100, 2)
+                    AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 1000 = 7
+    ),
+    fin AS (
+        SELECT o.o_orderkey AS k,
+               COALESCE(u.price, o.o_totalprice) AS price
+        FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.k
+        UNION ALL
+        SELECT k, price FROM app WHERE price >= 0
+    )
+    SELECT COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total,
+           (SELECT COUNT(*) FROM app WHERE price < 0) AS n_quarantined,
+           3 AS head_version
+    FROM fin
+    """,
+    tags=("sources", "acid", "constraints", "alter"),
+)
+def source_acid_alter_constraints(spark, sf_dir):
+    """Constraint LIFECYCLE on a live table, hash-certified end to end
+    (Delta's ALTER TABLE ADD/DROP CONSTRAINT + dlt's expect_or_drop):
+
+    1. create with a QUARANTINE-mode expectation (price >= 0);
+    2. append a feed wave carrying deliberately negative prices — the
+       bad rows are DIVERTED to the dead-letter area (counted by the
+       oracle), the clean rows commit;
+    3. ALTER ADD a fail-mode cap (price <= 600000): existing rows
+       validate clean, the constraint installs behind the commit-log
+       BARRIER (an empty version — serializes against in-flight
+       writers without any writer-side lock,
+       `acid.alter_add_constraint_spark`);
+    4. a x100 price-update wave now violates the cap and the whole
+       MERGE is rejected — the builder asserts the table is untouched;
+    5. ALTER DROP the cap; the SAME wave replays and lands.
+
+    The final census (row count + exact-decimal price total + the
+    quarantine count + head version) must equal the oracle's pure-SQL
+    reconstruction — so admission, diversion, rejection, and
+    re-admission all happened exactly once each. An ALTER that existing
+    rows violate is also asserted to fail without persisting.
+    Unit-level pins: tests/test_table_acid.py::test_alter_*."""
+    import shutil
+
+    from distribot_spark.sources import TableLog
+    from distribot_spark.sources.acid import (
+        alter_add_constraint_spark,
+        alter_drop_constraint,
+        append_spark,
+        merge_upsert_spark,
+        read_quarantine,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_alter_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    write_initial_spark(
+        spark, table, orders, "k", n_buckets=16,
+        constraints={"price_pos": {"col": "price", "min": 0,
+                                   "on_violation": "quarantine"}},
+    )
+
+    # 2. dirty feed: negative prices quarantined, clean rows land
+    feed = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 1000 == 0
+    ).select(
+        (F.col("o_orderkey") + 100000000).alias("k"),
+        F.when(F.col("o_orderkey") % 2000 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    st = append_spark(spark, table, feed, "k", 16, "feed")
+    n_q = read_quarantine(spark, table).count()
+    assert st["quarantined"] == n_q and n_q > 0, (st, n_q)
+
+    # 3. ALTER ADD (validates, installs behind the barrier commit);
+    #    an ALTER the existing rows violate must fail un-persisted
+    try:
+        alter_add_constraint_spark(spark, table, "k", "impossible",
+                                   {"col": "price", "min": 10**9})
+        raise AssertionError("validation should have rejected this")
+    except ValueError:
+        pass
+    assert "impossible" not in table.constraints()
+    alter_add_constraint_spark(spark, table, "k", "price_cap",
+                               {"col": "price", "max": 600000})
+
+    # 4. the x100 wave violates the cap: whole MERGE rejected
+    wave = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 1000 == 7
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice").cast("decimal(14,2)") * 100, 2)
+        .cast("double").alias("price"),
+    )
+    v_before = table.version()
+    try:
+        merge_upsert_spark(spark, table, wave, "k", 16, "x100")
+        raise AssertionError("cap should have rejected the wave")
+    except Exception as e:
+        assert "price_cap" in str(e), e
+    assert table.version() == v_before  # nothing committed
+
+    # 5. DROP the cap, replay the same wave: lands
+    alter_drop_constraint(table, "price_cap")
+    merge_upsert_spark(spark, table, wave, "k", 16, "x100")
+
+    assert table.version() == 3, table.version()
+    live = read_snapshot_spark(spark, table)
+    return live.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+        .cast("double").alias("total"),
+    ).withColumn("n_quarantined", F.lit(n_q).cast("long")).withColumn(
+        "head_version", F.lit(3)
+    )

@@ -55,6 +55,8 @@ identical.
 
 from __future__ import annotations
 
+import contextlib
+import functools
 import json
 import os
 import shutil
@@ -129,6 +131,37 @@ class CommitConflict(Exception):
     """Another writer committed this version first."""
 
 
+class _ConstraintsChanged(Exception):
+    """Internal: an ALTER landed between this writer's constraint
+    application and its commit attempt — the staged files are already
+    unlinked; the public wrapper removes the now-stale quarantine
+    output (carried here) and re-runs the whole write so the NEW
+    constraint set is what gets enforced."""
+
+    def __init__(self, qdir: str | None) -> None:
+        super().__init__("constraint set changed mid-write")
+        self.qdir = qdir
+
+
+def _reapply_on_constraint_change(fn):
+    """Wrap a writer so an ALTER racing it restarts the write under the
+    new constraint set (bounded — repeated ALTERs starve the writer the
+    same way repeated commits do, so the same exception). The stale
+    quarantine directory from the aborted attempt is removed first:
+    rows it diverted may be legal under the new set (or will be
+    re-diverted), and leaving it would double-report them."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        for _ in range(5):
+            try:
+                return fn(*args, **kwargs)
+            except _ConstraintsChanged as e:
+                if e.qdir:
+                    shutil.rmtree(e.qdir, ignore_errors=True)
+        raise CommitConflict("constraint set changed on every attempt")
+    return wrapper
+
+
 class SnapshotExpired(Exception):
     """The requested version is older than the retention horizon set by
     `expire_snapshots` — its data files may have been vacuumed, so the
@@ -191,6 +224,62 @@ class TableLog:
     def constraints(self) -> dict:
         """The persisted CHECK constraints ({} when none)."""
         return self._meta().get("constraints") or {}
+
+    def constraints_rev(self) -> int:
+        """Monotonic revision of the constraint set — bumped by every
+        ALTER (add, drop, and the rollback path, which re-persists the
+        old set under a NEW rev rather than restoring the old number,
+        so a writer's captured rev can never be reused for a different
+        constraint set — no ABA). Writers capture this before applying
+        constraints and re-check it on every commit attempt; a mismatch
+        aborts the attempt and re-applies the new set from scratch."""
+        return int(self._meta().get("constraints_rev", 0))
+
+    def _meta_lock_path(self) -> str:
+        return os.path.join(self.log_dir, "_table.lock")
+
+    def _persist_meta(self, meta: dict) -> None:
+        """Atomic replace of _table.json — call only under the meta
+        lock (read-modify-write races would drop a concurrent ALTER)."""
+        path = os.path.join(self.log_dir, "_table.json")
+        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, path)
+
+    @contextlib.contextmanager
+    def _meta_lock(self, timeout: float = 10.0, stale_after: float = 30.0):
+        """Serialize metadata mutations (ALTER vs ALTER) via the
+        O_CREAT|O_EXCL claim primitive. Data writers do NOT take this
+        lock — they serialize against ALTER through the commit log
+        barrier instead (see `alter_add_constraint_spark`). A lock file
+        older than ``stale_after`` (crashed ALTER) is stolen."""
+        lock = self._meta_lock_path()
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lock).st_mtime
+                    if age > stale_after:
+                        os.unlink(lock)  # steal a dead ALTER's lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"meta lock held too long: {lock}")
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     def _commit_path(self, v: int) -> str:
         return os.path.join(self.log_dir, f"v{v:012d}.json")
@@ -677,6 +766,7 @@ class TableLog:
 # -- engine-agnostic MERGE (pandas/pyarrow client) -------------------------
 
 
+@_reapply_on_constraint_change
 def merge_upsert_pandas(
     table: TableLog,
     updates,
@@ -707,7 +797,8 @@ def merge_upsert_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    updates, _nq = _apply_constraints_pandas(table, updates, writer)
+    _rev0 = table.constraints_rev()
+    updates, _nq, _qdir = _apply_constraints_pandas(table, updates, writer)
     up = updates.copy()
     hashed = table.hash_buckets()
     up["_pb"] = up[key].astype("int64").map(
@@ -781,6 +872,12 @@ def merge_upsert_pandas(
                 staged.append({"file": name, "pb": b, "rows": len(merged)})
         if pre_commit_hook is not None:
             pre_commit_hook(v)
+        if table.constraints_rev() != _rev0:
+            # an ALTER landed since we applied constraints: its barrier
+            # commit means our try_commit would lose anyway — restart
+            # the write under the new constraint set (wrapper retries)
+            _unlink_staged(table, staged)
+            raise _ConstraintsChanged(_qdir)
         attempts += 1
         if table.try_commit(v, staged, replaced, writer):
             return {
@@ -862,22 +959,24 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     keeps the write going with the clean rows — the production posture
     for dirty upstream feeds, where one bad row must not stall the
     pipeline but must also never silently vanish. Returns
-    (clean_df, n_quarantined). The quarantine write is one extra job
-    and only runs when quarantine-mode constraints exist."""
+    (clean_df, n_quarantined, quarantine_dir_or_None — so a write
+    restarted by a racing ALTER can retract its stale diversions).
+    The quarantine write is one extra job and only runs when
+    quarantine-mode constraints exist."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     cons = table.constraints()
     if not cons:
-        return df, 0
+        return df, 0, None
     fail = {n: c for n, c in cons.items()
             if c.get("on_violation", "fail") == "fail"}
     quar = {n: c for n, c in cons.items()
             if c.get("on_violation") == "quarantine"}
     df = _constraint_guard_spark(df, fail)
     if not quar:
-        return df, 0
+        return df, 0, None
     # first failing constraint name per row (NULL = clean)
     tag = reduce(
         lambda acc, name: acc.when(
@@ -901,7 +1000,7 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     if nq == 0:
         shutil.rmtree(out, ignore_errors=True)
     clean = tagged.filter(F.col("_constraint").isNull()).drop("_constraint")
-    return clean, nq
+    return clean, nq, (out if nq else None)
 
 
 def _apply_constraints_pandas(table: TableLog, frame, writer: str):
@@ -913,14 +1012,14 @@ def _apply_constraints_pandas(table: TableLog, frame, writer: str):
 
     cons = table.constraints()
     if not cons:
-        return frame, 0
+        return frame, 0, None
     fail = {n: c for n, c in cons.items()
             if c.get("on_violation", "fail") == "fail"}
     quar = {n: c for n, c in cons.items()
             if c.get("on_violation") == "quarantine"}
     _constraint_guard_pandas(frame, fail)
     if not quar:
-        return frame, 0
+        return frame, 0, None
     import pandas as pd
 
     tag = pd.Series([None] * len(frame), index=frame.index, dtype=object)
@@ -948,7 +1047,8 @@ def _apply_constraints_pandas(table: TableLog, frame, writer: str):
         os.makedirs(out, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(q, preserve_index=False),
                        os.path.join(out, "part-0.parquet"))
-    return frame[~bad_mask], nq
+        return frame[~bad_mask], nq, out
+    return frame[~bad_mask], nq, None
 
 
 def _constraint_guard_pandas(frame, constraints: dict) -> None:
@@ -977,6 +1077,104 @@ def _constraint_guard_pandas(frame, constraints: dict) -> None:
             )
 
 
+def alter_add_constraint_spark(
+    spark,
+    table: TableLog,
+    key: str,
+    name: str,
+    spec: dict,
+    writer: str = "alter",
+    max_attempts: int = 20,
+    pre_commit_hook=None,
+) -> dict:
+    """ALTER TABLE ADD CONSTRAINT on a live multi-writer table (Delta's
+    ``ADD CONSTRAINT``, which validates existing rows first). Fully
+    serializable against concurrent data writers WITHOUT making them
+    take a lock, by routing the ALTER through the commit log:
+
+    1. validate the head snapshot v (fail-mode constraints only — a
+       quarantine-mode expectation governs future writes, it does not
+       retro-divert existing rows);
+    2. under the meta lock (ALTER-vs-ALTER only), persist the new
+       constraint set with a bumped ``constraints_rev``;
+    3. commit an EMPTY version v+1 as a BARRIER. If the link wins,
+       every in-flight writer that applied the OLD constraints must
+       still be holding a parent ≤ v, so its own try_commit loses and
+       its retry loop re-checks ``constraints_rev`` — forcing it to
+       restage under the new set (`_reapply_on_constraint_change`). If
+       OUR link loses, some commit landed after our validation: roll
+       the meta back (re-persisted under a fresh rev — monotonic, no
+       ABA) and re-validate against the new head.
+
+    The O_EXCL version link is the linearization point for BOTH sides,
+    so there is no window where a row that violates the constraint can
+    land after validation — the failure mode of lock-free metadata
+    changes on object stores. The barrier commit also lands in
+    DESCRIBE HISTORY, like Delta's ALTER commits.
+
+    ``key`` names the merge key so validation folds deletion vectors
+    (a DV-deleted violating row must not block the ALTER). Returns
+    {committed_version, attempts}. ``pre_commit_hook`` (tests) runs
+    between the meta persist and the barrier commit."""
+    if "col" not in spec:
+        raise ValueError("constraint spec needs a 'col'")
+    is_fail = spec.get("on_violation", "fail") == "fail"
+    attempts = 0
+    while attempts < max_attempts:
+        attempts += 1
+        if name in table.constraints():  # pre-validation fast fail; the
+            # authoritative check re-runs under the meta lock below
+            raise ValueError(f"constraint {name!r} already exists")
+        v = table.version()
+        if is_fail and v >= 0:
+            df = read_snapshot_spark(spark, table, version=v, dv_key=key)
+            nbad = df.filter(~_constraint_ok_expr(spec)).count()
+            if nbad:
+                raise ValueError(
+                    f"cannot add CHECK constraint {name!r}: {nbad} "
+                    f"existing row(s) violate it (column {spec['col']!r})"
+                )
+        with table._meta_lock():
+            meta = table._meta()
+            cons = dict(meta.get("constraints") or {})
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists")
+            old_cons = dict(cons)
+            cons[name] = dict(spec)
+            meta["constraints"] = cons
+            meta["constraints_rev"] = int(meta.get("constraints_rev", 0)) + 1
+            table._persist_meta(meta)
+            if pre_commit_hook is not None:
+                pre_commit_hook(v)
+            if table.try_commit(v, [], [], writer):
+                return {"committed_version": v + 1, "attempts": attempts}
+            # a data commit beat the barrier: its rows were never
+            # validated — retract the constraint (fresh rev) and retry
+            # the validation against the new head
+            meta = table._meta()
+            meta["constraints"] = old_cons
+            meta["constraints_rev"] = int(meta.get("constraints_rev", 0)) + 1
+            table._persist_meta(meta)
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+def alter_drop_constraint(table: TableLog, name: str) -> None:
+    """ALTER TABLE DROP CONSTRAINT. No validation and no commit-log
+    barrier: loosening the set mid-write only means an in-flight writer
+    enforced a STRICTER rule than required (it still restarts via the
+    rev check if it hasn't committed yet — rows it would have rejected
+    or diverted under the dropped rule get re-admitted on the retry)."""
+    with table._meta_lock():
+        meta = table._meta()
+        cons = dict(meta.get("constraints") or {})
+        if name not in cons:
+            raise KeyError(f"no such constraint: {name}")
+        del cons[name]
+        meta["constraints"] = cons
+        meta["constraints_rev"] = int(meta.get("constraints_rev", 0)) + 1
+        table._persist_meta(meta)
+
+
 def _unlink_staged(table: TableLog, staged: list[dict] | None) -> None:
     """Abandon staged-but-uncommitted data files so a writer that gives
     up (CommitConflict after max_attempts) leaves no orphans for vacuum
@@ -991,6 +1189,7 @@ def _unlink_staged(table: TableLog, staged: list[dict] | None) -> None:
 # -- Spark MERGE -----------------------------------------------------------
 
 
+@_reapply_on_constraint_change
 def merge_upsert_spark(
     spark,
     table: TableLog,
@@ -1030,8 +1229,9 @@ def merge_upsert_spark(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    updates_df, _nq = _apply_constraints_spark(spark, table, updates_df,
-                                               writer)
+    _rev0 = table.constraints_rev()
+    updates_df, _nq, _qdir = _apply_constraints_spark(spark, table,
+                                                      updates_df, writer)
     up = updates_df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1149,6 +1349,9 @@ def merge_upsert_spark(
             shutil.rmtree(tmp_out, ignore_errors=True)
         if pre_commit_hook is not None:
             pre_commit_hook(v)
+        if table.constraints_rev() != _rev0:
+            _unlink_staged(table, staged)
+            raise _ConstraintsChanged(_qdir)
         attempts += 1
         if table.try_commit(v, staged, replaced, writer):
             return {
@@ -1161,6 +1364,7 @@ def merge_upsert_spark(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+@_reapply_on_constraint_change
 def sync_snapshot_spark(
     spark,
     table: TableLog,
@@ -1196,8 +1400,9 @@ def sync_snapshot_spark(
     from pyspark.sql import functions as F
 
     hashed = table.hash_buckets()
-    source_df, _nq = _apply_constraints_spark(spark, table, source_df,
-                                              writer)
+    _rev0 = table.constraints_rev()
+    source_df, _nq, _qdir = _apply_constraints_spark(spark, table, source_df,
+                                                     writer)
     src = source_df.withColumn("_pb", _bucket_expr(key, n_buckets, hashed))
     data_cols = [c for c in source_df.columns if c != key]
     attempts = 0
@@ -1256,6 +1461,9 @@ def sync_snapshot_spark(
             )
         if pre_commit_hook is not None:
             pre_commit_hook(v)
+        if table.constraints_rev() != _rev0:
+            _unlink_staged(table, staged)
+            raise _ConstraintsChanged(_qdir)
         attempts += 1
         if table.try_commit(v, staged, replaced, writer):
             return {"committed_version": v + 1, "attempts": attempts,
@@ -1276,7 +1484,7 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
     every later writer reads both from the table metadata, never from
     a call argument."""
     table.init(hash_buckets=hash_buckets, constraints=constraints)
-    df, _nq = _apply_constraints_spark(spark, table, df, writer)
+    df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1748,6 +1956,7 @@ def _stage_bucketed(
     return staged
 
 
+@_reapply_on_constraint_change
 def append_spark(
     spark,
     table: TableLog,
@@ -1775,7 +1984,8 @@ def append_spark(
     parquet/Delta append; use `merge_upsert_spark` for upserts."""
     from pyspark.sql import functions as F
 
-    df, _nq = _apply_constraints_spark(spark, table, df, writer)
+    _rev0 = table.constraints_rev()
+    df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1788,6 +1998,9 @@ def append_spark(
         v = table.version()
         if pre_commit_hook is not None:
             pre_commit_hook(v)
+        if table.constraints_rev() != _rev0:
+            _unlink_staged(table, staged)
+            raise _ConstraintsChanged(_qdir)
         attempts += 1
         if table.try_commit(v, staged, [], writer):
             return {"committed_version": v + 1, "attempts": attempts,
@@ -1800,6 +2013,7 @@ def append_spark(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+@_reapply_on_constraint_change
 def append_pandas(
     table: TableLog,
     batch,
@@ -1818,7 +2032,8 @@ def append_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    batch, _nq = _apply_constraints_pandas(table, batch, writer)
+    _rev0 = table.constraints_rev()
+    batch, _nq, _qdir = _apply_constraints_pandas(table, batch, writer)
     hashed = table.hash_buckets()
     pb = batch[key].astype("int64").map(
         lambda k: _bucket_of_py(k, n_buckets, hashed)
@@ -1835,6 +2050,9 @@ def append_pandas(
     attempts = 0
     while attempts < max_attempts:
         v = table.version()
+        if table.constraints_rev() != _rev0:
+            _unlink_staged(table, staged)
+            raise _ConstraintsChanged(_qdir)
         attempts += 1
         if table.try_commit(v, staged, [], writer):
             return {"committed_version": v + 1, "attempts": attempts,

@@ -159,3 +159,26 @@ class Table:
 
     def truncate_log(self):
         return self.log.truncate_log()
+
+    # -- constraints ------------------------------------------------------
+
+    def add_constraint(self, name: str, spec: dict,
+                       writer: str = "alter") -> dict:
+        """ALTER TABLE ADD CONSTRAINT: validates existing rows
+        (fail-mode), then installs the constraint behind a commit-log
+        barrier so no in-flight writer can slip an unvalidated row past
+        it (`acid.alter_add_constraint_spark`)."""
+        return acid.alter_add_constraint_spark(
+            self.spark, self.log, self.key, name, spec, writer=writer,
+        )
+
+    def drop_constraint(self, name: str) -> None:
+        """ALTER TABLE DROP CONSTRAINT."""
+        acid.alter_drop_constraint(self.log, name)
+
+    def constraints(self) -> dict:
+        return self.log.constraints()
+
+    def quarantine(self):
+        """Rows diverted by quarantine-mode constraints (dead-letter)."""
+        return acid.read_quarantine(self.spark, self.log)

@@ -1742,3 +1742,216 @@ def test_quarantine_mode_diverts_instead_of_failing(spark):
             spark.createDataFrame([(300, 2e6)], "k long, val double"),
             "k", 2, "feed-d",
         )
+
+
+def test_alter_add_drop_constraint_lifecycle(spark):
+    """ALTER on a live table: ADD validates existing rows (reject when
+    violated, meta untouched), installs via the commit-log barrier
+    (lands in history), is enforced by BOTH clients' next writes;
+    DROP re-admits."""
+    from distribot_spark.sources.acid import (
+        alter_add_constraint_spark,
+        alter_drop_constraint,
+        append_pandas,
+        append_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    v0 = t.version()
+    st = alter_add_constraint_spark(
+        spark, t, "k", "val_cap", {"col": "val", "max": 100},
+    )
+    assert st == {"committed_version": v0 + 1, "attempts": 1}
+    assert t.constraints() == {"val_cap": {"col": "val", "max": 100}}
+    assert t.constraints_rev() == 1
+    # the barrier commit is visible history with the alter writer
+    with open(t._commit_path(v0 + 1)) as fh:
+        body = json.load(fh)
+    assert body["writer"] == "alter" and body["adds"] == []
+
+    # both clients enforce it on their next write
+    append_spark(
+        spark, t, spark.createDataFrame([(100, 50.0)], "k long, val double"),
+        "k", 2, "w",
+    )
+    with pytest.raises(Exception, match="val_cap"):
+        append_spark(
+            spark, t,
+            spark.createDataFrame([(101, 500.0)], "k long, val double"),
+            "k", 2, "w",
+        )
+    with pytest.raises(ValueError, match="val_cap"):
+        append_pandas(t, pd.DataFrame({"k": [102], "val": [500.0]}),
+                      "k", 2, "w")
+
+    # ADD that existing rows violate: rejected, meta untouched
+    with pytest.raises(ValueError, match="existing row"):
+        alter_add_constraint_spark(
+            spark, t, "k", "val_floor", {"col": "val", "min": 5},
+        )
+    assert "val_floor" not in t.constraints()
+    # duplicate name: rejected
+    with pytest.raises(ValueError, match="already exists"):
+        alter_add_constraint_spark(
+            spark, t, "k", "val_cap", {"col": "val", "max": 7},
+        )
+
+    alter_drop_constraint(t, "val_cap")
+    assert t.constraints() == {} and t.constraints_rev() == 2
+    append_pandas(t, pd.DataFrame({"k": [103], "val": [500.0]}), "k", 2, "w")
+    with pytest.raises(KeyError):
+        alter_drop_constraint(t, "nope")
+
+
+def test_alter_barrier_loses_to_concurrent_commit_and_revalidates(spark):
+    """The race ALTER must survive: a writer's commit lands between
+    validation and the barrier link. The barrier loses, the constraint
+    is retracted (fresh rev — no ABA), and revalidation against the new
+    head sees the racer's violating row → the ALTER fails instead of
+    certifying a constraint the table already breaks."""
+    import pyarrow as pa
+
+    from distribot_spark.sources.acid import (
+        alter_add_constraint_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    state = {}
+
+    def rogue_commit(v):
+        # simulates a writer that applied the OLD (empty) constraint
+        # set and links its commit just before the ALTER's barrier:
+        # stage a violating row through the raw log primitives
+        if "done" in state:
+            return
+        state["done"] = True
+        name = t.new_data_file(0)
+        pq.write_table(
+            pa.table({"k": [500], "val": [-777.0]}),
+            t.data_path(name),
+        )
+        assert t.try_commit(v, [{"file": name, "pb": 0}], [], "rogue")
+
+    with pytest.raises(ValueError, match="existing row"):
+        alter_add_constraint_spark(
+            spark, t, "k", "val_nonneg", {"col": "val", "min": 0},
+            pre_commit_hook=rogue_commit,
+        )
+    # constraint retracted, rev advanced past both persists (no ABA),
+    # the rogue row won
+    assert t.constraints() == {}
+    assert t.constraints_rev() == 2
+    assert (500, -777.0) in _logical_rows(spark, t)
+
+
+def test_alter_mid_write_forces_writer_to_reapply(spark):
+    """A writer that applied constraints BEFORE a concurrent ALTER must
+    not commit under the stale set: the ALTER's barrier commit bumps
+    the version, the writer's rev check fires on its commit attempt,
+    and the whole write restarts under the NEW set — fail-mode then
+    rejects the violating row the stale set would have admitted."""
+    from distribot_spark.sources.acid import (
+        alter_add_constraint_spark,
+        merge_upsert_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    state = {}
+
+    def alter_midflight(v):
+        if "done" in state:
+            return
+        state["done"] = True
+        state["alter"] = alter_add_constraint_spark(
+            spark, t, "k", "val_nonneg", {"col": "val", "min": 0},
+        )
+
+    before = _logical_rows(spark, t)
+    with pytest.raises(Exception, match="val_nonneg"):
+        merge_upsert_spark(
+            spark, t,
+            spark.createDataFrame([(3, -33.0), (4, 44.0)],
+                                  "k long, val double"),
+            "k", 2, "late-writer",
+            pre_commit_hook=alter_midflight,
+        )
+    # the ALTER validated a clean head (writer's rows unstaged), won its
+    # barrier, and the restarted writer was rejected wholesale
+    assert state["alter"]["committed_version"] == t.version()
+    assert _logical_rows(spark, t) == before
+    # no orphan staged data beyond the live set + quarantine-free
+    live = set(t.snapshot()[1])
+    on_disk = {f for f in os.listdir(t.data_dir)
+               if f.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_alter_mid_write_quarantine_restart_no_double_divert(spark):
+    """Restart hygiene: the aborted attempt's quarantine output is
+    retracted before the retry, so a row diverted under the OLD set
+    appears exactly once in the dead-letter area after the write lands
+    under the NEW set (which diverts it again, plus the newly-added
+    expectation's rows)."""
+    from distribot_spark.sources.acid import (
+        alter_add_constraint_spark,
+        append_spark,
+        read_quarantine,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+        constraints={"val_nonneg": {"col": "val", "min": 0,
+                                    "on_violation": "quarantine"}},
+    )
+    state = {}
+
+    def alter_midflight(v):
+        if "done" in state:
+            return
+        state["done"] = True
+        alter_add_constraint_spark(
+            spark, t, "k", "val_cap",
+            {"col": "val", "max": 100, "on_violation": "quarantine"},
+        )
+
+    st = append_spark(
+        spark, t,
+        spark.createDataFrame(
+            [(10, -1.0), (11, 500.0), (12, 50.0)], "k long, val double"),
+        "k", 2, "feed",
+        pre_commit_hook=alter_midflight,
+    )
+    # first attempt diverted only k=10 (val_nonneg); the restart under
+    # the new set diverts 10 AND 11 — and retracted the stale output
+    assert st["quarantined"] == 2, st
+    got = dict(_logical_rows(spark, t))
+    assert got[12] == 50.0 and 10 not in got and 11 not in got
+    q = sorted((r.k, r._constraint)
+               for r in read_quarantine(spark, t).collect())
+    assert q == [(10, "val_nonneg"), (11, "val_cap")]
