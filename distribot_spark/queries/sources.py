@@ -1702,13 +1702,13 @@ def source_acid_alter_constraints(spark, sf_dir):
     # 3. ALTER ADD (validates, installs behind the barrier commit);
     #    an ALTER the existing rows violate must fail un-persisted
     try:
-        alter_add_constraint_spark(spark, table, "k", "impossible",
+        alter_add_constraint_spark(spark, table, "impossible",
                                    {"col": "price", "min": 10**9})
         raise AssertionError("validation should have rejected this")
     except ValueError:
         pass
     assert "impossible" not in table.constraints()
-    alter_add_constraint_spark(spark, table, "k", "price_cap",
+    alter_add_constraint_spark(spark, table, "price_cap",
                                {"col": "price", "max": 600000})
 
     # 4. the x100 wave violates the cap: whole MERGE rejected

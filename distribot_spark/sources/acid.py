@@ -106,6 +106,39 @@ def _xxh64_long(v: int, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h  # signed, like Spark
 
 
+def _resolve_layout(table: "TableLog", key: str | None,
+                    n_buckets: int | None) -> tuple[str, int]:
+    """Fill in the merge key / bucket count from the table's persisted
+    layout metadata when the caller didn't pass them. An explicit
+    argument always wins (rebucket passes a NEW count on purpose);
+    neither passed nor persisted is a hard error — guessing a bucket
+    count would silently corrupt merges."""
+    if key is None or n_buckets is None:
+        pkey, pn = table.effective_layout()
+        key = key if key is not None else pkey
+        n_buckets = n_buckets if n_buckets is not None else pn
+    if key is None or n_buckets is None:
+        raise ValueError(
+            f"table {table.path} has no persisted layout; pass "
+            "key/n_buckets explicitly (or recreate via "
+            "write_initial_spark, which persists them)"
+        )
+    return key, int(n_buckets)
+
+
+def _gate_state(table: "TableLog") -> tuple:
+    """What a writer must re-check before every commit attempt: the
+    constraint revision AND the effective layout. Either changing
+    mid-flight means the write was prepared under stale table rules —
+    the gate aborts the attempt and the wrapper re-runs the whole
+    write. The effective-layout check is what makes a rebucketing
+    OPTIMIZE safe against concurrent writers: its rewrite commit bumps
+    the version (losing writers retry), and the retry's gate sees the
+    landed rebucket and restarts under the new count instead of
+    mis-selecting files laid out under the new one."""
+    return (table.constraints_rev(),) + tuple(table.effective_layout())
+
+
 def _bucket_of_py(k: int, n_buckets: int, hashed: bool) -> int:
     """Python-side bucket id — MUST agree with `_bucket_expr`."""
     return _pmod(_xxh64_long(int(k)) if hashed else int(k), n_buckets)
@@ -181,7 +214,9 @@ class TableLog:
     # -- log primitives ---------------------------------------------------
 
     def init(self, hash_buckets: bool = False,
-             constraints: dict | None = None) -> None:
+             constraints: dict | None = None,
+             key: str | None = None,
+             n_buckets: int | None = None) -> None:
         """Create the table directories and persist immutable table
         options. ``hash_buckets=True`` switches the bucket function to
         `pmod(xxhash64(key), n)` for skew resistance — recorded in
@@ -198,15 +233,29 @@ class TableLog:
         and the JVM-free pandas clients reject the same rows. A write
         carrying a violating row FAILS before staging lands in the
         log; range checks pass NULL unless not_null is also set
-        (SQL CHECK semantics)."""
+        (SQL CHECK semantics).
+
+        ``key``/``n_buckets`` persist the TABLE LAYOUT: the merge key
+        and bucket count every writer and reader must agree on. Once
+        persisted, all free functions and the `Table` facade resolve
+        them from metadata (`_resolve_layout`) so callers stop
+        hand-coordinating the one number a mismatch on silently
+        corrupts merges. Tables created before the fields existed keep
+        working — their callers pass the layout explicitly, as before.
+        """
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         meta = os.path.join(self.log_dir, "_table.json")
         if not os.path.exists(meta):
+            body = {"hash_buckets": bool(hash_buckets),
+                    "constraints": constraints or {}}
+            if key is not None:
+                body["key"] = key
+            if n_buckets is not None:
+                body["n_buckets"] = int(n_buckets)
             tmp = meta + f".tmp{uuid.uuid4().hex[:6]}"
             with open(tmp, "w") as fh:
-                json.dump({"hash_buckets": bool(hash_buckets),
-                           "constraints": constraints or {}}, fh)
+                json.dump(body, fh)
             os.replace(tmp, meta)
 
     def _meta(self) -> dict:
@@ -224,6 +273,55 @@ class TableLog:
     def constraints(self) -> dict:
         """The persisted CHECK constraints ({} when none)."""
         return self._meta().get("constraints") or {}
+
+    def layout(self) -> tuple[str | None, int | None]:
+        """The persisted (merge key, bucket count), or (None, None) on
+        a pre-layout-metadata table."""
+        m = self._meta()
+        n = m.get("n_buckets")
+        return m.get("key"), (int(n) if n is not None else None)
+
+    def effective_layout(self) -> tuple[str | None, int | None]:
+        """`layout()`, but rebucket-aware: if a ``rebucket_pending``
+        marker exists AND its rewrite commit has landed in the log, the
+        pending bucket count is the real one — return it and
+        opportunistically finish the two-phase change (persist the new
+        count, clear the marker), so a rebucketing OPTIMIZE that
+        crashed between its commit and its metadata persist is healed
+        by the NEXT resolver instead of leaving a silently-stale count
+        (which would make no-arg writers mis-select files). A pending
+        marker whose commit has NOT landed is ignored — the files are
+        still in the old layout."""
+        m = self._meta()
+        key, n = m.get("key"), m.get("n_buckets")
+        p = m.get("rebucket_pending")
+        if p and self._rebucket_landed(p):
+            n = p["to"]
+            self._finish_rebucket(p)
+        return key, (int(n) if n is not None else None)
+
+    def _rebucket_landed(self, pending: dict) -> bool:
+        """True iff the pending rebucket's rewrite commit is in the log
+        (scan bounded to commits after the marker's parent version)."""
+        for v in range(int(pending["parent"]) + 1, self.version() + 1):
+            try:
+                with open(self._commit_path(v)) as fh:
+                    if json.load(fh).get("writer") == pending["writer"]:
+                        return True
+            except FileNotFoundError:
+                continue
+        return False
+
+    def _finish_rebucket(self, pending: dict) -> None:
+        """Idempotent second phase: persist the new bucket count and
+        clear the marker — safe from any process (crash recovery)."""
+        with self._meta_lock():
+            m = self._meta()
+            if m.get("rebucket_pending") != pending:
+                return  # superseded or already finished
+            m["n_buckets"] = int(pending["to"])
+            del m["rebucket_pending"]
+            self._persist_meta(m)
 
     def constraints_rev(self) -> int:
         """Monotonic revision of the constraint set — bumped by every
@@ -770,9 +868,9 @@ class TableLog:
 def merge_upsert_pandas(
     table: TableLog,
     updates,
-    key: str,
-    n_buckets: int,
-    writer: str,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "merge",
     max_attempts: int = 50,
     pre_commit_hook=None,
     version: str | None = None,
@@ -797,7 +895,9 @@ def merge_upsert_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    _rev0 = table.constraints_rev()
+    _rev0 = _gate_state(table)  # BEFORE resolving: a rules change
+    # landing between capture and resolve must trip the gate, not slip
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
     updates, _nq, _qdir = _apply_constraints_pandas(table, updates, writer)
     up = updates.copy()
     hashed = table.hash_buckets()
@@ -872,10 +972,10 @@ def merge_upsert_pandas(
                 staged.append({"file": name, "pb": b, "rows": len(merged)})
         if pre_commit_hook is not None:
             pre_commit_hook(v)
-        if table.constraints_rev() != _rev0:
-            # an ALTER landed since we applied constraints: its barrier
-            # commit means our try_commit would lose anyway — restart
-            # the write under the new constraint set (wrapper retries)
+        if _gate_state(table) != _rev0:
+            # an ALTER or rebucket landed since we prepared this write:
+            # its commit means our try_commit would lose anyway —
+            # restart under the new table rules (wrapper retries)
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
@@ -1080,9 +1180,9 @@ def _constraint_guard_pandas(frame, constraints: dict) -> None:
 def alter_add_constraint_spark(
     spark,
     table: TableLog,
-    key: str,
     name: str,
     spec: dict,
+    key: str | None = None,
     writer: str = "alter",
     max_attempts: int = 20,
     pre_commit_hook=None,
@@ -1113,7 +1213,8 @@ def alter_add_constraint_spark(
     DESCRIBE HISTORY, like Delta's ALTER commits.
 
     ``key`` names the merge key so validation folds deletion vectors
-    (a DV-deleted violating row must not block the ALTER). Returns
+    (a DV-deleted violating row must not block the ALTER); it defaults
+    to the table's persisted layout. Returns
     {committed_version, attempts}. ``pre_commit_hook`` (tests) runs
     between the meta persist and the barrier commit."""
     if "col" not in spec:
@@ -1194,9 +1295,9 @@ def merge_upsert_spark(
     spark,
     table: TableLog,
     updates_df,
-    key: str,
-    n_buckets: int,
-    writer: str,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "merge",
     max_attempts: int = 50,
     pre_commit_hook=None,
     version: str | None = None,
@@ -1229,7 +1330,9 @@ def merge_upsert_spark(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    _rev0 = table.constraints_rev()
+    _rev0 = _gate_state(table)  # BEFORE resolving: a rules change
+    # landing between capture and resolve must trip the gate, not slip
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
     updates_df, _nq, _qdir = _apply_constraints_spark(spark, table,
                                                       updates_df, writer)
     up = updates_df.withColumn(
@@ -1349,7 +1452,7 @@ def merge_upsert_spark(
             shutil.rmtree(tmp_out, ignore_errors=True)
         if pre_commit_hook is not None:
             pre_commit_hook(v)
-        if table.constraints_rev() != _rev0:
+        if _gate_state(table) != _rev0:
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
@@ -1369,9 +1472,9 @@ def sync_snapshot_spark(
     spark,
     table: TableLog,
     source_df,
-    key: str,
-    n_buckets: int,
-    writer: str,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "sync",
     max_attempts: int = 50,
     pre_commit_hook=None,
 ) -> dict:
@@ -1399,8 +1502,9 @@ def sync_snapshot_spark(
     changed — no empty commit)."""
     from pyspark.sql import functions as F
 
+    _rev0 = _gate_state(table)  # BEFORE resolving (see merge note)
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
     hashed = table.hash_buckets()
-    _rev0 = table.constraints_rev()
     source_df, _nq, _qdir = _apply_constraints_spark(spark, table, source_df,
                                                      writer)
     src = source_df.withColumn("_pb", _bucket_expr(key, n_buckets, hashed))
@@ -1461,7 +1565,7 @@ def sync_snapshot_spark(
             )
         if pre_commit_hook is not None:
             pre_commit_hook(v)
-        if table.constraints_rev() != _rev0:
+        if _gate_state(table) != _rev0:
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
@@ -1482,8 +1586,10 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
     ``hash_buckets=True`` persists the skew-resistant bucket function
     and ``constraints`` the CHECK constraints (see `TableLog.init`);
     every later writer reads both from the table metadata, never from
-    a call argument."""
-    table.init(hash_buckets=hash_buckets, constraints=constraints)
+    a call argument. The LAYOUT (key, n_buckets) is persisted the same
+    way, so subsequent writers/readers may omit both."""
+    table.init(hash_buckets=hash_buckets, constraints=constraints,
+               key=key, n_buckets=n_buckets)
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
@@ -1545,6 +1651,8 @@ def read_snapshot_spark(
     if apply_dvs:
         dvmap = table.live_dvs(version)
         if dvmap:
+            if dv_key is None:
+                dv_key = table.layout()[0]  # persisted merge key
             if dv_key is None:
                 raise ValueError("table has deletion vectors: pass dv_key")
             df = _apply_dvs(spark, table, df, dv_key, dvmap)
@@ -1734,9 +1842,9 @@ def delete_keys_spark(
     spark,
     table: TableLog,
     keys_df,
-    key: str,
-    n_buckets: int,
-    writer: str,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "delete",
     max_attempts: int = 50,
     pre_commit_hook=None,
     mode: str = "dv",
@@ -1762,6 +1870,8 @@ def delete_keys_spark(
     is the table itself)."""
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
+
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
 
     if mode not in ("dv", "rewrite"):
         raise ValueError(f"mode {mode!r}")
@@ -1961,9 +2071,9 @@ def append_spark(
     spark,
     table: TableLog,
     df,
-    key: str,
-    n_buckets: int,
-    writer: str,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "append",
     stats_cols=(),
     max_attempts: int = 50,
     pre_commit_hook=None,
@@ -1984,7 +2094,9 @@ def append_spark(
     parquet/Delta append; use `merge_upsert_spark` for upserts."""
     from pyspark.sql import functions as F
 
-    _rev0 = table.constraints_rev()
+    _rev0 = _gate_state(table)  # BEFORE resolving: a rules change
+    # landing between capture and resolve must trip the gate, not slip
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
@@ -1998,7 +2110,7 @@ def append_spark(
         v = table.version()
         if pre_commit_hook is not None:
             pre_commit_hook(v)
-        if table.constraints_rev() != _rev0:
+        if _gate_state(table) != _rev0:
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
@@ -2017,9 +2129,9 @@ def append_spark(
 def append_pandas(
     table: TableLog,
     batch,
-    key: str,
-    n_buckets: int,
-    writer: str,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "append",
     max_attempts: int = 50,
 ) -> dict:
     """Blind INSERT of a pandas frame — the JVM-free micro-batch ingest
@@ -2032,7 +2144,9 @@ def append_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    _rev0 = table.constraints_rev()
+    _rev0 = _gate_state(table)  # BEFORE resolving: a rules change
+    # landing between capture and resolve must trip the gate, not slip
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
     batch, _nq, _qdir = _apply_constraints_pandas(table, batch, writer)
     hashed = table.hash_buckets()
     pb = batch[key].astype("int64").map(
@@ -2050,7 +2164,7 @@ def append_pandas(
     attempts = 0
     while attempts < max_attempts:
         v = table.version()
-        if table.constraints_rev() != _rev0:
+        if _gate_state(table) != _rev0:
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
@@ -2064,9 +2178,9 @@ def append_pandas(
 def optimize_table_spark(
     spark,
     table: TableLog,
-    key: str,
-    n_buckets: int,
-    writer: str,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "optimize",
     sort_col: str | None = None,
     files_per_bucket: int = 1,
     stats_cols=(),
@@ -2096,8 +2210,47 @@ def optimize_table_spark(
     buckets' files — range-partitioned into ``buckets ×
     files_per_bucket`` tasks, each writing its slice sorted; commit
     cost stays one atomic link. Old files remain for time-travel
-    readers until `vacuum()`, the standard retention trade."""
+    readers until `vacuum()`, the standard retention trade.
+
+    BUCKET-COUNT EVOLUTION: passing ``rewrite_all=True`` with an
+    ``n_buckets`` different from the persisted layout rebuckets the
+    table transactionally. Two-phase: (1) a ``rebucket_pending`` marker
+    (target count + this writer's unique id + parent version) is
+    persisted BEFORE the rewrite — ignored by everyone until the
+    rewrite commit lands; (2) after the commit, the count is persisted
+    and the marker cleared. Writers re-check the EFFECTIVE layout on
+    every commit attempt (`_gate_state`), and any resolver can finish
+    phase 2 (`effective_layout` heals a crash between commit and
+    persist), so no-arg writers can never mis-select files against the
+    new layout. Run ONE rebucket at a time: a newer rebucket's marker
+    supersedes an older in-flight one, which then abandons at its
+    pre-commit check — best-effort detection with a residual
+    check-to-link window, same as every lock-free metadata scheme
+    here, documented rather than hidden."""
     from pyspark.sql import functions as F
+
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
+    pending = None
+    if rewrite_all:
+        pn = table.effective_layout()[1]
+        if pn is not None and int(n_buckets) != pn:
+            wid = f"{writer}#rebucket-{uuid.uuid4().hex[:8]}"
+            pending = {"to": int(n_buckets), "writer": wid,
+                       "parent": table.version(), "ts": time.time()}
+            with table._meta_lock():
+                m = table._meta()
+                m["rebucket_pending"] = pending
+                table._persist_meta(m)
+            writer = wid
+
+    def _abandon_pending():
+        if pending is None:
+            return
+        with table._meta_lock():
+            m = table._meta()
+            if m.get("rebucket_pending") == pending:
+                del m["rebucket_pending"]
+                table._persist_meta(m)
 
     attempts = 0
     while attempts < max_attempts:
@@ -2115,6 +2268,7 @@ def optimize_table_spark(
         }
         files_before = sum(len(fs) for fs in by_bucket.values())
         if not work:
+            _abandon_pending()  # empty table: nothing to rebucket
             return {"committed_version": v, "attempts": attempts,
                     "rewritten_buckets": 0, "files_before": files_before,
                     "files_after": files_before}
@@ -2136,8 +2290,15 @@ def optimize_table_spark(
         )
         if pre_commit_hook is not None:
             pre_commit_hook(v)
+        if pending is not None and \
+                table._meta().get("rebucket_pending") != pending:
+            _unlink_staged(table, staged)
+            raise CommitConflict(
+                f"{writer}: rebucket superseded by a newer rebucket")
         attempts += 1
         if table.try_commit(v, staged, replaced, writer):
+            if pending is not None:
+                table._finish_rebucket(pending)
             _, live2 = table.snapshot()
             return {"committed_version": v + 1, "attempts": attempts,
                     "rewritten_buckets": len(work),
@@ -2148,13 +2309,14 @@ def optimize_table_spark(
                 os.unlink(table.data_path(a["file"]))
             except FileNotFoundError:
                 pass
+    _abandon_pending()
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
 def table_changes_spark(
     spark,
     table: TableLog,
-    key: str,
+    key: str | None = None,
     from_version: int = 0,
     to_version: int | None = None,
 ):
@@ -2192,6 +2354,10 @@ def table_changes_spark(
 
     from pyspark.sql import functions as F
 
+    if key is None:
+        key = table.layout()[0]
+    if key is None:
+        raise ValueError("no persisted layout; pass key explicitly")
     head = table.version()
     hi = head if to_version is None else to_version
     if not 0 <= from_version <= hi <= head:

@@ -30,9 +30,14 @@ class Table:
     in the log directory, so handles in different processes see the
     same table (the multi-writer story)."""
 
-    def __init__(self, spark, path: str, key: str, n_buckets: int) -> None:
+    def __init__(self, spark, path: str, key: str | None = None,
+                 n_buckets: int | None = None) -> None:
         self.spark = spark
         self.log = acid.TableLog(path)
+        if key is None or n_buckets is None:
+            pkey, pn = self.log.layout()  # persisted at create
+            key = key if key is not None else pkey
+            n_buckets = n_buckets if n_buckets is not None else pn
         self.key = key
         self.n_buckets = n_buckets
 
@@ -53,11 +58,20 @@ class Table:
         return t
 
     @classmethod
-    def for_path(cls, spark, path: str, key: str, n_buckets: int) -> "Table":
-        """Attach to an existing table."""
+    def for_path(cls, spark, path: str, key: str | None = None,
+                 n_buckets: int | None = None) -> "Table":
+        """Attach to an existing table. Tables created by this layer
+        persist their layout, so ``Table.for_path(spark, path)`` is the
+        whole incantation; pre-layout-metadata tables still need
+        key/n_buckets passed (and an explicit argument always wins)."""
         t = cls(spark, path, key, n_buckets)
         if t.log.version() < 0:
             raise FileNotFoundError(f"no table at {path}")
+        if t.key is None or t.n_buckets is None:
+            raise ValueError(
+                f"table at {path} has no persisted layout; pass "
+                "key/n_buckets"
+            )
         return t
 
     # -- reads ------------------------------------------------------------
@@ -169,7 +183,7 @@ class Table:
         barrier so no in-flight writer can slip an unvalidated row past
         it (`acid.alter_add_constraint_spark`)."""
         return acid.alter_add_constraint_spark(
-            self.spark, self.log, self.key, name, spec, writer=writer,
+            self.spark, self.log, name, spec, key=self.key, writer=writer,
         )
 
     def drop_constraint(self, name: str) -> None:

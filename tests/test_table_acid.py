@@ -798,9 +798,16 @@ def test_optimize_rebuckets_to_new_bucket_count(spark):
         assert all(int(k) % 8 == b for k in ks)
     assert _logical_rows(spark, t) == before
 
-    merge_upsert_pandas(t, pd.DataFrame({"k": [5], "val": [55.0]}),
-                        "k", 8, "w-new-count")
+    # two-phase metadata: the persisted layout moved with the commit
+    # and the pending marker is gone — a NO-ARG writer buckets correctly
+    assert t.layout() == ("k", 8)
+    assert "rebucket_pending" not in t._meta()
+    merge_upsert_pandas(t, pd.DataFrame({"k": [5], "val": [55.0]}))
     assert (5, 55.0) in _logical_rows(spark, t)
+    _, live2 = t.snapshot()
+    for f, b in live2.items():
+        ks = pq.read_table(t.data_path(f)).to_pandas()["k"]
+        assert all(int(k) % 8 == b for k in ks)
 
 
 # -- full-snapshot sync (three-clause MERGE) -------------------------------
@@ -1766,7 +1773,7 @@ def test_alter_add_drop_constraint_lifecycle(spark):
     )
     v0 = t.version()
     st = alter_add_constraint_spark(
-        spark, t, "k", "val_cap", {"col": "val", "max": 100},
+        spark, t, "val_cap", {"col": "val", "max": 100},
     )
     assert st == {"committed_version": v0 + 1, "attempts": 1}
     assert t.constraints() == {"val_cap": {"col": "val", "max": 100}}
@@ -1794,13 +1801,13 @@ def test_alter_add_drop_constraint_lifecycle(spark):
     # ADD that existing rows violate: rejected, meta untouched
     with pytest.raises(ValueError, match="existing row"):
         alter_add_constraint_spark(
-            spark, t, "k", "val_floor", {"col": "val", "min": 5},
+            spark, t, "val_floor", {"col": "val", "min": 5},
         )
     assert "val_floor" not in t.constraints()
     # duplicate name: rejected
     with pytest.raises(ValueError, match="already exists"):
         alter_add_constraint_spark(
-            spark, t, "k", "val_cap", {"col": "val", "max": 7},
+            spark, t, "val_cap", {"col": "val", "max": 7},
         )
 
     alter_drop_constraint(t, "val_cap")
@@ -1848,7 +1855,7 @@ def test_alter_barrier_loses_to_concurrent_commit_and_revalidates(spark):
 
     with pytest.raises(ValueError, match="existing row"):
         alter_add_constraint_spark(
-            spark, t, "k", "val_nonneg", {"col": "val", "min": 0},
+            spark, t, "val_nonneg", {"col": "val", "min": 0},
             pre_commit_hook=rogue_commit,
         )
     # constraint retracted, rev advanced past both persists (no ABA),
@@ -1884,7 +1891,7 @@ def test_alter_mid_write_forces_writer_to_reapply(spark):
             return
         state["done"] = True
         state["alter"] = alter_add_constraint_spark(
-            spark, t, "k", "val_nonneg", {"col": "val", "min": 0},
+            spark, t, "val_nonneg", {"col": "val", "min": 0},
         )
 
     before = _logical_rows(spark, t)
@@ -1936,7 +1943,7 @@ def test_alter_mid_write_quarantine_restart_no_double_divert(spark):
             return
         state["done"] = True
         alter_add_constraint_spark(
-            spark, t, "k", "val_cap",
+            spark, t, "val_cap",
             {"col": "val", "max": 100, "on_violation": "quarantine"},
         )
 
@@ -1955,3 +1962,153 @@ def test_alter_mid_write_quarantine_restart_no_double_divert(spark):
     q = sorted((r.k, r._constraint)
                for r in read_quarantine(spark, t).collect())
     assert q == [(10, "val_nonneg"), (11, "val_cap")]
+
+
+def test_persisted_layout_resolves_everywhere(spark):
+    """The table layout (merge key + bucket count) is persisted at
+    create, so every writer/reader — Spark, pandas, CDF, OPTIMIZE, the
+    facade — runs WITHOUT the caller re-stating them: the pair a
+    mismatch on silently corrupts merges is table metadata, not a
+    per-call argument (hash_buckets precedent). Explicit args still
+    win (the rebucket path), and a pre-layout table without args is a
+    hard error, not a guess."""
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        delete_keys_spark,
+        merge_upsert_pandas,
+        merge_upsert_spark,
+        optimize_table_spark,
+        read_snapshot_spark,
+        table_changes_spark,
+        write_initial_spark,
+    )
+    from distribot_spark.sources.table import Table
+
+    path = _tmp_table()
+    t = TableLog(path)
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(16)],
+                              "k long, val double"),
+        "k", n_buckets=4,
+    )
+    assert t.layout() == ("k", 4)
+
+    # every client, no layout args
+    merge_upsert_pandas(t, pd.DataFrame({"k": [1], "val": [11.0]}))
+    merge_upsert_spark(
+        spark, t,
+        spark.createDataFrame([(2, 22.0)], "k long, val double"),
+    )
+    append_pandas(t, pd.DataFrame({"k": [100], "val": [1.0]}))
+    delete_keys_spark(
+        spark, t, spark.createDataFrame([(3,)], "k long"),
+    )
+    optimize_table_spark(spark, t, writer="opt")
+    got = dict(_logical_rows(spark, t))
+    assert got[1] == 11.0 and got[2] == 22.0 and got[100] == 1.0
+    assert 3 not in got
+    # CDF without key; DV-folded read without dv_key
+    assert table_changes_spark(spark, t).count() > 0
+    assert read_snapshot_spark(spark, t).count() == len(got)
+
+    # facade attaches with just the path
+    t2 = Table.for_path(spark, path)
+    assert (t2.key, t2.n_buckets) == ("k", 4)
+    assert t2.read().count() == len(got)
+
+    # files respect the persisted count (all buckets < 4)
+    assert {b for b in t.snapshot()[1].values()} <= set(range(4))
+
+    # a pre-layout table without args is a hard error
+    legacy = TableLog(_tmp_table())
+    legacy.init()
+    with pytest.raises(ValueError, match="no persisted layout"):
+        merge_upsert_pandas(legacy, pd.DataFrame({"k": [0], "val": [0.0]}))
+    merge_upsert_pandas(legacy, pd.DataFrame({"k": [0], "val": [0.0]}),
+                        "k", 2, "w")  # explicit still works
+    with pytest.raises(ValueError, match="no persisted layout"):
+        Table.for_path(spark, legacy.path)
+
+
+def test_rebucket_mid_write_forces_writer_restart(spark):
+    """A writer prepared under the OLD bucket count must not commit
+    against files a rebucketing OPTIMIZE just rewrote (it would select
+    the wrong files and duplicate keys): the rebucket's rewrite commit
+    makes the writer lose OCC, and the retry's gate sees the EFFECTIVE
+    layout change and restarts the write under the new count."""
+    from distribot_spark.sources.acid import (
+        merge_upsert_spark,
+        optimize_table_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(32)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    state = {}
+
+    def rebucket_midflight(v):
+        if "done" in state:
+            return
+        state["done"] = True
+        state["opt"] = optimize_table_spark(
+            spark, t, n_buckets=8, writer="opt", rewrite_all=True,
+        )
+
+    st = merge_upsert_spark(
+        spark, t,
+        spark.createDataFrame([(7, 77.0), (100, 100.0)],
+                              "k long, val double"),
+        pre_commit_hook=rebucket_midflight,
+    )
+    assert state["opt"]["rewritten_buckets"] == 2
+    assert st["committed_version"] == t.version()
+    assert t.layout() == ("k", 8)
+    got = dict(_logical_rows(spark, t))
+    assert got[7] == 77.0 and got[100] == 100.0 and len(got) == 33
+    # every live file respects the NEW layout — including the writer's
+    _, live = t.snapshot()
+    for f, b in live.items():
+        ks = pq.read_table(t.data_path(f)).to_pandas()["k"]
+        assert all(int(k) % 8 == b for k in ks), (f, b)
+
+
+def test_rebucket_phase2_crash_heals_on_next_resolve(spark):
+    """Crash between the rebucket's rewrite commit and its metadata
+    persist: the pending marker + landed commit are enough for ANY
+    later resolver to finish phase 2 — the stale persisted count is
+    never served, and the next no-arg writer buckets under the new
+    layout."""
+    from distribot_spark.sources.acid import (
+        merge_upsert_pandas,
+        optimize_table_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(32)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    t._finish_rebucket = lambda pending: None  # simulate the crash
+    optimize_table_spark(spark, t, n_buckets=8, writer="opt",
+                         rewrite_all=True)
+    assert t.layout() == ("k", 2)  # phase 2 never ran
+    assert t._meta()["rebucket_pending"]["to"] == 8
+
+    healer = TableLog(t.path)  # any fresh handle/process
+    assert healer.effective_layout() == ("k", 8)
+    assert healer.layout() == ("k", 8)  # healed: persisted + cleared
+    assert "rebucket_pending" not in healer._meta()
+    merge_upsert_pandas(healer, pd.DataFrame({"k": [5], "val": [55.0]}))
+    _, live = healer.snapshot()
+    for f, b in live.items():
+        ks = pq.read_table(healer.data_path(f)).to_pandas()["k"]
+        assert all(int(k) % 8 == b for k in ks)
