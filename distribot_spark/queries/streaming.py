@@ -1490,3 +1490,100 @@ def s27_stream_cdc_dv_delete_sink(spark, sf_dir):
         F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
         .cast("double").alias("total_current"),
     )
+
+
+@register(
+    "s28_stream_expectations_quarantine",
+    oracle="""
+    WITH feed AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                       IN ('0', '1')
+                  THEN -o_totalprice ELSE o_totalprice END AS price
+      FROM orders),
+    clean AS (SELECT * FROM feed WHERE price >= 0),
+    bad   AS (SELECT * FROM feed WHERE price < 0)
+    SELECT (SELECT COUNT(*) FROM clean) AS n_clean,
+           (SELECT ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2)::DOUBLE
+              FROM clean) AS total_clean,
+           (SELECT COUNT(*) FROM bad) AS n_quarantined_keys,
+           (SELECT ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2)::DOUBLE
+              FROM bad) AS total_quarantined
+    """,
+    tags=("streaming", "quality", "constraints", "acid"),
+)
+def s28_stream_expectations_quarantine(spark, sf_dir):
+    """Streaming EXPECTATIONS (dlt's expect_or_drop as a pipeline): a
+    deliberately dirty feed — ~1/8 of rows carry an impossible negative
+    price, keyed by a portable md5 predicate — streams through a
+    foreachBatch MERGE into an ACID table whose quarantine-mode CHECK
+    constraint diverts the bad rows to the dead-letter area batch by
+    batch, so the pipeline keeps flowing and the bad rows stay
+    auditable instead of failing the stream or silently vanishing.
+
+    Every batch is applied TWICE (the at-least-once worst case): the
+    MERGE half is effectively-once (idempotent rewrite), while the
+    dead-letter area is honestly AT-LEAST-ONCE — each reapply diverts
+    again (asserted: raw quarantine rows = 2x distinct), so consumers
+    dedup by key, exactly like any redelivered DLQ. The hash oracle
+    certifies the clean census AND the distinct-key quarantine census.
+
+    The sink never states the table layout — it was persisted at
+    create (`TableLog.init(key=, n_buckets=)`), the multi-writer
+    coordination story at scale. Scale shape: constraint evaluation is
+    executor-side in the merge stage; the quarantine write is one
+    extra job over only the bad rows of the batch."""
+    import tempfile
+
+    from distribot_spark.sources import acid
+
+    src = replay.table_replay_dir(sf_dir, "orders", "o_orderkey", 8)
+    root = tempfile.mkdtemp(prefix="s28_", dir=replay.TMP_ROOT)
+    table = acid.TableLog(os.path.join(root, "table"))
+    table.init(
+        key="k", n_buckets=8,
+        constraints={"price_pos": {"col": "price", "min": 0,
+                                   "on_violation": "quarantine"}},
+    )
+    stats = {"quarantined": 0}
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        up = batch_df.select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.md5(F.col("o_orderkey").cast("string"))
+                .substr(1, 1).isin("0", "1"),
+                -F.col("o_totalprice"),
+            ).otherwise(F.col("o_totalprice")).alias("price"),
+        )
+        for _ in range(2):  # injected redelivery: worst-case reapply
+            st = acid.merge_upsert_spark(spark, table, up,
+                                         writer=f"b{batch_id}")
+            stats["quarantined"] += st["quarantined"]
+
+    replay.run_foreach_batch(spark, lambda s: s, src, sink, "append")
+
+    q = acid.read_quarantine(spark, table).select("k", "price")
+    n_raw = q.count()
+    qd = q.distinct()
+    n_distinct = qd.count()
+    # the DLQ is at-least-once under redelivery: exactly 2 copies here
+    assert n_raw == 2 * n_distinct and n_distinct > 0, (n_raw, n_distinct)
+
+    clean = acid.read_snapshot_spark(spark, table)
+    return (
+        clean.agg(
+            F.count("*").alias("n_clean"),
+            F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+            .cast("double").alias("total_clean"),
+        )
+        .crossJoin(
+            qd.agg(
+                F.count("*").alias("n_quarantined_keys"),
+                F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+                .cast("double").alias("total_quarantined"),
+            )
+        )
+    )
