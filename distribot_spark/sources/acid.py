@@ -1017,13 +1017,26 @@ def _constraint_guard_spark(df, constraints: dict):
     column pruning, see the CDF dup-key guard). Range checks pass NULL
     rows unless not_null is also declared — SQL CHECK semantics. Only
     fail-mode constraints belong here; quarantine-mode ones go through
-    `_apply_constraints_spark`."""
+    `_apply_constraints_spark`.
+
+    A constrained column ABSENT from the write (schema evolution: the
+    merge NULL-backfills it) is every-row-NULL: range/isin checks pass
+    by the NULL rule, not_null fails wholesale — rejected here with a
+    clear error instead of an unresolved-column crash."""
     if not constraints:
         return df
     from pyspark.sql import functions as F
 
+    cols = set(df.columns)
     for name in sorted(constraints):
         c = constraints[name]
+        if c["col"] not in cols:
+            if c.get("not_null"):
+                raise ValueError(
+                    f"CHECK constraint '{name}': NOT NULL column "
+                    f"{c['col']!r} is missing from this write entirely"
+                )
+            continue  # all-NULL: passes range/isin checks
         df = df.filter(
             F.assert_true(
                 _constraint_ok_expr(c),
@@ -1051,6 +1064,74 @@ def read_quarantine(spark, table: TableLog):
     ).parquet(quarantine_dir(table))
 
 
+def reprocess_quarantine_spark(
+    spark,
+    table: TableLog,
+    writer: str = "reprocess",
+    constraint: str | None = None,
+) -> dict:
+    """Replay dead-lettered rows through the normal MERGE path — the
+    loop that CLOSES the expectations story: divert → fix the rules
+    (ALTER/drop the expectation, or fix upstream) → replay. Rows are
+    deduped on content first (the DLQ is at-least-once by contract,
+    see s28) and re-enter through `merge_upsert_spark`, so the CURRENT
+    constraint set re-judges them: rows that now pass land in the
+    table; rows still violating a quarantine-mode expectation are
+    RE-diverted with this writer's provenance; a fail-mode violation
+    aborts the whole replay with the dead-letter area untouched.
+
+    Only the quarantine batches present at the start are cleared —
+    rows concurrent writers divert DURING the replay stay. With
+    ``constraint``, only that expectation's rows replay; the rest are
+    rewritten into a fresh batch before the old ones are removed (a
+    crash between the two re-duplicates rows, which the at-least-once
+    contract already absorbs). Per merge key only the LATEST-diverted
+    payload replays (max ``_qts``) — replaying both versions of a
+    twice-corrected row would plant duplicate keys through the blind
+    MERGE. Returns merge stats + n_replayed + n_rediverted."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    key, _ = _resolve_layout(table, None, None)
+    qroot = quarantine_dir(table)
+    batches = sorted(os.listdir(qroot)) if os.path.isdir(qroot) else []
+    if not batches:
+        return {"n_replayed": 0, "n_rediverted": 0}
+    paths = [os.path.join(qroot, b) for b in batches]
+    all_rows = spark.read.option("mergeSchema", "true").parquet(*paths)
+    take = all_rows if constraint is None else all_rows.filter(
+        F.col("_constraint") == constraint
+    )
+    rn = F.row_number().over(
+        W.partitionBy(key).orderBy(F.col("_qts").desc())
+    )
+    replay_df = (
+        take.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+        .drop("_rn", "_constraint", "_writer", "_qts")
+    )
+    n = replay_df.count()
+    if n == 0:
+        return {"n_replayed": 0, "n_rediverted": 0}
+    st = merge_upsert_spark(spark, table, replay_df, writer=writer)
+    if constraint is not None:
+        rest = all_rows.filter(F.col("_constraint") != constraint)
+        out = os.path.join(qroot, uuid.uuid4().hex)
+        rest.write.mode("overwrite").parquet(out)
+        if not any(f.endswith(".parquet") and
+                   pq_file_nonempty(os.path.join(out, f))
+                   for f in os.listdir(out)):
+            shutil.rmtree(out, ignore_errors=True)
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return dict(st, n_replayed=n, n_rediverted=st["quarantined"])
+
+
+def pq_file_nonempty(path: str) -> bool:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows > 0
+
+
 def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     """Split CHECK enforcement by each constraint's ``on_violation``
     policy (dlt's expectations): ``fail`` (default) aborts the write
@@ -1075,12 +1156,23 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     quar = {n: c for n, c in cons.items()
             if c.get("on_violation") == "quarantine"}
     df = _constraint_guard_spark(df, fail)
+    # missing-column semantics (schema evolution): all-NULL column —
+    # not_null diverts EVERY row, range/isin checks pass (drop them)
+    cols = set(df.columns)
+    all_bad = sorted(n for n, c in quar.items()
+                     if c["col"] not in cols and c.get("not_null"))
+    quar = {n: c for n, c in quar.items() if c["col"] in cols}
+    if all_bad:
+        quar = dict(quar)  # tag everything with the first such name
+        quar[all_bad[0]] = {"col": df.columns[0], "not_null": False,
+                            "_always": True}
     if not quar:
         return df, 0, None
     # first failing constraint name per row (NULL = clean)
     tag = reduce(
         lambda acc, name: acc.when(
-            ~_constraint_ok_expr(quar[name]), F.lit(name)
+            F.lit(True) if quar[name].get("_always")
+            else ~_constraint_ok_expr(quar[name]), F.lit(name)
         ),
         sorted(quar),
         F.when(F.lit(False), F.lit(None)),
@@ -1125,6 +1217,10 @@ def _apply_constraints_pandas(table: TableLog, frame, writer: str):
     tag = pd.Series([None] * len(frame), index=frame.index, dtype=object)
     for name in sorted(quar, reverse=True):  # first name wins, like Spark
         c = quar[name]
+        if c["col"] not in frame.columns:
+            if c.get("not_null"):  # all-NULL column: every row diverted
+                tag[:] = name
+            continue  # all-NULL passes range/isin checks
         s = frame[c["col"]]
         bad = pd.Series(False, index=frame.index)
         if c.get("not_null"):
@@ -1153,13 +1249,22 @@ def _apply_constraints_pandas(table: TableLog, frame, writer: str):
 
 def _constraint_guard_pandas(frame, constraints: dict) -> None:
     """pandas-client half of CHECK enforcement: same DSL, same
-    semantics, raises ValueError before anything is staged."""
+    semantics, raises ValueError before anything is staged. A
+    constrained column absent from the frame is all-NULL (schema
+    evolution): range/isin pass, not_null fails wholesale."""
     if not constraints:
         return
     import pandas as pd
 
     for name in sorted(constraints):
         c = constraints[name]
+        if c["col"] not in frame.columns:
+            if c.get("not_null"):
+                raise ValueError(
+                    f"CHECK constraint '{name}' violated: NOT NULL "
+                    f"column {c['col']!r} missing from this write"
+                )
+            continue
         s = frame[c["col"]]
         bad = pd.Series(False, index=frame.index)
         if c.get("not_null"):

@@ -196,3 +196,11 @@ class Table:
     def quarantine(self):
         """Rows diverted by quarantine-mode constraints (dead-letter)."""
         return acid.read_quarantine(self.spark, self.log)
+
+    def reprocess_quarantine(self, constraint: str | None = None,
+                             writer: str = "reprocess") -> dict:
+        """Replay dead-lettered rows through MERGE under the current
+        constraint set (divert → fix rules → replay)."""
+        return acid.reprocess_quarantine_spark(
+            self.spark, self.log, writer=writer, constraint=constraint,
+        )

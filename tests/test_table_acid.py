@@ -2112,3 +2112,154 @@ def test_rebucket_phase2_crash_heals_on_next_resolve(spark):
     for f, b in live.items():
         ks = pq.read_table(healer.data_path(f)).to_pandas()["k"]
         assert all(int(k) % 8 == b for k in ks)
+
+
+def test_constraint_on_column_missing_from_write(spark):
+    """Schema-evolution × constraints: a write omitting a constrained
+    column is an all-NULL column for that write (the merge
+    NULL-backfills it). SQL CHECK semantics apply — range/isin checks
+    PASS (NULL passes), not_null fails WHOLESALE with a clear error
+    (fail-mode) or diverts every row (quarantine-mode) — never an
+    unresolved-column crash. Both clients."""
+    from distribot_spark.sources.acid import (
+        alter_add_constraint_spark,
+        alter_drop_constraint,
+        append_pandas,
+        merge_upsert_spark,
+        read_quarantine,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k), 1.0) for k in range(8)],
+                              "k long, val double, extra double"),
+        "k", n_buckets=2,
+    )
+    # range check on `extra`: a write without the column passes (NULL)
+    alter_add_constraint_spark(spark, t, "extra_cap",
+                               {"col": "extra", "max": 100})
+    merge_upsert_spark(
+        spark, t, spark.createDataFrame([(100, 1.0)], "k long, val double"),
+    )
+    append_pandas(t, pd.DataFrame({"k": [101], "val": [2.0]}))
+    got = {r.k for r in
+           spark.read.option("mergeSchema", "true")
+           .parquet(*t.live_paths()).collect()}
+    assert {100, 101} <= got
+
+    # ALTER not_null is correctly REJECTED now: the evolved rows above
+    # already carry NULL extra (validation sees them)
+    with pytest.raises(ValueError, match="existing row"):
+        alter_add_constraint_spark(spark, t, "extra_nn",
+                                   {"col": "extra", "not_null": True})
+
+    # not_null from creation: a write omitting the column fails
+    # wholesale with a clear error — both clients
+    t2 = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t2,
+        spark.createDataFrame([(0, 1.0, 1.0)],
+                              "k long, val double, extra double"),
+        "k", n_buckets=2,
+        constraints={"extra_nn": {"col": "extra", "not_null": True}},
+    )
+    with pytest.raises(ValueError, match="missing from this write"):
+        merge_upsert_spark(
+            spark, t2,
+            spark.createDataFrame([(102, 1.0)], "k long, val double"),
+        )
+    with pytest.raises(ValueError, match="missing from this write"):
+        append_pandas(t2, pd.DataFrame({"k": [103], "val": [2.0]}))
+
+    # quarantine-mode not_null: every row of the write diverted
+    t3 = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t3,
+        spark.createDataFrame([(0, 1.0, 1.0)],
+                              "k long, val double, extra double"),
+        "k", n_buckets=2,
+        constraints={"extra_nn_q": {"col": "extra", "not_null": True,
+                                    "on_violation": "quarantine"}},
+    )
+    st = merge_upsert_spark(
+        spark, t3,
+        spark.createDataFrame([(104, 1.0), (105, 2.0)],
+                              "k long, val double"),
+    )
+    assert st["quarantined"] == 2, st
+    st2 = append_pandas(t3, pd.DataFrame({"k": [106], "val": [3.0]}))
+    assert st2["quarantined"] == 1, st2
+    q = {(r.k, r._constraint) for r in read_quarantine(spark, t3)
+         .select("k", "_constraint").collect()}
+    assert {(104, "extra_nn_q"), (105, "extra_nn_q"),
+            (106, "extra_nn_q")} <= q
+
+
+def test_reprocess_quarantine_closes_the_dlq_loop(spark):
+    """divert → fix rules → replay: after the offending expectation is
+    dropped, `reprocess_quarantine_spark` lands the dead-lettered rows
+    through the normal MERGE and clears the replayed batches. While
+    the expectation still stands, replay RE-diverts (count stable,
+    exactly one copy, reprocess provenance). Per-constraint replay
+    preserves the other expectations' rows. Same key diverted twice
+    replays only its latest payload — no duplicate keys planted."""
+    from distribot_spark.sources.acid import (
+        alter_drop_constraint,
+        append_spark,
+        quarantine_dir,
+        read_quarantine,
+        reprocess_quarantine_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+        constraints={
+            "val_nonneg": {"col": "val", "min": 0,
+                           "on_violation": "quarantine"},
+            "val_cap": {"col": "val", "max": 1000,
+                        "on_violation": "quarantine"},
+        },
+    )
+    # two corrections of the same key land in the DLQ; only the latest
+    # (-2.0) must replay
+    append_spark(spark, t,
+                 spark.createDataFrame([(100, -1.0)], "k long, val double"))
+    time.sleep(0.05)  # distinct _qts
+    append_spark(spark, t,
+                 spark.createDataFrame([(100, -2.0), (200, 2000.0)],
+                                       "k long, val double"))
+
+    # replay with rules unchanged: everything re-diverts, one copy each
+    st = reprocess_quarantine_spark(spark, t)
+    assert st["n_replayed"] == 2 and st["n_rediverted"] == 2, st
+    q = sorted((r.k, r.val, r._writer)
+               for r in read_quarantine(spark, t).collect())
+    assert q == [(100, -2.0, "reprocess"), (200, 2000.0, "reprocess")], q
+
+    # fix ONLY the cap: per-constraint replay lands 200, keeps 100
+    alter_drop_constraint(t, "val_cap")
+    st = reprocess_quarantine_spark(spark, t, constraint="val_cap")
+    assert st["n_replayed"] == 1 and st["n_rediverted"] == 0, st
+    got = dict(_logical_rows(spark, t))
+    assert got[200] == 2000.0 and 100 not in got
+    q = [(r.k, r.val) for r in read_quarantine(spark, t).collect()]
+    assert q == [(100, -2.0)], q
+
+    # fix the floor too: full replay drains the DLQ
+    alter_drop_constraint(t, "val_nonneg")
+    st = reprocess_quarantine_spark(spark, t)
+    assert st["n_replayed"] == 1 and st["n_rediverted"] == 0, st
+    got = dict(_logical_rows(spark, t))
+    assert got[100] == -2.0
+    qroot = quarantine_dir(t)
+    assert not os.path.isdir(qroot) or not os.listdir(qroot)
+    # idempotent on empty
+    assert reprocess_quarantine_spark(spark, t) == {
+        "n_replayed": 0, "n_rediverted": 0}
