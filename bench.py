@@ -135,6 +135,13 @@ HEADLINE = [
     "source_acid_vacuum_travel",
     "source_acid_hash_buckets",
     "l3_ivf_append_serve",
+    # round-6 late additions: the governed-write families — constraint
+    # ALTER lifecycle (validation scan + barrier commit + rejected and
+    # replayed MERGE waves) and the streaming expectations pipeline
+    # (per-batch quarantine diversion through the foreachBatch MERGE
+    # sink). Both are write-path governance overhead worth tracking.
+    "source_acid_alter_constraints",
+    "s28_stream_expectations_quarantine",
 ]
 
 
