@@ -206,52 +206,70 @@ def test_two_processes_compete(spark):
     """THE multi-process proof: a second engine in a second OS process
     (own JVM, own SparkSession) shares the state root and splits the
     phase. Task log shows each task processed once; both processes'
-    worker ids appear among the committed slice claims."""
-    root = _state_root()
-    engine = _mkengine(spark, root, wave_slices=8)
-    spec = dict(COMPETE_FLOW, data={"n_tasks": 48, "task_sec": 0.25})
-    fid = engine.create_flow(spec)
+    worker ids appear among the committed slice claims.
 
-    ready = os.path.join(root, "worker_b_ready.txt")
-    proc = subprocess.Popen(
-        [sys.executable, os.path.join(os.path.dirname(__file__),
-                                      "flow_worker_proc.py"), root, fid, ready],
-        cwd="/root/repo",
-        stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
-        text=True,
+    The exactly-once properties are STRICT invariants, asserted on
+    every attempt. Work actually splitting across both processes is a
+    LIVENESS property that depends on the host scheduler: under a
+    loaded machine (full-suite runs) worker B's JVM can take longer to
+    claim its first slice than A takes to drain the whole flow — a
+    fair race outcome, not a correctness bug. Bounded retry (3 fresh
+    roots) makes the split overwhelmingly likely while any duplicated
+    or lost task still fails the test immediately."""
+    for attempt in range(3):
+        root = _state_root()
+        engine = _mkengine(spark, root, wave_slices=8)
+        spec = dict(COMPETE_FLOW, data={"n_tasks": 48, "task_sec": 0.25})
+        fid = engine.create_flow(spec)
+
+        ready = os.path.join(root, "worker_b_ready.txt")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "flow_worker_proc.py"),
+             root, fid, ready],
+            cwd="/root/repo",
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        try:
+            deadline = time.time() + 120
+            while not os.path.exists(ready):
+                assert proc.poll() is None, \
+                    "worker process died during startup"
+                assert time.time() < deadline, \
+                    "worker process never became ready"
+                time.sleep(0.2)
+            worker_b = open(ready).read().strip()
+
+            result = engine.run(fid)
+            out, _ = proc.communicate(timeout=240)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        # strict invariants — every attempt, no retry absolution
+        assert result == "finished"
+        assert proc.returncode == 0, out
+        assert "RESULT:finished" in out
+
+        raw = _raw_task_rows(engine.state, fid)
+        work = raw[raw.phase == "work"]
+        assert len(work) == 48 and work.task_id.nunique() == 48
+        assert (work.status == "ok").all()
+
+        trans = [(t["from"], t["to"]) for t in engine.state.transitions(fid)]
+        assert len(trans) == len(set(trans))
+
+        claims = engine.state.claims(fid)
+        waves = claims[claims.key.str.contains(".a1.s", regex=False)]
+        owners = set(waves.done_owner) - {None}
+        assert owners <= {engine.worker_id, worker_b}, owners
+        if owners == {engine.worker_id, worker_b}:
+            return  # the liveness property held
+    raise AssertionError(
+        f"work never split across both processes in {attempt + 1} "
+        f"attempts: {owners}"
     )
-    try:
-        deadline = time.time() + 120
-        while not os.path.exists(ready):
-            assert proc.poll() is None, "worker process died during startup"
-            assert time.time() < deadline, "worker process never became ready"
-            time.sleep(0.2)
-        worker_b = open(ready).read().strip()
-
-        result = engine.run(fid)
-        out, _ = proc.communicate(timeout=240)
-    finally:
-        if proc.poll() is None:
-            proc.kill()
-    assert result == "finished"
-    assert proc.returncode == 0, out
-    assert "RESULT:finished" in out
-
-    raw = _raw_task_rows(engine.state, fid)
-    work = raw[raw.phase == "work"]
-    assert len(work) == 48 and work.task_id.nunique() == 48
-    assert (work.status == "ok").all()
-
-    claims = engine.state.claims(fid)
-    waves = claims[claims.key.str.contains(".a1.s", regex=False)]
-    owners = set(waves.done_owner) - {None}
-    assert owners == {engine.worker_id, worker_b}, (
-        f"both processes must commit slices: {owners}"
-    )
-
-    trans = [(t["from"], t["to"]) for t in engine.state.transitions(fid)]
-    assert len(trans) == len(set(trans))
 
 
 def test_late_joining_engine_is_harmless(spark):
