@@ -351,7 +351,13 @@ class TableLog:
         O_CREAT|O_EXCL claim primitive. Data writers do NOT take this
         lock — they serialize against ALTER through the commit log
         barrier instead (see `alter_add_constraint_spark`). A lock file
-        older than ``stale_after`` (crashed ALTER) is stolen."""
+        older than ``stale_after`` (crashed ALTER) is stolen; the
+        stat-then-unlink steal has the classic tiny race (a fresh lock
+        created between the two calls could be unlinked) — it needs a
+        30 s-stale lock AND two concurrent stealers AND a microsecond
+        interleave, and the blast radius is two metadata mutations
+        racing, whose effects are themselves monotonic-rev'd — so it
+        is documented rather than armored."""
         lock = self._meta_lock_path()
         deadline = time.time() + timeout
         while True:
@@ -898,7 +904,10 @@ def merge_upsert_pandas(
     _rev0 = _gate_state(table)  # BEFORE resolving: a rules change
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
+    uniq = _unique_constraints(table, key)
     updates, _nq, _qdir = _apply_constraints_pandas(table, updates, writer)
+    if uniq and version is None:
+        _check_batch_unique_pandas(updates, key, next(iter(uniq)))
     up = updates.copy()
     hashed = table.hash_buckets()
     up["_pb"] = up[key].astype("int64").map(
@@ -1010,6 +1019,52 @@ def _constraint_ok_expr(c: dict):
     return ok
 
 
+def _unique_constraints(table: TableLog, key: str) -> dict:
+    """UNIQUE specs ({"col": k, "unique": True}) — the primary-key
+    contract Delta never shipped. Only the merge key is supported:
+    MERGE/SYNC keep key-uniqueness by construction, so enforcement
+    concentrates on the paths that can break it — blind APPENDs (batch
+    vs batch-internal dups AND vs the live table) and dup-carrying
+    un-versioned MERGE batches. Fail-mode only: there is no principled
+    row to quarantine out of a duplicate pair."""
+    out = {}
+    for n, c in sorted(table.constraints().items()):
+        if c.get("unique"):
+            if c["col"] != key:
+                raise ValueError(
+                    f"UNIQUE constraint {n!r} targets {c['col']!r}; only "
+                    f"the merge key {key!r} is supported"
+                )
+            if c.get("on_violation") == "quarantine":
+                raise ValueError(
+                    f"UNIQUE constraint {n!r}: quarantine mode is not "
+                    "supported (no principled row to divert)"
+                )
+            out[n] = c
+    return out
+
+
+def _check_batch_unique_spark(df, key: str, name: str) -> None:
+    from pyspark.sql import functions as F
+
+    a = df.agg(F.count(key).alias("n"),
+               F.countDistinct(key).alias("d")).collect()[0]
+    if a.n != a.d:
+        raise ValueError(
+            f"UNIQUE constraint '{name}' violated: {a.n - a.d} duplicate "
+            f"key(s) within the batch"
+        )
+
+
+def _check_batch_unique_pandas(frame, key: str, name: str) -> None:
+    dups = int(frame[key].duplicated().sum())
+    if dups:
+        raise ValueError(
+            f"UNIQUE constraint '{name}' violated: {dups} duplicate "
+            f"key(s) within the batch"
+        )
+
+
 def _constraint_guard_spark(df, constraints: dict):
     """Wrap ``df`` so the NEXT job over it fails on any CHECK-violating
     row (assert_true inside a filter — evaluated executor-side in the
@@ -1030,6 +1085,8 @@ def _constraint_guard_spark(df, constraints: dict):
     cols = set(df.columns)
     for name in sorted(constraints):
         c = constraints[name]
+        if c.get("unique"):
+            continue  # set-level; enforced by the write paths directly
         if c["col"] not in cols:
             if c.get("not_null"):
                 raise ValueError(
@@ -1058,7 +1115,15 @@ def read_quarantine(spark, table: TableLog):
     """The dead-letter area: every row a quarantine-mode constraint
     diverted, with ``_constraint`` (which expectation failed),
     ``_writer`` and ``_qts`` provenance columns. Empty-schema-safe only
-    when something was quarantined — callers check `os.path.isdir`."""
+    when something was quarantined — callers check `os.path.isdir`.
+
+    Contract: AT-LEAST-ONCE, a superset of the diverted rows of
+    committed writes. A diverted row is never lost, but the area may
+    also hold rows from a write that later ABORTED (diversion happens
+    pre-stage; a fail-mode clause or a lost OCC race can still kill
+    the write afterwards) and duplicates from redelivered batches
+    (see s28). Consumers dedup by key/payload — `reprocess_quarantine_
+    spark` does — exactly like any redelivered DLQ."""
     return spark.read.option("mergeSchema", "true").option(
         "recursiveFileLookup", "true"
     ).parquet(quarantine_dir(table))
@@ -1258,6 +1323,8 @@ def _constraint_guard_pandas(frame, constraints: dict) -> None:
 
     for name in sorted(constraints):
         c = constraints[name]
+        if c.get("unique"):
+            continue  # set-level; enforced by the write paths directly
         if c["col"] not in frame.columns:
             if c.get("not_null"):
                 raise ValueError(
@@ -1324,6 +1391,14 @@ def alter_add_constraint_spark(
     between the meta persist and the barrier commit."""
     if "col" not in spec:
         raise ValueError("constraint spec needs a 'col'")
+    if spec.get("unique"):
+        pkey = key if key is not None else table.layout()[0]
+        if pkey is None or spec["col"] != pkey:
+            raise ValueError(
+                f"UNIQUE constraint must target the merge key {pkey!r}"
+            )
+        if spec.get("on_violation") == "quarantine":
+            raise ValueError("UNIQUE does not support quarantine mode")
     is_fail = spec.get("on_violation", "fail") == "fail"
     attempts = 0
     while attempts < max_attempts:
@@ -1334,11 +1409,18 @@ def alter_add_constraint_spark(
         v = table.version()
         if is_fail and v >= 0:
             df = read_snapshot_spark(spark, table, version=v, dv_key=key)
-            nbad = df.filter(~_constraint_ok_expr(spec)).count()
+            if spec.get("unique"):
+                from pyspark.sql import functions as F
+                nbad = df.groupBy(spec["col"]).count().filter(
+                    F.col("count") > 1
+                ).count()
+            else:
+                nbad = df.filter(~_constraint_ok_expr(spec)).count()
             if nbad:
                 raise ValueError(
                     f"cannot add CHECK constraint {name!r}: {nbad} "
-                    f"existing row(s) violate it (column {spec['col']!r})"
+                    f"existing row(s)/key(s) violate it "
+                    f"(column {spec['col']!r})"
                 )
         with table._meta_lock():
             meta = table._meta()
@@ -1438,8 +1520,14 @@ def merge_upsert_spark(
     _rev0 = _gate_state(table)  # BEFORE resolving: a rules change
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
+    uniq = _unique_constraints(table, key)
     updates_df, _nq, _qdir = _apply_constraints_spark(spark, table,
                                                       updates_df, writer)
+    if uniq and version is None:
+        # a dup-carrying un-versioned batch would plant duplicate keys
+        # (both copies survive the rewrite); versioned merges collapse
+        # dups by the version argmax, so they are exempt
+        _check_batch_unique_spark(updates_df, key, next(iter(uniq)))
     up = updates_df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1609,9 +1697,12 @@ def sync_snapshot_spark(
 
     _rev0 = _gate_state(table)  # BEFORE resolving (see merge note)
     key, n_buckets = _resolve_layout(table, key, n_buckets)
+    uniq = _unique_constraints(table, key)
     hashed = table.hash_buckets()
     source_df, _nq, _qdir = _apply_constraints_spark(spark, table, source_df,
                                                      writer)
+    if uniq:
+        _check_batch_unique_spark(source_df, key, next(iter(uniq)))
     src = source_df.withColumn("_pb", _bucket_expr(key, n_buckets, hashed))
     data_cols = [c for c in source_df.columns if c != key]
     attempts = 0
@@ -1695,7 +1786,10 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
     way, so subsequent writers/readers may omit both."""
     table.init(hash_buckets=hash_buckets, constraints=constraints,
                key=key, n_buckets=n_buckets)
+    uniq = _unique_constraints(table, key)
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
+    if uniq:
+        _check_batch_unique_spark(df, key, next(iter(uniq)))
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -1871,9 +1965,9 @@ def _apply_dvs(spark, table: TableLog, base, key: str,
 def delete_keys_pandas(
     table: TableLog,
     keys,
-    key: str,
-    n_buckets: int,
-    writer: str,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "delete",
     max_attempts: int = 50,
     pre_commit_hook=None,
 ) -> dict:
@@ -1886,6 +1980,8 @@ def delete_keys_pandas(
     two sidecars of one file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
 
     kset = {int(k) for k in keys}
     touched = {_bucket_of_py(k, n_buckets, table.hash_buckets())
@@ -2196,13 +2292,22 @@ def append_spark(
 
     Caller contract: rows are NEW keys (fact/event append). Appending a
     key that already exists duplicates it — by design, exactly like
-    parquet/Delta append; use `merge_upsert_spark` for upserts."""
+    parquet/Delta append — UNLESS the table declares a UNIQUE
+    constraint on the merge key: then the batch is checked against
+    itself (one agg job) and against the live rows of exactly its
+    TOUCHED buckets (column-pruned, DV-folded scan), re-checked on any
+    commit attempt whose bucket file set changed (the OCC winner may
+    have appended the same key) — the primary-key contract, priced at
+    one key-column scan of the target buckets per append."""
     from pyspark.sql import functions as F
 
     _rev0 = _gate_state(table)  # BEFORE resolving: a rules change
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
+    uniq = _unique_constraints(table, key)
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
+    if uniq:
+        _check_batch_unique_spark(df, key, next(iter(uniq)))
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -2210,9 +2315,33 @@ def append_spark(
         spark, table, up, n_buckets, sort_cols=["_pb", key],
         stats_cols=stats_cols,
     )
+    touched = {a["pb"] for a in staged}
+    checked_fileset = None
     attempts = 0
     while attempts < max_attempts:
-        v = table.version()
+        if uniq:
+            v, live = table.snapshot()
+            tb = tuple(sorted(f for f, b in live.items() if b in touched))
+            if tb and tb != checked_fileset:
+                base = spark.read.option("mergeSchema", "true").parquet(
+                    *[table.data_path(f) for f in tb]
+                )
+                dvmap = {f: ds for f, ds in table.live_dvs().items()
+                         if f in set(tb)}
+                base = _apply_dvs(spark, table, base, key, dvmap,
+                                  files=set(tb))
+                nconf = base.select(key).join(
+                    up.select(key).distinct(), key, "inner"
+                ).count()
+                if nconf:
+                    _unlink_staged(table, staged)
+                    raise ValueError(
+                        f"UNIQUE constraint '{next(iter(uniq))}' "
+                        f"violated: {nconf} key(s) already exist"
+                    )
+            checked_fileset = tb
+        else:
+            v = table.version()
         if pre_commit_hook is not None:
             pre_commit_hook(v)
         if _gate_state(table) != _rev0:
@@ -2252,7 +2381,10 @@ def append_pandas(
     _rev0 = _gate_state(table)  # BEFORE resolving: a rules change
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
+    uniq = _unique_constraints(table, key)
     batch, _nq, _qdir = _apply_constraints_pandas(table, batch, writer)
+    if uniq:
+        _check_batch_unique_pandas(batch, key, next(iter(uniq)))
     hashed = table.hash_buckets()
     pb = batch[key].astype("int64").map(
         lambda k: _bucket_of_py(k, n_buckets, hashed)
@@ -2266,9 +2398,36 @@ def append_pandas(
             table.data_path(name),
         )
         staged.append({"file": name, "pb": int(b)})
+    touched = {a["pb"] for a in staged}
+    batch_keys = set(batch[key].astype("int64"))
+    checked_fileset = None
     attempts = 0
     while attempts < max_attempts:
-        v = table.version()
+        v, live = table.snapshot()
+        if uniq:
+            tb = tuple(sorted(
+                f for f, b in live.items()
+                if b in touched and f not in {a["file"] for a in staged}
+            ))
+            if tb and tb != checked_fileset:
+                dvmap = table.live_dvs()
+                nconf = 0
+                for f in tb:
+                    ks = set(pq.read_table(
+                        table.data_path(f), columns=[key]
+                    ).to_pandas()[key].astype("int64"))
+                    for d in dvmap.get(f, ()):
+                        ks -= set(pq.read_table(
+                            table.data_path(d)
+                        ).to_pandas()[key].astype("int64"))
+                    nconf += len(ks & batch_keys)
+                if nconf:
+                    _unlink_staged(table, staged)
+                    raise ValueError(
+                        f"UNIQUE constraint '{next(iter(uniq))}' "
+                        f"violated: {nconf} key(s) already exist"
+                    )
+            checked_fileset = tb
         if _gate_state(table) != _rev0:
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)

@@ -2263,3 +2263,151 @@ def test_reprocess_quarantine_closes_the_dlq_loop(spark):
     # idempotent on empty
     assert reprocess_quarantine_spark(spark, t) == {
         "n_replayed": 0, "n_rediverted": 0}
+
+
+def test_unique_constraint_primary_key_contract(spark):
+    """UNIQUE on the merge key — the primary-key contract: blind
+    APPENDs are checked batch-internally AND against the live rows of
+    their touched buckets (DV-folded), un-versioned MERGE batches must
+    carry distinct keys, versioned merges are exempt (the argmax
+    collapses dups), and a DV-deleted key may legally be re-appended.
+    Both clients."""
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        delete_keys_spark,
+        merge_upsert_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+        constraints={"pk": {"col": "k", "unique": True}},
+    )
+
+    # fresh keys append fine
+    append_spark(spark, t,
+                 spark.createDataFrame([(100, 1.0)], "k long, val double"))
+    append_pandas(t, pd.DataFrame({"k": [101], "val": [2.0]}))
+
+    # batch-internal duplicate
+    with pytest.raises(ValueError, match="duplicate key"):
+        append_spark(
+            spark, t,
+            spark.createDataFrame([(200, 1.0), (200, 2.0)],
+                                  "k long, val double"),
+        )
+    # key already live — both clients
+    with pytest.raises(ValueError, match="already exist"):
+        append_spark(
+            spark, t,
+            spark.createDataFrame([(3, 9.0)], "k long, val double"),
+        )
+    with pytest.raises(ValueError, match="already exist"):
+        append_pandas(t, pd.DataFrame({"k": [100], "val": [9.0]}))
+
+    # upsert of an existing key is legal (MERGE preserves uniqueness)
+    merge_upsert_spark(
+        spark, t, spark.createDataFrame([(3, 33.0)], "k long, val double"),
+    )
+    # un-versioned MERGE batch with internal dups is NOT
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert_spark(
+            spark, t,
+            spark.createDataFrame([(4, 1.0), (4, 2.0)],
+                                  "k long, val double"),
+        )
+
+    # DV-delete then re-append: legal (the fold sees the key as gone)
+    delete_keys_spark(spark, t, spark.createDataFrame([(5,)], "k long"))
+    append_spark(spark, t,
+                 spark.createDataFrame([(5, 55.0)], "k long, val double"))
+
+    got = dict(_logical_rows(spark, t))
+    assert got[3] == 33.0 and got[5] == 55.0 and got[100] == 1.0
+    assert len(got) == len(set(got))  # keys unique by construction
+
+
+def test_unique_constraint_occ_recheck_on_lost_race(spark):
+    """The race PK enforcement must survive: two appends of the SAME
+    key interleave; the loser's re-commit path re-checks uniqueness
+    against the changed bucket file set and FAILS instead of silently
+    planting the duplicate (a blind adds-only re-commit would)."""
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(4)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+        constraints={"pk": {"col": "k", "unique": True}},
+    )
+    state = {}
+
+    def racer_commits_same_key(v):
+        if "done" in state:
+            return
+        state["done"] = True
+        state["racer"] = append_pandas(
+            t, pd.DataFrame({"k": [50], "val": [1.0]}),
+        )
+
+    with pytest.raises(ValueError, match="already exist"):
+        append_spark(
+            spark, t,
+            spark.createDataFrame([(50, 2.0)], "k long, val double"),
+            pre_commit_hook=racer_commits_same_key,
+        )
+    assert state["racer"]["committed_version"] == t.version()
+    got = dict(_logical_rows(spark, t))
+    assert got[50] == 1.0  # the racer's row, exactly once
+
+
+def test_unique_constraint_alter_add_validates_table(spark):
+    """ALTER ADD unique: rejected while duplicate keys exist, installs
+    after they are merged away; wrong column and quarantine mode are
+    rejected up front."""
+    from distribot_spark.sources.acid import (
+        alter_add_constraint_spark,
+        append_spark,
+        merge_upsert_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(4)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    append_spark(spark, t,
+                 spark.createDataFrame([(3, 9.0)], "k long, val double"))
+    with pytest.raises(ValueError, match="violate it"):
+        alter_add_constraint_spark(spark, t, "pk",
+                                   {"col": "k", "unique": True})
+    with pytest.raises(ValueError, match="merge key"):
+        alter_add_constraint_spark(spark, t, "pk2",
+                                   {"col": "val", "unique": True})
+    with pytest.raises(ValueError, match="quarantine"):
+        alter_add_constraint_spark(
+            spark, t, "pk3",
+            {"col": "k", "unique": True, "on_violation": "quarantine"},
+        )
+    # the upsert collapses the dup; ALTER then installs and enforces
+    merge_upsert_spark(
+        spark, t, spark.createDataFrame([(3, 3.0)], "k long, val double"),
+    )
+    alter_add_constraint_spark(spark, t, "pk", {"col": "k", "unique": True})
+    with pytest.raises(ValueError, match="already exist"):
+        append_spark(spark, t,
+                     spark.createDataFrame([(3, 1.0)], "k long, val double"))
