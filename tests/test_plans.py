@@ -552,3 +552,42 @@ def test_dv_fold_is_broadcast_anti_join(spark):
     plan = explain_string(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_unique_check_scan_is_key_pruned(spark):
+    """The PK conflict check (UNIQUE constraint, append path) must
+    column-prune its bucket scan to the key alone: it reads only the
+    touched buckets' key column to decide admission, so at 100 TB the
+    price of PK enforcement is a single-column scan of the target
+    buckets, not a full-width read."""
+    from distribot_spark.sources.acid import (
+        TableLog,
+        _apply_dvs,
+        write_initial_spark,
+    )
+    from tests.test_table_acid import _tmp_table
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame(
+            [(k, float(k), "x" * 10) for k in range(64)],
+            "k long, val double, pad string"),
+        "k", n_buckets=4,
+        constraints={"pk": {"col": "k", "unique": True}},
+    )
+    # the exact conflict-check plan append_spark builds
+    _, live = t.snapshot()
+    base = spark.read.option("mergeSchema", "true").parquet(
+        *[t.data_path(f) for f in live]
+    )
+    base = _apply_dvs(spark, t, base, "k", {}, files=set(live))
+    probe = spark.createDataFrame([(99,)], "k long")
+    check = base.select("k").join(probe, "k", "inner")
+    plan = explain_string(check)
+    # scan reads the key column only — val/pad pruned away
+    import re
+    read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert read_schemas, plan
+    assert all("val" not in rs and "pad" not in rs for rs in read_schemas), plan
+    assert any("k" in rs for rs in read_schemas), plan
