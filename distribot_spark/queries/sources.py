@@ -1740,3 +1740,87 @@ def source_acid_alter_constraints(spark, sf_dir):
     ).withColumn("n_quarantined", F.lit(n_q).cast("long")).withColumn(
         "head_version", F.lit(3)
     )
+
+
+@register(
+    "source_acid_generated_columns",
+    oracle="""
+    WITH feed AS (
+        SELECT o_orderkey AS k, o_orderdate, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderdate, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    gen AS (
+        SELECT k,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                 AS ym,
+               o_totalprice
+        FROM feed
+    )
+    SELECT COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total,
+           COUNT(DISTINCT ym) AS n_months
+    FROM gen WHERE ym BETWEEN 199601 AND 199612
+    """,
+    tags=("sources", "acid", "generated", "skipping"),
+)
+def source_acid_generated_columns(spark, sf_dir):
+    """GENERATED columns end to end (Delta's GENERATED ALWAYS AS, the
+    partition-derived-column pattern): the table declares ``ym`` =
+    yyyymm(o_orderdate) in metadata; NO writer ever supplies it — the
+    create and the append wave both carry only raw columns and the
+    engine materializes ym identically in every client (portable DSL,
+    `_generated_expr_spark`). The payoff the feature exists for:
+    OPTIMIZE clusters on ym, manifest min/max stats land per file, and
+    a ym-window read file-skips WITHOUT opening files — asserted >0
+    pruned, with the census computed FROM THE PRUNED FILE LIST so the
+    hash oracle certifies skipping drops no rows (the
+    source_acid_optimize discipline applied to a column no writer ever
+    wrote). The oracle recomputes ym in pure SQL — if any client's DSL
+    evaluation drifted, the window census would hash-mismatch."""
+    import shutil
+
+    from distribot_spark.sources import TableLog
+    from distribot_spark.sources.acid import (
+        append_spark,
+        optimize_table_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_gen_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderdate", "o_totalprice",
+    )
+    write_initial_spark(
+        spark, table, orders, "k", n_buckets=16,
+        generated={"ym": {"fn": "yyyymm", "src": "o_orderdate"}},
+    )
+    wave = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    ).select(
+        (F.col("o_orderkey") + 100000000).alias("k"),
+        "o_orderdate", "o_totalprice",
+    )
+    append_spark(spark, table, wave, writer="feed")
+
+    optimize_table_spark(
+        spark, table, writer="cluster", sort_col="ym",
+        files_per_bucket=4, stats_cols=("ym",), rewrite_all=True,
+    )
+    kept, pruned = table.live_paths_pruned("ym", 199601, 199612)
+    assert pruned > 0, "ym clustering must enable file skipping"
+
+    cur = spark.read.option("mergeSchema", "true").parquet(*kept)
+    return (
+        cur.filter(F.col("ym").between(199601, 199612))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("total"),
+            F.countDistinct("ym").cast("long").alias("n_months"),
+        )
+    )

@@ -216,7 +216,8 @@ class TableLog:
     def init(self, hash_buckets: bool = False,
              constraints: dict | None = None,
              key: str | None = None,
-             n_buckets: int | None = None) -> None:
+             n_buckets: int | None = None,
+             generated: dict | None = None) -> None:
         """Create the table directories and persist immutable table
         options. ``hash_buckets=True`` switches the bucket function to
         `pmod(xxhash64(key), n)` for skew resistance — recorded in
@@ -253,6 +254,8 @@ class TableLog:
                 body["key"] = key
             if n_buckets is not None:
                 body["n_buckets"] = int(n_buckets)
+            if generated:
+                body["generated"] = generated
             tmp = meta + f".tmp{uuid.uuid4().hex[:6]}"
             with open(tmp, "w") as fh:
                 json.dump(body, fh)
@@ -273,6 +276,13 @@ class TableLog:
     def constraints(self) -> dict:
         """The persisted CHECK constraints ({} when none)."""
         return self._meta().get("constraints") or {}
+
+    def generated(self) -> dict:
+        """The persisted GENERATED column specs ({} when none) —
+        Delta's GENERATED ALWAYS AS, fixed at creation: {out_col:
+        {"fn": ..., "src": ..., params}} in the portable mini-DSL both
+        clients evaluate identically (see `_generated_expr_spark`)."""
+        return self._meta().get("generated") or {}
 
     def layout(self) -> tuple[str | None, int | None]:
         """The persisted (merge key, bucket count), or (None, None) on
@@ -905,6 +915,7 @@ def merge_upsert_pandas(
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
+    updates = _apply_generated_pandas(table, updates)
     updates, _nq, _qdir = _apply_constraints_pandas(table, updates, writer)
     if uniq and version is None:
         _check_batch_unique_pandas(updates, key, next(iter(uniq)))
@@ -1017,6 +1028,109 @@ def _constraint_ok_expr(c: dict):
     if "isin" in c:
         ok = ok & (col.isNull() | col.isin(list(c["isin"])))
     return ok
+
+
+def _generated_expr_spark(g: dict):
+    """One generated-column spec as a Spark Column. The DSL is the
+    same portability bet as the constraint DSL: a handful of
+    deterministic derivations both clients (and the DuckDB oracles)
+    spell identically — enough for the partition-style derived columns
+    generated columns exist for (date parts, prefixes, shards).
+    ``div`` truncates like Spark DIV; callers must keep the source
+    non-negative (the CLAUDE.md floor-division rule)."""
+    from pyspark.sql import functions as F
+
+    src = F.col(g["src"])
+    fn = g["fn"]
+    if fn == "year":
+        return F.year(src).cast("int")
+    if fn == "month":
+        return F.month(src).cast("int")
+    if fn == "yyyymm":
+        return (F.year(src) * 100 + F.month(src)).cast("int")
+    if fn == "substr":
+        return src.substr(int(g["pos"]), int(g["len"]))
+    if fn == "pmod":
+        return F.pmod(src.cast("long"), F.lit(int(g["n"]))).cast("long")
+    if fn == "div":
+        return F.expr(
+            f"CAST({g['src']} DIV {int(g['n'])} AS BIGINT)"
+        )
+    raise ValueError(f"unknown generated fn {fn!r}")
+
+
+def _apply_generated_spark(table: TableLog, df):
+    """Materialize generated columns on a write: ABSENT columns are
+    computed (the normal path — writers never hand-maintain them);
+    PRESENT columns are VALIDATED against the generation expression
+    row by row (Delta's contract: you may supply the value, but it
+    must be the generated one) with the filter-on-assert spelling, so
+    a drifted value fails the write instead of corrupting the derived
+    column downstream pruning relies on."""
+    gens = table.generated()
+    if not gens:
+        return df
+    from pyspark.sql import functions as F
+
+    for col in sorted(gens):
+        expr = _generated_expr_spark(gens[col])
+        if col in df.columns:
+            df = df.filter(
+                F.assert_true(
+                    F.col(col).eqNullSafe(expr),
+                    F.concat(
+                        F.lit(f"generated column '{col}' mismatch: "),
+                        F.col(col).cast("string"),
+                    ),
+                ).isNull()
+            )
+        else:
+            df = df.withColumn(col, expr)
+    return df
+
+
+def _apply_generated_pandas(table: TableLog, frame):
+    """pandas-client twin of `_apply_generated_spark` — same DSL, same
+    compute-or-validate semantics, evaluated with pandas ops."""
+    import pandas as pd
+
+    gens = table.generated()
+    if not gens:
+        return frame
+    frame = frame.copy()
+    for col in sorted(gens):
+        g = gens[col]
+        src = frame[g["src"]]
+        fn = g["fn"]
+        if fn == "year":
+            val = pd.to_datetime(src).dt.year.astype("int32")
+        elif fn == "month":
+            val = pd.to_datetime(src).dt.month.astype("int32")
+        elif fn == "yyyymm":
+            dt = pd.to_datetime(src)
+            val = (dt.dt.year * 100 + dt.dt.month).astype("int32")
+        elif fn == "substr":
+            val = src.astype(str).str.slice(
+                int(g["pos"]) - 1, int(g["pos"]) - 1 + int(g["len"])
+            )
+        elif fn == "pmod":
+            val = src.astype("int64") % int(g["n"])
+        elif fn == "div":
+            v = src.astype("int64")
+            val = (v - ((v % int(g["n"])) + int(g["n"])) % int(g["n"])
+                   ) // int(g["n"])  # truncation ≡ floor: non-neg contract
+        else:
+            raise ValueError(f"unknown generated fn {fn!r}")
+        if col in frame.columns:
+            ok = frame[col].eq(val) | (frame[col].isna() & val.isna())
+            if not ok.all():
+                raise ValueError(
+                    f"generated column '{col}' mismatch in "
+                    f"{int((~ok).sum())} row(s)"
+                )
+        else:
+            frame[col] = val
+    return frame
 
 
 def _unique_constraints(table: TableLog, key: str) -> dict:
@@ -1521,6 +1635,7 @@ def merge_upsert_spark(
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
+    updates_df = _apply_generated_spark(table, updates_df)
     updates_df, _nq, _qdir = _apply_constraints_spark(spark, table,
                                                       updates_df, writer)
     if uniq and version is None:
@@ -1699,6 +1814,7 @@ def sync_snapshot_spark(
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
     hashed = table.hash_buckets()
+    source_df = _apply_generated_spark(table, source_df)
     source_df, _nq, _qdir = _apply_constraints_spark(spark, table, source_df,
                                                      writer)
     if uniq:
@@ -1777,7 +1893,8 @@ def sync_snapshot_spark(
 def write_initial_spark(spark, table: TableLog, df, key: str,
                         n_buckets: int, writer: str = "init",
                         hash_buckets: bool = False,
-                        constraints: dict | None = None) -> int:
+                        constraints: dict | None = None,
+                        generated: dict | None = None) -> int:
     """Create version 0 from a DataFrame (one file per bucket).
     ``hash_buckets=True`` persists the skew-resistant bucket function
     and ``constraints`` the CHECK constraints (see `TableLog.init`);
@@ -1785,8 +1902,9 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
     a call argument. The LAYOUT (key, n_buckets) is persisted the same
     way, so subsequent writers/readers may omit both."""
     table.init(hash_buckets=hash_buckets, constraints=constraints,
-               key=key, n_buckets=n_buckets)
+               key=key, n_buckets=n_buckets, generated=generated)
     uniq = _unique_constraints(table, key)
+    df = _apply_generated_spark(table, df)
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
     if uniq:
         _check_batch_unique_spark(df, key, next(iter(uniq)))
@@ -2305,6 +2423,7 @@ def append_spark(
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
+    df = _apply_generated_spark(table, df)
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
     if uniq:
         _check_batch_unique_spark(df, key, next(iter(uniq)))
@@ -2382,6 +2501,7 @@ def append_pandas(
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
+    batch = _apply_generated_pandas(table, batch)
     batch, _nq, _qdir = _apply_constraints_pandas(table, batch, writer)
     if uniq:
         _check_batch_unique_pandas(batch, key, next(iter(uniq)))

@@ -46,7 +46,8 @@ class Table:
     @classmethod
     def create(cls, spark, path: str, df, key: str, n_buckets: int,
                hash_buckets: bool = False,
-               constraints: dict | None = None) -> "Table":
+               constraints: dict | None = None,
+               generated: dict | None = None) -> "Table":
         """Create version 0 from a DataFrame (fails if the table
         exists); ``hash_buckets`` persists the skew-resistant bucket
         function and ``constraints`` the CHECK constraints in table
@@ -54,7 +55,8 @@ class Table:
         t = cls(spark, path, key, n_buckets)
         acid.write_initial_spark(spark, t.log, df, key, n_buckets,
                                  hash_buckets=hash_buckets,
-                                 constraints=constraints)
+                                 constraints=constraints,
+                                 generated=generated)
         return t
 
     @classmethod

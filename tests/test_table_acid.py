@@ -2411,3 +2411,86 @@ def test_unique_constraint_alter_add_validates_table(spark):
     with pytest.raises(ValueError, match="already exist"):
         append_spark(spark, t,
                      spark.createDataFrame([(3, 1.0)], "k long, val double"))
+
+
+def test_generated_columns_computed_and_validated(spark):
+    """GENERATED ALWAYS AS: derived columns (date parts, shards,
+    prefixes) are table metadata — ABSENT on a write they are computed
+    by the engine (both clients, identical portable DSL); PRESENT they
+    are validated row-by-row and a drifted value fails the write, so
+    the derived column downstream pruning relies on can never rot."""
+    import datetime
+
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        merge_upsert_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    d = datetime.date
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame(
+            [(1, d(1996, 3, 14), 10.0), (2, d(1997, 11, 2), 20.0)],
+            "k long, dt date, val double"),
+        "k", n_buckets=2,
+        generated={"ym": {"fn": "yyyymm", "src": "dt"},
+                   "shard": {"fn": "pmod", "src": "k", "n": 4}},
+    )
+    got = {r.k: (r.ym, r.shard)
+           for r in read_snapshot_spark(spark, t).collect()}
+    assert got == {1: (199603, 1), 2: (199711, 2)}, got
+
+    # spark append without the columns: computed
+    append_spark(spark, t, spark.createDataFrame(
+        [(10, d(2001, 1, 5), 1.0)], "k long, dt date, val double"))
+    # with CORRECT values: validated, passes
+    append_spark(spark, t, spark.createDataFrame(
+        [(11, d(2002, 6, 1), 1.0, 200206, 3)],
+        "k long, dt date, val double, ym int, shard long"))
+    # with a WRONG value: the write fails
+    with pytest.raises(Exception, match="mismatch"):
+        append_spark(spark, t, spark.createDataFrame(
+            [(12, d(2002, 6, 1), 1.0, 209999, 0)],
+            "k long, dt date, val double, ym int, shard long"))
+
+    # pandas client: same DSL, computed
+    append_pandas(t, pd.DataFrame(
+        {"k": [20], "dt": [d(2003, 9, 30)], "val": [2.0]}))
+    with pytest.raises(ValueError, match="mismatch"):
+        append_pandas(t, pd.DataFrame(
+            {"k": [21], "dt": [d(2003, 9, 30)], "val": [2.0],
+             "ym": [123], "shard": [1]}))
+
+    # merge computes too
+    merge_upsert_spark(spark, t, spark.createDataFrame(
+        [(1, d(1999, 12, 31), 99.0)], "k long, dt date, val double"))
+
+    got = {r.k: (r.ym, r.shard)
+           for r in read_snapshot_spark(spark, t).collect()}
+    assert got[10] == (200101, 2) and got[11] == (200206, 3)
+    assert got[20] == (200309, 0) and got[1] == (199912, 1)
+    assert 12 not in got and 21 not in got
+
+    # the other DSL fns: substr + div
+    t2 = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t2,
+        spark.createDataFrame([(1234, "ALPHA-7", 1.0)],
+                              "k long, code string, val double"),
+        "k", n_buckets=2,
+        generated={"pre": {"fn": "substr", "src": "code",
+                           "pos": 1, "len": 2},
+                   "kdiv": {"fn": "div", "src": "k", "n": 1000}},
+    )
+    r = read_snapshot_spark(spark, t2).collect()[0]
+    assert (r.pre, r.kdiv) == ("AL", 1)
+    rp = append_pandas(t2, pd.DataFrame(
+        {"k": [5678], "code": ["BETA-1"], "val": [2.0]}))
+    assert rp["committed_version"] == t2.version()
+    rows = {x.k: (x.pre, x.kdiv)
+            for x in read_snapshot_spark(spark, t2).collect()}
+    assert rows[5678] == ("BE", 5)
