@@ -1243,6 +1243,29 @@ def read_quarantine(spark, table: TableLog):
     ).parquet(quarantine_dir(table))
 
 
+def vacuum_quarantine(table: TableLog, older_than: float) -> int:
+    """DLQ retention: remove quarantine batches whose NEWEST row is
+    older than ``older_than`` seconds — the dead-letter analog of
+    `vacuum`'s age rail (diverted rows are audit data, not forever
+    data). Batch-granular (a batch is one write's diversions, its
+    mtime is its divert time), so a batch stays until ALL of it ages
+    out. Returns the number of batches removed."""
+    qroot = quarantine_dir(table)
+    if not os.path.isdir(qroot):
+        return 0
+    cutoff = time.time() - older_than
+    removed = 0
+    for b in sorted(os.listdir(qroot)):
+        p = os.path.join(qroot, b)
+        try:
+            if os.stat(p).st_mtime < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        except FileNotFoundError:
+            continue
+    return removed
+
+
 def reprocess_quarantine_spark(
     spark,
     table: TableLog,

@@ -12,6 +12,10 @@ layer through one handle instead of the free functions:
     t.change_feed(from_version=2)
     t.history()                           # DESCRIBE HISTORY
     t.expire_snapshots(keep_last=10); t.vacuum(); t.truncate_log()
+    t.add_constraint("pk", {"col": "k", "unique": True})   # live ALTER
+    t.drop_constraint("pk")
+    t.quarantine(); t.reprocess_quarantine()  # expectations dead-letter
+    Table.for_path(spark, path)           # layout persisted at create
 
 Every method delegates to the tested free functions (sources/acid.py) —
 the facade adds ZERO protocol logic, so the OCC/retention/DV guarantees
@@ -206,3 +210,7 @@ class Table:
         return acid.reprocess_quarantine_spark(
             self.spark, self.log, writer=writer, constraint=constraint,
         )
+
+    def vacuum_quarantine(self, older_than: float) -> int:
+        """Age out dead-letter batches (DLQ retention)."""
+        return acid.vacuum_quarantine(self.log, older_than)

@@ -2494,3 +2494,36 @@ def test_generated_columns_computed_and_validated(spark):
     rows = {x.k: (x.pre, x.kdiv)
             for x in read_snapshot_spark(spark, t2).collect()}
     assert rows[5678] == ("BE", 5)
+
+
+def test_vacuum_quarantine_age_rail(spark):
+    """DLQ retention: batches age out whole; young batches stay."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        quarantine_dir,
+        read_quarantine,
+        vacuum_quarantine,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(0, 0.0)], "k long, val double"),
+        "k", n_buckets=2,
+        constraints={"nn": {"col": "val", "min": 0,
+                            "on_violation": "quarantine"}},
+    )
+    append_spark(spark, t,
+                 spark.createDataFrame([(1, -1.0)], "k long, val double"))
+    append_spark(spark, t,
+                 spark.createDataFrame([(2, -2.0)], "k long, val double"))
+    qroot = quarantine_dir(t)
+    batches = sorted(os.listdir(qroot))
+    assert len(batches) == 2
+    # age the first batch beyond the rail
+    old = os.path.join(qroot, batches[0])
+    os.utime(old, (time.time() - 3600, time.time() - 3600))
+    assert vacuum_quarantine(t, older_than=1800) == 1
+    assert read_quarantine(spark, t).count() == 1
+    assert vacuum_quarantine(t, older_than=1800) == 0
