@@ -1824,3 +1824,116 @@ def source_acid_generated_columns(spark, sf_dir):
             F.countDistinct("ym").cast("long").alias("n_months"),
         )
     )
+
+
+@register(
+    "source_acid_identity",
+    oracle="""
+    WITH b1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey % 16, o_orderkey)
+                 - 1 AS rid
+        FROM orders
+    ),
+    c1 AS (SELECT COUNT(*) AS n FROM b1),
+    b2 AS (
+        SELECT o_orderkey + 100000000 AS k, o_totalprice AS price,
+               (SELECT n FROM c1)
+               + ROW_NUMBER() OVER (
+                   ORDER BY (o_orderkey + 100000000) % 16, o_orderkey)
+               - 1 AS rid
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    c2 AS (SELECT (SELECT n FROM c1) + COUNT(*) AS n FROM b2),
+    upd AS (SELECT o_orderkey AS k,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,2)) * 2, 2)
+                        AS DOUBLE) AS price
+            FROM orders WHERE o_orderkey % 1000 = 7),
+    ins AS (
+        SELECT o_orderkey + 200000000 AS k, o_totalprice AS price,
+               (SELECT n FROM c2)
+               + ROW_NUMBER() OVER (
+                   ORDER BY (o_orderkey + 200000000) % 16, o_orderkey)
+               - 1 AS rid
+        FROM orders WHERE o_orderkey % 1000 = 3
+    ),
+    fin AS (
+        SELECT b1.k, COALESCE(u.price, b1.price) AS price, b1.rid
+        FROM b1 LEFT JOIN upd u ON b1.k = u.k
+        UNION ALL SELECT k, price, rid FROM b2
+        UNION ALL SELECT k, price, rid FROM ins
+    )
+    SELECT COUNT(*) AS cnt,
+           CAST(MAX(rid) AS BIGINT) AS max_rid,
+           CAST(SUM(rid) AS BIGINT) AS sum_rid,
+           CAST(SUM(rid * (k % 1009)) AS BIGINT) AS rid_binding,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
+    FROM fin
+    """,
+    tags=("sources", "acid", "identity"),
+)
+def source_acid_identity(spark, sf_dir):
+    """IDENTITY column end to end (GENERATED ALWAYS AS IDENTITY):
+    engine-assigned ids via COMMIT-RESERVED ranges — create draws
+    [0, n), the append wave the next range, and a MERGE wave proves
+    the two id semantics at once: updated keys INHERIT their row's id
+    through the upsert, inserted keys draw fresh ids. Assignment order
+    is the documented (bucket, key) convention, so the DuckDB oracle
+    recomputes every id from scratch with window functions and the
+    ``rid_binding`` product-sum pins the EXACT per-row assignment —
+    any drift in range bookkeeping, inheritance, or ordering
+    hash-mismatches. Unit pins incl. the OCC disjoint-range race:
+    tests/test_table_acid.py::test_identity_*."""
+    import shutil
+
+    from distribot_spark.sources import TableLog
+    from distribot_spark.sources.acid import (
+        append_spark,
+        merge_upsert_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_id_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    write_initial_spark(spark, table, orders, "k", n_buckets=16,
+                        identity={"col": "rid"})
+    wave = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 1000 == 0
+    ).select(
+        (F.col("o_orderkey") + 100000000).alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    append_spark(spark, table, wave, writer="feed")
+    upd = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 1000 == 7
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice").cast("decimal(14,2)") * 2, 2)
+        .cast("double").alias("price"),
+    )
+    ins = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 1000 == 3
+    ).select(
+        (F.col("o_orderkey") + 200000000).alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    merge_upsert_spark(spark, table, upd.unionByName(ins),
+                       writer="mixed-merge")
+
+    cur = read_snapshot_spark(spark, table)
+    return cur.agg(
+        F.count("*").alias("cnt"),
+        F.max("rid").cast("long").alias("max_rid"),
+        F.sum("rid").cast("long").alias("sum_rid"),
+        F.sum(F.col("rid") * (F.col("k") % 1009)).cast("long")
+        .alias("rid_binding"),
+        F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+        .cast("double").alias("total"),
+    )

@@ -217,7 +217,8 @@ class TableLog:
              constraints: dict | None = None,
              key: str | None = None,
              n_buckets: int | None = None,
-             generated: dict | None = None) -> None:
+             generated: dict | None = None,
+             identity: dict | None = None) -> None:
         """Create the table directories and persist immutable table
         options. ``hash_buckets=True`` switches the bucket function to
         `pmod(xxhash64(key), n)` for skew resistance — recorded in
@@ -256,6 +257,8 @@ class TableLog:
                 body["n_buckets"] = int(n_buckets)
             if generated:
                 body["generated"] = generated
+            if identity:
+                body["identity"] = identity
             tmp = meta + f".tmp{uuid.uuid4().hex[:6]}"
             with open(tmp, "w") as fh:
                 json.dump(body, fh)
@@ -276,6 +279,44 @@ class TableLog:
     def constraints(self) -> dict:
         """The persisted CHECK constraints ({} when none)."""
         return self._meta().get("constraints") or {}
+
+    def identity(self) -> dict | None:
+        """The persisted IDENTITY column spec ({"col": name}) or None —
+        Delta's GENERATED ALWAYS AS IDENTITY: engine-assigned,
+        monotonically increasing, unique int64 ids across all commits
+        and writers, via commit-reserved ranges (see `id_hwm`)."""
+        return self._meta().get("identity")
+
+    def id_hwm(self, v: int | None = None) -> int:
+        """Identity HIGH-WATER MARK as of version ``v`` (head by
+        default): the end of the last id range any commit ≤ v
+        reserved. Ranges are reserved IN the commit body, so the
+        version chain serializes them — a commit's range is computed
+        from the fold of its parent, and any two committed ranges are
+        therefore disjoint (same linearization argument as the ALTER
+        barrier). O(CHECKPOINT_EVERY): checkpoints carry ``id_hwm``."""
+        head = self.version() if v is None else v
+        hwm = 0
+        start = 0
+        ckpt = (head // CHECKPOINT_EVERY) * CHECKPOINT_EVERY
+        while ckpt > 0:
+            pth = self._checkpoint_path(ckpt)
+            if os.path.exists(pth):
+                with open(pth) as fh:
+                    body = json.load(fh)
+                if "id_hwm" in body:
+                    hwm = int(body["id_hwm"])
+                    start = ckpt + 1
+                    break
+            ckpt -= CHECKPOINT_EVERY
+        for i in range(start, head + 1):
+            try:
+                r = self.read_commit(i).get("id_range")
+            except FileNotFoundError:
+                continue  # truncated pre-identity log segment: no ranges
+            if r:
+                hwm = max(hwm, int(r[1]))
+        return hwm
 
     def generated(self) -> dict:
         """The persisted GENERATED column specs ({} when none) —
@@ -496,12 +537,13 @@ class TableLog:
     def _fold_from_checkpoint(
         self, v: int, skip_ckpt_at_v: bool = False,
     ) -> tuple[int, dict[str, int]]:
-        live, _, _ = self._fold_entries(v, skip_ckpt_at_v)
+        live, _, _, _ = self._fold_entries(v, skip_ckpt_at_v)
         return v, live
 
     def _fold_entries(
         self, v: int, skip_ckpt_at_v: bool = False,
-    ) -> tuple[dict[str, int], dict[str, dict], dict[str, list[str]]]:
+    ) -> tuple[dict[str, int], dict[str, dict], dict[str, list[str]],
+               int]:
         """Fold (live file→bucket, file→column stats, file→DV list) at
         ``v`` starting from the newest usable checkpoint ≤ v —
         O(CHECKPOINT_EVERY) log reads, never O(v), for EVERY metadata
@@ -517,6 +559,7 @@ class TableLog:
         live: dict[str, int] = {}
         stats: dict[str, dict] = {}
         dvs: dict[str, list[str]] = {}
+        hwm = 0  # identity high-water mark rides the same fold
         start = 0
         ckpt = (v // CHECKPOINT_EVERY) * CHECKPOINT_EVERY
         while ckpt > 0:
@@ -533,6 +576,7 @@ class TableLog:
                 live = {f: int(b) for f, b in body["live"].items()}
                 stats = {f: body["stats"].get(f) or {} for f in live}
                 dvs = {f: list(d) for f, d in body["dvs"].items()}
+                hwm = int(body.get("id_hwm", 0))
                 start = ckpt + 1
                 break
             ckpt -= CHECKPOINT_EVERY
@@ -548,7 +592,10 @@ class TableLog:
             for f, d in (c.get("dvs") or {}).items():
                 if f in live:
                     dvs.setdefault(f, []).append(d)
-        return live, stats, dvs
+            r = c.get("id_range")
+            if r:
+                hwm = max(hwm, int(r[1]))
+        return live, stats, dvs, hwm
 
     def try_commit(
         self,
@@ -557,6 +604,7 @@ class TableLog:
         removes: list[str],
         writer: str,
         dvs: dict[str, str] | None = None,
+        id_range: tuple[int, int] | None = None,
     ) -> bool:
         """Atomically commit version ``parent+1``; True iff THIS caller
         created it. Body is full before the link lands (tmp-then-link),
@@ -581,6 +629,8 @@ class TableLog:
         }
         if dvs:
             body["dvs"] = dvs
+        if id_range:
+            body["id_range"] = [int(id_range[0]), int(id_range[1])]
         tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -604,11 +654,13 @@ class TableLog:
             # property scaling.py measures. Carries the FULL table
             # state (live set + column stats + DV lists) so every
             # metadata consumer stays flat, not just snapshot().
-            live, stats, dvmap = self._fold_entries(v, skip_ckpt_at_v=True)
+            live, stats, dvmap, hwm = self._fold_entries(
+                v, skip_ckpt_at_v=True)
             ctmp = self._checkpoint_path(v) + f".tmp{uuid.uuid4().hex[:6]}"
             with open(ctmp, "w") as fh:
                 json.dump({"version": v, "live": live,
-                           "stats": stats, "dvs": dvmap}, fh)
+                           "stats": stats, "dvs": dvmap,
+                           "id_hwm": hwm}, fh)
             os.replace(ctmp, self._checkpoint_path(v))
         return True
 
@@ -692,7 +744,7 @@ class TableLog:
         if head < 0:
             return {}  # empty table: nothing committed yet
         self._check_not_expired(v)
-        _, _, dvs = self._fold_entries(v)
+        _, _, dvs, _ = self._fold_entries(v)
         return dvs
 
     # -- data files -------------------------------------------------------
@@ -728,7 +780,7 @@ class TableLog:
         if not 0 <= v <= head:
             raise ValueError(f"version {v} outside [0, {head}]")
         self._check_not_expired(v)
-        _, stats, _ = self._fold_entries(v)
+        _, stats, _, _ = self._fold_entries(v)
         return stats
 
     def live_paths_pruned(
@@ -915,6 +967,7 @@ def merge_upsert_pandas(
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
+    idcol = _identity_guard(table, updates.columns)
     updates = _apply_generated_pandas(table, updates)
     updates, _nq, _qdir = _apply_constraints_pandas(table, updates, writer)
     if uniq and version is None:
@@ -930,6 +983,8 @@ def merge_upsert_pandas(
     staged: list[dict] | None = None
     replaced: list[str] | None = None
     replaced_dvstate: dict | None = None
+    hwm_staged = -1
+    n_new_ids = 0
     parent = -2  # force first compute
 
     while attempts < max_attempts:
@@ -942,7 +997,9 @@ def merge_upsert_pandas(
         }
         # DV state is part of conflict detection (see merge_upsert_spark)
         dvstate = {f: tuple(dvmap.get(f, ())) for f in bucket_files}
-        need_compute = staged is None or dvstate != replaced_dvstate
+        hwm_v = table.id_hwm(v) if idcol else 0
+        need_compute = (staged is None or dvstate != replaced_dvstate
+                        or (idcol and hwm_v != hwm_staged))
         if need_compute:
             # (re)compute the merged content of each touched bucket
             if staged is not None:
@@ -954,6 +1011,9 @@ def merge_upsert_pandas(
                         pass
             staged, replaced = [], sorted(bucket_files)
             replaced_dvstate = dvstate
+            if idcol:
+                hwm_staged = hwm_v
+                next_id = hwm_v  # (_pb, key)-ordered across the loop
 
             def _read_minus_dv(f):
                 fr = pq.read_table(table.data_path(f)).to_pandas()
@@ -986,6 +1046,23 @@ def merge_upsert_pandas(
                         .drop_duplicates(key, keep="last")
                     )
                 merged = merged.sort_values(key).reset_index(drop=True)
+                if idcol:
+                    # inherit base ids for surviving update rows, then
+                    # draw fresh ids for true inserts in key order
+                    if idcol not in merged.columns:
+                        merged[idcol] = pd.array([None] * len(merged),
+                                                 dtype="Int64")
+                    base_map = ({} if base.empty or idcol not in base
+                                else dict(zip(base[key], base[idcol])))
+                    merged[idcol] = merged[idcol].astype("Int64")
+                    inh = merged[key].map(base_map)
+                    merged.loc[merged[idcol].isna(), idcol] = inh
+                    need = merged[idcol].isna()
+                    n = int(need.sum())
+                    merged.loc[need, idcol] = range(next_id, next_id + n)
+                    merged[idcol] = merged[idcol].astype("int64")
+                    next_id += n
+                    n_new_ids = next_id - hwm_v
                 name = table.new_data_file(b)
                 pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
                                table.data_path(name))
@@ -999,7 +1076,11 @@ def merge_upsert_pandas(
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
-        if table.try_commit(v, staged, replaced, writer):
+        if table.try_commit(
+            v, staged, replaced, writer,
+            id_range=((hwm_staged, hwm_staged + n_new_ids)
+                      if idcol and n_new_ids else None),
+        ):
             return {
                 "committed_version": v + 1,
                 "attempts": attempts,
@@ -1131,6 +1212,61 @@ def _apply_generated_pandas(table: TableLog, frame):
         else:
             frame[col] = val
     return frame
+
+
+def _identity_guard(table: TableLog, cols) -> str | None:
+    """The identity column name, or None. GENERATED ALWAYS: a batch
+    SUPPLYING the column is rejected — ids are engine-assigned only,
+    in commit-reserved ranges (`TableLog.id_hwm`)."""
+    ident = table.identity()
+    if not ident:
+        return None
+    col = ident["col"]
+    if col in cols:
+        raise ValueError(
+            f"identity column {col!r} is GENERATED ALWAYS — writers "
+            "must not supply it"
+        )
+    return col
+
+
+def _assign_identity_spark(up, key: str, col: str, start: int):
+    """Stamp engine-assigned ids on a bucketed batch: ids are
+    ``start + position`` in (_pb, key) order — computed as per-bucket
+    row_number (parallel windows) plus driver-side cumulative bucket
+    offsets (n_buckets scalars), so there is NO global sort or
+    single-partition window at any batch size. Returns (stamped_df,
+    n_ids). Costs one extra count job over the batch."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    counts = {int(r["_pb"]): r["n"] for r in
+              up.groupBy("_pb").agg(F.count("*").alias("n")).collect()}
+    off, acc = {}, 0
+    for b in sorted(counts):
+        off[b] = acc
+        acc += counts[b]
+    if not counts:
+        return up.withColumn(col, F.lit(None).cast("long")), 0
+    omap = F.create_map(*[x for b in sorted(off)
+                          for x in (F.lit(b), F.lit(off[b]))])
+    rn = F.row_number().over(W.partitionBy("_pb").orderBy(key))
+    return up.withColumn(
+        col,
+        (F.lit(int(start)) + omap[F.col("_pb")] + rn - 1).cast("long"),
+    ), acc
+
+
+def _fill_identity_nulls_spark(df, key: str, col: str, start: int):
+    """Assign fresh ids ONLY to rows whose identity is NULL (inserts in
+    a MERGE); rows that inherited a base id keep it. Same (_pb, key)
+    ordering discipline as `_assign_identity_spark`."""
+    from pyspark.sql import functions as F
+
+    have = df.filter(F.col(col).isNotNull())
+    need = df.filter(F.col(col).isNull()).drop(col)
+    filled, n = _assign_identity_spark(need, key, col, start)
+    return have.unionByName(filled), n
 
 
 def _unique_constraints(table: TableLog, key: str) -> dict:
@@ -1658,6 +1794,7 @@ def merge_upsert_spark(
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
+    idcol = _identity_guard(table, updates_df.columns)
     updates_df = _apply_generated_spark(table, updates_df)
     updates_df, _nq, _qdir = _apply_constraints_spark(spark, table,
                                                       updates_df, writer)
@@ -1677,6 +1814,8 @@ def merge_upsert_spark(
     staged: list[dict] | None = None
     replaced: list[str] | None = None
     replaced_dvstate: dict | None = None
+    hwm_staged = -1
+    n_new_ids = 0
 
     while attempts < max_attempts:
         v, live = table.snapshot()
@@ -1689,7 +1828,11 @@ def merge_upsert_spark(
         # the file set, and our rewrite (which REMOVES those files,
         # killing their DVs) would resurrect the deleted rows
         dvstate = {f: tuple(dvmap.get(f, ())) for f in bucket_files}
-        need_compute = staged is None or dvstate != replaced_dvstate
+        # identity ranges participate too: a commit that reserved ids
+        # since our compute makes our stamped inserts collide
+        hwm_v = table.id_hwm(v) if idcol else 0
+        need_compute = (staged is None or dvstate != replaced_dvstate
+                        or (idcol and hwm_v != hwm_staged))
         if need_compute:
             if staged is not None:
                 recomputes += 1
@@ -1722,6 +1865,14 @@ def merge_upsert_spark(
                 for c in base_cols:
                     if c not in up_cols:
                         ux = ux.withColumn(c, F.lit(None).cast(base_types[c]))
+                if idcol and idcol in base_cols:
+                    # MERGE × identity: an update row for an EXISTING
+                    # key inherits the base row's id (the row identity
+                    # survives the upsert); only true inserts draw new
+                    # ids below
+                    ux = ux.drop(idcol).join(
+                        bx.select(key, idcol), key, "left"
+                    )
                 if version is None:
                     merged = (
                         bx.join(up.select(key), key, "left_anti")
@@ -1761,6 +1912,13 @@ def merge_upsert_spark(
                         .filter(F.col("_rn") == 1)
                         .select(*cols, "_pb")
                     )
+            if idcol:
+                hwm_staged = hwm_v
+                if idcol not in merged.columns:
+                    merged = merged.withColumn(
+                        idcol, F.lit(None).cast("long"))
+                merged, n_new_ids = _fill_identity_nulls_spark(
+                    merged, key, idcol, hwm_staged)
             # one output file per touched bucket: repartition ON the bucket
             # column, then relocate Spark's part files under content names
             tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")
@@ -1787,7 +1945,11 @@ def merge_upsert_spark(
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
-        if table.try_commit(v, staged, replaced, writer):
+        if table.try_commit(
+            v, staged, replaced, writer,
+            id_range=((hwm_staged, hwm_staged + n_new_ids)
+                      if idcol and n_new_ids else None),
+        ):
             return {
                 "committed_version": v + 1,
                 "attempts": attempts,
@@ -1836,6 +1998,13 @@ def sync_snapshot_spark(
     _rev0 = _gate_state(table)  # BEFORE resolving (see merge note)
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
+    if table.identity():
+        raise ValueError(
+            "sync_snapshot does not support identity tables: a full-"
+            "snapshot replace cannot tell carried rows from re-inserts "
+            "without reading every changed bucket's ids — use "
+            "merge_upsert (which inherits ids) plus delete for removals"
+        )
     hashed = table.hash_buckets()
     source_df = _apply_generated_spark(table, source_df)
     source_df, _nq, _qdir = _apply_constraints_spark(spark, table, source_df,
@@ -1917,7 +2086,8 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
                         n_buckets: int, writer: str = "init",
                         hash_buckets: bool = False,
                         constraints: dict | None = None,
-                        generated: dict | None = None) -> int:
+                        generated: dict | None = None,
+                        identity: dict | None = None) -> int:
     """Create version 0 from a DataFrame (one file per bucket).
     ``hash_buckets=True`` persists the skew-resistant bucket function
     and ``constraints`` the CHECK constraints (see `TableLog.init`);
@@ -1925,15 +2095,20 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
     a call argument. The LAYOUT (key, n_buckets) is persisted the same
     way, so subsequent writers/readers may omit both."""
     table.init(hash_buckets=hash_buckets, constraints=constraints,
-               key=key, n_buckets=n_buckets, generated=generated)
+               key=key, n_buckets=n_buckets, generated=generated,
+               identity=identity)
     uniq = _unique_constraints(table, key)
     df = _apply_generated_spark(table, df)
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
     if uniq:
         _check_batch_unique_spark(df, key, next(iter(uniq)))
+    idcol = _identity_guard(table, df.columns)
     up = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
+    n_ids = 0
+    if idcol:
+        up, n_ids = _assign_identity_spark(up, key, idcol, 0)
     tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")
     (up.repartition(n_buckets, "_pb")
        .write.mode("overwrite").partitionBy("_pb").parquet(tmp_out))
@@ -1949,7 +2124,10 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
                             table.data_path(name))
                 adds.append({"file": name, "pb": b})
     shutil.rmtree(tmp_out, ignore_errors=True)
-    if not table.try_commit(-1, adds, [], writer):
+    if not table.try_commit(
+        -1, adds, [], writer,
+        id_range=((0, n_ids) if idcol and n_ids else None),
+    ):
         raise CommitConflict("table already initialized")
     return 0
 
@@ -2446,23 +2624,47 @@ def append_spark(
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
+    idcol = _identity_guard(table, df.columns)
     df = _apply_generated_spark(table, df)
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
     if uniq:
         _check_batch_unique_spark(df, key, next(iter(uniq)))
-    up = df.withColumn(
+    up0 = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
-    staged = _stage_bucketed(
-        spark, table, up, n_buckets, sort_cols=["_pb", key],
-        stats_cols=stats_cols,
-    )
+
+    def _stage(id_start: int):
+        u, n_ids = (_assign_identity_spark(up0, key, idcol, id_start)
+                    if idcol else (up0, 0))
+        return u, n_ids, _stage_bucketed(
+            spark, table, u, n_buckets, sort_cols=["_pb", key],
+            stats_cols=stats_cols,
+        )
+
+    hwm0 = table.id_hwm() if idcol else 0
+    up, n_ids, staged = _stage(hwm0)
     touched = {a["pb"] for a in staged}
     checked_fileset = None
     attempts = 0
     while attempts < max_attempts:
         if uniq:
             v, live = table.snapshot()
+        else:
+            v = table.version()
+        if idcol:
+            # ids were stamped against a fold of some parent; pin the
+            # recheck to THIS attempt's parent v: if any commit ≤ v
+            # reserved a range past our start, ours would collide —
+            # restage from the new high-water mark. Committed ranges
+            # are provably disjoint because each is folded from its
+            # parent and serialized by the version link (see id_hwm).
+            hwm = table.id_hwm(v)
+            if hwm != hwm0:
+                _unlink_staged(table, staged)
+                hwm0 = hwm
+                up, n_ids, staged = _stage(hwm0)
+                checked_fileset = None
+        if uniq:
             tb = tuple(sorted(f for f, b in live.items() if b in touched))
             if tb and tb != checked_fileset:
                 base = spark.read.option("mergeSchema", "true").parquet(
@@ -2482,17 +2684,20 @@ def append_spark(
                         f"violated: {nconf} key(s) already exist"
                     )
             checked_fileset = tb
-        else:
-            v = table.version()
         if pre_commit_hook is not None:
             pre_commit_hook(v)
         if _gate_state(table) != _rev0:
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
-        if table.try_commit(v, staged, [], writer):
+        if table.try_commit(
+            v, staged, [], writer,
+            id_range=((hwm0, hwm0 + n_ids) if idcol and n_ids else None),
+        ):
             return {"committed_version": v + 1, "attempts": attempts,
-                    "files_added": len(staged), "quarantined": _nq}
+                    "files_added": len(staged), "quarantined": _nq,
+                    **({"id_range": [hwm0, hwm0 + n_ids]} if idcol
+                       else {})}
     for a in staged:
         try:
             os.unlink(table.data_path(a["file"]))
@@ -2524,6 +2729,7 @@ def append_pandas(
     # landing between capture and resolve must trip the gate, not slip
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
+    idcol = _identity_guard(table, batch.columns)
     batch = _apply_generated_pandas(table, batch)
     batch, _nq, _qdir = _apply_constraints_pandas(table, batch, writer)
     if uniq:
@@ -2532,21 +2738,39 @@ def append_pandas(
     pb = batch[key].astype("int64").map(
         lambda k: _bucket_of_py(k, n_buckets, hashed)
     )
-    staged: list[dict] = []
-    for b in sorted(pb.unique()):
-        part = batch[pb == b].sort_values(key)
-        name = table.new_data_file(int(b))
-        pq.write_table(
-            pa.Table.from_pandas(part, preserve_index=False),
-            table.data_path(name),
-        )
-        staged.append({"file": name, "pb": int(b)})
+
+    def _stage(id_start: int):
+        out: list[dict] = []
+        nxt = id_start
+        for b in sorted(pb.unique()):
+            part = batch[pb == b].sort_values(key)
+            if idcol:  # ids in (_pb, key) order, same as the Spark path
+                part = part.copy()
+                part[idcol] = range(nxt, nxt + len(part))
+                nxt += len(part)
+            name = table.new_data_file(int(b))
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                table.data_path(name),
+            )
+            out.append({"file": name, "pb": int(b)})
+        return out, nxt - id_start
+
+    hwm0 = table.id_hwm() if idcol else 0
+    staged, n_ids = _stage(hwm0)
     touched = {a["pb"] for a in staged}
     batch_keys = set(batch[key].astype("int64"))
     checked_fileset = None
     attempts = 0
     while attempts < max_attempts:
         v, live = table.snapshot()
+        if idcol:
+            hwm = table.id_hwm(v)  # pinned to THIS attempt's parent
+            if hwm != hwm0:
+                _unlink_staged(table, staged)
+                hwm0 = hwm
+                staged, n_ids = _stage(hwm0)
+                checked_fileset = None
         if uniq:
             tb = tuple(sorted(
                 f for f, b in live.items()
@@ -2575,9 +2799,14 @@ def append_pandas(
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
-        if table.try_commit(v, staged, [], writer):
+        if table.try_commit(
+            v, staged, [], writer,
+            id_range=((hwm0, hwm0 + n_ids) if idcol and n_ids else None),
+        ):
             return {"committed_version": v + 1, "attempts": attempts,
-                    "files_added": len(staged), "quarantined": _nq}
+                    "files_added": len(staged), "quarantined": _nq,
+                    **({"id_range": [hwm0, hwm0 + n_ids]} if idcol
+                       else {})}
     _unlink_staged(table, staged)
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 

@@ -51,7 +51,8 @@ class Table:
     def create(cls, spark, path: str, df, key: str, n_buckets: int,
                hash_buckets: bool = False,
                constraints: dict | None = None,
-               generated: dict | None = None) -> "Table":
+               generated: dict | None = None,
+               identity: dict | None = None) -> "Table":
         """Create version 0 from a DataFrame (fails if the table
         exists); ``hash_buckets`` persists the skew-resistant bucket
         function and ``constraints`` the CHECK constraints in table
@@ -60,7 +61,8 @@ class Table:
         acid.write_initial_spark(spark, t.log, df, key, n_buckets,
                                  hash_buckets=hash_buckets,
                                  constraints=constraints,
-                                 generated=generated)
+                                 generated=generated,
+                                 identity=identity)
         return t
 
     @classmethod

@@ -2527,3 +2527,124 @@ def test_vacuum_quarantine_age_rail(spark):
     assert vacuum_quarantine(t, older_than=1800) == 1
     assert read_quarantine(spark, t).count() == 1
     assert vacuum_quarantine(t, older_than=1800) == 0
+
+
+def test_identity_columns_engine_assigned(spark):
+    """IDENTITY (GENERATED ALWAYS AS IDENTITY): engine-assigned,
+    unique, monotonically increasing ids via commit-reserved ranges —
+    appends draw the next range (both clients), MERGE updates INHERIT
+    the existing row's id while true inserts draw fresh ones, and a
+    batch supplying the column is rejected."""
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        merge_upsert_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2, identity={"col": "id"},
+    )
+    rows = {r.k: r.id for r in read_snapshot_spark(spark, t).collect()}
+    # ids 0..7, assigned in (bucket, key) order: bucket0 = evens sorted,
+    # bucket1 = odds sorted
+    assert rows == {0: 0, 2: 1, 4: 2, 6: 3, 1: 4, 3: 5, 5: 6, 7: 7}, rows
+    assert t.id_hwm() == 8
+
+    st = append_spark(
+        spark, t,
+        spark.createDataFrame([(100, 1.0), (101, 2.0)],
+                              "k long, val double"),
+    )
+    assert st["id_range"] == [8, 10], st
+    st2 = append_pandas(t, pd.DataFrame({"k": [200], "val": [3.0]}))
+    assert st2["id_range"] == [10, 11], st2
+    assert t.id_hwm() == 11
+
+    # MERGE: update inherits, insert draws fresh
+    merge_upsert_spark(
+        spark, t,
+        spark.createDataFrame([(2, 22.0), (300, 33.0)],
+                              "k long, val double"),
+    )
+    rows = {r.k: (r.id, r.val)
+            for r in read_snapshot_spark(spark, t).collect()}
+    assert rows[2] == (1, 22.0)          # id inherited through the upsert
+    assert rows[300] == (11, 33.0)       # fresh id from the next range
+    ids = [i for i, _ in rows.values()]
+    assert len(ids) == len(set(ids)) == 12  # unique, no gaps-by-loss
+
+    # GENERATED ALWAYS: supplying the column is rejected, both clients
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        append_spark(spark, t, spark.createDataFrame(
+            [(400, 1.0, 99)], "k long, val double, id long"))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        append_pandas(t, pd.DataFrame(
+            {"k": [401], "val": [1.0], "id": [77]}))
+
+
+def test_identity_occ_ranges_disjoint_under_race(spark):
+    """The property reserved ranges exist for: two writers interleave,
+    the loser's commit attempt sees the winner's range in its parent
+    fold, restages with shifted ids, and every id stays unique —
+    serialized by the version link like every other table rule."""
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(4)],
+                              "k long, val double"),
+        "k", n_buckets=2, identity={"col": "id"},
+    )
+    state = {}
+
+    def racer(v):
+        if "done" in state:
+            return
+        state["done"] = True
+        state["b"] = append_pandas(
+            t, pd.DataFrame({"k": [50, 51], "val": [1.0, 2.0]}))
+
+    st = append_spark(
+        spark, t,
+        spark.createDataFrame([(60, 3.0), (61, 4.0)],
+                              "k long, val double"),
+        pre_commit_hook=racer,
+    )
+    a, b = st["id_range"], state["b"]["id_range"]
+    assert b == [4, 6] and a == [6, 8], (a, b)  # disjoint, serialized
+    ids = [r.id for r in read_snapshot_spark(spark, t).collect()]
+    assert sorted(ids) == list(range(8))
+
+
+def test_identity_hwm_flat_across_checkpoints(spark):
+    """id_hwm folds from checkpoints (O(CHECKPOINT_EVERY)), stays exact
+    across checkpoint boundaries and many commits."""
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(0, 0.0)], "k long, val double"),
+        "k", n_buckets=2, identity={"col": "id"},
+    )
+    for i in range(1, 14):  # crosses the CHECKPOINT_EVERY=10 boundary
+        append_pandas(t, pd.DataFrame({"k": [i * 10], "val": [float(i)]}))
+    assert t.version() == 13 and t.id_hwm() == 14
+    ids = sorted(r.id for r in read_snapshot_spark(spark, t).collect())
+    assert ids == list(range(14))
