@@ -1937,3 +1937,90 @@ def source_acid_identity(spark, sf_dir):
         F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
         .cast("double").alias("total"),
     )
+
+
+@register(
+    "source_acid_restore",
+    oracle="""
+    WITH upd AS (SELECT o_orderkey,
+                        CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,2)) * 2,
+                                   2) AS DOUBLE) AS price
+                 FROM orders WHERE o_orderkey % 1000 = 0),
+    del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 7),
+    v2 AS (
+        SELECT o.o_orderkey, COALESCE(u.price, o.o_totalprice) AS price
+        FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+        WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+    )
+    SELECT COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
+    FROM v2
+    """,
+    tags=("sources", "acid", "restore"),
+)
+def source_acid_restore(spark, sf_dir):
+    """RESTORE TABLE TO VERSION AS OF, hash-certified: build a 4-deep
+    history (create → x2-price MERGE wave → deletion-vector DELETE
+    wave → stray append), then roll back to the post-delete version —
+    one ordinary OCC commit that re-adds the old manifest entries and
+    resets each file's DV state (`restore_table`). The final census
+    must equal the oracle's pure-SQL reconstruction OF THE OLD
+    VERSION: the appended rows are gone, the deleted keys are STILL
+    deleted (their DV sidecars were re-attached without any rewrite),
+    and the merge wave's prices survive. The builder also asserts the
+    restore was DV-precise: zero data files were rewritten to reset
+    the delete state. Unit pins incl. multi-sidecar merge, expired
+    targets and identity interplay: test_restore_table_to_version."""
+    import shutil
+
+    from distribot_spark.sources import TableLog
+    from distribot_spark.sources.acid import (
+        append_spark,
+        delete_keys_spark,
+        merge_upsert_spark,
+        read_snapshot_spark,
+        restore_table,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_restore_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    write_initial_spark(spark, table, orders, "k", n_buckets=16)   # v0
+    merge_upsert_spark(spark, table, load_table(                   # v1
+        spark, sf_dir, "orders"
+    ).filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice").cast("decimal(14,2)") * 2, 2)
+        .cast("double").alias("price"),
+    ), writer="x2")
+    delete_keys_spark(spark, table, load_table(                    # v2
+        spark, sf_dir, "orders"
+    ).filter(F.col("o_orderkey") % 1000 == 7).select(
+        F.col("o_orderkey").alias("k")
+    ), writer="gdpr")
+    append_spark(spark, table, load_table(                         # v3
+        spark, sf_dir, "orders"
+    ).filter(F.col("o_orderkey") % 1000 == 3).select(
+        (F.col("o_orderkey") + 100000000).alias("k"),
+        F.col("o_totalprice").alias("price"),
+    ), writer="stray")
+
+    files_before = set(table.snapshot()[1])
+    st = restore_table(table, 2)
+    assert st["committed_version"] == 4 and not st["noop"], st
+    # DV-precise rollback: every re-added manifest entry names a file
+    # that already existed — nothing was rewritten
+    assert set(table.snapshot()[1]) <= files_before
+
+    cur = read_snapshot_spark(spark, table)
+    return cur.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+        .cast("double").alias("total"),
+    )

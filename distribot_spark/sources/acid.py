@@ -2949,6 +2949,90 @@ def optimize_table_spark(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+def restore_table(
+    table: TableLog,
+    version: int,
+    writer: str = "restore",
+    max_attempts: int = 50,
+) -> dict:
+    """RESTORE TABLE TO VERSION AS OF (Delta's RESTORE): one ordinary
+    OCC commit whose post-image EQUALS the old snapshot — files the
+    old version had are re-added to the manifest (the bytes still
+    exist: `vacuum` keeps every file a retained version references, and
+    a target below the retention floor raises SnapshotExpired from
+    `snapshot_at`), files added since are removed, and each restored
+    file's DELETION-VECTOR state is reset to exactly the old version's
+    (a file whose DV list drifted is removed-and-re-added in the same
+    commit — the fold clears its DVs — then the old sidecars are
+    re-attached, merged into one sidecar when there were several,
+    since a commit attaches at most one per file).
+
+    Because it is an ordinary commit: concurrent writers serialize
+    against it (lost race → recompute against the new head), the
+    change feed reports the rollback as real row changes, time travel
+    ACROSS the restore still works (nothing is erased), and identity
+    high-water marks are NOT rolled back — ids stay unique forever
+    even when the rows that consumed them are restored away.
+    Engine-free (pure metadata + pyarrow): any client can restore."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    attempts = 0
+    staged_sidecars: list[str] = []
+    while attempts < max_attempts:
+        v_head, cur = table.snapshot()
+        _, old = table.snapshot_at(version)
+        old_dvs = table.live_dvs(version)
+        cur_dvs = table.live_dvs()
+        old_stats = table.live_stats(version)
+        cur_state = {f: tuple(cur_dvs.get(f, ())) for f in cur}
+        old_state = {f: tuple(old_dvs.get(f, ())) for f in old}
+        if cur == old and cur_state == old_state:
+            return {"committed_version": v_head, "restored_to": version,
+                    "attempts": attempts, "noop": True,
+                    "files_readded": 0, "files_removed": 0}
+        removes: list[str] = []
+        adds: list[dict] = []
+        dv_attach: dict[str, str] = {}
+        for f in sorted(cur):
+            if f not in old or cur_state[f] != old_state[f]:
+                removes.append(f)
+        for f in sorted(old):
+            if f in cur and cur_state[f] == old_state[f]:
+                continue  # already exactly as of the target version
+            a = {"file": f, "pb": int(old[f])}
+            st = old_stats.get(f)
+            if st:
+                a["stats"] = st
+            adds.append(a)
+            dvs = old_state[f]
+            if len(dvs) == 1:
+                dv_attach[f] = dvs[0]
+            elif len(dvs) > 1:
+                merged = pa.concat_tables(
+                    [pq.read_table(table.data_path(d)) for d in dvs],
+                    promote_options="default",
+                )
+                name = table.new_dv_file()
+                pq.write_table(merged, table.data_path(name))
+                staged_sidecars.append(name)
+                dv_attach[f] = name
+        attempts += 1
+        if table.try_commit(v_head, adds, removes, writer,
+                            dvs=dv_attach or None):
+            return {"committed_version": v_head + 1,
+                    "restored_to": version, "attempts": attempts,
+                    "noop": False, "files_readded": len(adds),
+                    "files_removed": len(removes)}
+        for n in staged_sidecars:  # lost the race: recompute fresh
+            try:
+                os.unlink(table.data_path(n))
+            except FileNotFoundError:
+                pass
+        staged_sidecars = []
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
 def table_changes_spark(
     spark,
     table: TableLog,

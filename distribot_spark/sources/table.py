@@ -127,6 +127,41 @@ class Table:
     def version(self) -> int:
         return self.log.version()
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one dict of table-level facts — version,
+        file/byte counts, layout, bucket function, constraint /
+        generated / identity declarations, retention floor, DV and
+        quarantine presence. Metadata-only: manifests and `os.stat`,
+        no data files opened."""
+        import os as _os
+
+        log = self.log
+        head = log.version()
+        _, live = log.snapshot()
+        size = 0
+        for f in live:
+            try:
+                size += _os.stat(log.data_path(f)).st_size
+            except FileNotFoundError:
+                pass
+        qdir = acid.quarantine_dir(log)
+        return {
+            "version": head,
+            "num_files": len(live),
+            "size_bytes": size,
+            "key": self.key,
+            "n_buckets": self.n_buckets,
+            "hash_buckets": log.hash_buckets(),
+            "constraints": log.constraints(),
+            "generated": log.generated(),
+            "identity": log.identity(),
+            "id_hwm": (log.id_hwm() if log.identity() else None),
+            "retention_floor": log.expired_before(),
+            "num_dv_files": sum(len(d) for d in log.live_dvs().values()),
+            "has_quarantine": _os.path.isdir(qdir) and
+            bool(_os.listdir(qdir)),
+        }
+
     # -- writes -----------------------------------------------------------
 
     def merge(self, updates_df, version_col: str | None = None,
@@ -172,6 +207,11 @@ class Table:
             sort_col=sort_col, files_per_bucket=files_per_bucket,
             stats_cols=stats_cols, rewrite_all=rewrite_all,
         )
+
+    def restore(self, version: int, writer: str = "restore") -> dict:
+        """RESTORE TABLE TO VERSION AS OF: one commit whose post-image
+        equals the old snapshot, deletion vectors included."""
+        return acid.restore_table(self.log, version, writer=writer)
 
     def expire_snapshots(self, keep_last: int) -> int:
         return self.log.expire_snapshots(keep_last)

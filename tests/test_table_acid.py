@@ -2648,3 +2648,113 @@ def test_identity_hwm_flat_across_checkpoints(spark):
     assert t.version() == 13 and t.id_hwm() == 14
     ids = sorted(r.id for r in read_snapshot_spark(spark, t).collect())
     assert ids == list(range(14))
+
+
+def test_table_detail_metadata_only(spark):
+    """DESCRIBE DETAIL: table-level facts from metadata alone —
+    version, file census, layout, governance declarations, DV and
+    dead-letter presence."""
+    from distribot_spark.sources.table import Table
+
+    path = _tmp_table()
+    t = Table.create(
+        spark, path,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        key="k", n_buckets=2,
+        constraints={"nn": {"col": "val", "min": 0,
+                            "on_violation": "quarantine"}},
+        identity={"col": "rid"},
+    )
+    t.append(spark.createDataFrame([(100, -1.0), (101, 5.0)],
+                                   "k long, val double"))
+    t.delete(spark.createDataFrame([(3,)], "k long"))
+    d = t.detail()
+    assert d["version"] == 2 and d["num_files"] == 3
+    assert d["size_bytes"] > 0
+    assert (d["key"], d["n_buckets"]) == ("k", 2)
+    assert d["constraints"]["nn"]["on_violation"] == "quarantine"
+    assert d["identity"] == {"col": "rid"} and d["id_hwm"] == 9
+    assert d["num_dv_files"] == 1 and d["has_quarantine"] is True
+    assert d["retention_floor"] == 0 and d["generated"] == {}
+
+
+def test_restore_table_to_version(spark):
+    """RESTORE TO VERSION AS OF: the post-image equals the old
+    snapshot — rows, schema, AND deletion-vector state (a file whose
+    DV list drifted is reset via same-commit remove+re-add with the
+    old sidecars re-attached, merged when there were several); the
+    rollback is an ordinary commit, so the change feed reports it and
+    time travel across it still works; expired targets raise; identity
+    ranges are NOT reused after a restore."""
+    from distribot_spark.sources.acid import (
+        SnapshotExpired,
+        append_spark,
+        delete_keys_spark,
+        merge_upsert_spark,
+        optimize_table_spark,
+        read_snapshot_spark,
+        restore_table,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(                                      # v0
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=2, identity={"col": "rid"},
+    )
+    rows_v0 = _restore_rows(spark, t)
+    merge_upsert_spark(spark, t, spark.createDataFrame(      # v1
+        [(3, 33.0), (100, 1.0)], "k long, val double"))
+    delete_keys_spark(spark, t, spark.createDataFrame(       # v2 (DV)
+        [(0,)], "k long"))
+    delete_keys_spark(spark, t, spark.createDataFrame(       # v3 (DV,
+        [(2,)], "k long"))                                   # same file)
+    rows_v3 = _restore_rows(spark, t)
+    append_spark(spark, t, spark.createDataFrame(            # v4
+        [(200, 2.0)], "k long, val double"))
+
+    # restore to v3: multi-DV file state must come back exactly
+    st = restore_table(t, 3)
+    assert st["committed_version"] == 5 and not st["noop"], st
+    assert _restore_rows(spark, t) == rows_v3
+    # DVs restored WITHOUT rewriting: deleted keys still gone
+    got = {r.k for r in read_snapshot_spark(spark, t).collect()}
+    assert 0 not in got and 2 not in got and 200 not in got
+
+    # restore all the way to v0
+    restore_table(t, 0)
+    assert _restore_rows(spark, t) == rows_v0
+    # noop restore: nothing to do, no commit
+    st = restore_table(t, 0)
+    assert st["noop"] and st["committed_version"] == t.version()
+
+    # time travel ACROSS the restores still works
+    assert len(t.snapshot_at(4)[1]) > 0
+
+    # identity never reuses ids, even for rows restored away
+    st = append_spark(spark, t, spark.createDataFrame(
+        [(300, 3.0)], "k long, val double"))
+    assert st["id_range"][0] >= 10, st  # v1's merge + v4's append ids gone
+
+    # writers keep working after restore; optimize compacts as usual
+    merge_upsert_spark(spark, t, spark.createDataFrame(
+        [(4, 44.0)], "k long, val double"))
+    optimize_table_spark(spark, t, writer="opt")
+    got = dict((r.k, r.val) for r in
+               read_snapshot_spark(spark, t).collect())
+    assert got[4] == 44.0 and got[300] == 3.0 and got[0] == 0.0
+
+    # expired target raises cleanly
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(SnapshotExpired):
+        restore_table(t, 0)
+
+
+def _restore_rows(spark, t):
+    from distribot_spark.sources.acid import read_snapshot_spark
+
+    return sorted((r.k, r.val) for r in
+                  read_snapshot_spark(spark, t).collect())
