@@ -1108,6 +1108,10 @@ def _constraint_ok_expr(c: dict):
         ok = ok & (col.isNull() | (col <= F.lit(c["max"])))
     if "isin" in c:
         ok = ok & (col.isNull() | col.isin(list(c["isin"])))
+    if "min_len" in c:
+        ok = ok & (col.isNull() | (F.length(col) >= int(c["min_len"])))
+    if "max_len" in c:
+        ok = ok & (col.isNull() | (F.length(col) <= int(c["max_len"])))
     return ok
 
 
@@ -1569,6 +1573,10 @@ def _apply_constraints_pandas(table: TableLog, frame, writer: str):
             bad |= s.notna() & (s > c["max"])
         if "isin" in c:
             bad |= s.notna() & ~s.isin(list(c["isin"]))
+        if "min_len" in c:
+            bad |= s.notna() & (s.astype(str).str.len() < int(c["min_len"]))
+        if "max_len" in c:
+            bad |= s.notna() & (s.astype(str).str.len() > int(c["max_len"]))
         tag[bad] = name
     bad_mask = tag.notna()
     nq = int(bad_mask.sum())
@@ -1615,6 +1623,10 @@ def _constraint_guard_pandas(frame, constraints: dict) -> None:
             bad |= s.notna() & (s > c["max"])
         if "isin" in c:
             bad |= s.notna() & ~s.isin(list(c["isin"]))
+        if "min_len" in c:
+            bad |= s.notna() & (s.astype(str).str.len() < int(c["min_len"]))
+        if "max_len" in c:
+            bad |= s.notna() & (s.astype(str).str.len() > int(c["max_len"]))
         if bad.any():
             raise ValueError(
                 f"CHECK constraint '{name}' violated by "

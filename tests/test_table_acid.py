@@ -2758,3 +2758,39 @@ def _restore_rows(spark, t):
 
     return sorted((r.k, r.val) for r in
                   read_snapshot_spark(spark, t).collect())
+
+
+def test_constraint_string_length_clauses(spark):
+    """min_len/max_len CHECK clauses — the document-quality gate as a
+    table rule, same NULL semantics, both clients, both modes."""
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        read_quarantine,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(0, "hello world")], "k long, txt string"),
+        "k", n_buckets=2,
+        constraints={
+            "len_floor": {"col": "txt", "min_len": 5,
+                          "on_violation": "quarantine"},
+            "len_cap": {"col": "txt", "max_len": 80},
+        },
+    )
+    st = append_spark(spark, t, spark.createDataFrame(
+        [(1, "ok length"), (2, "tiny"), (3, None)],
+        "k long, txt string"))
+    assert st["quarantined"] == 1  # 'tiny'; NULL passes (no not_null)
+    with pytest.raises(Exception, match="len_cap"):
+        append_spark(spark, t, spark.createDataFrame(
+            [(4, "x" * 100)], "k long, txt string"))
+    st2 = append_pandas(t, pd.DataFrame({"k": [5], "txt": ["nah"]}))
+    assert st2["quarantined"] == 1
+    with pytest.raises(ValueError, match="len_cap"):
+        append_pandas(t, pd.DataFrame({"k": [6], "txt": ["y" * 100]}))
+    q = sorted(r.k for r in read_quarantine(spark, t).collect())
+    assert q == [2, 5]
