@@ -1569,8 +1569,10 @@ def s28_stream_expectations_quarantine(spark, sf_dir):
     n_raw = q.count()
     qd = q.distinct()
     n_distinct = qd.count()
-    # the DLQ is at-least-once under redelivery: exactly 2 copies here
+    # the DLQ is at-least-once under redelivery: exactly 2 copies here,
+    # and the writers' reported counts account for every raw row
     assert n_raw == 2 * n_distinct and n_distinct > 0, (n_raw, n_distinct)
+    assert stats["quarantined"] == n_raw, (stats, n_raw)
 
     clean = acid.read_snapshot_spark(spark, table)
     return (

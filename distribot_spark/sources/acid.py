@@ -371,6 +371,12 @@ class TableLog:
             if m.get("rebucket_pending") != pending:
                 return  # superseded or already finished
             m["n_buckets"] = int(pending["to"])
+            # layout EPOCH: snapshots at or above this version are in
+            # the current bucket layout; RESTORE refuses to cross it
+            # (an old manifest's pb values would lie under the new
+            # count). head() here is ≥ the rewrite commit — a
+            # conservative bound is safe, it only narrows restore.
+            m["layout_since_version"] = self.version()
             del m["rebucket_pending"]
             self._persist_meta(m)
 
@@ -1187,27 +1193,31 @@ def _apply_generated_pandas(table: TableLog, frame):
         g = gens[col]
         src = frame[g["src"]]
         fn = g["fn"]
+        # nullable dtypes end to end: a NULL source yields a NULL
+        # generated value (Spark's F.year(NULL) semantics), never a
+        # cast crash or a stringified 'nan'
         if fn == "year":
-            val = pd.to_datetime(src).dt.year.astype("int32")
+            val = pd.to_datetime(src).dt.year.astype("Int32")
         elif fn == "month":
-            val = pd.to_datetime(src).dt.month.astype("int32")
+            val = pd.to_datetime(src).dt.month.astype("Int32")
         elif fn == "yyyymm":
             dt = pd.to_datetime(src)
-            val = (dt.dt.year * 100 + dt.dt.month).astype("int32")
+            val = (dt.dt.year * 100 + dt.dt.month).astype("Int32")
         elif fn == "substr":
-            val = src.astype(str).str.slice(
+            val = src.astype("string").str.slice(
                 int(g["pos"]) - 1, int(g["pos"]) - 1 + int(g["len"])
             )
         elif fn == "pmod":
-            val = src.astype("int64") % int(g["n"])
+            val = src.astype("Int64") % int(g["n"])
         elif fn == "div":
-            v = src.astype("int64")
+            v = src.astype("Int64")
             val = (v - ((v % int(g["n"])) + int(g["n"])) % int(g["n"])
                    ) // int(g["n"])  # truncation ≡ floor: non-neg contract
         else:
             raise ValueError(f"unknown generated fn {fn!r}")
         if col in frame.columns:
-            ok = frame[col].eq(val) | (frame[col].isna() & val.isna())
+            ok = ((frame[col] == val).fillna(False)
+                  | (frame[col].isna() & val.isna()))
             if not ok.all():
                 raise ValueError(
                     f"generated column '{col}' mismatch in "
@@ -2070,7 +2080,8 @@ def sync_snapshot_spark(
                 }
             if not touched:
                 return {"committed_version": v, "attempts": attempts,
-                        "recomputes": recomputes, "rewritten_buckets": 0}
+                        "recomputes": recomputes, "rewritten_buckets": 0,
+                        "quarantined": _nq}
             replaced = sorted(
                 f for f, b in live.items() if b in touched
             )
@@ -2293,6 +2304,7 @@ def _apply_dvs(spark, table: TableLog, base, key: str,
     return out if keep_file_col else out.drop("_f")
 
 
+@_reapply_on_constraint_change
 def delete_keys_pandas(
     table: TableLog,
     keys,
@@ -2312,6 +2324,7 @@ def delete_keys_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    _rev0 = _gate_state(table)
     key, n_buckets = _resolve_layout(table, key, n_buckets)
 
     kset = {int(k) for k in keys}
@@ -2361,6 +2374,10 @@ def delete_keys_pandas(
                         "deleted_rows": 0, "dv_files": 0}
         if pre_commit_hook is not None:
             pre_commit_hook(v)
+        if _gate_state(table) != _rev0:
+            _unlink_staged(table,
+                           [{"file": d} for d in staged_dvs.values()])
+            raise _ConstraintsChanged(None)
         attempts += 1
         if table.try_commit(v, [], [], writer, dvs=staged_dvs):
             return {"committed_version": v + 1, "attempts": attempts,
@@ -2370,6 +2387,7 @@ def delete_keys_pandas(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+@_reapply_on_constraint_change
 def delete_keys_spark(
     spark,
     table: TableLog,
@@ -2403,6 +2421,7 @@ def delete_keys_spark(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    _rev0 = _gate_state(table)  # layout/rules change mid-delete → restart
     key, n_buckets = _resolve_layout(table, key, n_buckets)
 
     if mode not in ("dv", "rewrite"):
@@ -2494,6 +2513,13 @@ def delete_keys_spark(
                 )
         if pre_commit_hook is not None:
             pre_commit_hook(v)
+        if _gate_state(table) != _rev0:
+            _unlink_staged(
+                table,
+                (staged or []) + [{"file": d}
+                                  for d in (staged_dvs or {}).values()],
+            )
+            raise _ConstraintsChanged(None)
         attempts += 1
         if mode == "dv":
             ok = table.try_commit(v, [], [], writer, dvs=staged_dvs)
@@ -2775,7 +2801,10 @@ def append_pandas(
     checked_fileset = None
     attempts = 0
     while attempts < max_attempts:
-        v, live = table.snapshot()
+        if uniq:
+            v, live = table.snapshot()
+        else:
+            v = table.version()  # blind-append hot path: no live fold
         if idcol:
             hwm = table.id_hwm(v)  # pinned to THIS attempt's parent
             if hwm != hwm0:
@@ -2823,6 +2852,7 @@ def append_pandas(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+@_reapply_on_constraint_change
 def optimize_table_spark(
     spark,
     table: TableLog,
@@ -2877,6 +2907,8 @@ def optimize_table_spark(
     here, documented rather than hidden."""
     from pyspark.sql import functions as F
 
+    _rev0 = _gate_state(table)  # a rebucket landing mid-OPTIMIZE must
+    # restart it, or it would rewrite the table back into a stale layout
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     pending = None
     if rewrite_all:
@@ -2943,6 +2975,9 @@ def optimize_table_spark(
             _unlink_staged(table, staged)
             raise CommitConflict(
                 f"{writer}: rebucket superseded by a newer rebucket")
+        if pending is None and _gate_state(table) != _rev0:
+            _unlink_staged(table, staged)
+            raise _ConstraintsChanged(None)
         attempts += 1
         if table.try_commit(v, staged, replaced, writer):
             if pending is not None:
@@ -2961,6 +2996,7 @@ def optimize_table_spark(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+@_reapply_on_constraint_change
 def restore_table(
     table: TableLog,
     version: int,
@@ -2989,6 +3025,15 @@ def restore_table(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    floor = int(table._meta().get("layout_since_version", 0))
+    if version < floor:
+        raise ValueError(
+            f"cannot restore to v{version}: the bucket layout changed "
+            f"at v{floor} and old manifests' bucket ids would lie "
+            "under the current count — restore only reaches versions "
+            "in the current layout epoch"
+        )
+    _rev0 = _gate_state(table)
     attempts = 0
     staged_sidecars: list[str] = []
     while attempts < max_attempts:
@@ -3029,6 +3074,13 @@ def restore_table(
                 pq.write_table(merged, table.data_path(name))
                 staged_sidecars.append(name)
                 dv_attach[f] = name
+        if _gate_state(table) != _rev0:
+            for n in staged_sidecars:
+                try:
+                    os.unlink(table.data_path(n))
+                except FileNotFoundError:
+                    pass
+            raise _ConstraintsChanged(None)
         attempts += 1
         if table.try_commit(v_head, adds, removes, writer,
                             dvs=dv_attach or None):

@@ -38,12 +38,24 @@ class Table:
                  n_buckets: int | None = None) -> None:
         self.spark = spark
         self.log = acid.TableLog(path)
-        if key is None or n_buckets is None:
-            pkey, pn = self.log.layout()  # persisted at create
-            key = key if key is not None else pkey
-            n_buckets = n_buckets if n_buckets is not None else pn
-        self.key = key
-        self.n_buckets = n_buckets
+        # explicit args PIN the layout (legacy tables); otherwise the
+        # handle resolves it LIVE from metadata on every use, so a
+        # rebucket by another handle or process is picked up instead
+        # of writing under a stale cached count forever
+        self._pinned_key = key
+        self._pinned_n = n_buckets
+
+    @property
+    def key(self) -> str | None:
+        if self._pinned_key is not None:
+            return self._pinned_key
+        return self.log.effective_layout()[0]
+
+    @property
+    def n_buckets(self) -> int | None:
+        if self._pinned_n is not None:
+            return self._pinned_n
+        return self.log.effective_layout()[1]
 
     # -- creation ---------------------------------------------------------
 
@@ -63,6 +75,7 @@ class Table:
                                  constraints=constraints,
                                  generated=generated,
                                  identity=identity)
+        t._pinned_key = t._pinned_n = None  # layout persisted: go live
         return t
 
     @classmethod
@@ -169,15 +182,15 @@ class Table:
         """Keyed upsert; ``version_col`` switches to the conditional
         (idempotent, out-of-order-safe) CDC merge."""
         return acid.merge_upsert_spark(
-            self.spark, self.log, updates_df, self.key, self.n_buckets,
-            writer, version=version_col,
+            self.spark, self.log, updates_df, self._pinned_key,
+            self._pinned_n, writer, version=version_col,
         )
 
     def append(self, df, writer: str = "append", stats_cols=()) -> dict:
         """Blind insert (new keys), the streaming micro-batch fast path."""
         return acid.append_spark(
-            self.spark, self.log, df, self.key, self.n_buckets, writer,
-            stats_cols=stats_cols,
+            self.spark, self.log, df, self._pinned_key, self._pinned_n,
+            writer, stats_cols=stats_cols,
         )
 
     def delete(self, keys_df, writer: str = "delete",
@@ -185,15 +198,15 @@ class Table:
         """Row-level delete — deletion vectors by default (no base
         rewrites), ``mode='rewrite'`` for the classical path."""
         return acid.delete_keys_spark(
-            self.spark, self.log, keys_df, self.key, self.n_buckets,
-            writer, mode=mode,
+            self.spark, self.log, keys_df, self._pinned_key,
+            self._pinned_n, writer, mode=mode,
         )
 
     def sync(self, source_df, writer: str = "sync") -> dict:
         """Three-clause MERGE: after it the table equals ``source_df``."""
         return acid.sync_snapshot_spark(
-            self.spark, self.log, source_df, self.key, self.n_buckets,
-            writer,
+            self.spark, self.log, source_df, self._pinned_key,
+            self._pinned_n, writer,
         )
 
     # -- maintenance ------------------------------------------------------
@@ -203,8 +216,9 @@ class Table:
                  rewrite_all: bool = False, writer: str = "optimize") -> dict:
         """Bin-pack fragments, cluster on ``sort_col``, compact DVs."""
         return acid.optimize_table_spark(
-            self.spark, self.log, self.key, self.n_buckets, writer,
-            sort_col=sort_col, files_per_bucket=files_per_bucket,
+            self.spark, self.log, self._pinned_key, self._pinned_n,
+            writer, sort_col=sort_col,
+            files_per_bucket=files_per_bucket,
             stats_cols=stats_cols, rewrite_all=rewrite_all,
         )
 

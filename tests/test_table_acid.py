@@ -2794,3 +2794,92 @@ def test_constraint_string_length_clauses(spark):
         append_pandas(t, pd.DataFrame({"k": [6], "txt": ["y" * 100]}))
     q = sorted(r.k for r in read_quarantine(spark, t).collect())
     assert q == [2, 5]
+
+
+def test_rebucket_blocks_stale_restore_and_restarts_delete(spark):
+    """Rebucket × the other writers: (a) RESTORE refuses to cross a
+    bucket-count change (old manifests' bucket ids would lie under the
+    new count — the layout epoch guard); (b) a DELETE in flight when a
+    rebucket lands restarts via the gate and still deletes the right
+    rows under the new layout."""
+    from distribot_spark.sources.acid import (
+        delete_keys_spark,
+        optimize_table_spark,
+        read_snapshot_spark,
+        restore_table,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(                                       # v0
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(32)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    state = {}
+
+    def rebucket_midflight(v):
+        if "done" in state:
+            return
+        state["done"] = True
+        optimize_table_spark(spark, t, n_buckets=8, writer="opt",
+                             rewrite_all=True)                 # v1
+
+    st = delete_keys_spark(
+        spark, t, spark.createDataFrame([(5,), (6,)], "k long"),
+        pre_commit_hook=rebucket_midflight,
+    )
+    assert st["deleted_rows"] == 2, st
+    got = {r.k for r in read_snapshot_spark(spark, t, dv_key="k").collect()}
+    assert 5 not in got and 6 not in got and len(got) == 30
+    assert t.layout() == ("k", 8)
+
+    # restore cannot cross the layout epoch...
+    with pytest.raises(ValueError, match="layout changed"):
+        restore_table(t, 0)
+    # ...but within the current epoch it works
+    st = restore_table(t, 1)  # the rebucket version, pre-delete
+    assert not st["noop"]
+    got = {r.k for r in read_snapshot_spark(spark, t, dv_key="k").collect()}
+    assert 5 in got and 6 in got and len(got) == 32
+
+
+def test_generated_columns_null_source_both_clients(spark):
+    """A NULL source value yields a NULL generated value in BOTH
+    clients (Spark's F.year(NULL) semantics) — no cast crash, no
+    stringified 'nan' (the cross-client drift the validation contract
+    exists to prevent)."""
+    import datetime
+
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame(
+            [(0, datetime.date(2000, 1, 1), "alpha")],
+            "k long, dt date, code string"),
+        "k", n_buckets=2,
+        generated={"ym": {"fn": "yyyymm", "src": "dt"},
+                   "pre": {"fn": "substr", "src": "code",
+                           "pos": 1, "len": 2}},
+    )
+    append_spark(spark, t, spark.createDataFrame(
+        [(1, None, None)], "k long, dt date, code string"))
+    # same bucket (both even) so the typed values anchor the part
+    # file's schema; the null row rides along as date32/string nulls
+    append_pandas(t, pd.DataFrame(
+        {"k": [2, 4],
+         "dt": pd.Series([None, datetime.date(2001, 2, 3)],
+                         dtype=object),  # date32 + null, not NANOS
+         "code": [None, "beta"]}))
+    got = {r.k: (r.ym, r.pre)
+           for r in read_snapshot_spark(spark, t).collect()}
+    assert got[1] == (None, None) and got[2] == (None, None), got
+    assert got[0] == (200001, "al") and got[4] == (200102, "be")
