@@ -1589,3 +1589,77 @@ def s28_stream_expectations_quarantine(spark, sf_dir):
             )
         )
     )
+
+
+@register(
+    "s29_stream_identity_ingest",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos,
+               COUNT(*) OVER () AS n
+        FROM orders
+    ),
+    c AS (
+        SELECT r.*,
+               (SELECT MAX(i) FROM range(0, 8) t(i)
+                WHERE (i * r.n) // 8 <= r.pos) AS chunk
+        FROM r
+    ),
+    ids AS (
+        SELECT k, price,
+               (chunk * n) // 8
+               + ROW_NUMBER() OVER (PARTITION BY chunk
+                                    ORDER BY k % 16, k) - 1 AS rid
+        FROM c
+    )
+    SELECT COUNT(*) AS cnt,
+           CAST(MAX(rid) AS BIGINT) AS max_rid,
+           CAST(SUM(rid) AS BIGINT) AS sum_rid,
+           CAST(SUM(rid * (k % 1009)) AS BIGINT) AS rid_binding
+    FROM ids
+    """,
+    tags=("streaming", "identity", "acid", "sink"),
+)
+def s29_stream_identity_ingest(spark, sf_dir):
+    """IDENTITY under streaming ingest: orders replayed as 8
+    micro-batches through a foreachBatch APPEND into an identity
+    table — every batch draws the next COMMIT-RESERVED id range, ids
+    within a batch follow the (bucket, key) convention, so the DuckDB
+    oracle reconstructs EVERY id from scratch: it re-derives each
+    row's micro-batch from the replay's sorted-slice boundaries,
+    offsets by the cumulative batch sizes (= the ranges the commits
+    reserved), and ranks within the batch — the product-sum binding
+    then pins the exact per-row assignment across ~8 separate OCC
+    commits. What this certifies beyond source_acid_identity: range
+    bookkeeping stays exact through the checkpointed micro-batch
+    machinery, not just direct calls."""
+    import tempfile
+
+    from distribot_spark.sources import acid
+
+    src = replay.table_replay_dir(sf_dir, "orders", "o_orderkey", 8)
+    root = tempfile.mkdtemp(prefix="s29_", dir=replay.TMP_ROOT)
+    table = acid.TableLog(os.path.join(root, "table"))
+    table.init(key="k", n_buckets=16, identity={"col": "rid"})
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        acid.append_spark(
+            spark, table,
+            batch_df.select(F.col("o_orderkey").alias("k"),
+                            F.col("o_totalprice").alias("price")),
+            writer=f"b{batch_id}",
+        )
+
+    replay.run_foreach_batch(spark, lambda s: s, src, sink, "append")
+
+    cur = acid.read_snapshot_spark(spark, table)
+    return cur.agg(
+        F.count("*").alias("cnt"),
+        F.max("rid").cast("long").alias("max_rid"),
+        F.sum("rid").cast("long").alias("sum_rid"),
+        F.sum(F.col("rid") * (F.col("k") % 1009)).cast("long")
+        .alias("rid_binding"),
+    )

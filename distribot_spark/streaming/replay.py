@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 import pyarrow as pa
@@ -67,6 +68,7 @@ def replay_dir(
         tag += "-flush"
     out = os.path.join(TMP_ROOT, "replay", tag)
     if os.path.isdir(out) and os.listdir(out):
+        _stamp_replay_order(out)
         return out
     os.makedirs(out, exist_ok=True)
 
@@ -116,6 +118,7 @@ def replay_dir(
 
     for i, chunk in enumerate(chunks):
         pq.write_table(chunk, os.path.join(out, f"chunk_{i:04d}.parquet"))
+    _stamp_replay_order(out)
     return out
 
 
@@ -333,6 +336,7 @@ def table_replay_dir(
     tag = f"{os.path.basename(sf_dir.rstrip('/'))}-{table}-{sort_col}-c{n_chunks}"
     out = os.path.join(TMP_ROOT, "replay", tag)
     if os.path.isdir(out) and os.listdir(out):
+        _stamp_replay_order(out)
         return out
     os.makedirs(out, exist_ok=True)
     t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
@@ -344,7 +348,20 @@ def table_replay_dir(
     ]
     for i, chunk in enumerate(chunks):
         pq.write_table(chunk, os.path.join(out, f"chunk_{i:04d}.parquet"))
+    _stamp_replay_order(out)
     return out
+
+
+def _stamp_replay_order(out: str) -> None:
+    """Make micro-batch ARRIVAL ORDER contractual: Spark's file stream
+    orders files by (modification time, path), and sequential writes
+    can land inside one timestamp tick — two chunks then tie and sort
+    non-path-wise, which silently permutes batch order (caught by the
+    s29 identity oracle: the id SET stayed exact while per-row ids
+    moved). Strictly increasing mtimes in path order pin it."""
+    t0 = time.time() - 86400  # firmly in the past, monotone per chunk
+    for i, f in enumerate(sorted(os.listdir(out))):
+        os.utime(os.path.join(out, f), (t0 + i, t0 + i))
 
 
 def orders_cdc_replay_dir(sf_dir: str, n_chunks: int = 8) -> str:
@@ -359,6 +376,7 @@ def orders_cdc_replay_dir(sf_dir: str, n_chunks: int = 8) -> str:
     tag = f"{os.path.basename(sf_dir.rstrip('/'))}-orders-cdc-c{n_chunks}"
     out = os.path.join(TMP_ROOT, "replay", tag)
     if os.path.isdir(out) and os.listdir(out):
+        _stamp_replay_order(out)
         return out
     os.makedirs(out, exist_ok=True)
     t = pq.read_table(
@@ -387,4 +405,5 @@ def orders_cdc_replay_dir(sf_dir: str, n_chunks: int = 8) -> str:
     ]
     for i, chunk in enumerate(chunks):
         pq.write_table(chunk, os.path.join(out, f"chunk_{i:04d}.parquet"))
+    _stamp_replay_order(out)
     return out
