@@ -2024,3 +2024,69 @@ def source_acid_restore(spark, sf_dir):
         F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
         .cast("double").alias("total"),
     )
+
+
+@register(
+    "source_acid_bloom_skipping",
+    oracle="""
+    WITH probes AS (
+        SELECT 0 AS i, (SELECT MIN(o_orderkey) FROM orders) AS probe
+        UNION ALL
+        SELECT 1, (SELECT MAX(o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 2, (SELECT MAX(o_orderkey) FROM orders) * 2 + 17
+        UNION ALL SELECT 3, 1000
+        UNION ALL SELECT 4, 1007
+    )
+    SELECT i, CAST(probe AS BIGINT) AS probe,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_orderkey = probes.probe) AS cnt
+    FROM probes ORDER BY i
+    """,
+    tags=("sources", "acid", "bloom", "skipping"),
+)
+def source_acid_bloom_skipping(spark, sf_dir):
+    """Bloom-filter FILE SKIPPING for point lookups (Delta's bloom
+    filter index): six append waves lift a portable-xxh64 bloom over
+    the merge key into each staged file's manifest stats, and a point
+    lookup consults ONLY the manifest to drop files
+    (`live_paths_pruned_point`) — min/max stats cannot help here
+    because every wave spans the whole key range, the workload bloom
+    indexes exist for. Each probe (min key, max key, a guaranteed-
+    absent key, two fixed keys) asserts >0 files pruned, and the
+    returned per-probe counts are computed FROM THE PRUNED FILE LIST —
+    the hash oracle's plain point-count reconstruction certifies the
+    bloom never drops a matching file (false positives cost opens,
+    never rows; the absent-key probe certifies the negative path)."""
+    import shutil
+
+    from distribot_spark.sources import TableLog
+    from distribot_spark.sources.acid import append_spark, write_initial_spark
+
+    out = os.path.join(TMP_ROOT, f"acid_bloom_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"),
+    )
+    seed = orders.orderBy("k").limit(1)  # 1-row create (bloom-less, kept)
+    write_initial_spark(spark, table, seed, "k", n_buckets=16)
+    for w in range(6):  # every wave spans the full key range
+        append_spark(
+            spark, table,
+            orders.filter((F.col("k") % 6 == w) & (F.col("k") !=
+                          seed.collect()[0].k)),
+            writer=f"w{w}", bloom_key=True,
+        )
+
+    lo, hi = orders.agg(F.min("k"), F.max("k")).collect()[0]
+    probes = [(0, int(lo)), (1, int(hi)), (2, int(hi) * 2 + 17),
+              (3, 1000), (4, 1007)]
+    rows = []
+    for i, p in probes:
+        kept, pruned = table.live_paths_pruned_point("k", p)
+        assert pruned > 0, (i, p, pruned)  # manifest-only skipping
+        cnt = (spark.read.option("mergeSchema", "true").parquet(*kept)
+               .filter(F.col("k") == p).count())
+        rows.append((i, p, cnt))
+    return spark.createDataFrame(rows, "i int, probe long, cnt long")

@@ -812,6 +812,26 @@ class TableLog:
             kept.append(self.data_path(f))
         return kept, pruned
 
+    def live_paths_pruned_point(
+        self, col: str, value, version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """POINT-LOOKUP file skipping off per-file bloom filters in the
+        manifest stats (Delta's bloom filter index): keep only files
+        whose bloom might contain ``value``; files without a bloom are
+        always kept (conservative, like min/max stats), so a pruned
+        point read ≡ the full read + the equality predicate. The false
+        positive rate costs wasted opens, never rows."""
+        stats = self.live_stats(version)
+        kept: list[str] = []
+        pruned = 0
+        for f in sorted(stats):
+            bl = (stats[f] or {}).get(f"_bloom:{col}")
+            if bl is not None and not bloom_maybe_contains(bl, value):
+                pruned += 1
+                continue
+            kept.append(self.data_path(f))
+        return kept, pruned
+
     def _floor_checkpoint(self) -> int:
         """Newest full-format checkpoint at or below the retention
         floor — the earliest log entry any retained fold can start
@@ -2536,6 +2556,49 @@ def delete_keys_spark(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+BLOOM_BITS = 8192
+BLOOM_K = 4
+
+
+def _bloom_positions(key_val: int) -> list[int]:
+    """K probe positions from ONE portable xxh64 via double hashing —
+    the same pure-python XXH64(long, 42) that is bit-identical to
+    Spark's xxhash64 (pinned by test_python_xxh64_long_matches_spark),
+    so any client, JVM or not, computes the same bloom."""
+    h = _xxh64_long(int(key_val))
+    h1 = h & 0xFFFFFFFF
+    h2 = ((h >> 32) & 0xFFFFFFFF) | 1  # odd step: full-cycle probing
+    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_K)]
+
+
+def parquet_key_bloom(path: str, key: str) -> dict:
+    """Per-file BLOOM FILTER over the merge key, stored SPARSE
+    ({word index -> 31-bit word} — 31 bits per word keeps every value
+    a small JSON int, the bloom/CMS packing discipline) in the file's
+    manifest stats. 8192 bits / 4 probes ≈ 2.4% false positives at
+    1000 keys/file — each false positive costs one wasted file open,
+    never a wrong result. Built driver-side here (staged files are
+    local); at cluster scale the same pass runs in the write task."""
+    import pyarrow.parquet as pq
+
+    words: dict[int, int] = {}
+    for kv in pq.read_table(path, columns=[key])[key].to_pylist():
+        if kv is None:
+            continue
+        for pos in _bloom_positions(kv):
+            w, b = divmod(pos, 31)
+            words[w] = words.get(w, 0) | (1 << b)
+    return {str(w): v for w, v in sorted(words.items())}
+
+
+def bloom_maybe_contains(bloom: dict, key_val) -> bool:
+    for pos in _bloom_positions(key_val):
+        w, b = divmod(pos, 31)
+        if not (int(bloom.get(str(w), 0)) >> b) & 1:
+            return False
+    return True
+
+
 def _json_scalar(v):
     """Parquet-footer stat value -> JSON scalar with the SAME ordering:
     numbers stay numbers, strings stay strings, dates/timestamps become
@@ -2586,7 +2649,7 @@ def parquet_file_stats(path: str, cols) -> dict[str, dict]:
 
 def _stage_bucketed(
     spark, table: TableLog, df_pb, n_partitions: int,
-    sort_cols=None, range_cols=None, stats_cols=(),
+    sort_cols=None, range_cols=None, stats_cols=(), bloom_key=None,
 ) -> list[dict]:
     """Write ``df_pb`` (must carry ``_pb``) as immutable staged data
     files, one-bucket-per-file by construction (``partitionBy("_pb")``
@@ -2619,6 +2682,9 @@ def _stage_bucketed(
                 entry["stats"] = parquet_file_stats(
                     table.data_path(name), stats_cols
                 )
+            if bloom_key:
+                entry.setdefault("stats", {})[f"_bloom:{bloom_key}"] = \
+                    parquet_key_bloom(table.data_path(name), bloom_key)
             staged.append(entry)
     shutil.rmtree(tmp_out, ignore_errors=True)
     return staged
@@ -2635,6 +2701,7 @@ def append_spark(
     stats_cols=(),
     max_attempts: int = 50,
     pre_commit_hook=None,
+    bloom_key: bool = False,
 ) -> dict:
     """Blind INSERT (Delta's ``append`` mode) through the OCC log: the
     batch is bucketed and staged as NEW files, committed adds-only. No
@@ -2676,7 +2743,7 @@ def append_spark(
                     if idcol else (up0, 0))
         return u, n_ids, _stage_bucketed(
             spark, table, u, n_buckets, sort_cols=["_pb", key],
-            stats_cols=stats_cols,
+            stats_cols=stats_cols, bloom_key=(key if bloom_key else None),
         )
 
     hwm0 = table.id_hwm() if idcol else 0
@@ -2865,6 +2932,7 @@ def optimize_table_spark(
     rewrite_all: bool = False,
     max_attempts: int = 50,
     pre_commit_hook=None,
+    bloom_key: bool = False,
 ) -> dict:
     """OPTIMIZE: bin-pack fragmented buckets (many small append files →
     ``files_per_bucket`` files), optionally CLUSTERING rows on
@@ -2967,6 +3035,7 @@ def optimize_table_spark(
         staged = _stage_bucketed(
             spark, table, df, max(len(work), 1) * files_per_bucket,
             sort_cols=order, range_cols=order, stats_cols=stats_cols,
+            bloom_key=(key if bloom_key else None),
         )
         if pre_commit_hook is not None:
             pre_commit_hook(v)

