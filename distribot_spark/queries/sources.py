@@ -2071,11 +2071,11 @@ def source_acid_bloom_skipping(spark, sf_dir):
     )
     seed = orders.orderBy("k").limit(1)  # 1-row create (bloom-less, kept)
     write_initial_spark(spark, table, seed, "k", n_buckets=16)
+    seed_k = seed.collect()[0].k
     for w in range(6):  # every wave spans the full key range
         append_spark(
             spark, table,
-            orders.filter((F.col("k") % 6 == w) & (F.col("k") !=
-                          seed.collect()[0].k)),
+            orders.filter((F.col("k") % 6 == w) & (F.col("k") != seed_k)),
             writer=f"w{w}", bloom_key=True,
         )
 

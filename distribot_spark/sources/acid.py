@@ -2390,6 +2390,9 @@ def delete_keys_pandas(
                 staged_dvs[f] = name
                 deleted_rows += len(hit)
             if not staged_dvs:
+                if _gate_state(table) != _rev0:
+                    raise _ConstraintsChanged(None)  # stale layout: the
+                    # miss may be an artifact of old bucket ids — restart
                 return {"committed_version": v, "attempts": attempts,
                         "deleted_rows": 0, "dv_files": 0}
         if pre_commit_hook is not None:
@@ -2481,6 +2484,8 @@ def delete_keys_spark(
             replaced = sorted(bucket_files)
             replaced_dvstate = dvstate
             if not replaced:
+                if _gate_state(table) != _rev0:
+                    raise _ConstraintsChanged(None)
                 return {"committed_version": v, "attempts": attempts,
                         "deleted_rows": 0, "dv_files": 0}
             paths = [table.data_path(f) for f in replaced]
@@ -2518,6 +2523,9 @@ def delete_keys_spark(
                         ).num_rows
                 shutil.rmtree(tmp_out, ignore_errors=True)
                 if not staged_dvs:  # nothing matched: no commit needed
+                    if _gate_state(table) != _rev0:
+                        raise _ConstraintsChanged(None)  # or a stale-
+                        # layout artifact (see the pandas twin) — restart
                     return {"committed_version": v, "attempts": attempts,
                             "deleted_rows": 0, "dv_files": 0}
             else:
@@ -2556,11 +2564,12 @@ def delete_keys_spark(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
-BLOOM_BITS = 8192
+BLOOM_MIN_BITS = 8192
+BLOOM_MAX_BITS = 1 << 17  # manifest-size cap: ≤ ~4.2k sparse words
 BLOOM_K = 4
 
 
-def _bloom_positions(key_val: int) -> list[int]:
+def _bloom_positions(key_val: int, m: int) -> list[int]:
     """K probe positions from ONE portable xxh64 via double hashing —
     the same pure-python XXH64(long, 42) that is bit-identical to
     Spark's xxhash64 (pinned by test_python_xxh64_long_matches_spark),
@@ -2568,33 +2577,42 @@ def _bloom_positions(key_val: int) -> list[int]:
     h = _xxh64_long(int(key_val))
     h1 = h & 0xFFFFFFFF
     h2 = ((h >> 32) & 0xFFFFFFFF) | 1  # odd step: full-cycle probing
-    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_K)]
+    return [(h1 + i * h2) % m for i in range(BLOOM_K)]
 
 
 def parquet_key_bloom(path: str, key: str) -> dict:
-    """Per-file BLOOM FILTER over the merge key, stored SPARSE
-    ({word index -> 31-bit word} — 31 bits per word keeps every value
-    a small JSON int, the bloom/CMS packing discipline) in the file's
-    manifest stats. 8192 bits / 4 probes ≈ 2.4% false positives at
-    1000 keys/file — each false positive costs one wasted file open,
-    never a wrong result. Built driver-side here (staged files are
-    local); at cluster scale the same pass runs in the write task."""
+    """Per-file BLOOM FILTER over the merge key, stored SPARSE as
+    {"m": bits, "w": {word index -> 31-bit word}} (31 bits per word
+    keeps every value a small JSON int, the bloom/CMS packing
+    discipline) in the file's manifest stats. The size is
+    SELF-DESCRIBING and scales with the file: ~16 bits/key rounded to
+    a power of two (fp ≈ 0.2%), clamped to [8192, 2^17] so manifests
+    stay small — past the cap (≈ 100k+ keys/file) false positives
+    degrade pruning gracefully, never correctness. Built driver-side
+    here (staged files are local); at cluster scale the same pass runs
+    in the write task."""
     import pyarrow.parquet as pq
 
+    ks = pq.read_table(path, columns=[key])[key].to_pylist()
+    m = BLOOM_MIN_BITS
+    while m < 16 * max(len(ks), 1) and m < BLOOM_MAX_BITS:
+        m <<= 1
     words: dict[int, int] = {}
-    for kv in pq.read_table(path, columns=[key])[key].to_pylist():
+    for kv in ks:
         if kv is None:
             continue
-        for pos in _bloom_positions(kv):
+        for pos in _bloom_positions(kv, m):
             w, b = divmod(pos, 31)
             words[w] = words.get(w, 0) | (1 << b)
-    return {str(w): v for w, v in sorted(words.items())}
+    return {"m": m, "w": {str(w): v for w, v in sorted(words.items())}}
 
 
 def bloom_maybe_contains(bloom: dict, key_val) -> bool:
-    for pos in _bloom_positions(key_val):
+    m = int(bloom.get("m", BLOOM_MIN_BITS))
+    words = bloom.get("w", bloom)  # tolerate the flat legacy shape
+    for pos in _bloom_positions(key_val, m):
         w, b = divmod(pos, 31)
-        if not (int(bloom.get(str(w), 0)) >> b) & 1:
+        if not (int(words.get(str(w), 0)) >> b) & 1:
             return False
     return True
 
@@ -3094,6 +3112,8 @@ def restore_table(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    _rev0 = _gate_state(table)  # FIRST: heals any landed-but-
+    # unfinished rebucket, so the epoch floor below is never stale
     floor = int(table._meta().get("layout_since_version", 0))
     if version < floor:
         raise ValueError(
@@ -3102,7 +3122,6 @@ def restore_table(
             "under the current count — restore only reaches versions "
             "in the current layout epoch"
         )
-    _rev0 = _gate_state(table)
     attempts = 0
     staged_sidecars: list[str] = []
     while attempts < max_attempts:
@@ -3144,11 +3163,7 @@ def restore_table(
                 staged_sidecars.append(name)
                 dv_attach[f] = name
         if _gate_state(table) != _rev0:
-            for n in staged_sidecars:
-                try:
-                    os.unlink(table.data_path(n))
-                except FileNotFoundError:
-                    pass
+            _unlink_staged(table, [{"file": n} for n in staged_sidecars])
             raise _ConstraintsChanged(None)
         attempts += 1
         if table.try_commit(v_head, adds, removes, writer,
@@ -3157,12 +3172,8 @@ def restore_table(
                     "restored_to": version, "attempts": attempts,
                     "noop": False, "files_readded": len(adds),
                     "files_removed": len(removes)}
-        for n in staged_sidecars:  # lost the race: recompute fresh
-            try:
-                os.unlink(table.data_path(n))
-            except FileNotFoundError:
-                pass
-        staged_sidecars = []
+        _unlink_staged(table, [{"file": n} for n in staged_sidecars])
+        staged_sidecars = []  # lost the race: recompute fresh
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 

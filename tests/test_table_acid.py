@@ -2928,8 +2928,11 @@ def test_bloom_point_lookup_file_skipping(spark):
         misses += (1 - full)
     assert hits == 4 and misses == 2  # 4 present, 2 absent probes
 
-    # the bloom-less create file is conservatively kept for every probe
-    v0_file = t.data_path(sorted(live)[0])
+    # the bloom-less create files are conservatively kept on every
+    # probe — the safety property that makes pruning semantics-free
+    kept, _ = t.live_paths_pruned_point("k", 99999)
+    v0_files = [t.data_path(f) for f in t.snapshot_at(0)[1]]
+    assert v0_files and all(f in kept for f in v0_files)
     # OPTIMIZE with blooms: compaction keeps point skipping working
     optimize_table_spark(spark, t, writer="opt", bloom_key=True)
     kept, pruned = t.live_paths_pruned_point("k", 5049)
