@@ -2944,3 +2944,37 @@ def F_col_eq(v):
     from pyspark.sql import functions as F
 
     return F.col("k") == v
+
+
+def test_identity_ids_not_burned_by_quarantine(spark):
+    """Ordering contract: constraints run BEFORE identity assignment,
+    so rows a quarantine-mode expectation diverts never consume ids —
+    the reserved range covers exactly the admitted rows and the id
+    sequence stays gap-free."""
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(0, 1.0)], "k long, val double"),
+        "k", n_buckets=2,
+        constraints={"nn": {"col": "val", "min": 0,
+                            "on_violation": "quarantine"}},
+        identity={"col": "rid"},
+    )
+    st = append_spark(
+        spark, t,
+        spark.createDataFrame([(10, -1.0), (11, 2.0), (12, -3.0)],
+                              "k long, val double"),
+    )
+    assert st["quarantined"] == 2 and st["id_range"] == [1, 2], st
+    st2 = append_pandas(t, pd.DataFrame(
+        {"k": [20, 21], "val": [-9.0, 9.0]}))
+    assert st2["quarantined"] == 1 and st2["id_range"] == [2, 3], st2
+    ids = sorted(r.rid for r in read_snapshot_spark(spark, t).collect())
+    assert ids == [0, 1, 2] and t.id_hwm() == 3  # gap-free
