@@ -2978,3 +2978,66 @@ def test_identity_ids_not_burned_by_quarantine(spark):
     assert st2["quarantined"] == 1 and st2["id_range"] == [2, 3], st2
     ids = sorted(r.rid for r in read_snapshot_spark(spark, t).collect())
     assert ids == [0, 1, 2] and t.id_hwm() == 3  # gap-free
+
+
+def test_constraint_dsl_cross_client_differential(spark):
+    """Differential pin: for a seeded random matrix of frames × every
+    DSL clause combination, the pandas client and the Spark client
+    must divert EXACTLY the same rows to the dead-letter area — the
+    portable-DSL promise checked wholesale rather than clause by
+    clause. (Seeded, deterministic; a DSL change that skews one client
+    fails here before it can skew a table.)"""
+    import random
+
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        read_quarantine,
+        write_initial_spark,
+    )
+
+    rng = random.Random(20260815)
+    specs = [
+        {"col": "val", "min": -5, "on_violation": "quarantine"},
+        {"col": "val", "max": 5, "on_violation": "quarantine"},
+        {"col": "val", "min": -2, "max": 2, "on_violation": "quarantine"},
+        {"col": "val", "not_null": True, "on_violation": "quarantine"},
+        {"col": "txt", "isin": ["a", "b", "c"],
+         "on_violation": "quarantine"},
+        {"col": "txt", "min_len": 2, "max_len": 4,
+         "on_violation": "quarantine"},
+        {"col": "txt", "not_null": True, "min_len": 3,
+         "on_violation": "quarantine"},
+    ]
+    for trial, spec in enumerate(specs):
+        rows = []
+        for i in range(40):
+            val = rng.choice([None, rng.randint(-10, 10),
+                              float(rng.randint(-10, 10))])
+            txt = rng.choice([None, "a", "b", "zz", "abcd", "toolongg",
+                              "x" * rng.randint(0, 6)])
+            rows.append((i, None if val is None else float(val), txt))
+
+        def mktable(tag):
+            t = TableLog(_tmp_table())
+            write_initial_spark(
+                spark, t,
+                spark.createDataFrame([(1000, 0.0, "abc")],
+                                      "k long, val double, txt string"),
+                "k", n_buckets=2, constraints={f"c{trial}": spec},
+            )
+            return t
+
+        ts_, tp = mktable("s"), mktable("p")
+        st_s = append_spark(
+            spark, ts_,
+            spark.createDataFrame(rows, "k long, val double, txt string"),
+        )
+        st_p = append_pandas(
+            tp, pd.DataFrame(rows, columns=["k", "val", "txt"]))
+        assert st_s["quarantined"] == st_p["quarantined"], (trial, spec)
+        div_s = ({r.k for r in read_quarantine(spark, ts_).collect()}
+                 if st_s["quarantined"] else set())
+        div_p = ({r.k for r in read_quarantine(spark, tp).collect()}
+                 if st_p["quarantined"] else set())
+        assert div_s == div_p, (trial, spec, div_s ^ div_p)
