@@ -3041,3 +3041,94 @@ def test_constraint_dsl_cross_client_differential(spark):
         div_p = ({r.k for r in read_quarantine(spark, tp).collect()}
                  if st_p["quarantined"] else set())
         assert div_s == div_p, (trial, spec, div_s ^ div_p)
+
+
+def test_generated_dsl_cross_client_differential(spark):
+    """Differential pin for the GENERATED column DSL: a seeded random
+    frame appended through the Spark client and the pandas client into
+    twin tables must materialize byte-equal derived values for every
+    fn — including NULL sources."""
+    import datetime
+    import random
+
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        append_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    rng = random.Random(20260816)
+    gens = {
+        "y": {"fn": "year", "src": "dt"},
+        "mo": {"fn": "month", "src": "dt"},
+        "ym": {"fn": "yyyymm", "src": "dt"},
+        "pre": {"fn": "substr", "src": "code", "pos": 2, "len": 3},
+        "sh": {"fn": "pmod", "src": "k", "n": 7},
+        "kd": {"fn": "div", "src": "k", "n": 100},
+    }
+    rows = []
+    for i in range(1, 41):
+        dt = (None if rng.random() < 0.2 else
+              datetime.date(rng.randint(1995, 2005),
+                            rng.randint(1, 12), rng.randint(1, 28)))
+        code = rng.choice([None, "alpha", "bx", "longercode",
+                           "m" * rng.randint(1, 5)])
+        rows.append((i, dt, code))
+
+    def mktable():
+        t = TableLog(_tmp_table())
+        write_initial_spark(
+            spark, t,
+            spark.createDataFrame(
+                [(0, datetime.date(2000, 1, 1), "seed")],
+                "k long, dt date, code string"),
+            "k", n_buckets=2, generated=gens,
+        )
+        return t
+
+    ts_, tp = mktable(), mktable()
+    append_spark(spark, ts_, spark.createDataFrame(
+        rows, "k long, dt date, code string"))
+    append_pandas(tp, pd.DataFrame(rows, columns=["k", "dt", "code"]))
+
+    def snap(t):
+        return {
+            r.k: (r.y, r.mo, r.ym, r.pre, r.sh, r.kd)
+            for r in read_snapshot_spark(spark, t).collect()
+        }
+
+    a, b = snap(ts_), snap(tp)
+    assert a == b, {k: (a[k], b[k]) for k in a if a[k] != b[k]}
+
+
+def test_bloom_no_false_negatives_property():
+    """The bloom safety property, wholesale: for seeded random key
+    sets at several sizes (incl. past the size cap, where the filter
+    saturates), EVERY inserted key tests positive — false negatives
+    are impossible by construction; the test pins it against any
+    future change to sizing, probing, or packing."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distribot_spark.sources.acid import (
+        bloom_maybe_contains,
+        parquet_key_bloom,
+    )
+
+    rng = random.Random(7)
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    for n in (1, 100, 5000, 20000):
+        keys = rng.sample(range(10**12), n)
+        path = os.path.join("/root/repo/.tmp", f"bloomprop_{n}.parquet")
+        pq.write_table(pa.table({"k": pa.array(keys, pa.int64())}), path)
+        bloom = parquet_key_bloom(path, "k")
+        assert all(bloom_maybe_contains(bloom, k) for k in keys), n
+        # and it still says no to MOST absent keys below saturation
+        absent = [k + 10**13 for k in keys[:200]]
+        neg = sum(not bloom_maybe_contains(bloom, k) for k in absent)
+        if n <= 5000:
+            assert neg >= int(0.75 * len(absent)), (n, neg, len(absent))
+        os.unlink(path)
