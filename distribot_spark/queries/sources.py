@@ -2090,3 +2090,83 @@ def source_acid_bloom_skipping(spark, sf_dir):
                .filter(F.col("k") == p).count())
         rows.append((i, p, cnt))
     return spark.createDataFrame(rows, "i int, probe long, cnt long")
+
+
+@register(
+    "source_acid_analyze",
+    oracle="""
+    SELECT COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders))
+             AS point_cnt
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <= DATE '1996-06-30'
+    """,
+    tags=("sources", "acid", "analyze", "skipping"),
+)
+def source_acid_analyze(spark, sf_dir):
+    """ANALYZE end to end: six stats-less appends leave a table whose
+    manifest can skip NOTHING (asserted); one METADATA-ONLY
+    `analyze_table` commit backfills per-file min/max date stats AND
+    merge-key blooms by reading footers/key columns — no data file is
+    rewritten (file set and byte sizes asserted identical, the change
+    feed of the commit is empty by the carried-DV rule) — after which
+    a date-window scan file-skips (>0 pruned asserted) and a min-key
+    point lookup prunes via the bloom. Census and point count are
+    computed FROM THE PRUNED FILE LISTS, so the hash oracle certifies
+    both skipping modes drop no rows. The ANALYZE-over-DVs half is
+    pinned by test_analyze_backfills_stats_and_blooms_metadata_only."""
+    import shutil
+
+    from distribot_spark.sources import TableLog
+    from distribot_spark.sources.acid import (
+        analyze_table,
+        append_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_analyze_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.col("o_totalprice").alias("price"),
+    )
+    seed = orders.orderBy("k").limit(1)
+    write_initial_spark(spark, table, seed, "k", n_buckets=16)
+    seed_k = seed.collect()[0].k
+    for w in range(6):  # stats-less, bloom-less ingest
+        append_spark(
+            spark, table,
+            orders.filter((F.col("k") % 6 == w) & (F.col("k") != seed_k)),
+            writer=f"w{w}",
+        )
+
+    _, pruned0 = table.live_paths_pruned("d", "1996-01-01", "1996-06-30")
+    assert pruned0 == 0, "nothing should skip before ANALYZE"
+    files0 = dict(table.snapshot()[1])
+    st = analyze_table(table, stats_cols=("d",), bloom_key=True)
+    assert st["files_analyzed"] == len(files0), st
+    assert dict(table.snapshot()[1]) == files0  # zero files rewritten
+
+    kept, pruned = table.live_paths_pruned("d", "1996-01-01", "1996-06-30")
+    assert pruned > 0, "date stats must enable range skipping"
+    census = (
+        spark.read.option("mergeSchema", "true").parquet(*kept)
+        .filter(F.col("d").between("1996-01-01", "1996-06-30"))
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+             .cast("double").alias("total"))
+    )
+    kept_p, pruned_p = table.live_paths_pruned_point("k", int(seed_k))
+    assert pruned_p > 0, "blooms must enable point skipping"
+    point = (
+        spark.read.option("mergeSchema", "true").parquet(*kept_p)
+        .filter(F.col("k") == int(seed_k))
+        .agg(F.count("*").cast("long").alias("point_cnt"))
+    )
+    return census.crossJoin(point)

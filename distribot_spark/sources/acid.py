@@ -3084,6 +3084,83 @@ def optimize_table_spark(
 
 
 @_reapply_on_constraint_change
+def analyze_table(
+    table: TableLog,
+    stats_cols=(),
+    bloom_key: bool = False,
+    writer: str = "analyze",
+    max_attempts: int = 50,
+) -> dict:
+    """ANALYZE: backfill manifest min/max stats and/or merge-key
+    blooms for live files that LACK them — a METADATA-ONLY commit
+    (each such file is removed and re-added under the same name with
+    the stats attached; zero data bytes rewritten), the catch-up path
+    for tables whose early writers predate ``stats_cols``/``bloom_key``
+    or whose OPTIMIZE never ran. Because a remove kills a file's DV
+    list, each re-added file's deletion vectors are re-attached
+    exactly (merged to one sidecar when there were several — the
+    RESTORE discipline), and because pre- and post-image are
+    identical the change feed of an ANALYZE commit is EMPTY, like
+    OPTIMIZE. Engine-free: stats come from parquet footers, blooms
+    from one key-column read per file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _rev0 = _gate_state(table)
+    key = _resolve_layout(table, None, None)[0] if bloom_key else None
+    bslot = f"_bloom:{key}" if bloom_key else None
+    attempts = 0
+    staged_sidecars: list[str] = []
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        stats = table.live_stats()
+        dvmap = table.live_dvs()
+        work = sorted(
+            f for f in live
+            if any(c not in (stats.get(f) or {}) for c in stats_cols)
+            or (bslot and bslot not in (stats.get(f) or {}))
+        )
+        if not work:
+            if _gate_state(table) != _rev0:
+                raise _ConstraintsChanged(None)
+            return {"committed_version": v, "attempts": attempts,
+                    "files_analyzed": 0}
+        adds, removes, dv_attach = [], [], {}
+        for f in work:
+            st = dict(stats.get(f) or {})
+            if stats_cols:
+                st.update(parquet_file_stats(table.data_path(f),
+                                             stats_cols))
+            if bslot:
+                st[bslot] = parquet_key_bloom(table.data_path(f), key)
+            adds.append({"file": f, "pb": int(live[f]), "stats": st})
+            removes.append(f)
+            dvs = list(dvmap.get(f, ()))
+            if len(dvs) == 1:
+                dv_attach[f] = dvs[0]
+            elif len(dvs) > 1:
+                merged = pa.concat_tables(
+                    [pq.read_table(table.data_path(d)) for d in dvs],
+                    promote_options="default",
+                )
+                name = table.new_dv_file()
+                pq.write_table(merged, table.data_path(name))
+                staged_sidecars.append(name)
+                dv_attach[f] = name
+        if _gate_state(table) != _rev0:
+            _unlink_staged(table, [{"file": n} for n in staged_sidecars])
+            raise _ConstraintsChanged(None)
+        attempts += 1
+        if table.try_commit(v, adds, removes, writer,
+                            dvs=dv_attach or None):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "files_analyzed": len(work)}
+        _unlink_staged(table, [{"file": n} for n in staged_sidecars])
+        staged_sidecars = []  # lost the race: recompute fresh
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+@_reapply_on_constraint_change
 def restore_table(
     table: TableLog,
     version: int,
@@ -3242,7 +3319,16 @@ def table_changes_spark(
         c = table.read_commit(v)
         adds = [table.data_path(a["file"]) for a in c["adds"]]
         removes = [table.data_path(f) for f in c["removes"]]
-        dvl = c.get("dvs") or {}
+        added_names = {a["file"] for a in c["adds"]}
+        # a DV attached to a file RE-ADDED in the same commit is state
+        # CARRY-OVER (ANALYZE/RESTORE resetting a file's delete state),
+        # not a new deletion — its rows were reported when the original
+        # DV committed; only attachments to files that stay live are
+        # fresh deletes
+        dvl = {f: d for f, d in (c.get("dvs") or {}).items()
+               if f not in added_names}
+        dvl_carried = {f: [d] for f, d in (c.get("dvs") or {}).items()
+                       if f in added_names}
         if dvl:
             # deletion-vector commit: the deleted rows are the named
             # data files' rows whose key the sidecar records — each
@@ -3270,6 +3356,10 @@ def table_changes_spark(
         if not adds and not removes:
             continue
         a_df = _aligned(adds) if adds else None
+        if a_df is not None and dvl_carried:
+            # the post-image of a re-added file folds its carried DVs,
+            # so the diff sees the file's LOGICAL content on both sides
+            a_df = _apply_dvs(spark, table, a_df, key, dvl_carried)
         r_df = _aligned(removes) if removes else None
         if r_df is not None and v > 0:
             # the pre-image is the removed files MINUS their deletion

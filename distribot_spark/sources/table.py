@@ -222,6 +222,12 @@ class Table:
             stats_cols=stats_cols, rewrite_all=rewrite_all,
         )
 
+    def analyze(self, stats_cols=(), bloom_key: bool = False,
+                writer: str = "analyze") -> dict:
+        """Backfill manifest stats / key blooms (metadata-only)."""
+        return acid.analyze_table(self.log, stats_cols=stats_cols,
+                                  bloom_key=bloom_key, writer=writer)
+
     def restore(self, version: int, writer: str = "restore") -> dict:
         """RESTORE TABLE TO VERSION AS OF: one commit whose post-image
         equals the old snapshot, deletion vectors included."""

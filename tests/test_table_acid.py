@@ -3132,3 +3132,70 @@ def test_bloom_no_false_negatives_property():
         if n <= 5000:
             assert neg >= int(0.75 * len(absent)), (n, neg, len(absent))
         os.unlink(path)
+
+
+def test_analyze_backfills_stats_and_blooms_metadata_only(spark):
+    """ANALYZE: files written before stats/bloom options existed get
+    their manifest entries backfilled in ONE metadata-only commit —
+    file names and bytes untouched, DV state preserved exactly, the
+    change feed of the commit EMPTY — after which range AND point
+    skipping work."""
+    from distribot_spark.sources.acid import (
+        analyze_table,
+        append_spark,
+        delete_keys_spark,
+        read_snapshot_spark,
+        table_changes_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(0, 0.0)], "k long, val double"),
+        "k", n_buckets=4,
+    )
+    for w in range(4):  # stats-less, bloom-less appends (narrow ranges)
+        append_spark(
+            spark, t,
+            spark.createDataFrame(
+                [(w * 1000 + i, float(i)) for i in range(1, 40)],
+                "k long, val double"),
+            writer=f"w{w}",
+        )
+    delete_keys_spark(spark, t, spark.createDataFrame([(1001,)], "k long"))
+    rows_before = sorted(
+        (r.k, r.val)
+        for r in read_snapshot_spark(spark, t, dv_key="k").collect())
+    files_before = dict(t.snapshot()[1])
+    bytes_before = {f: os.stat(t.data_path(f)).st_size
+                    for f in files_before}
+
+    _, pruned0 = t.live_paths_pruned("k", 3000, 3999)
+    assert pruned0 == 0  # nothing skippable before
+    st = analyze_table(t, stats_cols=("k",), bloom_key=True)
+    assert st["files_analyzed"] == len(files_before), st
+
+    # metadata-only: same file names, same bytes, same logical rows,
+    # DV-deleted key still gone, EMPTY change feed for the commit
+    assert dict(t.snapshot()[1]) == files_before
+    assert {f: os.stat(t.data_path(f)).st_size
+            for f in files_before} == bytes_before
+    assert sorted(
+        (r.k, r.val)
+        for r in read_snapshot_spark(spark, t, dv_key="k").collect()
+    ) == rows_before
+    assert table_changes_spark(
+        spark, t, from_version=st["committed_version"]).count() == 0
+
+    # and now both skipping modes work off the backfilled manifest
+    kept, pruned = t.live_paths_pruned("k", 3000, 3999)
+    assert pruned > 0
+    assert spark.read.parquet(*kept).filter(
+        (F_col_eq(3005)) ).count() == 1
+    kept, pruned = t.live_paths_pruned_point("k", 2007)
+    assert pruned > 0
+    assert spark.read.parquet(*kept).filter(F_col_eq(2007)).count() == 1
+    # idempotent: nothing left to analyze
+    assert analyze_table(t, stats_cols=("k",), bloom_key=True)[
+        "files_analyzed"] == 0
