@@ -3199,3 +3199,42 @@ def test_analyze_backfills_stats_and_blooms_metadata_only(spark):
     # idempotent: nothing left to analyze
     assert analyze_table(t, stats_cols=("k",), bloom_key=True)[
         "files_analyzed"] == 0
+
+
+def test_facade_governance_round_trip(spark):
+    """The facade drives the whole round-6 governance surface through
+    one handle: create with rules, dirty append diverts, analyze
+    backfills, restore rolls back, detail reflects it all."""
+    from distribot_spark.sources.table import Table
+
+    path = _tmp_table()
+    t = Table.create(
+        spark, path,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        key="k", n_buckets=2,
+        constraints={"nn": {"col": "val", "min": 0,
+                            "on_violation": "quarantine"}},
+        identity={"col": "rid"},
+    )
+    t.append(spark.createDataFrame([(10, -1.0), (11, 5.0)],
+                                   "k long, val double"))      # v1
+    assert t.quarantine().count() == 1
+    st = t.analyze(stats_cols=("k",), bloom_key=True)          # v2
+    assert st["files_analyzed"] > 0
+    assert t.change_feed(from_version=st["committed_version"]).count() == 0
+    v_before = t.version()
+    t.merge(spark.createDataFrame([(3, 33.0)], "k long, val double"))
+    st = t.restore(v_before)                                   # rollback
+    assert not st["noop"]
+    got = dict((r.k, r.val) for r in t.read().collect())
+    assert got[3] == 3.0 and got[11] == 5.0 and 10 not in got
+    d = t.detail()
+    assert d["identity"] == {"col": "rid"} and d["has_quarantine"]
+    t.reprocess_quarantine()   # still diverts (rule unchanged)
+    assert t.quarantine().count() == 1
+    t.drop_constraint("nn")
+    t.reprocess_quarantine()
+    got = dict((r.k, r.val) for r in t.read().collect())
+    assert got[10] == -1.0
+    assert t.vacuum_quarantine(older_than=0) == 0  # already drained
