@@ -470,16 +470,24 @@ class TableLog:
         versions stay time-travelable (Delta's log/`VACUUM` retention
         expressed in versions — the demo clock is the commit counter).
         Monotonic: the floor never moves backward, so racing expirers
-        compose. This is the METADATA half of reclamation; no file is
-        touched until `vacuum()` runs. Returns the new floor."""
+        compose. The read-compute-write runs under `_meta_lock` (the
+        ALTER discipline) — without it two racing expirers could
+        interleave (both read the old floor, the one computing the
+        LOWER value writes last) and regress the floor, letting a read
+        below the real floor pass `_check_not_expired` and then fail
+        with a raw parquet FileNotFound after a vacuum. This is the
+        METADATA half of reclamation; no file is touched until
+        `vacuum()` runs. Returns the new floor."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         head = self.version()
-        floor = max(self.expired_before(), max(head - keep_last + 1, 0))
-        tmp = self._retention_path() + f".tmp{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as fh:
-            json.dump({"min_version": floor, "ts": time.time()}, fh)
-        os.replace(tmp, self._retention_path())
+        with self._meta_lock():
+            floor = max(
+                self.expired_before(), max(head - keep_last + 1, 0))
+            tmp = self._retention_path() + f".tmp{uuid.uuid4().hex[:6]}"
+            with open(tmp, "w") as fh:
+                json.dump({"min_version": floor, "ts": time.time()}, fh)
+            os.replace(tmp, self._retention_path())
         return floor
 
     def _check_not_expired(self, v: int) -> None:
@@ -893,8 +901,17 @@ class TableLog:
             live = {f: int(b) for f, b in body["live"].items()}
             dvs = {f: list(d) for f, d in body["dvs"].items()}
             start = cstar + 1
-            if cstar >= floor:  # can't happen (cstar <= floor), but safe
+            if cstar >= floor:
+                # cstar == floor DOES happen (expire to a checkpoint
+                # boundary, e.g. keep_last=1 with head on a multiple of
+                # CHECKPOINT_EVERY): the checkpoint IS a retained
+                # snapshot, so its live files AND its DV sidecars are
+                # referenced — without the sidecars, vacuum would unlink
+                # live deletion state and DV-folded reads would crash on
+                # missing sidecar parquet.
                 referenced.update(live)
+                for ds in dvs.values():
+                    referenced.update(ds)
         for i in range(start, head + 1):
             c = self.read_commit(i)
             for f in c["removes"]:
@@ -1147,8 +1164,11 @@ def _generated_expr_spark(g: dict):
     deterministic derivations both clients (and the DuckDB oracles)
     spell identically — enough for the partition-style derived columns
     generated columns exist for (date parts, prefixes, shards).
-    ``div`` truncates like Spark DIV; callers must keep the source
-    non-negative (the CLAUDE.md floor-division rule)."""
+    ``div`` is FLOOR division on every client — spelled via the
+    non-negative-mod identity (the CLAUDE.md
+    ``(c - ((c % W) + W) % W) DIV W`` rule) so Spark's truncating DIV
+    and pandas' ``//`` agree on NEGATIVE sources too; a value computed
+    by one client always validates in the other."""
     from pyspark.sql import functions as F
 
     src = F.col(g["src"])
@@ -1164,8 +1184,9 @@ def _generated_expr_spark(g: dict):
     if fn == "pmod":
         return F.pmod(src.cast("long"), F.lit(int(g["n"]))).cast("long")
     if fn == "div":
+        s, n = g["src"], int(g["n"])
         return F.expr(
-            f"CAST({g['src']} DIV {int(g['n'])} AS BIGINT)"
+            f"CAST(({s} - ((({s} % {n}) + {n}) % {n})) DIV {n} AS BIGINT)"
         )
     raise ValueError(f"unknown generated fn {fn!r}")
 
@@ -1230,9 +1251,11 @@ def _apply_generated_pandas(table: TableLog, frame):
         elif fn == "pmod":
             val = src.astype("Int64") % int(g["n"])
         elif fn == "div":
+            # FLOOR division, matching the Spark evaluator's
+            # non-negative-mod spelling — agrees on negative sources
             v = src.astype("Int64")
             val = (v - ((v % int(g["n"])) + int(g["n"])) % int(g["n"])
-                   ) // int(g["n"])  # truncation ≡ floor: non-neg contract
+                   ) // int(g["n"])
         else:
             raise ValueError(f"unknown generated fn {fn!r}")
         if col in frame.columns:

@@ -570,6 +570,69 @@ def test_vacuum_keeps_live_dv_sidecars():
     assert removed == {name, dv}
 
 
+def test_vacuum_keeps_dv_sidecars_when_floor_is_checkpoint():
+    """The cstar == floor corner: expire to a CHECKPOINT boundary
+    (keep_last=1 with head on a CHECKPOINT_EVERY multiple) makes the
+    floor checkpoint itself the only retained snapshot — the commit
+    loop in referenced_files() is empty, so the checkpoint's DV
+    sidecars must be referenced from the bootstrap branch or vacuum
+    unlinks LIVE delete state and DV-folded reads crash on missing
+    sidecar parquet."""
+    import pyarrow as pa
+
+    t = TableLog(_tmp_table())
+    t.init()
+    name = t.new_data_file(0)
+    pq.write_table(pa.table({"k": [0, 1, 2], "val": [0, 1, 2]}),
+                   t.data_path(name))
+    assert t.try_commit(-1, [{"file": name, "pb": 0}], [], "w")
+    dv = t.new_dv_file()
+    pq.write_table(pa.table({"_df": [name], "k": [1]}), t.data_path(dv))
+    assert t.try_commit(0, [], [], "w", dvs={name: dv})
+    # pad with real files so head lands exactly on CHECKPOINT_EVERY
+    for i in range(2, CHECKPOINT_EVERY + 1):
+        f = t.new_data_file(1)
+        pq.write_table(pa.table({"k": [100 + i], "val": [i]}),
+                       t.data_path(f))
+        assert t.try_commit(i - 1, [{"file": f, "pb": 1}], [], "w")
+    head = t.version()
+    assert head == CHECKPOINT_EVERY
+    assert os.path.exists(t._checkpoint_path(CHECKPOINT_EVERY))
+
+    t.expire_snapshots(keep_last=1)
+    assert t.expired_before() == head
+    assert t._floor_checkpoint() == head  # cstar == floor
+    removed = t.vacuum(min_age_seconds=0.0)
+    assert removed == [], removed  # especially: the DV sidecar survives
+    assert os.path.exists(t.data_path(dv))
+    assert t.live_dvs() == {name: [dv]}  # delete state still readable
+    deleted = pq.read_table(t.data_path(dv)).to_pandas()
+    assert list(deleted["k"]) == [1]
+
+
+def test_expire_snapshots_racing_expirers_never_regress_floor():
+    """expire_snapshots serializes its read-compute-write under the
+    meta lock: concurrent expirers with DIFFERENT keep_last values
+    must compose monotonically (the floor is the max of their
+    computed floors), never regress to the laggard's lower value."""
+    t = TableLog(_tmp_table())
+    t.init()
+    for i in range(12):
+        assert t.try_commit(i - 1, [{"file": f"f{i}", "pb": 0}], [], "w")
+    floors = []
+
+    def expire(keep):
+        floors.append(t.expire_snapshots(keep_last=keep))
+
+    threads = [threading.Thread(target=expire, args=(k,))
+               for k in (1, 3, 5, 7, 9, 11)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    # head=11, tightest keep_last=1 -> floor 11; whatever the
+    # interleaving, the PERSISTED floor is the max ever computed
+    assert t.expired_before() == max(floors) == 11
+
+
 def test_snapshot_and_commit_cost_bounded_by_checkpoint_interval():
     """Streaming-ingest scaling contract, pinned by IO SHAPE (not
     timing): at 1000+ commits, snapshot() folds from the newest
@@ -2494,6 +2557,25 @@ def test_generated_columns_computed_and_validated(spark):
     rows = {x.k: (x.pre, x.kdiv)
             for x in read_snapshot_spark(spark, t2).collect()}
     assert rows[5678] == ("BE", 5)
+
+    # div is FLOOR division on a NEGATIVE source in BOTH clients (the
+    # ADVICE divergence: Spark DIV truncates, pandas // floors — the
+    # spelled-out non-negative-mod identity makes them agree), so a
+    # value computed by one client always validates in the other
+    merge_upsert_spark(spark, t2, spark.createDataFrame(
+        [(-1234, "GAMMA-2", 3.0)], "k long, code string, val double"))
+    append_pandas(t2, pd.DataFrame(
+        {"k": [-5678], "code": ["DELTA-9"], "val": [4.0]}))
+    rows = {x.k: x.kdiv
+            for x in read_snapshot_spark(spark, t2).collect()}
+    assert rows[-1234] == -2 and rows[-5678] == -6  # floor, not trunc
+    # cross-client validation: pandas validates the Spark-computed
+    # value and vice versa (PRESENT column path)
+    append_pandas(t2, pd.DataFrame(
+        {"k": [-9001], "code": ["EPS-1"], "val": [5.0],
+         "pre": ["EP"], "kdiv": [-10]}))
+    assert {x.k: x.kdiv for x in
+            read_snapshot_spark(spark, t2).collect()}[-9001] == -10
 
 
 def test_vacuum_quarantine_age_rail(spark):
