@@ -2170,3 +2170,98 @@ def source_acid_analyze(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("point_cnt"))
     )
     return census.crossJoin(point)
+
+
+@register(
+    "source_acid_manifest_prune",
+    oracle="""
+    SELECT COUNT(*) AS cnt,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders))
+             AS point_cnt
+    FROM orders WHERE o_orderkey BETWEEN 1 AND 1000
+    """,
+    tags=("sources", "acid", "manifest", "skipping"),
+)
+def source_acid_manifest_prune(spark, sf_dir):
+    """DISTRIBUTED manifest pruning (sources/manifest.py): file
+    skipping planned as a SPARK JOB over the parquet checkpoint
+    manifest instead of a driver-side dict — the scale rung Delta's
+    parquet checkpoints exist for (at millions of live files, a JSON
+    parse per snapshot on the driver is the planning bottleneck; a
+    manifest scan is just another distributed parquet read and the
+    driver receives only the KEPT paths). Build: six blind appends
+    fragment the table past the checkpoint interval, one OPTIMIZE
+    clusters rows on the key and attaches min/max stats + key blooms.
+    Certified in-flight: the Spark-job range prune and bloom point
+    prune return BYTE-IDENTICAL (kept, pruned) to the driver-side
+    `live_paths_pruned`/`_point` (the oracle-certified originals), and
+    both actually skip files (>0 pruned asserted). The returned census
+    is computed FROM THE MANIFEST-PRUNED FILE LISTS, so the hash
+    oracle certifies the distributed planner drops no rows. Scale
+    shape: checkpoint scan is distributed, tail fold is O(tail),
+    range predicate is JVM-side get_json_object (no Python eval —
+    plan-gated), bloom test is an Arrow-batched pandas UDF over
+    manifest rows reusing the same bloom_maybe_contains as the driver
+    path."""
+    import shutil
+
+    from distribot_spark.sources import TableLog
+    from distribot_spark.sources.acid import (
+        append_spark,
+        optimize_table_spark,
+    )
+    from distribot_spark.sources.manifest import (
+        live_paths_pruned_manifest,
+        live_paths_pruned_point_manifest,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_manifest_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    table.init()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+    )
+    for w in range(6):
+        append_spark(
+            spark, table, orders.filter(F.col("o_orderkey") % 6 == w),
+            "o_orderkey", 8, f"appender-{w}",
+        )
+    optimize_table_spark(
+        spark, table, "o_orderkey", 8, "optimizer",
+        sort_col="o_orderkey", files_per_bucket=2,
+        stats_cols=("o_orderkey",), bloom_key=True,
+    )
+    # range prune: Spark-job plan == driver fold, and it skips
+    kept_d, pruned_d = table.live_paths_pruned("o_orderkey", 1, 1000)
+    kept_m, pruned_m = live_paths_pruned_manifest(
+        spark, table, "o_orderkey", 1, 1000)
+    assert (kept_m, pruned_m) == (sorted(kept_d), pruned_d)
+    assert pruned_m > 0 and kept_m, (pruned_m, len(kept_m))
+    # bloom point prune on the minimum key: same equality, also skips
+    min_k = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+    kp_d, pp_d = table.live_paths_pruned_point("o_orderkey", min_k)
+    kp_m, pp_m = live_paths_pruned_point_manifest(
+        spark, table, "o_orderkey", min_k)
+    assert (kp_m, pp_m) == (sorted(kp_d), pp_d)
+    assert pp_m > 0, pp_m
+    census = (
+        spark.read.parquet(*kept_m)
+        .filter(F.col("o_orderkey").between(1, 1000))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("cents"),
+        )
+    )
+    point = (
+        spark.read.parquet(*kp_m)
+        .filter(F.col("o_orderkey") == min_k)
+        .agg(F.count("*").alias("point_cnt"))
+    )
+    return census.crossJoin(point)

@@ -16,6 +16,11 @@ from distribot_spark.sources.acid import (
     table_changes_spark,
     write_initial_spark,
 )
+from distribot_spark.sources.manifest import (
+    live_paths_pruned_manifest,
+    live_paths_pruned_point_manifest,
+    manifest_df,
+)
 from distribot_spark.sources.table import Table
 from distribot_spark.sources.io import (
     read_any,
@@ -30,6 +35,8 @@ __all__ = [
     "CommitConflict", "SnapshotExpired",
     "TableLog", "append_pandas", "append_spark", "delete_keys_spark",
     "merge_upsert_pandas", "merge_upsert_spark",
+    "live_paths_pruned_manifest", "live_paths_pruned_point_manifest",
+    "manifest_df",
     "optimize_table_spark", "purge_tombstones_pandas", "read_snapshot_spark",
     "sync_snapshot_spark",
     "table_changes_spark", "write_initial_spark",

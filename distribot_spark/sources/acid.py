@@ -676,6 +676,17 @@ class TableLog:
                            "stats": stats, "dvs": dvmap,
                            "id_hwm": hwm}, fh)
             os.replace(ctmp, self._checkpoint_path(v))
+            # PARQUET twin of the checkpoint (one row per live file,
+            # id_hwm in the footer metadata): what lets metadata
+            # consumers read the manifest as a DataFrame and prune
+            # with a Spark job instead of a driver dict — see
+            # sources/manifest.py. Same crash tolerance as the JSON
+            # checkpoint: a missing one just means the manifest read
+            # folds from an earlier checkpoint or bootstraps.
+            from . import manifest as _manifest
+
+            _manifest.write_checkpoint_parquet(
+                self, v, live, stats, dvmap, hwm)
         return True
 
     def snapshot_at(self, v: int) -> tuple[int, dict[str, int]]:
@@ -871,11 +882,17 @@ class TableLog:
             return []
         removed = []
         for name in sorted(os.listdir(self.log_dir)):
-            if not (name.startswith("v") and name.endswith(".json")
+            if not (name.startswith("v")
+                    and (name.endswith(".json")
+                         or name.endswith(".checkpoint.parquet"))
                     and name[1:13].isdigit()):
                 continue
             if int(name[1:13]) < cstar:
-                os.unlink(os.path.join(self.log_dir, name))
+                p = os.path.join(self.log_dir, name)
+                if os.path.isdir(p):  # multi-part parquet checkpoint
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.unlink(p)
                 removed.append(name)
         return removed
 

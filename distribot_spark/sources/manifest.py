@@ -1,0 +1,377 @@
+"""Parquet checkpoint manifests: DISTRIBUTED metadata reads for the
+ACID log.
+
+The JSON checkpoint (`acid.TableLog._fold_entries`) is the portable
+pandas-client fold — but every consumer of it materializes a
+driver-side dict of EVERY live file and prunes with a Python loop.
+Correct, measured-flat vs COMMIT count, and exactly the wall Delta hit
+at large FILE counts: at millions of live files a JSON parse per
+snapshot on one machine is the planning bottleneck, which is why Delta
+checkpoints are parquet readable as a DataFrame.
+
+This module is that rung, re-expressed for this log:
+
+- the commit winner writes ``v{N:012d}.checkpoint.parquet`` next to the
+  JSON checkpoint — ONE ROW PER LIVE FILE (`file`, `pb`, `stats_json`,
+  `dvs`) with the identity high-water mark riding in the parquet
+  schema metadata, so the full table state is there too;
+- `manifest_df` reconstructs the live manifest AT ANY RETAINED VERSION
+  as a Spark DataFrame: the checkpoint is a distributed parquet scan,
+  and the ≤ CHECKPOINT_EVERY tail commits fold into O(tail)-sized
+  driver structures applied as a filter + broadcast join + union —
+  the driver never holds a row per live file;
+- `live_paths_pruned_manifest` / `live_paths_pruned_point_manifest`
+  express FILE SKIPPING as a Spark job over that manifest with the
+  same keep/prune semantics as the driver-side
+  `TableLog.live_paths_pruned*` (conservative: a file without stats
+  for the column is always kept), so the driver receives only the
+  KEPT paths — O(result), not O(live files).
+
+The JSON path stays: pandas clients and small tables keep the
+driver fold (it is also the bootstrap when a table predates parquet
+checkpoints). `tests/test_manifest.py` pins row-for-row equality
+between the two paths across tails with removes, same-name re-adds
+(the ANALYZE pattern) and DV appends; the IO-shape test pins that
+manifest construction reads ≤ CHECKPOINT_EVERY commit files; and
+`scaling.py --manifest` records the driver-cost curve vs file count
+where the JSON fold grows linearly.
+
+Reference parity: distribot externalizes ALL shared state so no single
+process must hold it (flow.rb:31-52); a driver-side dict of every live
+file is exactly such a process, and this module removes it from the
+planning path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
+from .acid import CHECKPOINT_EVERY, TableLog, bloom_maybe_contains
+
+# One manifest row per live file. The RANGE-prunable min/max travel as
+# TYPED map columns (`mins`/`maxs`, canonical-string values) so the
+# range planner is a map lookup + cast, never a per-row JSON parse;
+# `blooms` carries each bloomed column's sparse filter as its own
+# compact JSON (the point planner parses ONLY that, not the whole
+# stats dict); `stats_json` keeps the full-fidelity dict (what the
+# JSON checkpoint stores) for audit and forward-compat. This is the
+# Delta evolution in miniature: stats-as-JSON first, then parsed
+# checkpoint stats columns once JSON parse per row became the
+# planning bottleneck.
+_SPARK_SCHEMA = (
+    "file string, pb long, stats_json string, dvs array<string>, "
+    "mins map<string,string>, maxs map<string,string>, "
+    "blooms map<string,string>"
+)
+
+# Rows per checkpoint part file: a MULTI-PART checkpoint directory is
+# what gives the manifest scan task parallelism (one ~15 MB parquet
+# file would be a single Spark split; Delta's multi-part checkpoints
+# exist for exactly this).
+CHECKPOINT_PART_ROWS = 131_072
+
+_BLOOM_PREFIX = "_bloom:"
+
+
+def checkpoint_parquet_path(table: TableLog, v: int) -> str:
+    return os.path.join(table.log_dir, f"v{v:012d}.checkpoint.parquet")
+
+
+def _split_stats(st: dict | None):
+    """(stats_json, mins, maxs, blooms) for one file's stats dict —
+    canonical string values; numbers via repr (round-trips, casts back
+    exactly), strings as-is (ISO dates order lexicographically)."""
+    if not st:
+        return None, None, None, None
+    mins: dict[str, str] = {}
+    maxs: dict[str, str] = {}
+    blooms: dict[str, str] = {}
+    for c, s in st.items():
+        if c.startswith(_BLOOM_PREFIX):
+            blooms[c[len(_BLOOM_PREFIX):]] = json.dumps(
+                s, sort_keys=True, separators=(",", ":"))
+        elif isinstance(s, dict) and "min" in s and "max" in s:
+            mins[c] = s["min"] if isinstance(s["min"], str) \
+                else repr(s["min"])
+            maxs[c] = s["max"] if isinstance(s["max"], str) \
+                else repr(s["max"])
+    return (
+        json.dumps(st, sort_keys=True),
+        mins or None,
+        maxs or None,
+        blooms or None,
+    )
+
+
+def write_checkpoint_parquet(
+    table: TableLog,
+    v: int,
+    live: dict[str, int],
+    stats: dict[str, dict],
+    dvs: dict[str, list[str]],
+    id_hwm: int,
+) -> str:
+    """Write the parquet twin of the JSON checkpoint at ``v`` (called
+    by the commit winner with the dicts it already folded) as a
+    MULTI-PART directory — `CHECKPOINT_PART_ROWS` rows per part so the
+    manifest scan parallelizes. Atomic via tmp-dir-then-rename like
+    every other log artifact. The id high-water mark rides in each
+    part's parquet schema metadata so identity writers can read it
+    without scanning rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(live)
+    path = checkpoint_parquet_path(table, v)
+    tmp = path + f".tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    meta = {b"version": str(int(v)).encode(),
+            b"id_hwm": str(int(id_hwm)).encode()}
+    chunks = [files[i:i + CHECKPOINT_PART_ROWS]
+              for i in range(0, len(files), CHECKPOINT_PART_ROWS)] or [[]]
+    for part, chunk in enumerate(chunks):
+        split = [_split_stats(stats.get(f)) for f in chunk]
+        tbl = pa.table(
+            {
+                "file": pa.array(chunk, pa.string()),
+                "pb": pa.array([int(live[f]) for f in chunk],
+                               pa.int64()),
+                "stats_json": pa.array([s[0] for s in split],
+                                       pa.string()),
+                "dvs": pa.array(
+                    [list(dvs.get(f) or []) for f in chunk],
+                    pa.list_(pa.string()),
+                ),
+                "mins": pa.array([s[1] for s in split],
+                                 pa.map_(pa.string(), pa.string())),
+                "maxs": pa.array([s[2] for s in split],
+                                 pa.map_(pa.string(), pa.string())),
+                "blooms": pa.array([s[3] for s in split],
+                                   pa.map_(pa.string(), pa.string())),
+            }
+        ).replace_schema_metadata(meta)
+        pq.write_table(
+            tbl, os.path.join(tmp, f"part-{part:05d}.parquet"))
+    if os.path.isdir(path):  # crash leftover from a racing winner
+        import shutil as _sh
+
+        _sh.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
+def checkpoint_id_hwm(table: TableLog, v: int) -> int:
+    """Identity high-water mark from the parquet checkpoint FOOTER at
+    ``v`` — a metadata read, no rows scanned."""
+    import pyarrow.parquet as pq
+
+    root = checkpoint_parquet_path(table, v)
+    part = os.path.join(root, sorted(os.listdir(root))[0])
+    meta = pq.read_schema(part).metadata
+    return int((meta or {}).get(b"id_hwm", b"0"))
+
+
+def newest_checkpoint_parquet(table: TableLog, v: int) -> int:
+    """Newest parquet checkpoint version ≤ ``v``, or 0 when none
+    exists (pre-feature table, or v below the first checkpoint)."""
+    c = (v // CHECKPOINT_EVERY) * CHECKPOINT_EVERY
+    while c > 0:
+        if os.path.exists(checkpoint_parquet_path(table, c)):
+            return c
+        c -= CHECKPOINT_EVERY
+    return 0
+
+
+def _tail_fold(table: TableLog, start: int, v: int):
+    """Fold commits ``start..v`` into O(tail)-sized structures — the
+    ONLY driver-side state manifest reconstruction needs:
+
+    - ``dead``: checkpoint-era files removed in the tail (and not
+      re-added after);
+    - ``upserts``: {file -> (pb, stats, dv list)} for files ADDED in
+      the tail (covers the remove+re-add-same-name ANALYZE pattern:
+      the re-add's fresh stats win and its DV list restarts, exactly
+      the `_fold_entries` order);
+    - ``dv_appends``: {checkpoint-era file -> extra DV sidecars} in
+      commit order. A DV naming a file that is neither live in the
+      checkpoint nor added in the tail matches no manifest row and is
+      thereby ignored — the same lost-race semantics as the JSON fold.
+    """
+    dead: set[str] = set()
+    upserts: dict[str, tuple[int, dict | None, list[str]]] = {}
+    dv_appends: dict[str, list[str]] = {}
+    for i in range(start, v + 1):
+        c = table.read_commit(i)
+        for f in c["removes"]:
+            if f in upserts:
+                del upserts[f]
+            else:
+                dead.add(f)
+                dv_appends.pop(f, None)
+        for a in c["adds"]:
+            f = a["file"]
+            upserts[f] = (int(a["pb"]), a.get("stats") or None, [])
+            dead.discard(f)
+            dv_appends.pop(f, None)
+        for f, d in (c.get("dvs") or {}).items():
+            if f in upserts:
+                upserts[f][2].append(d)
+            elif f not in dead:
+                dv_appends.setdefault(f, []).append(d)
+    return dead, upserts, dv_appends
+
+
+def manifest_df(spark, table: TableLog, version: int | None = None):
+    """The live manifest at ``version`` (head if None) as a Spark
+    DataFrame ``(file, pb, stats_json, dvs, path)`` — the distributed
+    twin of `TableLog._fold_entries`, row-for-row equal (pinned by
+    tests/test_manifest.py).
+
+    Plan shape: parquet scan of the newest checkpoint ≤ v, minus the
+    tail's removed/re-added files (an `isin` against an O(tail) list),
+    plus tail DV appends (broadcast join on an O(tail) frame), plus
+    tail adds (union of an O(tail) local frame). Nothing driver-side
+    is proportional to the live file count.
+
+    Bootstrap: a table with no parquet checkpoint at or below ``v``
+    (fewer than CHECKPOINT_EVERY commits, or created before this
+    format) falls back to the driver fold — small by construction in
+    the first case, the documented migration cost in the second (the
+    next checkpoint writes parquet)."""
+    from pyspark.sql import functions as F
+
+    head = table.version()
+    v = head if version is None else version
+    if not 0 <= v <= head:
+        raise ValueError(f"version {v} outside [0, {head}]")
+    table._check_not_expired(v)
+
+    ckpt = newest_checkpoint_parquet(table, v)
+    if ckpt <= 0:
+        live, stats, dvs, _ = table._fold_entries(v)
+        rows = []
+        for f, b in sorted(live.items()):
+            sj, mn, mx, bl = _split_stats(stats.get(f))
+            rows.append((f, int(b), sj, list(dvs.get(f) or []),
+                         mn, mx, bl))
+        df = spark.createDataFrame(rows, _SPARK_SCHEMA)
+        return df.withColumn(
+            "path", F.concat(F.lit(table.data_dir + os.sep), F.col("file"))
+        )
+
+    df = spark.read.parquet(checkpoint_parquet_path(table, ckpt))
+    dead, upserts, dv_appends = _tail_fold(table, ckpt + 1, v)
+
+    gone = sorted(dead | set(upserts))
+    if gone:
+        df = df.filter(~F.col("file").isin(gone))
+    if dv_appends:
+        extra = spark.createDataFrame(
+            [(f, list(ds)) for f, ds in sorted(dv_appends.items())],
+            "file string, _extra_dvs array<string>",
+        )
+        df = (
+            df.join(F.broadcast(extra), "file", "left")
+            .withColumn(
+                "dvs",
+                F.concat(
+                    F.coalesce(F.col("dvs"),
+                               F.array().cast("array<string>")),
+                    F.coalesce(F.col("_extra_dvs"),
+                               F.array().cast("array<string>")),
+                ),
+            )
+            .drop("_extra_dvs")
+        )
+    if upserts:
+        rows = []
+        for f, (pb, st, dl) in sorted(upserts.items()):
+            sj, mn, mx, bl = _split_stats(st)
+            rows.append((f, pb, sj, list(dl), mn, mx, bl))
+        added = spark.createDataFrame(rows, _SPARK_SCHEMA)
+        df = df.select(
+            "file", "pb", "stats_json", "dvs", "mins", "maxs", "blooms"
+        ).unionByName(added)
+    return df.withColumn(
+        "path", F.concat(F.lit(table.data_dir + os.sep), F.col("file"))
+    )
+
+
+def live_paths_pruned_manifest(
+    spark, table: TableLog, col: str, lo, hi,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """RANGE file skipping as a Spark job over the manifest — same
+    results as the driver-side `TableLog.live_paths_pruned` (pinned):
+    keep a file unless its recorded [min, max] for ``col`` misses
+    [lo, hi]; a file without stats for the column is always kept.
+
+    Comparison typing mirrors the JSON fold: string bounds compare
+    lexicographically (dates/timestamps travel as ISO strings), numeric
+    bounds compare as doubles (manifest stats are JSON scalars; int64
+    keys beyond 2^53 would need a decimal cast — the demo's key domains
+    are far below it). The lookup is `element_at` on the typed
+    `mins`/`maxs` map columns — a columnar map probe, NOT a per-row
+    JSON parse (stats_json also carries the blooms, so parsing it per
+    row per query is exactly the linear cost this module removes; the
+    scaling.py --manifest curve is measured on this path). Only the
+    KEPT paths and a scalar count reach the driver."""
+    from pyspark.sql import functions as F
+
+    m = manifest_df(spark, table, version)
+    smin = F.element_at(F.col("mins"), F.lit(col))
+    smax = F.element_at(F.col("maxs"), F.lit(col))
+    if isinstance(lo, str):
+        lo_c, hi_c = F.lit(lo), F.lit(hi)
+    else:
+        smin, smax = smin.cast("double"), smax.cast("double")
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    keep = smin.isNull() | ~((smax < lo_c) | (smin > hi_c))
+    agg = m.agg(
+        F.sort_array(
+            F.collect_list(F.when(keep, F.col("path")))
+        ).alias("kept"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("pruned"),
+    ).collect()[0]
+    return list(agg["kept"]), int(agg["pruned"] or 0)
+
+
+def live_paths_pruned_point_manifest(
+    spark, table: TableLog, col: str, value,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """POINT-LOOKUP (bloom) file skipping as a Spark job over the
+    manifest — same results as the driver-side
+    `TableLog.live_paths_pruned_point` (pinned): keep a file unless
+    its bloom for ``col`` excludes ``value``; files without a bloom
+    are always kept. The bloom test runs executor-side in an
+    Arrow-batched pandas UDF reusing the SAME `bloom_maybe_contains`
+    the driver path uses, so the two can never disagree — and it
+    parses ONLY the `blooms` map entry for ``col``, never the whole
+    stats dict (which this column family exists to avoid)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    val = int(value)
+
+    @pandas_udf("boolean")
+    def _keep(bloom_json: pd.Series) -> pd.Series:
+        out = []
+        for s in bloom_json:
+            out.append(True if s is None
+                       else bloom_maybe_contains(json.loads(s), val))
+        return pd.Series(out)
+
+    m = manifest_df(spark, table, version).withColumn(
+        "_keep", _keep(F.element_at(F.col("blooms"), F.lit(col)))
+    )
+    agg = m.agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("_keep"), F.col("path")))
+        ).alias("kept"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("pruned"),
+    ).collect()[0]
+    return list(agg["kept"]), int(agg["pruned"] or 0)

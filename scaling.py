@@ -81,6 +81,88 @@ def table_log_curve():
     return out
 
 
+def manifest_curve():
+    """Planning cost vs LIVE FILE COUNT: the driver-side JSON fold
+    (`live_paths_pruned` — parse a checkpoint of every live file, prune
+    in a Python loop) against the distributed parquet-manifest planner
+    (`manifest.live_paths_pruned_manifest` — a Spark job over the
+    checkpoint; the driver receives only kept paths). The JSON column
+    must grow ~linearly with file count; the manifest column must stay
+    ~flat (scan parallelism absorbs the rows; the job constant
+    dominates). The synthetic checkpoint state is written directly in
+    both formats at a real commit boundary, so both paths read exactly
+    what a commit winner would have produced. Both planners must agree
+    on the kept set (asserted). Usage: python scaling.py --manifest
+    """
+    import json as _json
+    import os
+    import tempfile
+
+    from distribot_spark.sources import manifest as mf
+    from distribot_spark.sources.acid import CHECKPOINT_EVERY, TableLog
+    from distribot_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    out = []
+    for n_files in (1_000, 10_000, 100_000, 1_000_000):
+        root = tempfile.mkdtemp(prefix="manifest_scale_")
+        t = TableLog(root)
+        t.init()
+        v = -1
+        for i in range(CHECKPOINT_EVERY + 1):
+            assert t.try_commit(v, [{"file": f"seed{i}", "pb": 0}], [], "w")
+            v += 1
+        # overwrite the v10 checkpoint (both formats) with a synthetic
+        # n_files-file state: file i covers k in [32*i, 32*i+31]
+        live = {f"pb{i % 64:05d}-{i:09d}.parquet": i % 64
+                for i in range(n_files)}
+        stats = {
+            f: {"k": {"min": 32 * i, "max": 32 * i + 31}}
+            for i, f in enumerate(sorted(live))
+        }
+        ck = t._checkpoint_path(CHECKPOINT_EVERY)
+        with open(ck, "w") as fh:
+            _json.dump({"version": CHECKPOINT_EVERY, "live": live,
+                        "stats": stats, "dvs": {}, "id_hwm": 0}, fh)
+        mf.write_checkpoint_parquet(
+            t, CHECKPOINT_EVERY, live, stats, {}, 0)
+        lo, hi = 0, 32 * 16 - 1  # keeps exactly 16 files at any n
+        kept_j = pruned_j = kept_m = None
+
+        def run_json():
+            nonlocal kept_j, pruned_j
+            kept_j, pruned_j = t.live_paths_pruned("k", lo, hi)
+
+        def run_manifest():
+            nonlocal kept_m
+            kept_m, _ = mf.live_paths_pruned_manifest(
+                spark, t, "k", lo, hi)
+
+        json_best = min(_timed(run_json) for _ in range(3))
+        manifest_best = min(_timed(run_manifest) for _ in range(3))
+        assert kept_m == sorted(kept_j) and len(kept_j) == 16
+        row = {
+            "live_files": n_files,
+            "json_prune_ms": round(json_best * 1000, 1),
+            "manifest_prune_ms": round(manifest_best * 1000, 1),
+            "ckpt_json_mb": round(os.path.getsize(ck) / 1e6, 2),
+            "ckpt_parquet_mb": round(sum(
+                os.path.getsize(os.path.join(d, p))
+                for d in [mf.checkpoint_parquet_path(t, CHECKPOINT_EVERY)]
+                for p in os.listdir(d)) / 1e6, 2),
+        }
+        out.append(row)
+        print(_json.dumps(row), flush=True)
+    g_json = out[-1]["json_prune_ms"] / max(out[0]["json_prune_ms"], 1e-6)
+    g_mani = (out[-1]["manifest_prune_ms"]
+              / max(out[0]["manifest_prune_ms"], 1e-6))
+    print(_json.dumps({
+        "json_growth_1m_over_1k": round(g_json, 1),
+        "manifest_growth_1m_over_1k": round(g_mani, 1),
+    }), flush=True)
+    return out
+
+
 def _timed(fn):
     t0 = time.monotonic()
     fn()
@@ -134,5 +216,7 @@ def main(names):
 if __name__ == "__main__":
     if "--table-log" in sys.argv:
         table_log_curve()
+    elif "--manifest" in sys.argv:
+        manifest_curve()
     else:
         main(sys.argv[1:] or DEFAULT)

@@ -591,3 +591,39 @@ def test_unique_check_scan_is_key_pruned(spark):
     assert read_schemas, plan
     assert all("val" not in rs and "pad" not in rs for rs in read_schemas), plan
     assert any("k" in rs for rs in read_schemas), plan
+
+def test_manifest_prune_plan_is_jvm_side_parquet_scan(spark):
+    """The distributed manifest planner (sources/manifest.py): the
+    RANGE-prune job over the parquet checkpoint must be a parquet
+    FileScan + JVM-side get_json_object — no Python eval anywhere in
+    the plan (at millions of manifest rows a per-row Python hop would
+    re-create the driver bottleneck executor-side), and the tail DV
+    join, when present, must broadcast the O(tail) side."""
+    import pandas as pd
+
+    from distribot_spark.sources import manifest as mf
+    from distribot_spark.sources.acid import (
+        CHECKPOINT_EVERY,
+        TableLog,
+        delete_keys_pandas,
+        merge_upsert_pandas,
+    )
+    from tests.test_table_acid import _tmp_table
+
+    t = TableLog(_tmp_table())
+    t.init()
+    for i in range(CHECKPOINT_EVERY + 1):
+        merge_upsert_pandas(
+            t, pd.DataFrame({"k": range(i * 8, i * 8 + 8),
+                             "val": range(8)}), "k", 4, f"w{i}")
+    delete_keys_pandas(t, [3], "k", 4, "del")  # tail DV append
+
+    m = mf.manifest_df(spark, t)
+    from pyspark.sql import functions as F
+    smin = F.get_json_object("stats_json", "$.k.min").cast("double")
+    job = m.filter(smin.isNull() | (smin <= 100)).select("path")
+    plan = explain_string(job)
+    assert "Scan parquet" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    if "Join" in plan:
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
