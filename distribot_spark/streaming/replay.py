@@ -352,6 +352,57 @@ def table_replay_dir(
     return out
 
 
+def cdf_replay_dir(
+    spark,
+    table,
+    key: str,
+    out: str,
+    versions_per_trigger: int = 1,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> str:
+    """Materialize an ACID table's change feed as a chunked replay dir
+    — the bounded deterministic stand-in for Delta's ``readChangeFeed``
+    streaming source (offset = commit version). Each chunk file (= one
+    micro-batch at maxFilesPerTrigger=1) folds ``versions_per_trigger``
+    CONSECUTIVE commit versions — Delta's catch-up batching
+    (``maxFilesPerTrigger``/``maxBytesPerTrigger`` over the change
+    feed): a consumer resuming 10k commits behind reads
+    ceil(10k / N) micro-batches instead of 10k. Commit order is
+    preserved ACROSS chunks by the stamped strictly-increasing mtimes
+    (`_stamp_replay_order`) and INSIDE a chunk by the
+    ``_commit_version`` column `table_changes_spark` emits — and the
+    per-version change computation (incl. the carried-DV rule) is the
+    SAME code whatever the batching factor, which is why
+    s30_stream_cdf_catchup can share s24's oracle verbatim. Consumers
+    whose fold is order/batching-independent (the signed integer-cents
+    discipline, `cdf_shared.cdf_view_deltas`) land on identical state
+    at ANY factor; order-sensitive consumers sort on _commit_version
+    inside the batch."""
+    from distribot_spark.sources.acid import table_changes_spark
+
+    head = table.version()
+    hi = head if to_version is None else to_version
+    n = max(int(versions_per_trigger), 1)
+    os.makedirs(out, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="cdfchunk_", dir=TMP_ROOT)
+    for j, lo in enumerate(range(from_version, hi + 1, n)):
+        ch = table_changes_spark(
+            spark, table, key,
+            from_version=lo, to_version=min(lo + n - 1, hi),
+        )
+        tmp = os.path.join(scratch, f"v{j}")
+        ch.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part),
+                  os.path.join(out, f"chunk_{j:04d}.parquet"))
+    shutil.rmtree(scratch, ignore_errors=True)
+    _stamp_replay_order(out)
+    return out
+
+
 def _stamp_replay_order(out: str) -> None:
     """Make micro-batch ARRIVAL ORDER contractual: Spark's file stream
     orders files by (modification time, path), and sequential writes

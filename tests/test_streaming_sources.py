@@ -489,3 +489,75 @@ def test_broker_consumer_groups_are_independent(broker_src):
     assert src_g2.redelivered() != src_g1.redelivered()
     assert {int(p): o for p, o in src_g2.ledger()[-1]["offsets"].items()} \
         == log.end_offsets()
+
+
+def test_cdf_catchup_batching_drops_batch_count(spark):
+    """The CDF catch-up contract (cdf_replay_dir versions_per_trigger):
+    at factor N the stream takes ceil(V/N) micro-batches instead of V
+    — pinned by counting ACTUAL foreachBatch invocations at three
+    factors — while the batching-independent signed fold lands on the
+    IDENTICAL final state, and commit order inside each folded batch
+    is reconstructible from _commit_version (contiguous, maximal-N
+    version ranges per batch)."""
+    import math
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from distribot_spark.queries.cdf_shared import (
+        build_cdf_demo_table,
+        cdf_view_deltas,
+    )
+    from distribot_spark.streaming import replay
+
+    root = tempfile.mkdtemp(prefix="cdf_catchup_", dir=replay.TMP_ROOT)
+    table = build_cdf_demo_table(spark, SF, os.path.join(root, "table"))
+    head = table.version()
+    assert head >= 4  # the 5-commit demo history
+
+    states = {}
+    batch_counts = {}
+    for n in (1, 2, 3):
+        chunks = replay.cdf_replay_dir(
+            spark, table, "o_orderkey", os.path.join(root, f"c{n}"),
+            versions_per_trigger=n,
+        )
+        seen = []
+
+        def sink(batch_df, batch_id, seen=seen):
+            rows = (
+                cdf_view_deltas(batch_df)
+                .groupBy("g")
+                .agg(F.sum("dcnt").alias("dcnt"),
+                     F.sum("dcents").alias("dcents"))
+                .collect()
+            )
+            vs = sorted(
+                r[0] for r in
+                batch_df.select("_commit_version").distinct().collect()
+            )
+            seen.append((rows, vs))
+
+        replay.run_foreach_batch(spark, lambda s: s, chunks, sink,
+                                 "append")
+        batch_counts[n] = len(seen)
+        # versions inside each batch are contiguous and maximal-N,
+        # across batches strictly increasing (commit order preserved)
+        all_vs = []
+        for _, vs in seen:
+            assert vs == list(range(vs[0], vs[-1] + 1)) and len(vs) <= n
+            all_vs += vs
+        assert all_vs == sorted(set(all_vs))
+        st = {}
+        for rows, _ in seen:
+            for r in rows:
+                c, s = st.get(r["g"], (0, 0))
+                st[r["g"]] = (c + r["dcnt"], s + r["dcents"])
+        states[n] = st
+
+    assert batch_counts[1] == head + 1
+    for n in (2, 3):
+        assert batch_counts[n] == math.ceil((head + 1) / n)
+        assert batch_counts[n] < batch_counts[1]
+        assert states[n] == states[1]
