@@ -326,3 +326,165 @@ def serve_ivf_topk(
         .select("qid", "nid", "rnk",
                 (F.round(F.col("cos") * 10000, 0) / 10000).alias("cos"))
     )
+
+
+# -- MinHash/LSH dedup index -------------------------------------------------
+#
+# The real 100 TB crawl workflow is INCREMENTAL: "dedup the NEW shard
+# against the standing corpus", not re-shingle and re-band everything
+# per crawl. The band-bucket structure `dedup.minhash_band_buckets`
+# computes per query persists here as parquet artifacts (the
+# BM25/IVF discipline applied to L2):
+#
+#   buckets/  (doc, bucket) partitioned by pb = pmod(bucket, parts) —
+#             the LSH candidate structure; the partition column is what
+#             makes a probe a PARTITION-PRUNED scan (≤ parts dirs, only
+#             those the probe's buckets hash into)
+#   shingles/ (doc, h) distinct hashed shingles — exact verification
+#   meta.json  shingle_n / num_hashes / bands / parts — append MUST
+#             reuse the build parameters or buckets are incomparable
+#
+# Append is shard-local (the base corpus is never re-read); probe
+# broadcasts the new docs' bucket entries against the pruned index
+# scan. append-then-probe ≡ rebuild-then-probe table-for-table is the
+# staleness contract (pinned by tests/test_retrieval_index.py), and
+# the candidate→exact-verify semantics are IDENTICAL to
+# `dedup.minhash_candidate_pairs` — which is what lets the serve query
+# share l2_minhash_pairs' exact Jaccard oracle verbatim.
+
+MINHASH_PARTS = 64
+
+
+def _minhash_relations(df, text_col, id_col, shingle_n, num_hashes,
+                       bands, parts):
+    from distribot_spark.operators import dedup
+
+    sh_raw = dedup._shingle_hashes_raw(df, text_col, id_col, shingle_n)
+    buckets = dedup.minhash_band_buckets(
+        sh_raw, num_hashes, bands
+    ).withColumn("pb", F.pmod(F.col("bucket"), F.lit(parts)).cast("int"))
+    shingles = dedup.shingle_hashes(df, text_col, id_col, shingle_n)
+    return buckets, shingles
+
+
+def build_minhash_index(
+    df: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    parts: int = MINHASH_PARTS,
+) -> None:
+    """Materialize the standing corpus's LSH band-bucket index."""
+    import json
+
+    buckets, shingles = _minhash_relations(
+        df, text_col, id_col, shingle_n, num_hashes, bands, parts)
+    (
+        buckets.repartition(parts, "pb")
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(os.path.join(out_dir, "buckets"))
+    )
+    shingles.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "shingles"))
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump({"shingle_n": shingle_n, "num_hashes": num_hashes,
+                   "bands": bands, "parts": parts}, fh)
+
+
+def _minhash_meta(index_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def append_minhash_shard(
+    spark: SparkSession,
+    index_dir: str,
+    shard_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Fold a NEW corpus shard into the persisted LSH index — shard-
+    local work only (shingle + band the shard, append its rows into
+    the partitioned layout); the standing corpus artifacts are never
+    read or rewritten. Contract: shard doc ids are DISJOINT from the
+    indexed corpus (append-only ingest, the merge_bm25_shard rule).
+    Buckets are comparable across build and append because the meta
+    parameters (shingle width, hash family size, band count, partition
+    modulus) are read back, never re-chosen. Returns the shard row
+    count."""
+    m = _minhash_meta(index_dir)
+    buckets, shingles = _minhash_relations(
+        shard_df, text_col, id_col,
+        m["shingle_n"], m["num_hashes"], m["bands"], m["parts"])
+    (
+        buckets.repartition(min(m["parts"], 8), "pb")
+        .write.mode("append").partitionBy("pb")
+        .parquet(os.path.join(index_dir, "buckets"))
+    )
+    shingles.write.mode("append").parquet(
+        os.path.join(index_dir, "shingles"))
+    return shard_df.count()
+
+
+def probe_minhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-verified near-duplicate pairs between ``new_docs`` and
+    EVERY indexed document (da < db; if the new docs were already
+    appended, shard-internal pairs surface too and self-pairs never
+    do). The probe touches only COLLIDING buckets: the new docs'
+    bucket entries are computed locally, their partition keys prune
+    the buckets/ scan (PartitionFilters — plan-gated), and the probe
+    side is broadcast into the candidate join, so the standing corpus
+    is never shuffled. Verification prunes the shingle table to
+    candidate docs with a broadcast semi-join, then runs the SAME
+    exact-Jaccard check as `dedup.minhash_candidate_pairs`
+    (`_verify_jaccard`), so serve ≡ direct, which the shared oracle
+    certifies."""
+    from distribot_spark.operators import dedup
+
+    m = _minhash_meta(index_dir)
+    nb, nsh = _minhash_relations(
+        new_docs, text_col, id_col,
+        m["shingle_n"], m["num_hashes"], m["bands"], m["parts"])
+    pbs = [int(r["pb"]) for r in nb.select("pb").distinct().collect()]
+    idx = (
+        spark.read.parquet(os.path.join(index_dir, "buckets"))
+        .filter(F.col("pb").isin(pbs))  # partition-pruned
+    )
+    probe = nb.select(F.col("doc").alias("_ndoc"),
+                      F.col("bucket").alias("_nbucket"))
+    cand = (
+        idx.join(
+            F.broadcast(probe),
+            (F.col("bucket") == F.col("_nbucket"))
+            & (F.col("doc") != F.col("_ndoc")),
+        )
+        .select(
+            F.least("doc", "_ndoc").alias("da"),
+            F.greatest("doc", "_ndoc").alias("db"),
+        )
+        .dropDuplicates()
+    )
+    cand_docs = (
+        cand.select(F.col("da").alias("doc"))
+        .unionByName(cand.select(F.col("db").alias("doc")))
+        .dropDuplicates()
+    )
+    sh = (
+        spark.read.parquet(os.path.join(index_dir, "shingles"))
+        .unionByName(nsh)
+        .dropDuplicates(["doc", "h"])  # probe docs may be indexed too
+        .join(F.broadcast(cand_docs), "doc", "left_semi")
+    )
+    return dedup._verify_jaccard(cand, sh, threshold)

@@ -2797,3 +2797,51 @@ def dedup_clusters_star(spark, sf_dir):
         F.count("*").over(w).alias("cluster_size"),
         (F.col("id") == F.col("comp")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+@register("l2_minhash_serve", oracle=_JACCARD_ORACLE,
+          tags=("llm", "dedup", "lsh", "index", "incremental"))
+def l2_minhash_serve(spark, sf_dir):
+    """INCREMENTAL corpus dedup off a persisted MinHash/LSH index
+    (operators/index.py `build_minhash_index` / `append_minhash_shard`
+    / `probe_minhash_index` — the L2 analog of merge_bm25_shard /
+    append_ivf_shard): the real 100 TB crawl loop is "dedup the NEW
+    shard against the standing corpus", never re-shingle everything.
+    The standing index is built on two-thirds of the documents
+    (band-bucket entries partitioned by pmod(bucket, parts) +
+    distinct hashed shingles as parquet artifacts); the remaining
+    third arrives as a crawl shard, is APPENDED shard-locally (base
+    artifacts never re-read), and the probe finds its near-duplicates
+    touching only COLLIDING buckets — partition-pruned index scan,
+    probe side broadcast (both plan-gated), exact Jaccard
+    verification on a candidate-pruned shingle subset. Standing-
+    corpus pairs were computed once at build; union with the probe's
+    shard-involving pairs reconstructs the FULL pair set, so this
+    query shares l2_minhash_pairs' exact-Jaccard oracle VERBATIM —
+    the serve path provably loses no pair the batch path finds.
+    append-then-probe ≡ rebuild-then-probe is pinned table-for-table
+    by tests/test_retrieval_index.py."""
+    import os as _os
+    import shutil as _shutil
+
+    from distribot_spark.operators import index as rindex
+    from distribot_spark.streaming.replay import TMP_ROOT
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    ix_dir = _os.path.join(TMP_ROOT, f"mh_ix_{tag}")
+    _shutil.rmtree(ix_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 > 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    rindex.build_minhash_index(base, ix_dir)
+    # standing-corpus pairs, computed ONCE when the index was built
+    base_pairs = dedup.minhash_candidate_pairs(
+        base, "text", "doc_id", threshold=0.5)
+    rindex.append_minhash_shard(spark, ix_dir, shard)
+    shard_pairs = rindex.probe_minhash_index(
+        spark, ix_dir, shard, threshold=0.5)
+    return (
+        base_pairs.unionByName(shard_pairs)
+        .dropDuplicates(["da", "db"])
+        .orderBy("da", "db")
+    )

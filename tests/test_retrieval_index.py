@@ -181,3 +181,67 @@ def test_ivf_drift_signals_distribution_shift(spark):
         assert rise > 10 * max(wobble, 100), (rise, wobble)
     finally:
         shutil.rmtree(ix, ignore_errors=True)
+
+
+def test_minhash_append_then_probe_equals_rebuild_then_probe(spark):
+    """L2 incremental dedup staleness contract: appending a crawl shard
+    to the persisted LSH index then probing ≡ rebuilding the index from
+    the full corpus then probing — table for table on the artifacts
+    (bucket entries, shingles) AND row for row on the exact-verified
+    probe output. Serve ≡ direct too: the probe's shard-involving pairs
+    match minhash_candidate_pairs restricted to shard-involving pairs."""
+    from distribot_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 > 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    appended, rebuilt = _tmp(), _tmp()
+    try:
+        rindex.build_minhash_index(base, appended)
+        rindex.append_minhash_shard(spark, appended, shard)
+        rindex.build_minhash_index(docs, rebuilt)
+        for rel in ("buckets", "shingles"):
+            a = spark.read.parquet(os.path.join(appended, rel))
+            r = spark.read.parquet(os.path.join(rebuilt, rel))
+            assert _rows(a.select(*sorted(a.columns))) == _rows(
+                r.select(*sorted(r.columns))), rel
+        pa_ = rindex.probe_minhash_index(spark, appended, shard)
+        pr = rindex.probe_minhash_index(spark, rebuilt, shard)
+        assert _rows(pa_) == _rows(pr)
+        assert len(_rows(pa_)) > 0  # the planted dups make this real
+        # serve ≡ direct on the shard-involving slice
+        direct = dedup.minhash_candidate_pairs(
+            docs, "text", "doc_id", threshold=0.5)
+        shard_ids = {r[0] for r in shard.select("doc_id").collect()}
+        want = [
+            t for t in _rows(direct)
+            if t[0] in shard_ids or t[1] in shard_ids
+        ]
+        assert _rows(pa_) == want
+    finally:
+        shutil.rmtree(appended, ignore_errors=True)
+        shutil.rmtree(rebuilt, ignore_errors=True)
+
+
+def test_minhash_probe_is_bucket_pruned_and_broadcast(spark):
+    """The probe's scale shape, plan-gated: the index buckets/ scan
+    carries PartitionFilters on the pb partition column (only
+    colliding bucket partitions are read) and the candidate join
+    BROADCASTS the probe side — the standing corpus is never
+    shuffled. The shingle verification joins stay free of Python
+    eval."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 > 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0).limit(5)
+    ix = _tmp()
+    try:
+        rindex.build_minhash_index(base, ix)
+        out = rindex.probe_minhash_index(spark, ix, shard)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2 and pf[1].lstrip().startswith("pb"), plan
+        assert "INSET" in pf[1][:120] or "pb" in pf[1][:40], plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
