@@ -2265,3 +2265,92 @@ def source_acid_manifest_prune(spark, sf_dir):
         .agg(F.count("*").alias("point_cnt"))
     )
     return census.crossJoin(point)
+
+
+@register(
+    "source_acid_rename_column",
+    oracle="""
+    WITH half1 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    half2 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+    allr AS (SELECT * FROM half1 UNION ALL SELECT * FROM half2)
+    SELECT COUNT(*) AS cnt,
+           CAST(SUM(o_orderkey) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS amount_cents,
+           (SELECT COUNT(*) FROM allr) AS cdf_inserts
+    FROM allr
+    """,
+    tags=("sources", "acid", "alter", "mapping"),
+)
+def source_acid_rename_column(spark, sf_dir):
+    """COLUMN MAPPING — ALTER RENAME COLUMN without rewriting a byte
+    (sources/acid.py `alter_rename_column`, the Delta/Iceberg
+    logical→physical name mapping): half of orders lands under the
+    ORIGINAL names (o_orderkey, price); the table then renames
+    price→amount AND the merge key o_orderkey→order_id (two barrier
+    ALTERs — mapping_rev rides `_gate_state`, so in-flight writers
+    restart, the forced-race test covers both directions); the other
+    half is appended under the NEW names, staging into byte-compatible
+    physical columns. Asserted in-flight: the data files present
+    before the rename are still there with identical sizes (zero
+    rewrite), a write under the retired name fails the reserved-
+    physical check, and reads + the CDF spanning the rename come out
+    under ONE logical schema. The returned census reads the whole
+    table (old files + new files) under the new names, and the change
+    feed from version 0 counts every insert — so the hash oracle
+    certifies the rename lost, duplicated, or mislabeled nothing.
+    Scale shape: the ALTER is two metadata writes + an empty barrier
+    commit, O(1) in data size — exactly why column mapping exists at
+    100 TB."""
+    import shutil
+
+    from distribot_spark.sources import TableLog
+    from distribot_spark.sources.acid import (
+        alter_rename_column,
+        append_spark,
+        read_snapshot_spark,
+        table_changes_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_rename_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders")
+    half1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"))
+    half2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("amount"))
+    write_initial_spark(spark, table, half1, "o_orderkey", n_buckets=8)
+    files0 = {f: os.path.getsize(table.data_path(f))
+              for f in table.snapshot()[1]}
+
+    alter_rename_column(table, "price", "amount")
+    alter_rename_column(table, "o_orderkey", "order_id")
+    # metadata-only: every pre-rename file survives byte-identical
+    assert all(
+        os.path.getsize(table.data_path(f)) == sz
+        for f, sz in files0.items()), "rename rewrote data"
+    assert table.layout()[0] == "order_id"
+
+    append_spark(spark, table, half2)  # new names, no layout re-pass
+    try:  # the retired name is a reserved physical: must fail
+        append_spark(spark, table, half1.limit(1))
+        raise AssertionError("stale-schema write must fail")
+    except ValueError as e:
+        assert "reserved" in str(e)
+
+    cur = read_snapshot_spark(spark, table)
+    assert set(cur.columns) == {"order_id", "amount"}
+    cdf = table_changes_spark(spark, table, from_version=0)
+    assert set(cdf.columns) >= {"order_id", "amount", "_change_type"}
+    inserts = cdf.filter(F.col("_change_type") == "insert").agg(
+        F.count("*").alias("cdf_inserts"))
+    census = cur.agg(
+        F.count("*").alias("cnt"),
+        F.sum("order_id").cast("long").alias("id_sum"),
+        F.sum(F.round(F.col("amount") * 100).cast("long"))
+        .cast("long").alias("amount_cents"),
+    )
+    return census.crossJoin(inserts)

@@ -128,15 +128,18 @@ def _resolve_layout(table: "TableLog", key: str | None,
 
 def _gate_state(table: "TableLog") -> tuple:
     """What a writer must re-check before every commit attempt: the
-    constraint revision AND the effective layout. Either changing
-    mid-flight means the write was prepared under stale table rules —
-    the gate aborts the attempt and the wrapper re-runs the whole
-    write. The effective-layout check is what makes a rebucketing
+    constraint revision, the COLUMN-MAPPING revision, and the effective
+    layout. Any changing mid-flight means the write was prepared under
+    stale table rules — the gate aborts the attempt and the wrapper
+    re-runs the whole write (a batch translated under a superseded
+    mapping would commit columns under names a concurrent RENAME just
+    retired). The effective-layout check is what makes a rebucketing
     OPTIMIZE safe against concurrent writers: its rewrite commit bumps
     the version (losing writers retry), and the retry's gate sees the
     landed rebucket and restarts under the new count instead of
     mis-selecting files laid out under the new one."""
-    return (table.constraints_rev(),) + tuple(table.effective_layout())
+    return (table.constraints_rev(), table.mapping_rev()) + tuple(
+        table.effective_layout())
 
 
 def _bucket_of_py(k: int, n_buckets: int, hashed: bool) -> int:
@@ -389,6 +392,34 @@ class TableLog:
         constraints and re-check it on every commit attempt; a mismatch
         aborts the attempt and re-applies the new set from scratch."""
         return int(self._meta().get("constraints_rev", 0))
+
+    # -- column mapping (rename/drop without rewrite) ----------------------
+
+    def column_mapping(self) -> dict:
+        """{logical name -> physical name}, sparse: only columns whose
+        names diverged via ALTER RENAME appear (Delta/Iceberg column
+        mapping). Data files ALWAYS store physical names — a rename is
+        pure metadata, old and new files agree byte-for-byte."""
+        return self._meta().get("column_mapping") or {}
+
+    def dropped_columns(self) -> list[str]:
+        """PHYSICAL names of dropped columns: readers exclude them at
+        scan; the names stay reserved forever (a new logical column may
+        not take a reserved physical name — the demo's honest stand-in
+        for Delta's UUID physical names, which make reuse impossible by
+        construction)."""
+        return list(self._meta().get("dropped_columns") or [])
+
+    def mapping_rev(self) -> int:
+        """Monotonic revision of the column mapping — bumped by every
+        RENAME/DROP (and the rename rollback path, fresh rev — no ABA).
+        Rides in `_gate_state`, so an in-flight writer whose batch was
+        translated under a stale mapping restarts instead of committing
+        columns under superseded names."""
+        return int(self._meta().get("mapping_rev", 0))
+
+    def physical_name(self, logical: str) -> str:
+        return (self.column_mapping() or {}).get(logical, logical)
 
     def _meta_lock_path(self) -> str:
         return os.path.join(self.log_dir, "_table.lock")
@@ -1032,6 +1063,13 @@ def merge_upsert_pandas(
     updates, _nq, _qdir = _apply_constraints_pandas(table, updates, writer)
     if uniq and version is None:
         _check_batch_unique_pandas(updates, key, next(iter(uniq)))
+    # LOGICAL -> PHYSICAL boundary (see merge_upsert_spark)
+    updates = _to_physical_pandas(table, updates)
+    key = table.physical_name(key)
+    if version is not None:
+        version = table.physical_name(version)
+    if idcol:
+        idcol = table.physical_name(idcol)
     up = updates.copy()
     hashed = table.hash_buckets()
     up["_pb"] = up[key].astype("int64").map(
@@ -1818,6 +1856,232 @@ def alter_drop_constraint(table: TableLog, name: str) -> None:
         table._persist_meta(meta)
 
 
+# -- column mapping: translation + ALTER ------------------------------------
+
+
+def _reserved_physical(table: TableLog) -> set[str]:
+    """Physical names a NEW logical column may not take: every mapped
+    physical (another logical column owns those bytes) and every
+    dropped physical (old files still carry them; reuse would
+    resurrect dead data into the new column)."""
+    return set(table.column_mapping().values()) | set(
+        table.dropped_columns())
+
+
+def _check_reserved_columns(table: TableLog, cols) -> None:
+    mapping = table.column_mapping()
+    reserved = _reserved_physical(table)
+    bad = [c for c in cols if c not in mapping and c in reserved]
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} are reserved PHYSICAL names (taken "
+            "by a renamed or dropped column); write under the current "
+            "logical names"
+        )
+
+
+def _to_physical_spark(table: TableLog, df):
+    """Translate a writer's LOGICAL batch to the PHYSICAL column names
+    files store — after this every downstream step (bucketing, base
+    merge, staging, DV sidecars) runs in physical space, so old and
+    new files stay byte-compatible across any number of renames.
+    Rejects batch columns that collide with reserved physical names.
+    Sparse-mapping select-with-alias (not withColumnsRenamed — its
+    sequential map collides on swaps, the CLAUDE.md rule)."""
+    mapping = table.column_mapping()
+    if not mapping and not table.dropped_columns():
+        return df
+    _check_reserved_columns(table, df.columns)
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def _to_physical_pandas(table: TableLog, frame):
+    mapping = table.column_mapping()
+    if not mapping and not table.dropped_columns():
+        return frame
+    _check_reserved_columns(table, frame.columns)
+    return frame.rename(
+        columns={c: mapping[c] for c in frame.columns if c in mapping})
+
+
+def _to_logical_spark(table: TableLog, df):
+    """Reader-side translation AT SCAN: drop dropped physical columns,
+    rename physical back to logical. Applies uniformly to every
+    version (Delta's mapping semantics: the CURRENT names label all
+    history — which is what lets a CDF spanning a rename come out
+    under one schema)."""
+    mapping = table.column_mapping()
+    dropped = set(table.dropped_columns())
+    if not mapping and not dropped:
+        return df
+    from pyspark.sql import functions as F
+
+    rev = {p: l for l, p in mapping.items()}
+    keep = [c for c in df.columns if c not in dropped]
+    return df.select(*[F.col(c).alias(rev.get(c, c)) for c in keep])
+
+
+def _live_file_columns(table: TableLog) -> set[str]:
+    """Union of PHYSICAL column names across live data files — footer
+    reads only (the ANALYZE discipline). Used by ALTER RENAME to
+    validate the target name; at cluster scale the logical schema
+    would live in table metadata instead (Delta), making this free."""
+    import pyarrow.parquet as pq
+
+    cols: set[str] = set()
+    _, live = table.snapshot()
+    for f in live:
+        try:
+            cols.update(pq.read_schema(table.data_path(f)).names)
+        except FileNotFoundError:
+            continue
+    return cols
+
+
+def alter_rename_column(
+    table: TableLog,
+    old: str,
+    new: str,
+    writer: str = "alter-rename",
+    max_attempts: int = 20,
+    pre_commit_hook=None,
+) -> dict:
+    """ALTER TABLE RENAME COLUMN without rewriting a byte of data
+    (Delta/Iceberg column mapping): persist logical->physical name
+    mapping in the table metadata; readers translate at scan, writers
+    translate batches before staging. Serialized against concurrent
+    data writers by the SAME barrier discipline as ADD CONSTRAINT:
+    persist the mapping under the meta lock with a bumped
+    ``mapping_rev``, then commit an EMPTY barrier version — an
+    in-flight writer that translated its batch under the old mapping
+    loses the version race and its gate check
+    (`_gate_state` carries mapping_rev) restarts the whole write,
+    where a batch still carrying the OLD logical name now fails the
+    reserved-physical check (the Delta behavior: stale-schema writes
+    fail after a rename). If OUR barrier loses, the mapping is rolled
+    back under a fresh rev (no ABA) and the ALTER retries.
+
+    Table rules follow the rename atomically in the same meta write:
+    CHECK-constraint columns, GENERATED src/output names, the IDENTITY
+    column and the layout key are rewritten to the new logical name,
+    so every writer resolves a consistent rule set."""
+    if old == new:
+        raise ValueError("rename to the same name")
+    attempts = 0
+    while attempts < max_attempts:
+        attempts += 1
+        v = table.version()
+        with table._meta_lock():
+            meta = table._meta()
+            mapping = dict(meta.get("column_mapping") or {})
+            dropped = set(meta.get("dropped_columns") or [])
+            phys = mapping.get(old, old)
+            if phys in dropped:
+                raise ValueError(f"column {old!r} was dropped")
+            # the target logical name must be FREE: not another mapped
+            # logical, not a reserved physical (unless it is this very
+            # column's physical — renaming back), not a physical column
+            # some live file stores for a different logical column
+            if new in mapping:
+                raise ValueError(f"column {new!r} already exists")
+            if new in (set(mapping.values()) | dropped) - {phys}:
+                raise ValueError(
+                    f"{new!r} is a reserved physical name")
+            live_cols = _live_file_columns(table)
+            logical_live = {
+                ({p: l for l, p in mapping.items()}).get(c, c)
+                for c in live_cols if c not in dropped
+            }
+            if new in logical_live - {old}:
+                raise ValueError(
+                    f"column {new!r} already exists in the table")
+            if live_cols and phys not in live_cols and old not in mapping:
+                raise ValueError(f"no such column: {old!r}")
+            rollback = json.loads(json.dumps(meta))  # deep copy
+            mapping.pop(old, None)
+            if new != phys:
+                mapping[new] = phys
+            meta["column_mapping"] = mapping
+            meta["mapping_rev"] = int(meta.get("mapping_rev", 0)) + 1
+            # table rules follow the rename, atomically with it
+            cons = dict(meta.get("constraints") or {})
+            for nm, spec in cons.items():
+                if spec.get("col") == old:
+                    spec = dict(spec)
+                    spec["col"] = new
+                    cons[nm] = spec
+            meta["constraints"] = cons
+            gens = dict(meta.get("generated") or {})
+            gens2 = {}
+            for out_col, g in gens.items():
+                g = dict(g)
+                if g.get("src") == old:
+                    g["src"] = new
+                gens2[new if out_col == old else out_col] = g
+            if gens2:
+                meta["generated"] = gens2
+            ident = meta.get("identity")
+            if ident and ident.get("col") == old:
+                meta["identity"] = {**ident, "col": new}
+            if meta.get("key") == old:
+                meta["key"] = new
+            table._persist_meta(meta)
+            if pre_commit_hook is not None:
+                pre_commit_hook(v)
+            if table.try_commit(v, [], [], writer):
+                return {"committed_version": v + 1, "attempts": attempts}
+            # a data commit beat the barrier: its batch was translated
+            # (and validated) under the OLD mapping — retract ours
+            # under a FRESH rev and retry against the new head
+            rollback["mapping_rev"] = int(
+                table._meta().get("mapping_rev", 0)) + 1
+            table._persist_meta(rollback)
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+def alter_drop_column(table: TableLog, name: str) -> None:
+    """ALTER TABLE DROP COLUMN without rewrite: the column's PHYSICAL
+    name goes on the reserved dropped list — readers exclude it at
+    scan, writers reject batches still carrying it (after their gate
+    restart), and the name can never be reused (reuse would resurrect
+    the old files' bytes into the new column). No barrier commit: an
+    in-flight writer that stages the column commits bytes readers
+    never see — harmless, the drop-constraint precedent — while the
+    mapping_rev bump still restarts any writer that has not committed.
+    Columns load-bearing for table rules must be released first
+    (explicit errors), the DROP COLUMN referenced-by contract."""
+    with table._meta_lock():
+        meta = table._meta()
+        mapping = dict(meta.get("column_mapping") or {})
+        if meta.get("key") == name:
+            raise ValueError("cannot drop the merge key")
+        ident = meta.get("identity")
+        if ident and ident.get("col") == name:
+            raise ValueError("cannot drop the identity column")
+        for nm, spec in (meta.get("constraints") or {}).items():
+            if spec.get("col") == name:
+                raise ValueError(
+                    f"column {name!r} is referenced by constraint "
+                    f"{nm!r}; drop the constraint first")
+        for out_col, g in (meta.get("generated") or {}).items():
+            if out_col == name or g.get("src") == name:
+                raise ValueError(
+                    f"column {name!r} is part of generated column "
+                    f"{out_col!r}; remove that first")
+        phys = mapping.pop(name, name)
+        dropped = list(meta.get("dropped_columns") or [])
+        if phys in dropped:
+            raise ValueError(f"column {name!r} was already dropped")
+        dropped.append(phys)
+        meta["column_mapping"] = mapping
+        meta["dropped_columns"] = dropped
+        meta["mapping_rev"] = int(meta.get("mapping_rev", 0)) + 1
+        table._persist_meta(meta)
+
+
 def _unlink_staged(table: TableLog, staged: list[dict] | None) -> None:
     """Abandon staged-but-uncommitted data files so a writer that gives
     up (CommitConflict after max_attempts) leaves no orphans for vacuum
@@ -1885,6 +2149,14 @@ def merge_upsert_spark(
         # (both copies survive the rewrite); versioned merges collapse
         # dups by the version argmax, so they are exempt
         _check_batch_unique_spark(updates_df, key, next(iter(uniq)))
+    # LOGICAL -> PHYSICAL boundary: rules above ran on logical names;
+    # everything below (bucketing, base merge, staging) is file space
+    updates_df = _to_physical_spark(table, updates_df)
+    key = table.physical_name(key)
+    if version is not None:
+        version = table.physical_name(version)
+    if idcol:
+        idcol = table.physical_name(idcol)
     up = updates_df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -2091,6 +2363,9 @@ def sync_snapshot_spark(
     source_df = _apply_generated_spark(table, source_df)
     source_df, _nq, _qdir = _apply_constraints_spark(spark, table, source_df,
                                                      writer)
+    # LOGICAL -> PHYSICAL boundary (see merge_upsert_spark)
+    source_df = _to_physical_spark(table, source_df)
+    key = table.physical_name(key)
     if uniq:
         _check_batch_unique_spark(source_df, key, next(iter(uniq)))
     src = source_df.withColumn("_pb", _bucket_expr(key, n_buckets, hashed))
@@ -2256,7 +2531,14 @@ def read_snapshot_spark(
                 dv_key = table.layout()[0]  # persisted merge key
             if dv_key is None:
                 raise ValueError("table has deletion vectors: pass dv_key")
-            df = _apply_dvs(spark, table, df, dv_key, dvmap)
+            # sidecars store the PHYSICAL key column (writers translate
+            # before staging), so the fold joins in file space
+            df = _apply_dvs(spark, table, df,
+                            table.physical_name(dv_key), dvmap)
+    # column mapping: translate AT SCAN — physical file names become
+    # the current logical names, dropped columns disappear (uniformly
+    # across every version; a rename needs no file rewrite)
+    df = _to_logical_spark(table, df)
     if tombstone_col is not None:
         df = df.filter(
             F.col(tombstone_col).isNull() | (F.col(tombstone_col) != "d")
@@ -2279,6 +2561,7 @@ def purge_tombstones_pandas(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    op_col = table.physical_name(op_col)  # file-space rewrite
     attempts = 0
     while attempts < max_attempts:
         v, live = table.snapshot()
@@ -2386,6 +2669,7 @@ def delete_keys_pandas(
 
     _rev0 = _gate_state(table)
     key, n_buckets = _resolve_layout(table, key, n_buckets)
+    key = table.physical_name(key)  # file-space key (column mapping)
 
     kset = {int(k) for k in keys}
     touched = {_bucket_of_py(k, n_buckets, table.hash_buckets())
@@ -2489,6 +2773,9 @@ def delete_keys_spark(
 
     if mode not in ("dv", "rewrite"):
         raise ValueError(f"mode {mode!r}")
+    # LOGICAL -> PHYSICAL boundary: the sidecar/key column in file space
+    keys_df = _to_physical_spark(table, keys_df)
+    key = table.physical_name(key)
     up = keys_df.select(key).distinct().withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -2792,6 +3079,12 @@ def append_spark(
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
     if uniq:
         _check_batch_unique_spark(df, key, next(iter(uniq)))
+    # LOGICAL -> PHYSICAL boundary (see merge_upsert_spark)
+    df = _to_physical_spark(table, df)
+    key = table.physical_name(key)
+    if idcol:
+        idcol = table.physical_name(idcol)
+    stats_cols = tuple(table.physical_name(c) for c in stats_cols)
     up0 = df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -2897,6 +3190,11 @@ def append_pandas(
     batch, _nq, _qdir = _apply_constraints_pandas(table, batch, writer)
     if uniq:
         _check_batch_unique_pandas(batch, key, next(iter(uniq)))
+    # LOGICAL -> PHYSICAL boundary (see merge_upsert_spark)
+    batch = _to_physical_pandas(table, batch)
+    key = table.physical_name(key)
+    if idcol:
+        idcol = table.physical_name(idcol)
     hashed = table.hash_buckets()
     pb = batch[key].astype("int64").map(
         lambda k: _bucket_of_py(k, n_buckets, hashed)
@@ -3036,6 +3334,11 @@ def optimize_table_spark(
     _rev0 = _gate_state(table)  # a rebucket landing mid-OPTIMIZE must
     # restart it, or it would rewrite the table back into a stale layout
     key, n_buckets = _resolve_layout(table, key, n_buckets)
+    # OPTIMIZE is pure file space: translate caller-facing names once
+    key = table.physical_name(key)
+    if sort_col is not None:
+        sort_col = table.physical_name(sort_col)
+    stats_cols = tuple(table.physical_name(c) for c in stats_cols)
     pending = None
     if rewrite_all:
         pn = table.effective_layout()[1]
@@ -3148,6 +3451,8 @@ def analyze_table(
 
     _rev0 = _gate_state(table)
     key = _resolve_layout(table, None, None)[0] if bloom_key else None
+    key = table.physical_name(key) if key is not None else None
+    stats_cols = tuple(table.physical_name(c) for c in stats_cols)
     bslot = f"_bloom:{key}" if bloom_key else None
     attempts = 0
     staged_sidecars: list[str] = []
@@ -3339,6 +3644,7 @@ def table_changes_spark(
         key = table.layout()[0]
     if key is None:
         raise ValueError("no persisted layout; pass key explicitly")
+    key = table.physical_name(key)  # the diff runs in file space
     head = table.version()
     hi = head if to_version is None else to_version
     if not 0 <= from_version <= hi <= head:
@@ -3499,5 +3805,9 @@ def table_changes_spark(
         )
     if not frames:
         raise ValueError("no commits in range")
-    return reduce(lambda x, y: x.unionByName(y, allowMissingColumns=True),
-                  frames)
+    out = reduce(lambda x, y: x.unionByName(y, allowMissingColumns=True),
+                 frames)
+    # column mapping: the feed comes out under the CURRENT logical
+    # names for every version it spans (dropped columns excluded) — a
+    # consumer reading across a rename sees one coherent schema
+    return _to_logical_spark(table, out)

@@ -3320,3 +3320,253 @@ def test_facade_governance_round_trip(spark):
     got = dict((r.k, r.val) for r in t.read().collect())
     assert got[10] == -1.0
     assert t.vacuum_quarantine(older_than=0) == 0  # already drained
+
+
+# -- column mapping: RENAME/DROP COLUMN without rewrite ---------------------
+
+
+def test_rename_column_is_metadata_only_and_spans_old_new_files(spark):
+    """ALTER RENAME COLUMN: zero data bytes rewritten (file set and
+    sizes identical across the ALTER), old and new files read under
+    ONE logical schema, writes under the old name fail afterwards,
+    and the CDF spanning the rename comes out under the current
+    names."""
+    from distribot_spark.sources.acid import (
+        alter_rename_column,
+        append_spark,
+        read_snapshot_spark,
+        table_changes_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(40)],
+                              "k long, price double"),
+        "k", n_buckets=4,
+    )
+    files0 = {
+        f: os.path.getsize(t.data_path(f)) for f in t.snapshot()[1]
+    }
+    st = alter_rename_column(t, "price", "amount")
+    assert st["committed_version"] == t.version()  # barrier commit
+    assert {
+        f: os.path.getsize(t.data_path(f)) for f in t.snapshot()[1]
+    } == files0  # not a byte rewritten
+    assert t.column_mapping() == {"amount": "price"}
+
+    # new writes use the NEW logical name; files stay physical-compat
+    append_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(100, 120)],
+                              "k long, amount double"))
+    got = read_snapshot_spark(spark, t)
+    assert set(got.columns) == {"k", "amount"}
+    assert got.count() == 60
+    assert got.filter("k >= 100").agg({"amount": "sum"}).first()[0] == \
+        float(sum(range(100, 120)))
+
+    # the old name is now a reserved physical: stale-schema writes fail
+    with pytest.raises(ValueError, match="reserved"):
+        append_spark(
+            spark, t,
+            spark.createDataFrame([(999, 1.0)], "k long, price double"))
+
+    # CDF across the rename: one coherent schema, current names
+    cdf = table_changes_spark(spark, t, from_version=0)
+    assert "amount" in cdf.columns and "price" not in cdf.columns
+    assert cdf.filter("_change_type = 'insert'").count() == 60
+
+    # pandas client agrees (same metadata, same translation)
+    from distribot_spark.sources.acid import append_pandas
+    append_pandas(t, pd.DataFrame({"k": [500], "amount": [5.0]}))
+    assert read_snapshot_spark(spark, t).filter("k = 500").first(
+    )["amount"] == 5.0
+    with pytest.raises(ValueError, match="reserved"):
+        append_pandas(t, pd.DataFrame({"k": [501], "price": [5.0]}))
+
+
+def test_rename_updates_rules_and_handles_key_identity_generated(spark):
+    """Table rules FOLLOW the rename atomically: layout key, CHECK
+    constraint columns, GENERATED src/output and IDENTITY column all
+    resolve under the new name, and writers keep working without
+    re-passing anything."""
+    from distribot_spark.sources.acid import (
+        alter_rename_column,
+        append_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k), "AB-1") for k in range(20)],
+                              "k long, val double, code string"),
+        "k", n_buckets=2,
+        constraints={"nn": {"col": "val", "min": 0.0}},
+        generated={"pre": {"fn": "substr", "src": "code",
+                           "pos": 1, "len": 2}},
+        identity={"col": "rid"},
+    )
+    alter_rename_column(t, "k", "order_id")      # the merge key
+    alter_rename_column(t, "val", "amount")      # constraint column
+    alter_rename_column(t, "code", "sku")        # generated src
+    alter_rename_column(t, "pre", "sku_prefix")  # generated OUTPUT
+    alter_rename_column(t, "rid", "row_id")      # identity column
+    assert t.layout()[0] == "order_id"
+    assert t.constraints()["nn"]["col"] == "amount"
+    assert t.generated() == {
+        "sku_prefix": {"fn": "substr", "src": "sku", "pos": 1, "len": 2}}
+    assert t.identity()["col"] == "row_id"
+
+    # a write under the new names: constraint + generated + identity
+    # all engage; the frame stages under the ORIGINAL physical names
+    append_spark(
+        spark, t,
+        spark.createDataFrame([(100, 7.0, "XY-9")],
+                              "order_id long, amount double, sku string"))
+    got = read_snapshot_spark(spark, t)
+    assert set(got.columns) == {
+        "order_id", "amount", "sku", "sku_prefix", "row_id"}
+    row = got.filter("order_id = 100").first()
+    assert row["sku_prefix"] == "XY" and row["row_id"] > 0
+    with pytest.raises(Exception, match="nn"):  # executor-side CHECK
+        append_spark(
+            spark, t,
+            spark.createDataFrame(
+                [(101, -1.0, "ZZ-1")],
+                "order_id long, amount double, sku string"))
+    # renaming BACK clears the mapping entry (identity again)
+    alter_rename_column(t, "amount", "val")
+    assert "val" not in t.column_mapping()
+
+
+def test_drop_column_without_rewrite(spark):
+    """DROP COLUMN: metadata-only — readers exclude the physical
+    column at scan, the name is reserved forever, and rule-bearing
+    columns refuse to drop."""
+    from distribot_spark.sources.acid import (
+        alter_drop_column,
+        append_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame(
+            [(k, float(k), "x" * 4) for k in range(20)],
+            "k long, val double, junk string"),
+        "k", n_buckets=2,
+        constraints={"nn": {"col": "val", "min": 0.0}},
+    )
+    files0 = set(t.snapshot()[1])
+    alter_drop_column(t, "junk")
+    assert set(t.snapshot()[1]) == files0  # no rewrite
+    got = read_snapshot_spark(spark, t)
+    assert set(got.columns) == {"k", "val"}
+    # the dropped physical name is reserved — never reusable
+    with pytest.raises(ValueError, match="reserved"):
+        append_spark(
+            spark, t,
+            spark.createDataFrame([(100, 1.0, "new")],
+                                  "k long, val double, junk string"))
+    with pytest.raises(ValueError, match="already been|was already"):
+        alter_drop_column(t, "junk")
+    with pytest.raises(ValueError, match="merge key"):
+        alter_drop_column(t, "k")
+    with pytest.raises(ValueError, match="constraint"):
+        alter_drop_column(t, "val")
+    # dropping a RENAMED column reserves its PHYSICAL name
+    from distribot_spark.sources.acid import alter_rename_column
+    t2 = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t2,
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        "k", n_buckets=2)
+    alter_rename_column(t2, "v", "w")
+    alter_drop_column(t2, "w")
+    assert t2.dropped_columns() == ["v"] and t2.column_mapping() == {}
+    with pytest.raises(ValueError, match="reserved"):
+        append_spark(spark, t2, spark.createDataFrame(
+            [(2, 2.0)], "k long, v double"))
+
+
+def test_rename_races_in_flight_writer_both_directions(spark):
+    """The forced race, both directions (the _ConstraintsChanged
+    discipline extended to mapping_rev):
+
+    (a) RENAME lands between a merge's compute and its commit — the
+        writer's gate restarts the write, and the restarted batch
+        (still carrying the old logical name) fails the reserved-
+        physical check instead of committing under a retired name;
+        the table is left clean (no orphan staged files).
+    (b) a data commit lands between the RENAME's meta persist and its
+        barrier — the ALTER retracts the mapping under a fresh rev
+        and retries; the final state carries the rename and every
+        committed row."""
+    from distribot_spark.sources.acid import (
+        alter_rename_column,
+        append_pandas,
+        merge_upsert_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(20)],
+                              "k long, price double"),
+        "k", n_buckets=2,
+    )
+    rev0 = t.mapping_rev()
+    fired = []
+
+    def hook(v):
+        if not fired:
+            fired.append(v)
+            alter_rename_column(t, "price", "amount")
+
+    with pytest.raises(ValueError, match="reserved"):
+        merge_upsert_spark(
+            spark, t,
+            spark.createDataFrame([(1, 100.0)], "k long, price double"),
+            pre_commit_hook=hook,
+        )
+    assert t.mapping_rev() > rev0
+    assert t.column_mapping() == {"amount": "price"}
+    got = read_snapshot_spark(spark, t)
+    assert got.filter("k = 1").first()["amount"] == 1.0  # merge ABORTED
+    # no orphans: vacuum at age 0 finds nothing unreferenced
+    assert t.vacuum(min_age_seconds=0.0) == []
+
+    # (b) reverse: data commit beats the barrier
+    t2 = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t2,
+        spark.createDataFrame([(k, float(k)) for k in range(10)],
+                              "k long, price double"),
+        "k", n_buckets=2,
+    )
+    fired2 = []
+
+    def hook2(v):
+        if not fired2:
+            fired2.append(v)
+            # mid-ALTER the mapping is ALREADY persisted: a concurrent
+            # writer must use the new name (and translate to the same
+            # physical bytes), and its commit beats the barrier
+            append_pandas(t2, pd.DataFrame({"k": [100],
+                                            "amount": [9.0]}))
+
+    st = alter_rename_column(t2, "price", "amount",
+                             pre_commit_hook=hook2)
+    assert st["attempts"] == 2  # lost once, revalidated, won
+    assert t2.column_mapping() == {"amount": "price"}
+    got2 = read_snapshot_spark(spark, t2)
+    assert got2.filter("k = 100").first()["amount"] == 9.0
+    assert got2.count() == 11
