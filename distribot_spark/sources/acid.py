@@ -433,43 +433,107 @@ class TableLog:
             json.dump(meta, fh)
         os.replace(tmp, path)
 
+    _META_LOCK_MAX_GEN = 64
+
+    def _meta_gen_path(self, g: int) -> str:
+        base = self._meta_lock_path()
+        return base if g == 0 else f"{base}.steal{g}"
+
     @contextlib.contextmanager
-    def _meta_lock(self, timeout: float = 10.0, stale_after: float = 30.0):
+    def _meta_lock(self, timeout: float = 10.0, stale_after: float = 30.0,
+                   _steal_hook=None):
         """Serialize metadata mutations (ALTER vs ALTER) via the
         O_CREAT|O_EXCL claim primitive. Data writers do NOT take this
         lock — they serialize against ALTER through the commit log
-        barrier instead (see `alter_add_constraint_spark`). A lock file
-        older than ``stale_after`` (crashed ALTER) is stolen; the
-        stat-then-unlink steal has the classic tiny race (a fresh lock
-        created between the two calls could be unlinked) — it needs a
-        30 s-stale lock AND two concurrent stealers AND a microsecond
-        interleave, and the blast radius is two metadata mutations
-        racing, whose effects are themselves monotonic-rev'd — so it
-        is documented rather than armored."""
-        lock = self._meta_lock_path()
+        barrier instead (see `alter_add_constraint_spark`).
+
+        Crashed-holder recovery uses GENERATIONAL STEALS (the
+        flow/engine.py claim-steal discipline), never a destructive
+        unlink of someone else's file: ownership is the NEWEST
+        generation in the chain (``_table.lock``, ``.steal1``,
+        ``.steal2``, …); a stealer that finds the newest generation
+        older than ``stale_after`` CREATES the next generation with
+        O_EXCL — one winner by construction — then RE-VERIFIES the
+        predecessor is still the same stale file it observed (inode +
+        mtime); if it was replaced mid-steal (released and freshly
+        re-acquired), the stealer abandons ITS OWN file and rewalks.
+        Release unlinks only the holder's own generation (plus the
+        superseded older generations it stole past, whose holders are
+        dead by the lease argument). This closes both halves of the
+        old stat-then-unlink race: a fresh lock can never be destroyed
+        (steals only create), and a slow holder's release can never
+        remove a thief's lock (owner-pathed unlink). The remaining
+        assumption is the lease itself — a holder alive but silent for
+        ``stale_after`` (the lock guards sub-second metadata writes)
+        can be superseded — which is the same contract flow claims
+        operate under. ``_steal_hook`` (tests only) runs between a
+        steal's O_EXCL create and its predecessor re-verification, to
+        force the replaced-mid-steal interleaving."""
         deadline = time.time() + timeout
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                os.close(fd)
-                break
-            except FileExistsError:
+        held: str | None = None
+        while held is None:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"meta lock held too long: {self._meta_lock_path()}")
+            newest, newest_st = -1, None
+            for g in range(self._META_LOCK_MAX_GEN):
                 try:
-                    age = time.time() - os.stat(lock).st_mtime
-                    if age > stale_after:
-                        os.unlink(lock)  # steal a dead ALTER's lock
-                        continue
+                    st = os.stat(self._meta_gen_path(g))
+                    newest, newest_st = g, st
                 except FileNotFoundError:
                     continue
-                if time.time() > deadline:
-                    raise TimeoutError(f"meta lock held too long: {lock}")
-                time.sleep(0.02)
+            target = None
+            if newest < 0:
+                target = 0
+            elif time.time() - newest_st.st_mtime > stale_after:
+                target = newest + 1
+            if target is not None and target < self._META_LOCK_MAX_GEN:
+                path = self._meta_gen_path(target)
+                try:
+                    fd = os.open(path,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                    os.close(fd)
+                except FileExistsError:
+                    continue  # lost the creation race: rewalk
+                if target == 0:
+                    held = path
+                    break
+                # STEAL FENCE: keep the steal only if the predecessor
+                # is still the stale file we observed — a replaced
+                # (released + freshly re-acquired) predecessor means a
+                # live holder exists below us; abandon our own file
+                if _steal_hook is not None:
+                    _steal_hook(target)
+                try:
+                    cur = os.stat(self._meta_gen_path(newest))
+                    same = (cur.st_ino == newest_st.st_ino
+                            and cur.st_mtime == newest_st.st_mtime)
+                except FileNotFoundError:
+                    same = False
+                if same:
+                    held = path
+                    break
+                os.unlink(path)  # our own file: always safe
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"meta lock held too long: {self._meta_lock_path()}")
+            time.sleep(0.02)
         try:
+            # GC generations we stole past: superseded, holders dead by
+            # the lease argument; their own release would unlink only
+            # their own path, so this can never kill a live lock
+            g = 0
+            while self._meta_gen_path(g) != held:
+                try:
+                    os.unlink(self._meta_gen_path(g))
+                except FileNotFoundError:
+                    pass
+                g += 1
             yield
         finally:
             try:
-                os.unlink(lock)
+                os.unlink(held)
             except FileNotFoundError:
                 pass
 
@@ -3324,11 +3388,14 @@ def optimize_table_spark(
     every commit attempt (`_gate_state`), and any resolver can finish
     phase 2 (`effective_layout` heals a crash between commit and
     persist), so no-arg writers can never mis-select files against the
-    new layout. Run ONE rebucket at a time: a newer rebucket's marker
-    supersedes an older in-flight one, which then abandons at its
-    pre-commit check — best-effort detection with a residual
-    check-to-link window, same as every lock-free metadata scheme
-    here, documented rather than hidden."""
+    new layout. Concurrent rebuckets are ARMORED, not best-effort: a
+    newer rebucket's marker swap takes the meta lock, and the older
+    in-flight rebucket's marker check and commit LINK are atomic under
+    the same lock — a superseded rebucket FAILS its commit gate
+    instead of racing into the old check-to-link window (where its
+    rewrite could land while effective_layout still resolved the other
+    marker). Forced-interleaving test:
+    test_superseded_rebucket_cannot_slip_commit."""
     from pyspark.sql import functions as F
 
     _rev0 = _gate_state(table)  # a rebucket landing mid-OPTIMIZE must
@@ -3400,16 +3467,33 @@ def optimize_table_spark(
         )
         if pre_commit_hook is not None:
             pre_commit_hook(v)
-        if pending is not None and \
-                table._meta().get("rebucket_pending") != pending:
-            _unlink_staged(table, staged)
-            raise CommitConflict(
-                f"{writer}: rebucket superseded by a newer rebucket")
-        if pending is None and _gate_state(table) != _rev0:
-            _unlink_staged(table, staged)
-            raise _ConstraintsChanged(None)
         attempts += 1
-        if table.try_commit(v, staged, replaced, writer):
+        if pending is not None:
+            # marker check and commit LINK are atomic under the meta
+            # lock: a superseding rebucket must take the same lock to
+            # swap the marker, so it can no longer slip into the old
+            # check-to-link window (which would have landed OUR
+            # rewrite's layout while the marker — and therefore
+            # effective_layout — said otherwise). The lock guards only
+            # this check+link pair; the rewrite job itself ran outside.
+            with table._meta_lock():
+                if table._meta().get("rebucket_pending") != pending:
+                    superseded = True
+                    committed = False
+                else:
+                    superseded = False
+                    committed = table.try_commit(
+                        v, staged, replaced, writer)
+            if superseded:
+                _unlink_staged(table, staged)
+                raise CommitConflict(
+                    f"{writer}: rebucket superseded by a newer rebucket")
+        else:
+            if _gate_state(table) != _rev0:
+                _unlink_staged(table, staged)
+                raise _ConstraintsChanged(None)
+            committed = table.try_commit(v, staged, replaced, writer)
+        if committed:
             if pending is not None:
                 table._finish_rebucket(pending)
             _, live2 = table.snapshot()

@@ -3570,3 +3570,163 @@ def test_rename_races_in_flight_writer_both_directions(spark):
     got2 = read_snapshot_spark(spark, t2)
     assert got2.filter("k = 100").first()["amount"] == 9.0
     assert got2.count() == 11
+
+
+# -- armored races: rebucket supersede + meta-lock steal --------------------
+
+
+def test_superseded_rebucket_cannot_slip_commit(spark):
+    """The old check-to-link window, forced shut: rebucket B swaps the
+    pending marker AFTER rebucket A staged its rewrite (A's
+    pre-commit hook) — A's marker check + commit link are now atomic
+    under the meta lock, so A fails its gate with CommitConflict,
+    unlinks its staged files, and NEVER lands a rewrite under B's
+    marker. While A holds the commit-gate lock, a concurrent marker
+    swap attempt blocks (proved with a short-timeout acquire inside
+    A's critical section)."""
+    from distribot_spark.sources.acid import (
+        CommitConflict,
+        optimize_table_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(64)],
+                              "k long, val double"),
+        "k", n_buckets=4,
+    )
+
+    fired = []
+
+    def supersede(v):
+        if fired:
+            return
+        fired.append(v)
+        # rebucket B swaps the marker (it takes the meta lock, like
+        # the real path at optimize_table_spark's marker install)
+        with t._meta_lock():
+            m = t._meta()
+            m["rebucket_pending"] = {"to": 16, "writer": "B#rebucket-x",
+                                     "parent": t.version(),
+                                     "ts": time.time()}
+            t._persist_meta(m)
+
+    v0, live0 = t.snapshot()
+    with pytest.raises(CommitConflict, match="superseded"):
+        optimize_table_spark(
+            spark, t, "k", 8, "A", rewrite_all=True,
+            pre_commit_hook=supersede,
+        )
+    # A landed NOTHING: same snapshot, no orphan staged files, and the
+    # marker still belongs to B
+    assert t.snapshot() == (v0, live0)
+    assert t._meta()["rebucket_pending"]["writer"] == "B#rebucket-x"
+    dbg = [n for n in os.listdir(t.data_dir) if n.startswith("_stage")]
+    assert dbg == []
+    # clear B's marker (B "crashed"); layout still the original 4
+    with t._meta_lock():
+        m = t._meta()
+        del m["rebucket_pending"]
+        t._persist_meta(m)
+    assert t.effective_layout() == ("k", 4)
+    assert read_snapshot_spark(spark, t).count() == 64
+
+    # atomicity of the commit gate itself: while a rebucket holds the
+    # gate lock, a marker swap cannot acquire it
+    blocked = []
+    orig_commit = t.try_commit
+
+    def probing_commit(*a, **kw):
+        try:
+            with t._meta_lock(timeout=0.3):
+                blocked.append(False)
+        except TimeoutError:
+            blocked.append(True)
+        return orig_commit(*a, **kw)
+
+    t.try_commit = probing_commit
+    st = optimize_table_spark(spark, t, "k", 8, "A2", rewrite_all=True)
+    t.try_commit = orig_commit
+    assert st["rewritten_buckets"] > 0
+    assert blocked == [True]  # the swap window is provably closed
+    assert t.effective_layout() == ("k", 8)
+
+
+def test_meta_lock_steal_is_generation_fenced():
+    """The stat-then-unlink steal race, armored: steals CREATE the
+    next lock generation (O_EXCL, one winner) and never unlink a
+    foreign file, release is owner-pathed, and a steal whose
+    predecessor was REPLACED mid-steal (released + freshly
+    re-acquired — the exact old TOCTOU) abandons itself."""
+    t = TableLog(_tmp_table())
+    t.init()
+    base = t._meta_lock_path()
+
+    # 1. stale holder is superseded via generation 1, then GC'd
+    with open(base, "w") as fh:
+        fh.write("dead 0")
+    os.utime(base, (time.time() - 120, time.time() - 120))
+    with t._meta_lock(timeout=2.0) as _:
+        assert os.path.exists(base + ".steal1")  # we hold gen 1
+        assert not os.path.exists(base)          # stale gen 0 GC'd
+    assert not os.path.exists(base + ".steal1")  # owner-pathed release
+
+    # 2. a slow (stolen-from) holder's release cannot remove the
+    # thief's lock
+    ctx_h = t._meta_lock(timeout=2.0)
+    ctx_h.__enter__()                       # H holds gen 0
+    os.utime(base, (time.time() - 120, time.time() - 120))  # H looks dead
+    ctx_t = t._meta_lock(timeout=2.0)
+    ctx_t.__enter__()                       # T steals gen 1
+    assert os.path.exists(base + ".steal1")
+    ctx_h.__exit__(None, None, None)        # H releases: only ITS file
+    assert os.path.exists(base + ".steal1")  # thief's lock intact
+    ctx_t.__exit__(None, None, None)
+    assert not os.path.exists(base + ".steal1")
+
+    # 3. the fence: predecessor replaced between the steal's O_EXCL
+    # create and its verification -> the steal ABANDONS its own file
+    with open(base, "w") as fh:
+        fh.write("dead 0")
+    os.utime(base, (time.time() - 120, time.time() - 120))
+
+    def replace_predecessor(gen):
+        # the old holder released and a NEW holder re-acquired gen 0
+        os.unlink(base)
+        with open(base, "w") as fh:
+            fh.write("fresh live holder")
+
+    with pytest.raises(TimeoutError):
+        with t._meta_lock(timeout=0.7, _steal_hook=replace_predecessor):
+            raise AssertionError("fenced steal must not acquire")
+    assert not os.path.exists(base + ".steal1")  # abandoned its file
+    os.unlink(base)
+
+    # 4. mutual exclusion under stealer contention (stress): N threads
+    # against a pre-staled lock — never two holders
+    with open(base, "w") as fh:
+        fh.write("dead 0")
+    os.utime(base, (time.time() - 120, time.time() - 120))
+    inside = []
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(5):
+                with t._meta_lock(timeout=10.0):
+                    inside.append(1)
+                    assert sum(inside) == len(inside)  # monotone probe
+                    n0 = len(inside)
+                    time.sleep(0.002)
+                    assert len(inside) == n0, "second holder entered"
+        except Exception as e:  # noqa: BLE001 - surface in main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errors, errors
+    assert len(inside) == 30
