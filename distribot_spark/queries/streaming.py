@@ -1484,9 +1484,9 @@ def s27_stream_cdc_dv_delete_sink(spark, sf_dir):
     )
 
 
-@register(
-    "s28_stream_expectations_quarantine",
-    oracle="""
+#: the dirty-feed expectations census — shared by s28 (foreachBatch
+#: quarantine ingest) and s31 (the DLQ tailed as a streaming source).
+_S28_EXPECTATIONS_ORACLE = """
     WITH feed AS (
       SELECT o_orderkey AS k,
              CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
@@ -1501,7 +1501,12 @@ def s27_stream_cdc_dv_delete_sink(spark, sf_dir):
            (SELECT COUNT(*) FROM bad) AS n_quarantined_keys,
            (SELECT ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2)::DOUBLE
               FROM bad) AS total_quarantined
-    """,
+"""
+
+
+@register(
+    "s28_stream_expectations_quarantine",
+    oracle=_S28_EXPECTATIONS_ORACLE,
     tags=("streaming", "quality", "constraints", "acid"),
 )
 def s28_stream_expectations_quarantine(spark, sf_dir):
@@ -1723,3 +1728,87 @@ def s30_stream_cdf_catchup(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "s31_stream_dlq_source",
+    oracle=_S28_EXPECTATIONS_ORACLE,  # shared verbatim with s28
+    tags=("streaming", "quality", "constraints", "acid", "dlq",
+          "source"),
+)
+def s31_stream_dlq_source(spark, sf_dir):
+    """The DEAD-LETTER AREA as a STREAMING SOURCE — the read-side twin
+    of s28's quarantine ingest (real expectations pipelines TAIL the
+    DLQ for alerting and auto-reprocess; batch-polling
+    `read_quarantine` is the s28-era stopgap): the same dirty feed
+    (~1/8 impossible negative prices) streams through the quarantine-
+    mode MERGE sink, then a FILE-STREAM over the quarantine tree
+    (streaming/sources.py `DlqFileSource`, recursive over
+    ``quarantine/<batch>/<part>``, arrival order stamped by
+    `stamp_tree_replay_order` — the s29 mtime discipline) replays
+    every diverted row as micro-batches into a streaming
+    distinct-key census. The DLQ's at-least-once contract carries
+    into the stream unchanged — the census dedups by key exactly
+    like s28's batch read — so the final state shares s28's oracle
+    VERBATIM: clean-table census + streamed distinct quarantine
+    census, hash-certified. The live-tail + drop-rule + reprocess
+    composition (divert → tail sees it → replay re-admits it) is
+    pinned by test_dlq_live_tail_and_reprocess_composition. Scale
+    shape: the tail reads only quarantine bytes (never the table),
+    one micro-batch per diverted batch file; dedup state is one row
+    per bad key — the DLQ grain, not the table's."""
+    import tempfile
+
+    from distribot_spark.sources import acid
+    from distribot_spark.streaming.sources import DlqFileSource
+
+    src = replay.table_replay_dir(sf_dir, "orders", "o_orderkey", 8)
+    root = tempfile.mkdtemp(prefix="s31_", dir=replay.TMP_ROOT)
+    table = acid.TableLog(os.path.join(root, "table"))
+    table.init(
+        key="k", n_buckets=8,
+        constraints={"price_pos": {"col": "price", "min": 0,
+                                   "on_violation": "quarantine"}},
+    )
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        acid.merge_upsert_spark(
+            spark, table,
+            batch_df.select(
+                F.col("o_orderkey").alias("k"),
+                F.when(
+                    F.md5(F.col("o_orderkey").cast("string"))
+                    .substr(1, 1).isin("0", "1"),
+                    -F.col("o_totalprice"),
+                ).otherwise(F.col("o_totalprice")).alias("price"),
+            ),
+            writer=f"b{batch_id}",
+        )
+
+    replay.run_foreach_batch(spark, lambda s: s, src, sink, "append")
+
+    qroot = acid.quarantine_dir(table)
+    replay.stamp_tree_replay_order(qroot)
+
+    def tail(stream):
+        return (
+            stream.select("k", "price")
+            .dropDuplicates(["k"])  # the DLQ is at-least-once: dedup
+            .agg(
+                F.count("*").alias("n_quarantined_keys"),
+                F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+                .cast("double").alias("total_quarantined"),
+            )
+        )
+
+    streamed = replay.run_bounded(
+        spark, tail, DlqFileSource(qroot), "complete"
+    )
+    clean = acid.read_snapshot_spark(spark, table)
+    return clean.agg(
+        F.count("*").alias("n_clean"),
+        F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
+        .cast("double").alias("total_clean"),
+    ).crossJoin(streamed)

@@ -403,6 +403,29 @@ def cdf_replay_dir(
     return out
 
 
+def stamp_tree_replay_order(root: str) -> None:
+    """`_stamp_replay_order` for a NESTED layout (e.g. the ACID
+    dead-letter area: ``quarantine/<batch>/<part>.parquet``): batch
+    directories ordered by their existing (mtime, name) — divert
+    order — and every data file stamped with strictly increasing
+    mtimes, batch-major. Any new replay source must stamp (the s29
+    lesson: Spark's file stream orders ties by (mtime, path), and
+    files written inside one mtime tick permute silently)."""
+    dirs = sorted(
+        (d for d in os.listdir(root)
+         if os.path.isdir(os.path.join(root, d))),
+        key=lambda d: (os.stat(os.path.join(root, d)).st_mtime, d),
+    )
+    t0 = time.time() - 86400
+    i = 0
+    for d in dirs:
+        p = os.path.join(root, d)
+        for f in sorted(os.listdir(p)):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(p, f), (t0 + i, t0 + i))
+                i += 1
+
+
 def _stamp_replay_order(out: str) -> None:
     """Make micro-batch ARRIVAL ORDER contractual: Spark's file stream
     orders files by (modification time, path), and sequential writes

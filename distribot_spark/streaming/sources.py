@@ -69,6 +69,42 @@ class FileReplaySource(StreamSource):
         )
 
 
+class DlqFileSource(StreamSource):
+    """File-stream over an ACID table's DEAD-LETTER area
+    (``quarantine/<batch>/<part>.parquet`` — nested, so the source
+    reads recursively): the tail an expectations pipeline runs for
+    alerting and auto-reprocess, instead of polling `read_quarantine`
+    batch reads. New quarantine batches appear as new files and flow
+    as micro-batches; the DLQ's at-least-once contract carries over
+    unchanged (consumers dedup by key, the s28 discipline). Bounded
+    when used with availableNow (run_bounded); the same source tails
+    LIVE under a processing-time trigger (run_live) — arrival order
+    across pre-existing batches must be stamped first
+    (`replay.stamp_tree_replay_order`, the s29 mtime-tie lesson).
+    ``schema`` may be passed explicitly for an EMPTY-so-far DLQ."""
+
+    bounded = True
+
+    def __init__(self, qroot: str, max_files_per_trigger: int = 1,
+                 schema=None) -> None:
+        self.qroot = qroot
+        self.max_files_per_trigger = max_files_per_trigger
+        self.schema = schema
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        schema = self.schema or (
+            spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true")
+            .parquet(self.qroot).schema
+        )
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.qroot)
+        )
+
+
 #: event_type cycle for RateEventsSource; mirrors the testdata generator's
 #: categories so rate-fed queries exercise the same group-by cardinality.
 _EVENT_TYPES = ("click", "view", "purchase")

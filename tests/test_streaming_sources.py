@@ -561,3 +561,73 @@ def test_cdf_catchup_batching_drops_batch_count(spark):
         assert batch_counts[n] == math.ceil((head + 1) / n)
         assert batch_counts[n] < batch_counts[1]
         assert states[n] == states[1]
+
+
+def test_dlq_live_tail_and_reprocess_composition(spark):
+    """The DLQ-tail pipeline composed end to end, LIVE: an
+    expectations table diverts bad rows; a live file-stream tail over
+    the quarantine tree (DlqFileSource under a processing-time
+    trigger) sees the pre-existing batches AND batches diverted WHILE
+    it runs; then the rule is dropped and `reprocess_quarantine_spark`
+    re-admits every diverted row — the alert-then-auto-reprocess loop
+    the source exists for."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ peers)
+
+    from distribot_spark.sources import acid
+    from distribot_spark.streaming import replay
+    from distribot_spark.streaming.sources import DlqFileSource
+
+    root = tempfile.mkdtemp(prefix="dlqtail_", dir=replay.TMP_ROOT)
+    t = acid.TableLog(os.path.join(root, "table"))
+    t.init(key="k", n_buckets=4,
+           constraints={"pos": {"col": "val", "min": 0,
+                                "on_violation": "quarantine"}})
+    # first wave: 3 bad rows diverted before the tail starts
+    acid.merge_upsert_spark(
+        spark, t,
+        spark.createDataFrame(
+            [(k, float(k) if k % 3 else -float(k)) for k in range(1, 10)],
+            "k long, val double"),
+        writer="w0")
+    qroot = acid.quarantine_dir(t)
+    replay.stamp_tree_replay_order(qroot)
+    schema = acid.read_quarantine(spark, t).schema
+
+    fired = []
+
+    def until(df):
+        rows = {r["k"] for r in df.collect()}
+        if len(rows) >= 3 and not fired:
+            # divert MORE while the tail is live: the stream must see it
+            fired.append(1)
+            acid.merge_upsert_spark(
+                spark, t,
+                spark.createDataFrame([(100, -100.0), (101, 101.0)],
+                                      "k long, val double"),
+                writer="w1")
+        return rows >= {3, 6, 9, 100}
+
+    tailed = replay.run_live(
+        spark,
+        lambda s: s.select("k", "val").dropDuplicates(["k"]),
+        DlqFileSource(qroot, schema=schema),
+        "append",
+        until,
+        timeout_sec=90.0,
+    )
+    seen = {r["k"] for r in tailed.collect()}
+    assert seen == {3, 6, 9, 100}  # every diverted key, old and live
+
+    # the composition: alert fired -> operator drops the rule ->
+    # auto-reprocess re-admits everything
+    acid.alter_drop_constraint(t, "pos")
+    st = acid.reprocess_quarantine_spark(spark, t)
+    assert st["n_replayed"] == 4 and st["n_rediverted"] == 0, st
+    got = acid.read_snapshot_spark(spark, t)
+    assert got.count() == 11  # 6 clean + 1 clean(101) + 4 re-admitted
+    assert got.filter("val < 0").count() == 4
+    import os as _os
+    assert not _os.path.isdir(qroot) or not _os.listdir(qroot)
