@@ -1161,9 +1161,9 @@ def s24_stream_cdf_source(spark, sf_dir):
     return out
 
 
-@register(
-    "s25_stream_acid_ingest_rate",
-    oracle="""
+#: append-log ingest census — shared by s25 (manual OPTIMIZE) and
+#: s32 (write-path auto-compaction, no OPTIMIZE call anywhere).
+_S25_INGEST_ORACLE = """
     WITH log AS (
       SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
       UNION ALL
@@ -1175,7 +1175,12 @@ def s24_stream_cdf_source(spark, sf_dir):
            ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)::DOUBLE
              AS total
     FROM log
-    """,
+"""
+
+
+@register(
+    "s25_stream_acid_ingest_rate",
+    oracle=_S25_INGEST_ORACLE,
     tags=("streaming", "acid", "sink", "ingest", "scaling"),
 )
 def s25_stream_acid_ingest_rate(spark, sf_dir):
@@ -1812,3 +1817,70 @@ def s31_stream_dlq_source(spark, sf_dir):
         F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
         .cast("double").alias("total_clean"),
     ).crossJoin(streamed)
+
+
+@register(
+    "s32_stream_auto_compact_ingest",
+    oracle=_S25_INGEST_ORACLE,  # shared verbatim with s25
+    tags=("streaming", "acid", "sink", "ingest", "compaction"),
+)
+def s32_stream_auto_compact_ingest(spark, sf_dir):
+    """WRITE-PATH AUTO-COMPACTION under streaming ingest — the policy
+    that retires s25's manual-OPTIMIZE step (Delta's autoCompact): the
+    table opts in at create (`auto_optimize=2` files per bucket) and
+    the SAME 100-micro-batch append log lands with NO explicit
+    OPTIMIZE call anywhere; append writers that push a bucket past 2x
+    the target bin-pack it back down as a follow-up OCC commit
+    (best-effort — a lost race leaves the debt for the next append's
+    trigger). Asserted in-flight: the live file count stays BOUNDED
+    (≤ 2n+1 per bucket at the end, vs ~800 fragments s25 accumulates
+    before its manual pass) and auto-compaction commits actually
+    fired; their CDF-invisibility (content-preserving rewrite, the
+    OPTIMIZE argument) is pinned by
+    test_auto_compaction_bounds_live_files_spark. The census reads the final
+    snapshot and shares s25's oracle VERBATIM — compaction that loses,
+    duplicates or resurrects a row hash-mismatches. Scale shape: the
+    2x hysteresis amortizes one compaction per n appends per bucket;
+    each compaction touches only the overfull buckets' files, so the
+    ingest path stays O(batch) + amortized O(debt)."""
+    import tempfile
+
+    from distribot_spark.sources import acid
+
+    src = replay.orders_cdc_replay_dir(sf_dir, n_chunks=100)
+    root = tempfile.mkdtemp(prefix="s32_", dir=replay.TMP_ROOT)
+    table = acid.TableLog(os.path.join(root, "table"))
+    table.init(key="o_orderkey", n_buckets=8, auto_optimize=2)
+
+    def sink(batch_df, batch_id):
+        pdf = batch_df.toPandas()
+        if pdf.empty:
+            return
+        acid.append_pandas(
+            table, pdf[["o_orderkey", "o_totalprice", "version"]],
+            writer=f"b{batch_id}",
+        )
+
+    replay.run_foreach_batch(spark, lambda s: s, src, sink, "append")
+    assert table.version() >= 99, table.version()
+
+    _, live = table.snapshot()
+    per: dict[int, int] = {}
+    for _f, b in live.items():
+        per[b] = per.get(b, 0) + 1
+    assert max(per.values()) <= 5, per   # 2n+1: debt repaid inline
+    assert len(live) <= 8 * 5, len(live)  # vs ~800 on s25's raw path
+    head = table.version()
+    autos = sum(
+        1 for v in range(head + 1)
+        if table.read_commit(v)["writer"].endswith("#auto-optimize"))
+    assert autos > 0, "auto-compaction never fired"
+
+    cur = spark.read.parquet(*table.live_paths())
+    return cur.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0))
+        .cast("long").alias("n_v2"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double").alias("total"),
+    )

@@ -221,7 +221,8 @@ class TableLog:
              key: str | None = None,
              n_buckets: int | None = None,
              generated: dict | None = None,
-             identity: dict | None = None) -> None:
+             identity: dict | None = None,
+             auto_optimize: int | None = None) -> None:
         """Create the table directories and persist immutable table
         options. ``hash_buckets=True`` switches the bucket function to
         `pmod(xxhash64(key), n)` for skew resistance — recorded in
@@ -262,6 +263,8 @@ class TableLog:
                 body["generated"] = generated
             if identity:
                 body["identity"] = identity
+            if auto_optimize:
+                body["auto_optimize_files_per_bucket"] = int(auto_optimize)
             tmp = meta + f".tmp{uuid.uuid4().hex[:6]}"
             with open(tmp, "w") as fh:
                 json.dump(body, fh)
@@ -273,6 +276,18 @@ class TableLog:
                 return json.load(fh)
         except FileNotFoundError:
             return {}
+
+    def auto_optimize(self) -> int | None:
+        """The persisted AUTO-COMPACTION target (files per bucket), or
+        None when the table relies on explicit OPTIMIZE. With it set,
+        append writers that push a touched bucket past 2x the target
+        run a scoped bin-pack back down to the target as a follow-up
+        OCC commit — Delta's autoCompact: the small-file debt streaming
+        appends accrue is repaid inline, amortized one compaction per
+        `target` appends by the 2x hysteresis (a 1x trigger would
+        compact on EVERY append past the threshold)."""
+        n = self._meta().get("auto_optimize_files_per_bucket")
+        return int(n) if n else None
 
     def hash_buckets(self) -> bool:
         """The persisted bucket-function mode (False for tables created
@@ -2509,7 +2524,8 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
                         hash_buckets: bool = False,
                         constraints: dict | None = None,
                         generated: dict | None = None,
-                        identity: dict | None = None) -> int:
+                        identity: dict | None = None,
+                        auto_optimize: int | None = None) -> int:
     """Create version 0 from a DataFrame (one file per bucket).
     ``hash_buckets=True`` persists the skew-resistant bucket function
     and ``constraints`` the CHECK constraints (see `TableLog.init`);
@@ -2518,7 +2534,7 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
     way, so subsequent writers/readers may omit both."""
     table.init(hash_buckets=hash_buckets, constraints=constraints,
                key=key, n_buckets=n_buckets, generated=generated,
-               identity=identity)
+               identity=identity, auto_optimize=auto_optimize)
     uniq = _unique_constraints(table, key)
     df = _apply_generated_spark(table, df)
     df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
@@ -3214,6 +3230,7 @@ def append_spark(
             v, staged, [], writer,
             id_range=((hwm0, hwm0 + n_ids) if idcol and n_ids else None),
         ):
+            _maybe_auto_compact_spark(spark, table, writer)
             return {"committed_version": v + 1, "attempts": attempts,
                     "files_added": len(staged), "quarantined": _nq,
                     **({"id_range": [hwm0, hwm0 + n_ids]} if idcol
@@ -3331,12 +3348,106 @@ def append_pandas(
             v, staged, [], writer,
             id_range=((hwm0, hwm0 + n_ids) if idcol and n_ids else None),
         ):
+            _maybe_auto_compact_pandas(table, writer)
             return {"committed_version": v + 1, "attempts": attempts,
                     "files_added": len(staged), "quarantined": _nq,
                     **({"id_range": [hwm0, hwm0 + n_ids]} if idcol
                        else {})}
     _unlink_staged(table, staged)
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+# -- auto-compaction ---------------------------------------------------------
+
+
+def _auto_compact_trigger(table: TableLog, n: int) -> bool:
+    """Fire only past 2x the target (hysteresis): trigger-at-target
+    would compact on EVERY append once a bucket reaches it; 2x
+    amortizes to one compaction per `n` appends per bucket while still
+    bounding live files at 2n+1 between compactions."""
+    _, live = table.snapshot()
+    per: dict[int, int] = {}
+    for _f, b in live.items():
+        per[b] = per.get(b, 0) + 1
+    return any(c > 2 * n for c in per.values())
+
+
+def _maybe_auto_compact_spark(spark, table: TableLog, writer: str) -> None:
+    """Post-append auto-compaction (Delta autoCompact): when the table
+    opted in (`TableLog.init(auto_optimize=n)`) and some bucket's
+    small-file debt passed 2n, bin-pack every overfull bucket back to
+    n files via the ordinary OPTIMIZE commit — one more OCC writer,
+    best-effort: losing every race just leaves the debt for the next
+    append's attempt (the trigger re-fires), so appends never fail on
+    account of compaction."""
+    n = table.auto_optimize()
+    if not n or not _auto_compact_trigger(table, n):
+        return
+    try:
+        optimize_table_spark(
+            table=table, spark=spark, files_per_bucket=n,
+            writer=f"{writer}#auto-optimize", max_attempts=3,
+        )
+    except CommitConflict:
+        pass  # debt remains; a later append re-triggers
+
+
+def _maybe_auto_compact_pandas(
+    table: TableLog, writer: str, max_attempts: int = 3,
+) -> None:
+    """JVM-free twin of `_maybe_auto_compact_spark` for the pandas
+    ingest client: per overfull bucket, fold the bucket's files (and
+    their deletion vectors — the rewrite kills the DV list, so the
+    deleted keys must be dropped from the rewrite or they resurrect)
+    into one table and stage `n` row-sliced files, committed as one
+    removes+adds OPTIMIZE-shaped version. Content-preserving, so the
+    change feed of the compaction version is empty (the carried-row
+    suppression), like any OPTIMIZE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n = table.auto_optimize()
+    if not n:
+        return
+    key = table.layout()[0]
+    pkey = table.physical_name(key) if key else None
+    for _ in range(max_attempts):
+        if not _auto_compact_trigger(table, n):
+            return
+        v, live = table.snapshot()
+        dvs = table.live_dvs()
+        per: dict[int, list[str]] = {}
+        for f, b in live.items():
+            per.setdefault(b, []).append(f)
+        work = {b: fs for b, fs in per.items() if len(fs) > n}
+        staged, removes = [], []
+        for b, fs in sorted(work.items()):
+            parts = []
+            for f in sorted(fs):
+                tb = pq.read_table(table.data_path(f))
+                for d in dvs.get(f, ()):
+                    dk = pq.read_table(table.data_path(d))
+                    keys = dk.filter(
+                        pc.equal(dk["_df"], f))[pkey or "k"]
+                    tb = tb.filter(
+                        pc.invert(pc.is_in(tb[pkey or "k"],
+                                           value_set=keys)))
+                parts.append(tb)
+            merged = pa.concat_tables(parts, promote_options="default")
+            step = max(1, -(-merged.num_rows // n))
+            for i in range(0, max(merged.num_rows, 1), step):
+                name = table.new_data_file(int(b))
+                pq.write_table(merged.slice(i, step),
+                               table.data_path(name))
+                staged.append({"file": name, "pb": int(b)})
+            removes.extend(sorted(fs))
+        if not staged:
+            return
+        if table.try_commit(v, staged, removes,
+                            f"{writer}#auto-optimize"):
+            return
+        _unlink_staged(table, staged)  # lost: re-snapshot and retry
 
 
 @_reapply_on_constraint_change

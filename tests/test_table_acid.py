@@ -3730,3 +3730,107 @@ def test_meta_lock_steal_is_generation_fenced():
     [th.join() for th in threads]
     assert not errors, errors
     assert len(inside) == 30
+
+
+# -- auto-compaction ---------------------------------------------------------
+
+
+def test_auto_compaction_bounds_live_files_spark(spark):
+    """auto_optimize=n: streaming-style appends never accumulate more
+    than 2n+1 files in a bucket — the write path repays its own
+    small-file debt (no explicit OPTIMIZE anywhere) — and compaction
+    commits are content-preserving (empty change feed)."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        read_snapshot_spark,
+        table_changes_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(8)],
+                              "k long, val double"),
+        "k", n_buckets=4, auto_optimize=2,
+    )
+    for w in range(1, 16):
+        append_spark(
+            spark, t,
+            spark.createDataFrame(
+                [(1000 * w + k, float(k)) for k in range(8)],
+                "k long, val double"),
+            writer=f"w{w}")
+        _, live = t.snapshot()
+        per = {}
+        for _f, b in live.items():
+            per[b] = per.get(b, 0) + 1
+        assert max(per.values()) <= 5, (w, per)  # 2n+1 bound, inline
+    got = read_snapshot_spark(spark, t)
+    assert got.count() == 8 + 15 * 8  # compaction lost nothing
+    # compaction commits are CDF-invisible (pure layout)
+    head = t.version()
+    auto_versions = [
+        v for v in range(head + 1)
+        if t.read_commit(v)["writer"].endswith("#auto-optimize")
+    ]
+    assert auto_versions, "auto-compaction never fired"
+    for v in auto_versions:
+        assert table_changes_spark(
+            spark, t, "k", from_version=v, to_version=v
+        ).count() == 0, v
+
+
+def test_auto_compaction_pandas_folds_dvs_and_races_appends():
+    """The JVM-free twin under CONTENTION: two threads blind-append
+    interleaved key ranges into an auto_optimize table while a DV
+    delete lands mid-stream — final content is exactly the appended
+    minus the deleted keys (compaction folded the DVs, resurrecting
+    nothing), every bucket bounded, no lost updates at any
+    interleaving."""
+    from distribot_spark.sources.acid import (
+        append_pandas,
+        delete_keys_pandas,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    t.init(key="k", n_buckets=4, auto_optimize=2)
+    append_pandas(t, pd.DataFrame({"k": range(8),
+                                   "val": [0.0] * 8}))
+    delete_keys_pandas(t, [2, 5], "k", 4, "del")
+
+    errors = []
+
+    def ingest(base):
+        try:
+            for w in range(12):
+                append_pandas(
+                    t, pd.DataFrame({
+                        "k": [base + 100 * w + i for i in range(6)],
+                        "val": [float(w)] * 6}),
+                    writer=f"t{base}-w{w}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=ingest, args=(b,))
+               for b in (10_000, 20_000)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errors, errors
+
+    got = _read_table(t)
+    want_keys = ({k for k in range(8)} - {2, 5}) | {
+        b + 100 * w + i
+        for b in (10_000, 20_000) for w in range(12) for i in range(6)
+    }
+    assert set(got["k"]) == want_keys          # DVs folded, no loss
+    assert len(got) == len(want_keys)          # and no duplication
+    _, live = t.snapshot()
+    per = {}
+    for _f, b in live.items():
+        per[b] = per.get(b, 0) + 1
+    # bounded even under two racing appenders (each may add a file to
+    # a bucket between trigger checks): 2n+1 plus one racer's in-flight
+    assert max(per.values()) <= 6, per
+    assert t.live_dvs() == {}  # compaction consumed the sidecars
