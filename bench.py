@@ -142,6 +142,20 @@ HEADLINE = [
     # sink). Both are write-path governance overhead worth tracking.
     "source_acid_alter_constraints",
     "s28_stream_expectations_quarantine",
+    # round-7 additions (documented in BASELINE.md): the distributed
+    # manifest planner (Spark-job file skipping over the parquet
+    # checkpoint), column-mapping rename (metadata-only ALTER + mixed
+    # old/new-file read + CDF), the persisted MinHash/LSH serve path
+    # (build + shard append + bucket-pruned probe — the incremental
+    # crawl-dedup loop), the DLQ tailed as a streaming source, and the
+    # auto-compaction ingest (100 micro-batch appends repaying their
+    # own small-file debt inline — the write-path policy price,
+    # benched at its worst grain).
+    "source_acid_manifest_prune",
+    "source_acid_rename_column",
+    "l2_minhash_serve",
+    "s31_stream_dlq_source",
+    "s32_stream_auto_compact_ingest",
 ]
 
 
@@ -192,6 +206,12 @@ def main() -> None:
     spark = get_spark(app_name="distribot_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    headline = HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:  # restricted set: fast local iteration + the teardown test
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        headline = [n for n in names if n in QUERIES]
+
     # Fixed JVM warm-up BEFORE any timing: scan+agg+join+window+shuffle so
     # whole-stage-codegen JIT, parquet footer cache, and the shuffle stack
     # are hot before the first timed query (round-2 postmortem: the
@@ -213,7 +233,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         spec = QUERIES.get(name)
         if spec is None:
             continue
@@ -254,12 +274,36 @@ def main() -> None:
     # Full-precision record (per-query spreads included) lives in the repo
     # where the judge can read it directly.
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        # a RESTRICTED run (env-selected subset: local iteration, the
+        # teardown test) must not clobber the repo's full-detail record
+        "BENCH_DETAIL.json" if not only else "BENCH_DETAIL.partial.json",
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
+    # TEARDOWN HYGIENE: the driver records only the LAST 2000 chars of
+    # stdout, so NOTHING may print after the metric line. Streaming
+    # queries some benched builders leave behind are stopped quietly
+    # (the r6 tail opened with a py4j teardown stack fragment — a
+    # longer one would have pushed the metric line out of the window,
+    # the exact r3 failure compact_line exists for), the line is
+    # flushed, and the process exits BEFORE interpreter/py4j shutdown
+    # hooks can write anything further. test_bench_output.py pins
+    # last-line-is-the-metric-line end to end.
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+                q.awaitTermination(10)
+            except Exception:
+                pass
+    except Exception:
+        pass
     print(compact_line(detail))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

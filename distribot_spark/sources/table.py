@@ -276,3 +276,23 @@ class Table:
     def vacuum_quarantine(self, older_than: float) -> int:
         """Age out dead-letter batches (DLQ retention)."""
         return acid.vacuum_quarantine(self.log, older_than)
+
+    # -- column mapping ----------------------------------------------------
+
+    def rename_column(self, old: str, new: str,
+                      writer: str = "alter-rename") -> dict:
+        """ALTER TABLE RENAME COLUMN — metadata-only (column mapping):
+        no data rewritten, in-flight writers restart via the mapping
+        rev in the commit gate, table rules follow the rename
+        (`acid.alter_rename_column`)."""
+        return acid.alter_rename_column(self.log, old, new,
+                                        writer=writer)
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only; the physical name
+        stays reserved so old bytes can never resurrect
+        (`acid.alter_drop_column`)."""
+        acid.alter_drop_column(self.log, name)
+
+    def column_mapping(self) -> dict:
+        return self.log.column_mapping()

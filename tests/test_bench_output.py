@@ -24,14 +24,35 @@ def _detail(timings):
 
 
 def test_current_headline_set_fits_driver_window():
-    # worst-case-ish timings: every query 3 digits before the decimal
-    timings = {name: 123.456 for name in bench.HEADLINE}
+    # realistic magnitudes (the measured distribution: a handful of
+    # multi-commit builders in the tens of seconds, the rest ~1 s) —
+    # the FULL per-query map must fit the driver window at 2 decimals
+    slow = {"l2_minhash_serve", "s32_stream_auto_compact_ingest",
+            "s31_stream_dlq_source", "s28_stream_expectations_quarantine",
+            "graph_pagerank", "dedup_clusters", "l2_minhash_pairs",
+            "source_acid_manifest_prune", "l3_ivf_append_serve"}
+    timings = {name: (19.05 if name in slow else 1.87)
+               for name in bench.HEADLINE}
     line = bench.compact_line(_detail(timings))
     assert len(line) + 1 <= 2000, len(line)  # +1 for the trailing newline
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_warm_total"
     assert parsed["unit"] == "sec"
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
+def test_worst_case_magnitudes_degrade_gracefully_not_unparseably():
+    # EVERY query at 3 digits would overflow the window with the r7
+    # headline count — the contract is graceful degradation (slowest
+    # kept, omissions counted, totals intact), never an unparseable or
+    # overflowing line (the r3 failure mode)
+    timings = {name: 123.456 for name in bench.HEADLINE}
+    line = bench.compact_line(_detail(timings))
+    assert len(line) + 1 <= 2000, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == _detail(timings)["value"]
+    assert len(parsed["queries"]) + parsed.get("queries_omitted", 0) == \
+        len(bench.HEADLINE)
 
 
 def test_oversized_headline_set_degrades_but_stays_parseable():
@@ -64,3 +85,34 @@ def test_totals_survive_compaction():
     parsed = json.loads(bench.compact_line(_detail(timings)))
     assert parsed["value"] == round(float(len(bench.HEADLINE)), 3)
     assert parsed["detail"] == "BENCH_DETAIL.json"
+
+
+def test_last_stdout_line_is_the_metric_line():
+    """End-to-end teardown hygiene (the r6 near-miss: a py4j teardown
+    stack fragment printed into the recorded tail): bench.py run as a
+    real subprocess — restricted to two queries via
+    SPARK_GRAFT_BENCH_QUERIES, one of them a STREAMING query so the
+    stop-active-streams path actually executes — must exit 0 with the
+    compact metric line as the LAST stdout line, nothing after it."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_BENCH_QUERIES"] = "q01,s24_stream_cdf_source"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    lines = r.stdout.rstrip("\n").splitlines()
+    assert lines, "no stdout at all"
+    last = lines[-1]
+    parsed = json.loads(last)  # the LAST line parses — nothing trailed it
+    assert parsed["metric"] == "headline_queries_warm_total"
+    assert set(parsed["queries"]) == {"q01", "s24_stream_cdf_source"}
+    # and the whole recorded window (last 2000 chars) ends with the line
+    assert r.stdout.rstrip("\n")[-len(last):] == last

@@ -3834,3 +3834,31 @@ def test_auto_compaction_pandas_folds_dvs_and_races_appends():
     # a bucket between trigger checks): 2n+1 plus one racer's in-flight
     assert max(per.values()) <= 6, per
     assert t.live_dvs() == {}  # compaction consumed the sidecars
+
+
+def test_facade_rename_and_drop_column(spark):
+    """The DeltaTable-shaped facade carries the column-mapping ALTERs:
+    rename mid-history, keep writing under new names with zero
+    re-passed layout, read + change feed under one schema, drop
+    reserves the physical name."""
+    from distribot_spark.sources import Table
+
+    path = _tmp_table()
+    t = Table.create(
+        spark, path,
+        spark.createDataFrame([(k, float(k), "x") for k in range(12)],
+                              "k long, price double, note string"),
+        key="k", n_buckets=2,
+    )
+    st = t.rename_column("price", "amount")
+    assert st["committed_version"] == t.version()
+    assert t.column_mapping() == {"amount": "price"}
+    t.append(spark.createDataFrame([(100, 1.5, "y")],
+                                   "k long, amount double, note string"))
+    assert t.read().filter("k = 100").first()["amount"] == 1.5
+    assert "amount" in t.change_feed(from_version=0).columns
+    t.drop_column("note")
+    assert set(t.read().columns) == {"k", "amount"}
+    with pytest.raises(ValueError, match="reserved"):
+        t.append(spark.createDataFrame(
+            [(101, 1.0, "z")], "k long, amount double, note string"))
