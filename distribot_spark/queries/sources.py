@@ -2354,3 +2354,136 @@ def source_acid_rename_column(spark, sf_dir):
         .cast("long").alias("amount_cents"),
     )
     return census.crossJoin(inserts)
+
+
+@register(
+    "source_acid_purge_forget",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+    purged AS (
+      SELECT o_orderkey, o_totalprice FROM orders, mx
+      WHERE o_orderkey % 194 = 0 OR o_orderkey % 991 = 0
+         OR o_orderkey = mk),
+    kept AS (
+      SELECT o_orderkey, o_totalprice FROM orders, mx
+      WHERE o_orderkey % 97 <> 0 AND o_orderkey % 991 <> 0
+        AND o_orderkey <> mk),
+    u AS (
+      SELECT 'after_forget' AS phase, COUNT(*) AS cnt,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) AS total FROM kept
+      UNION ALL
+      SELECT 'purged_physical', COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM purged
+      UNION ALL
+      SELECT 'proof', CAST(0 AS BIGINT), CAST(0.0e0 AS DOUBLE))
+    SELECT phase, cnt, total FROM u ORDER BY phase
+    """,
+    tags=("sources", "acid", "purge", "compliance"),
+)
+def source_acid_purge_forget(spark, sf_dir):
+    """RIGHT-TO-BE-FORGOTTEN, provably (sources/acid.py
+    `purge_keys_spark` / `forget_keys_spark` / `purge_proof_spark`) —
+    the compliance half a deletion-vector DELETE deliberately skips: a
+    DV hides rows, this ERASES them. The pipeline: seed + two
+    stats/bloom-carrying appends; a DV delete (every 97th order) so the
+    purge must erase rows that are ALREADY logically gone; then purge a
+    key set that includes DV-deleted keys (%194), live keys (%991) and
+    the MAX order key (guaranteed to sit in a file's manifest max-stat,
+    so the log itself provably held the key). Planning is certified by
+    the stats: bloom/min-max pruning skipped files without a physical
+    hit, and only hit files were rewritten. `forget` then expires,
+    truncates the log, vacuums, and the auditor's `purge_proof_spark`
+    — which never trusts the eraser, it rescans every retained parquet
+    and every log stat byte — must report ZERO hits, after reporting
+    REAL hits pre-forget (the proof has teeth). The oracle certifies
+    the physical purged census and the final logical table; 'proof'
+    carries the hit counts (0 by contract).
+
+    At 100 TB: purging k keys rewrites only the files that physically
+    hold them (three manifest prunes + one key-column scan), never a
+    bucket, never the table — a compliance job, not a rewrite."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        append_spark,
+        delete_keys_spark,
+        forget_keys_spark,
+        purge_keys_spark,
+        purge_proof_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_purge_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_initial_spark(
+        spark, table, orders.filter(F.col("o_orderkey") % 3 == 0),
+        "o_orderkey", n_buckets=16,
+    )
+    for m in (1, 2):
+        append_spark(
+            spark, table, orders.filter(F.col("o_orderkey") % 3 == m),
+            stats_cols=("o_orderkey",), bloom_key=True,
+        )
+
+    dv = delete_keys_spark(
+        spark, table,
+        orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"),
+    )
+    assert dv["dv_files"] > 0, dv
+
+    mk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    purge_keys = orders.filter(
+        (F.col("o_orderkey") % 194 == 0)
+        | (F.col("o_orderkey") % 991 == 0)
+        | (F.col("o_orderkey") == mk)
+    ).select("o_orderkey")
+
+    def census(phase: str, df):
+        # materialized EAGERLY: forget vacuums the files a lazy plan
+        # would re-read at collect time
+        r = df.agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        ).collect()[0]
+        return (phase, int(r["cnt"]), float(r["total"]))
+
+    # physical pre-purge census: raw files, DVs NOT applied — the purge
+    # must erase DV-hidden bytes too
+    raw = read_snapshot_spark(spark, table, apply_dvs=False)
+    r_purged = census(
+        "purged_physical",
+        raw.join(F.broadcast(purge_keys), "o_orderkey", "left_semi"),
+    )
+
+    st = purge_keys_spark(spark, table, purge_keys)
+    assert st["rewritten_files"] > 0, st
+    assert st["pruned_files"] > 0, ("bloom/min-max pruning must skip "
+                                    "hit-less files", st)
+    pre = purge_proof_spark(spark, table, purge_keys)
+    # the proof has teeth: pre-forget, replaced files and log stats
+    # still hold the keys (max-key rode in an append's max-stat)
+    assert pre["parquet_hits"] > 0 and pre["json_hits"] > 0, pre
+
+    fg = forget_keys_spark(spark, table, purge_keys)
+    assert fg["truncated_log_files"] > 0 and fg["vacuumed_files"] > 0, fg
+    post = purge_proof_spark(spark, table, purge_keys)
+    assert post["parquet_hits"] == 0 and post["json_hits"] == 0, post
+
+    r_after = census(
+        "after_forget",
+        read_snapshot_spark(spark, table, dv_key="o_orderkey"),
+    )
+    r_proof = ("proof", post["parquet_hits"] + post["json_hits"], 0.0)
+    return spark.createDataFrame(
+        [r_purged, r_after, r_proof],
+        "phase string, cnt long, total double",
+    ).orderBy("phase")

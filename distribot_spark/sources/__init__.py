@@ -7,9 +7,12 @@ from distribot_spark.sources.acid import (
     append_pandas,
     append_spark,
     delete_keys_spark,
+    forget_keys_spark,
     merge_upsert_pandas,
     merge_upsert_spark,
     optimize_table_spark,
+    purge_keys_spark,
+    purge_proof_spark,
     purge_tombstones_pandas,
     read_snapshot_spark,
     sync_snapshot_spark,
@@ -34,6 +37,7 @@ __all__ = [
     "read_any", "write_any", "write_partitioned", "write_bucketed_table",
     "CommitConflict", "SnapshotExpired",
     "TableLog", "append_pandas", "append_spark", "delete_keys_spark",
+    "forget_keys_spark", "purge_keys_spark", "purge_proof_spark",
     "merge_upsert_pandas", "merge_upsert_spark",
     "live_paths_pruned_manifest", "live_paths_pruned_point_manifest",
     "manifest_df",

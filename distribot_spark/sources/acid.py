@@ -4006,3 +4006,390 @@ def table_changes_spark(
     # names for every version it spans (dropped columns excluded) — a
     # consumer reading across a rename sees one coherent schema
     return _to_logical_spark(table, out)
+
+
+# -- compliance purge: physical erasure with a provable forget --------------
+
+
+@_reapply_on_constraint_change
+def purge_keys_spark(
+    spark,
+    table: TableLog,
+    keys_df,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "purge",
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """COMPLIANCE PURGE — the physical-erasure half of DELETE that
+    deletion vectors deliberately skip: a DV hides a row from readers
+    but its bytes stay in the base file (and the sidecar itself records
+    the key). This rewrites exactly the files whose PHYSICAL bytes hold
+    any of the keys and removes them in one OCC commit, folding every
+    existing DV of the rewritten files (DV-deleted rows of OTHER keys
+    are materialized, never resurrected; DV-deleted rows of the purged
+    keys are erased even though they were already logically gone).
+
+    Planning is manifest-only, three prunes deep before any data read —
+    bucket (a key hashes to its bucket), min/max range, per-file bloom —
+    then ONE key-column-pruned scan of the survivors finds the files
+    with an actual physical hit, so a bloom false positive costs a
+    column read, never a rewrite. Purging k keys rewrites only the
+    files that really hold them: at 100 TB that is the difference
+    between a compliance job and a table rewrite. Each replacement is
+    1:1 with its source file's bucket, re-sorted on the key, and
+    re-carries the SAME stat columns and bloom the old file had, so
+    file skipping survives a purge unchanged.
+
+    The logical result ≡ a delete (the change feed reports exactly the
+    still-visible purged rows as deletes); the PHYSICAL claim — zero
+    retained bytes naming the keys — is completed by
+    `forget_keys_spark` and certified by `purge_proof_spark`. Keys are
+    collected to the driver for bloom probing: compliance key sets are
+    small by nature (a user id, a leaked batch); bulk deletion belongs
+    to `delete_keys_spark`."""
+    from pyspark.sql import functions as F
+
+    _rev0 = _gate_state(table)
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
+    keys_df = _to_physical_spark(table, keys_df)
+    key = table.physical_name(key)
+    key_vals = sorted(
+        r[0] for r in keys_df.select(key).distinct().collect()
+        if r[0] is not None
+    )
+    v0, _ = table.snapshot()
+    out0 = {"committed_version": v0, "attempts": 0, "purged_rows": 0,
+            "rewritten_files": 0, "pruned_files": 0, "scanned_files": 0}
+    if not key_vals:
+        return out0
+    touched = {
+        _bucket_of_py(int(k), n_buckets, table.hash_buckets())
+        for k in key_vals
+    }
+    up = keys_df.select(key).distinct()
+
+    attempts = 0
+    staged: list[dict] | None = None
+    replaced: list[str] | None = None
+    replaced_dvstate: dict[str, tuple] | None = None
+    purged_rows = 0
+    pruned = scanned = 0
+
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        stats = table.live_stats()
+        dvall = table.live_dvs()
+        # manifest-only candidates: bucket ∩ min/max ∩ bloom, conservative
+        # exactly like live_paths_pruned* (no stats -> candidate)
+        cand: list[str] = []
+        pruned = 0
+        for f, b in sorted(live.items()):
+            if b not in touched:
+                continue
+            st = stats.get(f) or {}
+            rng = st.get(key)
+            bl = st.get(f"_bloom:{key}")
+            maybe = False
+            for kv in key_vals:
+                if rng is not None and not (rng["min"] <= kv <= rng["max"]):
+                    continue
+                if bl is not None and not bloom_maybe_contains(bl, kv):
+                    continue
+                maybe = True
+                break
+            if maybe:
+                cand.append(f)
+            else:
+                pruned += 1
+        scanned = len(cand)
+        dvstate = {f: tuple(dvall.get(f, ())) for f in cand}
+        if staged is None or dvstate != replaced_dvstate:
+            if staged:
+                _unlink_staged(table, staged)
+            staged, replaced = None, None
+            replaced_dvstate = dvstate
+            if not cand:
+                if _gate_state(table) != _rev0:
+                    raise _ConstraintsChanged(None)
+                return dict(out0, committed_version=v, attempts=attempts,
+                            pruned_files=pruned)
+            # ONE column-pruned scan of the candidates: which files hold
+            # a PHYSICAL hit (visible or DV-hidden), and how many rows
+            paths = [table.data_path(f) for f in cand]
+            base = spark.read.option("mergeSchema", "true").parquet(*paths)
+            tagged = base.withColumn("_f", _file_col())
+            hit_rows = (
+                tagged.select("_f", key)
+                .join(F.broadcast(up), key, "left_semi")
+                .groupBy("_f").count().collect()
+            )
+            hit_files = sorted(r["_f"] for r in hit_rows)
+            purged_rows = int(sum(r["count"] for r in hit_rows))
+            if not hit_files:
+                if _gate_state(table) != _rev0:
+                    raise _ConstraintsChanged(None)
+                return dict(out0, committed_version=v, attempts=attempts,
+                            pruned_files=pruned, scanned_files=scanned)
+            replaced = hit_files
+            # rewrite ONLY the hit files: fold their DVs, drop key rows,
+            # one replacement per source file in the source's bucket
+            hpaths = [table.data_path(f) for f in hit_files]
+            hbase = spark.read.option("mergeSchema", "true").parquet(
+                *hpaths)
+            visible = _apply_dvs(
+                spark, table, hbase, key,
+                {f: dvall.get(f, []) for f in hit_files},
+                files=set(hit_files), keep_file_col=True,
+            )
+            kept = visible.join(F.broadcast(up), key, "left_anti")
+            tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")
+            (
+                kept.repartition(max(len(hit_files), 1), "_f")
+                .sortWithinPartitions(key)
+                .write.mode("overwrite").partitionBy("_f").parquet(tmp_out)
+            )
+            staged = []
+            for d in sorted(os.listdir(tmp_out)):
+                if not d.startswith("_f="):
+                    continue
+                old = d.split("=", 1)[1]
+                b = int(live[old])
+                old_st = stats.get(old) or {}
+                scols = [c for c in old_st if not c.startswith("_bloom:")]
+                bcols = [c[len("_bloom:"):] for c in old_st
+                         if c.startswith("_bloom:")]
+                for p in sorted(os.listdir(os.path.join(tmp_out, d))):
+                    if not p.endswith(".parquet"):
+                        continue
+                    name = table.new_data_file(b)
+                    shutil.move(os.path.join(tmp_out, d, p),
+                                table.data_path(name))
+                    entry: dict = {"file": name, "pb": b}
+                    st2 = (parquet_file_stats(table.data_path(name), scols)
+                           if scols else {})
+                    for bc in bcols:
+                        st2[f"_bloom:{bc}"] = parquet_key_bloom(
+                            table.data_path(name), bc)
+                    if st2:
+                        entry["stats"] = st2
+                    staged.append(entry)
+            shutil.rmtree(tmp_out, ignore_errors=True)
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        if _gate_state(table) != _rev0:
+            _unlink_staged(table, staged)
+            raise _ConstraintsChanged(None)
+        attempts += 1
+        if table.try_commit(v, staged, replaced, writer):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "purged_rows": purged_rows,
+                    "rewritten_files": len(replaced),
+                    "pruned_files": pruned, "scanned_files": scanned}
+    _unlink_staged(table, staged)
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+def _scrub_quarantine_keys(spark, table: TableLog, key: str,
+                           key_vals) -> int:
+    """Erase the purged keys from the dead-letter area too: a diverted
+    row is still the entity's data. Batch-granular rewrite (read,
+    anti-filter, write fresh, drop old) — a crash between write and
+    drop duplicates survivors, which the DLQ's at-least-once contract
+    already absorbs. Quarantine rows carry LOGICAL names (diversion
+    happens before the physical boundary), so ``key`` here is logical.
+    Returns the number of rows erased."""
+    from pyspark.sql import functions as F
+
+    qroot = quarantine_dir(table)
+    if not os.path.isdir(qroot):
+        return 0
+    erased = 0
+    for b in sorted(os.listdir(qroot)):
+        src = os.path.join(qroot, b)
+        if not os.path.isdir(src):
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(src)
+        if key not in df.columns:
+            continue
+        hits = df.filter(F.col(key).isin(list(key_vals))).count()
+        if not hits:
+            continue
+        erased += int(hits)
+        keep = df.filter(~F.col(key).isin(list(key_vals)))
+        if keep.isEmpty():
+            shutil.rmtree(src, ignore_errors=True)
+            continue
+        out = os.path.join(qroot, uuid.uuid4().hex)
+        keep.write.mode("overwrite").parquet(out)
+        shutil.rmtree(src, ignore_errors=True)
+    return erased
+
+
+def forget_keys_spark(
+    spark,
+    table: TableLog,
+    keys_df,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "forget",
+    vacuum_min_age: float = 0.0,
+    scrub_quarantine: bool = True,
+    max_attempts: int = 50,
+) -> dict:
+    """RIGHT-TO-BE-FORGOTTEN: make a purge PROVABLE by erasing every
+    retained byte that names the keys — data files, DV sidecars, the
+    dead-letter area, and the LOG itself (old commit manifests can
+    carry a purged key as a min/max stat; old checkpoints carry whole
+    historical states). Five steps, each built from an existing
+    primitive:
+
+    1. `purge_keys_spark` — rewrite the hit files, one OCC commit;
+    2. pad with empty commits to the next CHECKPOINT_EVERY boundary
+       (≤ CHECKPOINT_EVERY-1 no-op commits; the boundary commit writes
+       a full-state checkpoint of the POST-purge table);
+    3. `expire_snapshots(keep_last=1)` — the retention floor lands ON
+       that checkpoint, so every pre-purge version becomes unreadable
+       (SnapshotExpired) before its bytes go;
+    4. `truncate_log()` — every commit/checkpoint below the floor
+       checkpoint (everything that could mention the keys) is deleted;
+    5. `vacuum(vacuum_min_age)` — the replaced base files and the now
+       file-less DV sidecars are unlinked.
+
+    This deliberately SPENDS time travel below the purge — that is the
+    point of a compliance forget. Default ``vacuum_min_age=0.0`` is the
+    single-operator compliance stance; pass the normal rail when
+    concurrent writers may be staging. `purge_proof_spark` certifies
+    the result."""
+    st = purge_keys_spark(
+        spark, table, keys_df, key, n_buckets,
+        writer=writer, max_attempts=max_attempts,
+    )
+    # 2. pad to the checkpoint boundary (OCC loop: a racing writer's
+    # commit also advances the head, which only helps)
+    pads = 0
+    for _ in range(max_attempts):
+        head = table.version()
+        if head % CHECKPOINT_EVERY == 0:
+            break
+        if table.try_commit(head, [], [], f"{writer}-pad"):
+            pads += 1
+    else:
+        raise CommitConflict(f"{writer}: could not reach a checkpoint "
+                             f"boundary in {max_attempts} attempts")
+    table.expire_snapshots(keep_last=1)
+    truncated = table.truncate_log()
+    vacuumed = table.vacuum(vacuum_min_age)
+    q_erased = 0
+    if scrub_quarantine:
+        lkey, _ = _resolve_layout(table, key, n_buckets)
+        kdf = _to_physical_spark(table, keys_df)
+        pkey = table.physical_name(lkey)
+        kv = [r[0] for r in kdf.select(pkey).distinct().collect()
+              if r[0] is not None]
+        if kv:
+            q_erased = _scrub_quarantine_keys(spark, table, lkey, kv)
+    return dict(st, pad_commits=pads, truncated_log_files=len(truncated),
+                vacuumed_files=len(vacuumed), quarantine_rows_erased=q_erased)
+
+
+def _walk_json_data_values(node):
+    """Yield the scalars in a log JSON that carry ROW DATA: the
+    ``min``/``max`` stat values (anywhere in the tree), skipping
+    ``_bloom:*`` subtrees (bloom words are hashes — a word value
+    equal to a key is a coincidence, not a leak) and every structural
+    field (versions, buckets, timestamps, file names, id watermarks —
+    none of them hold a row's key)."""
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if isinstance(k, str) and k.startswith("_bloom:"):
+                continue
+            if k in ("min", "max") and not isinstance(v, (dict, list)):
+                yield v
+            else:
+                yield from _walk_json_data_values(v)
+    elif isinstance(node, list):
+        for v in node:
+            yield from _walk_json_data_values(v)
+
+
+def purge_proof_spark(spark, table: TableLog, keys_df,
+                      key: str | None = None) -> dict:
+    """CERTIFY a forget: scan every retained byte under the table root
+    for the purged keys and count hits — the auditor's half of
+    `forget_keys_spark`, kept separate so the proof never trusts the
+    eraser. Three surfaces:
+
+    - every parquet file under the table root (data files, DV sidecars
+      — their key column is ``_dk`` — quarantine batches, parquet
+      checkpoint manifests), read via ONE Spark job per schema-group:
+      any column named like the key (physical or logical) or ``_dk``
+      is probed with an IN filter;
+    - every retained JSON under the log/meta (commit manifests,
+      checkpoints, table meta): structural walk over the positions
+      that carry ROW DATA — the min/max stat values — counting any
+      equal to a key value (catches a key surviving as a stat;
+      versions/buckets/watermarks are structural and excluded, so a
+      key of 0 never false-positives against bucket 0);
+    - returns {"parquet_files_scanned", "parquet_hits", "json_files_
+      scanned", "json_hits"} — both hit counts must be 0 after a
+      forget, which is exactly what the oracle-certified query and the
+      pytest pin assert."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    lkey, _ = _resolve_layout(table, key, None)
+    pkey = table.physical_name(lkey)
+    kdf = _to_physical_spark(table, keys_df)
+    key_vals = [r[0] for r in kdf.select(pkey).distinct().collect()
+                if r[0] is not None]
+    probe_cols = {pkey, lkey, "_dk"}
+
+    # parquet surface: group files by which probe columns they carry,
+    # one distributed read per group (schema peek is footer-only)
+    groups: dict[tuple, list[str]] = {}
+    n_pq = 0
+    for root, _dirs, files in os.walk(table.path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            n_pq += 1
+            try:
+                names = set(pq.ParquetFile(p).schema_arrow.names)
+            except Exception:
+                names = set()
+            cols = tuple(sorted(probe_cols & names))
+            if cols:
+                groups.setdefault(cols, []).append(p)
+    pq_hits = 0
+    for cols, paths in sorted(groups.items()):
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        cond = None
+        for c in cols:
+            this = F.col(c).isin(key_vals)
+            cond = this if cond is None else (cond | this)
+        pq_hits += df.filter(cond).count()
+
+    # JSON surface: structural scalar equality (never substring — a
+    # key must not false-positive against versions/timestamps)
+    kv = set(key_vals)
+    n_js = 0
+    js_hits = 0
+    for root, _dirs, files in os.walk(table.path):
+        for fn in files:
+            if not fn.endswith(".json"):
+                continue
+            n_js += 1
+            try:
+                with open(os.path.join(root, fn)) as fh:
+                    body = json.load(fh)
+            except Exception:
+                continue
+            js_hits += sum(
+                1 for s in _walk_json_data_values(body)
+                if not isinstance(s, bool) and s in kv
+            )
+    return {"parquet_files_scanned": n_pq, "parquet_hits": int(pq_hits),
+            "json_files_scanned": n_js, "json_hits": int(js_hits)}

@@ -202,6 +202,32 @@ class Table:
             self._pinned_n, writer, mode=mode,
         )
 
+    def purge(self, keys_df, writer: str = "purge") -> dict:
+        """Physical erasure of the keys' bytes (bloom/min-max pruned
+        file rewrites) — the compliance half a DV delete skips."""
+        return acid.purge_keys_spark(
+            self.spark, self.log, keys_df, self._pinned_key,
+            self._pinned_n, writer,
+        )
+
+    def forget(self, keys_df, writer: str = "forget",
+               vacuum_min_age: float = 0.0,
+               scrub_quarantine: bool = True) -> dict:
+        """Right-to-be-forgotten: purge + expire + truncate + vacuum +
+        DLQ scrub; `purge_proof` certifies zero retained bytes."""
+        return acid.forget_keys_spark(
+            self.spark, self.log, keys_df, self._pinned_key,
+            self._pinned_n, writer, vacuum_min_age=vacuum_min_age,
+            scrub_quarantine=scrub_quarantine,
+        )
+
+    def purge_proof(self, keys_df) -> dict:
+        """Auditor's scan: hit counts for the keys over every retained
+        parquet/JSON byte under the table root (0/0 after `forget`)."""
+        return acid.purge_proof_spark(
+            self.spark, self.log, keys_df, self._pinned_key,
+        )
+
     def sync(self, source_df, writer: str = "sync") -> dict:
         """Three-clause MERGE: after it the table equals ``source_df``."""
         return acid.sync_snapshot_spark(

@@ -3862,3 +3862,184 @@ def test_facade_rename_and_drop_column(spark):
     with pytest.raises(ValueError, match="reserved"):
         t.append(spark.createDataFrame(
             [(101, 1.0, "z")], "k long, amount double, note string"))
+
+
+# -- compliance purge / provable forget -------------------------------------
+
+
+def _purge_fixture(spark, n_buckets=4):
+    """Small bucketed table with stats+bloom appends: keys 0..59,
+    val = k * 1.0; three files per bucket (initial + 2 appends)."""
+    from distribot_spark.sources.acid import append_spark, write_initial_spark
+
+    t = TableLog(_tmp_table())
+    rows = [(k, float(k)) for k in range(60)]
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame(rows[:20], "k long, val double"),
+        "k", n_buckets=n_buckets,
+    )
+    for lo, hi in ((20, 40), (40, 60)):
+        append_spark(
+            spark, t,
+            spark.createDataFrame(rows[lo:hi], "k long, val double"),
+            stats_cols=("k",), bloom_key=True,
+        )
+    return t
+
+
+def test_purge_erases_dv_hidden_bytes_cdf_silent(spark):
+    """Purging a key that is ALREADY DV-deleted erases its physical
+    bytes without changing the logical table — and the change feed
+    stays SILENT for it (its delete was reported when the DV landed;
+    re-reporting would double-count downstream)."""
+    from distribot_spark.sources.acid import (
+        delete_keys_spark,
+        purge_keys_spark,
+        read_snapshot_spark,
+        table_changes_spark,
+    )
+
+    t = _purge_fixture(spark)
+    kdf = spark.createDataFrame([(42,)], "k long")
+    delete_keys_spark(spark, t, kdf)
+    logical0 = sorted(
+        r.k for r in read_snapshot_spark(spark, t, dv_key="k").collect())
+    assert 42 not in logical0
+    # physical bytes still hold 42 (that's what DVs mean)
+    raw = read_snapshot_spark(spark, t, apply_dvs=False)
+    assert raw.filter("k = 42").count() == 1
+
+    st = purge_keys_spark(spark, t, kdf)
+    assert st["purged_rows"] == 1 and st["rewritten_files"] == 1, st
+    raw2 = read_snapshot_spark(spark, t, apply_dvs=False)
+    assert raw2.filter("k = 42").count() == 0
+    logical1 = sorted(
+        r.k for r in read_snapshot_spark(spark, t, dv_key="k").collect())
+    assert logical1 == logical0  # logical table unchanged
+    ch = table_changes_spark(
+        spark, t, "k",
+        from_version=st["committed_version"],
+        to_version=st["committed_version"],
+    )
+    assert ch.filter("k = 42").count() == 0, "purge must be CDF-silent"
+
+
+def test_purge_prunes_by_bloom_and_keeps_skipping_intact(spark):
+    """Purging one key rewrites exactly the ONE file that physically
+    holds it — the other files of its bucket are pruned via manifest
+    bloom/min-max — and the replacement re-carries stats + bloom so
+    file skipping works identically after the purge."""
+    from distribot_spark.sources.acid import (
+        purge_keys_spark,
+        read_snapshot_spark,
+    )
+
+    t = _purge_fixture(spark)
+    st = purge_keys_spark(spark, t, spark.createDataFrame([(45,)], "k long"))
+    # 45 lives in the second append's file for its bucket; the first
+    # append's file is bloom/min-max pruned; the stats-less initial
+    # file stays a candidate (conservative) but has no physical hit
+    assert st["rewritten_files"] == 1, st
+    assert st["pruned_files"] >= 1, st
+    assert read_snapshot_spark(spark, t).filter("k = 45").count() == 0
+    # replacement carries stats AND a bloom (purge-proof skipping)
+    stats = t.live_stats()
+    rewritten = [f for f, s in stats.items()
+                 if s and "_bloom:k" in s and s.get("k")]
+    assert rewritten, "replacement lost its stats/bloom"
+    # skipping still prunes with the replacement in place
+    kept, pruned = t.live_paths_pruned_point("k", 44)
+    assert pruned >= 1
+
+
+def test_purge_catches_racing_append_of_same_key(spark):
+    """OCC: an append landing the purge key AFTER the purge planned its
+    rewrite forces a recompute — the racing row is purged too, other
+    racing rows survive."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        purge_keys_spark,
+        read_snapshot_spark,
+    )
+
+    t = _purge_fixture(spark)
+    fired = {"n": 0}
+
+    def hook(v):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            append_spark(
+                spark, t,
+                spark.createDataFrame([(45, 999.0), (100, 1.0)],
+                                      "k long, val double"),
+            )
+
+    st = purge_keys_spark(spark, t, spark.createDataFrame(
+        [(45,)], "k long"), pre_commit_hook=hook)
+    assert st["attempts"] >= 2, st  # lost the race, recomputed
+    rows = {r.k for r in read_snapshot_spark(spark, t).collect()}
+    assert 45 not in rows, "racing append resurrected a purged key"
+    assert 100 in rows, "unrelated racing row lost"
+    assert st["purged_rows"] == 2, st  # original + the racing copy
+
+
+def test_forget_proof_zero_quarantine_scrubbed_history_gone(spark):
+    """The full right-to-be-forgotten: quarantined rows with the key
+    are scrubbed, the proof reports zero parquet AND zero json hits,
+    time travel below the purge raises SnapshotExpired, and a key that
+    sat in a manifest max-stat is gone from the retained log."""
+    from distribot_spark.sources.acid import (
+        SnapshotExpired,
+        append_spark,
+        forget_keys_spark,
+        purge_proof_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(20)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+        constraints={"nn": {"col": "val", "min": 0,
+                            "on_violation": "quarantine"}},
+    )
+    # 59 = the batch's max -> lands in the append file's max-stat;
+    # 31 violates the expectation -> lands in the DLQ
+    append_spark(
+        spark, t,
+        spark.createDataFrame(
+            [(31, -1.0)] + [(k, float(k)) for k in range(40, 60)],
+            "k long, val double"),
+        stats_cols=("k",), bloom_key=True,
+    )
+    kdf = spark.createDataFrame([(59,), (31,), (7,)], "k long")
+    pre = purge_proof_spark(spark, t, kdf)
+    assert pre["parquet_hits"] >= 3 and pre["json_hits"] >= 1, pre
+
+    st = forget_keys_spark(spark, t, kdf)
+    assert st["purged_rows"] == 2, st       # 31 never landed in data
+    assert st["quarantine_rows_erased"] == 1, st
+    post = purge_proof_spark(spark, t, kdf)
+    assert post["parquet_hits"] == 0 and post["json_hits"] == 0, post
+    rows = {r.k for r in read_snapshot_spark(spark, t).collect()}
+    assert rows == (set(range(20)) | set(range(40, 60))) - {59, 7}
+    with pytest.raises(SnapshotExpired):
+        t.snapshot_at(0)
+    assert t.version() % CHECKPOINT_EVERY == 0  # padded to the boundary
+
+
+def test_purge_empty_and_missing_keys_are_noops(spark):
+    from distribot_spark.sources.acid import purge_keys_spark
+
+    t = _purge_fixture(spark)
+    v0 = t.version()
+    st = purge_keys_spark(spark, t, spark.createDataFrame([], "k long"))
+    assert st["rewritten_files"] == 0 and t.version() == v0
+    # keys absent from the table: pruning finds no physical hit, no commit
+    st2 = purge_keys_spark(
+        spark, t, spark.createDataFrame([(10_000,)], "k long"))
+    assert st2["rewritten_files"] == 0 and t.version() == v0, st2
