@@ -2360,14 +2360,16 @@ def source_acid_rename_column(spark, sf_dir):
     "source_acid_purge_forget",
     oracle="""
     WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+    pk AS (
+      (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+       ORDER BY o_orderkey LIMIT 3)
+      UNION SELECT mk FROM mx),
     purged AS (
-      SELECT o_orderkey, o_totalprice FROM orders, mx
-      WHERE o_orderkey % 194 = 0 OR o_orderkey % 991 = 0
-         OR o_orderkey = mk),
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN pk USING (o_orderkey)),
     kept AS (
       SELECT o_orderkey, o_totalprice FROM orders, mx
-      WHERE o_orderkey % 97 <> 0 AND o_orderkey % 991 <> 0
-        AND o_orderkey <> mk),
+      WHERE o_orderkey % 97 <> 0 AND o_orderkey <> mk),
     u AS (
       SELECT 'after_forget' AS phase, COUNT(*) AS cnt,
              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
@@ -2440,11 +2442,16 @@ def source_acid_purge_forget(spark, sf_dir):
     assert dv["dv_files"] > 0, dv
 
     mk = orders.agg(F.max("o_orderkey")).collect()[0][0]
-    purge_keys = orders.filter(
-        (F.col("o_orderkey") % 194 == 0)
-        | (F.col("o_orderkey") % 991 == 0)
-        | (F.col("o_orderkey") == mk)
-    ).select("o_orderkey")
+    # a FIXED-size key set (3 DV-hidden keys + the live max key): a
+    # compliance purge is O(k) at any scale — the sf0.1 parity run
+    # proved a %-based set degenerates to every-file-has-a-hit
+    purge_keys = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey").orderBy("o_orderkey").limit(3)
+        .unionByName(spark.createDataFrame([(int(mk),)],
+                                           "o_orderkey long"))
+        .distinct()
+    )
 
     def census(phase: str, df):
         # materialized EAGERLY: forget vacuums the files a lazy plan
