@@ -2494,3 +2494,122 @@ def source_acid_purge_forget(spark, sf_dir):
         [r_purged, r_after, r_proof],
         "phase string, cnt long, total double",
     ).orderBy("phase")
+
+
+@register(
+    "source_acid_clone_diverge",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 97 <> 0 AND o_orderkey % 131 <> 0),
+    cln AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 97 <> 0 AND o_orderkey % 113 <> 0),
+    u AS (
+      SELECT 'clone_diverged' AS phase, COUNT(*) AS cnt,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) AS total FROM cln
+      UNION ALL
+      SELECT 'clone_post_vacuum', COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM cln
+      UNION ALL
+      SELECT 'src_diverged', COUNT(*),
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                  AS DOUBLE) FROM src)
+    SELECT phase, cnt, total FROM u ORDER BY phase
+    """,
+    tags=("sources", "acid", "clone"),
+)
+def source_acid_clone_diverge(spark, sf_dir):
+    """SHALLOW CLONE as a zero-copy branch (sources/acid.py
+    `clone_table`): orders land in a bucketed source (stats+bloom
+    appends, a DV delete so the clone must carry deletion-vector state
+    across), then the table is CLONED — asserted zero data bytes
+    copied: every file and sidecar is a HARDLINK (`copied == 0`), so
+    unlike Delta's path-reference shallow clones, vacuuming the source
+    can never break it. The two tables then DIVERGE (source deletes
+    every 131st order, clone every 113th), the source is expired and
+    vacuumed with min_age=0 — and the clone's census is provably
+    unchanged (the 'clone_diverged' and 'clone_post_vacuum' phases
+    share one oracle definition; the second is computed AFTER the
+    source vacuum). Manifest stats, blooms, table rules and the
+    identity watermark ride across, so the clone is a first-class
+    writable table from birth.
+
+    At 100 TB: a clone is O(live files) hardlinks + one metadata
+    commit — the write-audit-publish / experiment-branch primitive at
+    a cost independent of data size."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        append_spark,
+        clone_table,
+        delete_keys_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    src_out = os.path.join(TMP_ROOT, f"acid_clone_src_{_tag(sf_dir)}")
+    dst_out = os.path.join(TMP_ROOT, f"acid_clone_dst_{_tag(sf_dir)}")
+    shutil.rmtree(src_out, ignore_errors=True)
+    shutil.rmtree(dst_out, ignore_errors=True)
+    src = TableLog(src_out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_initial_spark(
+        spark, src, orders.filter(F.col("o_orderkey") % 3 == 0),
+        "o_orderkey", n_buckets=16,
+    )
+    for m in (1, 2):
+        append_spark(
+            spark, src, orders.filter(F.col("o_orderkey") % 3 == m),
+            stats_cols=("o_orderkey",), bloom_key=True,
+        )
+    delete_keys_spark(
+        spark, src,
+        orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"),
+    )
+
+    st = clone_table(src, dst_out)
+    assert st["copied"] == 0 and st["dv_sidecars"] > 0, st
+    dst = TableLog(dst_out)
+
+    # diverge both sides
+    delete_keys_spark(
+        spark, src,
+        orders.filter(F.col("o_orderkey") % 131 == 0).select("o_orderkey"),
+    )
+    delete_keys_spark(
+        spark, dst,
+        orders.filter(F.col("o_orderkey") % 113 == 0).select("o_orderkey"),
+    )
+
+    def census(phase: str, df):
+        # eager: the source vacuum below invalidates lazy source plans
+        r = df.agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        ).collect()[0]
+        return (phase, int(r["cnt"]), float(r["total"]))
+
+    r_src = census(
+        "src_diverged", read_snapshot_spark(spark, src, dv_key="o_orderkey"))
+    r_cln = census(
+        "clone_diverged", read_snapshot_spark(spark, dst,
+                                              dv_key="o_orderkey"))
+
+    # destroy the source's history: the clone must not notice
+    src.expire_snapshots(keep_last=1)
+    src.vacuum(0.0)
+    r_cln2 = census(
+        "clone_post_vacuum",
+        read_snapshot_spark(spark, dst, dv_key="o_orderkey"))
+    assert r_cln2[1:] == r_cln[1:], (r_cln, r_cln2)
+
+    return spark.createDataFrame(
+        [r_cln, r_cln2, r_src], "phase string, cnt long, total double"
+    ).orderBy("phase")

@@ -6,6 +6,7 @@ from distribot_spark.sources.acid import (
     TableLog,
     append_pandas,
     append_spark,
+    clone_table,
     delete_keys_spark,
     forget_keys_spark,
     merge_upsert_pandas,
@@ -36,7 +37,8 @@ __all__ = [
     "Table",
     "read_any", "write_any", "write_partitioned", "write_bucketed_table",
     "CommitConflict", "SnapshotExpired",
-    "TableLog", "append_pandas", "append_spark", "delete_keys_spark",
+    "TableLog", "append_pandas", "append_spark", "clone_table",
+    "delete_keys_spark",
     "forget_keys_spark", "purge_keys_spark", "purge_proof_spark",
     "merge_upsert_pandas", "merge_upsert_spark",
     "live_paths_pruned_manifest", "live_paths_pruned_point_manifest",

@@ -4393,3 +4393,123 @@ def purge_proof_spark(spark, table: TableLog, keys_df,
             )
     return {"parquet_files_scanned": n_pq, "parquet_hits": int(pq_hits),
             "json_files_scanned": n_js, "json_hits": int(js_hits)}
+
+
+# -- shallow clone: zero-copy table branch ----------------------------------
+
+
+def clone_table(
+    src: TableLog,
+    dst_path: str,
+    version: int | None = None,
+    writer: str = "clone",
+) -> dict:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``,
+    hardened): a new INDEPENDENT table whose version 0 is the source
+    snapshot at ``version`` (head if None) — zero data bytes copied.
+    Data files and DV sidecars enter the clone as HARDLINKS, which buys
+    the guarantee Delta's path-reference clones cannot make: vacuuming
+    — or outright dropping — the SOURCE can never break the clone,
+    because every inode stays alive under the clone's own directory
+    (and files are immutable by the OCC protocol, so sharing bytes is
+    safe). Falls back to a byte copy when the filesystem refuses the
+    link (cross-device), reported in the returned stats.
+
+    Everything a writer needs rides across: manifest stats and blooms
+    (file skipping works from birth), the table rules verbatim
+    (layout, hash_buckets, constraints+rev, generated, identity,
+    column mapping+rev, auto-optimize) — so a clone-side writer is
+    gated exactly like a source writer — and the identity high-water
+    mark rides commit 0's ``id_range``, so clone-side inserts can
+    never collide with cloned ids. Multiple DV sidecars per file merge
+    to one (the RESTORE/ANALYZE discipline: a commit attaches at most
+    one per file).
+
+    The clone's HISTORY starts at the clone (Delta semantics): time
+    travel below it belongs to the source; the transient
+    ``rebucket_pending`` intent and the source's layout epoch do not
+    transfer. Like RESTORE, cloning at a version below the source's
+    layout epoch is refused — that manifest's bucket ids would lie
+    under the current bucket count.
+
+    This is the write-audit-publish / experiment-branch primitive: at
+    100 TB a clone is O(live files) metadata + hardlinks, runs in
+    seconds, and diverging commits on either side never touch the
+    other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    head = src.version()
+    v = head if version is None else int(version)
+    if not 0 <= v <= head:
+        raise ValueError(f"version {v} outside [0, {head}]")
+    epoch = int(src._meta().get("layout_since_version", 0))
+    if v < epoch:
+        raise ValueError(
+            f"clone at v{v} crosses the layout epoch (rebucket at "
+            f"v{epoch}): that manifest's bucket ids are in the old "
+            f"layout")
+    src._check_not_expired(v)
+    dst = TableLog(dst_path)
+    if os.path.exists(dst._head_hint_path()) or (
+        os.path.isdir(dst.log_dir)
+        and any(n.startswith("v") for n in os.listdir(dst.log_dir))
+    ):
+        raise ValueError(f"clone destination {dst_path} already has a log")
+    os.makedirs(dst.log_dir, exist_ok=True)
+    os.makedirs(dst.data_dir, exist_ok=True)
+
+    # table rules, verbatim minus transient/epoch state
+    meta = {k: val for k, val in src._meta().items()
+            if k not in ("rebucket_pending", "layout_since_version")}
+    dst._persist_meta(meta)
+
+    live, stats, dvs, hwm = src._fold_entries(v)
+
+    def _bring(name: str) -> bool:
+        """Hardlink (zero-copy) or, failing that, copy. True = linked."""
+        s, d = src.data_path(name), dst.data_path(name)
+        try:
+            os.link(s, d)
+            return True
+        except OSError:
+            shutil.copy2(s, d)
+            return False
+
+    linked = copied = 0
+    adds = []
+    for f in sorted(live):
+        if _bring(f):
+            linked += 1
+        else:
+            copied += 1
+        entry: dict = {"file": f, "pb": int(live[f])}
+        if stats.get(f):
+            entry["stats"] = stats[f]
+        adds.append(entry)
+    dv_attach: dict[str, str] = {}
+    for f in sorted(dvs):
+        ds = list(dvs[f])
+        if len(ds) == 1:
+            if _bring(ds[0]):
+                linked += 1
+            else:
+                copied += 1
+            dv_attach[f] = ds[0]
+        elif len(ds) > 1:
+            merged = pa.concat_tables(
+                [pq.read_table(src.data_path(d)) for d in ds],
+                promote_options="default",
+            )
+            name = dst.new_dv_file()
+            pq.write_table(merged, dst.data_path(name))
+            dv_attach[f] = name
+    if not dst.try_commit(
+        -1, adds, [], writer,
+        dvs=dv_attach or None,
+        id_range=((0, hwm) if hwm > 0 else None),
+    ):
+        raise CommitConflict(f"{writer}: destination raced")
+    return {"cloned_from_version": v, "files": len(adds),
+            "dv_sidecars": len(dv_attach), "linked": linked,
+            "copied": copied, "id_hwm": hwm}

@@ -259,6 +259,14 @@ class Table:
         equals the old snapshot, deletion vectors included."""
         return acid.restore_table(self.log, version, writer=writer)
 
+    def clone(self, dst_path: str, version: int | None = None,
+              writer: str = "clone") -> "Table":
+        """Shallow clone: zero-copy branch at ``version`` (hardlinked
+        files, stats/blooms/rules/id-watermark carried — vacuuming or
+        dropping the source can never break the clone)."""
+        acid.clone_table(self.log, dst_path, version, writer=writer)
+        return type(self).for_path(self.spark, dst_path)
+
     def expire_snapshots(self, keep_last: int) -> int:
         return self.log.expire_snapshots(keep_last)
 

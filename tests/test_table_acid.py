@@ -4043,3 +4043,135 @@ def test_purge_empty_and_missing_keys_are_noops(spark):
     st2 = purge_keys_spark(
         spark, t, spark.createDataFrame([(10_000,)], "k long"))
     assert st2["rewritten_files"] == 0 and t.version() == v0, st2
+
+
+# -- shallow clone ----------------------------------------------------------
+
+
+def test_clone_zero_copy_merged_dvs_and_rules_carry(spark):
+    """Clone carries multi-sidecar DV state (merged to one), manifest
+    stats/blooms, and the table rules: a clone-side write is gated by
+    the cloned constraints, and every data byte is a hardlink."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        clone_table,
+        delete_keys_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    src = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, src,
+        spark.createDataFrame([(k, float(k)) for k in range(40)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+        constraints={"nn": {"col": "val", "min": 0}},
+    )
+    append_spark(
+        spark, src,
+        spark.createDataFrame([(k, float(k)) for k in range(40, 60)],
+                              "k long, val double"),
+        stats_cols=("k",), bloom_key=True,
+    )
+    # two DV commits against the SAME files -> multi-sidecar lists
+    delete_keys_spark(spark, src, spark.createDataFrame([(4,)], "k long"))
+    delete_keys_spark(spark, src, spark.createDataFrame([(6,)], "k long"))
+    assert any(len(ds) > 1 for ds in src.live_dvs().values())
+
+    dst_path = _tmp_table()
+    os.rmdir(dst_path)
+    st = clone_table(src, dst_path)
+    assert st["copied"] == 0 and st["linked"] > 0, st
+    dst = TableLog(dst_path)
+    assert all(len(ds) == 1 for ds in dst.live_dvs().values())
+    a = sorted(r.k for r in read_snapshot_spark(spark, src,
+                                                dv_key="k").collect())
+    b = sorted(r.k for r in read_snapshot_spark(spark, dst,
+                                                dv_key="k").collect())
+    assert a == b and 4 not in b and 6 not in b
+    # hardlink: same inode
+    f0 = sorted(src.snapshot()[1])[0]
+    assert (os.stat(src.data_path(f0)).st_ino
+            == os.stat(dst.data_path(f0)).st_ino)
+    # blooms carried: point skipping works on the clone from birth
+    _, pruned = dst.live_paths_pruned_point("k", 45)
+    assert pruned >= 1
+    # rules carried: violating append fails on the CLONE
+    # (fail-mode CHECK raises executor-side via raise_error)
+    with pytest.raises(Exception, match="nn"):
+        append_spark(
+            spark, dst,
+            spark.createDataFrame([(99, -1.0)], "k long, val double"))
+
+
+def test_clone_survives_source_destruction(spark):
+    """The hardlink guarantee: expire+vacuum and even rm -rf of the
+    source leave the clone byte-complete — the failure mode of
+    path-referencing shallow clones."""
+    import shutil as _sh
+
+    from distribot_spark.sources.acid import (
+        clone_table,
+        delete_keys_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    src = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, src,
+        spark.createDataFrame([(k, float(k)) for k in range(30)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    delete_keys_spark(spark, src, spark.createDataFrame([(3,)], "k long"))
+    dst_path = _tmp_table()
+    os.rmdir(dst_path)
+    clone_table(src, dst_path)
+    dst = TableLog(dst_path)
+    _sh.rmtree(src.path)
+    rows = sorted(r.k for r in read_snapshot_spark(spark, dst,
+                                                   dv_key="k").collect())
+    assert rows == [k for k in range(30) if k != 3]
+
+
+def test_clone_version_rails(spark):
+    """Clone refuses: an existing destination log, a version below the
+    retention floor, and a version below the layout epoch (pre-rebucket
+    manifests lie under the new bucket count)."""
+    from distribot_spark.sources.acid import (
+        SnapshotExpired,
+        append_spark,
+        clone_table,
+        optimize_table_spark,
+        write_initial_spark,
+    )
+
+    src = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, src,
+        spark.createDataFrame([(k, float(k)) for k in range(20)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    append_spark(spark, src, spark.createDataFrame(
+        [(100, 1.0)], "k long, val double"))
+    # rebucket 2 -> 4 sets the layout epoch
+    optimize_table_spark(spark, src, "k", 4, rewrite_all=True)
+    epoch = int(src._meta()["layout_since_version"])
+    with pytest.raises(ValueError, match="layout epoch"):
+        clone_table(src, _tmp_table() + "_e", version=epoch - 1)
+    dst_path = _tmp_table()
+    os.rmdir(dst_path)
+    st = clone_table(src, dst_path)  # at head: fine
+    assert st["files"] > 0
+    with pytest.raises(ValueError, match="already has a log"):
+        clone_table(src, dst_path)
+    # advance the head past the epoch, then expire: the epoch version
+    # is retained-by-layout but dropped-by-retention
+    append_spark(spark, src, spark.createDataFrame(
+        [(200, 1.0)], "k long, val double"))
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotExpired):
+        clone_table(src, _tmp_table() + "_x", version=epoch)
