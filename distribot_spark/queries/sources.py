@@ -2613,3 +2613,132 @@ def source_acid_clone_diverge(spark, sf_dir):
     return spark.createDataFrame(
         [r_cln, r_cln2, r_src], "phase string, cnt long, total double"
     ).orderBy("phase")
+
+
+@register(
+    "source_acid_cdf_replicate",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 1000 = 0
+                  THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 2,
+                                  2) AS DECIMAL(14,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS p
+      FROM orders),
+    ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                   CAST(1.00 AS DECIMAL(14,2)) AS p
+            FROM orders WHERE o_orderkey % 1000 = 5),
+    fin AS (
+      SELECT o_orderkey, p FROM upd WHERE o_orderkey % 1000 <> 8
+      UNION ALL SELECT o_orderkey, p FROM ins),
+    u AS (
+      SELECT 'replica_mid' AS phase, COUNT(*) AS cnt,
+             CAST(ROUND(SUM(p), 2) AS DOUBLE) AS total FROM upd
+      UNION ALL
+      SELECT 'replica_final', COUNT(*),
+             CAST(ROUND(SUM(p), 2) AS DOUBLE) FROM fin
+      UNION ALL
+      SELECT 'src_final', COUNT(*),
+             CAST(ROUND(SUM(p), 2) AS DOUBLE) FROM fin)
+    SELECT phase, cnt, total FROM u ORDER BY phase
+    """,
+    tags=("sources", "acid", "cdf", "replicate", "clone"),
+)
+def source_acid_cdf_replicate(spark, sf_dir):
+    """INCREMENTAL REPLICATION = CLONE bootstrap + CDF catch-up
+    (sources/acid.py `replicate_changes_spark`): the replica is born as
+    a zero-copy shallow clone at version c, then tracks the source by
+    applying change-feed ranges — exactly a CDC consumer with a version
+    cursor. The source diverges with an UPDATE merge (every 1000th
+    order's price doubles), a DV DELETE (%1000==8) and an INSERT merge
+    (shifted keys) across three commits; the replica catches up in TWO
+    replicate calls over contiguous ranges, and each call folds its
+    range to the NET change per key first — one upsert MERGE + one
+    delete per call however many source commits the range spans, so a
+    replica 10k commits behind pays two write commits, not 10k. The
+    oracle certifies the mid-point census (update applied, delete and
+    insert not yet) and the final census on BOTH tables; idempotence
+    (re-applying the last range changes nothing) is asserted in-query
+    and pinned by test_replicate_range_idempotent."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        append_spark,
+        clone_table,
+        delete_keys_spark,
+        merge_upsert_spark,
+        read_snapshot_spark,
+        replicate_changes_spark,
+        write_initial_spark,
+    )
+
+    src_out = os.path.join(TMP_ROOT, f"acid_repl_src_{_tag(sf_dir)}")
+    dst_out = os.path.join(TMP_ROOT, f"acid_repl_dst_{_tag(sf_dir)}")
+    shutil.rmtree(src_out, ignore_errors=True)
+    shutil.rmtree(dst_out, ignore_errors=True)
+    src = TableLog(src_out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_initial_spark(
+        spark, src, orders.filter(F.col("o_orderkey") % 3 == 0),
+        "o_orderkey", n_buckets=16,
+    )
+    for m in (1, 2):
+        append_spark(
+            spark, src, orders.filter(F.col("o_orderkey") % 3 == m),
+            stats_cols=("o_orderkey",),
+        )
+    c = src.version()
+    clone_table(src, dst_out)
+    dst = TableLog(dst_out)
+
+    # three source commits after the clone point
+    upd = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(12,2)") * 2, 2)
+        .cast("double").alias("o_totalprice"),
+    )
+    merge_upsert_spark(spark, src, upd)                      # c+1
+    v_mid = src.version()
+    delete_keys_spark(
+        spark, src,
+        orders.filter(F.col("o_orderkey") % 1000 == 8)
+        .select("o_orderkey"))                               # c+2
+    ins = orders.filter(F.col("o_orderkey") % 1000 == 5).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    merge_upsert_spark(spark, src, ins)                      # c+3
+
+    def census(phase: str, table):
+        r = read_snapshot_spark(spark, table, dv_key="o_orderkey").agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("total"),
+        ).collect()[0]
+        return (phase, int(r["cnt"]), float(r["total"]))
+
+    st1 = replicate_changes_spark(spark, src, dst,
+                                  from_version=c + 1, to_version=v_mid)
+    assert st1["upserted_keys"] > 0 and st1["deleted_keys"] == 0, st1
+    r_mid = census("replica_mid", dst)
+
+    v_before = dst.version()
+    st2 = replicate_changes_spark(spark, src, dst, from_version=v_mid + 1)
+    assert st2["upserted_keys"] > 0 and st2["deleted_keys"] > 0, st2
+    # the catch-up contract: one range = at most two replica commits
+    assert dst.version() - v_before <= 2, (v_before, dst.version())
+    r_fin = census("replica_final", dst)
+
+    # idempotence: re-applying the same range changes nothing
+    replicate_changes_spark(spark, src, dst, from_version=v_mid + 1)
+    again = census("replica_final", dst)
+    assert again == r_fin, (again, r_fin)
+
+    r_src = census("src_final", src)
+    assert r_src[1:] == r_fin[1:], (r_src, r_fin)
+    return spark.createDataFrame(
+        [r_mid, r_fin, r_src], "phase string, cnt long, total double"
+    ).orderBy("phase")

@@ -4513,3 +4513,69 @@ def clone_table(
     return {"cloned_from_version": v, "files": len(adds),
             "dv_sidecars": len(dv_attach), "linked": linked,
             "copied": copied, "id_hwm": hwm}
+
+
+def replicate_changes_spark(
+    spark,
+    src: TableLog,
+    dst: TableLog,
+    key: str | None = None,
+    from_version: int = 1,
+    to_version: int | None = None,
+    writer: str = "replicate",
+) -> dict:
+    """INCREMENTAL REPLICATION off the change feed: apply the source's
+    changes in ``[from_version, to_version]`` to a replica table — the
+    CDC-consumer loop made a one-call primitive. Pairs naturally with
+    `clone_table` for the bootstrap: clone at version c, then replicate
+    from c+1 forward, remembering the last applied version exactly like
+    a streaming consumer remembers its offset (the caller owns that
+    cursor; ranges must be contiguous and non-overlapping for the
+    replica to track the source).
+
+    The range FOLDS to the net change per key before touching the
+    replica (last change wins; ``update_pre`` rows are discarded): one
+    upsert MERGE plus one key DELETE on the target, regardless of how
+    many versions the range spans — a replica 10k commits behind pays
+    two write commits, not 10k. Deliberately NOT cached between the
+    two branches: the CDF plan reads only commit-touched files, so
+    recomputing it costs less than materializing it (the minhash
+    .persist() lesson).
+
+    What does NOT replicate, by design: compliance purges (CDF-silent;
+    run `purge_keys_spark` per replica — erasure is a per-copy duty),
+    OPTIMIZE/ANALYZE (physical layout is per-table), and table rules
+    (ALTERs are metadata; clone carries them at bootstrap). The replica
+    applies its OWN constraints to incoming rows, exactly like any
+    writer."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    if key is None:
+        key = src.layout()[0]
+    if key is None:
+        raise ValueError("no persisted layout; pass key explicitly")
+    hi = src.version() if to_version is None else int(to_version)
+    out = {"from_version": from_version, "to_version": hi,
+           "upserted_keys": 0, "deleted_keys": 0}
+    if hi < from_version:
+        return out
+    ch = table_changes_spark(spark, src, key, from_version, hi)
+    net = (
+        ch.filter(F.col("_change_type") != "update_pre")
+        .withColumn("_rn", F.row_number().over(
+            W.partitionBy(key).orderBy(F.col("_commit_version").desc())))
+        .filter(F.col("_rn") == 1)
+    )
+    upserts = net.filter(F.col("_change_type") != "delete") \
+        .drop("_change_type", "_commit_version", "_rn")
+    n_up = upserts.count()
+    if n_up:
+        merge_upsert_spark(spark, dst, upserts, key, writer=writer)
+        out["upserted_keys"] = n_up
+    deletes = net.filter(F.col("_change_type") == "delete").select(key)
+    n_del = deletes.count()
+    if n_del:
+        delete_keys_spark(spark, dst, deletes, key, writer=writer)
+        out["deleted_keys"] = n_del
+    return out

@@ -267,6 +267,16 @@ class Table:
         acid.clone_table(self.log, dst_path, version, writer=writer)
         return type(self).for_path(self.spark, dst_path)
 
+    def replicate_from(self, src: "Table", from_version: int,
+                       to_version: int | None = None,
+                       writer: str = "replicate") -> dict:
+        """Apply the source's CDF range to this replica (net change per
+        key: one upsert MERGE + one delete, however many versions)."""
+        return acid.replicate_changes_spark(
+            self.spark, src.log, self.log, self._pinned_key,
+            from_version, to_version, writer=writer,
+        )
+
     def expire_snapshots(self, keep_last: int) -> int:
         return self.log.expire_snapshots(keep_last)
 

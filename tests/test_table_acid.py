@@ -4175,3 +4175,104 @@ def test_clone_version_rails(spark):
     src.expire_snapshots(keep_last=1)
     with pytest.raises(SnapshotExpired):
         clone_table(src, _tmp_table() + "_x", version=epoch)
+
+
+# -- CDF replication --------------------------------------------------------
+
+
+def _repl_pair(spark):
+    from distribot_spark.sources.acid import clone_table, write_initial_spark
+
+    src = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, src,
+        spark.createDataFrame([(k, float(k)) for k in range(30)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    dst_path = _tmp_table()
+    os.rmdir(dst_path)
+    clone_table(src, dst_path)
+    return src, TableLog(dst_path), src.version()
+
+
+def _rows(spark, t):
+    from distribot_spark.sources.acid import read_snapshot_spark
+
+    return sorted(
+        (r.k, r.val)
+        for r in read_snapshot_spark(spark, t, dv_key="k").collect()
+    )
+
+
+def test_replicate_range_idempotent(spark):
+    from distribot_spark.sources.acid import (
+        delete_keys_spark,
+        merge_upsert_spark,
+        replicate_changes_spark,
+    )
+
+    src, dst, c = _repl_pair(spark)
+    merge_upsert_spark(spark, src, spark.createDataFrame(
+        [(3, 99.0), (100, 1.0)], "k long, val double"))
+    delete_keys_spark(spark, src, spark.createDataFrame([(7,)], "k long"))
+    st = replicate_changes_spark(spark, src, dst, from_version=c + 1)
+    assert st["upserted_keys"] == 2 and st["deleted_keys"] == 1, st
+    state = _rows(spark, dst)
+    assert state == _rows(spark, src)
+    replicate_changes_spark(spark, src, dst, from_version=c + 1)
+    assert _rows(spark, dst) == state  # idempotent re-apply
+
+
+def test_replicate_one_by_one_equals_one_range(spark):
+    """Paging the cursor version-by-version lands the same state as one
+    folded range — the contiguity contract."""
+    from distribot_spark.sources.acid import (
+        clone_table,
+        delete_keys_spark,
+        merge_upsert_spark,
+        replicate_changes_spark,
+    )
+
+    src, dst_a, c = _repl_pair(spark)
+    dst_b_path = _tmp_table()
+    os.rmdir(dst_b_path)
+    clone_table(src, dst_b_path)
+    dst_b = TableLog(dst_b_path)
+
+    merge_upsert_spark(spark, src, spark.createDataFrame(
+        [(1, -1.0)], "k long, val double"))
+    delete_keys_spark(spark, src, spark.createDataFrame([(1,)], "k long"))
+    merge_upsert_spark(spark, src, spark.createDataFrame(
+        [(1, 5.0), (40, 4.0)], "k long, val double"))
+
+    replicate_changes_spark(spark, src, dst_a, from_version=c + 1)
+    for v in range(c + 1, src.version() + 1):
+        replicate_changes_spark(spark, src, dst_b,
+                                from_version=v, to_version=v)
+    assert _rows(spark, dst_a) == _rows(spark, dst_b) == _rows(spark, src)
+    # net fold: k=1 was updated, deleted, re-inserted -> final 5.0
+    assert (1, 5.0) in _rows(spark, dst_a)
+
+
+def test_replicate_insert_then_delete_nets_to_nothing(spark):
+    """A key born and killed INSIDE the range never touches the
+    replica: the fold discards it before any write."""
+    from distribot_spark.sources.acid import (
+        delete_keys_spark,
+        merge_upsert_spark,
+        replicate_changes_spark,
+    )
+
+    src, dst, c = _repl_pair(spark)
+    merge_upsert_spark(spark, src, spark.createDataFrame(
+        [(500, 1.0)], "k long, val double"))
+    delete_keys_spark(spark, src, spark.createDataFrame([(500,)], "k long"))
+    v0 = dst.version()
+    st = replicate_changes_spark(spark, src, dst, from_version=c + 1)
+    assert st["upserted_keys"] == 0 and st["deleted_keys"] == 1, st
+    assert all(k != 500 for k, _ in _rows(spark, dst))
+    assert _rows(spark, dst) == _rows(spark, src)
+    # the delete branch still ran (key 500 unknown to the replica: a
+    # no-op delete, no rewrite) — at most one commit landed
+    assert dst.version() - v0 <= 1
