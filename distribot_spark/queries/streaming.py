@@ -1884,3 +1884,78 @@ def s32_stream_auto_compact_ingest(spark, sf_dir):
         F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
         .cast("double").alias("total"),
     )
+
+
+@register(
+    "s33_stream_replicate",
+    oracle=CDF_VIEW_ORACLE,  # shared with s24 and the batch IVM twin
+    tags=("streaming", "cdc", "replicate", "acid", "clone"),
+)
+def s33_stream_replicate(spark, sf_dir):
+    """CONTINUOUS REPLICATION — the streaming face of
+    `replicate_changes_spark`: a replica is BORN as a zero-copy shallow
+    clone of the 5-version CDF demo table at its seed version, then
+    TAILS the source's change feed as a stream (commit order by the
+    replay mtime discipline, TWO versions folded per trigger — the s30
+    catch-up knob) and applies each micro-batch through
+    `apply_changes_spark`: net change per key inside the batch, one
+    upsert MERGE + one key DELETE on the replica per trigger. The
+    tombstone-then-purge tail proves the fold: keys tombstoned at v3
+    and physically purged at v4 arrive in ONE batch and net to a plain
+    delete — the replica never materializes the tombstone at all.
+    Asserted: 2 micro-batches for the 4-commit history, at most 2
+    replica commits per batch. The SHARED oracle certifies the
+    replica's direct final aggregate equals the source's — the same
+    hash s24's standing query and the batch IVM produce, closing the
+    loop: one history, one oracle, three consumers (standing aggregate,
+    batch view, physical replica).
+
+    Scale shape: per trigger the replica pays O(that range's changed
+    rows) in exactly the touched buckets, plus two commit links; a
+    replica restarting far behind amortizes via the catch-up factor.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from distribot_spark.sources import acid
+
+    root = os.path.join(replay.TMP_ROOT, f"s33_{_uuid.uuid4().hex[:8]}")
+    table = build_cdf_demo_table(
+        spark, sf_dir, os.path.join(root, "table")
+    )
+    dst_path = os.path.join(root, "replica")
+    acid.clone_table(table, dst_path, version=0)
+    dst = acid.TableLog(dst_path)
+
+    chunks = replay.cdf_replay_dir(
+        spark, table, "o_orderkey", os.path.join(root, "cdf_chunks"),
+        versions_per_trigger=2, from_version=1,
+    )
+    n_batches = {"n": 0}
+
+    def sink(batch_df, batch_id):
+        v0 = dst.version()
+        acid.apply_changes_spark(
+            spark, dst, batch_df, "o_orderkey",
+            writer=f"repl-{batch_id}",
+        )
+        assert dst.version() - v0 <= 2, "more than merge+delete per batch"
+        n_batches["n"] += 1
+
+    replay.run_foreach_batch(spark, lambda s: s, chunks, sink, "append")
+    assert n_batches["n"] == 2, n_batches  # 4 commits / 2 per trigger
+
+    cur = acid.read_snapshot_spark(spark, dst, dv_key="o_orderkey")
+    out = (
+        cur.groupBy(
+            F.pmod(F.col("o_orderkey"), F.lit(7)).cast("int").alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").alias("total_cents"),
+        )
+        .orderBy("g")
+    )
+    rows = out.collect()  # materialize before the fixture vanishes
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -6,6 +6,7 @@ from distribot_spark.sources.acid import (
     TableLog,
     append_pandas,
     append_spark,
+    apply_changes_spark,
     clone_table,
     delete_keys_spark,
     forget_keys_spark,
@@ -38,7 +39,8 @@ __all__ = [
     "Table",
     "read_any", "write_any", "write_partitioned", "write_bucketed_table",
     "CommitConflict", "SnapshotExpired",
-    "TableLog", "append_pandas", "append_spark", "clone_table",
+    "TableLog", "append_pandas", "append_spark",
+    "apply_changes_spark", "clone_table",
     "delete_keys_spark",
     "forget_keys_spark", "purge_keys_spark", "purge_proof_spark",
     "merge_upsert_pandas", "merge_upsert_spark",

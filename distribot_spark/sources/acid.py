@@ -4548,9 +4548,6 @@ def replicate_changes_spark(
     (ALTERs are metadata; clone carries them at bootstrap). The replica
     applies its OWN constraints to incoming rows, exactly like any
     writer."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
     if key is None:
         key = src.layout()[0]
     if key is None:
@@ -4561,12 +4558,34 @@ def replicate_changes_spark(
     if hi < from_version:
         return out
     ch = table_changes_spark(spark, src, key, from_version, hi)
+    st = apply_changes_spark(spark, dst, ch, key, writer=writer)
+    out.update(st)
+    return out
+
+
+def apply_changes_spark(
+    spark, dst: TableLog, changes_df, key: str, writer: str = "replicate",
+) -> dict:
+    """Apply one batch of change-feed rows (the `table_changes_spark`
+    shape: data columns + ``_change_type`` + ``_commit_version``) to a
+    replica: fold to the net change per key (last ``_commit_version``
+    wins, ``update_pre`` discarded), then one upsert MERGE + one key
+    DELETE. This is the per-micro-batch half of replication — a
+    foreachBatch sink calls it per trigger (s33), the batch
+    `replicate_changes_spark` calls it once per range; both land the
+    same state because the fold only assumes batches arrive in commit
+    order, which both the replay mtime discipline and range contiguity
+    guarantee."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
     net = (
-        ch.filter(F.col("_change_type") != "update_pre")
+        changes_df.filter(F.col("_change_type") != "update_pre")
         .withColumn("_rn", F.row_number().over(
             W.partitionBy(key).orderBy(F.col("_commit_version").desc())))
         .filter(F.col("_rn") == 1)
     )
+    out = {"upserted_keys": 0, "deleted_keys": 0}
     upserts = net.filter(F.col("_change_type") != "delete") \
         .drop("_change_type", "_commit_version", "_rn")
     n_up = upserts.count()
