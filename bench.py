@@ -156,6 +156,14 @@ HEADLINE = [
     "l2_minhash_serve",
     "s31_stream_dlq_source",
     "s32_stream_auto_compact_ingest",
+    # round-7 late addition (documented in BASELINE.md): continuous
+    # replication — clone bootstrap + CDF tailed as a stream + per-
+    # trigger net-fold apply; the one new COST FAMILY of the
+    # clone/purge/replicate trio. The other three stay OUT: purge and
+    # batch-replicate re-measure machinery already benched (their
+    # measured sf0.1 numbers live in BASELINE.md), and clone itself is
+    # a 0.1 s metadata op.
+    "s33_stream_replicate",
 ]
 
 

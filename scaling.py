@@ -163,6 +163,87 @@ def manifest_curve():
     return out
 
 
+def purge_curve():
+    """Compliance-purge scaling: wall time of `purge_keys_spark` for a
+    FIXED 4-key set as the table grows sf0.001 -> 0.01 -> 0.1 (100x
+    rows). The claim: purge cost tracks the files PHYSICALLY HOLDING
+    the keys (<= 4 at every SF, planning is manifest-only bucket +
+    min/max + bloom pruning followed by one key-column scan of the
+    survivors), so wall time must stay ~flat while the table grows two
+    decades — the difference between a compliance job and a table
+    rewrite. Reports rewritten/pruned/scanned file counts alongside the
+    timings so the mechanism is visible, not inferred. Usage:
+    python scaling.py --purge
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from distribot_spark.catalog import load_table
+    from distribot_spark.session import get_spark
+    from distribot_spark.sources import (
+        TableLog,
+        append_spark,
+        delete_keys_spark,
+        purge_keys_spark,
+        write_initial_spark,
+    )
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    out = []
+    for sf_name, sf in SFS:
+        sf_dir = f"/root/testdata/{sf_name}"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice")
+        n_rows = orders.count()
+        best = None
+        detail = None
+        for _ in range(RUNS):
+            root = tempfile.mkdtemp(prefix="purge_scale_")
+            t = TableLog(root)
+            write_initial_spark(
+                spark, t, orders.filter(F.col("o_orderkey") % 3 == 0),
+                "o_orderkey", n_buckets=16)
+            for m in (1, 2):
+                append_spark(
+                    spark, t,
+                    orders.filter(F.col("o_orderkey") % 3 == m),
+                    stats_cols=("o_orderkey",), bloom_key=True)
+            delete_keys_spark(
+                spark, t,
+                orders.filter(F.col("o_orderkey") % 97 == 0)
+                .select("o_orderkey"))
+            mk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+            keys = (
+                orders.filter(F.col("o_orderkey") % 97 == 0)
+                .select("o_orderkey").orderBy("o_orderkey").limit(3)
+                .unionByName(spark.createDataFrame(
+                    [(int(mk),)], "o_orderkey long"))
+                .distinct())
+            t0 = time.monotonic()
+            st = purge_keys_spark(spark, t, keys)
+            dt = time.monotonic() - t0
+            shutil.rmtree(root, ignore_errors=True)
+            if best is None or dt < best:
+                best, detail = dt, st
+        row = {
+            "sf": sf, "rows": n_rows,
+            "purge_sec": round(best, 3),
+            "rewritten_files": detail["rewritten_files"],
+            "pruned_files": detail["pruned_files"],
+            "scanned_files": detail["scanned_files"],
+        }
+        out.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({
+        "purge_sf0.1_over_sf0.001": round(
+            out[-1]["purge_sec"] / max(out[0]["purge_sec"], 1e-6), 2),
+        "rows_ratio": round(out[-1]["rows"] / max(out[0]["rows"], 1), 1),
+    }), flush=True)
+    return out
+
+
 def _timed(fn):
     t0 = time.monotonic()
     fn()
@@ -218,5 +299,7 @@ if __name__ == "__main__":
         table_log_curve()
     elif "--manifest" in sys.argv:
         manifest_curve()
+    elif "--purge" in sys.argv:
+        purge_curve()
     else:
         main(sys.argv[1:] or DEFAULT)

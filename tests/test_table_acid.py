@@ -4276,3 +4276,39 @@ def test_replicate_insert_then_delete_nets_to_nothing(spark):
     # the delete branch still ran (key 500 unknown to the replica: a
     # no-op delete, no rewrite) — at most one commit landed
     assert dst.version() - v0 <= 1
+
+
+def test_facade_clone_replicate_purge_round_trip(spark):
+    """The Table facade covers the round-7 trio end to end: clone ->
+    diverge -> replicate_from catch-up -> purge + forget + purge_proof
+    on the replica."""
+    from distribot_spark.sources import Table
+
+    src_path = _tmp_table()
+    os.rmdir(src_path)
+    t = Table.create(
+        spark, src_path,
+        spark.createDataFrame([(k, float(k)) for k in range(30)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    c = t.version()
+    dst_path = _tmp_table()
+    os.rmdir(dst_path)
+    r = t.clone(dst_path)
+    assert r.read().count() == 30
+    # diverge the source, catch the replica up
+    t.merge(spark.createDataFrame([(3, 99.0), (77, 7.0)],
+                                  "k long, val double"))
+    t.delete(spark.createDataFrame([(9,)], "k long"))
+    st = r.replicate_from(t, from_version=c + 1)
+    assert st["upserted_keys"] == 2 and st["deleted_keys"] == 1, st
+    assert (sorted(x.k for x in r.read().collect())
+            == sorted(x.k for x in t.read().collect()))
+    # forget a key on the replica, prove it
+    keys = spark.createDataFrame([(5,)], "k long")
+    fg = r.forget(keys)
+    assert fg["purged_rows"] == 1, fg
+    proof = r.purge_proof(keys)
+    assert proof["parquet_hits"] == 0 and proof["json_hits"] == 0, proof
+    assert r.read().filter("k = 5").count() == 0
