@@ -1959,3 +1959,133 @@ def s33_stream_replicate(spark, sf_dir):
     rows = out.collect()  # materialize before the fixture vanishes
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+#: stratified greedy dedup-on-ingest census: accept a streamed doc iff
+#: it near-dups (exact Jaccard >= 0.5, the l2 spelling verbatim) no doc
+#: accepted in an EARLIER stratum (seed = doc_id%4==0, then batches
+#: 1,2,3). Unrolled per batch — the stream's batch order IS the
+#: stratification, so no recursion is needed.
+_S34_DEDUP_INGEST_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id AS doc,
+                  unnest([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, len(w) - 1)]) AS s
+           FROM t),
+    dd AS (SELECT DISTINCT doc, s FROM sh),
+    sz AS (SELECT doc, COUNT(*) AS n FROM dd GROUP BY doc),
+    pr AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS inter
+           FROM dd a JOIN dd b ON a.s = b.s AND a.doc < b.doc
+           GROUP BY 1, 2),
+    jp AS (SELECT da, db FROM pr
+           JOIN sz sa ON da = sa.doc JOIN sz sb ON db = sb.doc
+           WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+    sym AS (SELECT da AS a, db AS b FROM jp
+            UNION ALL SELECT db AS a, da AS b FROM jp),
+    c1 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+    c2 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+    c3 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+    acc0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+    a1 AS (SELECT doc_id FROM c1 WHERE NOT EXISTS (
+             SELECT 1 FROM sym JOIN acc0 ON sym.b = acc0.doc_id
+             WHERE sym.a = c1.doc_id)),
+    acc1 AS (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM a1),
+    a2 AS (SELECT doc_id FROM c2 WHERE NOT EXISTS (
+             SELECT 1 FROM sym JOIN acc1 ON sym.b = acc1.doc_id
+             WHERE sym.a = c2.doc_id)),
+    acc2 AS (SELECT doc_id FROM acc1 UNION ALL SELECT doc_id FROM a2),
+    a3 AS (SELECT doc_id FROM c3 WHERE NOT EXISTS (
+             SELECT 1 FROM sym JOIN acc2 ON sym.b = acc2.doc_id
+             WHERE sym.a = c3.doc_id)),
+    res AS (
+      SELECT doc_id,
+             CASE WHEN doc_id IN (SELECT doc_id FROM a1)
+                  THEN 'accepted' ELSE 'diverted' END AS status FROM c1
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN doc_id IN (SELECT doc_id FROM a2)
+                  THEN 'accepted' ELSE 'diverted' END FROM c2
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN doc_id IN (SELECT doc_id FROM a3)
+                  THEN 'accepted' ELSE 'diverted' END FROM c3)
+    SELECT doc_id, status FROM res ORDER BY doc_id
+"""
+
+
+@register(
+    "s34_stream_dedup_ingest",
+    oracle=_S34_DEDUP_INGEST_ORACLE,
+    tags=("streaming", "llm", "dedup", "lsh", "index", "ingest"),
+)
+def s34_stream_dedup_ingest(spark, sf_dir):
+    """DEDUP-ON-INGEST — the crawl loop run as a STREAM against the
+    persisted MinHash/LSH index (operators/index.py): the standing
+    corpus (docs ≡0 mod 4) is indexed once, then three micro-batches
+    of new documents arrive; each batch is PROBED against the index
+    (partition-pruned bucket scan + broadcast probe + the same exact-
+    Jaccard verification l2_minhash_pairs' oracle certifies), docs
+    that near-dup an ALREADY-ACCEPTED doc are diverted, and only the
+    survivors are appended to the index (shard-local append — the
+    standing artifacts are never rewritten). Probe-before-append makes
+    the batch sequence a STRATIFICATION: a doc is judged against the
+    seed plus every earlier batch's survivors, never its own batch —
+    which is exactly what the unrolled per-batch oracle spells in SQL,
+    so the per-doc accept/divert verdict is hash-certified end to end,
+    not just counted. Scale shape per trigger: probe touches only the
+    buckets the batch's shingles hash into; append writes only the
+    batch's rows; the standing corpus is never re-read — the
+    incremental cost a 100 TB crawl needs."""
+    import shutil
+    import tempfile
+
+    from distribot_spark.operators import index as idx
+
+    root = tempfile.mkdtemp(prefix="s34_", dir=replay.TMP_ROOT)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = os.path.join(root, "lsh_index")
+    idx.build_minhash_index(
+        docs.filter(F.col("doc_id") % 4 == 0), index_dir,
+        id_col="doc_id",
+    )
+
+    chunks = os.path.join(root, "chunks")
+    os.makedirs(chunks, exist_ok=True)
+    for i, m in enumerate((1, 2, 3)):
+        tmp = os.path.join(root, f"_c{i}")
+        (docs.filter(F.col("doc_id") % 4 == m).repartition(1)
+         .write.mode("overwrite").parquet(tmp))
+        part = next(p for p in sorted(os.listdir(tmp))
+                    if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part),
+                  os.path.join(chunks, f"chunk_{i:04d}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    replay._stamp_replay_order(chunks)  # batch order IS the strata
+
+    verdicts: list[tuple[int, str]] = []
+
+    def sink(batch_df, batch_id):
+        pairs = idx.probe_minhash_index(
+            spark, index_dir, batch_df, id_col="doc_id", threshold=0.5)
+        hit = (
+            pairs.select(F.col("da").alias("doc_id"))
+            .unionByName(pairs.select(F.col("db").alias("doc_id")))
+            .distinct()
+        )
+        ids = batch_df.select("doc_id")
+        div = {r.doc_id for r in
+               ids.join(hit, "doc_id", "left_semi").collect()}
+        acc = {r.doc_id for r in
+               ids.join(hit, "doc_id", "left_anti").collect()}
+        survivors = batch_df.filter(F.col("doc_id").isin(list(acc)))
+        if acc:
+            idx.append_minhash_shard(
+                spark, index_dir, survivors, id_col="doc_id")
+        verdicts.extend((int(d), "diverted") for d in div)
+        verdicts.extend((int(d), "accepted") for d in acc)
+
+    replay.run_foreach_batch(spark, lambda s: s, chunks, sink, "append")
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(verdicts), "doc_id long, status string"
+    ).orderBy("doc_id")

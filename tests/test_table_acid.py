@@ -4312,3 +4312,62 @@ def test_facade_clone_replicate_purge_round_trip(spark):
     proof = r.purge_proof(keys)
     assert proof["parquet_hits"] == 0 and proof["json_hits"] == 0, proof
     assert r.read().filter("k = 5").count() == 0
+
+
+def test_purge_races_optimize_rewrite(spark):
+    """Forced interleaving: an OPTIMIZE lands between purge's plan and
+    its commit, replacing the very files purge staged against. The OCC
+    recompute must re-plan against the compacted files — the purged key
+    stays gone and no other row is lost."""
+    from distribot_spark.sources.acid import (
+        optimize_table_spark,
+        purge_keys_spark,
+        read_snapshot_spark,
+    )
+
+    t = _purge_fixture(spark)
+    before = {r.k for r in read_snapshot_spark(spark, t).collect()}
+    fired = {"n": 0}
+
+    def hook(v):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            optimize_table_spark(spark, t, "k", 4, files_per_bucket=1)
+
+    st = purge_keys_spark(spark, t, spark.createDataFrame(
+        [(45,)], "k long"), pre_commit_hook=hook)
+    assert st["attempts"] >= 2, st  # lost to OPTIMIZE, recomputed
+    after = {r.k for r in read_snapshot_spark(spark, t).collect()}
+    assert after == before - {45}, (before - after, after - before)
+
+
+def test_purge_and_forget_on_hash_bucketed_table(spark):
+    """The driver-side bucket pruning (`_bucket_of_py`) must agree with
+    Spark's xxhash64 bucketing on a hash_buckets=True table — a
+    mismatch would prune the bucket that actually holds the key and
+    silently purge nothing."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        forget_keys_spark,
+        purge_proof_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    t = TableLog(_tmp_table())
+    rows = [(k, float(k)) for k in range(60)]
+    write_initial_spark(
+        spark, t, spark.createDataFrame(rows[:30], "k long, val double"),
+        "k", n_buckets=4, hash_buckets=True,
+    )
+    append_spark(
+        spark, t, spark.createDataFrame(rows[30:], "k long, val double"),
+        stats_cols=("k",), bloom_key=True,
+    )
+    keys = spark.createDataFrame([(17,), (53,)], "k long")
+    st = forget_keys_spark(spark, t, keys)
+    assert st["purged_rows"] == 2, st
+    proof = purge_proof_spark(spark, t, keys)
+    assert proof["parquet_hits"] == 0 and proof["json_hits"] == 0, proof
+    got = {r.k for r in read_snapshot_spark(spark, t).collect()}
+    assert got == {k for k in range(60) if k not in (17, 53)}
