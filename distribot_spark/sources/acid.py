@@ -4011,6 +4011,24 @@ def table_changes_spark(
 # -- compliance purge: physical erasure with a provable forget --------------
 
 
+def _purge_hit_scan(spark, table: TableLog, cand: list[str], key: str, up):
+    """The ONE data read purge planning pays: a scan of the pruned
+    candidate files COLUMN-PRUNED to the key alone, semi-joined to the
+    BROADCAST key set, counted per file — deciding which files to
+    rewrite costs one key column of the candidates, never a full-row
+    read. Both properties are plan-gated
+    (tests/test_plans.py::test_purge_hit_scan_is_key_pruned_broadcast)."""
+    from pyspark.sql import functions as F
+
+    paths = [table.data_path(f) for f in cand]
+    base = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return (
+        base.withColumn("_f", _file_col()).select("_f", key)
+        .join(F.broadcast(up), key, "left_semi")
+        .groupBy("_f").count()
+    )
+
+
 @_reapply_on_constraint_change
 def purge_keys_spark(
     spark,
@@ -4117,14 +4135,8 @@ def purge_keys_spark(
                             pruned_files=pruned)
             # ONE column-pruned scan of the candidates: which files hold
             # a PHYSICAL hit (visible or DV-hidden), and how many rows
-            paths = [table.data_path(f) for f in cand]
-            base = spark.read.option("mergeSchema", "true").parquet(*paths)
-            tagged = base.withColumn("_f", _file_col())
-            hit_rows = (
-                tagged.select("_f", key)
-                .join(F.broadcast(up), key, "left_semi")
-                .groupBy("_f").count().collect()
-            )
+            hit_rows = _purge_hit_scan(spark, table, cand, key, up) \
+                .collect()
             hit_files = sorted(r["_f"] for r in hit_rows)
             purged_rows = int(sum(r["count"] for r in hit_rows))
             if not hit_files:

@@ -627,3 +627,40 @@ def test_manifest_prune_plan_is_jvm_side_parquet_scan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     if "Join" in plan:
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_purge_hit_scan_is_key_pruned_broadcast(spark):
+    """Purge planning's one data read must (a) column-prune the
+    candidate scan to the KEY alone — deciding which files to rewrite
+    must never read full rows — and (b) broadcast the key set into a
+    semi-join: a shuffled join here would re-partition candidate files
+    to locate a handful of compliance keys, the 100 TB failure mode the
+    manifest pruning exists to avoid."""
+    import pandas as pd
+
+    from distribot_spark.sources.acid import (
+        TableLog,
+        _purge_hit_scan,
+        merge_upsert_pandas,
+    )
+    from tests.test_table_acid import _tmp_table
+
+    t = TableLog(_tmp_table())
+    t.init()
+    merge_upsert_pandas(
+        t, pd.DataFrame({"k": range(64), "val": [1.0] * 64}), "k", 4,
+        "seed",
+    )
+    up = spark.createDataFrame([(3,), (17,)], "k long")
+    _, live = t.snapshot()
+    df = _purge_hit_scan(spark, t, sorted(live), "k", up)
+    plan = explain_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # ReadSchema of the candidate scan carries ONLY the key column
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cand_scans = [s for s in scans if "val" in s or "k:" in s]
+    assert cand_scans, plan
+    assert all(s.strip() == "k:bigint" for s in cand_scans), scans
