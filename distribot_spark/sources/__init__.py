@@ -18,6 +18,7 @@ from distribot_spark.sources.acid import (
     purge_tombstones_pandas,
     read_snapshot_spark,
     replicate_changes_spark,
+    replicate_resume_spark,
     sync_snapshot_spark,
     table_changes_spark,
     write_initial_spark,
@@ -47,6 +48,7 @@ __all__ = [
     "live_paths_pruned_manifest", "live_paths_pruned_point_manifest",
     "manifest_df",
     "optimize_table_spark", "purge_tombstones_pandas", "read_snapshot_spark",
-    "replicate_changes_spark", "sync_snapshot_spark",
+    "replicate_changes_spark", "replicate_resume_spark",
+    "sync_snapshot_spark",
     "table_changes_spark", "write_initial_spark",
 ]

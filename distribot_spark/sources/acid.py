@@ -4474,6 +4474,9 @@ def clone_table(
     # table rules, verbatim minus transient/epoch state
     meta = {k: val for k, val in src._meta().items()
             if k not in ("rebucket_pending", "layout_since_version")}
+    # the replication bootstrap marker: `replicate_resume_spark` starts
+    # its cursor here when the clone has never caught up before
+    meta["cloned_from_version"] = v
     dst._persist_meta(meta)
 
     live, stats, dvs, hwm = src._fold_entries(v)
@@ -4610,3 +4613,59 @@ def apply_changes_spark(
         delete_keys_spark(spark, dst, deletes, key, writer=writer)
         out["deleted_keys"] = n_del
     return out
+
+
+def _replication_cursor_path(dst: TableLog) -> str:
+    return os.path.join(dst.log_dir, "_replication.json")
+
+
+def replicate_resume_spark(
+    spark,
+    src: TableLog,
+    dst: TableLog,
+    key: str | None = None,
+    writer: str = "replicate",
+    max_versions: int | None = None,
+) -> dict:
+    """RESUMABLE replication: `replicate_changes_spark` with the
+    version cursor PERSISTED in the replica's own log dir — the one
+    call a scheduled catch-up job needs. The cursor bootstraps from the
+    ``cloned_from_version`` marker `clone_table` stamps (so clone →
+    resume needs no hand-carried version), advances atomically AFTER
+    the range is applied, and a crash between apply and cursor write
+    merely re-applies the same range next time — safe because the
+    net-fold apply is idempotent per range (pinned by
+    test_replicate_range_idempotent). ``max_versions`` bounds one
+    call's range (the catch-up pacing knob); the return says how far it
+    got, so a loop calls until ``behind == 0``.
+
+    Single-replicator discipline: the cursor is an atomic replace, not
+    a lock — two concurrent resumers can apply the same range twice
+    (idempotent, wasteful) but can never skip one, because each reads
+    the cursor before applying and writes only its own end version."""
+    cur_path = _replication_cursor_path(dst)
+    if os.path.exists(cur_path):
+        with open(cur_path) as fh:
+            last = int(json.load(fh)["last_applied"])
+    else:
+        marker = dst._meta().get("cloned_from_version")
+        if marker is None:
+            raise ValueError(
+                "no replication cursor and no clone marker: bootstrap "
+                "the replica with clone_table, or write the cursor "
+                "explicitly")
+        last = int(marker)
+    head = src.version()
+    hi = head if max_versions is None else min(head, last + max_versions)
+    if hi <= last:
+        return {"from_version": last + 1, "to_version": last,
+                "upserted_keys": 0, "deleted_keys": 0, "behind": 0}
+    st = replicate_changes_spark(
+        spark, src, dst, key, from_version=last + 1, to_version=hi,
+        writer=writer,
+    )
+    tmp = cur_path + f".tmp{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as fh:
+        json.dump({"last_applied": hi}, fh)
+    os.replace(tmp, cur_path)
+    return dict(st, behind=head - hi)

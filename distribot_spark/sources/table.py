@@ -277,6 +277,15 @@ class Table:
             from_version, to_version, writer=writer,
         )
 
+    def sync_from(self, src: "Table", writer: str = "replicate",
+                  max_versions: int | None = None) -> dict:
+        """Resumable catch-up: replicate from ``src`` using the cursor
+        persisted in this replica's log (bootstrapped by clone)."""
+        return acid.replicate_resume_spark(
+            self.spark, src.log, self.log, self._pinned_key,
+            writer=writer, max_versions=max_versions,
+        )
+
     def expire_snapshots(self, keep_last: int) -> int:
         return self.log.expire_snapshots(keep_last)
 

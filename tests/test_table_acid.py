@@ -4371,3 +4371,49 @@ def test_purge_and_forget_on_hash_bucketed_table(spark):
     assert proof["parquet_hits"] == 0 and proof["json_hits"] == 0, proof
     got = {r.k for r in read_snapshot_spark(spark, t).collect()}
     assert got == {k for k in range(60) if k not in (17, 53)}
+
+
+def test_replicate_resume_persisted_cursor(spark):
+    """The persisted cursor: clone stamps the bootstrap marker, resume
+    applies [marker+1, head] and advances the cursor, a second resume
+    with nothing new is a no-op, max_versions paces the catch-up, and
+    a deleted cursor re-applies idempotently from the marker."""
+    from distribot_spark.sources.acid import (
+        _replication_cursor_path,
+        delete_keys_spark,
+        merge_upsert_spark,
+        replicate_resume_spark,
+    )
+
+    src, dst, c = _repl_pair(spark)
+    merge_upsert_spark(spark, src, spark.createDataFrame(
+        [(2, 22.0)], "k long, val double"))
+    delete_keys_spark(spark, src, spark.createDataFrame([(4,)], "k long"))
+    merge_upsert_spark(spark, src, spark.createDataFrame(
+        [(50, 5.0)], "k long, val double"))
+
+    # paced: one version per call until caught up
+    total_up = total_del = calls = 0
+    while True:
+        st = replicate_resume_spark(spark, src, dst, max_versions=1)
+        if st["to_version"] < st["from_version"] and st["behind"] == 0:
+            break
+        calls += 1
+        total_up += st["upserted_keys"]
+        total_del += st["deleted_keys"]
+        if st["behind"] == 0:
+            break
+    assert calls == 3 and total_up == 2 and total_del == 1
+    assert _rows(spark, dst) == _rows(spark, src)
+
+    # caught up: no-op
+    st = replicate_resume_spark(spark, src, dst)
+    assert st["behind"] == 0 and st["upserted_keys"] == 0
+
+    # crash-between-apply-and-cursor simulation: losing the cursor
+    # re-applies from the clone marker — idempotent, state unchanged
+    state = _rows(spark, dst)
+    os.unlink(_replication_cursor_path(dst))
+    st = replicate_resume_spark(spark, src, dst)
+    assert st["upserted_keys"] == 2 and st["deleted_keys"] == 1, st
+    assert _rows(spark, dst) == state
