@@ -2359,7 +2359,8 @@ def source_acid_rename_column(spark, sf_dir):
 @register(
     "source_acid_purge_forget",
     oracle="""
-    WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+    WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders
+                WHERE o_orderkey % 3 <> 0),
     pk AS (
       (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
        ORDER BY o_orderkey LIMIT 3)
@@ -2441,7 +2442,11 @@ def source_acid_purge_forget(spark, sf_dir):
     )
     assert dv["dv_files"] > 0, dv
 
-    mk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    # max key AMONG THE STATS-CARRYING APPENDS (%3 != 0; the seed
+    # write records no stats), so "the log held the key as a max-stat"
+    # is guaranteed by construction, not by max(o_orderkey) % 3 luck
+    mk = orders.filter(F.col("o_orderkey") % 3 != 0) \
+        .agg(F.max("o_orderkey")).collect()[0][0]
     # a FIXED-size key set (3 DV-hidden keys + the live max key): a
     # compliance purge is O(k) at any scale — the sf0.1 parity run
     # proved a %-based set degenerates to every-file-has-a-hit

@@ -1920,45 +1920,51 @@ def s33_stream_replicate(spark, sf_dir):
     from distribot_spark.sources import acid
 
     root = os.path.join(replay.TMP_ROOT, f"s33_{_uuid.uuid4().hex[:8]}")
-    table = build_cdf_demo_table(
-        spark, sf_dir, os.path.join(root, "table")
-    )
-    dst_path = os.path.join(root, "replica")
-    acid.clone_table(table, dst_path, version=0)
-    dst = acid.TableLog(dst_path)
-
-    chunks = replay.cdf_replay_dir(
-        spark, table, "o_orderkey", os.path.join(root, "cdf_chunks"),
-        versions_per_trigger=2, from_version=1,
-    )
-    n_batches = {"n": 0}
-
-    def sink(batch_df, batch_id):
-        v0 = dst.version()
-        acid.apply_changes_spark(
-            spark, dst, batch_df, "o_orderkey",
-            writer=f"repl-{batch_id}",
+    try:
+        table = build_cdf_demo_table(
+            spark, sf_dir, os.path.join(root, "table")
         )
-        assert dst.version() - v0 <= 2, "more than merge+delete per batch"
-        n_batches["n"] += 1
+        dst_path = os.path.join(root, "replica")
+        acid.clone_table(table, dst_path, version=0)
+        dst = acid.TableLog(dst_path)
 
-    replay.run_foreach_batch(spark, lambda s: s, chunks, sink, "append")
-    assert n_batches["n"] == 2, n_batches  # 4 commits / 2 per trigger
-
-    cur = acid.read_snapshot_spark(spark, dst, dv_key="o_orderkey")
-    out = (
-        cur.groupBy(
-            F.pmod(F.col("o_orderkey"), F.lit(7)).cast("int").alias("g"))
-        .agg(
-            F.count("*").cast("long").alias("cnt"),
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
-            .cast("long").alias("total_cents"),
+        chunks = replay.cdf_replay_dir(
+            spark, table, "o_orderkey", os.path.join(root, "cdf_chunks"),
+            versions_per_trigger=2, from_version=1,
         )
-        .orderBy("g")
-    )
-    rows = out.collect()  # materialize before the fixture vanishes
-    shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+        n_batches = {"n": 0}
+
+        def sink(batch_df, batch_id):
+            v0 = dst.version()
+            acid.apply_changes_spark(
+                spark, dst, batch_df, "o_orderkey",
+                writer=f"repl-{batch_id}",
+            )
+            assert dst.version() - v0 <= 2, \
+                "more than merge+delete per batch"
+            n_batches["n"] += 1
+
+        replay.run_foreach_batch(spark, lambda s: s, chunks, sink,
+                                 "append")
+        assert n_batches["n"] == 2, n_batches  # 4 commits / 2 per trig
+
+        cur = acid.read_snapshot_spark(spark, dst, dv_key="o_orderkey")
+        out = (
+            cur.groupBy(
+                F.pmod(F.col("o_orderkey"), F.lit(7)).cast("int")
+                .alias("g"))
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long"))
+                .cast("long").alias("total_cents"),
+            )
+            .orderBy("g")
+        )
+        rows = out.collect()  # materialize before the fixture vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 #: stratified greedy dedup-on-ingest census: accept a streamed doc iff
@@ -2039,9 +2045,18 @@ def s34_stream_dedup_ingest(spark, sf_dir):
     import shutil
     import tempfile
 
+    root = tempfile.mkdtemp(prefix="s34_", dir=replay.TMP_ROOT)
+    try:
+        return _s34_body(spark, sf_dir, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _s34_body(spark, sf_dir, root):
+    import shutil
+
     from distribot_spark.operators import index as idx
 
-    root = tempfile.mkdtemp(prefix="s34_", dir=replay.TMP_ROOT)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     index_dir = os.path.join(root, "lsh_index")
     idx.build_minhash_index(
@@ -2085,7 +2100,6 @@ def s34_stream_dedup_ingest(spark, sf_dir):
         verdicts.extend((int(d), "accepted") for d in acc)
 
     replay.run_foreach_batch(spark, lambda s: s, chunks, sink, "append")
-    shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         sorted(verdicts), "doc_id long, status string"
     ).orderBy("doc_id")

@@ -4079,7 +4079,8 @@ def purge_keys_spark(
     )
     v0, _ = table.snapshot()
     out0 = {"committed_version": v0, "attempts": 0, "purged_rows": 0,
-            "rewritten_files": 0, "pruned_files": 0, "scanned_files": 0}
+            "rewritten_files": 0, "pruned_files": 0, "scanned_files": 0,
+            "_key_vals": key_vals}
     if not key_vals:
         return out0
     touched = {
@@ -4198,7 +4199,8 @@ def purge_keys_spark(
             return {"committed_version": v + 1, "attempts": attempts,
                     "purged_rows": purged_rows,
                     "rewritten_files": len(replaced),
-                    "pruned_files": pruned, "scanned_files": scanned}
+                    "pruned_files": pruned, "scanned_files": scanned,
+                    "_key_vals": key_vals}
     _unlink_staged(table, staged)
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
@@ -4296,12 +4298,11 @@ def forget_keys_spark(
     q_erased = 0
     if scrub_quarantine:
         lkey, _ = _resolve_layout(table, key, n_buckets)
-        kdf = _to_physical_spark(table, keys_df)
-        pkey = table.physical_name(lkey)
-        kv = [r[0] for r in kdf.select(pkey).distinct().collect()
-              if r[0] is not None]
+        kv = st.pop("_key_vals", [])  # collected once by the purge
         if kv:
             q_erased = _scrub_quarantine_keys(spark, table, lkey, kv)
+    else:
+        st.pop("_key_vals", None)
     return dict(st, pad_commits=pads, truncated_log_files=len(truncated),
                 vacuumed_files=len(vacuumed), quarantine_rows_erased=q_erased)
 
@@ -4334,10 +4335,10 @@ def purge_proof_spark(spark, table: TableLog, keys_df,
     eraser. Three surfaces:
 
     - every parquet file under the table root (data files, DV sidecars
-      — their key column is ``_dk`` — quarantine batches, parquet
-      checkpoint manifests), read via ONE Spark job per schema-group:
-      any column named like the key (physical or logical) or ``_dk``
-      is probed with an IN filter;
+      — they store the key under its PHYSICAL name — quarantine
+      batches, parquet checkpoint manifests), read via ONE Spark job
+      per schema-group: any column named like the key (physical or
+      logical) is probed with an IN filter;
     - every retained JSON under the log/meta (commit manifests,
       checkpoints, table meta): structural walk over the positions
       that carry ROW DATA — the min/max stat values — counting any
@@ -4356,7 +4357,7 @@ def purge_proof_spark(spark, table: TableLog, keys_df,
     kdf = _to_physical_spark(table, keys_df)
     key_vals = [r[0] for r in kdf.select(pkey).distinct().collect()
                 if r[0] is not None]
-    probe_cols = {pkey, lkey, "_dk"}
+    probe_cols = {pkey, lkey}
 
     # parquet surface: group files by which probe columns they carry,
     # one distributed read per group (schema peek is footer-only)
@@ -4482,11 +4483,21 @@ def clone_table(
     live, stats, dvs, hwm = src._fold_entries(v)
 
     def _bring(name: str) -> bool:
-        """Hardlink (zero-copy) or, failing that, copy. True = linked."""
+        """Hardlink (zero-copy) or, failing that, copy. True = linked.
+        RETRYABLE: a destination entry that is already the same inode
+        (a prior clone attempt died between linking and the commit, or
+        a concurrent clone of the same snapshot linked it first) counts
+        as linked; a foreign file under the same name is refused
+        loudly rather than silently overwritten."""
         s, d = src.data_path(name), dst.data_path(name)
         try:
             os.link(s, d)
             return True
+        except FileExistsError:
+            if os.path.samefile(s, d):
+                return True
+            raise ValueError(
+                f"clone destination holds a foreign file {name!r}")
         except OSError:
             shutil.copy2(s, d)
             return False
@@ -4600,18 +4611,26 @@ def apply_changes_spark(
             W.partitionBy(key).orderBy(F.col("_commit_version").desc())))
         .filter(F.col("_rn") == 1)
     )
+    # ONE counting pass decides both branches (the CDF fold is cheap
+    # but not free; two separate count() actions would evaluate it
+    # twice more than the merge/delete reads already do)
+    counts = {
+        bool(r["_is_del"]): int(r["count"])
+        for r in net.groupBy(
+            (F.col("_change_type") == "delete").alias("_is_del")
+        ).count().collect()
+    }
     out = {"upserted_keys": 0, "deleted_keys": 0}
-    upserts = net.filter(F.col("_change_type") != "delete") \
-        .drop("_change_type", "_commit_version", "_rn")
-    n_up = upserts.count()
-    if n_up:
+    if counts.get(False, 0):
+        upserts = net.filter(F.col("_change_type") != "delete") \
+            .drop("_change_type", "_commit_version", "_rn")
         merge_upsert_spark(spark, dst, upserts, key, writer=writer)
-        out["upserted_keys"] = n_up
-    deletes = net.filter(F.col("_change_type") == "delete").select(key)
-    n_del = deletes.count()
-    if n_del:
+        out["upserted_keys"] = counts[False]
+    if counts.get(True, 0):
+        deletes = net.filter(
+            F.col("_change_type") == "delete").select(key)
         delete_keys_spark(spark, dst, deletes, key, writer=writer)
-        out["deleted_keys"] = n_del
+        out["deleted_keys"] = counts[True]
     return out
 
 
@@ -4655,6 +4674,8 @@ def replicate_resume_spark(
                 "the replica with clone_table, or write the cursor "
                 "explicitly")
         last = int(marker)
+    if max_versions is not None and max_versions < 1:
+        raise ValueError(f"max_versions must be >= 1, got {max_versions}")
     head = src.version()
     hi = head if max_versions is None else min(head, last + max_versions)
     if hi <= last:

@@ -4409,6 +4409,10 @@ def test_replicate_resume_persisted_cursor(spark):
     # caught up: no-op
     st = replicate_resume_spark(spark, src, dst)
     assert st["behind"] == 0 and st["upserted_keys"] == 0
+    # pacing arithmetic gone wrong must fail loudly, not report
+    # behind=0 while stale
+    with pytest.raises(ValueError, match="max_versions"):
+        replicate_resume_spark(spark, src, dst, max_versions=0)
 
     # crash-between-apply-and-cursor simulation: losing the cursor
     # re-applies from the clone marker — idempotent, state unchanged
@@ -4417,3 +4421,46 @@ def test_replicate_resume_persisted_cursor(spark):
     st = replicate_resume_spark(spark, src, dst)
     assert st["upserted_keys"] == 2 and st["deleted_keys"] == 1, st
     assert _rows(spark, dst) == state
+
+
+def test_clone_retry_after_partial_failure(spark):
+    """A clone that died between linking files and committing v0 is
+    RETRYABLE: the rerun treats already-linked same-inode entries as
+    done and lands the commit; a foreign file under a cloned name is
+    refused loudly."""
+    from distribot_spark.sources.acid import (
+        clone_table,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    src = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, src,
+        spark.createDataFrame([(k, float(k)) for k in range(20)],
+                              "k long, val double"),
+        "k", n_buckets=2,
+    )
+    dst_path = _tmp_table()
+    os.rmdir(dst_path)
+    clone_table(src, dst_path)
+    dst = TableLog(dst_path)
+    # simulate the crash window: meta + hardlinks exist, commit doesn't
+    os.unlink(dst._commit_path(0))
+    os.unlink(dst._head_hint_path())
+    st = clone_table(src, dst_path)  # retry must succeed
+    assert st["files"] == 2 and st["linked"] == 2, st
+    assert read_snapshot_spark(spark, dst).count() == 20
+    # foreign file under a cloned name -> loud refusal
+    dst2_path = _tmp_table()
+    os.rmdir(dst2_path)
+    clone_table(src, dst2_path)
+    dst2 = TableLog(dst2_path)
+    f0 = sorted(dst2.snapshot()[1])[0]
+    os.unlink(dst2._commit_path(0))
+    os.unlink(dst2._head_hint_path())
+    os.unlink(dst2.data_path(f0))
+    with open(dst2.data_path(f0), "w") as fh:
+        fh.write("not the same inode")
+    with pytest.raises(ValueError, match="foreign file"):
+        clone_table(src, dst2_path)
