@@ -4051,9 +4051,13 @@ def purge_keys_spark(
 
     Planning is manifest-only, three prunes deep before any data read —
     bucket (a key hashes to its bucket), min/max range, per-file bloom —
-    then ONE key-column-pruned scan of the survivors finds the files
-    with an actual physical hit, so a bloom false positive costs a
-    column read, never a rewrite. Purging k keys rewrites only the
+    run as a SPARK JOB over the parquet-checkpoint manifest once one
+    exists (only O(candidates) rows reach the driver, never the live
+    file count; driver fold as the bootstrap fallback, pinned equal by
+    test_purge_candidates_manifest_equals_driver_fold) — then ONE
+    key-column-pruned scan of the survivors finds the files with an
+    actual physical hit, so a bloom false positive costs a column
+    read, never a rewrite. Purging k keys rewrites only the
     files that really hold them: at 100 TB that is the difference
     between a compliance job and a table rewrite. Each replacement is
     1:1 with its source file's bucket, re-sorted on the key, and
@@ -4096,34 +4100,50 @@ def purge_keys_spark(
     purged_rows = 0
     pruned = scanned = 0
 
+    from . import manifest as _manifest
+
     while attempts < max_attempts:
-        v, live = table.snapshot()
-        stats = table.live_stats()
-        dvall = table.live_dvs()
-        # manifest-only candidates: bucket ∩ min/max ∩ bloom, conservative
-        # exactly like live_paths_pruned* (no stats -> candidate)
-        cand: list[str] = []
-        pruned = 0
-        for f, b in sorted(live.items()):
-            if b not in touched:
-                continue
-            st = stats.get(f) or {}
-            rng = st.get(key)
-            bl = st.get(f"_bloom:{key}")
-            maybe = False
-            for kv in key_vals:
-                if rng is not None and not (rng["min"] <= kv <= rng["max"]):
+        v = table.version()
+        # candidate planning: bucket ∩ min/max ∩ bloom, conservative
+        # exactly like live_paths_pruned* (no stats -> candidate). With
+        # a parquet checkpoint this is a SPARK JOB over the manifest —
+        # only O(candidates) rows reach the driver, never the live
+        # file count (the live_paths_pruned*_manifest discipline
+        # applied to the compliance write path); the driver fold is
+        # the bootstrap/migration fallback, pinned row-for-row equal.
+        if _manifest.newest_checkpoint_parquet(table, v) > 0:
+            cand_rows, pruned = _manifest.purge_candidates_manifest(
+                spark, table, key, key_vals, touched, version=v)
+        else:
+            live, stats_all, dvall, _ = table._fold_entries(v)
+            cand_rows, pruned = [], 0
+            for f, b in sorted(live.items()):
+                if b not in touched:
                     continue
-                if bl is not None and not bloom_maybe_contains(bl, kv):
-                    continue
-                maybe = True
-                break
-            if maybe:
-                cand.append(f)
-            else:
-                pruned += 1
+                st = stats_all.get(f) or {}
+                rng = st.get(key)
+                bl = st.get(f"_bloom:{key}")
+                maybe = False
+                for kv in key_vals:
+                    if rng is not None and not (
+                            rng["min"] <= kv <= rng["max"]):
+                        continue
+                    if bl is not None and not bloom_maybe_contains(bl, kv):
+                        continue
+                    maybe = True
+                    break
+                if maybe:
+                    cand_rows.append({"file": f, "pb": int(b),
+                                      "dvs": list(dvall.get(f, ())),
+                                      "stats": st})
+                else:
+                    pruned += 1
+        cand = sorted(r["file"] for r in cand_rows)
+        pb_of = {r["file"]: r["pb"] for r in cand_rows}
+        stats_of = {r["file"]: r["stats"] for r in cand_rows}
+        dvs_of = {r["file"]: r["dvs"] for r in cand_rows}
         scanned = len(cand)
-        dvstate = {f: tuple(dvall.get(f, ())) for f in cand}
+        dvstate = {f: tuple(dvs_of.get(f, ())) for f in cand}
         if staged is None or dvstate != replaced_dvstate:
             if staged:
                 _unlink_staged(table, staged)
@@ -4153,7 +4173,7 @@ def purge_keys_spark(
                 *hpaths)
             visible = _apply_dvs(
                 spark, table, hbase, key,
-                {f: dvall.get(f, []) for f in hit_files},
+                {f: dvs_of.get(f, []) for f in hit_files},
                 files=set(hit_files), keep_file_col=True,
             )
             kept = visible.join(F.broadcast(up), key, "left_anti")
@@ -4168,8 +4188,8 @@ def purge_keys_spark(
                 if not d.startswith("_f="):
                     continue
                 old = d.split("=", 1)[1]
-                b = int(live[old])
-                old_st = stats.get(old) or {}
+                b = int(pb_of[old])
+                old_st = stats_of.get(old) or {}
                 scols = [c for c in old_st if not c.startswith("_bloom:")]
                 bcols = [c[len("_bloom:"):] for c in old_st
                          if c.startswith("_bloom:")]

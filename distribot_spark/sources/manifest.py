@@ -375,3 +375,68 @@ def live_paths_pruned_point_manifest(
         F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("pruned"),
     ).collect()[0]
     return list(agg["kept"]), int(agg["pruned"] or 0)
+
+
+def purge_candidates_manifest(
+    spark, table: TableLog, key: str, key_vals, buckets,
+    version: int | None = None,
+) -> tuple[list[dict], int]:
+    """PURGE PLANNING as a Spark job over the manifest: among the
+    keys' buckets, the files whose recorded [min, max] / bloom may
+    hold ANY of the keys. Returns ``(candidate rows, pruned count)``
+    where each candidate row is ``{"file", "pb", "dvs", "stats"}`` —
+    only O(candidates) rows ever reach the driver, never the live
+    file count (the same wall `live_paths_pruned*_manifest` removes
+    for reads, removed here for the compliance write path; row-for-row
+    equality with the driver fold is pinned by
+    tests/test_manifest.py). Conservative exactly like the driver
+    path: a file with no stats / no bloom for the key is a candidate.
+    The per-file test runs executor-side in an Arrow-batched pandas
+    UDF reusing the SAME `bloom_maybe_contains` as everywhere else."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    kv = [int(k) for k in key_vals]
+
+    @pandas_udf("boolean")
+    def _maybe(mn: pd.Series, mx: pd.Series, bl: pd.Series) -> pd.Series:
+        out = []
+        for a, b, s in zip(mn, mx, bl):
+            lo = float(a) if a is not None else None
+            hi = float(b) if b is not None else None
+            bloom = json.loads(s) if s is not None else None
+            keep = False
+            for k in kv:
+                if lo is not None and not (lo <= k <= hi):
+                    continue
+                if bloom is not None and not bloom_maybe_contains(
+                        bloom, k):
+                    continue
+                keep = True
+                break
+            out.append(keep)
+        return pd.Series(out)
+
+    m = (
+        manifest_df(spark, table, version)
+        .filter(F.col("pb").isin(sorted(int(b) for b in buckets)))
+        .withColumn("_keep", _maybe(
+            F.element_at(F.col("mins"), F.lit(key)),
+            F.element_at(F.col("maxs"), F.lit(key)),
+            F.element_at(F.col("blooms"), F.lit(key)),
+        ))
+    )
+    agg = m.agg(
+        F.sort_array(F.collect_list(F.when(
+            F.col("_keep"),
+            F.struct("file", "pb", "dvs", "stats_json"),
+        ))).alias("cand"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("pruned"),
+    ).collect()[0]
+    cand = [
+        {"file": r["file"], "pb": int(r["pb"]),
+         "dvs": list(r["dvs"] or []),
+         "stats": json.loads(r["stats_json"]) if r["stats_json"] else {}}
+        for r in agg["cand"]
+    ]
+    return cand, int(agg["pruned"] or 0)

@@ -4464,3 +4464,82 @@ def test_clone_retry_after_partial_failure(spark):
         fh.write("not the same inode")
     with pytest.raises(ValueError, match="foreign file"):
         clone_table(src, dst2_path)
+
+
+def test_purge_candidates_manifest_equals_driver_fold(spark):
+    """Past the first parquet checkpoint, purge planning runs as a
+    Spark job over the manifest; its candidate set, per-candidate
+    bucket/DV/stats payloads, and pruned count must equal the driver
+    fold exactly — then an end-to-end purge over the checkpointed
+    table stays correct."""
+    from distribot_spark.sources.acid import (
+        append_spark,
+        bloom_maybe_contains,
+        delete_keys_spark,
+        purge_keys_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+    from distribot_spark.sources.manifest import (
+        newest_checkpoint_parquet,
+        purge_candidates_manifest,
+    )
+
+    t = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, t,
+        spark.createDataFrame([(k, float(k)) for k in range(20)],
+                              "k long, val double"),
+        "k", n_buckets=4,
+    )
+    # drive past a checkpoint boundary with stats-carrying appends
+    for i in range(1, 12):
+        append_spark(
+            spark, t,
+            spark.createDataFrame(
+                [(100 * i + j, 1.0) for j in range(8)],
+                "k long, val double"),
+            stats_cols=("k",), bloom_key=True,
+        )
+    delete_keys_spark(spark, t, spark.createDataFrame([(305,)], "k long"))
+    v = t.version()
+    assert newest_checkpoint_parquet(t, v) > 0
+
+    key_vals = [305, 707, 19]
+    touched = {k % 4 for k in key_vals}
+    cand_m, pruned_m = purge_candidates_manifest(
+        spark, t, "k", key_vals, touched, version=v)
+
+    # driver-fold twin
+    live, stats_all, dvall, _ = t._fold_entries(v)
+    cand_d, pruned_d = [], 0
+    for f, b in sorted(live.items()):
+        if b not in touched:
+            continue
+        st = stats_all.get(f) or {}
+        rng = st.get("k")
+        bl = st.get("_bloom:k")
+        maybe = False
+        for kv in key_vals:
+            if rng is not None and not (rng["min"] <= kv <= rng["max"]):
+                continue
+            if bl is not None and not bloom_maybe_contains(bl, kv):
+                continue
+            maybe = True
+            break
+        if maybe:
+            cand_d.append({"file": f, "pb": int(b),
+                           "dvs": list(dvall.get(f, ())), "stats": st})
+        else:
+            pruned_d += 1
+    assert pruned_m == pruned_d and pruned_m > 0
+    assert cand_m == cand_d, (cand_m, cand_d)
+
+    # end-to-end purge over the checkpointed table (manifest path live)
+    st = purge_keys_spark(
+        spark, t, spark.createDataFrame([(k,) for k in key_vals],
+                                        "k long"))
+    assert st["purged_rows"] == 3 and st["pruned_files"] == pruned_m, st
+    rows = {r.k for r in read_snapshot_spark(spark, t, dv_key="k")
+            .collect()}
+    assert not rows & set(key_vals)
