@@ -13,6 +13,7 @@ from distribot_spark.sources.acid import (
     merge_upsert_pandas,
     merge_upsert_spark,
     optimize_table_spark,
+    purge_keys_pandas,
     purge_keys_spark,
     purge_proof_spark,
     purge_tombstones_pandas,
@@ -43,7 +44,8 @@ __all__ = [
     "TableLog", "append_pandas", "append_spark",
     "apply_changes_spark", "clone_table",
     "delete_keys_spark",
-    "forget_keys_spark", "purge_keys_spark", "purge_proof_spark",
+    "forget_keys_spark", "purge_keys_pandas", "purge_keys_spark",
+    "purge_proof_spark",
     "merge_upsert_pandas", "merge_upsert_spark",
     "live_paths_pruned_manifest", "live_paths_pruned_point_manifest",
     "manifest_df",

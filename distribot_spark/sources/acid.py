@@ -4225,6 +4225,157 @@ def purge_keys_spark(
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
+@_reapply_on_constraint_change
+def purge_keys_pandas(
+    table: TableLog,
+    keys,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "purge",
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """Engine-free twin of `purge_keys_spark`: physical erasure from a
+    plain key iterable, no JVM — the portable client a compliance
+    worker or test process uses. Same plan, same result shape: bucket
+    ∩ min/max ∩ bloom candidate pruning (off the driver fold — the
+    lightweight client IS the driver), a key-column read of the
+    survivors to find physical hits, then a 1:1 pyarrow rewrite of
+    exactly the hit files — existing DVs folded in (DV-hidden rows of
+    other keys materialize, DV-hidden rows of the purged keys erase),
+    rows re-sorted on the key, the old file's stat columns and bloom
+    re-derived. Cross-client: purge-via-pandas ≡ purge-via-Spark
+    state-for-state (test_purge_cross_client_differential)."""
+    import pyarrow.parquet as pq
+
+    _rev0 = _gate_state(table)
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
+    key = table.physical_name(key)
+    key_vals = sorted({int(k) for k in keys})
+    v0 = table.version()
+    out0 = {"committed_version": v0, "attempts": 0, "purged_rows": 0,
+            "rewritten_files": 0, "pruned_files": 0, "scanned_files": 0,
+            "_key_vals": key_vals}
+    if not key_vals:
+        return out0
+    kset = set(key_vals)
+    touched = {_bucket_of_py(k, n_buckets, table.hash_buckets())
+               for k in key_vals}
+
+    attempts = 0
+    staged: list[dict] | None = None
+    replaced: list[str] | None = None
+    replaced_dvstate: dict[str, tuple] | None = None
+    purged_rows = 0
+    pruned = scanned = 0
+
+    while attempts < max_attempts:
+        v = table.version()
+        live, stats_all, dvall, _ = table._fold_entries(v)
+        cand_rows: list[dict] = []
+        pruned = 0
+        for f, b in sorted(live.items()):
+            if b not in touched:
+                continue
+            st = stats_all.get(f) or {}
+            rng = st.get(key)
+            bl = st.get(f"_bloom:{key}")
+            maybe = False
+            for kv in key_vals:
+                if rng is not None and not (rng["min"] <= kv <= rng["max"]):
+                    continue
+                if bl is not None and not bloom_maybe_contains(bl, kv):
+                    continue
+                maybe = True
+                break
+            if maybe:
+                cand_rows.append({"file": f, "pb": int(b),
+                                  "dvs": list(dvall.get(f, ())),
+                                  "stats": st})
+            else:
+                pruned += 1
+        cand = sorted(r["file"] for r in cand_rows)
+        pb_of = {r["file"]: r["pb"] for r in cand_rows}
+        stats_of = {r["file"]: r["stats"] for r in cand_rows}
+        dvs_of = {r["file"]: r["dvs"] for r in cand_rows}
+        scanned = len(cand)
+        dvstate = {f: tuple(dvs_of.get(f, ())) for f in cand}
+        if staged is None or dvstate != replaced_dvstate:
+            if staged:
+                _unlink_staged(table, staged)
+            staged, replaced = None, None
+            replaced_dvstate = dvstate
+            if not cand:
+                if _gate_state(table) != _rev0:
+                    raise _ConstraintsChanged(None)
+                return dict(out0, committed_version=v, attempts=attempts,
+                            pruned_files=pruned)
+            # key-column read of the candidates: physical hits only
+            hit_files = []
+            purged_rows = 0
+            for f in cand:
+                col = pq.read_table(
+                    table.data_path(f), columns=[key]
+                ).to_pandas()[key]
+                n_hit = int(col.isin(kset).sum())
+                if n_hit:
+                    hit_files.append(f)
+                    purged_rows += n_hit
+            if not hit_files:
+                if _gate_state(table) != _rev0:
+                    raise _ConstraintsChanged(None)
+                return dict(out0, committed_version=v, attempts=attempts,
+                            pruned_files=pruned, scanned_files=scanned)
+            replaced = hit_files
+            staged = []
+            for f in hit_files:
+                frame = pq.read_table(table.data_path(f)).to_pandas()
+                dead: set = set()
+                for d in dvs_of.get(f, ()):
+                    dead |= set(
+                        pq.read_table(table.data_path(d)).to_pandas()[key]
+                    )
+                kept = frame[~frame[key].isin(kset)
+                             & ~frame[key].isin(dead)]
+                if kept.empty:
+                    continue  # whole file erased: remove, no replacement
+                kept = kept.sort_values(key).reset_index(drop=True)
+                b = pb_of[f]
+                old_st = stats_of.get(f) or {}
+                scols = [c for c in old_st if not c.startswith("_bloom:")]
+                bcols = [c[len("_bloom:"):] for c in old_st
+                         if c.startswith("_bloom:")]
+                name = table.new_data_file(b)
+                import pyarrow as pa
+
+                pq.write_table(pa.Table.from_pandas(kept,
+                                                    preserve_index=False),
+                               table.data_path(name))
+                entry: dict = {"file": name, "pb": b}
+                st2 = (parquet_file_stats(table.data_path(name), scols)
+                       if scols else {})
+                for bc in bcols:
+                    st2[f"_bloom:{bc}"] = parquet_key_bloom(
+                        table.data_path(name), bc)
+                if st2:
+                    entry["stats"] = st2
+                staged.append(entry)
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        if _gate_state(table) != _rev0:
+            _unlink_staged(table, staged)
+            raise _ConstraintsChanged(None)
+        attempts += 1
+        if table.try_commit(v, staged, replaced, writer):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "purged_rows": purged_rows,
+                    "rewritten_files": len(replaced),
+                    "pruned_files": pruned, "scanned_files": scanned,
+                    "_key_vals": key_vals}
+    _unlink_staged(table, staged)
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
 def _scrub_quarantine_keys(spark, table: TableLog, key: str,
                            key_vals) -> int:
     """Erase the purged keys from the dead-letter area too: a diverted

@@ -4543,3 +4543,50 @@ def test_purge_candidates_manifest_equals_driver_fold(spark):
     rows = {r.k for r in read_snapshot_spark(spark, t, dv_key="k")
             .collect()}
     assert not rows & set(key_vals)
+
+
+def test_purge_cross_client_differential(spark):
+    """The repo's cross-client discipline applied to compliance: two
+    identical tables, one purged by the JVM-free pandas client, one by
+    Spark — identical stats, identical surviving rows, identical
+    physical absence of the keys, and both replacements re-carry
+    stats+bloom."""
+    from pyspark.sql import functions as F
+
+    from distribot_spark.sources.acid import (
+        purge_keys_pandas,
+        purge_keys_spark,
+        read_snapshot_spark,
+    )
+
+    t_pd = _purge_fixture(spark)
+    t_sp = _purge_fixture(spark)
+    # plant DV state so the fold path is exercised in both clients
+    from distribot_spark.sources.acid import delete_keys_pandas
+    delete_keys_pandas(t_pd, [42], "k", 4)
+    delete_keys_pandas(t_sp, [42], "k", 4)
+
+    keys = [42, 45, 7]
+    st_pd = purge_keys_pandas(t_pd, keys)
+    st_sp = purge_keys_spark(
+        spark, t_sp, spark.createDataFrame([(k,) for k in keys],
+                                           "k long"))
+    for field in ("purged_rows", "rewritten_files", "pruned_files",
+                  "scanned_files"):
+        assert st_pd[field] == st_sp[field], (field, st_pd, st_sp)
+    rows_pd = sorted((r.k, r.val) for r in
+                     read_snapshot_spark(spark, t_pd, dv_key="k")
+                     .collect())
+    rows_sp = sorted((r.k, r.val) for r in
+                     read_snapshot_spark(spark, t_sp, dv_key="k")
+                     .collect())
+    assert rows_pd == rows_sp
+    assert not {k for k, _ in rows_pd} & set(keys)
+    # physical absence in BOTH
+    for t in (t_pd, t_sp):
+        raw = read_snapshot_spark(spark, t, apply_dvs=False)
+        assert raw.filter(F.col("k").isin(keys)).count() == 0
+    # replacements carry stats+bloom in BOTH clients
+    for t in (t_pd, t_sp):
+        stats = t.live_stats()
+        assert any(s and "_bloom:k" in s for s in stats.values())
