@@ -215,11 +215,17 @@ def test_two_processes_compete(spark):
     claim its first slice than A takes to drain the whole flow — a
     fair race outcome, not a correctness bug. Bounded retry (3 fresh
     roots) makes the split overwhelmingly likely while any duplicated
-    or lost task still fails the test immediately."""
-    for attempt in range(3):
+    or lost task still fails the test immediately. Retries escalate in
+    B's favor (longer tasks, a beat for B's claim loop to start
+    spinning before A enters the race) — under full-suite contention
+    the fair 0.25 s race loses often enough that 3 equal attempts
+    flaked; the strict invariants still hold on every attempt."""
+    for attempt in range(5):
         root = _state_root()
         engine = _mkengine(spark, root, wave_slices=8)
-        spec = dict(COMPETE_FLOW, data={"n_tasks": 48, "task_sec": 0.25})
+        task_sec = 0.25 * (1 + attempt)
+        spec = dict(COMPETE_FLOW, data={"n_tasks": 48,
+                                        "task_sec": task_sec})
         fid = engine.create_flow(spec)
 
         ready = os.path.join(root, "worker_b_ready.txt")
@@ -241,6 +247,7 @@ def test_two_processes_compete(spark):
                     "worker process never became ready"
                 time.sleep(0.2)
             worker_b = open(ready).read().strip()
+            time.sleep(0.5 * attempt)  # retries: let B's loop spin up
 
             result = engine.run(fid)
             out, _ = proc.communicate(timeout=240)
