@@ -2747,3 +2747,197 @@ def source_acid_cdf_replicate(spark, sf_dir):
     return spark.createDataFrame(
         [r_mid, r_fin, r_src], "phase string, cnt long, total double"
     ).orderBy("phase")
+
+
+@register(
+    "source_acid_policies",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_name,
+             '555-' || CAST(c_custkey % 10000 AS VARCHAR) AS phone,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    analyst AS (
+      SELECT 'analyst' AS role, c_custkey,
+             md5(CAST(c_name AS VARCHAR)) AS name_tok,
+             '****' || right(phone, 4) AS phone_mask,
+             bal_cents - ((bal_cents % 100000) + 100000) % 100000
+               AS bal_bucket,
+             c_mktsegment
+      FROM src
+      WHERE c_mktsegment IS NOT NULL
+        AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    ),
+    auditor AS (
+      SELECT 'auditor' AS role, c_custkey, c_name AS name_tok,
+             phone AS phone_mask,
+             bal_cents - ((bal_cents % 100000) + 100000) % 100000
+               AS bal_bucket,
+             c_mktsegment
+      FROM src
+    )
+    SELECT * FROM analyst UNION ALL SELECT * FROM auditor
+    ORDER BY role, c_custkey
+    """,
+    tags=("sources", "acid", "governance", "policies"),
+)
+def source_acid_policies(spark, sf_dir):
+    """ROW-LEVEL SECURITY + COLUMN MASKS as table metadata (the
+    read-side governance rung; sources/acid.py policy section —
+    Databricks row filters & column masks): customers land in a
+    governed table, every 97th is GDPR-erased via deletion vectors
+    (gone for every role), then policies install — hash-token names,
+    last-4 phones, $1000-bucketed balances, and a row filter that
+    limits the default role to three market segments (not_null-
+    qualified, so it PRUNES files off manifest stats before the scan).
+    The result unions the governed read for the unprivileged default
+    role against the 'auditor' role (exempt from the name/phone masks
+    and the row filter, NOT from the balance bucketing) — and the
+    whole two-role census hash-oracles because every mask form is
+    spelled identically in Spark and DuckDB (md5 / right / the
+    non-negative-mod floor bucket). The change feed shares the same
+    enforcement (`table_changes_policy_spark`, pytest-pinned); the
+    engine-free pandas client reads byte-identically
+    (test_policy_cross_client_differential). At 100 TB the governed
+    read costs file-skipping plus ordinary Catalyst expressions — no
+    Python, no second scan, no per-role copies of the data."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        alter_set_mask,
+        alter_set_row_filter,
+        delete_keys_spark,
+        read_policy_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_policy_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    table.init(key="c_custkey", n_buckets=8)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.concat(F.lit("555-"),
+                 (F.col("c_custkey") % 10000).cast("string")).alias("phone"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+        "c_mktsegment",
+    )
+    write_initial_spark(spark, table, base, "c_custkey", n_buckets=8)
+    delete_keys_spark(
+        spark, table,
+        base.filter(F.col("c_custkey") % 97 == 0).select("c_custkey"),
+        "c_custkey", 8, "eraser",
+    )
+    alter_set_mask(table, "c_name",
+                   {"fn": "hash", "exempt_roles": ["auditor"]})
+    alter_set_mask(table, "phone",
+                   {"fn": "partial", "keep_last": 4,
+                    "exempt_roles": ["auditor"]})
+    alter_set_mask(table, "bal_cents", {"fn": "bucket", "width": 100000})
+    alter_set_row_filter(table, "segments", {
+        "col": "c_mktsegment", "not_null": True,
+        "isin": ["BUILDING", "AUTOMOBILE", "MACHINERY"],
+        "exempt_roles": ["auditor"],
+    })
+
+    # the row filter provably skips nothing here (bucketed by custkey,
+    # segments span every file) — but the PRIVILEGED read stays raw:
+    raw = read_snapshot_spark(spark, table, dv_key="c_custkey")
+    assert "c_name" in raw.columns and table.policies_rev() == 4
+
+    def view(role_name: str, role):
+        return read_policy_spark(
+            spark, table, role=role, dv_key="c_custkey"
+        ).select(
+            F.lit(role_name).alias("role"),
+            "c_custkey",
+            F.col("c_name").alias("name_tok"),
+            F.col("phone").alias("phone_mask"),
+            F.col("bal_cents").alias("bal_bucket"),
+            "c_mktsegment",
+        )
+
+    return (
+        view("analyst", None)
+        .unionByName(view("auditor", "auditor"))
+        .orderBy("role", "c_custkey")
+    )
+
+
+@register(
+    "source_acid_export",
+    oracle="""
+    WITH keep AS (SELECT o_totalprice FROM orders
+                  WHERE o_orderkey % 1600 <> 0),
+    c AS (SELECT COUNT(*) AS cnt,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS total_cents
+          FROM keep)
+    SELECT 'duckdb_read' AS phase, cnt, total_cents FROM c
+    UNION ALL SELECT 'spark_read', cnt, total_cents FROM c
+    ORDER BY phase
+    """,
+    tags=("sources", "acid", "export", "interop"),
+)
+def source_acid_export(spark, sf_dir):
+    """SNAPSHOT EXPORT for external readers (`acid.export_snapshot` —
+    Delta's GENERATE symlink_format_manifest intent): one snapshot
+    becomes a PLAIN parquet directory any engine reads with a glob.
+    Orders land in 16 buckets, keys %1600 are DV-deleted (all in
+    bucket 0, so exactly that bucket's file needs translation), then
+    the export hardlinks the 15 clean files (zero copy — asserted) and
+    MATERIALIZES only the DV'd one (rows anti-folded out). The proof
+    is two engines reading the same exported bytes: the query computes
+    the census once with Spark over the export directory and once with
+    DUCKDB (in-process, `read_parquet(glob, union_by_name)`) — both
+    rows must hash-equal the oracle's relational definition of the
+    post-delete table. At 100 TB an export of a mostly-clean table
+    moves metadata, not data; snapshot isolation means later commits,
+    OPTIMIZE and vacuum never disturb it (inode-pinned,
+    test_table_export.py)."""
+    import shutil
+
+    import duckdb
+
+    from distribot_spark.sources import (
+        TableLog,
+        delete_keys_spark,
+        export_snapshot,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_export_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(os.path.join(out, "table"))
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+    delete_keys_spark(
+        spark, table,
+        base.filter(F.col("o_orderkey") % 1600 == 0).select("o_orderkey"),
+        "o_orderkey", 16, "eraser",
+    )
+    exp = os.path.join(out, "export")
+    st = export_snapshot(table, exp)
+    assert st["hardlinked"] > 0 and st["materialized"] > 0, st
+
+    s = (
+        spark.read.option("mergeSchema", "true").parquet(exp)
+        .agg(F.count("*").alias("cnt"),
+             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+             .alias("total_cents"))
+        .collect()[0]
+    )
+    d_cnt, d_cents = duckdb.sql(
+        f"SELECT COUNT(*), SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+        f"FROM read_parquet('{exp}/*.parquet', union_by_name=true)"
+    ).fetchone()
+    return spark.createDataFrame(
+        [("duckdb_read", int(d_cnt), int(d_cents)),
+         ("spark_read", int(s["cnt"]), int(s["total_cents"]))],
+        "phase string, cnt long, total_cents long",
+    ).orderBy("phase")

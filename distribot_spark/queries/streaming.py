@@ -2103,3 +2103,116 @@ def _s34_body(spark, sf_dir, root):
     return spark.createDataFrame(
         sorted(verdicts), "doc_id long, status string"
     ).orderBy("doc_id")
+
+
+@register(
+    "s34_stream_policy_cdf",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey,
+             '555-' || CAST(c_custkey % 10000 AS VARCHAR) AS phone,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             c_mktsegment
+      FROM customer),
+    gov AS (
+      SELECT '****' || right(phone, 4) AS phone_mask,
+             bal_cents - ((bal_cents % 100000) + 100000) % 100000
+               AS bal_bucket,
+             c_mktsegment
+      FROM src
+      WHERE c_mktsegment IS NOT NULL
+        AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+    SELECT c_mktsegment, COUNT(*) AS cnt,
+           CAST(SUM(bal_bucket) AS BIGINT) AS total_bucket,
+           MIN(phone_mask) AS first_phone
+    FROM gov GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("streaming", "cdc", "acid", "governance", "policies"),
+)
+def s34_stream_policy_cdf(spark, sf_dir):
+    """GOVERNED CHANGE FEED AS A STREAM — the policy-enforcement twin
+    of s24: a consumer tails an ACID table's CDF, but through the
+    POLICY layer (`table_changes_policy_spark` via `cdf_replay_dir`'s
+    ``changes_fn`` hook), so each micro-batch carries only what the
+    consumer's role may see — phones masked to last-4, balances
+    bucketed to $1000 floors, and rows outside the role's three market
+    segments never entering the stream at all. Without this, the
+    change feed is the leak around masking (it replays exactly the
+    sensitive columns' images to any subscriber). Customers arrive as
+    three append commits (custkey % 3 slices → 3 micro-batches), the
+    standing query maintains a per-segment census over the MASKED
+    values (integer bucket sums — order/batch-independent), and the
+    oracle recomputes the same census from the raw table with the mask
+    DSL spelled in SQL: streaming-governed ≡ batch-governed, exactly.
+    Scale shape: enforcement is ordinary Catalyst expressions inside
+    the per-version feed job — no second scan, no per-role stream
+    copies; state stays one row per (segment)."""
+    import shutil
+    import uuid as _uuid
+
+    from distribot_spark.sources import (
+        TableLog,
+        alter_set_mask,
+        alter_set_row_filter,
+        append_spark,
+        table_changes_policy_spark,
+        write_initial_spark,
+    )
+
+    root = os.path.join(replay.TMP_ROOT, f"s34_{_uuid.uuid4().hex[:8]}")
+    table = TableLog(os.path.join(root, "table"))
+    table.init(key="c_custkey", n_buckets=8)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("555-"),
+                 (F.col("c_custkey") % 10000).cast("string")).alias("phone"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+        "c_mktsegment",
+    )
+    write_initial_spark(
+        spark, table, base.filter(F.col("c_custkey") % 3 == 0),
+        "c_custkey", n_buckets=8)
+    for rest in (1, 2):
+        append_spark(
+            spark, table, base.filter(F.col("c_custkey") % 3 == rest),
+            "c_custkey", 8)
+    alter_set_mask(table, "phone", {"fn": "partial", "keep_last": 4})
+    alter_set_mask(table, "bal_cents", {"fn": "bucket", "width": 100000})
+    alter_set_row_filter(table, "segments", {
+        "col": "c_mktsegment", "not_null": True,
+        "isin": ["BUILDING", "AUTOMOBILE", "MACHINERY"],
+    })
+
+    def governed(sp, t, k, lo, hi):
+        return table_changes_policy_spark(
+            sp, t, role=None, key=k, from_version=lo, to_version=hi)
+
+    chunks = replay.cdf_replay_dir(
+        spark, table, "c_custkey", os.path.join(root, "cdf_chunks"),
+        versions_per_trigger=1, changes_fn=governed,
+    )
+
+    def t(stream):
+        return (
+            stream.filter(F.col("_change_type") == "insert")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("bal_cents").alias("total_bucket"),
+                F.min("phone").alias("first_phone"),
+            )
+        )
+
+    updates = replay.run_bounded(spark, t, chunks, "update")
+    out = (
+        updates.groupBy("c_mktsegment")
+        .agg(
+            F.max("cnt").cast("long").alias("cnt"),
+            F.max_by("total_bucket", "cnt").cast("long")
+            .alias("total_bucket"),
+            F.max_by("first_phone", "cnt").alias("first_phone"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

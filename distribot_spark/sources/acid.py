@@ -436,6 +436,29 @@ class TableLog:
     def physical_name(self, logical: str) -> str:
         return (self.column_mapping() or {}).get(logical, logical)
 
+    # -- access policies (row filters + column masks) -----------------------
+
+    def policies(self) -> dict:
+        """Reader-side ACCESS POLICIES (Databricks/Snowflake row
+        filters and column masks, on the lakehouse metadata): ``masks``
+        maps LOGICAL column -> mask spec, ``row_filters`` maps policy
+        name -> keep-predicate spec. Both specs carry
+        ``exempt_roles``: a read under one of those roles sees that
+        policy's raw form. Policies are PURE READ-SIDE metadata — they
+        never gate writers (a write commits raw bytes regardless), so
+        they ride neither `_gate_state` nor commit barriers; one
+        atomic `_persist_meta` flips every reader at once."""
+        m = self._meta()
+        return {"masks": dict(m.get("masks") or {}),
+                "row_filters": dict(m.get("row_filters") or {})}
+
+    def policies_rev(self) -> int:
+        """Monotonic revision of the policy set — bumped by every
+        SET/DROP MASK or ROW FILTER. Diagnostic (DESCRIBE/tests):
+        readers resolve policies fresh per read, writers ignore them,
+        so nothing gates on this number."""
+        return int(self._meta().get("policies_rev", 0))
+
     def _meta_lock_path(self) -> str:
         return os.path.join(self.log_dir, "_table.lock")
 
@@ -2107,6 +2130,26 @@ def alter_rename_column(
                 meta["identity"] = {**ident, "col": new}
             if meta.get("key") == old:
                 meta["key"] = new
+            # access policies are LOGICAL-space: masks and row filters
+            # follow the rename in the same atomic meta write, so no
+            # read between ALTER and policy-fix can see the column
+            # unmasked under its new name
+            masks = dict(meta.get("masks") or {})
+            if old in masks:
+                masks[new] = masks.pop(old)
+                meta["masks"] = masks
+                meta["policies_rev"] = int(
+                    meta.get("policies_rev", 0)) + 1
+            filts = dict(meta.get("row_filters") or {})
+            changed = False
+            for nm, spec in filts.items():
+                if spec.get("col") == old:
+                    filts[nm] = {**spec, "col": new}
+                    changed = True
+            if changed:
+                meta["row_filters"] = filts
+                meta["policies_rev"] = int(
+                    meta.get("policies_rev", 0)) + 1
             table._persist_meta(meta)
             if pre_commit_hook is not None:
                 pre_commit_hook(v)
@@ -2150,6 +2193,15 @@ def alter_drop_column(table: TableLog, name: str) -> None:
                 raise ValueError(
                     f"column {name!r} is part of generated column "
                     f"{out_col!r}; remove that first")
+        if name in (meta.get("masks") or {}):
+            raise ValueError(
+                f"column {name!r} has a mask policy; drop the mask "
+                "first (explicit release, the constraints precedent)")
+        for nm, spec in (meta.get("row_filters") or {}).items():
+            if spec.get("col") == name:
+                raise ValueError(
+                    f"column {name!r} is referenced by row filter "
+                    f"{nm!r}; drop the filter first")
         phys = mapping.pop(name, name)
         dropped = list(meta.get("dropped_columns") or [])
         if phys in dropped:
@@ -2159,6 +2211,561 @@ def alter_drop_column(table: TableLog, name: str) -> None:
         meta["dropped_columns"] = dropped
         meta["mapping_rev"] = int(meta.get("mapping_rev", 0)) + 1
         table._persist_meta(meta)
+
+
+# -- access policies: row-level security + column masking -------------------
+#
+# The read-side governance rung after constraints/generated/identity/column
+# mapping: POLICIES live in table metadata and shape what a governed read
+# RETURNS, per reader role (Databricks row filters & column masks, Snowflake
+# masking policies). Design contract, in order of importance:
+#
+#   1. CURRENT policy governs EVERY read — including time travel and the
+#      change feed. Security metadata is not versioned data: reading
+#      `VERSION AS OF 3` after a mask was added returns version-3 ROWS under
+#      TODAY's masks, so old snapshots are not an escape hatch.
+#   2. Policies are LOGICAL-space: masks key on logical column names and
+#      follow ALTER RENAME atomically (same meta write), die with DROP
+#      COLUMN only via explicit release (the constraints precedent).
+#   3. Row filters PRUNE, not post-filter: a filter's range clauses run
+#      against the manifest min/max stats (and isin against per-file blooms)
+#      so a governed read plans over the files a role may see — at 100 TB
+#      RLS costs file-skipping, not a full scan plus a residual filter. The
+#      residual predicate still applies (pruning is conservative).
+#   4. The mask DSL is the same portability bet as the constraint DSL: a
+#      handful of deterministic forms both clients (and the DuckDB oracles)
+#      spell identically — so a masked census hash-oracles exactly.
+#   5. Enforcement boundary: `read_policy_spark` / `read_policy_pandas` /
+#      `table_changes_policy_spark` and the `Table` facade are the GOVERNED
+#      path; the raw storage functions (`read_snapshot_spark`, writers,
+#      ALTER validation) are the privileged path the engine itself uses —
+#      exactly where Delta draws the line (enforcement lives in the
+#      catalog-governed read API, not in the parquet bytes).
+
+
+_MASK_FNS = ("null", "const", "hash", "partial", "bucket")
+
+
+def _role_applies(spec: dict, role: str | None) -> bool:
+    """True when the policy applies to this role (i.e. the role is NOT
+    exempt). ``role=None`` is the unprivileged default — no policy ever
+    exempts it (default-deny)."""
+    return role is None or role not in (spec.get("exempt_roles") or ())
+
+
+def _applicable_policies(table: TableLog, role: str | None):
+    pol = table.policies()
+    masks = {c: s for c, s in pol["masks"].items()
+             if _role_applies(s, role)}
+    filters = {n: s for n, s in pol["row_filters"].items()
+               if _role_applies(s, role)}
+    return masks, filters
+
+
+def _mask_expr_spark(df, col: str, spec: dict):
+    """One mask spec as a Spark Column over ``df[col]`` (logical
+    space). Every form NULL-propagates (mask(NULL) = NULL) so masked
+    and raw reads agree on missingness — the property that keeps
+    NULL-sensitive downstream logic (outer joins, COALESCE) stable
+    under masking."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    fn = spec["fn"]
+    if fn == "null":
+        return F.lit(None).cast(df.schema[col].dataType)
+    if fn == "const":
+        return F.when(c.isNull(), F.lit(None)).otherwise(
+            F.lit(spec["value"]))
+    if fn == "hash":
+        # md5 of the decimal/string form — deterministic and JOINABLE
+        # (equal raws mask to equal tokens across tables and engines);
+        # DuckDB spells it md5(CAST(c AS VARCHAR)). Float columns are
+        # rejected at ALTER time: their string forms differ per engine.
+        return F.md5(c.cast("string"))
+    if fn == "partial":
+        # fixed pad + last-n: never length-revealing beyond n, and
+        # right() has identical short-string semantics in Spark,
+        # DuckDB (right) and pandas (s.str[-n:]): the whole string.
+        n = int(spec["keep_last"])
+        return F.concat(F.lit("****"), F.right(c, F.lit(n)))
+    if fn == "bucket":
+        # k-anonymity-style coarsening to the bucket FLOOR, spelled via
+        # the non-negative-mod identity (CLAUDE.md floor-div rule) so
+        # Spark, DuckDB and pandas agree on negative values too.
+        w = int(spec["width"])
+        return (c.cast("long") - F.pmod(c.cast("long"), F.lit(w))).cast(
+            "long")
+    raise ValueError(f"unknown mask fn {fn!r}")
+
+
+def _mask_series_pandas(s, spec: dict):
+    """pandas twin of `_mask_expr_spark` — same forms, same
+    NULL-propagation, value-identical output (the cross-client
+    differential test pins it). Integer columns must arrive as
+    nullable Int64 (read_policy_pandas's types_mapper) so the hash
+    form stringifies '97', never '97.0'."""
+    import hashlib
+
+    import pandas as pd
+
+    fn = spec["fn"]
+    if fn == "null":
+        return pd.Series(pd.NA, index=s.index, dtype="object")
+    if fn == "const":
+        return s.map(lambda v: spec["value"] if pd.notna(v) else None)
+    if fn == "hash":
+        return s.map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest()
+            if pd.notna(v) else None)
+    if fn == "partial":
+        n = int(spec["keep_last"])
+        return s.map(
+            lambda v: "****" + str(v)[-n:] if pd.notna(v) else None)
+    if fn == "bucket":
+        w = int(spec["width"])
+        return pd.array(
+            [int(v) - int(v) % w if pd.notna(v) else pd.NA for v in s],
+            dtype="Int64")
+    raise ValueError(f"unknown mask fn {fn!r}")
+
+
+def _row_filter_mask_pandas(frame, spec: dict):
+    """Keep-mask for one row filter over a pandas frame — the exact
+    NULL semantics of `_constraint_ok_expr` (range/isin/len clauses
+    PASS NULLs; not_null alone rejects them), so both clients keep
+    identical row sets. A filtered column absent from the frame is
+    all-NULL (schema evolution): range clauses pass, not_null drops
+    everything."""
+    import pandas as pd
+
+    if spec["col"] not in frame.columns:
+        keep = pd.Series(not spec.get("not_null", False),
+                         index=frame.index)
+        return keep
+    s = frame[spec["col"]]
+    ok = pd.Series(True, index=frame.index)
+    if spec.get("not_null"):
+        ok &= s.notna()
+    if "min" in spec:
+        ok &= s.isna() | (s >= spec["min"])
+    if "max" in spec:
+        ok &= s.isna() | (s <= spec["max"])
+    if "isin" in spec:
+        ok &= s.isna() | s.isin(list(spec["isin"]))
+    if "min_len" in spec:
+        ok &= s.isna() | (s.astype(str).str.len() >= int(spec["min_len"]))
+    if "max_len" in spec:
+        ok &= s.isna() | (s.astype(str).str.len() <= int(spec["max_len"]))
+    return ok.fillna(False)
+
+
+def _policy_pruned_paths(
+    table: TableLog, filters: dict, version: int | None,
+) -> tuple[list[str], int]:
+    """FILE SKIPPING for row filters, off the manifest alone: drop live
+    files whose recorded stats prove NO row can pass — range clauses
+    against min/max, isin against min/max AND the per-file bloom when
+    one exists. Conservative by construction (no stats for the column
+    → keep), and ONLY filters that also demand ``not_null`` prune:
+    min/max stats describe a file's non-NULL values, while a bare
+    range clause PASSES NULL rows — pruning on it would drop a file's
+    NULL rows that the predicate admits. The residual filter always
+    still runs, so pruned ≡ unpruned + predicate (the oracle checks
+    exactly that)."""
+    stats = table.live_stats(version)
+    specs = []
+    for s in filters.values():
+        if not s.get("not_null"):
+            continue
+        if "min" in s or "max" in s or "isin" in s:
+            specs.append((table.physical_name(s["col"]), s))
+    kept: list[str] = []
+    pruned = 0
+    for f in sorted(stats):
+        fstats = stats[f] or {}
+        drop = False
+        for phys, s in specs:
+            rng = fstats.get(phys)
+            if rng is not None:
+                if "min" in s and rng["max"] < s["min"]:
+                    drop = True
+                    break
+                if "max" in s and rng["min"] > s["max"]:
+                    drop = True
+                    break
+                if "isin" in s and all(
+                    v < rng["min"] or v > rng["max"]
+                    for v in s["isin"]
+                ):
+                    drop = True
+                    break
+            bl = fstats.get(f"_bloom:{phys}")
+            if bl is not None and "isin" in s and not any(
+                bloom_maybe_contains(bl, v) for v in s["isin"]
+            ):
+                drop = True
+                break
+        if drop:
+            pruned += 1
+        else:
+            kept.append(table.data_path(f))
+    return kept, pruned
+
+
+def read_policy_spark(
+    spark,
+    table: TableLog,
+    role: str | None = None,
+    version: int | None = None,
+    dv_key: str | None = None,
+    tombstone_col: str | None = None,
+):
+    """The GOVERNED read: `read_snapshot_spark` (DV fold, column
+    mapping, time travel) with the table's access policies applied for
+    ``role`` — row filters first (manifest-pruned file list + residual
+    predicate), then column masks. ``role=None`` is the unprivileged
+    default; a role named in a policy's ``exempt_roles`` sees that
+    policy's raw form. CURRENT policies govern every version read —
+    time travel is not an escape hatch (see the section header).
+    Returns the DataFrame; masks and filters are ordinary Catalyst
+    expressions, so predicate pushdown and codegen apply untouched."""
+    masks, filters = _applicable_policies(table, role)
+    paths = None
+    if filters:
+        paths, _ = _policy_pruned_paths(table, filters, version)
+        if not paths:
+            # every file disproven: fall back to the full list so the
+            # scan still has a schema — the residual predicate returns
+            # the same zero rows, just without the skipping win
+            paths = None
+    df = read_snapshot_spark(
+        spark, table, version=version, dv_key=dv_key,
+        tombstone_col=tombstone_col, _paths=paths,
+    )
+    return _apply_policies_spark(df, masks, filters)
+
+
+def _apply_policies_spark(df, masks: dict, filters: dict):
+    from pyspark.sql import functions as F
+
+    for name in sorted(filters):
+        spec = filters[name]
+        if spec["col"] not in df.columns:
+            if spec.get("not_null"):
+                df = df.filter(F.lit(False))
+            continue
+        df = df.filter(_constraint_ok_expr(spec))
+    masked = [c for c in sorted(masks) if c in df.columns]
+    if masked:
+        df = df.withColumns(
+            {c: _mask_expr_spark(df, c, masks[c]) for c in masked})
+    return df
+
+
+def _arrow_minus_dvs(table: TableLog, f: str, dv_files) -> "object":
+    """One data file as a pyarrow Table with its deletion-vector
+    sidecars anti-folded (the engine-free half of `_apply_dvs`):
+    sidecar rows are (_df, key) pairs — only this file's entries
+    apply (a RESTORE-merged sidecar can span several files)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(table.data_path(f))
+    for d in dv_files:
+        dv = pq.read_table(table.data_path(d))
+        dv_rows = (dv.filter(pc.equal(dv["_df"], f))
+                   if "_df" in dv.column_names else dv)
+        key_col = [c for c in dv.column_names if c != "_df"][0]
+        gone = set(dv_rows[key_col].to_pylist())
+        if gone:
+            keep_mask = [kv not in gone
+                         for kv in tbl[key_col].to_pylist()]
+            tbl = tbl.filter(pa.array(keep_mask))
+    return tbl
+
+
+def read_policy_pandas(
+    table: TableLog,
+    role: str | None = None,
+    version: int | None = None,
+    tombstone_col: str | None = None,
+):
+    """Engine-free governed read — the pandas client's twin of
+    `read_policy_spark`, and the first public JVM-free SNAPSHOT reader:
+    folds the manifest, prunes files the role's filters disprove, reads
+    survivors via pyarrow (DV sidecars anti-folded per file), unions
+    schemas (missing columns NULL — mergeSchema semantics), translates
+    physical→logical names, then applies the same filters and masks.
+    Integer columns come back as nullable Int64 so mask forms
+    stringify identically to Spark ('97', never '97.0');
+    `test_policy_cross_client_differential` pins byte-equality."""
+    import pandas as pd
+    import pyarrow as pa
+
+    masks, filters = _applicable_policies(table, role)
+    v = table.version() if version is None else version
+    table._check_not_expired(v)
+    live, _stats, dvall = table._fold_entries(v)[:3]
+    keep_files = sorted(live)
+    if filters:
+        # prune against the SAME resolved version as the fold — a
+        # commit landing between the two reads must not skew the sets
+        kept_paths = set(
+            _policy_pruned_paths(table, filters, v)[0])
+        pruned_files = [f for f in keep_files
+                        if table.data_path(f) in kept_paths]
+        # all-pruned: fall back to the full list (the residual filters
+        # still drop every row) so the frame keeps its schema — the
+        # Spark twin does the same
+        keep_files = pruned_files or keep_files
+
+    def _int_mapper(t):
+        return pd.Int64Dtype() if pa.types.is_integer(t) else None
+
+    dropped = set(table.dropped_columns())
+    frames = []
+    for f in keep_files:
+        tbl = _arrow_minus_dvs(table, f, dvall.get(f, ()))
+        frame = tbl.to_pandas(types_mapper=_int_mapper)
+        frames.append(frame.drop(
+            columns=[c for c in frame.columns if c in dropped]))
+    if not frames:
+        return pd.DataFrame()
+    out = pd.concat(frames, ignore_index=True, sort=False)
+    mapping = table.column_mapping()
+    out = out.rename(columns={p: l for l, p in mapping.items()})
+    if tombstone_col is not None and tombstone_col in out.columns:
+        out = out[out[tombstone_col].isna()
+                  | (out[tombstone_col] != "d")]
+    for name in sorted(filters):
+        out = out[_row_filter_mask_pandas(out, filters[name])]
+    for c in sorted(masks):
+        if c in out.columns:
+            out[c] = _mask_series_pandas(out[c], masks[c])
+    return out.reset_index(drop=True)
+
+
+def table_changes_policy_spark(
+    spark,
+    table: TableLog,
+    role: str | None = None,
+    key: str | None = None,
+    from_version: int = 0,
+    to_version: int | None = None,
+):
+    """The governed CHANGE FEED: `table_changes_spark` with the
+    CURRENT policies applied per change row — masks over the data
+    columns (never the ``_change_type``/``_commit_version`` metadata),
+    row filters over each row version independently (a pre- or
+    post-image the role may not see simply does not appear in its
+    feed). Without this, CDF would be the leak around masking: the
+    feed carries full pre/post images of exactly the sensitive
+    columns. Same exempt-role contract as `read_policy_spark`."""
+    masks, filters = _applicable_policies(table, role)
+    df = table_changes_spark(
+        spark, table, key=key,
+        from_version=from_version, to_version=to_version,
+    )
+    meta_cols = {"_change_type", "_commit_version"}
+    masks = {c: s for c, s in masks.items() if c not in meta_cols}
+    return _apply_policies_spark(df, masks, filters)
+
+
+def _policy_col_check(table: TableLog, col: str, fn: str | None) -> None:
+    """ALTER-time validation: the LOGICAL column must exist (declare-
+    ahead allowed only while the table has no live files), and the mask
+    fn must fit the stored type — ``hash`` rejects floats (their string
+    forms differ per engine, breaking the portable-token contract),
+    ``partial`` wants strings, ``bucket`` wants integers. Footer reads
+    only, the ANALYZE discipline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    phys = table.physical_name(col)
+    if phys in set(table.dropped_columns()):
+        raise ValueError(f"column {col!r} was dropped")
+    _, live = table.snapshot()
+    typ = None
+    seen = False
+    for f in sorted(live):
+        try:
+            schema = pq.read_schema(table.data_path(f))
+        except FileNotFoundError:
+            continue
+        if phys in schema.names:
+            seen = True
+            typ = schema.field(phys).type
+            break
+    if live and not seen:
+        raise ValueError(f"no such column: {col!r}")
+    if typ is None or fn is None:
+        return
+    if fn == "hash" and pa.types.is_floating(typ):
+        raise ValueError(
+            f"hash mask on float column {col!r}: float string forms "
+            "are engine-specific; hash an integer or string column")
+    if fn == "partial" and not (pa.types.is_string(typ)
+                                or pa.types.is_large_string(typ)):
+        raise ValueError(f"partial mask needs a string column: {col!r}")
+    if fn == "bucket" and not pa.types.is_integer(typ):
+        raise ValueError(f"bucket mask needs an integer column: {col!r}")
+
+
+def alter_set_mask(table: TableLog, col: str, spec: dict) -> None:
+    """ALTER TABLE ALTER COLUMN SET MASK. Read-side metadata only — no
+    commit barrier and no writer gate (writers commit raw bytes either
+    way); one atomic meta write flips every subsequent governed read.
+    Re-setting an existing mask replaces it (policy evolution)."""
+    if spec.get("fn") not in _MASK_FNS:
+        raise ValueError(
+            f"mask fn must be one of {_MASK_FNS}, got {spec.get('fn')!r}")
+    if spec["fn"] == "const" and "value" not in spec:
+        raise ValueError("const mask needs a 'value'")
+    if spec["fn"] == "partial" and int(spec.get("keep_last", 0)) < 1:
+        raise ValueError("partial mask needs keep_last >= 1")
+    if spec["fn"] == "bucket" and int(spec.get("width", 0)) < 1:
+        raise ValueError("bucket mask needs width >= 1")
+    with table._meta_lock():
+        _policy_col_check(table, col, spec["fn"])
+        meta = table._meta()
+        masks = dict(meta.get("masks") or {})
+        masks[col] = dict(spec)
+        meta["masks"] = masks
+        meta["policies_rev"] = int(meta.get("policies_rev", 0)) + 1
+        table._persist_meta(meta)
+
+
+def alter_drop_mask(table: TableLog, col: str) -> None:
+    with table._meta_lock():
+        meta = table._meta()
+        masks = dict(meta.get("masks") or {})
+        if col not in masks:
+            raise KeyError(f"no mask on column: {col}")
+        del masks[col]
+        meta["masks"] = masks
+        meta["policies_rev"] = int(meta.get("policies_rev", 0)) + 1
+        table._persist_meta(meta)
+
+
+def alter_set_row_filter(table: TableLog, name: str, spec: dict) -> None:
+    """ALTER TABLE SET ROW FILTER ``name``: a KEEP predicate in the
+    constraint clause DSL (col + not_null/min/max/isin/min_len/
+    max_len) plus ``exempt_roles``. Multiple filters AND together.
+    Clauses get the constraint DSL's NULL semantics; add ``not_null``
+    to a range filter to (a) exclude NULL rows and (b) unlock manifest
+    file-pruning for it (see `_policy_pruned_paths`)."""
+    if "col" not in spec:
+        raise ValueError("row filter spec needs a 'col'")
+    clauses = {"not_null", "min", "max", "isin", "min_len", "max_len"}
+    unknown = set(spec) - clauses - {"col", "exempt_roles"}
+    if unknown:
+        raise ValueError(f"unknown row filter keys: {sorted(unknown)}")
+    if not clauses & set(spec):
+        raise ValueError(f"row filter needs at least one of {clauses}")
+    with table._meta_lock():
+        _policy_col_check(table, spec["col"], None)
+        meta = table._meta()
+        filts = dict(meta.get("row_filters") or {})
+        filts[name] = dict(spec)
+        meta["row_filters"] = filts
+        meta["policies_rev"] = int(meta.get("policies_rev", 0)) + 1
+        table._persist_meta(meta)
+
+
+def alter_drop_row_filter(table: TableLog, name: str) -> None:
+    with table._meta_lock():
+        meta = table._meta()
+        filts = dict(meta.get("row_filters") or {})
+        if name not in filts:
+            raise KeyError(f"no such row filter: {name}")
+        del filts[name]
+        meta["row_filters"] = filts
+        meta["policies_rev"] = int(meta.get("policies_rev", 0)) + 1
+        table._persist_meta(meta)
+
+
+# -- snapshot export for external readers ------------------------------------
+
+
+def export_snapshot(
+    table: TableLog,
+    dst_dir: str,
+    version: int | None = None,
+) -> dict:
+    """Export one snapshot as a PLAIN parquet directory any engine can
+    read with a glob — no commit log, no sidecars, no column mapping
+    required on the consumer side (Delta's ``GENERATE
+    symlink_format_manifest`` / Iceberg's metadata-free table export,
+    for handing a lakehouse table to Presto/DuckDB/pandas consumers
+    that speak only parquet).
+
+    Per-file fast path: a live file with no deletion vectors and no
+    renamed/dropped columns is HARDLINKED (zero copy, the `clone_table`
+    trick) — at 100 TB an export of a mostly-clean table moves
+    metadata, not data. A file that needs translation is MATERIALIZED
+    through pyarrow: DV rows anti-folded out, dropped physical columns
+    removed, physical names rewritten to the CURRENT logical names —
+    so the export directory IS the logical snapshot, byte-complete.
+
+    Snapshot isolation: the fold pins version v; concurrent commits
+    never tear the export (their files are invisible to the fold).
+    Schema-evolved tables export per-file schemas — consumers union by
+    name (DuckDB ``union_by_name=true``, Spark ``mergeSchema``), which
+    the export manifest records. Returns {version, files, hardlinked,
+    materialized, manifest_path}. The export is a one-way COPY:
+    policies do NOT travel (exporting is a privileged operation — the
+    caller is handing raw data somewhere; governed sharing is
+    `read_policy_*`), and later table commits never touch it."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst_dir, exist_ok=True)
+    if os.listdir(dst_dir):
+        raise ValueError(f"export dir not empty: {dst_dir}")
+    v = table.version() if version is None else version
+    table._check_not_expired(v)
+    live, _stats, dvall = table._fold_entries(v)[:3]
+    mapping = table.column_mapping()
+    rev = {p: l for l, p in mapping.items()}
+    dropped = set(table.dropped_columns())
+    touched = set(rev) | dropped
+
+    files: list[str] = []
+    hardlinked = materialized = 0
+    for f in sorted(live):
+        src = table.data_path(f)
+        dst = os.path.join(dst_dir, f)
+        needs_rewrite = bool(dvall.get(f))
+        if not needs_rewrite and touched:
+            needs_rewrite = bool(
+                touched & set(pq.read_schema(src).names))
+        if not needs_rewrite:
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: plain copy
+                import shutil
+
+                shutil.copyfile(src, dst)
+            hardlinked += 1
+        else:
+            tbl = _arrow_minus_dvs(table, f, dvall.get(f, ()))
+            keep = [c for c in tbl.column_names if c not in dropped]
+            tbl = tbl.select(keep).rename_columns(
+                [rev.get(c, c) for c in keep])
+            pq.write_table(tbl, dst)
+            materialized += 1
+        files.append(f)
+
+    manifest = os.path.join(dst_dir, "_export_manifest.json")
+    with open(manifest + ".tmp", "w") as fh:
+        json.dump({"version": v, "files": files,
+                   "union_by_name": True,
+                   "source": table.path}, fh)
+    os.replace(manifest + ".tmp", manifest)
+    return {"version": v, "files": len(files),
+            "hardlinked": hardlinked, "materialized": materialized,
+            "manifest_path": manifest}
 
 
 def _unlink_staged(table: TableLog, staged: list[dict] | None) -> None:
@@ -2577,6 +3184,7 @@ def read_snapshot_spark(
     tombstone_col: str | None = None,
     apply_dvs: bool = True,
     dv_key: str | None = None,
+    _paths: list[str] | None = None,
 ):
     """Read a snapshot (head, or AS OF ``version``) with mergeSchema —
     the reader half of schema evolution: buckets untouched since an
@@ -2596,10 +3204,14 @@ def read_snapshot_spark(
     live DV names are anti-joined away (broadcast — the DV side scales
     with deletes, not the table). ``apply_dvs=False`` exposes the raw
     physical rows (debug/audit only). ``dv_key`` names the join key for
-    the DV fold; required only when DVs exist."""
+    the DV fold; required only when DVs exist. ``_paths`` (internal,
+    `read_policy_spark`) overrides the path list with a
+    manifest-pruned subset — semantics are unchanged because pruning
+    is conservative and the DV fold anti-join simply finds no rows
+    for files not in the base."""
     from pyspark.sql import functions as F
 
-    paths = (
+    paths = _paths if _paths is not None else (
         table.live_paths() if version is None
         else table.live_paths_at(version)
     )

@@ -98,22 +98,62 @@ class Table:
     # -- reads ------------------------------------------------------------
 
     def read(self, version: int | None = None, timestamp: float | None = None,
-             tombstone_col: str | None = None, apply_dvs: bool = True):
+             tombstone_col: str | None = None, apply_dvs: bool = True,
+             role: str | None = None):
         """Current snapshot (or VERSION AS OF / TIMESTAMP AS OF), with
-        deletion vectors folded and optional tombstone filtering."""
+        deletion vectors folded and optional tombstone filtering.
+
+        The facade read is the GOVERNED path: when the table carries
+        access policies (row filters / column masks), they apply for
+        ``role`` — including time-travel reads (current policy governs
+        every version; old snapshots are not an escape hatch). A raw
+        read of a governed table is the privileged storage API
+        (`acid.read_snapshot_spark`), deliberately not reachable from
+        here."""
         if timestamp is not None:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")
             version = self.log.version_at_timestamp(timestamp)
+        pol = self.log.policies()
+        if pol["masks"] or pol["row_filters"]:
+            if not apply_dvs:
+                raise ValueError(
+                    "raw physical read of a governed table: use the "
+                    "privileged acid.read_snapshot_spark explicitly")
+            return acid.read_policy_spark(
+                self.spark, self.log, role=role, version=version,
+                dv_key=self.key, tombstone_col=tombstone_col,
+            )
         return acid.read_snapshot_spark(
             self.spark, self.log, version=version,
             tombstone_col=tombstone_col, apply_dvs=apply_dvs,
             dv_key=self.key,
         )
 
+    def read_pandas(self, version: int | None = None,
+                    tombstone_col: str | None = None,
+                    role: str | None = None):
+        """Engine-free governed snapshot read (no JVM): DV fold, column
+        mapping, and the same policy enforcement as `read`, in pure
+        pyarrow/pandas (`acid.read_policy_pandas`)."""
+        return acid.read_policy_pandas(
+            self.log, role=role, version=version,
+            tombstone_col=tombstone_col,
+        )
+
     def change_feed(self, from_version: int = 0,
-                    to_version: int | None = None):
-        """Row-level change data feed (insert/delete/update_pre/post)."""
+                    to_version: int | None = None,
+                    role: str | None = None):
+        """Row-level change data feed (insert/delete/update_pre/post).
+        On a governed table the feed is policy-enforced per change row
+        — otherwise CDF would leak exactly the masked columns' pre/post
+        images (`acid.table_changes_policy_spark`)."""
+        pol = self.log.policies()
+        if pol["masks"] or pol["row_filters"]:
+            return acid.table_changes_policy_spark(
+                self.spark, self.log, role=role, key=self.key,
+                from_version=from_version, to_version=to_version,
+            )
         return acid.table_changes_spark(
             self.spark, self.log, self.key, from_version, to_version
         )
@@ -286,6 +326,13 @@ class Table:
             writer=writer, max_versions=max_versions,
         )
 
+    def export(self, dst_dir: str, version: int | None = None) -> dict:
+        """Export a snapshot as a plain parquet directory any engine
+        reads with a glob — clean files hardlinked (zero copy), DV'd
+        or renamed files materialized (`acid.export_snapshot`).
+        Privileged: policies do not travel with an export."""
+        return acid.export_snapshot(self.log, dst_dir, version=version)
+
     def expire_snapshots(self, keep_last: int) -> int:
         return self.log.expire_snapshots(keep_last)
 
@@ -349,3 +396,28 @@ class Table:
 
     def column_mapping(self) -> dict:
         return self.log.column_mapping()
+
+    # -- access policies (row filters + column masks) -----------------------
+
+    def set_mask(self, col: str, spec: dict) -> None:
+        """ALTER COLUMN SET MASK: ``{"fn": "null"|"const"|"hash"|
+        "partial"|"bucket", ..., "exempt_roles": [...]}`` — read-side
+        metadata, applied by `read`/`read_pandas`/`change_feed` for
+        non-exempt roles (`acid.alter_set_mask`)."""
+        acid.alter_set_mask(self.log, col, spec)
+
+    def drop_mask(self, col: str) -> None:
+        acid.alter_drop_mask(self.log, col)
+
+    def set_row_filter(self, name: str, spec: dict) -> None:
+        """SET ROW FILTER: a keep-predicate in the constraint clause
+        DSL plus ``exempt_roles``; filters AND together and prune files
+        off manifest stats when not_null-qualified
+        (`acid.alter_set_row_filter`)."""
+        acid.alter_set_row_filter(self.log, name, spec)
+
+    def drop_row_filter(self, name: str) -> None:
+        acid.alter_drop_row_filter(self.log, name)
+
+    def policies(self) -> dict:
+        return self.log.policies()

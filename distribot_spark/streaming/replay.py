@@ -360,6 +360,7 @@ def cdf_replay_dir(
     versions_per_trigger: int = 1,
     from_version: int = 0,
     to_version: int | None = None,
+    changes_fn=None,
 ) -> str:
     """Materialize an ACID table's change feed as a chunked replay dir
     — the bounded deterministic stand-in for Delta's ``readChangeFeed``
@@ -378,8 +379,20 @@ def cdf_replay_dir(
     whose fold is order/batching-independent (the signed integer-cents
     discipline, `cdf_shared.cdf_view_deltas`) land on identical state
     at ANY factor; order-sensitive consumers sort on _commit_version
-    inside the batch."""
+    inside the batch.
+
+    ``changes_fn(spark, table, key, from_version, to_version)``
+    overrides the per-range feed builder — e.g. the POLICY-governed
+    feed (`acid.table_changes_policy_spark` via a closure binding the
+    role), so a governed consumer streams exactly what its role may
+    see (s34)."""
     from distribot_spark.sources.acid import table_changes_spark
+
+    if changes_fn is None:
+        def changes_fn(spark, table, key, from_version, to_version):
+            return table_changes_spark(
+                spark, table, key,
+                from_version=from_version, to_version=to_version)
 
     head = table.version()
     hi = head if to_version is None else to_version
@@ -387,9 +400,8 @@ def cdf_replay_dir(
     os.makedirs(out, exist_ok=True)
     scratch = tempfile.mkdtemp(prefix="cdfchunk_", dir=TMP_ROOT)
     for j, lo in enumerate(range(from_version, hi + 1, n)):
-        ch = table_changes_spark(
-            spark, table, key,
-            from_version=lo, to_version=min(lo + n - 1, hi),
+        ch = changes_fn(
+            spark, table, key, lo, min(lo + n - 1, hi),
         )
         tmp = os.path.join(scratch, f"v{j}")
         ch.repartition(1).write.mode("overwrite").parquet(tmp)
