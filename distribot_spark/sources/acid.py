@@ -2362,6 +2362,7 @@ def _row_filter_mask_pandas(frame, spec: dict):
 
 def _policy_pruned_paths(
     table: TableLog, filters: dict, version: int | None,
+    stats: dict | None = None,
 ) -> tuple[list[str], int]:
     """FILE SKIPPING for row filters, off the manifest alone: drop live
     files whose recorded stats prove NO row can pass — range clauses
@@ -2372,8 +2373,11 @@ def _policy_pruned_paths(
     range clause PASSES NULL rows — pruning on it would drop a file's
     NULL rows that the predicate admits. The residual filter always
     still runs, so pruned ≡ unpruned + predicate (the oracle checks
-    exactly that)."""
-    stats = table.live_stats(version)
+    exactly that). ``stats`` short-circuits the log fold when the
+    caller already folded this version (the one-fold-per-read
+    discipline — a second `_fold_entries` pass doubles commit reads)."""
+    if stats is None:
+        stats = table.live_stats(version)
     specs = []
     for s in filters.values():
         if not s.get("not_null"):
@@ -2431,6 +2435,12 @@ def read_policy_spark(
     Returns the DataFrame; masks and filters are ordinary Catalyst
     expressions, so predicate pushdown and codegen apply untouched."""
     masks, filters = _applicable_policies(table, role)
+    if version is None:
+        # pin the head ONCE: pruning and the snapshot/DV fold must
+        # resolve the same version, or a commit landing between the
+        # two reads (an OPTIMIZE folding DVs into rewrites) would pair
+        # v's file list with v+1's DV map — a torn governed read
+        version = table.version()
     paths = None
     if filters:
         paths, _ = _policy_pruned_paths(table, filters, version)
@@ -2468,7 +2478,6 @@ def _arrow_minus_dvs(table: TableLog, f: str, dv_files) -> "object":
     sidecars anti-folded (the engine-free half of `_apply_dvs`):
     sidecar rows are (_df, key) pairs — only this file's entries
     apply (a RESTORE-merged sidecar can span several files)."""
-    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -2478,11 +2487,13 @@ def _arrow_minus_dvs(table: TableLog, f: str, dv_files) -> "object":
         dv_rows = (dv.filter(pc.equal(dv["_df"], f))
                    if "_df" in dv.column_names else dv)
         key_col = [c for c in dv.column_names if c != "_df"][0]
-        gone = set(dv_rows[key_col].to_pylist())
-        if gone:
-            keep_mask = [kv not in gone
-                         for kv in tbl[key_col].to_pylist()]
-            tbl = tbl.filter(pa.array(keep_mask))
+        if dv_rows.num_rows:
+            # Arrow is_in kernel, not a per-row Python pass — an
+            # exported/materialized file folds at columnar speed;
+            # NULL keys are never DV-listed, so they are kept
+            tbl = tbl.filter(pc.fill_null(pc.invert(pc.is_in(
+                tbl[key_col],
+                value_set=dv_rows[key_col].combine_chunks())), True))
     return tbl
 
 
@@ -2507,13 +2518,13 @@ def read_policy_pandas(
     masks, filters = _applicable_policies(table, role)
     v = table.version() if version is None else version
     table._check_not_expired(v)
-    live, _stats, dvall = table._fold_entries(v)[:3]
+    live, stats, dvall = table._fold_entries(v)[:3]
     keep_files = sorted(live)
     if filters:
-        # prune against the SAME resolved version as the fold — a
-        # commit landing between the two reads must not skew the sets
+        # prune against the SAME resolved version as the fold (no torn
+        # read) and reuse its stats (no second fold)
         kept_paths = set(
-            _policy_pruned_paths(table, filters, v)[0])
+            _policy_pruned_paths(table, filters, v, stats=stats)[0])
         pruned_files = [f for f in keep_files
                         if table.data_path(f) in kept_paths]
         # all-pruned: fall back to the full list (the residual filters
@@ -2602,10 +2613,12 @@ def _policy_col_check(table: TableLog, col: str, fn: str | None) -> None:
         raise ValueError(f"no such column: {col!r}")
     if typ is None or fn is None:
         return
-    if fn == "hash" and pa.types.is_floating(typ):
+    if fn == "hash" and (pa.types.is_floating(typ)
+                         or pa.types.is_boolean(typ)):
         raise ValueError(
-            f"hash mask on float column {col!r}: float string forms "
-            "are engine-specific; hash an integer or string column")
+            f"hash mask on {typ} column {col!r}: float/bool string "
+            "forms are engine-specific ('true' vs 'True'); hash an "
+            "integer or string column")
     if fn == "partial" and not (pa.types.is_string(typ)
                                 or pa.types.is_large_string(typ)):
         raise ValueError(f"partial mask needs a string column: {col!r}")

@@ -270,11 +270,15 @@ def test_alter_validation(spark):
     t.init(key="id", n_buckets=2)
     df = spark.range(0, 10).select(
         "id", F.col("id").cast("double").alias("ratio"),
+        (F.col("id") % 2 == 0).alias("flag"),
         F.concat(F.lit("u"), F.col("id").cast("string")).alias("user"))
     acid.write_initial_spark(spark, t, df, "id", n_buckets=2)
 
-    with pytest.raises(ValueError, match="float"):
+    with pytest.raises(ValueError, match="engine-specific"):
         acid.alter_set_mask(t, "ratio", {"fn": "hash"})
+    with pytest.raises(ValueError, match="engine-specific"):
+        # bool stringifies 'true' in Spark/DuckDB but 'True' in pandas
+        acid.alter_set_mask(t, "flag", {"fn": "hash"})
     with pytest.raises(ValueError, match="string"):
         acid.alter_set_mask(t, "id", {"fn": "partial", "keep_last": 2})
     with pytest.raises(ValueError, match="integer"):
