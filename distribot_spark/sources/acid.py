@@ -2699,6 +2699,25 @@ def alter_drop_row_filter(table: TableLog, name: str) -> None:
         table._persist_meta(meta)
 
 
+def _policy_frame_pandas(tbl, masks: dict, filters: dict):
+    """One pyarrow Table (already logical-space, DV-folded) through the
+    policy layer as a pandas frame — the per-file unit the governed
+    export shares with the read path's semantics. Exact per-file
+    because every mask/filter is ROW-LOCAL. Integer columns ride
+    nullable Int64 (the '97' not '97.0' rule for hash masks)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    frame = tbl.to_pandas(types_mapper=lambda t: (
+        pd.Int64Dtype() if pa.types.is_integer(t) else None))
+    for name in sorted(filters):
+        frame = frame[_row_filter_mask_pandas(frame, filters[name])]
+    for c in sorted(masks):
+        if c in frame.columns:
+            frame[c] = _mask_series_pandas(frame[c], masks[c])
+    return frame.reset_index(drop=True)
+
+
 # -- snapshot export for external readers ------------------------------------
 
 
@@ -2706,6 +2725,8 @@ def export_snapshot(
     table: TableLog,
     dst_dir: str,
     version: int | None = None,
+    governed: bool = False,
+    role: str | None = None,
 ) -> dict:
     """Export one snapshot as a PLAIN parquet directory any engine can
     read with a glob — no commit log, no sidecars, no column mapping
@@ -2727,10 +2748,20 @@ def export_snapshot(
     Schema-evolved tables export per-file schemas — consumers union by
     name (DuckDB ``union_by_name=true``, Spark ``mergeSchema``), which
     the export manifest records. Returns {version, files, hardlinked,
-    materialized, manifest_path}. The export is a one-way COPY:
-    policies do NOT travel (exporting is a privileged operation — the
-    caller is handing raw data somewhere; governed sharing is
-    `read_policy_*`), and later table commits never touch it."""
+    materialized, manifest_path}.
+
+    A RAW export is a one-way COPY of the logical snapshot — a
+    privileged operation (the caller is handing raw data somewhere).
+    ``governed=True`` is SECURE DATA SHARING instead: the exported
+    bytes are what `read_policy_pandas` would return for ``role`` —
+    row-filtered (files the filters disprove are never exported at
+    all, the manifest-pruning win), masked, DV-folded, logically
+    named. This per-file application is exact because policies are
+    ROW-LOCAL (each mask/filter reads only its own row), so
+    file-by-file ≡ whole-table — pinned by
+    test_governed_export_equals_governed_read. A role exempt from
+    every policy degrades to the raw hardlink fast path. Later table
+    commits never touch an export either way."""
     import pyarrow.parquet as pq
 
     os.makedirs(dst_dir, exist_ok=True)
@@ -2738,18 +2769,30 @@ def export_snapshot(
         raise ValueError(f"export dir not empty: {dst_dir}")
     v = table.version() if version is None else version
     table._check_not_expired(v)
-    live, _stats, dvall = table._fold_entries(v)[:3]
+    live, stats, dvall = table._fold_entries(v)[:3]
     mapping = table.column_mapping()
     rev = {p: l for l, p in mapping.items()}
     dropped = set(table.dropped_columns())
     touched = set(rev) | dropped
 
+    masks: dict = {}
+    filters: dict = {}
+    if governed:
+        masks, filters = _applicable_policies(table, role)
+    pruned_out = 0
+    ordered = sorted(live)
+    if filters:
+        kept = set(_policy_pruned_paths(table, filters, v, stats=stats)[0])
+        n0 = len(ordered)
+        ordered = [f for f in ordered if table.data_path(f) in kept]
+        pruned_out = n0 - len(ordered)
+
     files: list[str] = []
     hardlinked = materialized = 0
-    for f in sorted(live):
+    for f in ordered:
         src = table.data_path(f)
         dst = os.path.join(dst_dir, f)
-        needs_rewrite = bool(dvall.get(f))
+        needs_rewrite = bool(dvall.get(f)) or bool(masks) or bool(filters)
         if not needs_rewrite and touched:
             needs_rewrite = bool(
                 touched & set(pq.read_schema(src).names))
@@ -2766,6 +2809,24 @@ def export_snapshot(
             keep = [c for c in tbl.column_names if c not in dropped]
             tbl = tbl.select(keep).rename_columns(
                 [rev.get(c, c) for c in keep])
+            if masks or filters:
+                frame = _policy_frame_pandas(tbl, masks, filters)
+                if not len(frame):
+                    continue  # every row filtered: nothing to share
+                import pyarrow as pa
+
+                orig = {c: tbl.schema.field(c).type
+                        for c in tbl.column_names}
+                tbl = pa.Table.from_pandas(frame, preserve_index=False)
+                for i, fld in enumerate(tbl.schema):
+                    # an all-NULL masked column degrades to arrow
+                    # `null` through pandas — pin it back to the
+                    # stored type so union-by-name readers never see
+                    # a null/string conflict (the purge lesson)
+                    if pa.types.is_null(fld.type) and fld.name in orig:
+                        tbl = tbl.set_column(
+                            i, fld.name,
+                            tbl[fld.name].cast(orig[fld.name]))
             pq.write_table(tbl, dst)
             materialized += 1
         files.append(f)
@@ -2774,10 +2835,13 @@ def export_snapshot(
     with open(manifest + ".tmp", "w") as fh:
         json.dump({"version": v, "files": files,
                    "union_by_name": True,
+                   "governed_role": role if governed else None,
+                   "governed": bool(governed),
                    "source": table.path}, fh)
     os.replace(manifest + ".tmp", manifest)
     return {"version": v, "files": len(files),
             "hardlinked": hardlinked, "materialized": materialized,
+            "pruned_out": pruned_out,
             "manifest_path": manifest}
 
 

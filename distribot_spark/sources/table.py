@@ -213,6 +213,9 @@ class Table:
             "num_dv_files": sum(len(d) for d in log.live_dvs().values()),
             "has_quarantine": _os.path.isdir(qdir) and
             bool(_os.listdir(qdir)),
+            "column_mapping": log.column_mapping(),
+            "policies": log.policies(),
+            "policies_rev": log.policies_rev(),
         }
 
     # -- writes -----------------------------------------------------------
@@ -326,12 +329,17 @@ class Table:
             writer=writer, max_versions=max_versions,
         )
 
-    def export(self, dst_dir: str, version: int | None = None) -> dict:
+    def export(self, dst_dir: str, version: int | None = None,
+               governed: bool = False, role: str | None = None) -> dict:
         """Export a snapshot as a plain parquet directory any engine
         reads with a glob — clean files hardlinked (zero copy), DV'd
-        or renamed files materialized (`acid.export_snapshot`).
-        Privileged: policies do not travel with an export."""
-        return acid.export_snapshot(self.log, dst_dir, version=version)
+        or renamed files materialized (`acid.export_snapshot`). Raw
+        export is privileged (policies do not travel);
+        ``governed=True`` exports what ``role`` may see instead —
+        filtered files never leave, masked values only (secure data
+        sharing)."""
+        return acid.export_snapshot(self.log, dst_dir, version=version,
+                                    governed=governed, role=role)
 
     def expire_snapshots(self, keep_last: int) -> int:
         return self.log.expire_snapshots(keep_last)

@@ -172,3 +172,100 @@ def test_export_manifest_records_version_and_files(spark):
     assert sorted(m["files"]) == sorted(
         f for f in os.listdir(dst) if f.endswith(".parquet"))
     assert m["union_by_name"] is True
+
+
+def _gov_seed(spark):
+    from pyspark.sql import functions as F
+
+    from distribot_spark.sources import acid as a
+
+    t = _seed(spark, n=400)
+    a.delete_keys_spark(
+        spark, t, spark.range(0, 400).filter("id % 17 = 0").select("id"),
+        "id", 4, "d")
+    a.alter_set_mask(t, "user", {"fn": "hash",
+                                 "exempt_roles": ["partner"]})
+    a.alter_set_row_filter(t, "hi", {"col": "score", "not_null": True,
+                                     "min": 500,
+                                     "exempt_roles": ["partner"]})
+    return t
+
+
+def test_governed_export_equals_governed_read(spark):
+    """Secure data sharing: the governed export's bytes are exactly
+    what the governed READ returns for the role — per-file policy
+    application ≡ whole-table because masks/filters are row-local."""
+    t = _gov_seed(spark)
+    dst = _tmp("expdst_")
+    os.rmdir(dst)
+    st = acid.export_snapshot(t, dst, governed=True)
+    assert st["hardlinked"] == 0  # masks force materialization
+
+    have = duckdb.sql(
+        f"SELECT id, score, user FROM read_parquet('{dst}/*.parquet', "
+        "union_by_name=true)").fetchall()
+    want = acid.read_policy_spark(spark, t, dv_key="id").select(
+        "id", "score", "user")
+    assert sorted(tuple(r) for r in have) == _spark_rows(want)
+    # masked tokens, never raw user strings, in the exported bytes
+    assert all(len(r[2]) == 32 for r in have)
+    assert all(r[1] >= 500 for r in have)
+
+
+def test_governed_export_exempt_role_degrades_to_raw_hardlinks(spark):
+    t = _gov_seed(spark)
+    # partner is exempt from BOTH policies; only the DV'd files need
+    # materialization, the rest hardlink — the raw fast path
+    dst = _tmp("expdst_")
+    os.rmdir(dst)
+    st = acid.export_snapshot(t, dst, governed=True, role="partner")
+    assert st["hardlinked"] + st["materialized"] == st["files"]
+    have = duckdb.sql(
+        f"SELECT id, user FROM read_parquet('{dst}/*.parquet', "
+        "union_by_name=true)").fetchall()
+    assert sorted(r[1] for r in have) == sorted(
+        "u" + str(i) for i in range(400) if i % 17 != 0)
+
+
+def test_governed_export_prunes_disproven_files(spark):
+    from pyspark.sql import functions as F
+
+    t = TableLog(_tmp("exp_"))
+    t.init(key="id", n_buckets=1)
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") * 10).alias("score"))
+    acid.write_initial_spark(spark, t, df, "id", n_buckets=1)
+    for lo in (100, 200):
+        acid.append_spark(
+            spark, t,
+            spark.range(lo, lo + 100).select(
+                "id", (F.col("id") * 10).alias("score")),
+            "id", 1, stats_cols=("score",))
+    acid.alter_set_row_filter(t, "hi", {"col": "score", "not_null": True,
+                                        "min": 2500})
+    dst = _tmp("expdst_")
+    os.rmdir(dst)
+    st = acid.export_snapshot(t, dst, governed=True)
+    # the 1000-1990 append is disproven by manifest stats: NOT exported
+    assert st["pruned_out"] >= 1, st
+    ids = sorted(r[0] for r in duckdb.sql(
+        f"SELECT id FROM read_parquet('{dst}/*.parquet', "
+        "union_by_name=true)").fetchall())
+    assert ids == list(range(250, 300))
+
+
+def test_detail_surfaces_policies(spark):
+    from distribot_spark.sources.table import Table
+
+    path = _tmp("expfac_")
+    os.rmdir(path)
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 50).select(
+        "id", F.concat(F.lit("u"), F.col("id").cast("string"))
+        .alias("user"))
+    t = Table.create(spark, path, df, key="id", n_buckets=2)
+    t.set_mask("user", {"fn": "hash"})
+    d = t.detail()
+    assert d["policies"]["masks"]["user"]["fn"] == "hash"
+    assert d["policies_rev"] == 1 and d["column_mapping"] == {}
