@@ -2721,12 +2721,47 @@ def _policy_frame_pandas(tbl, masks: dict, filters: dict):
 # -- snapshot export for external readers ------------------------------------
 
 
+def _export_translate_file(
+    table: TableLog, f: str, dv_files, dropped: set, rev: dict,
+    masks: dict, filters: dict, dst: str,
+) -> bool:
+    """Materialize ONE file into export form: DVs anti-folded, dropped
+    physical columns removed, physical names rewritten to logical, and
+    (governed) the policy layer applied. Module-level and
+    driver-state-free so `export_snapshot(spark=...)` can run it
+    executor-side (unpickled by module reference). Returns False when
+    every row was filtered away (nothing written)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = _arrow_minus_dvs(table, f, dv_files)
+    keep = [c for c in tbl.column_names if c not in dropped]
+    tbl = tbl.select(keep).rename_columns([rev.get(c, c) for c in keep])
+    if masks or filters:
+        frame = _policy_frame_pandas(tbl, masks, filters)
+        if not len(frame):
+            return False  # every row filtered: nothing to share
+        orig = {c: tbl.schema.field(c).type for c in tbl.column_names}
+        tbl = pa.Table.from_pandas(frame, preserve_index=False)
+        for i, fld in enumerate(tbl.schema):
+            # an all-NULL masked column degrades to arrow `null`
+            # through pandas — pin it back to the stored type so
+            # union-by-name readers never see a null/string conflict
+            # (the purge lesson)
+            if pa.types.is_null(fld.type) and fld.name in orig:
+                tbl = tbl.set_column(
+                    i, fld.name, tbl[fld.name].cast(orig[fld.name]))
+    pq.write_table(tbl, dst)
+    return True
+
+
 def export_snapshot(
     table: TableLog,
     dst_dir: str,
     version: int | None = None,
     governed: bool = False,
     role: str | None = None,
+    spark=None,
 ) -> dict:
     """Export one snapshot as a PLAIN parquet directory any engine can
     read with a glob — no commit log, no sidecars, no column mapping
@@ -2761,7 +2796,14 @@ def export_snapshot(
     file-by-file ≡ whole-table — pinned by
     test_governed_export_equals_governed_read. A role exempt from
     every policy degrades to the raw hardlink fast path. Later table
-    commits never touch an export either way."""
+    commits never touch an export either way.
+
+    Scale split: hardlinks are METADATA work and stay on the driver
+    (the clone discipline); materialization is DATA work — pass
+    ``spark`` and the per-file translations run as one Spark job (a
+    task per file, independent by construction; only (name, written?)
+    pairs return). Driver-loop and Spark-job materialization are
+    pinned output-identical by test_export_distributed_equals_driver."""
     import pyarrow.parquet as pq
 
     os.makedirs(dst_dir, exist_ok=True)
@@ -2787,49 +2829,48 @@ def export_snapshot(
         ordered = [f for f in ordered if table.data_path(f) in kept]
         pruned_out = n0 - len(ordered)
 
-    files: list[str] = []
-    hardlinked = materialized = 0
+    rewrites: list[str] = []
+    links: list[str] = []
     for f in ordered:
-        src = table.data_path(f)
-        dst = os.path.join(dst_dir, f)
         needs_rewrite = bool(dvall.get(f)) or bool(masks) or bool(filters)
         if not needs_rewrite and touched:
             needs_rewrite = bool(
-                touched & set(pq.read_schema(src).names))
-        if not needs_rewrite:
-            try:
-                os.link(src, dst)
-            except OSError:  # cross-device: plain copy
-                import shutil
+                touched & set(pq.read_schema(table.data_path(f)).names))
+        (rewrites if needs_rewrite else links).append(f)
 
-                shutil.copyfile(src, dst)
-            hardlinked += 1
-        else:
-            tbl = _arrow_minus_dvs(table, f, dvall.get(f, ()))
-            keep = [c for c in tbl.column_names if c not in dropped]
-            tbl = tbl.select(keep).rename_columns(
-                [rev.get(c, c) for c in keep])
-            if masks or filters:
-                frame = _policy_frame_pandas(tbl, masks, filters)
-                if not len(frame):
-                    continue  # every row filtered: nothing to share
-                import pyarrow as pa
+    for f in links:  # metadata-speed either way: stays on the driver
+        try:
+            os.link(table.data_path(f), os.path.join(dst_dir, f))
+        except OSError:  # cross-device: plain copy
+            import shutil
 
-                orig = {c: tbl.schema.field(c).type
-                        for c in tbl.column_names}
-                tbl = pa.Table.from_pandas(frame, preserve_index=False)
-                for i, fld in enumerate(tbl.schema):
-                    # an all-NULL masked column degrades to arrow
-                    # `null` through pandas — pin it back to the
-                    # stored type so union-by-name readers never see
-                    # a null/string conflict (the purge lesson)
-                    if pa.types.is_null(fld.type) and fld.name in orig:
-                        tbl = tbl.set_column(
-                            i, fld.name,
-                            tbl[fld.name].cast(orig[fld.name]))
-            pq.write_table(tbl, dst)
-            materialized += 1
-        files.append(f)
+            shutil.copyfile(table.data_path(f), os.path.join(dst_dir, f))
+
+    if spark is not None and rewrites:
+        # materialization is DATA work — one task per file (the
+        # translations are independent), executor-side; only (name,
+        # written?) pairs return to the driver
+        dvl = {f: list(dvall.get(f, ())) for f in rewrites}
+        written = (
+            spark.sparkContext
+            .parallelize(rewrites, min(len(rewrites), 64))
+            .map(lambda f: (f, _export_translate_file(
+                table, f, dvl.get(f, ()), dropped, rev, masks, filters,
+                os.path.join(dst_dir, f))))
+            .collect()
+        )
+        skipped = {f for f, ok in written if not ok}
+    else:
+        skipped = set()
+        for f in rewrites:
+            if not _export_translate_file(
+                    table, f, dvall.get(f, ()), dropped, rev, masks,
+                    filters, os.path.join(dst_dir, f)):
+                skipped.add(f)
+
+    files = [f for f in ordered if f not in skipped]
+    hardlinked = len(links)
+    materialized = len(rewrites) - len(skipped)
 
     manifest = os.path.join(dst_dir, "_export_manifest.json")
     with open(manifest + ".tmp", "w") as fh:

@@ -339,7 +339,8 @@ class Table:
         filtered files never leave, masked values only (secure data
         sharing)."""
         return acid.export_snapshot(self.log, dst_dir, version=version,
-                                    governed=governed, role=role)
+                                    governed=governed, role=role,
+                                    spark=self.spark)
 
     def expire_snapshots(self, keep_last: int) -> int:
         return self.log.expire_snapshots(keep_last)

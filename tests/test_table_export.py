@@ -269,3 +269,47 @@ def test_detail_surfaces_policies(spark):
     d = t.detail()
     assert d["policies"]["masks"]["user"]["fn"] == "hash"
     assert d["policies_rev"] == 1 and d["column_mapping"] == {}
+
+
+def test_export_distributed_equals_driver(spark):
+    """Materialization as a Spark job (spark=...) produces exactly the
+    driver loop's export — same file set, same rows — for both the raw
+    and the governed form; hardlinks stay driver-side either way."""
+    import json
+
+    t = _gov_seed(spark)
+    d_drv = _tmp("expdst_")
+    d_job = _tmp("expdst_")
+    os.rmdir(d_drv)
+    os.rmdir(d_job)
+    st_drv = acid.export_snapshot(t, d_drv, governed=True)
+    st_job = acid.export_snapshot(t, d_job, governed=True, spark=spark)
+    assert {k: st_drv[k] for k in
+            ("version", "files", "hardlinked", "materialized")} == \
+        {k: st_job[k] for k in
+            ("version", "files", "hardlinked", "materialized")}
+    with open(st_drv["manifest_path"]) as fh:
+        m_drv = json.load(fh)
+    with open(st_job["manifest_path"]) as fh:
+        m_job = json.load(fh)
+    assert m_drv["files"] == m_job["files"]
+    assert sorted(_duck_rows(d_drv)) == sorted(_duck_rows(d_job))
+
+    # raw export too: only bucket 0 carries DVs, so its file
+    # materializes via the job while the clean buckets hardlink on the
+    # driver (inode check proves no task wrote them)
+    t2 = _seed(spark, n=200)
+    acid.delete_keys_spark(
+        spark, t2,
+        spark.range(0, 200).filter("id % 20 = 0").select("id"),
+        "id", 4, "d")  # 20 % 4 == 0: every deleted key lives in bucket 0
+    d2 = _tmp("expdst_")
+    os.rmdir(d2)
+    st2 = acid.export_snapshot(t2, d2, spark=spark)
+    assert st2["hardlinked"] > 0 and st2["materialized"] > 0, st2
+    n_linked = sum(
+        1 for f in os.listdir(d2) if f.endswith(".parquet")
+        and os.path.exists(t2.data_path(f))
+        and os.stat(os.path.join(d2, f)).st_ino
+        == os.stat(t2.data_path(f)).st_ino)
+    assert n_linked == st2["hardlinked"]
