@@ -141,6 +141,15 @@ class Table:
             tombstone_col=tombstone_col,
         )
 
+    def to_view(self, name: str, role: str | None = None,
+                version: int | None = None) -> None:
+        """Register the (governed) read as a temp view so plain
+        ``spark.sql`` queries hit the table under ``role``'s policies —
+        the catalog hand-off: analysts write SQL, the view carries the
+        enforcement. Re-registering replaces (policy changes need a
+        re-register; views snapshot the plan, not the metadata)."""
+        self.read(role=role, version=version).createOrReplaceTempView(name)
+
     def change_feed(self, from_version: int = 0,
                     to_version: int | None = None,
                     role: str | None = None):

@@ -400,3 +400,35 @@ def test_governed_plan_stays_jvm_side(spark):
     assert not uses_python_eval(df)
     filters = " ".join(pushed_filters(df))
     assert "balance" in filters, filters
+
+
+def test_clone_carries_policies_and_sql_view_is_governed(spark):
+    """Security properties at the edges: a CLONE of a governed table is
+    born governed (policies ride the wholesale meta copy — a zero-copy
+    branch is not an unmasking path), and the SQL facade (to_view)
+    serves the governed read to plain spark.sql consumers."""
+    from distribot_spark.sources import clone_table
+    from distribot_spark.sources.table import Table
+
+    t = _seed(spark)
+    acid.alter_set_mask(t, "phone", {"fn": "partial", "keep_last": 4,
+                                     "exempt_roles": ["auditor"]})
+    dst = _tmp_table()
+    os.rmdir(dst)
+    clone_table(t, dst)
+    c = acid.TableLog(dst)
+    assert c.policies()["masks"]["phone"]["fn"] == "partial"
+    got = {r["id"]: r for r in
+           acid.read_policy_spark(spark, c, dv_key="id").collect()}
+    assert got[1]["phone"] == "****7788"
+
+    tab = Table.for_path(spark, t.path, key="id")
+    tab.to_view("gov_people")
+    rows = spark.sql(
+        "SELECT id, phone FROM gov_people ORDER BY id").collect()
+    assert rows[0]["phone"] == "****7788"
+    tab.to_view("gov_people", role="auditor")
+    rows = spark.sql(
+        "SELECT id, phone FROM gov_people ORDER BY id").collect()
+    assert rows[0]["phone"] == "555-0101-7788"
+    spark.catalog.dropTempView("gov_people")
