@@ -2922,7 +2922,10 @@ def source_acid_export(spark, sf_dir):
         "o_orderkey", 16, "eraser",
     )
     exp = os.path.join(out, "export")
-    st = export_snapshot(table, exp)
+    # spark= routes materialization through the Spark job — the path a
+    # cluster export takes (pinned ≡ the driver loop); hardlinks stay
+    # driver-side metadata work either way
+    st = export_snapshot(table, exp, spark=spark)
     assert st["hardlinked"] > 0 and st["materialized"] > 0, st
 
     s = (
