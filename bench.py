@@ -174,6 +174,14 @@ HEADLINE = [
     "source_acid_policies",
     "s34_stream_policy_cdf",
     "source_acid_export",
+    # round-7 session-4 additions (documented in BASELINE.md): the
+    # incremental materialized-view pair — batch refresh off the change
+    # feed (paged cursor + dirty min/max recompute) and the streaming
+    # fold through the CDF replay source with forced redelivery. Both
+    # measure the IVM cost family: O(delta) maintenance vs the
+    # re-aggregate-the-base alternative.
+    "source_acid_matview",
+    "s35_stream_matview",
 ]
 
 

@@ -102,3 +102,96 @@ CDF_VIEW_ORACLE = """
            CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM fin GROUP BY 1 ORDER BY g
 """
+
+
+# ---- shared MATVIEW workload (sources/matview.py consumers) ----------
+#
+# One history, two consumers, one relational definition: the batch
+# refresh (queries/sources.py: source_acid_matview) and the streaming
+# fold (queries/streaming.py: s35_stream_matview) both run THIS
+# workload, so their oracles are the same SQL modulo the exposed
+# aggregate columns (the streaming view omits min/max — those need the
+# pinned-version recompute only the batch path has).
+
+def matview_demo_orders(spark, sf_dir):
+    """Orders with prices quantized to cents BIGINT — the matview
+    exactness discipline (it rejects float sums outright)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+
+
+def seed_matview_base(spark, sf_dir, out):
+    """v0 of the shared workload: two thirds of orders (keys %3 != 2)."""
+    import shutil
+
+    from distribot_spark.sources import TableLog, write_initial_spark
+
+    shutil.rmtree(out, ignore_errors=True)
+    base = TableLog(out)
+    orders = matview_demo_orders(spark, sf_dir)
+    write_initial_spark(spark, base,
+                        orders.filter(F.col("o_orderkey") % 3 != 2),
+                        "o_orderkey", n_buckets=8)
+    return base
+
+
+def apply_matview_workload(spark, sf_dir, base):
+    """v1 insert MERGE (the missing third), v2 update MERGE (price
+    bump +1000.00 for keys %10, priority GROUP MOVE to '1-URGENT' for
+    keys %100=1), v3 deletion-vector DELETE (keys %7)."""
+    from distribot_spark.sources import delete_keys_spark, merge_upsert_spark
+
+    orders = matview_demo_orders(spark, sf_dir)
+    merge_upsert_spark(
+        spark, base, orders.filter(F.col("o_orderkey") % 3 == 2),
+        "o_orderkey")
+    touched = orders.filter((F.col("o_orderkey") % 10 == 0)
+                            | (F.col("o_orderkey") % 100 == 1))
+    merge_upsert_spark(
+        spark, base,
+        touched.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 100 == 1, F.lit("1-URGENT"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            (F.col("cents")
+             + F.when(F.col("o_orderkey") % 10 == 0, F.lit(100000))
+             .otherwise(F.lit(0))).alias("cents")),
+        "o_orderkey")
+    delete_keys_spark(
+        spark, base,
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey")
+
+
+#: the workload's final state, relationally (the CTE both oracles share)
+MATVIEW_FINAL_CTE = """
+    WITH final AS (
+        SELECT CASE WHEN o_orderkey % 100 = 1 THEN '1-URGENT'
+                    ELSE o_orderpriority END AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 10 = 0 THEN 100000
+                        ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+"""
+
+MATVIEW_ORACLE_FULL = MATVIEW_FINAL_CTE + """
+    SELECT pri, COUNT(*) AS cnt,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(CAST(SUM(cents) AS BIGINT) // COUNT(*) AS BIGINT)
+             AS avg_cents
+    FROM final GROUP BY pri ORDER BY pri
+"""
+
+MATVIEW_ORACLE_SUMS = MATVIEW_FINAL_CTE + """
+    SELECT pri, COUNT(*) AS cnt,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(CAST(SUM(cents) AS BIGINT) // COUNT(*) AS BIGINT)
+             AS avg_cents
+    FROM final GROUP BY pri ORDER BY pri
+"""

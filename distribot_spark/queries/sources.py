@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from distribot_spark.catalog import load_table
 from distribot_spark.queries.cdf_shared import (
     CDF_VIEW_ORACLE,
+    MATVIEW_ORACLE_FULL,
     build_cdf_demo_table,
     cdf_view_deltas,
 )
@@ -2944,3 +2945,73 @@ def source_acid_export(spark, sf_dir):
          ("spark_read", int(s["cnt"]), int(s["total_cents"]))],
         "phase string, cnt long, total_cents long",
     ).orderBy("phase")
+
+
+@register(
+    "source_acid_matview",
+    oracle=MATVIEW_ORACLE_FULL,  # shared workload SQL (cdf_shared)
+    tags=("sources", "acid", "matview"),
+)
+def source_acid_matview(spark, sf_dir):
+    """INCREMENTAL MATERIALIZED VIEW lifecycle (sources/matview.py):
+    orders lands in an ACID table (two thirds seeded, prices quantized
+    to cents BIGINT — the repo-wide exactness discipline, and the
+    matview's own rail: it REJECTS float sums), an aggregate view
+    (count/sum/min/max of cents per o_orderpriority) materializes as
+    its OWN governed table, then the base takes the shared workload
+    (cdf_shared.apply_matview_workload: insert MERGE, update MERGE with
+    a priority GROUP MOVE, deletion-vector DELETE) — and the view
+    catches up by folding ONLY the change feed (paged: max_versions=2
+    then the rest, exercising the cursor), never re-aggregating the
+    base; the deletes dirty every touched group so min/max recompute
+    from the pinned end version. The oracle recomputes the final
+    aggregate relationally from the same workload, so the incremental
+    fold must be EXACT (integer sufficient statistics, one
+    fraction-free terminal division). At 100 TB a refresh costs
+    O(changed rows), the view stays O(groups), and the one base scan
+    (dirty min/max) prunes to the dirty groups via a broadcast
+    semi-join. The streaming twin s35 folds the SAME workload through
+    the CDF replay source, sharing this oracle's CTE."""
+    from distribot_spark.queries.cdf_shared import (
+        apply_matview_workload,
+        seed_matview_base,
+    )
+    from distribot_spark.sources import (
+        TableLog,
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    import shutil
+
+    out = os.path.join(TMP_ROOT, f"acid_matview_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)  # view AND base: reruns
+    base = seed_matview_base(spark, sf_dir, os.path.join(out, "base"))
+    view = TableLog(os.path.join(out, "view"))
+    create_matview(spark, base, view, {
+        "group_by": ["o_orderpriority"],
+        "aggs": {
+            "cnt": {"fn": "count"},
+            "total": {"fn": "sum", "col": "cents"},
+            "lo": {"fn": "min", "col": "cents"},
+            "hi": {"fn": "max", "col": "cents"},
+        },
+    }, n_buckets=4)
+    apply_matview_workload(spark, sf_dir, base)
+
+    st = refresh_matview(spark, base, view, max_versions=2)
+    assert st["behind"] == 1, st  # paged: one commit still unfolded
+    st = refresh_matview(spark, base, view)
+    assert st["behind"] == 0 and st["dirty_recomputed"] > 0, st
+
+    v = read_matview(spark, view)
+    return v.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("total").cast("long").alias("sum_cents"),
+        F.col("lo").cast("long").alias("lo_cents"),
+        F.col("hi").cast("long").alias("hi_cents"),
+        F.expr("CAST(CAST(total AS BIGINT) DIV cnt AS BIGINT)")
+        .alias("avg_cents"),
+    ).orderBy("pri")

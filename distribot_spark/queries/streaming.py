@@ -26,8 +26,11 @@ from distribot_spark.functions import stable_round
 from distribot_spark.queries.registry import register
 from distribot_spark.queries.cdf_shared import (
     CDF_VIEW_ORACLE,
+    MATVIEW_ORACLE_SUMS,
+    apply_matview_workload,
     build_cdf_demo_table,
     cdf_view_deltas,
+    seed_matview_base,
 )
 from distribot_spark.streaming import replay
 
@@ -2216,3 +2219,87 @@ def s34_stream_policy_cdf(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "s35_stream_matview",
+    oracle=MATVIEW_ORACLE_SUMS,  # the batch twin's CTE, sum/count slice
+    tags=("streaming", "cdc", "matview", "acid", "ivm"),
+)
+def s35_stream_matview(spark, sf_dir):
+    """STREAMING MATERIALIZED VIEW — the continuous face of
+    `refresh_matview`: the view is created at the base's seed version,
+    then TAILS the change feed (CDF replay source, one commit version
+    per trigger) and folds each micro-batch through
+    `apply_matview_changes` inside a foreachBatch sink. Exactly the
+    shared batch workload (cdf_shared.apply_matview_workload: insert
+    MERGE, update MERGE with a group move, DV DELETE), so the oracle is
+    the batch twin's SQL restricted to the self-maintaining aggregates
+    (count/sum/avg — min/max need the pinned-version recompute the
+    batch path runs; the streaming apply refuses them by design when a
+    group loses rows). Redelivery is pinned IN the stream: batch 0 is
+    applied twice and the second apply must report skipped=True (the
+    batch-id high-water mark + pending-token recovery = the s23
+    effectively-once discipline; a double-fold here would double-count
+    every seed group, which the hash oracle would catch). Scale shape:
+    per trigger the view pays O(changed rows) in the delta fold plus
+    one MERGE into exactly the touched view buckets; the stream never
+    re-reads the base."""
+    import shutil
+    import uuid as _uuid
+
+    from distribot_spark.sources import (
+        TableLog,
+        apply_matview_changes,
+        create_matview,
+        read_matview,
+    )
+
+    root = os.path.join(replay.TMP_ROOT, f"s35_{_uuid.uuid4().hex[:8]}")
+    try:
+        base = seed_matview_base(spark, sf_dir,
+                                 os.path.join(root, "base"))
+        view = TableLog(os.path.join(root, "view"))
+        create_matview(spark, base, view, {
+            "group_by": ["o_orderpriority"],
+            "aggs": {
+                "cnt": {"fn": "count"},
+                "total": {"fn": "sum", "col": "cents"},
+            },
+        }, n_buckets=4)
+        apply_matview_workload(spark, sf_dir, base)
+
+        chunks = replay.cdf_replay_dir(
+            spark, base, "o_orderkey", os.path.join(root, "cdf_chunks"),
+            versions_per_trigger=1, from_version=1,
+        )
+        seen = {"n": 0, "skipped": 0}
+
+        def sink(batch_df, batch_id):
+            st = apply_matview_changes(spark, view, batch_df,
+                                       batch_id=batch_id, writer="s35")
+            assert not st["skipped"], (batch_id, st)
+            if batch_id == 0:  # forced redelivery: must no-op
+                st2 = apply_matview_changes(
+                    spark, view, batch_df, batch_id=batch_id,
+                    writer="s35")
+                assert st2["skipped"], st2
+                seen["skipped"] += 1
+            seen["n"] += 1
+
+        replay.run_foreach_batch(spark, lambda s: s, chunks, sink,
+                                 "append")
+        assert seen["n"] == 3 and seen["skipped"] == 1, seen
+
+        v = read_matview(spark, view)
+        out = v.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("total").cast("long").alias("sum_cents"),
+            F.expr("CAST(CAST(total AS BIGINT) DIV cnt AS BIGINT)")
+            .alias("avg_cents"),
+        ).orderBy("pri")
+        rows = out.collect()  # materialize before the fixture vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

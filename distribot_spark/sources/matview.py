@@ -1,0 +1,554 @@
+"""INCREMENTAL MATERIALIZED VIEWS over governed tables.
+
+An aggregate view (``GROUP BY g1.. : count/sum/avg/min/max``, optional
+row filter) materialized AS its own ACID table and maintained from the
+base table's CHANGE DATA FEED — the classic incremental-view-maintenance
+(IVM) contract: a refresh folds only the rows the missed commits
+touched, never re-aggregating the base. At 100 TB this is the difference
+between a refresh that costs O(delta) and one that costs O(table); the
+view table itself stays O(groups).
+
+Reference intent: distribot's announce/counter tables
+(``lib/distribot/flow.rb`` transition counters) are tiny hand-maintained
+materializations of event streams; this module is the analytics-engine
+generalization — declare the aggregation once, the engine keeps it
+consistent with the table under appends, MERGEs and deletes.
+
+Design (all deltas exact, so refresh ≡ full recompute bit-for-bit):
+
+- **Self-maintaining aggregates** fold pre/post change rows with a ±1
+  sign: ``count(*)`` adds the signed row count; ``sum``/``avg`` carry
+  two riders per agg — an exact DECIMAL(38, s) running sum and a
+  non-null contribution count (so SQL's ``SUM of no rows → NULL`` and
+  ``AVG = sum/nn`` semantics survive deletes). Float/double sum columns
+  are REJECTED: an incremental float sum is order-dependent and would
+  drift from a recompute; quantize upstream (the repo-wide int64/decimal
+  discipline).
+- **min/max under deletes** are not self-maintaining: a group that
+  loses rows (any pre-image row) is marked DIRTY and its min/max
+  recomputed from the base AS OF the refresh's end version — bounded by
+  the dirty groups' rows, and deterministic because time travel pins
+  the scan. Insert-only groups fold ``least``/``greatest`` with no
+  recompute. A spec with no min/max never scans the base at all.
+- **Group death is a TOMBSTONE** (``_mv_cnt = 0``), not a delete, so a
+  refresh is exactly ONE view commit (a keyed MERGE) — which is what
+  makes the crash protocol below airtight. `read_matview` filters
+  tombstones; `purge_matview_tombstones` reclaims them whenever.
+- **Cursor + crash safety**: the last folded base version persists in
+  ``_matview.json`` (the replication-cursor pattern,
+  ``acid.replicate_resume_spark``). Deltas are NOT idempotent (folding
+  a sum twice double-counts), so unlike replication the apply must be
+  exactly-once: before merging, the refresh records a PENDING marker
+  carrying a unique commit token; the merge commit stamps that token as
+  its writer. Recovery scans the view log for the token — found means
+  the apply landed (promote the cursor), absent means it didn't
+  (re-apply). The view being a single-writer OCC table makes the scan
+  range exact.
+
+Scale notes: the CDF fold reads only commit-touched files (see
+`table_changes_spark`); the delta groupBy is a partial-agg'd shuffle of
+delta rows; the view join/merge touches only the delta's buckets. The
+dirty-group min/max recompute is the one base scan — a broadcast
+semi-join on the group key; cluster the base by the group column
+(ZORDER / generated column + manifest stats) to turn it into a
+file-skipping scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from distribot_spark.sources.acid import (
+    TableLog,
+    delete_keys_spark,
+    merge_upsert_spark,
+    read_snapshot_spark,
+    table_changes_spark,
+    write_initial_spark,
+)
+
+_SEP = "\x1f"
+_NULL = "\x00N"
+_FNS = ("count", "sum", "avg", "min", "max")
+
+
+def _validate_spec(spec: dict) -> None:
+    if not spec.get("group_by"):
+        raise ValueError("matview spec needs at least one group_by column")
+    if not spec.get("aggs"):
+        raise ValueError("matview spec needs at least one aggregate")
+    for alias, a in spec["aggs"].items():
+        if a["fn"] not in _FNS:
+            raise ValueError(f"unsupported agg fn {a['fn']!r} for {alias!r}")
+        if a["fn"] != "count" and not a.get("col"):
+            raise ValueError(f"agg {alias!r} ({a['fn']}) needs a col")
+        if alias.startswith("_mv_"):
+            raise ValueError(f"agg alias {alias!r} collides with riders")
+
+
+def _sum_scale(df, col: str) -> int:
+    """Decimal scale for the exact running sum of ``col`` — integral
+    types scale 0, decimals their own scale; float/double rejected
+    (order-dependent sums can't match a recompute)."""
+    from pyspark.sql import types as T
+
+    f = df.schema[col].dataType
+    if isinstance(f, T.DecimalType):
+        return f.scale
+    if isinstance(f, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return 0
+    raise ValueError(
+        f"sum/avg over {col} ({f.simpleString()}): incremental float "
+        "sums are order-dependent; quantize to decimal/int upstream")
+
+
+def _mv_key_col(group_by: list[str]):
+    """The view's merge key: xxhash64 of the group tuple (NULLs and
+    separators disambiguated). A LONG because the table layer's bucket
+    function contracts integral merge keys (`_bucket_of_py`). A 64-bit
+    collision would silently merge two groups, so every path that
+    could surface one GUARDS loudly instead: `create_matview` and the
+    delta fold reject duplicate keys across distinct group tuples
+    (`_check_key_collisions`), and `_apply_delta` cross-checks the
+    joined old row's group columns against the delta's."""
+    from pyspark.sql import functions as F
+
+    return F.xxhash64(F.concat_ws(
+        _SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                for c in group_by])).alias("_mv_key")
+
+
+def _check_key_collisions(df, what: str) -> None:
+    """Fail loudly if two distinct group tuples hashed to one key —
+    df must carry one row per group with its ``_mv_key``."""
+    from pyspark.sql import functions as F
+
+    r = df.agg(F.count(F.lit(1)).alias("n"),
+               F.countDistinct("_mv_key").alias("d")).collect()[0]
+    if int(r["n"]) != int(r["d"]):
+        raise RuntimeError(
+            f"matview group-key hash collision in {what}: "
+            f"{int(r['n']) - int(r['d'])} duplicate key(s) — "
+            "re-shape the group_by (astronomically rare)")
+
+
+def _filtered(df, spec):
+    flt = spec.get("filter")
+    from pyspark.sql import functions as F
+
+    return df.filter(F.expr(flt)) if flt else df
+
+
+def _full_state(df, spec, scales: dict[str, int]):
+    """The stored view rows computed from scratch over ``df`` — the
+    shape create_matview writes and every refresh must stay bit-equal
+    to (pinned by tests against the incremental path)."""
+    from pyspark.sql import functions as F
+
+    g = spec["group_by"]
+    rows = _filtered(df, spec)
+    aggs = [F.count(F.lit(1)).alias("_mv_cnt")]
+    for alias, a in spec["aggs"].items():
+        fn, col = a["fn"], a.get("col")
+        if fn in ("sum", "avg"):
+            s = scales[alias]
+            aggs.append(F.sum(F.col(col).cast(f"decimal(38,{s})"))
+                        .cast(f"decimal(38,{s})").alias(f"_mv_s_{alias}"))
+            aggs.append(F.count(F.col(col)).alias(f"_mv_n_{alias}"))
+        elif fn == "min":
+            aggs.append(F.min(col).alias(f"_mv_min_{alias}"))
+        elif fn == "max":
+            aggs.append(F.max(col).alias(f"_mv_max_{alias}"))
+    return rows.groupBy(*g).agg(*aggs).select(_mv_key_col(g), "*")
+
+
+def _state_path(view: TableLog) -> str:
+    return os.path.join(view.log_dir, "_matview.json")
+
+
+def _load_state(view: TableLog) -> dict:
+    with open(_state_path(view)) as fh:
+        return json.load(fh)
+
+
+def _write_state(view: TableLog, state: dict) -> None:
+    tmp = _state_path(view) + f".tmp{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, _state_path(view))
+
+
+def create_matview(spark, base: TableLog, view: TableLog, spec: dict,
+                   n_buckets: int = 8, writer: str = "matview") -> dict:
+    """Materialize ``spec`` over the base table's CURRENT snapshot and
+    pin the cursor at that version; `refresh_matview` folds everything
+    after it. The full compute is the only table-sized job the view
+    ever runs."""
+    _validate_spec(spec)
+    v0 = base.version()
+    df = read_snapshot_spark(spark, base)
+    scales = {a: _sum_scale(df, s["col"]) for a, s in spec["aggs"].items()
+              if s["fn"] in ("sum", "avg")}
+    full = _full_state(df, spec, scales)
+    _check_key_collisions(full, "create_matview")
+    write_initial_spark(spark, view, full, "_mv_key",
+                        n_buckets=n_buckets, writer=writer)
+    _write_state(view, {"spec": spec, "scales": scales,
+                        "base_path": base.path, "last_applied": v0})
+    return {"base_version": v0, "groups": None}
+
+
+def _recover_pending(view: TableLog, state: dict) -> dict:
+    """Resolve an interrupted apply: the pending marker's token is the
+    would-be merge commit's writer string — present in the log means
+    the apply LANDED (promote the marker's ``on_landed`` state patch:
+    the version cursor for a refresh, the batch high-water mark for a
+    streaming apply), absent means it didn't (the delta replays).
+    Either way the marker clears, so an apply never runs with one
+    outstanding."""
+    p = state.pop("pending", None)
+    if p is None:
+        return state
+    head = view.version()
+    for v in range(int(p["view_version_before"]) + 1, head + 1):
+        if view.read_commit(v).get("writer") == p["token"]:
+            state.update(p["on_landed"])
+            break
+    _write_state(view, state)
+    return state
+
+
+def matview_delta(spark, spec: dict, scales: dict, changes_df):
+    """Per-group signed fold of one change-feed batch: +1 for
+    insert/update_post rows, -1 for delete/update_pre — the exact
+    algebra that makes count/sum/avg self-maintaining. Also carries the
+    insert-side min/max candidates and the ``_mv_dirty`` flag (any
+    pre-image row) the min/max recompute keys off."""
+    from pyspark.sql import functions as F
+
+    g = spec["group_by"]
+    ch = _filtered(changes_df, spec)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    rows = ch.withColumn("_sg", sign)
+    aggs = [F.sum("_sg").alias("_d_cnt"),
+            F.max(F.when(F.col("_sg") < 0, 1).otherwise(0))
+            .alias("_mv_dirty")]
+    for alias, a in spec["aggs"].items():
+        fn, col = a["fn"], a.get("col")
+        if fn in ("sum", "avg"):
+            s = scales[alias]
+            aggs.append(
+                F.sum(F.col("_sg") * F.col(col).cast(f"decimal(38,{s})"))
+                .cast(f"decimal(38,{s})").alias(f"_d_s_{alias}"))
+            aggs.append(
+                F.sum(F.col("_sg")
+                      * F.col(col).isNotNull().cast("long"))
+                .alias(f"_d_n_{alias}"))
+        elif fn == "min":
+            aggs.append(F.min(F.when(F.col("_sg") > 0, F.col(col)))
+                        .alias(f"_c_min_{alias}"))
+        elif fn == "max":
+            aggs.append(F.max(F.when(F.col("_sg") > 0, F.col(col)))
+                        .alias(f"_c_max_{alias}"))
+    return rows.groupBy(*g).agg(*aggs).select(_mv_key_col(g), "*")
+
+
+def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
+                 delta, tok: str, base: TableLog | None,
+                 base_version: int | None) -> dict:
+    """Join the signed delta with the view's current rows, fold the new
+    riders, recompute dirty min/max groups from the base AS OF the
+    refresh end version, and land everything as ONE keyed MERGE whose
+    commit writer is ``tok`` (the crash-recovery breadcrumb)."""
+    from pyspark.sql import functions as F
+
+    from functools import reduce
+    from operator import and_
+
+    g = spec["group_by"]
+    has_minmax = any(a["fn"] in ("min", "max")
+                     for a in spec["aggs"].values())
+    _check_key_collisions(delta, "matview_delta")
+    old = read_snapshot_spark(spark, view)
+    d = delta.alias("d")
+    # keep the old row's group columns (renamed) for the hash-collision
+    # cross-check: a delta row joining an old row with DIFFERENT group
+    # values means two group tuples share one 64-bit key
+    o = old.select(
+        "_mv_key",
+        *[F.col(c).alias(f"_o_{c}") for c in g],
+        *[c for c in old.columns if c not in g and c != "_mv_key"],
+    ).alias("o")
+    j = d.join(o, F.col("d._mv_key") == F.col("o._mv_key"), "left")
+
+    cols = [F.col("d._mv_key").alias("_mv_key"),
+            *[F.col(f"d.{c}").alias(c) for c in g]]
+    new_cnt = (F.coalesce(F.col("o._mv_cnt"), F.lit(0))
+               + F.col("d._d_cnt"))
+    cols.append(new_cnt.alias("_mv_cnt"))
+    for alias, a in spec["aggs"].items():
+        fn = a["fn"]
+        if fn in ("sum", "avg"):
+            s = scales[alias]
+            zero = F.lit(0).cast(f"decimal(38,{s})")
+            cols.append(
+                (F.coalesce(F.col(f"o._mv_s_{alias}"), zero)
+                 + F.coalesce(F.col(f"d._d_s_{alias}"), zero))
+                .cast(f"decimal(38,{s})").alias(f"_mv_s_{alias}"))
+            cols.append(
+                (F.coalesce(F.col(f"o._mv_n_{alias}"), F.lit(0))
+                 + F.col(f"d._d_n_{alias}")).alias(f"_mv_n_{alias}"))
+        elif fn == "min":
+            cols.append(F.least(F.col(f"o._mv_min_{alias}"),
+                                F.col(f"d._c_min_{alias}"))
+                        .alias(f"_mv_min_{alias}"))
+        elif fn == "max":
+            cols.append(F.greatest(F.col(f"o._mv_max_{alias}"),
+                                   F.col(f"d._c_max_{alias}"))
+                        .alias(f"_mv_max_{alias}"))
+    up = j.select(*cols, F.col("d._mv_dirty").alias("_mv_dirty"))
+
+    same_grp = reduce(and_, [
+        F.col(f"d.{c}").eqNullSafe(F.col(f"o._o_{c}")) for c in g])
+    chk = j.select(
+        ((F.coalesce(F.col("o._mv_cnt"), F.lit(0))
+          + F.col("d._d_cnt")) < 0).cast("int").alias("_neg"),
+        (F.col("o._mv_cnt").isNotNull() & ~same_grp).cast("int")
+        .alias("_coll"),
+    ).agg(F.sum("_neg").alias("bad"), F.sum("_coll").alias("coll"),
+          F.count(F.lit(1)).alias("n")).collect()[0]
+    bad, n_up = int(chk["bad"] or 0), int(chk["n"])
+    if int(chk["coll"] or 0):
+        raise RuntimeError(
+            "matview group-key hash collision: delta group joined a "
+            "stored row with different group values")
+    if bad:
+        raise ValueError(
+            f"matview delta drove {bad} group(s) below zero rows — "
+            "the change batch is not a contiguous feed continuation")
+
+    n_dirty = 0
+    if has_minmax:
+        # tombstoned groups need no recompute; their min/max is NULL
+        dirty = up.filter((F.col("_mv_dirty") == 1)
+                          & (F.col("_mv_cnt") > 0))
+        n_dirty = dirty.count()
+        if n_dirty:
+            if base is None or base_version is None:
+                raise ValueError(
+                    "min/max view lost rows in a group; recompute "
+                    "needs the base table and a pinned version")
+            snap = _filtered(
+                read_snapshot_spark(spark, base, version=base_version),
+                spec)
+            keys = dirty.select("_mv_key")
+            raggs = []
+            for alias, a in spec["aggs"].items():
+                if a["fn"] == "min":
+                    raggs.append(F.min(a["col"])
+                                 .alias(f"_r_min_{alias}"))
+                elif a["fn"] == "max":
+                    raggs.append(F.max(a["col"])
+                                 .alias(f"_r_max_{alias}"))
+            rec = (snap.select(_mv_key_col(g), "*")
+                   .join(F.broadcast(keys), "_mv_key", "left_semi")
+                   .groupBy("_mv_key").agg(*raggs))
+            up = up.alias("u").join(rec.alias("r"), "_mv_key", "left")
+            fix = [F.col("_mv_key"),
+                   *[F.col(f"u.{c}").alias(c) for c in g],
+                   F.col("u._mv_cnt").alias("_mv_cnt")]
+            for alias, a in spec["aggs"].items():
+                fn = a["fn"]
+                if fn in ("sum", "avg"):
+                    fix.append(F.col(f"u._mv_s_{alias}")
+                               .alias(f"_mv_s_{alias}"))
+                    fix.append(F.col(f"u._mv_n_{alias}")
+                               .alias(f"_mv_n_{alias}"))
+                elif fn == "min":
+                    fix.append(
+                        F.when((F.col("u._mv_dirty") == 1)
+                               & (F.col("u._mv_cnt") > 0),
+                               F.col(f"r._r_min_{alias}"))
+                        .otherwise(F.col(f"u._mv_min_{alias}"))
+                        .alias(f"_mv_min_{alias}"))
+                elif fn == "max":
+                    fix.append(
+                        F.when((F.col("u._mv_dirty") == 1)
+                               & (F.col("u._mv_cnt") > 0),
+                               F.col(f"r._r_max_{alias}"))
+                        .otherwise(F.col(f"u._mv_max_{alias}"))
+                        .alias(f"_mv_max_{alias}"))
+            up = up.select(*fix, F.col("u._mv_dirty").alias("_mv_dirty"))
+
+    # tombstone: a dead group keeps its key with zeroed riders so the
+    # whole refresh stays one MERGE commit (no second delete commit to
+    # make atomic with it)
+    final = []
+    dead = F.col("_mv_cnt") == 0
+    for c in up.columns:
+        if c in ("_mv_key", "_mv_cnt") or c in g:
+            final.append(F.col(c))
+        elif c == "_mv_dirty":
+            continue
+        elif c.startswith("_mv_s_"):
+            s = scales[c[len("_mv_s_"):]]
+            final.append(F.when(dead, F.lit(0).cast(f"decimal(38,{s})"))
+                         .otherwise(F.col(c)).alias(c))
+        elif c.startswith("_mv_n_"):
+            final.append(F.when(dead, F.lit(0)).otherwise(F.col(c))
+                         .cast("long").alias(c))
+        else:  # _mv_min_/_mv_max_
+            final.append(F.when(dead, F.lit(None)).otherwise(F.col(c))
+                         .alias(c))
+    rows = up.select(*final)
+    merge_upsert_spark(spark, view, rows, "_mv_key", writer=tok)
+    return {"groups_upserted": n_up, "dirty_recomputed": int(n_dirty)}
+
+
+def refresh_matview(spark, base: TableLog, view: TableLog,
+                    max_versions: int | None = None,
+                    writer: str = "matview") -> dict:
+    """Fold the base commits past the cursor into the view — exactly
+    once, in one view commit. ``max_versions`` bounds one call's range
+    (catch-up pacing, the replication knob); loop until
+    ``behind == 0``."""
+    if max_versions is not None and max_versions < 1:
+        raise ValueError(f"max_versions must be >= 1, got {max_versions}")
+    state = _recover_pending(view, _load_state(view))
+    spec, scales = state["spec"], state["scales"]
+    last = int(state["last_applied"])
+    head = base.version()
+    hi = head if max_versions is None else min(head, last + max_versions)
+    out = {"from_version": last + 1, "to_version": hi,
+           "groups_upserted": 0, "dirty_recomputed": 0}
+    if hi <= last:
+        return dict(out, to_version=last, behind=max(0, head - last))
+    ch = table_changes_spark(spark, base, from_version=last + 1,
+                             to_version=hi)
+    delta = matview_delta(spark, spec, scales, ch)
+    tok = f"{writer}:apply:{last + 1}-{hi}:{uuid.uuid4().hex[:8]}"
+    _write_state(view, dict(
+        state, pending={"token": tok,
+                        "view_version_before": view.version(),
+                        "on_landed": {"last_applied": hi}}))
+    st = _apply_delta(spark, view, spec, scales, delta, tok,
+                      base=base, base_version=hi)
+    _write_state(view, dict(state, last_applied=hi))
+    out.update(st)
+    return dict(out, behind=head - hi)
+
+
+def apply_matview_changes(spark, view: TableLog, changes_df,
+                          batch_id: int | None = None,
+                          writer: str = "matview-stream") -> dict:
+    """The STREAMING face of the refresh: fold one change-feed
+    micro-batch (the `table_changes_spark` row shape, e.g. from the CDF
+    replay source) into the view inside a foreachBatch sink.
+    ``batch_id`` makes redelivery safe — a batch at or below the
+    writer's persisted high-water mark is skipped, and the crash window
+    between the merge and the mark uses the same pending-token recovery
+    as `refresh_matview`, so the fold lands EFFECTIVELY ONCE (the s23
+    ACID-sink discipline; deltas are not idempotent, so this matters
+    more here than for replication). Specs with min/max aggs refuse
+    batches that lose rows in a group (`_apply_delta` raises — the
+    recompute needs a pinned base version only the batch path lacks);
+    streaming views stick to the self-maintaining count/sum/avg."""
+    state = _recover_pending(view, _load_state(view))
+    spec, scales = state["spec"], state["scales"]
+    hwm_key = f"hwm_{writer}"
+    if batch_id is not None and int(batch_id) <= state.get(hwm_key, -1):
+        return {"skipped": True, "groups_upserted": 0,
+                "dirty_recomputed": 0}
+    delta = matview_delta(spark, spec, scales, changes_df)
+    tok = f"{writer}:batch:{batch_id}:{uuid.uuid4().hex[:8]}"
+    on_landed = {hwm_key: int(batch_id)} if batch_id is not None else {}
+    _write_state(view, dict(
+        state, pending={"token": tok,
+                        "view_version_before": view.version(),
+                        "on_landed": on_landed}))
+    st = _apply_delta(spark, view, spec, scales, delta, tok,
+                      base=None, base_version=None)
+    _write_state(view, dict(state, **on_landed))
+    return dict(st, skipped=False)
+
+
+def read_matview(spark, view: TableLog):
+    """The view as the user declared it: group columns + agg aliases,
+    tombstones filtered, SQL NULL semantics restored (SUM of an all-NULL
+    group is NULL, AVG divides by the non-null count as DOUBLE)."""
+    from pyspark.sql import functions as F
+
+    state = _load_state(view)
+    spec = state["spec"]
+    df = read_snapshot_spark(spark, view).filter(F.col("_mv_cnt") > 0)
+    cols = [F.col(c) for c in spec["group_by"]]
+    for alias, a in spec["aggs"].items():
+        fn = a["fn"]
+        if fn == "count":
+            cols.append(F.col("_mv_cnt").cast("long").alias(alias))
+        elif fn == "sum":
+            cols.append(F.when(F.col(f"_mv_n_{alias}") > 0,
+                               F.col(f"_mv_s_{alias}")).alias(alias))
+        elif fn == "avg":
+            # guard the division: ANSI mode (Spark 4 default) raises on
+            # /0, and an all-NULL group legitimately has nn == 0
+            cols.append(F.when(F.col(f"_mv_n_{alias}") > 0,
+                               F.col(f"_mv_s_{alias}").cast("double")
+                               / F.col(f"_mv_n_{alias}")).alias(alias))
+        elif fn == "min":
+            cols.append(F.col(f"_mv_min_{alias}").alias(alias))
+        else:
+            cols.append(F.col(f"_mv_max_{alias}").alias(alias))
+    return df.select(*cols)
+
+
+def matview_full_spark(spark, base: TableLog, spec: dict,
+                       version: int | None = None):
+    """Reference recompute: the view's user-facing rows derived from
+    scratch at ``version`` — what every incremental refresh must equal
+    (the tests' oracle, and the audit tool for a live view)."""
+    from pyspark.sql import functions as F
+
+    _validate_spec(spec)
+    df = read_snapshot_spark(spark, base, version=version)
+    scales = {a: _sum_scale(df, s["col"]) for a, s in spec["aggs"].items()
+              if s["fn"] in ("sum", "avg")}
+    st = _full_state(df, spec, scales)
+    cols = [F.col(c) for c in spec["group_by"]]
+    for alias, a in spec["aggs"].items():
+        fn = a["fn"]
+        if fn == "count":
+            cols.append(F.col("_mv_cnt").cast("long").alias(alias))
+        elif fn == "sum":
+            cols.append(F.when(F.col(f"_mv_n_{alias}") > 0,
+                               F.col(f"_mv_s_{alias}")).alias(alias))
+        elif fn == "avg":
+            # guard the division: ANSI mode (Spark 4 default) raises on
+            # /0, and an all-NULL group legitimately has nn == 0
+            cols.append(F.when(F.col(f"_mv_n_{alias}") > 0,
+                               F.col(f"_mv_s_{alias}").cast("double")
+                               / F.col(f"_mv_n_{alias}")).alias(alias))
+        elif fn == "min":
+            cols.append(F.col(f"_mv_min_{alias}").alias(alias))
+        else:
+            cols.append(F.col(f"_mv_max_{alias}").alias(alias))
+    return st.select(*cols)
+
+
+def purge_matview_tombstones(spark, view: TableLog,
+                             writer: str = "matview-purge") -> int:
+    """Reclaim dead groups (``_mv_cnt = 0``) — safe any time, in its
+    own commit, because refreshes treat an absent group and a tombstone
+    identically (both fold from zero)."""
+    from pyspark.sql import functions as F
+
+    dead = (read_snapshot_spark(spark, view)
+            .filter(F.col("_mv_cnt") == 0).select("_mv_key"))
+    n = dead.count()
+    if n:
+        delete_keys_spark(spark, view, dead, "_mv_key", writer=writer)
+    return int(n)

@@ -1,0 +1,370 @@
+"""Incremental materialized views (sources/matview.py): every refresh
+must land the EXACT rows a from-scratch recompute produces — under
+appends, updates, group-moving updates, deletes, filtered specs, NULL
+group keys and all-NULL sum columns — with exactly-once apply across
+the crash window (pending-token recovery) and the one-commit-per-refresh
+contract (group death is a tombstone, reclaimed separately)."""
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from distribot_spark.sources import acid
+from distribot_spark.sources.acid import TableLog
+from distribot_spark.sources import matview as mv
+
+
+def _tmp(prefix):
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir="/root/repo/.tmp")
+
+
+SPEC = {
+    "group_by": ["cat"],
+    "aggs": {
+        "cnt": {"fn": "count"},
+        "total": {"fn": "sum", "col": "val"},
+        "avg_val": {"fn": "avg", "col": "val"},
+        "lo": {"fn": "min", "col": "val"},
+        "hi": {"fn": "max", "col": "val"},
+    },
+}
+
+
+def _base_df(spark, lo=0, hi=200):
+    # cat 4 carries ONLY NULL vals (the SUM-of-no-values → NULL group)
+    return spark.range(lo, hi).select(
+        "id",
+        (F.col("id") % 5).cast("int").alias("cat"),
+        F.when(F.col("id") % 5 == 4, F.lit(None).cast("decimal(12,2)"))
+        .otherwise(F.expr("CAST((id * 37 % 1000) / 100.0 "
+                          "AS DECIMAL(12,2))")).alias("val"),
+    )
+
+
+def _mk(spark, spec=SPEC, n=200):
+    base = TableLog(_tmp("mvb_"))
+    acid.write_initial_spark(spark, base, _base_df(spark, 0, n), "id",
+                             n_buckets=4)
+    view = TableLog(_tmp("mvv_"))
+    mv.create_matview(spark, base, view, spec, n_buckets=2)
+    return base, view
+
+
+def _rows(df):
+    return sorted(
+        tuple(str(x) for x in r) for r in df.collect())
+
+
+def _assert_view_equals_recompute(spark, base, view, spec=SPEC):
+    got = _rows(mv.read_matview(spark, view))
+    want = _rows(mv.matview_full_spark(spark, base, spec))
+    assert got == want
+
+
+def test_create_matches_recompute(spark):
+    base, view = _mk(spark)
+    _assert_view_equals_recompute(spark, base, view)
+
+
+def test_refresh_mixed_workload_equals_recompute(spark):
+    base, view = _mk(spark)
+    # appends (new keys), updates (new val), group moves (new cat),
+    # deletes — the full CDF alphabet
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 200, 260), "id")
+    upd = _base_df(spark, 0, 40).select(
+        "id", "cat", (F.coalesce(F.col("val"), F.lit(0)) + 7)
+        .cast("decimal(12,2)").alias("val"))
+    acid.merge_upsert_spark(spark, base, upd, "id")
+    mover = _base_df(spark, 40, 60).select(
+        "id", ((F.col("cat") + 1) % 5).cast("int").alias("cat"), "val")
+    acid.merge_upsert_spark(spark, base, mover, "id")
+    acid.delete_keys_spark(
+        spark, base, spark.range(0, 260).filter(F.col("id") % 7 == 0)
+        .select("id"), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["behind"] == 0 and st["groups_upserted"] > 0
+    _assert_view_equals_recompute(spark, base, view)
+
+
+def test_paged_refresh_equals_one_shot(spark):
+    base, view = _mk(spark, n=100)
+    base2 = base  # same base drives a second, one-shot view
+    view2 = TableLog(_tmp("mvv_"))
+    mv.create_matview(spark, base2, view2, SPEC, n_buckets=2)
+    for lo in (100, 140, 180):
+        acid.merge_upsert_spark(
+            spark, base, _base_df(spark, lo, lo + 40), "id")
+    acid.delete_keys_spark(
+        spark, base, spark.range(0, 220).filter(F.col("id") % 11 == 0)
+        .select("id"), "id")
+    steps = 0
+    while True:
+        st = mv.refresh_matview(spark, base, view, max_versions=1)
+        steps += 1
+        if st["behind"] == 0:
+            break
+    assert steps == 4  # one per base commit: the pacing knob paces
+    one = mv.refresh_matview(spark, base2, view2)
+    assert one["behind"] == 0
+    assert _rows(mv.read_matview(spark, view)) == _rows(
+        mv.read_matview(spark, view2))
+    _assert_view_equals_recompute(spark, base, view)
+
+
+def test_minmax_recomputes_on_extreme_delete(spark):
+    base, view = _mk(spark)
+    top = (acid.read_snapshot_spark(spark, base)
+           .filter(F.col("cat") == 1)
+           .orderBy(F.col("val").desc()).limit(1).collect()[0])
+    acid.delete_keys_spark(
+        spark, base,
+        spark.createDataFrame([(top["id"],)], "id long"), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] >= 1
+    row = {r["cat"]: r for r in mv.read_matview(spark, view).collect()}
+    assert str(row[1]["hi"]) != str(top["val"])
+    _assert_view_equals_recompute(spark, base, view)
+
+
+def test_all_null_sum_group_and_null_transition(spark):
+    base, view = _mk(spark)
+    got = {r["cat"]: r for r in mv.read_matview(spark, view).collect()}
+    assert got[4]["total"] is None and got[4]["cnt"] > 0
+    assert got[4]["avg_val"] is None
+    # drive cat 0 all-NULL via updates: its sum must BECOME NULL
+    nullify = (acid.read_snapshot_spark(spark, base)
+               .filter(F.col("cat") == 0)
+               .select("id", "cat",
+                       F.lit(None).cast("decimal(12,2)").alias("val")))
+    acid.merge_upsert_spark(spark, base, nullify, "id")
+    mv.refresh_matview(spark, base, view)
+    got = {r["cat"]: r for r in mv.read_matview(spark, view).collect()}
+    assert got[0]["total"] is None and got[0]["cnt"] > 0
+    _assert_view_equals_recompute(spark, base, view)
+
+
+def test_group_death_tombstone_purge_and_rebirth(spark):
+    base, view = _mk(spark)
+    v_before = view.version()
+    doomed = (acid.read_snapshot_spark(spark, base)
+              .filter(F.col("cat") == 2).select("id"))
+    acid.delete_keys_spark(spark, base, doomed, "id")
+    mv.refresh_matview(spark, base, view)
+    # ONE view commit per refresh, even with a dying group
+    assert view.version() == v_before + 1
+    cats = {r["cat"] for r in mv.read_matview(spark, view).collect()}
+    assert 2 not in cats
+    raw = acid.read_snapshot_spark(spark, view)
+    assert raw.filter(F.col("_mv_cnt") == 0).count() == 1  # tombstone
+    assert mv.purge_matview_tombstones(spark, view) == 1
+    assert acid.read_snapshot_spark(spark, view).filter(
+        F.col("_mv_cnt") == 0).count() == 0
+    # rebirth folds from zero exactly like an absent group
+    acid.merge_upsert_spark(
+        spark, base,
+        spark.createDataFrame([(9001, 2, "42.42"), (9002, 2, None)],
+                              "id long, cat int, val string")
+        .select("id", "cat", F.col("val").cast("decimal(12,2)")
+                .alias("val")), "id")
+    mv.refresh_matview(spark, base, view)
+    _assert_view_equals_recompute(spark, base, view)
+
+
+def test_crash_after_merge_before_cursor_is_exactly_once(spark):
+    base, view = _mk(spark, n=100)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 100, 130), "id")
+    before_apply = view.version()
+    st = mv.refresh_matview(spark, base, view)
+    hi = st["to_version"]
+    tok = view.read_commit(view.version())["writer"]
+    # rewind the cursor to simulate dying between MERGE and cursor write
+    state = mv._load_state(view)
+    state["last_applied"] = hi - 1
+    state["pending"] = {"token": tok,
+                        "view_version_before": before_apply,
+                        "on_landed": {"last_applied": hi}}
+    mv._write_state(view, state)
+    st2 = mv.refresh_matview(spark, base, view)
+    # recovery saw the landed token: no re-apply, no double count
+    assert st2["behind"] == 0 and st2["groups_upserted"] == 0
+    assert view.version() == before_apply + 1
+    _assert_view_equals_recompute(spark, base, view)
+
+
+def test_crash_before_merge_replays_range_once(spark):
+    base, view = _mk(spark, n=100)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 100, 130), "id")
+    state = mv._load_state(view)
+    state["pending"] = {"token": "never-landed",
+                        "view_version_before": view.version(),
+                        "on_landed": {"last_applied": base.version()}}
+    mv._write_state(view, state)
+    st = mv.refresh_matview(spark, base, view)
+    assert st["groups_upserted"] > 0 and st["behind"] == 0
+    _assert_view_equals_recompute(spark, base, view)
+    assert "pending" not in mv._load_state(view)
+
+
+def test_filtered_spec_rows_crossing_the_filter(spark):
+    spec = {
+        "group_by": ["cat"],
+        "aggs": {"cnt": {"fn": "count"},
+                 "total": {"fn": "sum", "col": "val"}},
+        "filter": "val >= 3.00",
+    }
+    base, view = _mk(spark, spec=spec)
+    snap = acid.read_snapshot_spark(spark, base)
+    # push some rows BELOW the filter, pull some above it
+    down = (snap.filter(F.col("val") >= 5).limit(20)
+            .select("id", "cat",
+                    F.lit("1.00").cast("decimal(12,2)").alias("val")))
+    up = (snap.filter(F.col("val") < 3).limit(20)
+          .select("id", "cat",
+                  F.lit("9.99").cast("decimal(12,2)").alias("val")))
+    acid.merge_upsert_spark(spark, base, down.union(up), "id")
+    mv.refresh_matview(spark, base, view)
+    _assert_view_equals_recompute(spark, base, view, spec)
+
+
+def test_null_group_key_is_its_own_group(spark):
+    spec = {"group_by": ["tag"],
+            "aggs": {"cnt": {"fn": "count"},
+                     "total": {"fn": "sum", "col": "val"}}}
+    base = TableLog(_tmp("mvb_"))
+    df = spark.range(0, 60).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 2).cast("string")))
+        .alias("tag"),
+        F.expr("CAST(id AS DECIMAL(10,2))").alias("val"))
+    acid.write_initial_spark(spark, base, df, "id", n_buckets=2)
+    view = TableLog(_tmp("mvv_"))
+    mv.create_matview(spark, base, view, spec, n_buckets=2)
+    acid.delete_keys_spark(
+        spark, base, spark.range(0, 60).filter(F.col("id") % 6 == 0)
+        .select("id"), "id")
+    mv.refresh_matview(spark, base, view)
+    got = mv.read_matview(spark, view)
+    assert got.filter(F.col("tag").isNull()).count() == 1
+    _assert_view_equals_recompute(spark, base, view, spec)
+
+
+def test_float_sum_rejected(spark):
+    base = TableLog(_tmp("mvb_"))
+    df = spark.range(0, 10).select(
+        "id", (F.col("id") % 2).cast("int").alias("cat"),
+        (F.col("id") * 1.5).alias("val"))
+    acid.write_initial_spark(spark, base, df, "id", n_buckets=2)
+    view = TableLog(_tmp("mvv_"))
+    with pytest.raises(ValueError, match="order-dependent"):
+        mv.create_matview(
+            spark, base, view,
+            {"group_by": ["cat"],
+             "aggs": {"s": {"fn": "sum", "col": "val"}}})
+
+
+def test_non_contiguous_feed_fails_loudly(spark):
+    base, view = _mk(spark, n=50)
+    # a delete-only batch for a GROUP the view never saw drives its
+    # count negative — the guard must refuse rather than corrupt the
+    # view (a delete of an unseen row in an existing group, by
+    # contrast, legally decrements: the guard is per group)
+    bogus = spark.createDataFrame(
+        [(999, 99, "5.00", "delete", 1)],
+        "id long, cat int, val string, _change_type string, "
+        "_commit_version long").select(
+        "id", "cat", F.col("val").cast("decimal(12,2)").alias("val"),
+        "_change_type", "_commit_version")
+    state = mv._load_state(view)
+    delta = mv.matview_delta(spark, state["spec"], state["scales"], bogus)
+    with pytest.raises(ValueError, match="below zero"):
+        mv._apply_delta(spark, view, state["spec"], state["scales"],
+                        delta, "tok-test", base=base,
+                        base_version=base.version())
+
+
+def test_spec_validation(spark):
+    with pytest.raises(ValueError, match="group_by"):
+        mv._validate_spec({"group_by": [], "aggs": {"c": {"fn": "count"}}})
+    with pytest.raises(ValueError, match="unsupported"):
+        mv._validate_spec({"group_by": ["a"],
+                           "aggs": {"c": {"fn": "median", "col": "x"}}})
+    with pytest.raises(ValueError, match="needs a col"):
+        mv._validate_spec({"group_by": ["a"], "aggs": {"c": {"fn": "sum"}}})
+    with pytest.raises(ValueError, match="riders"):
+        mv._validate_spec({"group_by": ["a"],
+                           "aggs": {"_mv_x": {"fn": "count"}}})
+
+
+def _changes(spark, base, frm, to=None):
+    return acid.table_changes_spark(spark, base, "id", from_version=frm,
+                                    to_version=to)
+
+
+def test_streaming_apply_redelivery_skipped(spark):
+    spec = {"group_by": ["cat"],
+            "aggs": {"cnt": {"fn": "count"},
+                     "total": {"fn": "sum", "col": "val"}}}
+    base, view = _mk(spark, spec=spec, n=80)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 80, 120), "id")
+    ch = _changes(spark, base, 1)
+    st = mv.apply_matview_changes(spark, view, ch, batch_id=0, writer="t")
+    assert not st["skipped"] and st["groups_upserted"] > 0
+    st2 = mv.apply_matview_changes(spark, view, ch, batch_id=0, writer="t")
+    assert st2["skipped"]
+    _assert_view_equals_recompute(spark, base, view, spec)
+    # a LOWER batch id (late replay of an old batch) also skips
+    st3 = mv.apply_matview_changes(spark, view, ch, batch_id=-1,
+                                   writer="t")
+    assert st3["skipped"]
+
+
+def test_streaming_apply_crash_window_exactly_once(spark):
+    spec = {"group_by": ["cat"],
+            "aggs": {"cnt": {"fn": "count"},
+                     "total": {"fn": "sum", "col": "val"}}}
+    base, view = _mk(spark, spec=spec, n=80)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 80, 120), "id")
+    ch = _changes(spark, base, 1)
+    before = view.version()
+    st = mv.apply_matview_changes(spark, view, ch, batch_id=0, writer="t")
+    assert not st["skipped"]
+    tok = view.read_commit(view.version())["writer"]
+    # simulate dying between the MERGE and the hwm write: hwm rolled
+    # back, pending points at the landed token
+    state = mv._load_state(view)
+    state.pop("hwm_t", None)
+    state["pending"] = {"token": tok, "view_version_before": before,
+                        "on_landed": {"hwm_t": 0}}
+    mv._write_state(view, state)
+    st2 = mv.apply_matview_changes(spark, view, ch, batch_id=0,
+                                   writer="t")
+    assert st2["skipped"]  # recovery promoted the hwm: no double fold
+    assert view.version() == before + 1
+    _assert_view_equals_recompute(spark, base, view, spec)
+
+
+def test_streaming_apply_minmax_loss_refused(spark):
+    base, view = _mk(spark, n=80)  # SPEC includes min/max
+    acid.delete_keys_spark(
+        spark, base, spark.range(0, 80).filter(F.col("id") % 9 == 0)
+        .select("id"), "id")
+    ch = _changes(spark, base, 1)
+    with pytest.raises(ValueError, match="min/max"):
+        mv.apply_matview_changes(spark, view, ch, batch_id=0, writer="t")
+
+
+def test_delta_plan_stays_jvm_side(spark):
+    from distribot_spark.plans import uses_python_eval
+
+    base, view = _mk(spark, n=80)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 80, 120), "id")
+    state = mv._load_state(view)
+    delta = mv.matview_delta(spark, state["spec"], state["scales"],
+                             _changes(spark, base, 1))
+    assert not uses_python_eval(delta)
+    assert not uses_python_eval(mv.read_matview(spark, view))
