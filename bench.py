@@ -182,6 +182,11 @@ HEADLINE = [
     # re-aggregate-the-base alternative.
     "source_acid_matview",
     "s35_stream_matview",
+    # round-7 session-4: FOREIGN KEY lifecycle (ALTER validation scan +
+    # membership-probed merge with quarantine diversion + RESTRICT scan
+    # + deref + parent delete) — the cross-table governance write-path
+    # cost family.
+    "source_acid_foreign_keys",
 ]
 
 

@@ -3015,3 +3015,140 @@ def source_acid_matview(spark, sf_dir):
         F.expr("CAST(CAST(total AS BIGINT) DIV cnt AS BIGINT)")
         .alias("avg_cents"),
     ).orderBy("pri")
+
+
+@register(
+    "source_acid_foreign_keys",
+    oracle="""
+    WITH child0 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey % 10 <> 0
+    ),
+    ins AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    allc AS (
+        SELECT * FROM child0
+        UNION ALL SELECT * FROM ins WHERE o_custkey % 10 <> 0
+    ),
+    q AS (SELECT * FROM ins WHERE o_custkey % 10 = 0),
+    k AS (SELECT MIN(o_custkey) AS k FROM allc),
+    child_final AS (
+        SELECT * FROM allc WHERE o_custkey <> (SELECT k FROM k)),
+    parent_final AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey % 10 <> 0 AND c_custkey <> (SELECT k FROM k))
+    SELECT 'child' AS part, COUNT(*) AS cnt,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents
+    FROM child_final
+    UNION ALL
+    SELECT 'parent', COUNT(*), 0 FROM parent_final
+    UNION ALL
+    SELECT 'quarantined', COUNT(*),
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM q
+    ORDER BY part
+    """,
+    tags=("sources", "acid", "constraints", "fk"),
+)
+def source_acid_foreign_keys(spark, sf_dir):
+    """FOREIGN KEY constraints end to end (acid.alter_add_foreign_key —
+    the referential-integrity contract Delta/Iceberg never shipped,
+    completing CHECK/UNIQUE/GENERATED/IDENTITY): customers (keys %10
+    removed) become the PARENT, even orders referencing live customers
+    the CHILD seed; ALTER ADD FOREIGN KEY validates the existing rows
+    and registers the parent back-reference; a quarantine-mode merge of
+    the odd orders then DIVERTS exactly the orphaned rows (absent
+    parents) to the dead-letter area while clean rows land — the FK
+    probe is a bucket-pruned single-column scan of the parent's live
+    key set, never the parent. RESTRICT is exercised live: deleting the
+    most-referenced... the MIN-referenced customer key fails while
+    child rows still point at it (asserted), succeeds after those rows
+    are DV-deleted. The oracle recomputes all three censuses (final
+    child, final parent, quarantined) relationally — integer cents,
+    total order. The cross-log write-skew fence (child insert racing
+    parent delete) is forced-interleaved in tests/test_table_fk.py. At
+    100 TB: membership probes scale with the batch's bucket span,
+    restrict scans are column-pruned child scans bounded by registered
+    back-references, and the fence adds one meta-lock hold around the
+    commit link, not around any data work."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        alter_add_foreign_key,
+        delete_keys_spark,
+        merge_upsert_spark,
+        read_quarantine,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_fk_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    parent = TableLog(os.path.join(out, "parent"))
+    child = TableLog(os.path.join(out, "child"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+
+    write_initial_spark(spark, parent,
+                        cust.filter(F.col("c_custkey") % 10 != 0),
+                        "c_custkey", n_buckets=8)
+    write_initial_spark(
+        spark, child,
+        orders.filter((F.col("o_orderkey") % 2 == 0)
+                      & (F.col("o_custkey") % 10 != 0)),
+        "o_orderkey", n_buckets=8)
+    alter_add_foreign_key(spark, child, "fk_cust", "o_custkey",
+                          parent.path, on_violation="quarantine")
+
+    st = merge_upsert_spark(
+        spark, child, orders.filter(F.col("o_orderkey") % 2 == 1),
+        "o_orderkey")
+    assert st["quarantined"] > 0, st  # the orphaned odd orders
+
+    live = read_snapshot_spark(spark, child, dv_key="o_orderkey")
+    k = live.agg(F.min("o_custkey").alias("k")).collect()[0]["k"]
+    restricted = False
+    try:
+        delete_keys_spark(spark, parent,
+                          spark.createDataFrame([(int(k),)],
+                                                "c_custkey long"),
+                          "c_custkey")
+    except ValueError:
+        restricted = True
+    assert restricted, "RESTRICT did not fire on a referenced key"
+    # deref (DV-delete the referring child rows), then the delete lands
+    delete_keys_spark(
+        spark, child,
+        live.filter(F.col("o_custkey") == k).select("o_orderkey"),
+        "o_orderkey")
+    st = delete_keys_spark(spark, parent,
+                           spark.createDataFrame([(int(k),)],
+                                                 "c_custkey long"),
+                           "c_custkey")
+    assert st["deleted_rows"] == 1, st
+
+    child_fin = read_snapshot_spark(spark, child, dv_key="o_orderkey")
+    parent_fin = read_snapshot_spark(spark, parent, dv_key="c_custkey")
+    quar = read_quarantine(spark, child)
+    c = child_fin.agg(
+        F.count("*").alias("cnt"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents")
+    ).collect()[0]
+    p = parent_fin.agg(F.count("*").alias("cnt")).collect()[0]
+    qn = quar.agg(
+        F.count("*").alias("cnt"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [("child", int(c["cnt"]), int(c["cents"])),
+         ("parent", int(p["cnt"]), 0),
+         ("quarantined", int(qn["cnt"]), int(qn["cents"]))],
+        "part string, cnt long, cents long",
+    ).orderBy("part")

@@ -126,19 +126,39 @@ def _resolve_layout(table: "TableLog", key: str | None,
     return key, int(n_buckets)
 
 
-def _gate_state(table: "TableLog") -> tuple:
+def _gate_state(table: "TableLog", removal: bool = False) -> tuple:
     """What a writer must re-check before every commit attempt: the
-    constraint revision, the COLUMN-MAPPING revision, and the effective
-    layout. Any changing mid-flight means the write was prepared under
-    stale table rules — the gate aborts the attempt and the wrapper
-    re-runs the whole write (a batch translated under a superseded
-    mapping would commit columns under names a concurrent RENAME just
-    retired). The effective-layout check is what makes a rebucketing
-    OPTIMIZE safe against concurrent writers: its rewrite commit bumps
-    the version (losing writers retry), and the retry's gate sees the
-    landed rebucket and restarts under the new count instead of
-    mis-selecting files laid out under the new one."""
-    return (table.constraints_rev(), table.mapping_rev()) + tuple(
+    constraint revision, the COLUMN-MAPPING revision, the effective
+    layout — and the FK fence epochs. Any changing mid-flight means the
+    write was prepared under stale table rules — the gate aborts the
+    attempt and the wrapper re-runs the whole write (a batch translated
+    under a superseded mapping would commit columns under names a
+    concurrent RENAME just retired). The effective-layout check is what
+    makes a rebucketing OPTIMIZE safe against concurrent writers: its
+    rewrite commit bumps the version (losing writers retry), and the
+    retry's gate sees the landed rebucket and restarts under the new
+    count instead of mis-selecting files laid out under the new one.
+
+    FK fences: for a CHILD table the gate carries each parent's
+    ``fk_del_epoch`` — a parent DELETE landing mid-flight restarts the
+    write, which re-validates membership against the new parent state.
+    For a key-REMOVING op on a PARENT (``removal=True``:
+    delete/purge paths only — plain writes to a parent don't care
+    about child refs) it carries the table's own ``fk_ref_epoch`` — a
+    child commit landing mid-flight restarts the removal, which re-runs
+    the restrict scan. The gate's LAST read of these epochs is cached
+    on the instance; `try_commit` verifies them once more UNDER the
+    meta locks, closing the check-to-link window (cross-log write skew
+    needs a shared serialization point — the parent's meta lock)."""
+    fk = tuple(
+        (p, TableLog(p).fk_del_epoch()) for p in table.fk_parent_paths())
+    table._fk_seen = dict(fk)
+    own: tuple = ()
+    if removal and table.fk_referenced_by():
+        r = table.fk_ref_epoch()
+        table._fk_ref_seen = r
+        own = ("_ref", r)
+    return (table.constraints_rev(), table.mapping_rev(), fk, own) + tuple(
         table.effective_layout())
 
 
@@ -297,6 +317,51 @@ class TableLog:
     def constraints(self) -> dict:
         """The persisted CHECK constraints ({} when none)."""
         return self._meta().get("constraints") or {}
+
+    # -- foreign keys (cross-table referential integrity) ------------------
+
+    def fk_specs(self) -> dict:
+        """FOREIGN KEY constraints among the persisted set: specs with
+        a ``foreign_key`` body ({"parent": path, "parent_key": col})."""
+        return {n: c for n, c in self.constraints().items()
+                if c.get("foreign_key")}
+
+    def fk_parent_paths(self) -> list[str]:
+        """Sorted unique parent table paths of this table's FKs — the
+        lock-acquisition order for the commit-time fence (sorted =
+        deadlock-free with multi-parent children)."""
+        return sorted({c["foreign_key"]["parent"]
+                       for c in self.fk_specs().values()})
+
+    def fk_referenced_by(self) -> list[dict]:
+        """Back-references registered by children's ALTER ADD FOREIGN
+        KEY: [{"name", "child" (path), "col"}]. A non-empty list makes
+        this table a PARENT: key-removing ops (DELETE/PURGE) must prove
+        no live child row references the removed keys, and their
+        commits are fenced by ``fk_ref_epoch``."""
+        return list(self._meta().get("fk_referenced_by") or [])
+
+    def fk_del_epoch(self) -> int:
+        """Bumped (under the meta lock, atomically with the commit
+        link) by every key-REMOVING commit on this table. Child writers
+        capture it when validating FK membership and their commits
+        verify it unchanged under the same lock — the parent half of
+        the cross-log write-skew fence."""
+        return int(self._meta().get("fk_del_epoch", 0))
+
+    def fk_ref_epoch(self) -> int:
+        """Bumped by every commit of a CHILD table referencing this
+        one (under this table's meta lock). Key-removing writers here
+        capture it before the restrict scan and verify it unchanged at
+        commit — the child half of the fence."""
+        return int(self._meta().get("fk_ref_epoch", 0))
+
+    def _fk_bump(self, field: str) -> None:
+        """Increment an FK epoch — caller MUST hold this table's meta
+        lock (the bump must be atomic with the commit link it fences)."""
+        meta = self._meta()
+        meta[field] = int(meta.get(field, 0)) + 1
+        self._persist_meta(meta)
 
     def identity(self) -> dict | None:
         """The persisted IDENTITY column spec ({"col": name}) or None —
@@ -506,7 +571,20 @@ class TableLog:
         can be superseded — which is the same contract flow claims
         operate under. ``_steal_hook`` (tests only) runs between a
         steal's O_EXCL create and its predecessor re-verification, to
-        force the replaced-mid-steal interleaving."""
+        force the replaced-mid-steal interleaving.
+
+        REENTRANT per instance: the same TableLog object may nest
+        acquisitions (a self-referencing FK's commit fence fires inside
+        the ALTER barrier, which already holds this lock) — the inner
+        enter is a no-op because it is the same logical owner. Two
+        INSTANCES of one path still conflict, as they must."""
+        if getattr(self, "_meta_lock_depth", 0) > 0:
+            self._meta_lock_depth += 1
+            try:
+                yield
+            finally:
+                self._meta_lock_depth -= 1
+            return
         deadline = time.time() + timeout
         held: str | None = None
         while held is None:
@@ -568,8 +646,10 @@ class TableLog:
                 except FileNotFoundError:
                     pass
                 g += 1
+            self._meta_lock_depth = 1
             yield
         finally:
+            self._meta_lock_depth = 0
             try:
                 os.unlink(held)
             except FileNotFoundError:
@@ -752,6 +832,7 @@ class TableLog:
         writer: str,
         dvs: dict[str, str] | None = None,
         id_range: tuple[int, int] | None = None,
+        fk_removal: bool = False,
     ) -> bool:
         """Atomically commit version ``parent+1``; True iff THIS caller
         created it. Body is full before the link lands (tmp-then-link),
@@ -763,7 +844,59 @@ class TableLog:
         from that file without rewriting it (Delta/Iceberg deletion
         vectors). DVs accumulate per file until the file itself is
         removed (an OPTIMIZE/MERGE rewrite folds them in); `live_dvs`
-        folds the mapping, readers anti-join it."""
+        folds the mapping, readers anti-join it.
+
+        FOREIGN-KEY fence (``fk_specs`` / ``fk_referenced_by``): the
+        link happens while HOLDING the involved meta locks, with one
+        last epoch verify against the values captured at validation —
+        commit-log OCC alone cannot serialize across two tables' logs
+        (a child insert of key K and a parent delete of K each win
+        their own log: classic write skew), so the parent's meta lock
+        is the shared serialization point. A failed verify returns
+        False; the caller's OCC loop then trips its `_gate_state` check
+        and the write restarts with fresh validation.
+        ``fk_removal=True`` marks key-REMOVING commits (delete/purge):
+        they verify and bump the fence on the REFERENCED side too."""
+        fk_parents = [p for p in self.fk_parent_paths()
+                      if p in getattr(self, "_fk_seen", {})]
+        removal = bool(fk_removal and self.fk_referenced_by()
+                       and getattr(self, "_fk_ref_seen", None) is not None)
+        if fk_parents or removal:
+            with contextlib.ExitStack() as stack:
+                plogs = {}
+                lockset = set(fk_parents) | ({self.path} if removal
+                                             else set())
+                for p in sorted(lockset):
+                    t = self if p == self.path else TableLog(p)
+                    plogs[p] = t
+                    stack.enter_context(t._meta_lock())
+                seen = self._fk_seen
+                for p in fk_parents:
+                    if plogs.get(p, TableLog(p)).fk_del_epoch() != seen[p]:
+                        return False  # parent removed keys since our
+                        # validation; the caller's gate restarts us
+                if removal and self.fk_ref_epoch() != self._fk_ref_seen:
+                    return False  # a child gained references mid-scan
+                # bumps BEFORE the link: a failed link merely forces
+                # extra restarts elsewhere (conservative, never unsafe)
+                for p in fk_parents:
+                    plogs.get(p, TableLog(p))._fk_bump("fk_ref_epoch")
+                if removal:
+                    self._fk_bump("fk_del_epoch")
+                return self._try_commit_linked(
+                    parent, adds, removes, writer, dvs, id_range)
+        return self._try_commit_linked(
+            parent, adds, removes, writer, dvs, id_range)
+
+    def _try_commit_linked(
+        self,
+        parent: int,
+        adds: list[dict],
+        removes: list[str],
+        writer: str,
+        dvs: dict[str, str] | None = None,
+        id_range: tuple[int, int] | None = None,
+    ) -> bool:
         v = parent + 1
         path = self._commit_path(v)
         body = {
@@ -1684,6 +1817,86 @@ def pq_file_nonempty(path: str) -> bool:
     return pq.read_metadata(path).num_rows > 0
 
 
+def _fk_parent_keys_spark(spark, child: TableLog, c: dict, probe_df):
+    """The referenced parent's live key set, pruned to the buckets the
+    batch's FK values can land in (bucket ids are a bounded collect —
+    at most n_buckets — so planning stays O(1) to the driver), DV
+    folded, distinct. Captures the parent's ``fk_del_epoch`` on the
+    CHILD instance first, so the membership check and the commit-time
+    fence agree on what state was validated (a parent delete after the
+    capture trips the gate/fence and restarts the write)."""
+    from pyspark.sql import functions as F
+
+    fk = c["foreign_key"]
+    parent = TableLog(fk["parent"])
+    seen = dict(getattr(child, "_fk_seen", {}) or {})
+    seen[parent.path] = parent.fk_del_epoch()
+    child._fk_seen = seen
+    pkey, n_b = parent.layout()
+    if pkey is None:
+        raise ValueError(
+            f"FK parent {fk['parent']} has no persisted layout")
+    pkey_p = parent.physical_name(pkey)
+    col = c["col"]
+    bks = {int(r["b"]) for r in probe_df
+           .filter(F.col(col).isNotNull())
+           .select(_bucket_expr(col, n_b, parent.hash_buckets())
+                   .alias("b")).distinct().collect()}
+    files = parent.live_paths(bks)
+    if not files:
+        return spark.createDataFrame([], f"_fk_pk long")
+    base = (spark.read.option("mergeSchema", "true").parquet(*files)
+            .select(pkey_p))
+    names = {os.path.basename(p) for p in files}
+    dvmap = {f: ds for f, ds in parent.live_dvs().items() if f in names}
+    base = _apply_dvs(spark, parent, base, pkey_p, dvmap, files=names)
+    return base.select(F.col(pkey_p).alias("_fk_pk")).distinct()
+
+
+def _apply_fk_spark(spark, table: TableLog, df, fkcons: dict,
+                    writer: str):
+    """FOREIGN KEY enforcement for Spark writers: each batch row's FK
+    value must exist in the parent's live key set (NULL passes — SQL
+    MATCH SIMPLE). Fail-mode violations abort executor-side via the
+    filter-on-assert spelling (no extra pass); quarantine-mode rows
+    come back as a tag column for the shared DLQ write. The join's
+    parent side is the bucket-pruned distinct key set — it scales with
+    the batch's bucket span, never the parent."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    tags = []
+    for name in sorted(fkcons):
+        c = fkcons[name]
+        col = c["col"]
+        if col not in df.columns:
+            continue  # all-NULL column (schema evolution): FK passes
+        pkeys = _fk_parent_keys_spark(spark, table, c, df)
+        flag = f"_fk_bad_{name}"
+        df = (df.join(F.broadcast(pkeys.withColumnRenamed(
+                  "_fk_pk", f"_fk_pk_{name}")),
+                  F.col(col) == F.col(f"_fk_pk_{name}"), "left")
+              .withColumn(flag, F.col(col).isNotNull()
+                          & F.col(f"_fk_pk_{name}").isNull())
+              .drop(f"_fk_pk_{name}"))
+        if c.get("on_violation", "fail") == "fail":
+            df = df.filter(
+                F.assert_true(
+                    ~F.col(flag),
+                    F.concat(
+                        F.lit(f"FOREIGN KEY constraint '{name}' "
+                              f"violated: {col}="),
+                        F.col(col).cast("string"),
+                        F.lit(" has no parent row"),
+                    ),
+                ).isNull()
+            ).drop(flag)
+        else:
+            tags.append((name, flag))
+    return df, tags
+
+
 def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     """Split CHECK enforcement by each constraint's ``on_violation``
     policy (dlt's expectations): ``fail`` (default) aborts the write
@@ -1695,7 +1908,10 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     (clean_df, n_quarantined, quarantine_dir_or_None — so a write
     restarted by a racing ALTER can retract its stale diversions).
     The quarantine write is one extra job and only runs when
-    quarantine-mode constraints exist."""
+    quarantine-mode constraints exist. FOREIGN KEY specs are enforced
+    here too (`_apply_fk_spark`): fail-mode aborts in-stage, and
+    quarantine-mode FK rows flow into the SAME dead-letter write and
+    the same retraction contract as CHECK rows."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -1703,6 +1919,11 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     cons = table.constraints()
     if not cons:
         return df, 0, None
+    fkcons = {n: c for n, c in cons.items() if c.get("foreign_key")}
+    cons = {n: c for n, c in cons.items() if not c.get("foreign_key")}
+    fk_tags: list = []
+    if fkcons:
+        df, fk_tags = _apply_fk_spark(spark, table, df, fkcons, writer)
     fail = {n: c for n, c in cons.items()
             if c.get("on_violation", "fail") == "fail"}
     quar = {n: c for n, c in cons.items()
@@ -1718,7 +1939,7 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
         quar = dict(quar)  # tag everything with the first such name
         quar[all_bad[0]] = {"col": df.columns[0], "not_null": False,
                             "_always": True}
-    if not quar:
+    if not quar and not fk_tags:
         return df, 0, None
     # first failing constraint name per row (NULL = clean)
     tag = reduce(
@@ -1729,7 +1950,10 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
         sorted(quar),
         F.when(F.lit(False), F.lit(None)),
     )
-    tagged = df.withColumn("_constraint", tag)
+    for name, flag in fk_tags:  # quarantine-mode FK joins the same DLQ
+        tag = tag.when(F.col(flag), F.lit(name))
+    tagged = df.withColumn("_constraint", tag).drop(
+        *[flag for _, flag in fk_tags])
     out = os.path.join(quarantine_dir(table), uuid.uuid4().hex)
     bad = tagged.filter(F.col("_constraint").isNotNull()).withColumn(
         "_writer", F.lit(writer)
@@ -1747,22 +1971,87 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     return clean, nq, (out if nq else None)
 
 
+def _fk_parent_keys_pandas(child: TableLog, c: dict, vals) -> set:
+    """pandas-client twin of `_fk_parent_keys_spark`: the parent's live
+    key set for exactly the probe values' buckets, DV-subtracted, via
+    pyarrow column reads — no JVM. Same epoch capture contract."""
+    import pyarrow.parquet as pq
+
+    fk = c["foreign_key"]
+    parent = TableLog(fk["parent"])
+    seen = dict(getattr(child, "_fk_seen", {}) or {})
+    seen[parent.path] = parent.fk_del_epoch()
+    child._fk_seen = seen
+    pkey, n_b = parent.layout()
+    if pkey is None:
+        raise ValueError(
+            f"FK parent {fk['parent']} has no persisted layout")
+    pkey_p = parent.physical_name(pkey)
+    hashed = parent.hash_buckets()
+    bks = {_bucket_of_py(int(v), n_b, hashed) for v in vals}
+    _, live = parent.snapshot()
+    dvs = parent.live_dvs()
+    keys: set = set()
+    for f in sorted(live):
+        if live[f] not in bks:
+            continue
+        s = set(pq.read_table(parent.data_path(f),
+                              columns=[pkey_p]).to_pandas()[pkey_p])
+        for d in dvs.get(f, ()):
+            s -= set(pq.read_table(
+                parent.data_path(d)).to_pandas()[pkey_p])
+        keys |= s
+    return keys
+
+
+def _apply_fk_pandas(table: TableLog, frame, fkcons: dict):
+    """FK enforcement for the JVM-free client: fail-mode raises before
+    staging; quarantine-mode returns {name: bad row mask} for the
+    shared DLQ tagging. NULL FK values pass (SQL MATCH SIMPLE)."""
+    import pandas as pd
+
+    masks: dict = {}
+    for name in sorted(fkcons):
+        c = fkcons[name]
+        col = c["col"]
+        if col not in frame.columns:
+            continue  # all-NULL column: FK passes
+        s = frame[col]
+        vals = set(s.dropna().unique().tolist())
+        pkeys = _fk_parent_keys_pandas(table, c, vals) if vals else set()
+        bad = s.notna() & ~s.isin(pkeys)
+        if c.get("on_violation", "fail") == "fail":
+            if bad.any():
+                raise ValueError(
+                    f"FOREIGN KEY constraint '{name}' violated by "
+                    f"{int(bad.sum())} row(s): {col} has no parent row")
+        elif bad.any():
+            masks[name] = bad
+    return masks
+
+
 def _apply_constraints_pandas(table: TableLog, frame, writer: str):
     """pandas-client half of policy-split enforcement: fail-mode raises
     before staging, quarantine-mode writes the diverted rows and
-    returns (clean_frame, n_quarantined)."""
+    returns (clean_frame, n_quarantined). FOREIGN KEY specs enforce
+    here too, mirroring `_apply_constraints_spark` exactly — including
+    tag priority (CHECK names outrank FK names, smallest name wins
+    within each family)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cons = table.constraints()
     if not cons:
         return frame, 0, None
+    fkcons = {n: c for n, c in cons.items() if c.get("foreign_key")}
+    cons = {n: c for n, c in cons.items() if not c.get("foreign_key")}
+    fk_masks = _apply_fk_pandas(table, frame, fkcons) if fkcons else {}
     fail = {n: c for n, c in cons.items()
             if c.get("on_violation", "fail") == "fail"}
     quar = {n: c for n, c in cons.items()
             if c.get("on_violation") == "quarantine"}
     _constraint_guard_pandas(frame, fail)
-    if not quar:
+    if not quar and not fk_masks:
         return frame, 0, None
     import pandas as pd
 
@@ -1788,6 +2077,11 @@ def _apply_constraints_pandas(table: TableLog, frame, writer: str):
         if "max_len" in c:
             bad |= s.notna() & (s.astype(str).str.len() > int(c["max_len"]))
         tag[bad] = name
+    fk_tag = pd.Series([None] * len(frame), index=frame.index,
+                       dtype=object)
+    for name in sorted(fk_masks, reverse=True):  # smallest name wins
+        fk_tag[fk_masks[name]] = name
+    tag[tag.isna() & fk_tag.notna()] = fk_tag  # CHECK outranks FK
     bad_mask = tag.notna()
     nq = int(bad_mask.sum())
     if nq:
@@ -1909,6 +2203,19 @@ def alter_add_constraint_spark(
                 nbad = df.groupBy(spec["col"]).count().filter(
                     F.col("count") > 1
                 ).count()
+            elif spec.get("foreign_key"):
+                # every existing non-NULL FK value must have a parent
+                # row; the capture inside _fk_parent_keys_spark also
+                # arms the barrier commit's cross-table fence
+                from pyspark.sql import functions as F
+                if spec["col"] in df.columns:
+                    pkeys = _fk_parent_keys_spark(spark, table, spec, df)
+                    nbad = (df.filter(F.col(spec["col"]).isNotNull())
+                            .join(pkeys,
+                                  F.col(spec["col"]) == F.col("_fk_pk"),
+                                  "left_anti").count())
+                else:
+                    nbad = 0  # all-NULL column: FK passes
             else:
                 nbad = df.filter(~_constraint_ok_expr(spec)).count()
             if nbad:
@@ -1956,6 +2263,187 @@ def alter_drop_constraint(table: TableLog, name: str) -> None:
         meta["constraints"] = cons
         meta["constraints_rev"] = int(meta.get("constraints_rev", 0)) + 1
         table._persist_meta(meta)
+
+
+def _fk_refuse(table: TableLog, op: str) -> None:
+    """SYNC and RESTORE rewrite table state wholesale — re-proving
+    referential integrity would mean revalidating both sides entirely,
+    so tables in ANY foreign-key relationship refuse them loudly (the
+    documented boundary, like identity×sync)."""
+    if table.fk_specs():
+        raise ValueError(
+            f"{op} on a table with FOREIGN KEY constraints is not "
+            "supported: drop the foreign key(s) first")
+    if table.fk_referenced_by():
+        raise ValueError(
+            f"{op} on an FK-referenced parent is not supported: "
+            "children's integrity cannot be preserved — drop the "
+            "foreign key(s) first")
+
+
+def _fk_deregister(parent: TableLog, name: str, child_path: str) -> None:
+    with parent._meta_lock():
+        meta = parent._meta()
+        refs = [r for r in (meta.get("fk_referenced_by") or [])
+                if not (r["name"] == name and r["child"] == child_path)]
+        meta["fk_referenced_by"] = refs
+        parent._persist_meta(meta)
+
+
+def alter_add_foreign_key(
+    spark,
+    child: TableLog,
+    name: str,
+    col: str,
+    parent_path: str,
+    on_violation: str = "fail",
+    writer: str = "alter-fk",
+) -> dict:
+    """ALTER TABLE ADD FOREIGN KEY — cross-table referential integrity
+    on the governance layer (the constraint Delta/Iceberg never
+    shipped; completes CHECK/UNIQUE/GENERATED/IDENTITY). ``col`` must
+    reference the parent's MERGE KEY (existence against the bucketed,
+    DV-folded live key set is then a bucket-pruned single-column probe,
+    and MERGE semantics keep it meaningful).
+
+    Protocol: the back-reference registers in the PARENT's metadata
+    FIRST (conservative — the parent starts restrict-checking and
+    fencing before the child even enforces), then the child side runs
+    the standard ALTER barrier (`alter_add_constraint_spark`):
+    validate existing rows → persist under a bumped constraints_rev →
+    empty barrier commit that restarts in-flight writers. A failed
+    validation deregisters the back-reference. Enforcement from then
+    on: every child write proves membership (fail or quarantine mode),
+    every parent DELETE/PURGE proves no live child reference
+    (RESTRICT), and the cross-log write-skew window is closed by the
+    epoch fence in `try_commit`. Self-referencing FKs (hierarchies) are
+    supported; the restrict scan then ignores child rows that are
+    themselves being deleted (so deleting a closed subtree works).
+
+    Boundaries (loud, documented): SYNC and RESTORE refuse tables in
+    any FK relationship (both rewrite state wholesale — re-proving
+    integrity would mean revalidating everything), and tombstone purge
+    refuses referenced parents."""
+    parent = TableLog(parent_path)
+    pkey, _nb = parent.layout()
+    if pkey is None:
+        raise ValueError(
+            f"FK parent {parent_path} has no persisted layout "
+            "(the referenced column must be its merge key)")
+    spec = {"col": col,
+            "foreign_key": {"parent": parent_path, "parent_key": pkey}}
+    if on_violation != "fail":
+        spec["on_violation"] = on_violation
+    with parent._meta_lock():
+        meta = parent._meta()
+        refs = list(meta.get("fk_referenced_by") or [])
+        if any(r["name"] == name and r["child"] == child.path
+               for r in refs):
+            raise ValueError(f"foreign key {name!r} already registered")
+        refs.append({"name": name, "child": child.path, "col": col})
+        meta["fk_referenced_by"] = refs
+        parent._persist_meta(meta)
+    try:
+        return alter_add_constraint_spark(spark, child, name, spec,
+                                          writer=writer)
+    except BaseException:
+        _fk_deregister(parent, name, child.path)
+        raise
+
+
+def alter_drop_foreign_key(child: TableLog, name: str) -> None:
+    """ALTER TABLE DROP FOREIGN KEY: stop child enforcement first
+    (constraints_rev bump restarts in-flight writers), then release the
+    parent's back-reference — between the two the parent merely
+    restrict-checks a dropped FK (conservative, never unsafe)."""
+    spec = child.fk_specs().get(name)
+    if spec is None:
+        raise KeyError(f"no such foreign key: {name}")
+    alter_drop_constraint(child, name)
+    _fk_deregister(TableLog(spec["foreign_key"]["parent"]), name,
+                   child.path)
+
+
+def _fk_restrict_spark(spark, table: TableLog, keys_df, key: str) -> None:
+    """RESTRICT half of FK enforcement: refuse a key-removal whose keys
+    any live child row still references. One column-pruned scan of
+    each registered child's FK column (DV-folded); the deleted-key set
+    joins in as the probe. Captures ``fk_ref_epoch`` BEFORE scanning —
+    `try_commit(fk_removal=True)` verifies it unchanged under the meta
+    lock, so a child insert racing the scan restarts the removal."""
+    refs = table.fk_referenced_by()
+    if not refs:
+        return
+    from pyspark.sql import functions as F
+
+    table._fk_ref_seen = table.fk_ref_epoch()
+    probe = keys_df.select(F.col(key).alias("_del_k")).distinct()
+    for r in refs:
+        child = TableLog(r["child"])
+        col = child.physical_name(r["col"])
+        ckey_l, _ = child.layout()
+        ckey = child.physical_name(ckey_l) if ckey_l else None
+        files = child.live_paths()
+        if not files:
+            continue
+        sel = [col] + ([ckey] if ckey and ckey != col else [])
+        base = (spark.read.option("mergeSchema", "true")
+                .parquet(*files).select(*sel))
+        names = {os.path.basename(p) for p in files}
+        dvmap = {f: ds for f, ds in child.live_dvs().items()
+                 if f in names}
+        if dvmap and ckey:
+            base = _apply_dvs(spark, child, base, ckey, dvmap,
+                              files=names)
+        if child.path == table.path and ckey:
+            # self-FK: rows being deleted don't count as referrers —
+            # deleting a closed subtree must succeed
+            base = base.join(
+                probe.withColumnRenamed("_del_k", ckey).select(ckey),
+                ckey, "left_anti")
+        n = (base.select(F.col(col).alias("_del_k"))
+             .join(F.broadcast(probe), "_del_k", "left_semi").count())
+        if n:
+            raise ValueError(
+                f"FOREIGN KEY '{r['name']}' RESTRICT: {n} live row(s) "
+                f"in child {r['child']} still reference deleted key(s)")
+
+
+def _fk_restrict_pandas(table: TableLog, kset: set) -> None:
+    """pandas twin of `_fk_restrict_spark` — same scan, pyarrow column
+    reads, same epoch capture contract."""
+    refs = table.fk_referenced_by()
+    if not refs:
+        return
+    import pyarrow.parquet as pq
+
+    table._fk_ref_seen = table.fk_ref_epoch()
+    for r in refs:
+        child = TableLog(r["child"])
+        col = child.physical_name(r["col"])
+        ckey_l, _ = child.layout()
+        ckey = child.physical_name(ckey_l) if ckey_l else None
+        _, live = child.snapshot()
+        dvs = child.live_dvs()
+        n = 0
+        for f in sorted(live):
+            cols = [col] + ([ckey] if ckey and ckey != col else [])
+            frame = pq.read_table(
+                child.data_path(f), columns=cols).to_pandas()
+            if ckey:
+                dead: set = set()
+                for d in dvs.get(f, ()):
+                    dead |= set(pq.read_table(
+                        child.data_path(d)).to_pandas()[ckey])
+                if dead:
+                    frame = frame[~frame[ckey].isin(dead)]
+                if child.path == table.path:
+                    frame = frame[~frame[ckey].isin(kset)]
+            n += int(frame[col].isin(kset).sum())
+        if n:
+            raise ValueError(
+                f"FOREIGN KEY '{r['name']}' RESTRICT: {n} live row(s) "
+                f"in child {r['child']} still reference deleted key(s)")
 
 
 # -- column mapping: translation + ALTER ------------------------------------
@@ -3151,6 +3639,7 @@ def sync_snapshot_spark(
     Returns {committed_version, attempts, recomputes,
     rewritten_buckets} (committed_version = current head when nothing
     changed — no empty commit)."""
+    _fk_refuse(table, "SYNC")
     from pyspark.sql import functions as F
 
     _rev0 = _gate_state(table)  # BEFORE resolving (see merge note)
@@ -3368,6 +3857,11 @@ def purge_tombstones_pandas(
     no tombstones are untouched. After purge, a late stale upsert for a
     purged key would insert again — which is why the horizon gates
     this, exactly Delta's vacuum-vs-time-travel retention contract."""
+    if table.fk_referenced_by():
+        raise ValueError(
+            "tombstone purge on an FK-referenced parent: physical row "
+            "removal would bypass the RESTRICT scan — drop the foreign "
+            "key(s) first")
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -3477,11 +3971,12 @@ def delete_keys_pandas(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    _rev0 = _gate_state(table)
+    _rev0 = _gate_state(table, removal=True)
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     key = table.physical_name(key)  # file-space key (column mapping)
 
     kset = {int(k) for k in keys}
+    _fk_restrict_pandas(table, kset)  # RESTRICT (no-op w/o back-refs)
     touched = {_bucket_of_py(k, n_buckets, table.hash_buckets())
                for k in kset}
     attempts = 0
@@ -3524,19 +4019,20 @@ def delete_keys_pandas(
                 staged_dvs[f] = name
                 deleted_rows += len(hit)
             if not staged_dvs:
-                if _gate_state(table) != _rev0:
+                if _gate_state(table, removal=True) != _rev0:
                     raise _ConstraintsChanged(None)  # stale layout: the
                     # miss may be an artifact of old bucket ids — restart
                 return {"committed_version": v, "attempts": attempts,
                         "deleted_rows": 0, "dv_files": 0}
         if pre_commit_hook is not None:
             pre_commit_hook(v)
-        if _gate_state(table) != _rev0:
+        if _gate_state(table, removal=True) != _rev0:
             _unlink_staged(table,
                            [{"file": d} for d in staged_dvs.values()])
             raise _ConstraintsChanged(None)
         attempts += 1
-        if table.try_commit(v, [], [], writer, dvs=staged_dvs):
+        if table.try_commit(v, [], [], writer, dvs=staged_dvs,
+                            fk_removal=True):
             return {"committed_version": v + 1, "attempts": attempts,
                     "deleted_rows": deleted_rows,
                     "dv_files": len(staged_dvs)}
@@ -3578,7 +4074,8 @@ def delete_keys_spark(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    _rev0 = _gate_state(table)  # layout/rules change mid-delete → restart
+    _rev0 = _gate_state(table, removal=True)  # layout/rules change
+    # mid-delete → restart; removal=True folds the FK ref-epoch in
     key, n_buckets = _resolve_layout(table, key, n_buckets)
 
     if mode not in ("dv", "rewrite"):
@@ -3586,6 +4083,8 @@ def delete_keys_spark(
     # LOGICAL -> PHYSICAL boundary: the sidecar/key column in file space
     keys_df = _to_physical_spark(table, keys_df)
     key = table.physical_name(key)
+    _fk_restrict_spark(spark, table, keys_df, key)  # RESTRICT: no live
+    # child row may reference a removed key (no-op without back-refs)
     up = keys_df.select(key).distinct().withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
@@ -3621,7 +4120,7 @@ def delete_keys_spark(
             replaced = sorted(bucket_files)
             replaced_dvstate = dvstate
             if not replaced:
-                if _gate_state(table) != _rev0:
+                if _gate_state(table, removal=True) != _rev0:
                     raise _ConstraintsChanged(None)
                 return {"committed_version": v, "attempts": attempts,
                         "deleted_rows": 0, "dv_files": 0}
@@ -3660,7 +4159,7 @@ def delete_keys_spark(
                         ).num_rows
                 shutil.rmtree(tmp_out, ignore_errors=True)
                 if not staged_dvs:  # nothing matched: no commit needed
-                    if _gate_state(table) != _rev0:
+                    if _gate_state(table, removal=True) != _rev0:
                         raise _ConstraintsChanged(None)  # or a stale-
                         # layout artifact (see the pandas twin) — restart
                     return {"committed_version": v, "attempts": attempts,
@@ -3678,7 +4177,7 @@ def delete_keys_spark(
                 )
         if pre_commit_hook is not None:
             pre_commit_hook(v)
-        if _gate_state(table) != _rev0:
+        if _gate_state(table, removal=True) != _rev0:
             _unlink_staged(
                 table,
                 (staged or []) + [{"file": d}
@@ -3687,9 +4186,11 @@ def delete_keys_spark(
             raise _ConstraintsChanged(None)
         attempts += 1
         if mode == "dv":
-            ok = table.try_commit(v, [], [], writer, dvs=staged_dvs)
+            ok = table.try_commit(v, [], [], writer, dvs=staged_dvs,
+                                  fk_removal=True)
         else:
-            ok = table.try_commit(v, staged, replaced, writer)
+            ok = table.try_commit(v, staged, replaced, writer,
+                                  fk_removal=True)
         if ok:
             return {"committed_version": v + 1, "attempts": attempts,
                     "deleted_rows": deleted_rows,
@@ -4456,6 +4957,7 @@ def restore_table(
     high-water marks are NOT rolled back — ids stay unique forever
     even when the rows that consumed them are restored away.
     Engine-free (pure metadata + pyarrow): any client can restore."""
+    _fk_refuse(table, "RESTORE")
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -4803,10 +5305,11 @@ def purge_keys_spark(
     to `delete_keys_spark`."""
     from pyspark.sql import functions as F
 
-    _rev0 = _gate_state(table)
+    _rev0 = _gate_state(table, removal=True)
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     keys_df = _to_physical_spark(table, keys_df)
     key = table.physical_name(key)
+    _fk_restrict_spark(spark, table, keys_df, key)  # RESTRICT
     key_vals = sorted(
         r[0] for r in keys_df.select(key).distinct().collect()
         if r[0] is not None
@@ -4880,7 +5383,7 @@ def purge_keys_spark(
             staged, replaced = None, None
             replaced_dvstate = dvstate
             if not cand:
-                if _gate_state(table) != _rev0:
+                if _gate_state(table, removal=True) != _rev0:
                     raise _ConstraintsChanged(None)
                 return dict(out0, committed_version=v, attempts=attempts,
                             pruned_files=pruned)
@@ -4891,7 +5394,7 @@ def purge_keys_spark(
             hit_files = sorted(r["_f"] for r in hit_rows)
             purged_rows = int(sum(r["count"] for r in hit_rows))
             if not hit_files:
-                if _gate_state(table) != _rev0:
+                if _gate_state(table, removal=True) != _rev0:
                     raise _ConstraintsChanged(None)
                 return dict(out0, committed_version=v, attempts=attempts,
                             pruned_files=pruned, scanned_files=scanned)
@@ -4941,11 +5444,12 @@ def purge_keys_spark(
             shutil.rmtree(tmp_out, ignore_errors=True)
         if pre_commit_hook is not None:
             pre_commit_hook(v)
-        if _gate_state(table) != _rev0:
+        if _gate_state(table, removal=True) != _rev0:
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(None)
         attempts += 1
-        if table.try_commit(v, staged, replaced, writer):
+        if table.try_commit(v, staged, replaced, writer,
+                            fk_removal=True):
             return {"committed_version": v + 1, "attempts": attempts,
                     "purged_rows": purged_rows,
                     "rewritten_files": len(replaced),
@@ -4978,10 +5482,11 @@ def purge_keys_pandas(
     state-for-state (test_purge_cross_client_differential)."""
     import pyarrow.parquet as pq
 
-    _rev0 = _gate_state(table)
+    _rev0 = _gate_state(table, removal=True)
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     key = table.physical_name(key)
     key_vals = sorted({int(k) for k in keys})
+    _fk_restrict_pandas(table, set(key_vals))  # RESTRICT
     v0 = table.version()
     out0 = {"committed_version": v0, "attempts": 0, "purged_rows": 0,
             "rewritten_files": 0, "pruned_files": 0, "scanned_files": 0,
@@ -5036,7 +5541,7 @@ def purge_keys_pandas(
             staged, replaced = None, None
             replaced_dvstate = dvstate
             if not cand:
-                if _gate_state(table) != _rev0:
+                if _gate_state(table, removal=True) != _rev0:
                     raise _ConstraintsChanged(None)
                 return dict(out0, committed_version=v, attempts=attempts,
                             pruned_files=pruned)
@@ -5052,7 +5557,7 @@ def purge_keys_pandas(
                     hit_files.append(f)
                     purged_rows += n_hit
             if not hit_files:
-                if _gate_state(table) != _rev0:
+                if _gate_state(table, removal=True) != _rev0:
                     raise _ConstraintsChanged(None)
                 return dict(out0, committed_version=v, attempts=attempts,
                             pruned_files=pruned, scanned_files=scanned)
@@ -5092,11 +5597,12 @@ def purge_keys_pandas(
                 staged.append(entry)
         if pre_commit_hook is not None:
             pre_commit_hook(v)
-        if _gate_state(table) != _rev0:
+        if _gate_state(table, removal=True) != _rev0:
             _unlink_staged(table, staged)
             raise _ConstraintsChanged(None)
         attempts += 1
-        if table.try_commit(v, staged, replaced, writer):
+        if table.try_commit(v, staged, replaced, writer,
+                            fk_removal=True):
             return {"committed_version": v + 1, "attempts": attempts,
                     "purged_rows": purged_rows,
                     "rewritten_files": len(replaced),

@@ -379,6 +379,28 @@ class Table:
     def constraints(self) -> dict:
         return self.log.constraints()
 
+    def add_foreign_key(self, name: str, col: str, parent: "Table",
+                        on_violation: str = "fail") -> dict:
+        """ALTER TABLE ADD FOREIGN KEY (col) REFERENCES parent(merge
+        key): validates existing rows, registers the parent
+        back-reference, installs behind the ALTER barrier; child writes
+        then prove membership, parent deletes prove no live reference
+        (RESTRICT), and the cross-log race is fenced at commit
+        (`acid.alter_add_foreign_key`)."""
+        return acid.alter_add_foreign_key(
+            self.spark, self.log, name, col, parent.log.path,
+            on_violation=on_violation)
+
+    def drop_foreign_key(self, name: str) -> None:
+        """ALTER TABLE DROP FOREIGN KEY (both sides released)."""
+        acid.alter_drop_foreign_key(self.log, name)
+
+    def foreign_keys(self) -> dict:
+        return self.log.fk_specs()
+
+    def referenced_by(self) -> list:
+        return self.log.fk_referenced_by()
+
     def quarantine(self):
         """Rows diverted by quarantine-mode constraints (dead-letter)."""
         return acid.read_quarantine(self.spark, self.log)

@@ -3641,7 +3641,9 @@ def test_superseded_rebucket_cannot_slip_commit(spark):
 
     def probing_commit(*a, **kw):
         try:
-            with t._meta_lock(timeout=0.3):
+            with TableLog(t.path)._meta_lock(timeout=0.3):
+                # fresh instance: same-instance nesting is
+                # reentrant by contract (self-FK barrier)
                 blocked.append(False)
         except TimeoutError:
             blocked.append(True)
@@ -3675,11 +3677,15 @@ def test_meta_lock_steal_is_generation_fenced():
     assert not os.path.exists(base + ".steal1")  # owner-pathed release
 
     # 2. a slow (stolen-from) holder's release cannot remove the
-    # thief's lock
+    # thief's lock. H and T are separate INSTANCES of the same path:
+    # the lock is per-path across instances/processes but reentrant
+    # within one instance (same logical owner — the self-FK ALTER
+    # barrier nests it), so a same-instance probe would no-op.
+    t2 = TableLog(t.path)
     ctx_h = t._meta_lock(timeout=2.0)
     ctx_h.__enter__()                       # H holds gen 0
     os.utime(base, (time.time() - 120, time.time() - 120))  # H looks dead
-    ctx_t = t._meta_lock(timeout=2.0)
+    ctx_t = t2._meta_lock(timeout=2.0)
     ctx_t.__enter__()                       # T steals gen 1
     assert os.path.exists(base + ".steal1")
     ctx_h.__exit__(None, None, None)        # H releases: only ITS file
