@@ -272,7 +272,6 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
     g = spec["group_by"]
     has_minmax = any(a["fn"] in ("min", "max")
                      for a in spec["aggs"].values())
-    _check_key_collisions(delta, "matview_delta")
     old = read_snapshot_spark(spark, view)
     d = delta.alias("d")
     # keep the old row's group columns (renamed) for the hash-collision
@@ -312,20 +311,30 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
                         .alias(f"_mv_max_{alias}"))
     up = j.select(*cols, F.col("d._mv_dirty").alias("_mv_dirty"))
 
+    # ONE guard action for the whole refresh: negative-count rows,
+    # both hash-collision modes (delta-internal duplicate keys, and a
+    # delta key joining a stored row with different group values), the
+    # upsert count, and the dirty-group count
     same_grp = reduce(and_, [
         F.col(f"d.{c}").eqNullSafe(F.col(f"o._o_{c}")) for c in g])
+    new_cnt_e = (F.coalesce(F.col("o._mv_cnt"), F.lit(0))
+                 + F.col("d._d_cnt"))
     chk = j.select(
-        ((F.coalesce(F.col("o._mv_cnt"), F.lit(0))
-          + F.col("d._d_cnt")) < 0).cast("int").alias("_neg"),
+        (new_cnt_e < 0).cast("int").alias("_neg"),
         (F.col("o._mv_cnt").isNotNull() & ~same_grp).cast("int")
         .alias("_coll"),
+        F.col("d._mv_key").alias("_k"),
+        ((F.col("d._mv_dirty") == 1) & (new_cnt_e > 0)).cast("int")
+        .alias("_dl"),
     ).agg(F.sum("_neg").alias("bad"), F.sum("_coll").alias("coll"),
-          F.count(F.lit(1)).alias("n")).collect()[0]
+          F.count(F.lit(1)).alias("n"),
+          F.countDistinct("_k").alias("nd"),
+          F.sum("_dl").alias("ndirty")).collect()[0]
     bad, n_up = int(chk["bad"] or 0), int(chk["n"])
-    if int(chk["coll"] or 0):
+    if int(chk["coll"] or 0) or n_up != int(chk["nd"]):
         raise RuntimeError(
-            "matview group-key hash collision: delta group joined a "
-            "stored row with different group values")
+            "matview group-key hash collision: two group tuples share "
+            "one 64-bit key (astronomically rare — re-shape group_by)")
     if bad:
         raise ValueError(
             f"matview delta drove {bad} group(s) below zero rows — "
@@ -336,7 +345,7 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
         # tombstoned groups need no recompute; their min/max is NULL
         dirty = up.filter((F.col("_mv_dirty") == 1)
                           & (F.col("_mv_cnt") > 0))
-        n_dirty = dirty.count()
+        n_dirty = int(chk["ndirty"] or 0)
         if n_dirty:
             if base is None or base_version is None:
                 raise ValueError(

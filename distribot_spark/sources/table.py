@@ -225,6 +225,8 @@ class Table:
             "column_mapping": log.column_mapping(),
             "policies": log.policies(),
             "policies_rev": log.policies_rev(),
+            "foreign_keys": log.fk_specs(),
+            "referenced_by": log.fk_referenced_by(),
         }
 
     # -- writes -----------------------------------------------------------
