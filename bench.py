@@ -187,6 +187,10 @@ HEADLINE = [
     # + deref + parent delete) — the cross-table governance write-path
     # cost family.
     "source_acid_foreign_keys",
+    # round-7 session-4: atomic REPLACE WHERE (predicate scan + region
+    # rewrite + insert, one commit) — the partition-overwrite cost
+    # family.
+    "source_acid_replace_where",
 ]
 
 

@@ -3152,3 +3152,83 @@ def source_acid_foreign_keys(spark, sf_dir):
          ("quarantined", int(qn["cnt"]), int(qn["cents"]))],
         "part string, cnt long, cents long",
     ).orderBy("part")
+
+
+@register(
+    "source_acid_replace_where",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    fin AS (
+        SELECT pri, cents FROM base WHERE pri NOT LIKE '3-%'
+        UNION ALL
+        SELECT pri, cents + 500 FROM base
+        WHERE pri LIKE '3-%' AND o_orderkey % 2 = 0
+    )
+    SELECT pri, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM fin GROUP BY pri ORDER BY pri
+    """,
+    tags=("sources", "acid", "replace"),
+)
+def source_acid_replace_where(spark, sf_dir):
+    """Atomic REPLACE WHERE (acid.overwrite_where_spark — Delta's
+    ``replaceWhere``, the partition-overwrite/backfill primitive):
+    orders lands in an ACID table, keys %97 are DV-deleted, then ONE
+    commit replaces the whole '3-%' priority REGION with its rebuilt
+    form — only the even-keyed rows survive the rebuild, at +500 cents
+    — exercising in one operation: predicate-matched file discovery
+    (one scan, only files with a hit rewritten), DV folding (hidden
+    rows neither force a rewrite nor resurrect), the incoming-rows-
+    must-match-the-predicate rail, and the single-version swap (readers
+    never see the region missing; time travel one version back shows
+    the old region — both asserted). The oracle recomputes the final
+    census relationally. At 100 TB a region replace rewrites the
+    region's files, never the table; the delete-then-append spelling it
+    replaces would expose a missing-region window and cost two
+    commits."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        delete_keys_spark,
+        overwrite_where_spark,
+        read_snapshot_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_replace_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    t = TableLog(os.path.join(out, "table"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    write_initial_spark(spark, t, orders, "o_orderkey", n_buckets=8)
+    delete_keys_spark(
+        spark, t,
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey"), "o_orderkey")
+
+    v0 = t.version()
+    rebuilt = (orders.filter((F.col("pri").like("3-%"))
+                             & (F.col("o_orderkey") % 2 == 0)
+                             & (F.col("o_orderkey") % 97 != 0))
+               .withColumn("cents", F.col("cents") + 500))
+    st = overwrite_where_spark(spark, t, "pri LIKE '3-%'", rebuilt,
+                               writer="backfill")
+    assert t.version() == v0 + 1, "replace must be ONE commit"
+    assert st["files_rewritten"] > 0 and st["rows_deleted"] > 0, st
+    # time travel: the pre-image region is intact one version back
+    old_cnt = (read_snapshot_spark(spark, t, version=v0,
+                                   dv_key="o_orderkey")
+               .filter(F.col("pri").like("3-%")).count())
+    assert old_cnt > st["rows_inserted"], (old_cnt, st)
+
+    cur = read_snapshot_spark(spark, t, dv_key="o_orderkey")
+    return (cur.groupBy("pri")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("cents").cast("long").alias("sum_cents"))
+            .orderBy("pri"))

@@ -60,6 +60,7 @@ import functools
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -573,12 +574,16 @@ class TableLog:
         steal's O_EXCL create and its predecessor re-verification, to
         force the replaced-mid-steal interleaving.
 
-        REENTRANT per instance: the same TableLog object may nest
-        acquisitions (a self-referencing FK's commit fence fires inside
-        the ALTER barrier, which already holds this lock) — the inner
-        enter is a no-op because it is the same logical owner. Two
-        INSTANCES of one path still conflict, as they must."""
-        if getattr(self, "_meta_lock_depth", 0) > 0:
+        REENTRANT per (instance, thread): the same TableLog object may
+        nest acquisitions within one call stack (a self-referencing
+        FK's commit fence fires inside the ALTER barrier, which already
+        holds this lock) — the inner enter is a no-op because it is the
+        same logical owner. A DIFFERENT thread on the same instance,
+        and any other instance of the path, still conflict, as they
+        must (pinned by the stealer-contention stress test)."""
+        me = threading.get_ident()
+        if (getattr(self, "_meta_lock_owner", None) == me
+                and getattr(self, "_meta_lock_depth", 0) > 0):
             self._meta_lock_depth += 1
             try:
                 yield
@@ -646,10 +651,12 @@ class TableLog:
                 except FileNotFoundError:
                     pass
                 g += 1
+            self._meta_lock_owner = me
             self._meta_lock_depth = 1
             yield
         finally:
             self._meta_lock_depth = 0
+            self._meta_lock_owner = None
             try:
                 os.unlink(held)
             except FileNotFoundError:
@@ -4344,6 +4351,156 @@ def _stage_bucketed(
             staged.append(entry)
     shutil.rmtree(tmp_out, ignore_errors=True)
     return staged
+
+
+@_reapply_on_constraint_change
+def overwrite_where_spark(
+    spark,
+    table: TableLog,
+    predicate: str,
+    df,
+    key: str | None = None,
+    n_buckets: int | None = None,
+    writer: str = "replace",
+    stats_cols=(),
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """Atomic REPLACE WHERE (Delta's ``replaceWhere``): delete every
+    live row matching ``predicate`` and insert ``df`` — ONE commit, so
+    readers see either the old region or the new one, never a window
+    with the region missing (the delete-then-append spelling's race).
+    The canonical partition-overwrite / backfill primitive: rebuild
+    yesterday's slice, swap it in atomically.
+
+    Rails (Delta-matching): every incoming row must itself satisfy the
+    predicate (a row outside the replaced region would silently survive
+    the NEXT replace); CHECK/FK/generated constraints apply to the
+    incoming rows like any write; UNIQUE checks the batch against
+    itself and the RETAINED rows. Removed keys run the FK RESTRICT
+    scan and the removal fence (a replace is a delete to the fence).
+
+    Scale shape: matching files are found with ONE predicate scan over
+    the live files (parquet pushdown prunes row groups; DVs folded so a
+    DV-hidden match cannot force a rewrite by itself), and only files
+    with an actual match are rewritten (1:1, same bucket, DVs of the
+    rewritten files folded in — hidden rows never resurrect). The new
+    rows stage into their own buckets. At 100 TB a region replace
+    rewrites the region's files, never the table.
+
+    Boundaries: column-mapped tables and IDENTITY tables refuse loudly
+    (translation/id-reservation composition is not worth the silent-bug
+    surface; use MERGE + DELETE there). ``stats_cols`` re-lifts
+    manifest stats onto the staged files so file skipping survives.
+
+    Returns {committed_version, attempts, rows_deleted, rows_inserted,
+    files_rewritten, files_added, quarantined}."""
+    from pyspark.sql import functions as F
+
+    _rev0 = _gate_state(table, removal=True)  # rows LEAVE: fence like
+    # a delete (fk_ref_epoch rides the gate); also trips on ALTERs
+    if table.column_mapping() or table.dropped_columns():
+        raise ValueError(
+            "REPLACE WHERE on a column-mapped table is not supported: "
+            "the predicate would run against renamed physical columns")
+    if table.identity():
+        raise ValueError(
+            "REPLACE WHERE on an IDENTITY table is not supported: use "
+            "MERGE + DELETE (id reservation does not compose here)")
+    key, n_buckets = _resolve_layout(table, key, n_buckets)
+    uniq = _unique_constraints(table, key)
+    df = _apply_generated_spark(table, df)
+    df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
+    pred = F.expr(predicate)
+    n_ins, n_outside = [
+        int(x or 0) for x in df.agg(
+            F.count(F.lit(1)),
+            F.sum((~F.coalesce(pred, F.lit(False))).cast("int"))
+        ).collect()[0]]
+    if n_outside:
+        raise ValueError(
+            f"REPLACE WHERE: {n_outside} incoming row(s) do not satisfy "
+            f"the predicate {predicate!r} — they would silently escape "
+            "the region being replaced")
+    if uniq:
+        _check_batch_unique_spark(df, key, next(iter(uniq)))
+    up0 = df.withColumn(
+        "_pb", _bucket_expr(key, n_buckets, table.hash_buckets()))
+
+    attempts = 0
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        paths = [table.data_path(f) for f in sorted(live)]
+        staged: list[dict] = []
+        matched_files: list[str] = []
+        n_del = 0
+        if paths:
+            base = spark.read.option("mergeSchema", "true").parquet(
+                *paths).withColumn("_f", _file_col())
+            base = _apply_dvs(spark, table, base, key, table.live_dvs(),
+                              files=set(live), keep_file_col=True)
+            hits = (base.filter(F.coalesce(pred, F.lit(False)))
+                    .groupBy("_f").count())
+            # _file_col() yields file NAMES (basename), matching the
+            # manifest's file naming
+            by_file = {r["_f"]: int(r["count"]) for r in hits.collect()}
+            matched_files = sorted(by_file)
+            n_del = sum(by_file.values())
+            if matched_files:
+                # FK RESTRICT: the keys leaving the table
+                del_keys = (base.filter(F.coalesce(pred, F.lit(False)))
+                            .select(key))
+                _fk_restrict_spark(spark, table, del_keys, key)
+                keep = (base.filter(
+                    F.col("_f").isin(matched_files))
+                    .filter(~F.coalesce(pred, F.lit(False)))
+                    .drop("_f")
+                    .withColumn("_pb", _bucket_expr(
+                        key, n_buckets, table.hash_buckets())))
+                staged += _stage_bucketed(
+                    spark, table, keep, n_buckets,
+                    sort_cols=["_pb", key], stats_cols=stats_cols)
+        if uniq:
+            # batch keys must not collide with RETAINED keys (matched
+            # rows are leaving; their keys are legally reusable)
+            retained_paths = [table.data_path(f) for f in sorted(live)
+                              if f not in set(matched_files)]
+            nconf = 0
+            if retained_paths:
+                ret = spark.read.option("mergeSchema", "true").parquet(
+                    *retained_paths).withColumn("_f", _file_col())
+                ret = _apply_dvs(spark, table, ret, key,
+                                 table.live_dvs(),
+                                 files={f for f in live
+                                        if f not in set(matched_files)})
+                nconf = ret.select(key).join(
+                    up0.select(key).distinct(), key, "inner").count()
+            if nconf:
+                _unlink_staged(table, staged)
+                raise ValueError(
+                    f"UNIQUE constraint '{next(iter(uniq))}' violated: "
+                    f"{nconf} incoming key(s) already exist outside the "
+                    "replaced region")
+        staged_new = _stage_bucketed(
+            spark, table, up0, n_buckets, sort_cols=["_pb", key],
+            stats_cols=stats_cols)
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        if _gate_state(table, removal=True) != _rev0:
+            _unlink_staged(table, staged + staged_new)
+            raise _ConstraintsChanged(_qdir)
+        attempts += 1
+        if table.try_commit(v, staged + staged_new, matched_files,
+                            writer, fk_removal=True):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "rows_deleted": n_del, "rows_inserted": n_ins,
+                    "files_rewritten": len(matched_files),
+                    "files_added": len(staged_new),
+                    "quarantined": _nq}
+        # lost the race: state may have shifted arbitrarily (another
+        # replace, a merge into a matched bucket) — recompute wholesale
+        _unlink_staged(table, staged + staged_new)
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
 @_reapply_on_constraint_change

@@ -25,10 +25,12 @@ def _detail(timings):
 
 def test_current_headline_set_fits_driver_window():
     # realistic magnitudes (the measured distribution: a handful of
-    # multi-commit builders in the tens of seconds, the rest ~1 s) —
-    # the FULL per-query map must fit the driver window (at the r7 set
-    # size that means the 1-decimal tier; every query still present,
-    # full precision in BENCH_DETAIL.json)
+    # multi-commit builders in the tens of seconds, the rest ~1 s).
+    # The r7-session-4 additions pushed the set past the window's
+    # full-precision capacity, so the CONTRACT here is: parseable line,
+    # totals intact, kept + omitted == the whole set, and every SLOW
+    # entry (the ones a reader compares round-over-round) present —
+    # the full-precision map lives in BENCH_DETAIL.json.
     slow = {"l2_minhash_serve", "s32_stream_auto_compact_ingest",
             "s31_stream_dlq_source", "s28_stream_expectations_quarantine",
             "graph_pagerank", "dedup_clusters", "l2_minhash_pairs",
@@ -40,7 +42,11 @@ def test_current_headline_set_fits_driver_window():
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_warm_total"
     assert parsed["unit"] == "sec"
-    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["value"] == _detail(timings)["value"]
+    kept = set(parsed["queries"])
+    assert len(kept) + parsed.get("queries_omitted", 0) == \
+        len(bench.HEADLINE)
+    assert slow <= kept  # the slowest entries always make the line
 
 
 def test_worst_case_magnitudes_degrade_gracefully_not_unparseably():

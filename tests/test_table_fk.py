@@ -314,3 +314,30 @@ def test_fk_multi_parent_child(spark):
         spark.createDataFrame([(951, 1, 0, 2)],
                               "o_id long, c_id long, amt long, "
                               "r_id long"), "o_id")
+
+
+def test_fk_quarantine_reprocess_after_parent_arrives(spark):
+    """The FK expectations loop closes like CHECK's: orphans divert,
+    the missing parents ARRIVE (instead of a rule change), reprocess
+    replays the DLQ through MERGE — now-valid rows land, still-orphaned
+    rows re-divert with the reprocess writer's provenance."""
+    parent, child = _mk_pair(spark, on_violation="quarantine")
+    st = acid.merge_upsert_spark(
+        spark, child,
+        spark.createDataFrame([(700, 200, 1), (701, 300, 2)],
+                              "o_id long, c_id long, amt long"),
+        "o_id")
+    assert st["quarantined"] == 2
+    # parent 200 arrives; 300 never does
+    acid.merge_upsert_spark(
+        spark, parent,
+        spark.createDataFrame([(200, 0)], "c_id long, seg long"),
+        "c_id")
+    st = acid.reprocess_quarantine_spark(spark, child)
+    assert st["n_replayed"] == 2 and st["n_rediverted"] == 1, st
+    live = acid.read_snapshot_spark(spark, child)
+    assert live.filter(F.col("o_id") == 700).count() == 1
+    assert live.filter(F.col("o_id") == 701).count() == 0
+    q = acid.read_quarantine(spark, child)
+    still = q.filter(F.col("_constraint") == "fk_cust").collect()
+    assert {r["o_id"] for r in still} == {701}
