@@ -453,7 +453,8 @@ def refresh_matview(spark, base: TableLog, view: TableLog,
 
 def apply_matview_changes(spark, view: TableLog, changes_df,
                           batch_id: int | None = None,
-                          writer: str = "matview-stream") -> dict:
+                          writer: str = "matview-stream",
+                          base: TableLog | None = None) -> dict:
     """The STREAMING face of the refresh: fold one change-feed
     micro-batch (the `table_changes_spark` row shape, e.g. from the CDF
     replay source) into the view inside a foreachBatch sink.
@@ -462,16 +463,32 @@ def apply_matview_changes(spark, view: TableLog, changes_df,
     between the merge and the mark uses the same pending-token recovery
     as `refresh_matview`, so the fold lands EFFECTIVELY ONCE (the s23
     ACID-sink discipline; deltas are not idempotent, so this matters
-    more here than for replication). Specs with min/max aggs refuse
-    batches that lose rows in a group (`_apply_delta` raises — the
-    recompute needs a pinned base version only the batch path lacks);
-    streaming views stick to the self-maintaining count/sum/avg."""
+    more here than for replication).
+
+    min/max specs need the dirty-group recompute when a batch loses
+    rows in a group: pass ``base`` and the recompute pins to the
+    batch's OWN last commit version (``max(_commit_version)`` — exactly
+    the state this batch's fold lands, so later base commits racing the
+    stream cannot leak in; they arrive as later batches). Without
+    ``base``, row-losing batches under a min/max spec refuse loudly
+    (`_apply_delta` raises) — streaming views without a base handle
+    stick to the self-maintaining count/sum/avg."""
+    from pyspark.sql import functions as F
+
     state = _recover_pending(view, _load_state(view))
     spec, scales = state["spec"], state["scales"]
     hwm_key = f"hwm_{writer}"
     if batch_id is not None and int(batch_id) <= state.get(hwm_key, -1):
         return {"skipped": True, "groups_upserted": 0,
                 "dirty_recomputed": 0}
+    base_version = None
+    if base is not None and any(a["fn"] in ("min", "max")
+                                for a in spec["aggs"].values()):
+        r = changes_df.agg(
+            F.max("_commit_version").alias("v")).collect()[0]
+        base_version = int(r["v"]) if r["v"] is not None else None
+        if base_version is None:
+            base = None  # empty batch: nothing can be dirty
     delta = matview_delta(spark, spec, scales, changes_df)
     tok = f"{writer}:batch:{batch_id}:{uuid.uuid4().hex[:8]}"
     on_landed = {hwm_key: int(batch_id)} if batch_id is not None else {}
@@ -480,7 +497,7 @@ def apply_matview_changes(spark, view: TableLog, changes_df,
                         "view_version_before": view.version(),
                         "on_landed": on_landed}))
     st = _apply_delta(spark, view, spec, scales, delta, tok,
-                      base=None, base_version=None)
+                      base=base, base_version=base_version)
     _write_state(view, dict(state, **on_landed))
     return dict(st, skipped=False)
 

@@ -368,3 +368,32 @@ def test_delta_plan_stays_jvm_side(spark):
                              _changes(spark, base, 1))
     assert not uses_python_eval(delta)
     assert not uses_python_eval(mv.read_matview(spark, view))
+
+
+def test_streaming_apply_minmax_with_base_pin(spark):
+    """min/max streaming: with the base handle, a row-losing batch
+    recomputes dirty groups AS OF the batch's own last commit version —
+    even when the base has already moved PAST that version (the racing
+    commit arrives as the next batch, not as leakage into this one)."""
+    base, view = _mk(spark, n=100)  # SPEC includes min/max
+    # batch 0 = v1: delete the current max of cat 1
+    top = (acid.read_snapshot_spark(spark, base)
+           .filter(F.col("cat") == 1)
+           .orderBy(F.col("val").desc()).limit(1).collect()[0])
+    acid.delete_keys_spark(
+        spark, base,
+        spark.createDataFrame([(top["id"],)], "id long"), "id")
+    ch1 = _changes(spark, base, 1, 1)
+    # the base moves on (v2) BEFORE batch 0 is folded
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 100, 140), "id")
+    st = mv.apply_matview_changes(spark, view, ch1, batch_id=0,
+                                  writer="t", base=base)
+    assert st["dirty_recomputed"] >= 1
+    # view state == recompute AS OF v1 (not head: v2 not folded yet)
+    got = _rows(mv.read_matview(spark, view))
+    want = _rows(mv.matview_full_spark(spark, base, SPEC, version=1))
+    assert got == want
+    # fold v2 as the next batch: now equal to head
+    st = mv.apply_matview_changes(spark, view, _changes(spark, base, 2, 2),
+                                  batch_id=1, writer="t", base=base)
+    _assert_view_equals_recompute(spark, base, view)
