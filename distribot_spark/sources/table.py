@@ -282,6 +282,16 @@ class Table:
             self.spark, self.log, keys_df, self._pinned_key,
         )
 
+    def replace_where(self, predicate: str, df,
+                      writer: str = "replace", stats_cols=()) -> dict:
+        """Atomic REPLACE WHERE (Delta's replaceWhere): delete every
+        row matching ``predicate`` and insert ``df`` in ONE commit —
+        the partition-overwrite/backfill primitive
+        (`acid.overwrite_where_spark`)."""
+        return acid.overwrite_where_spark(
+            self.spark, self.log, predicate, df, key=self.key,
+            writer=writer, stats_cols=stats_cols)
+
     def sync(self, source_df, writer: str = "sync") -> dict:
         """Three-clause MERGE: after it the table equals ``source_df``."""
         return acid.sync_snapshot_spark(
