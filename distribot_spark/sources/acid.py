@@ -270,6 +270,14 @@ class TableLog:
         corrupts merges. Tables created before the fields existed keep
         working — their callers pass the layout explicitly, as before.
         """
+        for n, c in (constraints or {}).items():
+            if c.get("foreign_key"):
+                raise ValueError(
+                    f"constraint {n!r}: FOREIGN KEYs cannot be declared "
+                    "at CREATE — the parent back-reference and the "
+                    "existing-rows validation only happen through "
+                    "alter_add_foreign_key (one-sided enforcement "
+                    "would skip the RESTRICT scan)")
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         meta = os.path.join(self.log_dir, "_table.json")
@@ -1881,8 +1889,11 @@ def _apply_fk_spark(spark, table: TableLog, df, fkcons: dict,
             continue  # all-NULL column (schema evolution): FK passes
         pkeys = _fk_parent_keys_spark(spark, table, c, df)
         flag = f"_fk_bad_{name}"
-        df = (df.join(F.broadcast(pkeys.withColumnRenamed(
-                  "_fk_pk", f"_fk_pk_{name}")),
+        # no broadcast hint: the pruned parent key set is small for a
+        # narrow batch but can approach the parent for a wide one —
+        # AQE picks broadcast when the runtime size allows
+        df = (df.join(pkeys.withColumnRenamed(
+                  "_fk_pk", f"_fk_pk_{name}"),
                   F.col(col) == F.col(f"_fk_pk_{name}"), "left")
               .withColumn(flag, F.col(col).isNotNull()
                           & F.col(f"_fk_pk_{name}").isNull())

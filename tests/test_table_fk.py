@@ -341,3 +341,12 @@ def test_fk_quarantine_reprocess_after_parent_arrives(spark):
     q = acid.read_quarantine(spark, child)
     still = q.filter(F.col("_constraint") == "fk_cust").collect()
     assert {r["o_id"] for r in still} == {701}
+
+
+def test_fk_cannot_be_declared_at_create(spark):
+    t = TableLog(_tmp("fkx_"))
+    with pytest.raises(ValueError, match="alter_add_foreign_key"):
+        t.init(key="id", n_buckets=2, constraints={
+            "fk": {"col": "x",
+                   "foreign_key": {"parent": "/nope",
+                                   "parent_key": "id"}}})
