@@ -127,6 +127,36 @@ def _resolve_layout(table: "TableLog", key: str | None,
     return key, int(n_buckets)
 
 
+def _fk_note_seen(table: "TableLog", parent_path: str,
+                 epoch: int) -> None:
+    """Record, for THIS thread, the parent epoch a validation ran
+    against. Thread-local because a TableLog may be shared across
+    threads (the meta lock's reentrancy contract) and one thread's
+    capture must never vouch for another's validation; consumed
+    one-shot by `try_commit` so a stale capture can poison at most one
+    commit attempt (which then recaptures through the gate)."""
+    tls = getattr(table, "_fk_tls", None)
+    if tls is None:
+        tls = table._fk_tls = {}
+    ent = tls.setdefault(threading.get_ident(), {})
+    ent.setdefault("seen", {})[parent_path] = int(epoch)
+
+
+def _fk_note_ref(table: "TableLog", epoch: int) -> None:
+    tls = getattr(table, "_fk_tls", None)
+    if tls is None:
+        tls = table._fk_tls = {}
+    tls.setdefault(threading.get_ident(), {})["ref"] = int(epoch)
+
+
+def _fk_take_captures(table: "TableLog") -> dict:
+    """Pop this thread's FK captures (one-shot consume)."""
+    tls = getattr(table, "_fk_tls", None)
+    if not tls:
+        return {}
+    return tls.pop(threading.get_ident(), {}) or {}
+
+
 def _gate_state(table: "TableLog", removal: bool = False) -> tuple:
     """What a writer must re-check before every commit attempt: the
     constraint revision, the COLUMN-MAPPING revision, the effective
@@ -153,12 +183,18 @@ def _gate_state(table: "TableLog", removal: bool = False) -> tuple:
     needs a shared serialization point — the parent's meta lock)."""
     fk = tuple(
         (p, TableLog(p).fk_del_epoch()) for p in table.fk_parent_paths())
-    table._fk_seen = dict(fk)
+    for p, e in fk:
+        _fk_note_seen(table, p, e)
     own: tuple = ()
-    if removal and table.fk_referenced_by():
+    if removal:
+        # ALWAYS capture on removals, even with no registered children:
+        # a concurrent ALTER ADD FOREIGN KEY bumps fk_ref_epoch when it
+        # registers the back-reference, so the fence catches an FK
+        # being born mid-delete (no refs at scan time is not no refs
+        # at link time)
         r = table.fk_ref_epoch()
-        table._fk_ref_seen = r
-        own = ("_ref", r)
+        _fk_note_ref(table, r)
+        own = ("_ref", r, len(table.fk_referenced_by()))
     return (table.constraints_rev(), table.mapping_rev(), fk, own) + tuple(
         table.effective_layout())
 
@@ -872,34 +908,44 @@ class TableLog:
         and the write restarts with fresh validation.
         ``fk_removal=True`` marks key-REMOVING commits (delete/purge):
         they verify and bump the fence on the REFERENCED side too."""
-        fk_parents = [p for p in self.fk_parent_paths()
-                      if p in getattr(self, "_fk_seen", {})]
-        removal = bool(fk_removal and self.fk_referenced_by()
-                       and getattr(self, "_fk_ref_seen", None) is not None)
+        cap = _fk_take_captures(self)  # one-shot, this thread's only
+        seen = cap.get("seen", {})
+        fk_parents = [p for p in self.fk_parent_paths() if p in seen]
+        removal = bool(fk_removal and cap.get("ref") is not None)
         if fk_parents or removal:
-            with contextlib.ExitStack() as stack:
-                plogs = {}
-                lockset = set(fk_parents) | ({self.path} if removal
-                                             else set())
-                for p in sorted(lockset):
-                    t = self if p == self.path else TableLog(p)
-                    plogs[p] = t
-                    stack.enter_context(t._meta_lock())
-                seen = self._fk_seen
-                for p in fk_parents:
-                    if plogs.get(p, TableLog(p)).fk_del_epoch() != seen[p]:
-                        return False  # parent removed keys since our
-                        # validation; the caller's gate restarts us
-                if removal and self.fk_ref_epoch() != self._fk_ref_seen:
-                    return False  # a child gained references mid-scan
-                # bumps BEFORE the link: a failed link merely forces
-                # extra restarts elsewhere (conservative, never unsafe)
-                for p in fk_parents:
-                    plogs.get(p, TableLog(p))._fk_bump("fk_ref_epoch")
-                if removal:
-                    self._fk_bump("fk_del_epoch")
-                return self._try_commit_linked(
-                    parent, adds, removes, writer, dvs, id_range)
+            try:
+                with contextlib.ExitStack() as stack:
+                    plogs = {}
+                    lockset = set(fk_parents) | ({self.path} if removal
+                                                 else set())
+                    for p in sorted(lockset):
+                        t = self if p == self.path else TableLog(p)
+                        plogs[p] = t
+                        stack.enter_context(t._meta_lock())
+                    for p in fk_parents:
+                        if plogs[p].fk_del_epoch() != seen[p]:
+                            return False  # parent removed keys since
+                            # our validation; the caller's gate
+                            # restarts us
+                    if removal and self.fk_ref_epoch() != cap["ref"]:
+                        return False  # a child gained references (or
+                        # an FK was born) mid-scan
+                    # bumps BEFORE the link: a failed link merely
+                    # forces extra restarts elsewhere (conservative,
+                    # never unsafe)
+                    for p in fk_parents:
+                        plogs[p]._fk_bump("fk_ref_epoch")
+                    if removal:
+                        self._fk_bump("fk_del_epoch")
+                    return self._try_commit_linked(
+                        parent, adds, removes, writer, dvs, id_range)
+            except TimeoutError:
+                # fence-lock contention (e.g. an ALTER barrier holding
+                # this table's meta lock while ITS fence wants a lock
+                # we hold in an FK chain): treat as a lost race — the
+                # caller's loop releases everything, revalidates and
+                # retries, which breaks the hold-and-wait cycle
+                return False
         return self._try_commit_linked(
             parent, adds, removes, writer, dvs, id_range)
 
@@ -1844,9 +1890,7 @@ def _fk_parent_keys_spark(spark, child: TableLog, c: dict, probe_df):
 
     fk = c["foreign_key"]
     parent = TableLog(fk["parent"])
-    seen = dict(getattr(child, "_fk_seen", {}) or {})
-    seen[parent.path] = parent.fk_del_epoch()
-    child._fk_seen = seen
+    _fk_note_seen(child, parent.path, parent.fk_del_epoch())
     pkey, n_b = parent.layout()
     if pkey is None:
         raise ValueError(
@@ -1997,9 +2041,7 @@ def _fk_parent_keys_pandas(child: TableLog, c: dict, vals) -> set:
 
     fk = c["foreign_key"]
     parent = TableLog(fk["parent"])
-    seen = dict(getattr(child, "_fk_seen", {}) or {})
-    seen[parent.path] = parent.fk_del_epoch()
-    child._fk_seen = seen
+    _fk_note_seen(child, parent.path, parent.fk_del_epoch())
     pkey, n_b = parent.layout()
     if pkey is None:
         raise ValueError(
@@ -2360,6 +2402,11 @@ def alter_add_foreign_key(
             raise ValueError(f"foreign key {name!r} already registered")
         refs.append({"name": name, "child": child.path, "col": col})
         meta["fk_referenced_by"] = refs
+        # the birth of an FK is itself a fence event: a key-removal
+        # mid-flight on this parent (validated when no child existed)
+        # must restart and re-scan, or it could link after our child
+        # validation and orphan the freshly-constrained rows
+        meta["fk_ref_epoch"] = int(meta.get("fk_ref_epoch", 0)) + 1
         parent._persist_meta(meta)
     try:
         return alter_add_constraint_spark(spark, child, name, spec,
@@ -2389,12 +2436,13 @@ def _fk_restrict_spark(spark, table: TableLog, keys_df, key: str) -> None:
     joins in as the probe. Captures ``fk_ref_epoch`` BEFORE scanning —
     `try_commit(fk_removal=True)` verifies it unchanged under the meta
     lock, so a child insert racing the scan restarts the removal."""
+    _fk_note_ref(table, table.fk_ref_epoch())  # BEFORE reading refs:
+    # the fence must stay armed even when no child is registered YET
     refs = table.fk_referenced_by()
     if not refs:
         return
     from pyspark.sql import functions as F
 
-    table._fk_ref_seen = table.fk_ref_epoch()
     probe = keys_df.select(F.col(key).alias("_del_k")).distinct()
     for r in refs:
         child = TableLog(r["child"])
@@ -2430,12 +2478,12 @@ def _fk_restrict_spark(spark, table: TableLog, keys_df, key: str) -> None:
 def _fk_restrict_pandas(table: TableLog, kset: set) -> None:
     """pandas twin of `_fk_restrict_spark` — same scan, pyarrow column
     reads, same epoch capture contract."""
+    _fk_note_ref(table, table.fk_ref_epoch())
     refs = table.fk_referenced_by()
     if not refs:
         return
     import pyarrow.parquet as pq
 
-    table._fk_ref_seen = table.fk_ref_epoch()
     for r in refs:
         child = TableLog(r["child"])
         col = child.physical_name(r["col"])
@@ -4457,13 +4505,18 @@ def overwrite_where_spark(
             by_file = {r["_f"]: int(r["count"]) for r in hits.collect()}
             matched_files = sorted(by_file)
             n_del = sum(by_file.values())
+            keep = None
             if matched_files:
+                # scans below restrict to the MATCHED files (every hit
+                # lives in one by definition) — a large region replace
+                # pays O(matched), not O(table), per pass
+                in_matched = base.filter(F.col("_f").isin(matched_files))
                 # FK RESTRICT: the keys leaving the table
-                del_keys = (base.filter(F.coalesce(pred, F.lit(False)))
+                del_keys = (in_matched
+                            .filter(F.coalesce(pred, F.lit(False)))
                             .select(key))
                 _fk_restrict_spark(spark, table, del_keys, key)
-                keep = (base.filter(
-                    F.col("_f").isin(matched_files))
+                keep = (in_matched
                     .filter(~F.coalesce(pred, F.lit(False)))
                     .drop("_f")
                     .withColumn("_pb", _bucket_expr(
@@ -4472,11 +4525,13 @@ def overwrite_where_spark(
                     spark, table, keep, n_buckets,
                     sort_cols=["_pb", key], stats_cols=stats_cols)
         if uniq:
-            # batch keys must not collide with RETAINED keys (matched
-            # rows are leaving; their keys are legally reusable)
+            # batch keys must not collide with ANY surviving key: the
+            # untouched files' rows AND the kept (non-matching) rows of
+            # rewritten files — only the keys actually LEAVING are
+            # legally reusable
             retained_paths = [table.data_path(f) for f in sorted(live)
                               if f not in set(matched_files)]
-            nconf = 0
+            surv = None
             if retained_paths:
                 ret = spark.read.option("mergeSchema", "true").parquet(
                     *retained_paths).withColumn("_f", _file_col())
@@ -4484,14 +4539,21 @@ def overwrite_where_spark(
                                  table.live_dvs(),
                                  files={f for f in live
                                         if f not in set(matched_files)})
-                nconf = ret.select(key).join(
+                surv = ret.select(key)
+            if keep is not None:
+                kk = keep.select(key)
+                surv = kk if surv is None else surv.unionByName(kk)
+            nconf = 0
+            if surv is not None:
+                nconf = surv.join(
                     up0.select(key).distinct(), key, "inner").count()
             if nconf:
                 _unlink_staged(table, staged)
                 raise ValueError(
                     f"UNIQUE constraint '{next(iter(uniq))}' violated: "
-                    f"{nconf} incoming key(s) already exist outside the "
-                    "replaced region")
+                    f"{nconf} incoming key(s) collide with surviving "
+                    "rows (retained files or kept rows of the "
+                    "rewritten region)")
         staged_new = _stage_bucketed(
             spark, table, up0, n_buckets, sort_cols=["_pb", key],
             stats_cols=stats_cols)

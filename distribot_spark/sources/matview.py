@@ -188,7 +188,10 @@ def create_matview(spark, base: TableLog, view: TableLog, spec: dict,
     ever runs."""
     _validate_spec(spec)
     v0 = base.version()
-    df = read_snapshot_spark(spark, base)
+    # PIN the snapshot to v0: a base commit landing between version()
+    # and the read would otherwise be baked into the view AND re-folded
+    # by the first refresh (double count)
+    df = read_snapshot_spark(spark, base, version=v0)
     scales = {a: _sum_scale(df, s["col"]) for a, s in spec["aggs"].items()
               if s["fn"] in ("sum", "avg")}
     full = _full_state(df, spec, scales)
@@ -502,15 +505,16 @@ def apply_matview_changes(spark, view: TableLog, changes_df,
     return dict(st, skipped=False)
 
 
-def read_matview(spark, view: TableLog):
-    """The view as the user declared it: group columns + agg aliases,
-    tombstones filtered, SQL NULL semantics restored (SUM of an all-NULL
-    group is NULL, AVG divides by the non-null count as DOUBLE)."""
+def _user_cols(spec: dict):
+    """The user-facing projection (group columns + agg aliases) from
+    the stored-rider shape — SQL NULL semantics restored (SUM of an
+    all-NULL group is NULL; AVG divides by the non-null count as
+    DOUBLE, guarded because ANSI mode raises on /0 and a tombstoned or
+    all-NULL group legitimately has nn == 0). Shared by `read_matview`
+    and `matview_full_spark` so the live view and the reference
+    recompute can never drift in shape."""
     from pyspark.sql import functions as F
 
-    state = _load_state(view)
-    spec = state["spec"]
-    df = read_snapshot_spark(spark, view).filter(F.col("_mv_cnt") > 0)
     cols = [F.col(c) for c in spec["group_by"]]
     for alias, a in spec["aggs"].items():
         fn = a["fn"]
@@ -520,8 +524,6 @@ def read_matview(spark, view: TableLog):
             cols.append(F.when(F.col(f"_mv_n_{alias}") > 0,
                                F.col(f"_mv_s_{alias}")).alias(alias))
         elif fn == "avg":
-            # guard the division: ANSI mode (Spark 4 default) raises on
-            # /0, and an all-NULL group legitimately has nn == 0
             cols.append(F.when(F.col(f"_mv_n_{alias}") > 0,
                                F.col(f"_mv_s_{alias}").cast("double")
                                / F.col(f"_mv_n_{alias}")).alias(alias))
@@ -529,7 +531,17 @@ def read_matview(spark, view: TableLog):
             cols.append(F.col(f"_mv_min_{alias}").alias(alias))
         else:
             cols.append(F.col(f"_mv_max_{alias}").alias(alias))
-    return df.select(*cols)
+    return cols
+
+
+def read_matview(spark, view: TableLog):
+    """The view as the user declared it: group columns + agg aliases,
+    tombstones filtered, NULL semantics restored (`_user_cols`)."""
+    from pyspark.sql import functions as F
+
+    state = _load_state(view)
+    df = read_snapshot_spark(spark, view).filter(F.col("_mv_cnt") > 0)
+    return df.select(*_user_cols(state["spec"]))
 
 
 def matview_full_spark(spark, base: TableLog, spec: dict,
@@ -537,32 +549,12 @@ def matview_full_spark(spark, base: TableLog, spec: dict,
     """Reference recompute: the view's user-facing rows derived from
     scratch at ``version`` — what every incremental refresh must equal
     (the tests' oracle, and the audit tool for a live view)."""
-    from pyspark.sql import functions as F
-
     _validate_spec(spec)
     df = read_snapshot_spark(spark, base, version=version)
     scales = {a: _sum_scale(df, s["col"]) for a, s in spec["aggs"].items()
               if s["fn"] in ("sum", "avg")}
     st = _full_state(df, spec, scales)
-    cols = [F.col(c) for c in spec["group_by"]]
-    for alias, a in spec["aggs"].items():
-        fn = a["fn"]
-        if fn == "count":
-            cols.append(F.col("_mv_cnt").cast("long").alias(alias))
-        elif fn == "sum":
-            cols.append(F.when(F.col(f"_mv_n_{alias}") > 0,
-                               F.col(f"_mv_s_{alias}")).alias(alias))
-        elif fn == "avg":
-            # guard the division: ANSI mode (Spark 4 default) raises on
-            # /0, and an all-NULL group legitimately has nn == 0
-            cols.append(F.when(F.col(f"_mv_n_{alias}") > 0,
-                               F.col(f"_mv_s_{alias}").cast("double")
-                               / F.col(f"_mv_n_{alias}")).alias(alias))
-        elif fn == "min":
-            cols.append(F.col(f"_mv_min_{alias}").alias(alias))
-        else:
-            cols.append(F.col(f"_mv_max_{alias}").alias(alias))
-    return st.select(*cols)
+    return st.select(*_user_cols(spec))
 
 
 def purge_matview_tombstones(spark, view: TableLog,

@@ -664,3 +664,33 @@ def test_purge_hit_scan_is_key_pruned_broadcast(spark):
     cand_scans = [s for s in scans if "val" in s or "k:" in s]
     assert cand_scans, plan
     assert all(s.strip() == "k:bigint" for s in cand_scans), scans
+
+
+def test_fk_membership_probe_is_key_pruned_and_jvm_side(spark):
+    """The FK membership probe (child write path) must column-prune the
+    parent scan to the parent key alone and stay JVM-side: at 100 TB
+    the price of FK enforcement is a single-column scan of the probe's
+    buckets, never a full-width parent read."""
+    from distribot_spark.plans import read_schemas, uses_python_eval
+    from distribot_spark.sources.acid import (
+        TableLog,
+        _fk_parent_keys_spark,
+        write_initial_spark,
+    )
+    from tests.test_table_acid import _tmp_table
+
+    parent = TableLog(_tmp_table())
+    write_initial_spark(
+        spark, parent,
+        spark.createDataFrame(
+            [(k, float(k), "x" * 10) for k in range(64)],
+            "c_id long, val double, pad string"),
+        "c_id", n_buckets=4)
+    child = TableLog(_tmp_table())
+    spec = {"col": "c_id",
+            "foreign_key": {"parent": parent.path, "parent_key": "c_id"}}
+    probe = spark.createDataFrame([(3,), (7,)], "c_id long")
+    pkeys = _fk_parent_keys_spark(spark, child, spec, probe)
+    for cols in read_schemas(pkeys):
+        assert cols == ["c_id"], cols  # key column only, every scan
+    assert not uses_python_eval(pkeys)

@@ -113,7 +113,7 @@ def test_unique_checks_against_retained_rows_only(spark):
         spark, t, "part = 0",
         spark.createDataFrame([(0, 0, 1)], "id long, part int, v long"))
     # colliding with a RETAINED key is not
-    with pytest.raises(ValueError, match="outside the replaced region"):
+    with pytest.raises(ValueError, match="surviving"):
         overwrite_where_spark(
             spark, t, "part = 0",
             spark.createDataFrame([(1, 0, 1)],
@@ -194,3 +194,31 @@ def test_boundaries_refuse(spark):
         overwrite_where_spark(spark, t2, "x = 1",
                               spark.createDataFrame(
                                   [(90, 1)], "id long, x long"))
+
+
+def test_unique_checks_kept_rows_of_rewritten_files(spark):
+    """The review-found gap: a rewritten file can hold BOTH matching
+    and kept rows (predicate not aligned with buckets). An incoming key
+    colliding with a KEPT row of that very file must be refused — it
+    survives the rewrite."""
+    t = TableLog(_tmp("rw_"))
+    # one bucket => one file holds part 0 AND part 1 rows
+    df = spark.range(0, 20).select(
+        "id", (F.col("id") % 2).cast("int").alias("part"),
+        (F.col("id") * 10).alias("v"))
+    acid.write_initial_spark(
+        spark, t, df, "id", n_buckets=1,
+        constraints={"pk": {"col": "id", "unique": True}})
+    # id=1 has part=1 (kept); replacing part=0 with a row reusing id=1
+    # must refuse — id=1 survives inside the rewritten file
+    with pytest.raises(ValueError, match="surviving"):
+        overwrite_where_spark(
+            spark, t, "part = 0",
+            spark.createDataFrame([(1, 0, 5)],
+                                  "id long, part int, v long"))
+    # reusing a REPLACED key (id=0, part=0) from the same file is legal
+    st = overwrite_where_spark(
+        spark, t, "part = 0",
+        spark.createDataFrame([(0, 0, 5)],
+                              "id long, part int, v long"))
+    assert st["rows_deleted"] == 10 and st["rows_inserted"] == 1

@@ -350,3 +350,40 @@ def test_fk_cannot_be_declared_at_create(spark):
             "fk": {"col": "x",
                    "foreign_key": {"parent": "/nope",
                                    "parent_key": "id"}}})
+
+
+def test_fk_birth_races_parent_delete(spark):
+    """Direction 3 (review-found): a parent key-removal validated when
+    NO foreign key existed must not link after an ALTER ADD FOREIGN KEY
+    registers mid-flight — the registration bumps fk_ref_epoch, the
+    delete's always-armed removal gate trips, and the re-scan sees the
+    new child's references (RESTRICT)."""
+    parent = TableLog(_tmp("fkp_"))
+    acid.write_initial_spark(
+        spark, parent,
+        spark.range(0, 20).select(F.col("id").alias("c_id"),
+                                  (F.col("id") % 3).alias("seg")),
+        "c_id", n_buckets=2)
+    child = TableLog(_tmp("fkc_"))
+    acid.write_initial_spark(
+        spark, child,
+        spark.range(0, 40).select(F.col("id").alias("o_id"),
+                                  (F.col("id") % 20).alias("c_id")),
+        "o_id", n_buckets=2)
+    fired = {"n": 0}
+
+    def hook(v):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            alter_add_foreign_key(spark, child, "fk_born", "c_id",
+                                  parent.path)
+
+    with pytest.raises(ValueError, match="RESTRICT"):
+        acid.delete_keys_spark(
+            spark, parent, spark.createDataFrame([(5,)], "c_id long"),
+            "c_id", pre_commit_hook=hook)
+    assert fired["n"] == 1
+    # the key survived and the FK is installed
+    assert acid.read_snapshot_spark(spark, parent).filter(
+        F.col("c_id") == 5).count() == 1
+    assert "fk_born" in child.fk_specs()
