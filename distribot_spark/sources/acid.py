@@ -264,12 +264,26 @@ class SnapshotExpired(Exception):
 
 
 class TableLog:
-    """Versioned parquet table with atomic multi-process commits."""
+    """Versioned parquet table with atomic multi-process commits.
 
-    def __init__(self, path: str) -> None:
+    Commit-critical storage operations (the version-link create, the
+    clone/export bring, replay-order stamping) go through the
+    :mod:`distribot_spark.sources.storage` seam: ``storage_backend``
+    pins this table to a named backend; None resolves the process
+    default lazily per operation (so a test-wide override applies to
+    already-constructed instances)."""
+
+    def __init__(self, path: str, storage_backend: str | None = None) -> None:
+        self._storage_name = storage_backend
         self.path = path
         self.log_dir = os.path.join(path, "_log")
         self.data_dir = os.path.join(path, "data")
+
+    @property
+    def storage(self):
+        from distribot_spark.sources import storage as _storage
+
+        return _storage.get_backend(self._storage_name)
 
     # -- log primitives ---------------------------------------------------
 
@@ -398,7 +412,19 @@ class TableLog:
         """Bumped by every commit of a CHILD table referencing this
         one (under this table's meta lock). Key-removing writers here
         capture it before the restrict scan and verify it unchanged at
-        commit — the child half of the fence."""
+        commit — the child half of the fence.
+
+        DOCUMENTED CONSERVATISM: the epoch is table-global, so under
+        sustained child insert traffic a parent DELETE/PURGE restarts
+        on every bump — even when no child write touches the deleted
+        keys — and can die with CommitConflict after max_attempts
+        (starvation, never corruption). Bounding it needs key-scoped
+        fencing (e.g. 64 hash-slot epochs: children bump the slots of
+        the FK values they insert, removals verify only their deleted
+        keys' slots); holding the meta lock across the restrict scan
+        is NOT an option — the lock is a 30 s-lease primitive for
+        sub-second metadata writes and a scan-length hold would be
+        stolen, voiding the fence."""
         return int(self._meta().get("fk_ref_epoch", 0))
 
     def _fk_bump(self, field: str) -> None:
@@ -2058,8 +2084,12 @@ def _fk_parent_keys_pandas(child: TableLog, c: dict, vals) -> set:
         s = set(pq.read_table(parent.data_path(f),
                               columns=[pkey_p]).to_pandas()[pkey_p])
         for d in dvs.get(f, ()):
-            s -= set(pq.read_table(
-                parent.data_path(d)).to_pandas()[pkey_p])
+            # a RESTORE-merged sidecar can span files: only this
+            # file's (_df == f) entries apply (`_arrow_minus_dvs`)
+            dv = pq.read_table(parent.data_path(d)).to_pandas()
+            if "_df" in dv.columns:
+                dv = dv[dv["_df"] == f]
+            s -= set(dv[pkey_p])
         keys |= s
     return keys
 
@@ -2499,8 +2529,12 @@ def _fk_restrict_pandas(table: TableLog, kset: set) -> None:
             if ckey:
                 dead: set = set()
                 for d in dvs.get(f, ()):
-                    dead |= set(pq.read_table(
-                        child.data_path(d)).to_pandas()[ckey])
+                    # sidecars can span files (RESTORE merge): only
+                    # this file's entries apply (`_arrow_minus_dvs`)
+                    dv = pq.read_table(child.data_path(d)).to_pandas()
+                    if "_df" in dv.columns:
+                        dv = dv[dv["_df"] == f]
+                    dead |= set(dv[ckey])
                 if dead:
                     frame = frame[~frame[ckey].isin(dead)]
                 if child.path == table.path:
@@ -4511,10 +4545,16 @@ def overwrite_where_spark(
                 # lives in one by definition) — a large region replace
                 # pays O(matched), not O(table), per pass
                 in_matched = base.filter(F.col("_f").isin(matched_files))
-                # FK RESTRICT: the keys leaving the table
+                # FK RESTRICT: the keys ACTUALLY leaving the table —
+                # matched keys minus the incoming batch's keys. A key
+                # the replace re-inserts never has a missing-parent
+                # window (the commit is atomic), so rebuilding a
+                # referenced region in place must pass RESTRICT.
                 del_keys = (in_matched
                             .filter(F.coalesce(pred, F.lit(False)))
-                            .select(key))
+                            .select(key)
+                            .join(up0.select(key).distinct(), key,
+                                  "left_anti"))
                 _fk_restrict_spark(spark, table, del_keys, key)
                 keep = (in_matched
                     .filter(~F.coalesce(pred, F.lit(False)))
@@ -4563,8 +4603,11 @@ def overwrite_where_spark(
             _unlink_staged(table, staged + staged_new)
             raise _ConstraintsChanged(_qdir)
         attempts += 1
+        # insert-only replace (no matched region): nothing leaves the
+        # table, so don't bump fk_del_epoch — a spurious bump would
+        # restart every concurrent child writer's validated batch
         if table.try_commit(v, staged + staged_new, matched_files,
-                            writer, fk_removal=True):
+                            writer, fk_removal=bool(matched_files)):
             return {"committed_version": v + 1, "attempts": attempts,
                     "rows_deleted": n_del, "rows_inserted": n_ins,
                     "files_rewritten": len(matched_files),

@@ -56,8 +56,10 @@ file-skipping scan.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 import uuid
 
 from distribot_spark.sources.acid import (
@@ -162,6 +164,73 @@ def _full_state(df, spec, scales: dict[str, int]):
         elif fn == "max":
             aggs.append(F.max(col).alias(f"_mv_max_{alias}"))
     return rows.groupBy(*g).agg(*aggs).select(_mv_key_col(g), "*")
+
+
+class MatviewRefreshBusy(RuntimeError):
+    """Another refresh/apply on this view is in flight (its claim is
+    younger than the lease window). Deltas are NOT idempotent, so two
+    overlapping folds of the same change range would silently
+    double-count every touched group — refuse loudly instead."""
+
+
+#: How long a refresh claim vouches for a live holder. A holder that
+#: overruns this is presumed crashed and its claim is stolen — size it
+#: above the slowest expected refresh (cron overlap is the threat
+#: model, not sub-second races).
+DEFAULT_REFRESH_LEASE = 600.0
+
+
+def _claim_path(view: TableLog) -> str:
+    return os.path.join(view.log_dir, "_matview.refresh.lock")
+
+
+@contextlib.contextmanager
+def _refresh_claim(view: TableLog, writer: str,
+                   lease_sec: float = DEFAULT_REFRESH_LEASE):
+    """Single-writer guard for the view-maintenance fold. The claim is
+    an ``O_CREAT|O_EXCL`` file (the flow/state.py claim discipline):
+    present and younger than ``lease_sec`` means a refresh is IN
+    FLIGHT → `MatviewRefreshBusy`; older means the holder crashed —
+    steal via replace-to-unique (exactly one stealer wins the rename)
+    and its half-done apply resolves through the pending-token
+    recovery, which must therefore run INSIDE the claim."""
+    path = _claim_path(view)
+    token = uuid.uuid4().hex
+    body = json.dumps({"token": token, "writer": writer,
+                       "pid": os.getpid()}).encode()
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, body)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(path).st_mtime
+            except FileNotFoundError:
+                continue  # released between create and stat — retry
+            if age < lease_sec:
+                raise MatviewRefreshBusy(
+                    f"matview refresh already in flight on {view.path} "
+                    f"(claim age {age:.1f}s < lease {lease_sec:.0f}s); "
+                    "overlapping folds double-count — serialize "
+                    "refreshes or raise lease_sec if the holder is "
+                    "known dead")
+            steal = path + f".steal{uuid.uuid4().hex[:8]}"
+            try:
+                os.replace(path, steal)
+            except FileNotFoundError:
+                continue  # another stealer won
+            os.unlink(steal)
+    try:
+        yield
+    finally:
+        # remove only OUR claim: if we overran the lease a stealer may
+        # have replaced it with theirs
+        with contextlib.suppress(OSError, ValueError):
+            with open(path) as fh:
+                if json.load(fh).get("token") == token:
+                    os.unlink(path)
 
 
 def _state_path(view: TableLog) -> str:
@@ -423,35 +492,43 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
 
 def refresh_matview(spark, base: TableLog, view: TableLog,
                     max_versions: int | None = None,
-                    writer: str = "matview") -> dict:
+                    writer: str = "matview",
+                    lease_sec: float = DEFAULT_REFRESH_LEASE) -> dict:
     """Fold the base commits past the cursor into the view — exactly
     once, in one view commit. ``max_versions`` bounds one call's range
     (catch-up pacing, the replication knob); loop until
-    ``behind == 0``."""
+    ``behind == 0``. Refreshes are SERIALIZED by a lease claim: a
+    second caller while one is in flight gets `MatviewRefreshBusy`
+    (overlapping folds of the same range double-count; cron overlap is
+    the classic trigger); pending-marker recovery runs inside the
+    claim so only a genuinely dead holder's apply is ever resolved."""
     if max_versions is not None and max_versions < 1:
         raise ValueError(f"max_versions must be >= 1, got {max_versions}")
-    state = _recover_pending(view, _load_state(view))
-    spec, scales = state["spec"], state["scales"]
-    last = int(state["last_applied"])
-    head = base.version()
-    hi = head if max_versions is None else min(head, last + max_versions)
-    out = {"from_version": last + 1, "to_version": hi,
-           "groups_upserted": 0, "dirty_recomputed": 0}
-    if hi <= last:
-        return dict(out, to_version=last, behind=max(0, head - last))
-    ch = table_changes_spark(spark, base, from_version=last + 1,
-                             to_version=hi)
-    delta = matview_delta(spark, spec, scales, ch)
-    tok = f"{writer}:apply:{last + 1}-{hi}:{uuid.uuid4().hex[:8]}"
-    _write_state(view, dict(
-        state, pending={"token": tok,
-                        "view_version_before": view.version(),
-                        "on_landed": {"last_applied": hi}}))
-    st = _apply_delta(spark, view, spec, scales, delta, tok,
-                      base=base, base_version=hi)
-    _write_state(view, dict(state, last_applied=hi))
-    out.update(st)
-    return dict(out, behind=head - hi)
+    with _refresh_claim(view, writer, lease_sec):
+        state = _recover_pending(view, _load_state(view))
+        spec, scales = state["spec"], state["scales"]
+        last = int(state["last_applied"])
+        head = base.version()
+        hi = (head if max_versions is None
+              else min(head, last + max_versions))
+        out = {"from_version": last + 1, "to_version": hi,
+               "groups_upserted": 0, "dirty_recomputed": 0}
+        if hi <= last:
+            return dict(out, to_version=last,
+                        behind=max(0, head - last))
+        ch = table_changes_spark(spark, base, from_version=last + 1,
+                                 to_version=hi)
+        delta = matview_delta(spark, spec, scales, ch)
+        tok = f"{writer}:apply:{last + 1}-{hi}:{uuid.uuid4().hex[:8]}"
+        _write_state(view, dict(
+            state, pending={"token": tok,
+                            "view_version_before": view.version(),
+                            "on_landed": {"last_applied": hi}}))
+        st = _apply_delta(spark, view, spec, scales, delta, tok,
+                          base=base, base_version=hi)
+        _write_state(view, dict(state, last_applied=hi))
+        out.update(st)
+        return dict(out, behind=head - hi)
 
 
 def apply_matview_changes(spark, view: TableLog, changes_df,
@@ -475,34 +552,41 @@ def apply_matview_changes(spark, view: TableLog, changes_df,
     stream cannot leak in; they arrive as later batches). Without
     ``base``, row-losing batches under a min/max spec refuse loudly
     (`_apply_delta` raises) — streaming views without a base handle
-    stick to the self-maintaining count/sum/avg."""
+    stick to the self-maintaining count/sum/avg.
+
+    Shares the refresh lease claim: a streaming apply racing a batch
+    refresh (or a second stream on the same view) raises
+    `MatviewRefreshBusy` instead of double-folding."""
     from pyspark.sql import functions as F
 
-    state = _recover_pending(view, _load_state(view))
-    spec, scales = state["spec"], state["scales"]
-    hwm_key = f"hwm_{writer}"
-    if batch_id is not None and int(batch_id) <= state.get(hwm_key, -1):
-        return {"skipped": True, "groups_upserted": 0,
-                "dirty_recomputed": 0}
-    base_version = None
-    if base is not None and any(a["fn"] in ("min", "max")
-                                for a in spec["aggs"].values()):
-        r = changes_df.agg(
-            F.max("_commit_version").alias("v")).collect()[0]
-        base_version = int(r["v"]) if r["v"] is not None else None
-        if base_version is None:
-            base = None  # empty batch: nothing can be dirty
-    delta = matview_delta(spark, spec, scales, changes_df)
-    tok = f"{writer}:batch:{batch_id}:{uuid.uuid4().hex[:8]}"
-    on_landed = {hwm_key: int(batch_id)} if batch_id is not None else {}
-    _write_state(view, dict(
-        state, pending={"token": tok,
-                        "view_version_before": view.version(),
-                        "on_landed": on_landed}))
-    st = _apply_delta(spark, view, spec, scales, delta, tok,
-                      base=base, base_version=base_version)
-    _write_state(view, dict(state, **on_landed))
-    return dict(st, skipped=False)
+    with _refresh_claim(view, writer):
+        state = _recover_pending(view, _load_state(view))
+        spec, scales = state["spec"], state["scales"]
+        hwm_key = f"hwm_{writer}"
+        if (batch_id is not None
+                and int(batch_id) <= state.get(hwm_key, -1)):
+            return {"skipped": True, "groups_upserted": 0,
+                    "dirty_recomputed": 0}
+        base_version = None
+        if base is not None and any(a["fn"] in ("min", "max")
+                                    for a in spec["aggs"].values()):
+            r = changes_df.agg(
+                F.max("_commit_version").alias("v")).collect()[0]
+            base_version = int(r["v"]) if r["v"] is not None else None
+            if base_version is None:
+                base = None  # empty batch: nothing can be dirty
+        delta = matview_delta(spark, spec, scales, changes_df)
+        tok = f"{writer}:batch:{batch_id}:{uuid.uuid4().hex[:8]}"
+        on_landed = ({hwm_key: int(batch_id)}
+                     if batch_id is not None else {})
+        _write_state(view, dict(
+            state, pending={"token": tok,
+                            "view_version_before": view.version(),
+                            "on_landed": on_landed}))
+        st = _apply_delta(spark, view, spec, scales, delta, tok,
+                          base=base, base_version=base_version)
+        _write_state(view, dict(state, **on_landed))
+        return dict(st, skipped=False)
 
 
 def _user_cols(spec: dict):

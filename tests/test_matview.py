@@ -397,3 +397,61 @@ def test_streaming_apply_minmax_with_base_pin(spark):
     st = mv.apply_matview_changes(spark, view, _changes(spark, base, 2, 2),
                                   batch_id=1, writer="t", base=base)
     _assert_view_equals_recompute(spark, base, view)
+
+
+def test_refresh_claim_blocks_concurrent_refresh(spark):
+    """ADVICE r7: two overlapping refreshes would both pop the pending
+    marker and double-fold the same change range (deltas are not
+    idempotent) — a fresh claim must make the second caller refuse."""
+    base, view = _mk(spark)
+    cursor0 = int(mv._load_state(view)["last_applied"])
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 200, 220), "id")
+    with open(mv._claim_path(view), "w") as fh:
+        json.dump({"token": "other-holder", "writer": "cron-1"}, fh)
+    with pytest.raises(mv.MatviewRefreshBusy, match="in flight"):
+        mv.refresh_matview(spark, base, view)
+    # cursor unmoved: the refused call folded nothing
+    assert int(mv._load_state(view)["last_applied"]) == cursor0
+    os.unlink(mv._claim_path(view))
+    st = mv.refresh_matview(spark, base, view)
+    assert st["behind"] == 0
+    # claim released on exit
+    assert not os.path.exists(mv._claim_path(view))
+    _assert_view_equals_recompute(spark, base, view)
+
+
+def test_refresh_claim_steals_stale_holder(spark):
+    """A claim older than the lease is a crashed holder: steal it,
+    resolve its pending marker (inside the claim), and refresh."""
+    import time as _time
+
+    base, view = _mk(spark)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 200, 230), "id")
+    p = mv._claim_path(view)
+    with open(p, "w") as fh:
+        json.dump({"token": "dead-holder", "writer": "crashed"}, fh)
+    old = _time.time() - 10 * mv.DEFAULT_REFRESH_LEASE
+    os.utime(p, (old, old))
+    st = mv.refresh_matview(spark, base, view)
+    assert st["behind"] == 0
+    assert not os.path.exists(p)
+    _assert_view_equals_recompute(spark, base, view)
+
+
+def test_streaming_apply_shares_the_refresh_claim(spark):
+    """A streaming apply racing a batch refresh (or a second stream on
+    the same view) must refuse, not double-fold."""
+    spec = {"group_by": ["cat"],
+            "aggs": {"cnt": {"fn": "count"},
+                     "total": {"fn": "sum", "col": "val"}}}
+    base, view = _mk(spark, spec=spec, n=80)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 80, 120), "id")
+    ch = _changes(spark, base, 1)
+    with open(mv._claim_path(view), "w") as fh:
+        json.dump({"token": "batch-refresh", "writer": "cron"}, fh)
+    with pytest.raises(mv.MatviewRefreshBusy):
+        mv.apply_matview_changes(spark, view, ch, batch_id=0, writer="t")
+    os.unlink(mv._claim_path(view))
+    st = mv.apply_matview_changes(spark, view, ch, batch_id=0, writer="t")
+    assert not st["skipped"]
+    _assert_view_equals_recompute(spark, base, view, spec)

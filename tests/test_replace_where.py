@@ -222,3 +222,64 @@ def test_unique_checks_kept_rows_of_rewritten_files(spark):
         spark.createDataFrame([(0, 0, 5)],
                               "id long, part int, v long"))
     assert st["rows_deleted"] == 10 and st["rows_inserted"] == 1
+
+
+def _fk_region_pair(spark):
+    parent = TableLog(_tmp("rwfp_"))
+    acid.write_initial_spark(
+        spark, parent,
+        spark.range(0, 20).select(F.col("id").alias("c_id"),
+                                  (F.col("id") % 3).alias("seg")),
+        "c_id", n_buckets=2)
+    child = TableLog(_tmp("rwfc_"))
+    acid.write_initial_spark(
+        spark, child,
+        spark.range(0, 40).select(
+            F.col("id").alias("o_id"),
+            (F.col("id") % 20).alias("c_id")),
+        "o_id", n_buckets=2)
+    acid.alter_add_foreign_key(spark, child, "fk", "c_id", parent.path)
+    return parent, child
+
+
+def test_replace_reinserting_referenced_keys_passes_restrict(spark):
+    """ADVICE r7: rebuilding a referenced region IN PLACE (the
+    primitive's primary backfill use) re-inserts every matched key in
+    the same atomic commit — no missing-parent window exists, so
+    RESTRICT must only fire for keys that actually LEAVE."""
+    parent, child = _fk_region_pair(spark)
+    st = overwrite_where_spark(
+        spark, parent, "c_id < 5",
+        spark.range(0, 5).select(F.col("id").alias("c_id"),
+                                 F.lit(9).cast("long").alias("seg")))
+    assert st["rows_deleted"] == 5 and st["rows_inserted"] == 5
+    got = {(r["c_id"], r["seg"]) for r in
+           acid.read_snapshot_spark(spark, parent)
+           .filter(F.col("c_id") < 5).collect()}
+    assert got == {(i, 9) for i in range(5)}
+    # a referenced key actually LEAVING still restricts: drop key 0
+    with pytest.raises(ValueError, match="RESTRICT"):
+        overwrite_where_spark(
+            spark, parent, "c_id < 5",
+            spark.range(1, 5).select(F.col("id").alias("c_id"),
+                                     F.lit(9).cast("long").alias("seg")))
+
+
+def test_insert_only_replace_does_not_fence_child_writers(spark):
+    """ADVICE r7: an empty-region REPLACE WHERE removes nothing, so it
+    must not bump fk_del_epoch (a spurious bump restarts every
+    concurrent child writer's validated batch)."""
+    parent, child = _fk_region_pair(spark)
+    e0 = parent.fk_del_epoch()
+    st = overwrite_where_spark(
+        spark, parent, "c_id >= 100",
+        spark.range(100, 105).select(F.col("id").alias("c_id"),
+                                     F.lit(0).cast("long").alias("seg")))
+    assert st["files_rewritten"] == 0 and st["rows_inserted"] == 5
+    assert parent.fk_del_epoch() == e0
+    # a replace that DOES remove keys still bumps (the fence half)
+    overwrite_where_spark(
+        spark, parent, "c_id >= 100",
+        spark.range(100, 103).select(F.col("id").alias("c_id"),
+                                     F.lit(0).cast("long").alias("seg")))
+    assert parent.fk_del_epoch() == e0 + 1

@@ -387,3 +387,91 @@ def test_fk_birth_races_parent_delete(spark):
     assert acid.read_snapshot_spark(spark, parent).filter(
         F.col("c_id") == 5).count() == 1
     assert "fk_born" in child.fk_specs()
+
+
+def _attach_spanning_sidecar(table, rows, files, key):
+    """White-box: write ONE merged DV sidecar carrying (_df, key) rows
+    for several files and attach it to each — the RESTORE-merged shape
+    `_arrow_minus_dvs` defends against (sidecar rows apply only to
+    their own file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = table.new_dv_file()
+    pq.write_table(
+        pa.table({"_df": [r[0] for r in rows],
+                  key: [r[1] for r in rows]}),
+        table.data_path(name))
+    assert table.try_commit(table.version(), [], [], "test-dv",
+                            dvs={f: name for f in files})
+
+
+def test_fk_restrict_pandas_spanning_sidecar_filters_by_file(spark):
+    """ADVICE r7: the pandas RESTRICT scan subtracted a sidecar's whole
+    key column without filtering rows to _df == f, so a spanning
+    sidecar killed live referrers in OTHER files — a parent delete
+    then passed RESTRICT and orphaned child rows."""
+    parent = TableLog(_tmp("fksp_"))
+    acid.write_initial_spark(
+        spark, parent,
+        spark.range(0, 10).select(F.col("id").alias("c_id")),
+        "c_id", n_buckets=2)
+    child = TableLog(_tmp("fksc_"))
+    acid.write_initial_spark(
+        spark, child,
+        spark.createDataFrame([(1, 1, 0), (2, 2, 0)],
+                              "o_id long, c_id long, amt long"),
+        "o_id", n_buckets=2)
+    alter_add_foreign_key(spark, child, "fk", "c_id", parent.path)
+    # two copies of o_id=11 (blind appends), each referencing c_id=7
+    vA = acid.append_spark(spark, child, _row(spark, 11, 7),
+                           "o_id")["committed_version"]
+    gA = child.read_commit(vA)["adds"][0]["file"]
+    vB = acid.append_spark(spark, child, _row(spark, 11, 7),
+                           "o_id")["committed_version"]
+    gF = child.read_commit(vB)["adds"][0]["file"]
+    # merged sidecar: kills gA's copy; its gF row names a key that is
+    # NOT in gF (999999) — gF's (11, 7) row stays LIVE
+    _attach_spanning_sidecar(child, [(gA, 11), (gF, 999999)],
+                             [gA, gF], "o_id")
+    # c_id=7 is still referenced by gF's live row: RESTRICT must fire
+    with pytest.raises(ValueError, match="RESTRICT"):
+        acid.delete_keys_pandas(parent, [7], "c_id")
+
+
+def test_fk_parent_keys_pandas_spanning_sidecar_filters_by_file(spark):
+    """Sibling direction: the pandas membership probe undercounted the
+    parent's LIVE key set under a spanning sidecar, spuriously
+    rejecting a valid child insert."""
+    parent = TableLog(_tmp("fksp2_"))
+    acid.write_initial_spark(
+        spark, parent,
+        spark.range(0, 4).select(F.col("id").alias("c_id")),
+        "c_id", n_buckets=2)
+    child = TableLog(_tmp("fksc2_"))
+    acid.write_initial_spark(
+        spark, child,
+        spark.createDataFrame([(1, 1, 0)],
+                              "o_id long, c_id long, amt long"),
+        "o_id", n_buckets=2)
+    alter_add_foreign_key(spark, child, "fk", "c_id", parent.path)
+    # two copies of parent key 6; the merged sidecar kills pA's copy
+    # and names an absent key for pB — pB's key 6 stays LIVE
+    vA = acid.append_spark(
+        spark, parent,
+        spark.createDataFrame([(6,)], "c_id long"),
+        "c_id")["committed_version"]
+    pA = parent.read_commit(vA)["adds"][0]["file"]
+    vB = acid.append_spark(
+        spark, parent,
+        spark.createDataFrame([(6,)], "c_id long"),
+        "c_id")["committed_version"]
+    pB = parent.read_commit(vB)["adds"][0]["file"]
+    _attach_spanning_sidecar(parent, [(pA, 6), (pB, 888888)],
+                             [pA, pB], "c_id")
+    # key 6 is live (pB): the pandas-client child insert must pass
+    acid.append_pandas(
+        child, pd.DataFrame({"o_id": [50], "c_id": [6], "amt": [1]}),
+        "o_id")
+    got = acid.read_policy_pandas(child)
+    assert 50 in set(got["o_id"])
