@@ -191,6 +191,17 @@ HEADLINE = [
     # rewrite + insert, one commit) — the partition-overwrite cost
     # family.
     "source_acid_replace_where",
+    # round-8 additions (documented in BASELINE.md): predicate DELETE
+    # via positional bitmap DVs (scan + (file, word) bitmap build +
+    # per-file sidecar job, ×2 overlapping + key-mode compose +
+    # OPTIMIZE compaction), the join-IVM pair (batch delta-join
+    # refresh off BOTH change feeds; the interleaved two-stream fold),
+    # and IVF retrain-and-swap (drift consume: distributed Lloyd +
+    # re-assign + atomic layout swap).
+    "source_acid_delete_where",
+    "source_acid_matview_join",
+    "s36_stream_matview_join",
+    "l3_ivf_retrain_serve",
 ]
 
 

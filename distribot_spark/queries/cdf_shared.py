@@ -195,3 +195,139 @@ MATVIEW_ORACLE_SUMS = MATVIEW_FINAL_CTE + """
              AS avg_cents
     FROM final GROUP BY pri ORDER BY pri
 """
+
+
+# ---- shared JOIN-MATVIEW workload (fact ⋈ dim IVM consumers) ---------
+#
+# One two-table history, two consumers, one relational definition: the
+# batch join refresh (queries/sources.py: source_acid_matview_join)
+# and the interleaved streaming fold (queries/streaming.py:
+# s36_stream_matview_join) both run THIS workload — the full CDF
+# alphabet on EACH side (fact insert / update+fk-move / DV delete;
+# dim attr update (mass group move) / insert with referring facts /
+# delete with dangling facts dropping out under INNER-join semantics).
+
+def seed_join_matview_tables(spark, sf_dir, root):
+    """v0 of both sides: fact = two thirds of orders as
+    (o_orderkey, fk=o_custkey, cents); dim = all customers as
+    (dk, seg)."""
+    import os
+    import shutil
+
+    from distribot_spark.sources import TableLog, write_initial_spark
+
+    shutil.rmtree(root, ignore_errors=True)
+    fact = TableLog(os.path.join(root, "fact"))
+    dim = TableLog(os.path.join(root, "dim"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("fk"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    write_initial_spark(spark, fact,
+                        orders.filter(F.col("o_orderkey") % 3 != 2),
+                        "o_orderkey", n_buckets=8)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("dk"),
+        F.col("c_mktsegment").alias("seg"))
+    write_initial_spark(spark, dim, cust, "dk", n_buckets=4)
+    return fact, dim
+
+
+def apply_join_matview_workload(spark, sf_dir, fact, dim):
+    """fact v1 insert (missing third), fact v2 update (cents bump for
+    keys %10=0, FK MOVE to (fk+13) % max(dk) + 1 for keys %100=1),
+    fact v3 DV delete (keys %7); dim v1 attr update (seg='MOVED' for
+    dk %5=0 — a mass group move), dim v2 insert (5 'NEW' dims), fact
+    v4 insert (5 synthetic facts referencing them), dim v3 delete
+    (dk %1000=7 — their facts dangle and drop from the view)."""
+    from distribot_spark.sources import delete_keys_spark, merge_upsert_spark
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("fk"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    maxc = load_table(spark, sf_dir, "customer").agg(
+        F.max("c_custkey")).collect()[0][0]
+    merge_upsert_spark(spark, fact,
+                       orders.filter(F.col("o_orderkey") % 3 == 2),
+                       "o_orderkey")
+    touched = orders.filter((F.col("o_orderkey") % 10 == 0)
+                            | (F.col("o_orderkey") % 100 == 1))
+    merge_upsert_spark(
+        spark, fact,
+        touched.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 100 == 1,
+                   (F.col("fk") + 13) % F.lit(maxc) + 1)
+            .otherwise(F.col("fk")).alias("fk"),
+            (F.col("cents")
+             + F.when(F.col("o_orderkey") % 10 == 0, F.lit(100000))
+             .otherwise(F.lit(0))).alias("cents")),
+        "o_orderkey")
+    delete_keys_spark(
+        spark, fact,
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey"), "o_orderkey")
+    cust = load_table(spark, sf_dir, "customer")
+    merge_upsert_spark(
+        spark, dim,
+        cust.filter(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_custkey").alias("dk"),
+            F.lit("MOVED").alias("seg")), "dk")
+    merge_upsert_spark(
+        spark, dim,
+        spark.range(5).select(
+            (F.lit(9000000) + F.col("id")).alias("dk"),
+            F.lit("NEW").alias("seg")), "dk")
+    merge_upsert_spark(
+        spark, fact,
+        spark.range(5).select(
+            (F.lit(900000000) + F.col("id")).alias("o_orderkey"),
+            (F.lit(9000000) + F.col("id") % 5).alias("fk"),
+            (F.lit(1000) + F.col("id")).cast("long").alias("cents")),
+        "o_orderkey")
+    delete_keys_spark(
+        spark, dim,
+        cust.filter(F.col("c_custkey") % 1000 == 7)
+        .select(F.col("c_custkey").alias("dk")), "dk")
+
+
+#: the two-table workload's final joined state, relationally
+JOIN_MATVIEW_FINAL_CTE = """
+    WITH maxc AS (SELECT MAX(c_custkey) AS m FROM customer),
+    fct AS (
+      SELECT CASE WHEN o_orderkey % 100 = 1
+                  THEN (o_custkey + 13) % (SELECT m FROM maxc) + 1
+                  ELSE o_custkey END AS fk,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 0 THEN 100000
+                      ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT 9000000 + (i % 5), CAST(1000 + i AS BIGINT)
+      FROM range(5) t(i)
+    ),
+    dm AS (
+      SELECT c_custkey AS dk,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 1000 <> 7
+      UNION ALL
+      SELECT 9000000 + i, 'NEW' FROM range(5) t(i)
+    ),
+    joined AS (SELECT seg, cents FROM fct JOIN dm ON fk = dk)
+"""
+
+JOIN_MATVIEW_ORACLE_FULL = JOIN_MATVIEW_FINAL_CTE + """
+    SELECT seg, COUNT(*) AS cnt,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM joined GROUP BY seg ORDER BY seg
+"""
+
+JOIN_MATVIEW_ORACLE_SUMS = JOIN_MATVIEW_FINAL_CTE + """
+    SELECT seg, COUNT(*) AS cnt,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM joined GROUP BY seg ORDER BY seg
+"""

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from distribot_spark.catalog import load_table
 from distribot_spark.queries.cdf_shared import (
     CDF_VIEW_ORACLE,
+    JOIN_MATVIEW_ORACLE_FULL,
     MATVIEW_ORACLE_FULL,
     build_cdf_demo_table,
     cdf_view_deltas,
@@ -1088,6 +1089,115 @@ def source_acid_delete_vectors(spark, sf_dir):
         "optimized", read_snapshot_spark(spark, table, dv_key="o_orderkey")
     )
     return r_cdf.unionByName(r_dv).unionByName(r_opt).orderBy("phase")
+
+
+@register(
+    "source_acid_delete_where",
+    oracle="""
+    WITH seed AS (SELECT o_orderkey,
+                         CAST(o_totalprice AS DECIMAL(14,2)) AS p
+                  FROM orders),
+    p1 AS (SELECT * FROM seed WHERE p < 5000),
+    k  AS (SELECT * FROM seed WHERE o_orderkey % 500 = 0
+                                AND p >= 5000),
+    p2 AS (SELECT * FROM seed WHERE p >= 5000 AND p < 10000
+                                AND o_orderkey % 500 <> 0),
+    keep AS (SELECT * FROM seed WHERE p >= 10000
+                                  AND o_orderkey % 500 <> 0),
+    u AS (
+      SELECT 'a_cdf_where1' AS phase, COUNT(*) AS cnt,
+             CAST(ROUND(SUM(p), 2) AS DOUBLE) AS total FROM p1
+      UNION ALL
+      SELECT 'b_cdf_keys', COUNT(*),
+             CAST(ROUND(SUM(p), 2) AS DOUBLE) FROM k
+      UNION ALL
+      SELECT 'c_cdf_where2', COUNT(*),
+             CAST(ROUND(SUM(p), 2) AS DOUBLE) FROM p2
+      UNION ALL
+      SELECT 'd_mixed_read', COUNT(*),
+             CAST(ROUND(SUM(p), 2) AS DOUBLE) FROM keep
+      UNION ALL
+      SELECT 'e_optimized', COUNT(*),
+             CAST(ROUND(SUM(p), 2) AS DOUBLE) FROM keep)
+    SELECT phase, cnt, total FROM u ORDER BY phase
+    """,
+    tags=("sources", "acid", "delete", "dv", "predicate"),
+)
+def source_acid_delete_where(spark, sf_dir):
+    """PREDICATE DELETE via POSITIONAL deletion vectors
+    (`delete_where_spark`, sources/acid.py): ``DELETE WHERE
+    o_totalprice < 5000`` — a NON-KEY predicate the key-addressed DV
+    path cannot express — commits per-file BITMAP sidecars (``dvp-``,
+    32-bit words over row positions: O(rows) bits, no key column at
+    all) with zero base files rewritten (asserted). The feed reports
+    exactly the predicate's rows (oracle-certified), a key-mode DV
+    delete composes on the same files (mixed sidecar kinds fold
+    together in both engines' readers), a SECOND overlapping predicate
+    delete records only the newly-dead rows (exactly-once across
+    sidecars, certified by the c_cdf_where2 census), and OPTIMIZE
+    compacts everything into the base with the logical table unchanged
+    (d_mixed_read ≡ e_optimized). Delta's roaring-bitmap DV design
+    point, flattened to a relation; the pandas client folds the same
+    sidecars byte-for-byte (pinned in tests/test_delete_where.py)."""
+    import shutil
+
+    from distribot_spark.sources import TableLog, write_initial_spark
+    from distribot_spark.sources.acid import (
+        delete_keys_spark,
+        delete_where_spark,
+        optimize_table_spark,
+        read_snapshot_spark,
+        table_changes_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_dw_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    table = TableLog(out)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+    )
+    write_initial_spark(spark, table, base, "o_orderkey", n_buckets=16)
+    live0 = set(table.snapshot()[1])
+
+    st1 = delete_where_spark(spark, table, "p < 5000")
+    assert st1["dv_files"] > 0 and st1["deleted_rows"] > 0, st1
+    assert set(table.snapshot()[1]) == live0, \
+        "positional delete must not rewrite"
+
+    keys = base.filter(F.col("o_orderkey") % 500 == 0).select(
+        "o_orderkey")
+    st2 = delete_keys_spark(spark, table, keys, "o_orderkey", 16)
+    st3 = delete_where_spark(spark, table, "p < 10000")
+    assert st3["deleted_rows"] > 0, st3
+
+    def census(phase, df):
+        return df.agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("p"), 2).cast("double").alias("total"),
+        ).select(F.lit(phase).alias("phase"), "cnt", "total")
+
+    def cdf_of(st):
+        return table_changes_spark(
+            spark, table, "o_orderkey",
+            from_version=st["committed_version"],
+            to_version=st["committed_version"],
+        ).filter(F.col("_change_type") == "delete")
+
+    parts = [census("a_cdf_where1", cdf_of(st1)),
+             census("b_cdf_keys", cdf_of(st2)),
+             census("c_cdf_where2", cdf_of(st3)),
+             census("d_mixed_read", read_snapshot_spark(spark, table))]
+
+    opt = optimize_table_spark(spark, table, "o_orderkey", 16)
+    assert table.live_dvs() == {}, \
+        "OPTIMIZE must compact positional DVs too"
+    assert opt["rewritten_buckets"] > 0, opt
+    parts.append(census("e_optimized", read_snapshot_spark(spark, table)))
+    out_df = parts[0]
+    for prt in parts[1:]:
+        out_df = out_df.unionByName(prt)
+    return out_df.orderBy("phase")
 
 
 @register(
@@ -2580,7 +2690,11 @@ def source_acid_clone_diverge(spark, sf_dir):
     )
 
     st = clone_table(src, dst_out)
-    assert st["copied"] == 0 and st["dv_sidecars"] > 0, st
+    assert st["dv_sidecars"] > 0, st
+    if src.storage.supports_hardlink:
+        assert st["copied"] == 0, st  # zero-copy on POSIX
+    else:
+        assert st["linked"] == 0, st  # object store: every bring copies
     dst = TableLog(dst_out)
 
     # diverge both sides
@@ -3015,6 +3129,76 @@ def source_acid_matview(spark, sf_dir):
         F.expr("CAST(CAST(total AS BIGINT) DIV cnt AS BIGINT)")
         .alias("avg_cents"),
     ).orderBy("pri")
+
+
+@register(
+    "source_acid_matview_join",
+    oracle=JOIN_MATVIEW_ORACLE_FULL,
+    tags=("sources", "acid", "matview", "ivm", "join"),
+)
+def source_acid_matview_join(spark, sf_dir):
+    """IVM OVER A JOIN (sources/matview.py join section — VERDICT r7
+    task 3): a ``fact ⋈ dim GROUP BY dim.seg`` aggregate view
+    maintained from BOTH tables' change feeds with delta-join algebra
+    (ΔV = ΔF⋈D_new ∪ F_old⋈ΔD — exact for any multiset, derivation in
+    the module docstring). The shared two-table workload
+    (cdf_shared.apply_join_matview_workload) drives the full CDF
+    alphabet on EACH side: fact insert / update with an FK GROUP MOVE
+    / DV delete, dim attribute update (a MASS group move through the
+    join) / insert with referring facts / delete (dangling facts drop
+    out — INNER-join semantics). The refresh is PAGED first
+    (max_versions=2 leaves both sides behind) then completed, so the
+    cursor-per-side machinery is exercised; deletes dirty min/max
+    groups, recomputed from the JOINED snapshot pinned at both end
+    versions. The oracle recomputes the final join relationally. At
+    100 TB: the fact side folds O(changed rows); a dim update costs
+    the facts it actually touches (broadcast semi-join prune on the
+    delta's join keys — file-skippable when the fact clusters on fk);
+    the view stays O(groups). Streaming twin: s36_stream_matview_join
+    folds the SAME workload through two interleaved CDF replay
+    sources, sharing this oracle's CTE."""
+    import shutil
+
+    from distribot_spark.queries.cdf_shared import (
+        apply_join_matview_workload,
+        seed_join_matview_tables,
+    )
+    from distribot_spark.sources.matview import (
+        create_join_matview,
+        read_matview,
+        refresh_join_matview,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_mvjoin_{_tag(sf_dir)}")
+    fact, dim = seed_join_matview_tables(spark, sf_dir, out)
+    from distribot_spark.sources import TableLog
+
+    view = TableLog(os.path.join(out, "view"))
+    create_join_matview(spark, fact, dim, view, {
+        "join": {"fact_fk": "fk", "dim_key": "dk"},
+        "group_by": ["seg"],
+        "aggs": {
+            "cnt": {"fn": "count"},
+            "total": {"fn": "sum", "col": "cents"},
+            "lo": {"fn": "min", "col": "cents"},
+            "hi": {"fn": "max", "col": "cents"},
+        },
+    }, n_buckets=4)
+    apply_join_matview_workload(spark, sf_dir, fact, dim)
+
+    st = refresh_join_matview(spark, fact, dim, view, max_versions=2)
+    assert st["behind"] > 0, st  # paged: both sides still behind
+    st = refresh_join_matview(spark, fact, dim, view)
+    assert st["behind"] == 0 and st["dirty_recomputed"] > 0, st
+
+    v = read_matview(spark, view)
+    return v.select(
+        "seg",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("total").cast("long").alias("sum_cents"),
+        F.col("lo").cast("long").alias("lo_cents"),
+        F.col("hi").cast("long").alias("hi_cents"),
+    ).orderBy("seg")
 
 
 @register(

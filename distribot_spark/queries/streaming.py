@@ -26,6 +26,7 @@ from distribot_spark.functions import stable_round
 from distribot_spark.queries.registry import register
 from distribot_spark.queries.cdf_shared import (
     CDF_VIEW_ORACLE,
+    JOIN_MATVIEW_ORACLE_SUMS,
     MATVIEW_ORACLE_SUMS,
     apply_matview_workload,
     build_cdf_demo_table,
@@ -2219,6 +2220,100 @@ def s34_stream_policy_cdf(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "s36_stream_matview_join",
+    oracle=JOIN_MATVIEW_ORACLE_SUMS,
+    tags=("streaming", "cdc", "matview", "acid", "ivm", "join"),
+)
+def s36_stream_matview_join(spark, sf_dir):
+    """STREAMING JOIN-IVM — the continuous face of
+    `refresh_join_matview`: a fact⋈dim view tails BOTH tables' change
+    feeds (two CDF replay sources, one commit version per trigger) and
+    folds each micro-batch through `apply_join_matview_changes` —
+    each batch a sequenced delta-join step against the OTHER side
+    pinned at its current cursor, exact under any interleaving. The
+    interleaving is real: fact versions 1-2 stream first, then dim 1,
+    then fact 3-4, then dim 2-3 — so fact batches run against dim
+    cursors both before and after the dim's mass group move, and the
+    final state must STILL equal the batch twin's oracle
+    (JOIN_MATVIEW_ORACLE_SUMS — the same workload SQL,
+    count/sum slice: min/max need the pinned joined-snapshot recompute
+    the batch path runs). Redelivery is pinned in-stream on the fact
+    feed (batch 0 applied twice → skipped; per-side high-water
+    marks). Scale shape per trigger: a fact batch joins ΔF against
+    the dim snapshot (broadcast-size by design); a dim batch pays the
+    facts its delta's keys actually touch (broadcast semi-join
+    prune), never the fact table."""
+    import shutil
+    import uuid as _uuid
+
+    from distribot_spark.queries.cdf_shared import (
+        apply_join_matview_workload,
+        seed_join_matview_tables,
+    )
+    from distribot_spark.sources import TableLog
+    from distribot_spark.sources.matview import (
+        apply_join_matview_changes,
+        create_join_matview,
+        read_matview,
+    )
+
+    root = os.path.join(replay.TMP_ROOT, f"s36_{_uuid.uuid4().hex[:8]}")
+    try:
+        fact, dim = seed_join_matview_tables(
+            spark, sf_dir, os.path.join(root, "t"))
+        view = TableLog(os.path.join(root, "view"))
+        create_join_matview(spark, fact, dim, view, {
+            "join": {"fact_fk": "fk", "dim_key": "dk"},
+            "group_by": ["seg"],
+            "aggs": {"cnt": {"fn": "count"},
+                     "total": {"fn": "sum", "col": "cents"}},
+        }, n_buckets=4)
+        apply_join_matview_workload(spark, sf_dir, fact, dim)
+        seen = {"skipped": 0}
+
+        def drive(table, key, side, frm, to, writer, redeliver=False):
+            chunks = replay.cdf_replay_dir(
+                spark, table, key,
+                os.path.join(root, f"cdf_{writer}"),
+                versions_per_trigger=1, from_version=frm,
+                to_version=to)
+
+            def sink(batch_df, batch_id):
+                st = apply_join_matview_changes(
+                    spark, view, batch_df, side, batch_id=batch_id,
+                    writer=writer, fact=fact, dim=dim)
+                assert not st["skipped"], (writer, batch_id, st)
+                if redeliver and batch_id == 0:
+                    st2 = apply_join_matview_changes(
+                        spark, view, batch_df, side,
+                        batch_id=batch_id, writer=writer,
+                        fact=fact, dim=dim)
+                    assert st2["skipped"], st2
+                    seen["skipped"] += 1
+
+            replay.run_foreach_batch(spark, lambda s: s, chunks, sink,
+                                     "append")
+
+        drive(fact, "o_orderkey", "fact", 1, 2, "s36f1",
+              redeliver=True)
+        drive(dim, "dk", "dim", 1, 1, "s36d1")
+        drive(fact, "o_orderkey", "fact", 3, 4, "s36f2")
+        drive(dim, "dk", "dim", 2, 3, "s36d2")
+        assert seen["skipped"] == 1, seen
+
+        v = read_matview(spark, view)
+        out = v.select(
+            "seg",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("total").cast("long").alias("sum_cents"),
+        ).orderBy("seg")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(

@@ -895,7 +895,10 @@ class TableLog:
                 stats[a["file"]] = a.get("stats") or {}
             for f, d in (c.get("dvs") or {}).items():
                 if f in live:
-                    dvs.setdefault(f, []).append(d)
+                    # value is one sidecar name or a LIST (mixed-kind
+                    # re-attach: key + positional merged per kind)
+                    dvs.setdefault(f, []).extend(
+                        [d] if isinstance(d, str) else list(d))
             r = c.get("id_range")
             if r:
                 hwm = max(hwm, int(r[1]))
@@ -998,21 +1001,17 @@ class TableLog:
             body["dvs"] = dvs
         if id_range:
             body["id_range"] = [int(id_range[0]), int(id_range[1])]
-        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as fh:
-            json.dump(body, fh)
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
+        # the linearization point: an atomic create-if-absent of the
+        # full commit body (POSIX tmp-then-link / object-store
+        # conditional PUT — the storage seam's one-winner contract)
+        if not self.storage.put_if_absent(
+                path, json.dumps(body).encode()):
             return False
-        finally:
-            os.unlink(tmp)
-        # advisory head hint (atomic replace; losing a race to a NEWER
-        # hint is harmless — version() probes forward from any hint)
-        htmp = self._head_hint_path() + f".tmp{uuid.uuid4().hex[:6]}"
-        with open(htmp, "w") as fh:
-            json.dump({"version": v}, fh)
-        os.replace(htmp, self._head_hint_path())
+        # advisory head hint (atomic whole-object PUT; losing a race
+        # to a NEWER hint is harmless — version() probes forward from
+        # any hint)
+        self.storage.put(self._head_hint_path(),
+                         json.dumps({"version": v}).encode())
         if v > 0 and v % CHECKPOINT_EVERY == 0:
             # winner-only, crash-tolerant: a missing checkpoint just means
             # snapshot() replays from the previous one. Folds from the
@@ -1023,12 +1022,11 @@ class TableLog:
             # metadata consumer stays flat, not just snapshot().
             live, stats, dvmap, hwm = self._fold_entries(
                 v, skip_ckpt_at_v=True)
-            ctmp = self._checkpoint_path(v) + f".tmp{uuid.uuid4().hex[:6]}"
-            with open(ctmp, "w") as fh:
-                json.dump({"version": v, "live": live,
-                           "stats": stats, "dvs": dvmap,
-                           "id_hwm": hwm}, fh)
-            os.replace(ctmp, self._checkpoint_path(v))
+            self.storage.put(
+                self._checkpoint_path(v),
+                json.dumps({"version": v, "live": live,
+                            "stats": stats, "dvs": dvmap,
+                            "id_hwm": hwm}).encode())
             # PARQUET twin of the checkpoint (one row per live file,
             # id_hwm in the footer metadata): what lets metadata
             # consumers read the manifest as a DataFrame and prune
@@ -1099,6 +1097,19 @@ class TableLog:
 
     def new_dv_file(self) -> str:
         return f"dv-{uuid.uuid4().hex}.parquet"
+
+    def new_pos_dv_file(self) -> str:
+        """POSITIONAL deletion-vector sidecar (``dvp-`` prefix — the
+        kind is carried in the NAME so folds split key vs positional
+        sidecars with zero I/O). Schema: ``(_df, _w, _m)`` — for data
+        file ``_df``, bitmap word ``_w`` masks rows at positions
+        ``[_w*32, _w*32+32)`` (bit ``pos % 32`` of ``_m``). 32-bit
+        words in int64 keep every value positive and every shift < 32
+        (the CLAUDE.md cross-engine shift discipline), at 1/32nd the
+        rows of a position list — O(rows) BITS, not O(keys × key
+        width), which is what makes wide-key and predicate deletes
+        cheap (Delta's roaring-bitmap DVs, flattened to a relation)."""
+        return f"dvp-{uuid.uuid4().hex}.parquet"
 
     def live_dvs(
         self, version: int | None = None,
@@ -1291,7 +1302,8 @@ class TableLog:
                 live[a["file"]] = int(a["pb"])
             for f, d in (c.get("dvs") or {}).items():
                 if f in live:
-                    dvs.setdefault(f, []).append(d)
+                    dvs.setdefault(f, []).extend(
+                        [d] if isinstance(d, str) else list(d))
             if i >= floor:
                 referenced.update(live)
                 for ds in dvs.values():
@@ -1866,7 +1878,10 @@ def reprocess_quarantine_spark(
 
     key, _ = _resolve_layout(table, None, None)
     qroot = quarantine_dir(table)
-    batches = sorted(os.listdir(qroot)) if os.path.isdir(qroot) else []
+    batches = sorted(
+        b for b in (os.listdir(qroot) if os.path.isdir(qroot) else [])
+        if os.path.isdir(os.path.join(qroot, b))
+    )
     if not batches:
         return {"n_replayed": 0, "n_rediverted": 0}
     paths = [os.path.join(qroot, b) for b in batches]
@@ -1895,6 +1910,13 @@ def reprocess_quarantine_spark(
             shutil.rmtree(out, ignore_errors=True)
     for p in paths:
         shutil.rmtree(p, ignore_errors=True)
+    # the arrival-order manifest (storage seam) describes batches that
+    # no longer exist; drop it when the DLQ empties so "quarantine
+    # clean" means an EMPTY directory
+    if not any(os.path.isdir(os.path.join(qroot, b))
+               for b in os.listdir(qroot)):
+        with contextlib.suppress(OSError):
+            os.unlink(os.path.join(qroot, "_arrival.json"))
     return dict(st, n_replayed=n, n_rediverted=st["quarantined"])
 
 
@@ -2063,8 +2085,6 @@ def _fk_parent_keys_pandas(child: TableLog, c: dict, vals) -> set:
     """pandas-client twin of `_fk_parent_keys_spark`: the parent's live
     key set for exactly the probe values' buckets, DV-subtracted, via
     pyarrow column reads — no JVM. Same epoch capture contract."""
-    import pyarrow.parquet as pq
-
     fk = c["foreign_key"]
     parent = TableLog(fk["parent"])
     _fk_note_seen(child, parent.path, parent.fk_del_epoch())
@@ -2081,16 +2101,11 @@ def _fk_parent_keys_pandas(child: TableLog, c: dict, vals) -> set:
     for f in sorted(live):
         if live[f] not in bks:
             continue
-        s = set(pq.read_table(parent.data_path(f),
-                              columns=[pkey_p]).to_pandas()[pkey_p])
-        for d in dvs.get(f, ()):
-            # a RESTORE-merged sidecar can span files: only this
-            # file's (_df == f) entries apply (`_arrow_minus_dvs`)
-            dv = pq.read_table(parent.data_path(d)).to_pandas()
-            if "_df" in dv.columns:
-                dv = dv[dv["_df"] == f]
-            s -= set(dv[pkey_p])
-        keys |= s
+        # canonical fold (file-scoped sidecar rows, key AND positional
+        # kinds), column-pruned to the parent key
+        tbl = _arrow_minus_dvs(parent, f, dvs.get(f, ()),
+                               columns=[pkey_p])
+        keys |= set(tbl[pkey_p].to_pylist())
     return keys
 
 
@@ -2512,8 +2527,6 @@ def _fk_restrict_pandas(table: TableLog, kset: set) -> None:
     refs = table.fk_referenced_by()
     if not refs:
         return
-    import pyarrow.parquet as pq
-
     for r in refs:
         child = TableLog(r["child"])
         col = child.physical_name(r["col"])
@@ -2524,21 +2537,14 @@ def _fk_restrict_pandas(table: TableLog, kset: set) -> None:
         n = 0
         for f in sorted(live):
             cols = [col] + ([ckey] if ckey and ckey != col else [])
-            frame = pq.read_table(
-                child.data_path(f), columns=cols).to_pandas()
-            if ckey:
-                dead: set = set()
-                for d in dvs.get(f, ()):
-                    # sidecars can span files (RESTORE merge): only
-                    # this file's entries apply (`_arrow_minus_dvs`)
-                    dv = pq.read_table(child.data_path(d)).to_pandas()
-                    if "_df" in dv.columns:
-                        dv = dv[dv["_df"] == f]
-                    dead |= set(dv[ckey])
-                if dead:
-                    frame = frame[~frame[ckey].isin(dead)]
-                if child.path == table.path:
-                    frame = frame[~frame[ckey].isin(kset)]
+            # canonical fold (file-scoped, key + positional sidecars);
+            # a layout-less child can hold no DVs, so skip the fold
+            frame = _arrow_minus_dvs(
+                child, f, dvs.get(f, ()) if ckey else (),
+                columns=cols).to_pandas()
+            if ckey and child.path == table.path:
+                # self-FK: rows being deleted don't count as referrers
+                frame = frame[~frame[ckey].isin(kset)]
             n += int(frame[col].isin(kset).sum())
         if n:
             raise ValueError(
@@ -3061,27 +3067,61 @@ def _apply_policies_spark(df, masks: dict, filters: dict):
     return df
 
 
-def _arrow_minus_dvs(table: TableLog, f: str, dv_files) -> "object":
+def _arrow_minus_dvs(table: TableLog, f: str, dv_files,
+                     columns=None) -> "object":
     """One data file as a pyarrow Table with its deletion-vector
     sidecars anti-folded (the engine-free half of `_apply_dvs`):
-    sidecar rows are (_df, key) pairs — only this file's entries
-    apply (a RESTORE-merged sidecar can span several files)."""
+    KEY sidecar rows are (_df, key) pairs, POSITIONAL sidecars
+    (``dvp-``) are (_df, _w, _m) bitmap words masking row positions —
+    only this file's entries apply either way (a RESTORE-merged
+    sidecar can span several files). ``columns`` prunes the data read
+    (positional folding is position-based, so pruning stays legal)."""
+    import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(table.data_path(f))
-    for d in dv_files:
+    tbl = pq.read_table(table.data_path(f), columns=columns)
+
+    def _rows_for(d):
         dv = pq.read_table(table.data_path(d))
-        dv_rows = (dv.filter(pc.equal(dv["_df"], f))
-                   if "_df" in dv.column_names else dv)
-        key_col = [c for c in dv.column_names if c != "_df"][0]
-        if dv_rows.num_rows:
-            # Arrow is_in kernel, not a per-row Python pass — an
-            # exported/materialized file folds at columnar speed;
-            # NULL keys are never DV-listed, so they are kept
-            tbl = tbl.filter(pc.fill_null(pc.invert(pc.is_in(
-                tbl[key_col],
-                value_set=dv_rows[key_col].combine_chunks())), True))
+        return (dv.filter(pc.equal(dv["_df"], f))
+                if "_df" in dv.column_names else dv)
+
+    # pass 1 — positional masks index the RAW file, so they fold first
+    keep = None
+    for d in dv_files:
+        if not _is_pos_dv(d):
+            continue
+        dv_rows = _rows_for(d)
+        if not dv_rows.num_rows:
+            continue
+        if keep is None:
+            keep = np.ones(tbl.num_rows, dtype=bool)
+        for w, m in zip(dv_rows["_w"].to_pylist(),
+                        dv_rows["_m"].to_pylist()):
+            base_pos = int(w) * 32
+            m = int(m)
+            for b in range(32):
+                if (m >> b) & 1 and base_pos + b < len(keep):
+                    keep[base_pos + b] = False
+    if keep is not None:
+        import pyarrow as pa
+
+        tbl = tbl.filter(pa.array(keep))
+    # pass 2 — key sidecars filter by value (position-independent)
+    for d in dv_files:
+        if _is_pos_dv(d):
+            continue
+        dv_rows = _rows_for(d)
+        if not dv_rows.num_rows:
+            continue
+        key_col = [c for c in dv_rows.column_names if c != "_df"][0]
+        # Arrow is_in kernel, not a per-row Python pass — an
+        # exported/materialized file folds at columnar speed;
+        # NULL keys are never DV-listed, so they are kept
+        tbl = tbl.filter(pc.fill_null(pc.invert(pc.is_in(
+            tbl[key_col],
+            value_set=dv_rows[key_col].combine_chunks())), True))
     return tbl
 
 
@@ -3426,13 +3466,11 @@ def export_snapshot(
                 touched & set(pq.read_schema(table.data_path(f)).names))
         (rewrites if needs_rewrite else links).append(f)
 
-    for f in links:  # metadata-speed either way: stays on the driver
-        try:
-            os.link(table.data_path(f), os.path.join(dst_dir, f))
-        except OSError:  # cross-device: plain copy
-            import shutil
-
-            shutil.copyfile(table.data_path(f), os.path.join(dst_dir, f))
+    for f in links:  # zero-copy where the store supports it (storage
+        # seam: hardlink on POSIX, server-side copy on an object
+        # store); stays on the driver either way
+        table.storage.link_or_copy(table.data_path(f),
+                                   os.path.join(dst_dir, f))
 
     if spark is not None and rewrites:
         # materialization is DATA work — one task per file (the
@@ -4021,34 +4059,101 @@ def _dv_paths(table: TableLog, dvmap: dict[str, list[str]],
     ]
 
 
+def _is_pos_dv(name: str) -> bool:
+    return os.path.basename(name).startswith("dvp-")
+
+
+def _merge_sidecar_list(src_path_of, dst: TableLog, ds: list,
+                        staged: list | None = None):
+    """Merge a file's DV sidecar LIST to at most one sidecar per KIND
+    (key and positional schemas cannot concatenate), for the re-attach
+    paths that must carry a file's whole delete state in one commit
+    (ANALYZE / RESTORE / clone). Returns a single name (str) when one
+    kind survives — the pre-positional commit shape — or a two-entry
+    list (the commit log accepts both); newly written merged names are
+    appended to ``staged`` for crash cleanup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out: list[str] = []
+    for kind, names in (("key", [d for d in ds if not _is_pos_dv(d)]),
+                        ("pos", [d for d in ds if _is_pos_dv(d)])):
+        if not names:
+            continue
+        if len(names) == 1:
+            out.append(names[0])
+            continue
+        merged = pa.concat_tables(
+            [pq.read_table(src_path_of(d)) for d in names],
+            promote_options="default")
+        name = (dst.new_pos_dv_file() if kind == "pos"
+                else dst.new_dv_file())
+        pq.write_table(merged, dst.data_path(name))
+        if staged is not None:
+            staged.append(name)
+        out.append(name)
+    return out[0] if len(out) == 1 else out
+
+
 def _apply_dvs(spark, table: TableLog, base, key: str,
                dvmap: dict[str, list[str]], files=None,
                keep_file_col: bool = False):
-    """Fold deletion vectors at read: anti-join base rows against the
-    (data file, key) pairs the DV sidecars record. The DV side is tiny
-    by construction (it scales with deletes, not the table), so this
-    plans as a BROADCAST anti-join over the scan — per-file precision
-    without per-file jobs. ``base`` must be a direct read of the live
-    paths (or already carry ``_f``): `input_file_name` is only legal on
-    a single-source plan, so the file tag is attached HERE, before any
-    join, and kept when the caller asks (``keep_file_col``)."""
+    """Fold deletion vectors at read. Two sidecar kinds, split by name
+    with zero I/O: KEY sidecars (``dv-``, rows ``(_df, key)``) fold as
+    a broadcast anti-join on (file, key); POSITIONAL sidecars
+    (``dvp-``, bitmap words ``(_df, _w, _m)``) fold as a broadcast
+    left join on (file, word) plus a bit test against the row's
+    ``_metadata.row_index`` — a positional SKIP, no key addressing,
+    which is what lets `delete_where_spark` delete by arbitrary
+    predicate. Both DV sides are tiny by construction (they scale with
+    deletes, not the table), so the plan stays a broadcast over the
+    scan — per-file precision without per-file jobs.
+
+    ``base`` must be a direct read of the live paths (or already carry
+    ``_f``/``_pos``): `input_file_name` and the ``_metadata`` struct
+    are only legal on a single-source scan, so the tags attach HERE,
+    before any join; ``_f`` is kept when the caller asks
+    (``keep_file_col``)."""
     from pyspark.sql import functions as F
 
     tagged = base if "_f" in base.columns else base.withColumn(
         "_f", _file_col()
     )
     paths = _dv_paths(table, dvmap, files)
-    if not paths:
-        return tagged if keep_file_col else tagged.drop("_f")
-    dv = spark.read.parquet(*paths).select(
-        F.col("_df"), F.col(key).alias("_dk")
-    )
-    out = tagged.join(
-        F.broadcast(dv),
-        (tagged["_f"] == dv["_df"]) & (tagged[key] == dv["_dk"]),
-        "left_anti",
-    )
-    return out if keep_file_col else out.drop("_f")
+    kpaths = [p for p in paths if not _is_pos_dv(p)]
+    ppaths = sorted({p for p in paths if _is_pos_dv(p)})
+    if ppaths:
+        added_pos = "_pos" not in tagged.columns
+        if added_pos:
+            tagged = tagged.withColumn(
+                "_pos", F.col("_metadata.row_index"))
+        # accumulating deletes OR together; a sidecar attached to
+        # several files contributes only its own file's words (the
+        # spanning-sidecar discipline, via the _df join key)
+        words = (spark.read.parquet(*ppaths)
+                 .groupBy("_df", "_w")
+                 .agg(F.expr("bit_or(_m)").alias("_m")))
+        j = tagged.join(
+            F.broadcast(words),
+            (tagged["_f"] == words["_df"])
+            & (F.floor(tagged["_pos"] / 32) == words["_w"]),
+            "left",
+        ).drop("_df", "_w")
+        tagged = j.filter(
+            F.coalesce(
+                F.expr("shiftright(_m, CAST(_pos % 32 AS INT)) & 1"),
+                F.lit(0)) == 0
+        ).drop("_m", *(["_pos"] if added_pos else []))
+    if kpaths:
+        dv = spark.read.parquet(*kpaths).select(
+            F.col("_df"), F.col(key).alias("_dk")
+        )
+        tagged = tagged.join(
+            F.broadcast(dv),
+            (tagged["_f"] == dv["_df"]) & (tagged[key] == dv["_dk"]),
+            "left_anti",
+        )
+    return tagged if keep_file_col else tagged.drop("_f")
 
 
 @_reapply_on_constraint_change
@@ -4099,15 +4204,12 @@ def delete_keys_pandas(
             staged_dvs, deleted_rows = {}, 0
             replaced_dvstate = dvstate
             for f in sorted(bucket_files):
-                frame = pq.read_table(
-                    table.data_path(f), columns=[key]
-                ).to_pandas()
-                dead: set = set()
-                for d in dvmap.get(f, ()):
-                    dead |= set(
-                        pq.read_table(table.data_path(d)).to_pandas()[key]
-                    )
-                hit = frame[frame[key].isin(kset) & ~frame[key].isin(dead)]
+                # existing DVs (key AND positional) fold first so a
+                # key never lands in two sidecars of one file
+                frame = _arrow_minus_dvs(
+                    table, f, dvmap.get(f, ()),
+                    columns=[key]).to_pandas()
+                hit = frame[frame[key].isin(kset)]
                 if hit.empty:
                     continue
                 name = table.new_dv_file()
@@ -4299,6 +4401,139 @@ def delete_keys_spark(
         table,
         (staged or []) + [{"file": d} for d in (staged_dvs or {}).values()],
     )
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+@_reapply_on_constraint_change
+def delete_where_spark(
+    spark,
+    table: TableLog,
+    predicate: str,
+    writer: str = "delete-where",
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """``DELETE WHERE <any predicate>`` via POSITIONAL deletion
+    vectors: one predicate scan finds the matching LIVE rows, their
+    row positions pack into per-file bitmap sidecars (``dvp-``,
+    32-bit words: O(rows) bits, no key addressing), and ONE commit
+    attaches them — zero base files rewritten. This is the delete the
+    key-addressed `delete_keys_spark` cannot express (wide keys,
+    non-key predicates) and Delta serves with roaring-bitmap DVs.
+
+    Scale shape: the scan is a predicate-pushdown read of the live
+    files with `_metadata.row_index` (positions are per-file, so no
+    shuffle is needed to assign them); the bitmap build is one
+    partial-agg'd groupBy on (file, word); the sidecars are written by
+    a SPARK job partitioned by file, so the driver moves file names,
+    never row data. Existing DVs (both kinds) fold BEFORE the
+    predicate runs, so a row is recorded at most once across its
+    file's sidecars — what keeps the change feed exactly-once.
+
+    OCC discipline matches `delete_keys_spark`: losing a race to a
+    commit that changed the live-file or DV state forces a recompute;
+    FK RESTRICT runs on the keys actually leaving; the removal fence
+    (fk_del_epoch) bumps.
+
+    Column-mapped tables refuse loudly (the predicate would run
+    against renamed physical columns — the REPLACE WHERE boundary).
+
+    Returns {committed_version, attempts, deleted_rows, dv_files}."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    _rev0 = _gate_state(table, removal=True)
+    key, _ = _resolve_layout(table, None, None)
+    if table.column_mapping() or table.dropped_columns():
+        raise ValueError(
+            "DELETE WHERE on a column-mapped table is not supported: "
+            "the predicate would run against renamed physical columns")
+    key = table.physical_name(key)
+    pred = F.expr(predicate)
+
+    attempts = 0
+    staged_dvs: dict[str, str] | None = None
+    replaced_state = None
+    deleted_rows = 0
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        dvmap = table.live_dvs()
+        state = (tuple(sorted(live.items())),
+                 tuple(sorted((f, tuple(ds)) for f, ds in dvmap.items())))
+        if staged_dvs is None or state != replaced_state:
+            if staged_dvs:
+                _unlink_staged(
+                    table,
+                    [{"file": d} for d in set(staged_dvs.values())])
+            staged_dvs, deleted_rows = {}, 0
+            replaced_state = state
+            if live:
+                paths = [table.data_path(f) for f in sorted(live)]
+                base = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*paths)
+                    .withColumn("_f", _file_col())
+                    .withColumn("_pos", F.col("_metadata.row_index")))
+                visible = _apply_dvs(spark, table, base, key, dvmap,
+                                     files=set(live),
+                                     keep_file_col=True)
+                hits = visible.filter(F.coalesce(pred, F.lit(False)))
+                # RESTRICT: the keys leaving (no-op without back-refs)
+                _fk_restrict_spark(spark, table,
+                                   hits.select(key).distinct(), key)
+                words = (
+                    hits.select("_f", "_pos")
+                    .withColumn("_df", F.col("_f"))
+                    .withColumn("_w",
+                                F.floor(F.col("_pos") / 32)
+                                .cast("long"))
+                    .withColumn("_b", F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(_pos % 32 AS INT))"))
+                    .groupBy("_f", "_df", "_w")
+                    .agg(F.expr("bit_or(_b)").alias("_m")))
+                tmp_out = table.data_path(f"_stage-{uuid.uuid4().hex}")
+                (words.repartition(
+                    max(min(len(live), 64), 1), "_f")
+                 .write.mode("overwrite").partitionBy("_f")
+                 .parquet(tmp_out))
+                for d in sorted(os.listdir(tmp_out)):
+                    if not d.startswith("_f="):
+                        continue
+                    data_file = d.split("=", 1)[1]
+                    for p in sorted(os.listdir(
+                            os.path.join(tmp_out, d))):
+                        if not p.endswith(".parquet"):
+                            continue
+                        name = table.new_pos_dv_file()
+                        shutil.move(os.path.join(tmp_out, d, p),
+                                    table.data_path(name))
+                        staged_dvs[data_file] = name
+                        deleted_rows += sum(
+                            int(m).bit_count()
+                            for m in pq.read_table(
+                                table.data_path(name),
+                                columns=["_m"])["_m"].to_pylist())
+                shutil.rmtree(tmp_out, ignore_errors=True)
+            if not staged_dvs:  # nothing matched: no commit needed
+                if _gate_state(table, removal=True) != _rev0:
+                    raise _ConstraintsChanged(None)
+                return {"committed_version": v, "attempts": attempts,
+                        "deleted_rows": 0, "dv_files": 0}
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        if _gate_state(table, removal=True) != _rev0:
+            _unlink_staged(
+                table, [{"file": d} for d in set(staged_dvs.values())])
+            raise _ConstraintsChanged(None)
+        attempts += 1
+        if table.try_commit(v, [], [], writer, dvs=staged_dvs,
+                            fk_removal=True):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "deleted_rows": deleted_rows,
+                    "dv_files": len(staged_dvs)}
+    _unlink_staged(table,
+                   [{"file": d} for d in set(staged_dvs.values())])
     raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
 
 
@@ -5180,17 +5415,9 @@ def analyze_table(
             adds.append({"file": f, "pb": int(live[f]), "stats": st})
             removes.append(f)
             dvs = list(dvmap.get(f, ()))
-            if len(dvs) == 1:
-                dv_attach[f] = dvs[0]
-            elif len(dvs) > 1:
-                merged = pa.concat_tables(
-                    [pq.read_table(table.data_path(d)) for d in dvs],
-                    promote_options="default",
-                )
-                name = table.new_dv_file()
-                pq.write_table(merged, table.data_path(name))
-                staged_sidecars.append(name)
-                dv_attach[f] = name
+            if dvs:
+                dv_attach[f] = _merge_sidecar_list(
+                    table.data_path, table, dvs, staged_sidecars)
         if _gate_state(table) != _rev0:
             _unlink_staged(table, [{"file": n} for n in staged_sidecars])
             raise _ConstraintsChanged(None)
@@ -5273,17 +5500,9 @@ def restore_table(
                 a["stats"] = st
             adds.append(a)
             dvs = old_state[f]
-            if len(dvs) == 1:
-                dv_attach[f] = dvs[0]
-            elif len(dvs) > 1:
-                merged = pa.concat_tables(
-                    [pq.read_table(table.data_path(d)) for d in dvs],
-                    promote_options="default",
-                )
-                name = table.new_dv_file()
-                pq.write_table(merged, table.data_path(name))
-                staged_sidecars.append(name)
-                dv_attach[f] = name
+            if dvs:
+                dv_attach[f] = _merge_sidecar_list(
+                    table.data_path, table, list(dvs), staged_sidecars)
         if _gate_state(table) != _rev0:
             _unlink_staged(table, [{"file": n} for n in staged_sidecars])
             raise _ConstraintsChanged(None)
@@ -5371,19 +5590,30 @@ def table_changes_spark(
         # not a new deletion — its rows were reported when the original
         # DV committed; only attachments to files that stay live are
         # fresh deletes
-        dvl = {f: d for f, d in (c.get("dvs") or {}).items()
+        def _as_list(d):
+            return [d] if isinstance(d, str) else list(d)
+
+        dvl = {f: _as_list(d) for f, d in (c.get("dvs") or {}).items()
                if f not in added_names}
-        dvl_carried = {f: [d] for f, d in (c.get("dvs") or {}).items()
+        dvl_carried = {f: _as_list(d)
+                       for f, d in (c.get("dvs") or {}).items()
                        if f in added_names}
-        if dvl:
+        key_sc = {f: [d for d in ds if not _is_pos_dv(d)]
+                  for f, ds in dvl.items()}
+        key_sc = {f: ds for f, ds in key_sc.items() if ds}
+        pos_sc = {f: [d for d in ds if _is_pos_dv(d)]
+                  for f, ds in dvl.items()}
+        pos_sc = {f: ds for f, ds in pos_sc.items() if ds}
+        if key_sc:
             # deletion-vector commit: the deleted rows are the named
             # data files' rows whose key the sidecar records — each
             # recorded exactly once (delete_keys_spark applies existing
             # DVs before staging new ones), so the feed equals what a
             # rewrite-mode delete of the same keys would report
-            b_df = _aligned([table.data_path(f) for f in sorted(dvl)])
+            b_df = _aligned([table.data_path(f) for f in sorted(key_sc)])
             dv = spark.read.parquet(
-                *[table.data_path(d) for _, d in sorted(dvl.items())]
+                *[table.data_path(d)
+                  for _, ds in sorted(key_sc.items()) for d in ds]
             ).select(F.col("_df"), F.col(key).alias("_dk"))
             tagged = b_df.withColumn("_f", _file_col())
             hit = tagged.join(
@@ -5391,6 +5621,36 @@ def table_changes_spark(
                 (tagged["_f"] == dv["_df"]) & (tagged[key] == dv["_dk"]),
                 "left_semi",
             ).drop("_f")
+            dcols = [x for x in b_df.columns if x != key]
+            frames.append(
+                hit.select(
+                    key, F.struct(*dcols).alias("_p"),
+                    F.lit("delete").alias("_change_type"),
+                ).select(key, "_p.*", "_change_type",
+                         F.lit(v).alias("_commit_version"))
+            )
+        if pos_sc:
+            # POSITIONAL deletion vectors (delete_where_spark): the
+            # deleted rows are the files' rows at the bitmap
+            # positions; reported identically to key-mode deletes
+            b_df = _aligned([table.data_path(f) for f in sorted(pos_sc)])
+            words = (
+                spark.read.parquet(
+                    *[table.data_path(d)
+                      for _, ds in sorted(pos_sc.items()) for d in ds])
+                .groupBy("_df", "_w")
+                .agg(F.expr("bit_or(_m)").alias("_m")))
+            tagged = (b_df.withColumn("_f", _file_col())
+                      .withColumn("_pos", F.col("_metadata.row_index")))
+            hit = (
+                tagged.join(
+                    F.broadcast(words),
+                    (tagged["_f"] == words["_df"])
+                    & (F.floor(tagged["_pos"] / 32) == words["_w"]),
+                    "inner")
+                .filter(F.expr(
+                    "shiftright(_m, CAST(_pos % 32 AS INT)) & 1") == 1)
+                .drop("_f", "_pos", "_df", "_w", "_m"))
             dcols = [x for x in b_df.columns if x != key]
             frames.append(
                 hit.select(
@@ -6163,24 +6423,19 @@ def clone_table(
     live, stats, dvs, hwm = src._fold_entries(v)
 
     def _bring(name: str) -> bool:
-        """Hardlink (zero-copy) or, failing that, copy. True = linked.
-        RETRYABLE: a destination entry that is already the same inode
-        (a prior clone attempt died between linking and the commit, or
-        a concurrent clone of the same snapshot linked it first) counts
-        as linked; a foreign file under the same name is refused
+        """Zero-copy reference or copy via the storage seam (hardlink
+        on POSIX; an object store always copies). True = linked.
+        RETRYABLE: a destination entry that is already the same object
+        (a prior clone attempt died between bringing and the commit,
+        or a concurrent clone of the same snapshot brought it first)
+        is accepted; a foreign file under the same name is refused
         loudly rather than silently overwritten."""
         s, d = src.data_path(name), dst.data_path(name)
         try:
-            os.link(s, d)
-            return True
+            return dst.storage.link_or_copy(s, d) == "linked"
         except FileExistsError:
-            if os.path.samefile(s, d):
-                return True
             raise ValueError(
                 f"clone destination holds a foreign file {name!r}")
-        except OSError:
-            shutil.copy2(s, d)
-            return False
 
     linked = copied = 0
     adds = []
@@ -6193,23 +6448,17 @@ def clone_table(
         if stats.get(f):
             entry["stats"] = stats[f]
         adds.append(entry)
-    dv_attach: dict[str, str] = {}
+    dv_attach: dict = {}
     for f in sorted(dvs):
-        ds = list(dvs[f])
-        if len(ds) == 1:
-            if _bring(ds[0]):
+        att = _merge_sidecar_list(src.data_path, dst, list(dvs[f]))
+        for nm in (att if isinstance(att, list) else [att]):
+            if os.path.exists(dst.data_path(nm)):
+                continue  # freshly merged: already written at dst
+            if _bring(nm):
                 linked += 1
             else:
                 copied += 1
-            dv_attach[f] = ds[0]
-        elif len(ds) > 1:
-            merged = pa.concat_tables(
-                [pq.read_table(src.data_path(d)) for d in ds],
-                promote_options="default",
-            )
-            name = dst.new_dv_file()
-            pq.write_table(merged, dst.data_path(name))
-            dv_attach[f] = name
+        dv_attach[f] = att
     if not dst.try_commit(
         -1, adds, [], writer,
         dvs=dv_attach or None,

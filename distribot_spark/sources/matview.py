@@ -331,7 +331,8 @@ def matview_delta(spark, spec: dict, scales: dict, changes_df):
 
 def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
                  delta, tok: str, base: TableLog | None,
-                 base_version: int | None) -> dict:
+                 base_version: int | None,
+                 snapshot_df=None) -> dict:
     """Join the signed delta with the view's current rows, fold the new
     riders, recompute dirty min/max groups from the base AS OF the
     refresh end version, and land everything as ONE keyed MERGE whose
@@ -419,13 +420,16 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
                           & (F.col("_mv_cnt") > 0))
         n_dirty = int(chk["ndirty"] or 0)
         if n_dirty:
-            if base is None or base_version is None:
+            if snapshot_df is None and (base is None
+                                        or base_version is None):
                 raise ValueError(
                     "min/max view lost rows in a group; recompute "
                     "needs the base table and a pinned version")
-            snap = _filtered(
-                read_snapshot_spark(spark, base, version=base_version),
-                spec)
+            snap = (snapshot_df if snapshot_df is not None
+                    else _filtered(
+                        read_snapshot_spark(spark, base,
+                                            version=base_version),
+                        spec))
             keys = dirty.select("_mv_key")
             raggs = []
             for alias, a in spec["aggs"].items():
@@ -654,3 +658,277 @@ def purge_matview_tombstones(spark, view: TableLog,
     if n:
         delete_keys_spark(spark, view, dead, "_mv_key", writer=writer)
     return int(n)
+
+
+# ---- IVM over JOINS (fact ⋈ dim) ------------------------------------
+#
+# The classic next rung past single-table aggregates (VERDICT r7 task
+# 3): maintain ``SELECT g, aggs FROM fact F JOIN dim D ON F.fk = D.k
+# GROUP BY g`` from BOTH tables' change feeds with delta-join algebra.
+# With signed multisets (insert/update_post = +1, delete/update_pre =
+# −1) and F_new = F_old + ΔF, D_new = D_old + ΔD:
+#
+#     ΔV = F_new⋈D_new − F_old⋈D_old = ΔF⋈D_new  ∪  F_old⋈ΔD
+#
+# (the ΔF⋈ΔD double-count folds into the first term by pinning the
+# dim side NEW and the fact side OLD — exact for any multiset, no
+# uniqueness assumption needed). Each refresh therefore reads: the two
+# change feeds (delta-bounded), the dim snapshot AS OF its new cursor
+# (dims are small by design), and the OLD fact snapshot PRUNED to
+# ΔD's join keys via a broadcast semi-join — the inherent "a dim
+# update touches its referring facts" cost, file-skippable when the
+# fact is clustered on the join key. Group-by columns may come from
+# EITHER side, so a dim attribute update is a mass group move and
+# folds exactly.  Joined-row semantics are INNER: a fact whose dim row
+# is deleted drops out of the view (document FKs if dangling facts
+# must be impossible).  Everything else — riders, tombstones, the
+# pending-token exactly-once protocol, the refresh lease — is shared
+# with the single-table path verbatim.
+
+
+def _join_cols(spec: dict) -> tuple[str, str]:
+    j = spec["join"]
+    return j["fact_fk"], j["dim_key"]
+
+
+def _join_frame(spark, spec, fact_df, dim_df):
+    from pyspark.sql import functions as F
+
+    fk, dk = _join_cols(spec)
+    j = fact_df.alias("f").join(
+        dim_df.alias("d"),
+        F.col(f"f.{fk}") == F.col(f"d.{dk}"), "inner")
+    return _filtered(j, spec)
+
+
+def _needed_cols(spec: dict):
+    """The columns the delta fold needs (group keys + agg inputs +
+    sign) — both union branches project to exactly this set."""
+    cols = list(spec["group_by"])
+    for a in spec["aggs"].values():
+        if a.get("col") and a["col"] not in cols:
+            cols.append(a["col"])
+    return cols
+
+
+def create_join_matview(spark, fact: TableLog, dim: TableLog,
+                        view: TableLog, spec: dict,
+                        n_buckets: int = 8,
+                        writer: str = "matview") -> dict:
+    """Materialize the joined aggregate over BOTH tables' current
+    snapshots and pin a cursor PER SIDE; `refresh_join_matview` folds
+    everything after them."""
+    _validate_spec(spec)
+    if "join" not in spec:
+        raise ValueError("join matview spec needs a 'join' clause")
+    vf, vd = fact.version(), dim.version()
+    j = _join_frame(spark,
+                    spec,
+                    read_snapshot_spark(spark, fact, version=vf),
+                    read_snapshot_spark(spark, dim, version=vd))
+    scales = {a: _sum_scale(j, s["col"]) for a, s in spec["aggs"].items()
+              if s["fn"] in ("sum", "avg")}
+    full = _full_state(j, spec, scales)
+    _check_key_collisions(full, "create_join_matview")
+    write_initial_spark(spark, view, full, "_mv_key",
+                        n_buckets=n_buckets, writer=writer)
+    _write_state(view, {"spec": spec, "scales": scales,
+                        "fact_path": fact.path, "dim_path": dim.path,
+                        "last_fact": vf, "last_dim": vd})
+    return {"fact_version": vf, "dim_version": vd}
+
+
+def _join_delta_frames(spark, spec, fact, dim, lf, hf, ld, hd):
+    """The two delta-join terms as ONE signed change frame projected to
+    the fold's columns + ``_change_type`` (matview_delta derives the
+    ±1 sign from it)."""
+    from pyspark.sql import functions as F
+
+    fk, dk = _join_cols(spec)
+    need = _needed_cols(spec)
+    parts = []
+    if hf > lf:
+        dF = table_changes_spark(spark, fact, from_version=lf + 1,
+                                 to_version=hf)
+        d_new = read_snapshot_spark(spark, dim, version=hd)
+        j = dF.alias("f").join(d_new.alias("d"),
+                               F.col(f"f.{fk}") == F.col(f"d.{dk}"),
+                               "inner")
+        parts.append(_filtered(j, spec).select(
+            *need, F.col("f._change_type").alias("_change_type")))
+    if hd > ld:
+        dD = table_changes_spark(spark, dim, from_version=ld + 1,
+                                 to_version=hd)
+        f_old = read_snapshot_spark(spark, fact, version=lf)
+        # prune the fact scan to the dim delta's join keys: the only
+        # facts whose view contribution can change
+        keys = dD.select(F.col(dk).alias(fk)).distinct()
+        f_old = f_old.join(F.broadcast(keys), fk, "left_semi")
+        j = f_old.alias("f").join(dD.alias("d"),
+                                  F.col(f"f.{fk}") == F.col(f"d.{dk}"),
+                                  "inner")
+        parts.append(_filtered(j, spec).select(
+            *need, F.col("d._change_type").alias("_change_type")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def refresh_join_matview(spark, fact: TableLog, dim: TableLog,
+                         view: TableLog,
+                         max_versions: int | None = None,
+                         writer: str = "matview",
+                         lease_sec: float = DEFAULT_REFRESH_LEASE
+                         ) -> dict:
+    """Fold both feeds past the per-side cursors into the view —
+    exactly once, one view commit. ``max_versions`` bounds EACH side's
+    range (catch-up paging); loop until ``behind == 0``."""
+    if max_versions is not None and max_versions < 1:
+        raise ValueError(f"max_versions must be >= 1, got {max_versions}")
+    with _refresh_claim(view, writer, lease_sec):
+        state = _recover_pending(view, _load_state(view))
+        spec, scales = state["spec"], state["scales"]
+        lf, ld = int(state["last_fact"]), int(state["last_dim"])
+        head_f, head_d = fact.version(), dim.version()
+        hf = (head_f if max_versions is None
+              else min(head_f, lf + max_versions))
+        hd = (head_d if max_versions is None
+              else min(head_d, ld + max_versions))
+        out = {"fact_range": (lf + 1, hf), "dim_range": (ld + 1, hd),
+               "groups_upserted": 0, "dirty_recomputed": 0}
+        if hf <= lf and hd <= ld:
+            return dict(out, behind=0)
+        changes = _join_delta_frames(spark, spec, fact, dim,
+                                     lf, hf, ld, hd)
+        # the join terms are already _filtered and projected; a
+        # filter-less spec keeps matview_delta from re-filtering
+        # against columns the projection dropped
+        spec_nf = {k: v for k, v in spec.items() if k != "filter"}
+        delta = matview_delta(spark, spec_nf, scales, changes)
+        tok = (f"{writer}:japply:f{lf + 1}-{hf}:d{ld + 1}-{hd}:"
+               f"{uuid.uuid4().hex[:8]}")
+        _write_state(view, dict(
+            state, pending={"token": tok,
+                            "view_version_before": view.version(),
+                            "on_landed": {"last_fact": hf,
+                                          "last_dim": hd}}))
+        snap = _join_frame(
+            spark, spec,
+            read_snapshot_spark(spark, fact, version=hf),
+            read_snapshot_spark(spark, dim, version=hd))
+        st = _apply_delta(spark, view, spec, scales, delta, tok,
+                          base=None, base_version=None,
+                          snapshot_df=snap)
+        _write_state(view, dict(state, last_fact=hf, last_dim=hd))
+        out.update(st)
+        return dict(out,
+                    behind=(head_f - hf) + (head_d - hd))
+
+
+def apply_join_matview_changes(spark, view: TableLog, changes_df,
+                               side: str,
+                               batch_id: int | None = None,
+                               writer: str = "matview-stream",
+                               fact: TableLog | None = None,
+                               dim: TableLog | None = None) -> dict:
+    """STREAMING face of the join refresh: fold one change-feed
+    micro-batch from ONE side (``side`` ∈ {'fact', 'dim'}) inside a
+    foreachBatch sink. Each batch is a sequenced delta-join step
+    against the OTHER side pinned at its current cursor (fact batch:
+    ΔF ⋈ dim@last_dim; dim batch: fact@last_fact ⋈ ΔD) — exact under
+    any interleaving of the two streams, by induction on the algebra.
+    The batch must end on a whole version boundary of its own feed
+    (the CDF replay source's versions_per_trigger contract); the
+    landed cursor advances to ``max(_commit_version)``. Redelivery,
+    crash recovery and the refresh lease are the single-table
+    machinery verbatim; min/max specs need BOTH handles for the
+    dirty-group recompute and refuse loudly on row-losing batches
+    without them."""
+    from pyspark.sql import functions as F
+
+    if side not in ("fact", "dim"):
+        raise ValueError(f"side must be 'fact' or 'dim', got {side!r}")
+    with _refresh_claim(view, writer):
+        state = _recover_pending(view, _load_state(view))
+        spec, scales = state["spec"], state["scales"]
+        fk, dk = _join_cols(spec)
+        need = _needed_cols(spec)
+        hwm_key = f"hwm_{writer}_{side}"
+        if (batch_id is not None
+                and int(batch_id) <= state.get(hwm_key, -1)):
+            return {"skipped": True, "groups_upserted": 0,
+                    "dirty_recomputed": 0}
+        r = changes_df.agg(
+            F.max("_commit_version").alias("v")).collect()[0]
+        batch_hi = int(r["v"]) if r["v"] is not None else None
+        cursor_key = "last_fact" if side == "fact" else "last_dim"
+        if batch_hi is None:
+            batch_hi = int(state[cursor_key])  # empty batch
+        if side == "fact":
+            if dim is None:
+                raise ValueError("fact-side apply needs the dim handle")
+            other = read_snapshot_spark(spark, dim,
+                                        version=int(state["last_dim"]))
+            j = changes_df.alias("f").join(
+                other.alias("d"),
+                F.col(f"f.{fk}") == F.col(f"d.{dk}"), "inner")
+            changes = _filtered(j, spec).select(
+                *need, F.col("f._change_type").alias("_change_type"))
+        else:
+            if fact is None:
+                raise ValueError("dim-side apply needs the fact handle")
+            f_old = read_snapshot_spark(spark, fact,
+                                        version=int(state["last_fact"]))
+            keys = changes_df.select(F.col(dk).alias(fk)).distinct()
+            f_old = f_old.join(F.broadcast(keys), fk, "left_semi")
+            j = f_old.alias("f").join(
+                changes_df.alias("d"),
+                F.col(f"f.{fk}") == F.col(f"d.{dk}"), "inner")
+            changes = _filtered(j, spec).select(
+                *need, F.col("d._change_type").alias("_change_type"))
+        spec_nf = {k: v for k, v in spec.items() if k != "filter"}
+        delta = matview_delta(spark, spec_nf, scales, changes)
+        snap = None
+        if any(a["fn"] in ("min", "max")
+               for a in spec["aggs"].values()):
+            if fact is not None and dim is not None:
+                vf = batch_hi if side == "fact" else int(
+                    state["last_fact"])
+                vd = batch_hi if side == "dim" else int(
+                    state["last_dim"])
+                snap = _join_frame(
+                    spark, spec,
+                    read_snapshot_spark(spark, fact, version=vf),
+                    read_snapshot_spark(spark, dim, version=vd))
+        tok = (f"{writer}:jbatch:{side}:{batch_id}:"
+               f"{uuid.uuid4().hex[:8]}")
+        on_landed = {cursor_key: batch_hi}
+        if batch_id is not None:
+            on_landed[hwm_key] = int(batch_id)
+        _write_state(view, dict(
+            state, pending={"token": tok,
+                            "view_version_before": view.version(),
+                            "on_landed": on_landed}))
+        st = _apply_delta(spark, view, spec, scales, delta, tok,
+                          base=None, base_version=None,
+                          snapshot_df=snap)
+        _write_state(view, dict(state, **on_landed))
+        return dict(st, skipped=False)
+
+
+def join_matview_full_spark(spark, fact: TableLog, dim: TableLog,
+                            spec: dict,
+                            fact_version: int | None = None,
+                            dim_version: int | None = None):
+    """Reference recompute for the JOIN view — what every incremental
+    refresh must equal (the tests' oracle and the audit tool)."""
+    _validate_spec(spec)
+    j = _join_frame(
+        spark, spec,
+        read_snapshot_spark(spark, fact, version=fact_version),
+        read_snapshot_spark(spark, dim, version=dim_version))
+    scales = {a: _sum_scale(j, s["col"]) for a, s in spec["aggs"].items()
+              if s["fn"] in ("sum", "avg")}
+    st = _full_state(j, spec, scales)
+    return st.select(*_user_cols(spec))

@@ -1,0 +1,247 @@
+"""Storage backend seam for the commit-critical primitives.
+
+The ACID layer (sources/acid.py) was built on three POSIX-only
+mechanisms, each of which DOES NOT EXIST on the object stores a 100 TB
+table actually lives on (S3/GCS/ABFS):
+
+1. **The atomic version link** — ``try_commit`` made version
+   ``v{n}.json`` visible via tmp-then-``os.link`` (one winner by
+   link(2) atomicity). Object stores offer the equivalent contract as
+   a CONDITIONAL PUT: S3 ``If-None-Match: *``, GCS
+   ``x-goog-if-generation-match: 0`` — an atomic create-if-absent of a
+   whole object, exactly one concurrent writer succeeds.
+2. **Hardlink zero-copy** — clone/export used ``os.link`` for
+   metadata-speed file sharing. Object stores have no hardlink; the
+   portable contract is server-side COPY (or a metadata reference),
+   with the caller told which it got.
+3. **mtime arrival order** — replay directories pinned micro-batch
+   order by stamping strictly increasing mtimes (Spark's file source
+   sorts by ``(modification time, path)``). Object-store listings
+   expose upload-completion times the pipeline does not control
+   (multipart retries, parallel uploads finish out of order), so
+   arrival order must be carried EXPLICITLY: a manifest of ordered
+   file names written next to the data.
+
+This module is the seam: the table layer calls the narrow
+:class:`StorageBackend` contract and nothing else for these three
+operations. Two in-repo backends prove the seam is real:
+
+- :class:`PosixBackend` — today's behavior, byte-for-byte (link-based
+  one-winner commit, hardlink clone, mtime stamping kept so Spark's
+  built-in file source still orders replay dirs).
+- :class:`CondPutBackend` — simulates conditional-put-only semantics:
+  ``link_or_copy`` NEVER hardlinks (every bring is a copy, as a
+  cross-bucket S3 copy would be), and ``stamp_arrival_order`` does not
+  touch mtimes — worse, it deliberately assigns ADVERSARIAL (reverse)
+  mtimes so any consumer still trusting listing order fails loudly in
+  tests; order lives only in the manifest. Its ``put_if_absent`` is
+  implemented locally with the same tmp-then-link trick — that is the
+  local STAND-IN for the store's server-side atomic conditional PUT
+  (what S3 does inside its own service); the point of the backend is
+  that the TABLE LAYER above relies on nothing but the contract.
+
+Reference analog: distribot keeps every piece of coordination state in
+shared services (Redis/AMQP), never node-local filesystem state
+(lib/distribot/flow.rb:31-52) — the same design point, applied to the
+commit log.
+
+Out of scope, documented: the META LOCK (``TableLog._meta_lock``) that
+serializes ALTERs and the FK fence is still a POSIX lease file. On a
+real object store that role moves to a lock service or a CAS loop over
+a generation-matched meta object (DynamoDB in Delta's S3 multi-writer
+story); the commit LOG itself — this seam — needs no lock anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+ARRIVAL_MANIFEST = "_arrival.json"
+
+
+class StorageBackend:
+    """Contract for the three commit-critical storage operations.
+
+    Implementations must make :meth:`put_if_absent` ATOMIC (no torn
+    bodies, exactly one winner among concurrent callers of the same
+    path) — it is the linearization point of every table commit."""
+
+    name: str = "abstract"
+    #: True when link_or_copy can produce zero-copy references — used
+    #: by callers only for reporting (linked vs copied counts).
+    supports_hardlink: bool = False
+    #: True when file mtimes survive under the pipeline's control and
+    #: Spark's (mtime, path) listing order can be trusted for replay.
+    trusts_mtime: bool = False
+
+    def put_if_absent(self, path: str, body: bytes) -> bool:
+        """Create ``path`` with ``body`` iff it does not exist; True
+        iff THIS call created it. Full-body-or-nothing: a concurrent
+        reader never observes a partial object."""
+        raise NotImplementedError
+
+    def put(self, path: str, body: bytes) -> None:
+        """Unconditional whole-object PUT (atomic replace) — head
+        hints, checkpoints, state docs. Readers see old or new bytes,
+        never a mix (object stores give this natively; POSIX via
+        tmp + rename)."""
+        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "wb") as fh:
+            fh.write(body)
+        os.replace(tmp, path)
+
+    def link_or_copy(self, src: str, dst: str) -> str:
+        """Bring ``src``'s bytes to ``dst``; returns ``"linked"`` for a
+        zero-copy reference or ``"copied"``. Raises FileExistsError if
+        ``dst`` already holds a DIFFERENT object (same-content retry
+        must be idempotent — callers re-bring after crashes)."""
+        raise NotImplementedError
+
+    def stamp_arrival_order(self, root: str,
+                            ordered_names: list[str]) -> None:
+        """Record that the files under ``root`` (relative names, may be
+        nested) arrive in exactly ``ordered_names`` order. Always
+        writes the ``_arrival.json`` manifest (the portable source of
+        truth: `arrival_order` reads it back); a backend that controls
+        mtimes additionally stamps them so Spark's built-in file
+        source observes the same order."""
+        self.put(os.path.join(root, ARRIVAL_MANIFEST),
+                 json.dumps({"order": list(ordered_names)}).encode())
+
+    def arrival_order(self, root: str) -> list[str]:
+        """The recorded arrival order (manifest), or — only on a
+        backend that trusts mtimes — the (mtime, name) listing order
+        as a fallback for pre-seam directories."""
+        p = os.path.join(root, ARRIVAL_MANIFEST)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return list(json.load(fh)["order"])
+        if not self.trusts_mtime:
+            raise FileNotFoundError(
+                f"no arrival manifest under {root} and backend "
+                f"{self.name!r} does not trust listing mtimes")
+        names = [
+            os.path.relpath(os.path.join(d, f), root)
+            for d, _, fs in os.walk(root) for f in fs
+            if f.endswith(".parquet")
+        ]
+        return sorted(
+            names, key=lambda n: (os.stat(os.path.join(root, n)).st_mtime,
+                                  n))
+
+
+class PosixBackend(StorageBackend):
+    """Local-filesystem backend — the original semantics, verbatim."""
+
+    name = "posix"
+    supports_hardlink = True
+    trusts_mtime = True
+
+    def put_if_absent(self, path: str, body: bytes) -> bool:
+        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "wb") as fh:
+            fh.write(body)
+        try:
+            os.link(tmp, path)  # link(2): atomic, one winner
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def link_or_copy(self, src: str, dst: str) -> str:
+        try:
+            os.link(src, dst)
+            return "linked"
+        except FileExistsError:
+            if os.path.samefile(src, dst):
+                return "linked"  # prior attempt's link: idempotent
+            raise
+        except OSError:  # cross-device: plain copy
+            shutil.copy2(src, dst)
+            return "copied"
+
+    def stamp_arrival_order(self, root: str,
+                            ordered_names: list[str]) -> None:
+        super().stamp_arrival_order(root, ordered_names)
+        # keep Spark's (mtime, path) order aligned with the manifest:
+        # strictly increasing mtimes, firmly in the past (the s29
+        # mtime-tie lesson)
+        t0 = time.time() - 86400
+        for i, f in enumerate(ordered_names):
+            os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+
+class CondPutBackend(StorageBackend):
+    """Conditional-put-only simulation of an object store.
+
+    No hardlinks (every bring is a full copy — the S3 server-side-copy
+    contract), no mtime trust (arrival order lives ONLY in the
+    manifest; mtimes are set ADVERSARIALLY reversed so a consumer that
+    still trusts listing order misbehaves visibly under test instead
+    of silently working on the local FS). ``put_if_absent`` keeps the
+    local tmp-then-link implementation as the stand-in for the store's
+    server-side atomic ``If-None-Match: *`` PUT."""
+
+    name = "condput"
+    supports_hardlink = False
+    trusts_mtime = False
+
+    def put_if_absent(self, path: str, body: bytes) -> bool:
+        # local stand-in for the store-side atomic conditional create
+        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "wb") as fh:
+            fh.write(body)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def link_or_copy(self, src: str, dst: str) -> str:
+        if os.path.exists(dst):
+            # idempotent retry: same size = same staged object (names
+            # are content-unique uuids); anything else is foreign
+            if os.path.getsize(dst) == os.path.getsize(src):
+                return "copied"
+            raise FileExistsError(dst)
+        tmp = dst + f".tmp{uuid.uuid4().hex[:6]}"
+        shutil.copy2(src, tmp)
+        os.replace(tmp, dst)  # whole-object visibility, like a PUT
+        return "copied"
+
+    def stamp_arrival_order(self, root: str,
+                            ordered_names: list[str]) -> None:
+        super().stamp_arrival_order(root, ordered_names)
+        # adversarial: reverse-order mtimes — listing order is NOT the
+        # arrival order on an object store, and tests must feel it
+        t0 = time.time() - 86400
+        n = len(ordered_names)
+        for i, f in enumerate(ordered_names):
+            os.utime(os.path.join(root, f),
+                     (t0 + (n - 1 - i), t0 + (n - 1 - i)))
+
+
+_BACKENDS = {"posix": PosixBackend(), "condput": CondPutBackend()}
+_default: list[StorageBackend | None] = [None]
+
+
+def get_backend(name: str | None = None) -> StorageBackend:
+    """Resolve a backend: explicit name > process override
+    (`set_default_backend`) > ``DISTRIBOT_STORAGE`` env > posix."""
+    if name is not None:
+        return _BACKENDS[name]
+    if _default[0] is not None:
+        return _default[0]
+    return _BACKENDS[os.environ.get("DISTRIBOT_STORAGE", "posix")]
+
+
+def set_default_backend(name: str | None) -> None:
+    """Process-wide override (tests; ``None`` restores env/posix)."""
+    _default[0] = None if name is None else _BACKENDS[name]

@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import time
 import uuid
 
 import pyarrow as pa
@@ -307,6 +306,7 @@ def run_foreach_batch(
 ) -> None:
     """Run a bounded stream through a foreachBatch sink (idempotent-MERGE
     pattern: sink_fn(batch_df, batch_id) owns the write)."""
+    source_dir = ordered_source_dir(source_dir)  # storage seam
     schema = spark.read.parquet(source_dir).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         source_dir
@@ -423,19 +423,63 @@ def stamp_tree_replay_order(root: str) -> None:
     mtimes, batch-major. Any new replay source must stamp (the s29
     lesson: Spark's file stream orders ties by (mtime, path), and
     files written inside one mtime tick permute silently)."""
+    from distribot_spark.sources.storage import get_backend
+
     dirs = sorted(
         (d for d in os.listdir(root)
          if os.path.isdir(os.path.join(root, d))),
         key=lambda d: (os.stat(os.path.join(root, d)).st_mtime, d),
     )
+    ordered = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(os.path.join(root, d)))
+        if f.endswith(".parquet")
+    ]
+    get_backend().stamp_arrival_order(root, ordered)
+
+
+def ordered_source_dir(src: str) -> str:
+    """Resolve a replay directory to one whose LISTING order equals its
+    recorded ARRIVAL order (the `_arrival.json` manifest).
+
+    On a backend that controls mtimes (POSIX) the directory is already
+    correctly ordered — returned as-is, zero cost. On an object-store
+    backend, listing mtimes are upload times the pipeline does not
+    control, so the consumer restores order from the manifest into
+    NODE-LOCAL staging: files hardlink (or copy) into a scratch dir
+    named ``<seq>_<name>`` with locally-stamped increasing mtimes, and
+    Spark's built-in file source streams the scratch. This is the
+    ingest-coordinator staging step of an AutoLoader-style ledger
+    design (the ledger — the manifest — is the contract; local disk is
+    where a consumer may lawfully use POSIX again). The scratch is
+    content-keyed on the manifest, so repeat runs reuse it; the
+    zero-copy hardlinks mean staging moves metadata, not data. The
+    true streaming-scale consumer that needs no staging at all is
+    `streaming.manifest_source.ManifestReplaySource`."""
+    import hashlib
+    import time
+
+    from distribot_spark.sources.storage import get_backend
+
+    be = get_backend()
+    if be.trusts_mtime:
+        return src
+    order = be.arrival_order(src)
+    tag = hashlib.md5(("\n".join(order) + src).encode()).hexdigest()[:10]
+    out = os.path.join(TMP_ROOT, "staged",
+                       f"{os.path.basename(src.rstrip('/'))}-{tag}")
+    os.makedirs(out, exist_ok=True)
     t0 = time.time() - 86400
-    i = 0
-    for d in dirs:
-        p = os.path.join(root, d)
-        for f in sorted(os.listdir(p)):
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(p, f), (t0 + i, t0 + i))
-                i += 1
+    for i, name in enumerate(order):
+        dst = os.path.join(out, f"{i:06d}_{os.path.basename(name)}")
+        if not os.path.exists(dst):
+            try:
+                os.link(os.path.join(src, name), dst)
+            except OSError:
+                shutil.copy2(os.path.join(src, name), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    return out
 
 
 def _stamp_replay_order(out: str) -> None:
@@ -444,10 +488,15 @@ def _stamp_replay_order(out: str) -> None:
     can land inside one timestamp tick — two chunks then tie and sort
     non-path-wise, which silently permutes batch order (caught by the
     s29 identity oracle: the id SET stayed exact while per-row ids
-    moved). Strictly increasing mtimes in path order pin it."""
-    t0 = time.time() - 86400  # firmly in the past, monotone per chunk
-    for i, f in enumerate(sorted(os.listdir(out))):
-        os.utime(os.path.join(out, f), (t0 + i, t0 + i))
+    moved). The storage seam records the order EXPLICITLY in an
+    ``_arrival.json`` manifest (the object-store-portable contract —
+    listing mtimes are upload times a pipeline does not control) and,
+    on POSIX, additionally stamps strictly increasing mtimes in path
+    order so Spark's built-in file source observes the same order."""
+    from distribot_spark.sources.storage import get_backend
+
+    names = [f for f in sorted(os.listdir(out)) if f.endswith(".parquet")]
+    get_backend().stamp_arrival_order(out, names)
 
 
 def orders_cdc_replay_dir(sf_dir: str, n_chunks: int = 8) -> str:

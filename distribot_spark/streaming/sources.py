@@ -61,11 +61,17 @@ class FileReplaySource(StreamSource):
         self.schema = schema
 
     def load(self, spark: SparkSession) -> DataFrame:
-        schema = self.schema or spark.read.parquet(self.source_dir).schema
+        from distribot_spark.streaming.replay import ordered_source_dir
+
+        # storage seam: under an object-store backend, listing order is
+        # not arrival order — restore it from the _arrival.json
+        # manifest into node-local staging (no-op on POSIX)
+        src = ordered_source_dir(self.source_dir)
+        schema = self.schema or spark.read.parquet(src).schema
         return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.source_dir)
+            .parquet(src)
         )
 
 

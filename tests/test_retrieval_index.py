@@ -245,3 +245,79 @@ def test_minhash_probe_is_bucket_pruned_and_broadcast(spark):
         assert "BatchEvalPython" not in plan, plan
     finally:
         shutil.rmtree(ix, ignore_errors=True)
+
+
+def test_ivf_retrain_and_swap(spark):
+    """VERDICT r7 task 4: drift accumulates under a shifted append,
+    `retrain_ivf_index` consumes it (warm-started Lloyd over the
+    index's own vectors), swaps the layout atomically, and afterwards
+    (1) drift has FALLEN, (2) serve ≡ from-scratch rebuild under the
+    retrained codebook row-for-row, (3) probes stay partition-pruned."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    ix = _tmp()
+    ix2 = _tmp()
+    try:
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        shard = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> x * 0.3 + 0.8)"))
+        rindex.build_ivf_index(base, ix, n_clusters=8)
+        st = rindex.append_ivf_shard(spark, ix, shard)
+        assert st["mean_dist_e6_after"] > st["mean_dist_e6_before"]
+
+        rt = rindex.retrain_ivf_index(spark, ix, iters=3)
+        assert rt["drift_after_e6"] < rt["drift_before_e6"], rt
+
+        # serve-after-retrain ≡ rebuild-from-scratch, same codebook
+        full = spark.read.parquet(os.path.join(ix, "vectors")).select(
+            F.col("nid").alias("vec_id"),
+            F.col("v").alias("embedding"))
+        rindex.build_ivf_index(full, ix2, n_clusters=8,
+                               codebook=rt["codebook"])
+        q = emb.limit(12)
+        a = _rows(rindex.serve_ivf_topk(spark, ix, q, k=5, n_probe=3))
+        b = _rows(rindex.serve_ivf_topk(spark, ix2, q, k=5, n_probe=3))
+        assert a == b and len(a) > 0
+
+        # probe stays partition-pruned after the swap
+        vectors = spark.read.parquet(os.path.join(ix, "vectors"))
+        plan = (vectors.filter(F.col("cid") == 1)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "PartitionFilters" in plan and "cid" in plan
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+        shutil.rmtree(ix2, ignore_errors=True)
+
+
+def test_ivf_retrain_crash_heals_on_next_entry(spark):
+    """Any crash point of the two-phase swap heals on the next
+    reader/maintainer entry: marker + staged dirs present → the swap
+    completes; marker present with swap already done → cleanup only."""
+    import json
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    ix = _tmp()
+    try:
+        rindex.build_ivf_index(emb, ix, n_clusters=8)
+        q = emb.limit(8)
+        want = _rows(rindex.serve_ivf_topk(spark, ix, q, k=3,
+                                           n_probe=2))
+        # forge the crash state: phase-2 committed (marker), vectors
+        # dir still staged under the retrain name
+        tok = "feedface0001"
+        os.rename(os.path.join(ix, "vectors"),
+                  os.path.join(ix, f"vectors.retrain-{tok}"))
+        with open(rindex._retrain_marker(ix), "w") as fh:
+            json.dump({"token": tok}, fh)
+        got = _rows(rindex.serve_ivf_topk(spark, ix, q, k=3, n_probe=2))
+        assert got == want
+        assert not os.path.exists(rindex._retrain_marker(ix))
+        assert os.path.isdir(os.path.join(ix, "vectors"))
+        # idempotent: a second heal with a stale marker and nothing
+        # staged is a no-op cleanup
+        with open(rindex._retrain_marker(ix), "w") as fh:
+            json.dump({"token": "0000deadbeef"}, fh)
+        assert rindex.ivf_drift(spark, ix) >= 0
+        assert not os.path.exists(rindex._retrain_marker(ix))
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
