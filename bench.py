@@ -202,6 +202,13 @@ HEADLINE = [
     "source_acid_matview_join",
     "s36_stream_matview_join",
     "l3_ivf_retrain_serve",
+    # round-8 session-2: multi-table atomic commit (stage two bucketed
+    # appends + marker/outcome conditional PUTs + two links + mid-
+    # commit reader assertions) and the streaming min/max matview
+    # maintained with NO base handle (bounded rider fold per batch).
+    "source_acid_commit_together",
+    "s37_stream_matview_minmax",
+    "s38_stream_txn_sink",
 ]
 
 

@@ -27,6 +27,7 @@ from distribot_spark.queries.registry import register
 from distribot_spark.queries.cdf_shared import (
     CDF_VIEW_ORACLE,
     JOIN_MATVIEW_ORACLE_SUMS,
+    MATVIEW_ORACLE_FULL,
     MATVIEW_ORACLE_SUMS,
     apply_matview_workload,
     build_cdf_demo_table,
@@ -2394,6 +2395,218 @@ def s35_stream_matview(spark, sf_dir):
             F.expr("CAST(CAST(total AS BIGINT) DIV cnt AS BIGINT)")
             .alias("avg_cents"),
         ).orderBy("pri")
+        rows = out.collect()  # materialize before the fixture vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "s37_stream_matview_minmax",
+    oracle=MATVIEW_ORACLE_FULL,  # the batch twin's FULL oracle —
+    # min/max included, which s35 had to omit
+    tags=("streaming", "cdc", "matview", "acid", "ivm", "rider"),
+)
+def s37_stream_matview_minmax(spark, sf_dir):
+    """STREAMING MIN/MAX MATVIEW WITHOUT A BASE HANDLE (VERDICT r7
+    task 6): same shared workload and stream plumbing as s35, but the
+    spec carries min/max of cents under a BOUNDED RIDER
+    (``rider_k=64``: each group stores its 64 smallest and largest
+    live values as exact sorted prefixes, sources/matview.py
+    `_rider_fold_sql`) and `apply_matview_changes` runs with NO
+    ``base=`` — the stream never holds a handle to, or re-reads, the
+    base table. The workload's row-losing batches (the update MERGE's
+    pre-images, the DV DELETE of every 7th key) evict tracked extremes
+    well inside the rider depth, so every fold stays self-maintaining:
+    the query asserts ``dirty_recomputed == 0`` on every batch, then
+    certifies the FULL aggregate row — min and max included — against
+    the batch oracle. This is the contract a fan-out deployment needs:
+    view maintainers subscribe to the change feed alone (no base-table
+    read permission, no pinned-version scans), and only a genuine
+    K-deep eviction run would force a fallback to the base-pinned
+    path. Riders cost O(K) per group in the view and O(batch) in the
+    fold — nothing scales with the base."""
+    import shutil
+    import uuid as _uuid
+
+    from distribot_spark.sources import (
+        TableLog,
+        apply_matview_changes,
+        create_matview,
+        read_matview,
+    )
+
+    root = os.path.join(replay.TMP_ROOT, f"s37_{_uuid.uuid4().hex[:8]}")
+    try:
+        base = seed_matview_base(spark, sf_dir,
+                                 os.path.join(root, "base"))
+        view = TableLog(os.path.join(root, "view"))
+        create_matview(spark, base, view, {
+            "group_by": ["o_orderpriority"],
+            "aggs": {
+                "cnt": {"fn": "count"},
+                "total": {"fn": "sum", "col": "cents"},
+                "lo": {"fn": "min", "col": "cents"},
+                "hi": {"fn": "max", "col": "cents"},
+            },
+            "rider_k": 64,
+        }, n_buckets=4)
+        apply_matview_workload(spark, sf_dir, base)
+
+        chunks = replay.cdf_replay_dir(
+            spark, base, "o_orderkey", os.path.join(root, "cdf_chunks"),
+            versions_per_trigger=1, from_version=1,
+        )
+        seen = {"n": 0}
+
+        def sink(batch_df, batch_id):
+            st = apply_matview_changes(spark, view, batch_df,
+                                       batch_id=batch_id, writer="s37")
+            # no base handle anywhere: the rider alone must absorb the
+            # workload's evictions
+            assert not st["skipped"], (batch_id, st)
+            assert st["dirty_recomputed"] == 0, (batch_id, st)
+            seen["n"] += 1
+
+        replay.run_foreach_batch(spark, lambda s: s, chunks, sink,
+                                 "append")
+        assert seen["n"] == 3, seen
+
+        v = read_matview(spark, view)
+        out = v.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("total").cast("long").alias("sum_cents"),
+            F.col("lo").cast("long").alias("lo_cents"),
+            F.col("hi").cast("long").alias("hi_cents"),
+            F.expr("CAST(CAST(total AS BIGINT) DIV cnt AS BIGINT)")
+            .alias("avg_cents"),
+        ).orderBy("pri")
+        rows = out.collect()  # materialize before the fixture vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "s38_stream_txn_sink",
+    oracle="""
+        SELECT c.c_mktsegment AS seg, COUNT(*) AS cnt,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY seg
+    """,
+    tags=("streaming", "sink", "acid", "txn", "multi-table"),
+)
+def s38_stream_txn_sink(spark, sf_dir):
+    """STREAMING MULTI-TABLE ATOMIC SINK — the continuous face of
+    `commit_together`: each micro-batch carries a FACT slice (orders)
+    AND the DIM rows it references (customers of the same custkey
+    wave), and the foreachBatch sink lands the pair as ONE cross-log
+    transaction (sources/txn.py), so no reader at any trigger boundary
+    ever observes a fact whose dimension hasn't arrived — the sink
+    asserts the no-dangling invariant (fact anti-join dim == 0) after
+    every batch, which a non-atomic two-append sink cannot guarantee
+    even with the writes adjacent. EFFECTIVELY-ONCE under redelivery
+    (every batch is deliberately applied twice, the s23 worst case):
+    the txn commit's writer string embeds the batch id, so a
+    redelivered batch probes the fact log for its own tag and skips
+    before staging — the commit log itself is the high-water mark, no
+    side state to desync from it. Scale shape: per trigger the sink
+    pays two bucketed appends (adds-only staging) + two conditional
+    PUTs + two version links; the probe scans only commits since the
+    stream's floor."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from distribot_spark.sources import (
+        TableLog,
+        commit_together,
+        read_snapshot_spark,
+        stage_append_spark,
+    )
+
+    root = os.path.join(replay.TMP_ROOT, f"s38_{_uuid.uuid4().hex[:8]}")
+    try:
+        chunks = os.path.join(root, "chunks")
+        os.makedirs(chunks, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.lit("f").alias("kind"), F.col("o_orderkey").alias("k1"),
+            F.col("o_custkey").alias("k2"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .alias("cents"), F.lit(None).cast("string").alias("seg"),
+            (F.col("o_custkey") % 3).alias("wave"))
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.lit("d").alias("kind"), F.col("c_custkey").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.lit(None).cast("long").alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("c_custkey") % 3).alias("wave"))
+        both = orders.unionByName(cust)
+        for w in range(3):
+            pdf = (both.filter(F.col("wave") == w).drop("wave")
+                   .orderBy("kind", "k1").toPandas())
+            _pq.write_table(_pa.Table.from_pandas(pdf),
+                            os.path.join(chunks, f"chunk_{w:04d}.parquet"))
+        replay._stamp_replay_order(chunks)
+
+        fact = TableLog(os.path.join(root, "fact"))
+        dim = TableLog(os.path.join(root, "dim"))
+        fact.init()
+        dim.init()
+        seen = {"applied": 0, "skipped": 0}
+
+        def landed(batch_id):
+            tag = f"s38b{batch_id}:"
+            return any(
+                fact.read_commit(v).get("writer", "").startswith(tag)
+                for v in range(0, fact.version() + 1))
+
+        def apply_once(batch_df, batch_id):
+            if landed(batch_id):  # redelivery: the log IS the hwm
+                seen["skipped"] += 1
+                return
+            f_rows = (batch_df.filter(F.col("kind") == "f")
+                      .select(F.col("k1").alias("o_orderkey"),
+                              F.col("k2").alias("fk"), "cents"))
+            d_rows = (batch_df.filter(F.col("kind") == "d")
+                      .select(F.col("k1").alias("dk"), "seg"))
+            staged = [
+                stage_append_spark(spark, fact, f_rows,
+                                   key="o_orderkey", n_buckets=8,
+                                   writer=f"s38b{batch_id}"),
+                stage_append_spark(spark, dim, d_rows, key="dk",
+                                   n_buckets=4,
+                                   writer=f"s38b{batch_id}"),
+            ]
+            commit_together(staged)
+            seen["applied"] += 1
+
+        def sink(batch_df, batch_id):
+            for _ in range(2):  # injected redelivery, the s23 worst case
+                apply_once(batch_df, batch_id)
+            # the atomic-pair invariant a two-append sink cannot give:
+            # no fact without its dim at ANY trigger boundary
+            f = read_snapshot_spark(spark, fact)
+            d = read_snapshot_spark(spark, dim)
+            n_dangling = f.join(d, f["fk"] == d["dk"], "left_anti").count()
+            assert n_dangling == 0, (batch_id, n_dangling)
+
+        replay.run_foreach_batch(spark, lambda s: s, chunks, sink,
+                                 "append")
+        assert seen["applied"] == 3 and seen["skipped"] == 3, seen
+
+        f = read_snapshot_spark(spark, fact).alias("f")
+        d = read_snapshot_spark(spark, dim).alias("d")
+        out = (f.join(d, F.col("f.fk") == F.col("d.dk"), "inner")
+               .groupBy("seg")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.sum("cents").cast("long").alias("sum_cents"))
+               .orderBy("seg"))
         rows = out.collect()  # materialize before the fixture vanishes
         return spark.createDataFrame(rows, out.schema)
     finally:

@@ -829,10 +829,23 @@ class TableLog:
         with open(self._commit_path(v)) as fh:
             return json.load(fh)
 
+    def _resolve_txn_for_read(self) -> None:
+        """Reader half of the multi-table txn contract (sources/txn.py):
+        a DECIDED transaction whose links haven't all landed is rolled
+        forward before this reader folds, so a reader pinned mid-commit
+        sees the transaction on every table or (undecided: nothing is
+        published yet) on none. One stat() when no txn ever ran."""
+        if os.path.exists(os.path.join(self.log_dir,
+                                       "_txn.pending.json")):
+            from . import txn as _txnmod
+
+            _txnmod.resolve_pending_txn(self, reader=True)
+
     def snapshot(self) -> tuple[int, dict[str, int]]:
         """(version, {data file name -> bucket}) of the latest committed
         state. Replays from the newest checkpoint at or below the head,
         so cost is bounded by CHECKPOINT_EVERY regardless of history."""
+        self._resolve_txn_for_read()
         v = self.version()
         if v < 0:
             return v, {}
@@ -986,7 +999,21 @@ class TableLog:
         writer: str,
         dvs: dict[str, str] | None = None,
         id_range: tuple[int, int] | None = None,
+        txn: str | None = None,
     ) -> bool:
+        # MULTI-TABLE TXN fence (sources/txn.py): a pending-txn marker
+        # pins this log's next version slots for the transaction's
+        # roll-forward. Cost to every normal commit: one stat(). An
+        # undecided young txn → back off (False; the caller's OCC loop
+        # retries); a decided or lease-expired one is resolved HERE —
+        # rolled forward or aborted — and the commit proceeds against
+        # the new head (this attempt then loses cleanly if it moved).
+        if txn is None and os.path.exists(
+                os.path.join(self.log_dir, "_txn.pending.json")):
+            from . import txn as _txnmod
+
+            if _txnmod.resolve_pending_txn(self) == "inflight":
+                return False
         v = parent + 1
         path = self._commit_path(v)
         body = {
@@ -997,6 +1024,8 @@ class TableLog:
             "adds": adds,
             "removes": removes,
         }
+        if txn:
+            body["txn"] = txn
         if dvs:
             body["dvs"] = dvs
         if id_range:
@@ -1049,6 +1078,7 @@ class TableLog:
         (`expire_snapshots` sets it, `vacuum` honors it, and reads below
         it raise `SnapshotExpired` here instead of failing downstream on
         missing parquet)."""
+        self._resolve_txn_for_read()
         head = self.version()
         if not 0 <= v <= head:
             raise ValueError(f"version {v} outside [0, {head}]")

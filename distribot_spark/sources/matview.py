@@ -30,6 +30,23 @@ Design (all deltas exact, so refresh ≡ full recompute bit-for-bit):
   the dirty groups' rows, and deterministic because time travel pins
   the scan. Insert-only groups fold ``least``/``greatest`` with no
   recompute. A spec with no min/max never scans the base at all.
+- **Bounded min/max RIDER** (``spec["rider_k"] = K``): each min/max
+  agg additionally stores the K smallest (min) / largest (max) live
+  values as a sorted array plus the live non-null count. The rider is
+  always an exact PREFIX of the group's sorted live values, so the
+  extremum stays exact under deletes as long as the rider is nonempty
+  — deletes remove tracked occurrences, inserts are admitted only when
+  provably inside the prefix (everything, when the rider covers the
+  whole group; only values at or inside the tracked boundary once it
+  has been truncated). A group goes DIRTY only when its rider EMPTIES
+  while rows remain (K extremum evictions without a covering insert),
+  which is what lets STREAMING min/max views run WITHOUT a base handle
+  until the rider depth is genuinely exhausted — then the base-pinned
+  dirty recompute (which also refills riders) or, with no base, a loud
+  refusal. Rider equality is by SQL ``=`` on the stored value: use
+  exact types (int/decimal/string/date/timestamp); raw doubles with
+  NaNs would leave ghost entries (the repo-wide quantization rule
+  already forbids float aggregation columns anyway).
 - **Group death is a TOMBSTONE** (``_mv_cnt = 0``), not a delete, so a
   refresh is exactly ONE view commit (a keyed MERGE) — which is what
   makes the crash protocol below airtight. `read_matview` filters
@@ -88,6 +105,22 @@ def _validate_spec(spec: dict) -> None:
             raise ValueError(f"agg {alias!r} ({a['fn']}) needs a col")
         if alias.startswith("_mv_"):
             raise ValueError(f"agg alias {alias!r} collides with riders")
+    rk = spec.get("rider_k")
+    if rk is not None and (not isinstance(rk, int) or rk < 1):
+        raise ValueError(f"rider_k must be a positive int, got {rk!r}")
+
+
+def _rider_k(spec: dict) -> int:
+    """Rider depth (0 = riders off, the pre-rider behavior verbatim)."""
+    return int(spec.get("rider_k") or 0)
+
+
+def _rider_aggs(spec: dict) -> dict:
+    """The min/max aggs that carry a bounded rider under this spec."""
+    if not _rider_k(spec):
+        return {}
+    return {alias: a for alias, a in spec["aggs"].items()
+            if a["fn"] in ("min", "max")}
 
 
 def _sum_scale(df, col: str) -> int:
@@ -151,6 +184,21 @@ def _full_state(df, spec, scales: dict[str, int]):
 
     g = spec["group_by"]
     rows = _filtered(df, spec)
+    k = _rider_k(spec)
+    riders = _rider_aggs(spec)
+    if riders:
+        # per-group top-K via row_number, NOT collect_list-then-slice:
+        # a window sort spills, an unbounded per-group list OOMs on a
+        # 100 TB group. One window pass per rider agg.
+        from pyspark.sql.window import Window
+
+        for alias, a in riders.items():
+            order = (F.col(a["col"]).asc_nulls_last()
+                     if a["fn"] == "min"
+                     else F.col(a["col"]).desc_nulls_last())
+            rows = rows.withColumn(
+                f"_rkn_{alias}",
+                F.row_number().over(Window.partitionBy(*g).orderBy(order)))
     aggs = [F.count(F.lit(1)).alias("_mv_cnt")]
     for alias, a in spec["aggs"].items():
         fn, col = a["fn"], a.get("col")
@@ -163,6 +211,13 @@ def _full_state(df, spec, scales: dict[str, int]):
             aggs.append(F.min(col).alias(f"_mv_min_{alias}"))
         elif fn == "max":
             aggs.append(F.max(col).alias(f"_mv_max_{alias}"))
+        if alias in riders:
+            aggs.append(F.sort_array(
+                F.collect_list(F.when((F.col(f"_rkn_{alias}") <= k)
+                                      & F.col(col).isNotNull(),
+                                      F.col(col))),
+                asc=(fn == "min")).alias(f"_mv_rk_{alias}"))
+            aggs.append(F.count(F.col(col)).alias(f"_mv_nn_{alias}"))
     return rows.groupBy(*g).agg(*aggs).select(_mv_key_col(g), "*")
 
 
@@ -302,6 +357,8 @@ def matview_delta(spark, spec: dict, scales: dict, changes_df):
 
     g = spec["group_by"]
     ch = _filtered(changes_df, spec)
+    k = _rider_k(spec)
+    riders = _rider_aggs(spec)
     sign = F.when(
         F.col("_change_type").isin("insert", "update_post"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -326,7 +383,73 @@ def matview_delta(spark, spec: dict, scales: dict, changes_df):
         elif fn == "max":
             aggs.append(F.max(F.when(F.col("_sg") > 0, F.col(col)))
                         .alias(f"_c_max_{alias}"))
+        if alias in riders:
+            # insert candidates: only the K best can ever enter the
+            # rider, so trim HERE (batch-bounded lists, K-bounded out).
+            # Deleted values CANNOT be trimmed — any one of them may
+            # evict a tracked occurrence (which of them do depends on
+            # the stored rider, unknown at delta time) — so the delete
+            # list is bounded by the batch, not by K: page giant
+            # catch-ups with max_versions.
+            aggs.append(F.slice(F.sort_array(
+                F.collect_list(F.when(F.col("_sg") > 0, F.col(col))),
+                asc=(fn == "min")), 1, k).alias(f"_d_ins_{alias}"))
+            aggs.append(F.collect_list(
+                F.when(F.col("_sg") < 0, F.col(col)))
+                .alias(f"_d_del_{alias}"))
+            aggs.append(
+                F.sum(F.col("_sg")
+                      * F.col(col).isNotNull().cast("long"))
+                .alias(f"_d_nn_{alias}"))
     return rows.groupBy(*g).agg(*aggs).select(_mv_key_col(g), "*")
+
+
+def _rider_fold_sql(alias: str, fn: str, k: int) -> dict[str, str]:
+    """SQL fragments folding one rider through a joined (d, o) row.
+
+    Invariant maintained (the whole correctness argument): the stored
+    rider is always the |rider| smallest (min) / largest (max) live
+    non-null values of its group — an exact sorted PREFIX — so
+    ``rider[1]`` IS the group extremum whenever the rider is nonempty.
+
+    - inserts are ADMITTED only when provably inside the prefix: all of
+      them while the rider covers the whole group (``size == nn``),
+      only values at-or-inside the tracked boundary once truncated, and
+      none at all if a deficient rider has emptied (the boundary is
+      unknown). Admission happens BEFORE deletes and re-trims to K —
+      trimming first is what keeps the prefix property (a value a
+      same-batch delete would have evicted may be spuriously trimmed,
+      which at worst empties the rider into the safe DIRTY path).
+    - deletes remove ONE tracked occurrence if present, else no-op: a
+      live value strictly inside the boundary is always tracked, so a
+      miss means the deleted occurrence was outside the prefix.
+    - a rider that empties while non-null rows remain is DEFICIENT →
+      the group recomputes (with a base/snapshot) or refuses (without).
+    """
+    oldr = (f"coalesce(o.`_mv_rk_{alias}`, "
+            f"slice(d.`_d_ins_{alias}`, 1, 0))")
+    oldnn = f"coalesce(o.`_mv_nn_{alias}`, CAST(0 AS BIGINT))"
+    asc = "true" if fn == "min" else "false"
+    cmp = "<=" if fn == "min" else ">="
+    adm = (f"CASE WHEN size({oldr}) = {oldnn} THEN d.`_d_ins_{alias}` "
+           f"WHEN size({oldr}) = 0 THEN slice(d.`_d_ins_{alias}`, 1, 0) "
+           f"ELSE filter(d.`_d_ins_{alias}`, "
+           f"x -> x {cmp} element_at({oldr}, -1)) END")
+    merged = f"slice(sort_array(concat({oldr}, {adm}), {asc}), 1, {k})"
+    folded = (f"aggregate(d.`_d_del_{alias}`, {merged}, (acc, x) -> "
+              "CASE WHEN array_position(acc, x) > 0 THEN "
+              "concat(slice(acc, 1, "
+              "CAST(array_position(acc, x) AS INT) - 1), "
+              "slice(acc, CAST(array_position(acc, x) AS INT) + 1, "
+              "size(acc))) ELSE acc END)")
+    newnn = f"({oldnn} + coalesce(d.`_d_nn_{alias}`, CAST(0 AS BIGINT)))"
+    return {
+        "rk": folded,
+        "nn": newnn,
+        "deficient": f"(size({folded}) = 0 AND {newnn} > 0)",
+        "val": (f"CASE WHEN size({folded}) > 0 "
+                f"THEN element_at({folded}, 1) END"),
+    }
 
 
 def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
@@ -345,6 +468,10 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
     g = spec["group_by"]
     has_minmax = any(a["fn"] in ("min", "max")
                      for a in spec["aggs"].values())
+    k = _rider_k(spec)
+    riders = _rider_aggs(spec)
+    rsql = {alias: _rider_fold_sql(alias, a["fn"], k)
+            for alias, a in riders.items()}
     old = read_snapshot_spark(spark, view)
     d = delta.alias("d")
     # keep the old row's group columns (renamed) for the hash-collision
@@ -374,6 +501,13 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
             cols.append(
                 (F.coalesce(F.col(f"o._mv_n_{alias}"), F.lit(0))
                  + F.col(f"d._d_n_{alias}")).alias(f"_mv_n_{alias}"))
+        elif fn == "min" and alias in rsql:
+            # the rider IS the min: exact prefix head (NULL when empty)
+            cols.append(F.expr(rsql[alias]["val"])
+                        .alias(f"_mv_min_{alias}"))
+        elif fn == "max" and alias in rsql:
+            cols.append(F.expr(rsql[alias]["val"])
+                        .alias(f"_mv_max_{alias}"))
         elif fn == "min":
             cols.append(F.least(F.col(f"o._mv_min_{alias}"),
                                 F.col(f"d._c_min_{alias}"))
@@ -382,7 +516,18 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
             cols.append(F.greatest(F.col(f"o._mv_max_{alias}"),
                                    F.col(f"d._c_max_{alias}"))
                         .alias(f"_mv_max_{alias}"))
-    up = j.select(*cols, F.col("d._mv_dirty").alias("_mv_dirty"))
+        if alias in rsql:
+            cols.append(F.expr(rsql[alias]["rk"])
+                        .alias(f"_mv_rk_{alias}"))
+            cols.append(F.expr(rsql[alias]["nn"])
+                        .alias(f"_mv_nn_{alias}"))
+    # with riders, DIRTY means "some rider emptied with rows left"
+    # (recompute only past the rider depth); without, any row loss
+    dirty_expr = (reduce(
+        lambda x, y: x | y,
+        [F.expr(r["deficient"]) for r in rsql.values()])
+        if rsql else (F.col("d._mv_dirty") == 1))
+    up = j.select(*cols, dirty_expr.cast("int").alias("_mv_dirty"))
 
     # ONE guard action for the whole refresh: negative-count rows,
     # both hash-collision modes (delta-internal duplicate keys, and a
@@ -397,8 +542,7 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
         (F.col("o._mv_cnt").isNotNull() & ~same_grp).cast("int")
         .alias("_coll"),
         F.col("d._mv_key").alias("_k"),
-        ((F.col("d._mv_dirty") == 1) & (new_cnt_e > 0)).cast("int")
-        .alias("_dl"),
+        (dirty_expr & (new_cnt_e > 0)).cast("int").alias("_dl"),
     ).agg(F.sum("_neg").alias("bad"), F.sum("_coll").alias("coll"),
           F.count(F.lit(1)).alias("n"),
           F.countDistinct("_k").alias("nd"),
@@ -423,14 +567,34 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
             if snapshot_df is None and (base is None
                                         or base_version is None):
                 raise ValueError(
-                    "min/max view lost rows in a group; recompute "
-                    "needs the base table and a pinned version")
+                    "min/max view lost rows in a group"
+                    + (f" past the rider depth (rider_k={k})" if rsql
+                       else "")
+                    + "; recompute needs the base table and a pinned "
+                    "version")
             snap = (snapshot_df if snapshot_df is not None
                     else _filtered(
                         read_snapshot_spark(spark, base,
                                             version=base_version),
                         spec))
             keys = dirty.select("_mv_key")
+            snap2 = (snap.select(_mv_key_col(g), "*")
+                     .join(F.broadcast(keys), "_mv_key", "left_semi"))
+            if rsql:
+                # the recompute also REFILLS the exhausted riders —
+                # dirty-group-bounded window, same top-K spelling as
+                # create
+                from pyspark.sql.window import Window
+
+                for alias, a in riders.items():
+                    order = (F.col(a["col"]).asc_nulls_last()
+                             if a["fn"] == "min"
+                             else F.col(a["col"]).desc_nulls_last())
+                    snap2 = snap2.withColumn(
+                        f"_rkn_{alias}",
+                        F.row_number().over(
+                            Window.partitionBy("_mv_key")
+                            .orderBy(order)))
             raggs = []
             for alias, a in spec["aggs"].items():
                 if a["fn"] == "min":
@@ -439,9 +603,15 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
                 elif a["fn"] == "max":
                     raggs.append(F.max(a["col"])
                                  .alias(f"_r_max_{alias}"))
-            rec = (snap.select(_mv_key_col(g), "*")
-                   .join(F.broadcast(keys), "_mv_key", "left_semi")
-                   .groupBy("_mv_key").agg(*raggs))
+                if alias in riders:
+                    raggs.append(F.sort_array(
+                        F.collect_list(
+                            F.when((F.col(f"_rkn_{alias}") <= k)
+                                   & F.col(a["col"]).isNotNull(),
+                                   F.col(a["col"]))),
+                        asc=(a["fn"] == "min"))
+                        .alias(f"_r_rk_{alias}"))
+            rec = snap2.groupBy("_mv_key").agg(*raggs)
             up = up.alias("u").join(rec.alias("r"), "_mv_key", "left")
             fix = [F.col("_mv_key"),
                    *[F.col(f"u.{c}").alias(c) for c in g],
@@ -467,6 +637,16 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
                                F.col(f"r._r_max_{alias}"))
                         .otherwise(F.col(f"u._mv_max_{alias}"))
                         .alias(f"_mv_max_{alias}"))
+                if alias in riders:
+                    fix.append(
+                        F.when((F.col("u._mv_dirty") == 1)
+                               & (F.col("u._mv_cnt") > 0),
+                               F.col(f"r._r_rk_{alias}"))
+                        .otherwise(F.col(f"u._mv_rk_{alias}"))
+                        .alias(f"_mv_rk_{alias}"))
+                    # nn is the exact signed count — never recomputed
+                    fix.append(F.col(f"u._mv_nn_{alias}")
+                               .alias(f"_mv_nn_{alias}"))
             up = up.select(*fix, F.col("u._mv_dirty").alias("_mv_dirty"))
 
     # tombstone: a dead group keeps its key with zeroed riders so the
@@ -554,9 +734,13 @@ def apply_matview_changes(spark, view: TableLog, changes_df,
     batch's OWN last commit version (``max(_commit_version)`` — exactly
     the state this batch's fold lands, so later base commits racing the
     stream cannot leak in; they arrive as later batches). Without
-    ``base``, row-losing batches under a min/max spec refuse loudly
-    (`_apply_delta` raises) — streaming views without a base handle
-    stick to the self-maintaining count/sum/avg.
+    ``base``: a ``rider_k`` spec stays SELF-MAINTAINING through row
+    loss until a group's rider genuinely empties (K extremum evictions
+    uncovered by admissible inserts) — only then, or on any row loss
+    under a rider-less min/max spec, does `_apply_delta` refuse
+    loudly. Streaming min/max views without a base handle should
+    therefore declare a rider depth sized to the eviction run-length
+    they need to absorb.
 
     Shares the refresh lease claim: a streaming apply racing a batch
     refresh (or a second stream on the same view) raises

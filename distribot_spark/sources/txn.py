@@ -1,0 +1,378 @@
+"""MULTI-TABLE ATOMIC COMMIT — both version links land or neither.
+
+Per-table OCC (the version-link one-winner contract) serializes writers
+of ONE log; loading a fact and its dimension atomically needs a commit
+that spans TWO logs. The FK epoch fence (sources/acid.py `try_commit`)
+already serializes one cross-log pattern (child insert vs parent
+delete); this module is the GENERAL primitive the r7 verdict asked for
+(task 5): ``commit_together([stage_append_spark(...), ...])`` lands one
+staged append per table such that a reader — or a crash at ANY point —
+observes the transaction on every table or on none.
+
+Protocol (everything goes through the storage seam, so it holds on a
+conditional-put-only object store exactly like single-table commits):
+
+1. **Stage**: each table's rows are bucketed and written as immutable
+   data files (the `append_spark` staging path, constraints applied) —
+   nothing is visible, no log is touched.
+2. **Pin**: a ``_txn.pending.json`` MARKER is created in every
+   participant's log dir via atomic ``put_if_absent`` (sorted path
+   order, so overlapping transactions fail fast instead of
+   deadlocking). The marker carries the FULL plan — every table's
+   staged add-list, its log floor, and the outcome object's location —
+   so ANY process that encounters it can finish or undo the
+   transaction without the coordinator. While a marker is present,
+   every other writer's commit attempt on that table returns False
+   (`TableLog._try_commit_linked` checks it), which is what guarantees
+   the transaction's version slots stay takeable; in-flight writers
+   that passed the check before the marker landed can still win a
+   slot, and the roll-forward simply retries at the new head — staged
+   appends are adds-only, so they commute with any interleaved commit
+   (the same argument `append_spark` relies on).
+3. **Decide**: ONE ``put_if_absent`` of the OUTCOME object ("commit")
+   is the transaction's linearization point. Until it exists, nothing
+   has been published anywhere (links only happen after), so a crashed
+   transaction older than the lease is safely ABORTED by whoever
+   bumps into the marker — also via ``put_if_absent`` of the outcome
+   ("abort"), so a slow coordinator racing its own aborter loses the
+   race atomically instead of half-committing.
+4. **Publish**: each table's commit links with the marker's plan and a
+   ``txn`` id in the body. Roll-forward is idempotent under any number
+   of concurrent helpers: scan the floor→head window for the txn id,
+   link at head+1 only if absent, rescan on a lost race — the
+   one-winner link makes duplicates impossible.
+5. **Clean**: markers are removed only after every table's link is
+   verified landed, the outcome object last — a crash mid-cleanup
+   leaves a marker whose next resolver re-verifies and finishes.
+
+Readers: `TableLog.snapshot()`/`snapshot_at` resolve a present marker
+first (roll the commit forward if decided, no-op if undecided — an
+undecided transaction has published NOTHING, so the snapshot is
+consistent either way). That is the "a reader pinned mid-commit sees
+neither or both" contract, pinned by the oracle query
+``source_acid_commit_together`` and the crash tests.
+
+Scope rails (v1, each refused loudly at stage time): participants are
+APPEND-ONLY (no removes/DVs — what atomic multi-table loads need;
+general cross-log mutation stays with the FK fence), and tables with
+FOREIGN KEYs, IDENTITY columns or UNIQUE constraints don't participate
+(their validation loops are single-log by construction).
+
+Reference intent: distribot transitions multi-queue state through ONE
+shared coordination write (lib/distribot/flow.rb:31-52 — flow state in
+Redis, never per-node) rather than per-queue partial updates; this is
+that design point applied to table logs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+TXN_MARKER = "_txn.pending.json"
+
+#: age past which an UNDECIDED transaction's holder is presumed dead
+#: and any writer bumping into its marker may abort it. Decided
+#: transactions are never aborted — they roll forward at any age.
+DEFAULT_TXN_LEASE = 60.0
+
+
+class TxnBusy(RuntimeError):
+    """Another multi-table transaction is pinned on a participant (its
+    marker is younger than the lease, or decided and mid-publish).
+    Staged files are left intact — resolve/retry later."""
+
+
+class TxnAborted(RuntimeError):
+    """This transaction lost the outcome race to an aborter (it
+    overran the lease before deciding). Staged files were reclaimed by
+    the aborter; re-stage to retry."""
+
+
+def _marker_path(table) -> str:
+    return os.path.join(table.log_dir, TXN_MARKER)
+
+
+def marker_present(table) -> bool:
+    """Cheap hot-path probe (one stat) — the only txn cost a table
+    that never participates in a transaction ever pays."""
+    return os.path.exists(_marker_path(table))
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def stage_append_spark(spark, table, df, key: str | None = None,
+                       n_buckets: int | None = None,
+                       writer: str = "txn",
+                       stats_cols=()) -> dict:
+    """Prepare an append WITHOUT committing: generated columns +
+    CHECK constraints applied (violations raise — a multi-table load
+    has no quarantine commit to ride), rows bucketed and staged as
+    immutable data files. Returns the staged entry `commit_together`
+    consumes. Nothing is visible until the transaction decides."""
+    from distribot_spark.sources import acid as _a
+
+    if table.fk_parent_paths() or table.fk_referenced_by():
+        raise ValueError(
+            "commit_together: FK tables don't participate (their "
+            "epoch-fence validation is single-log; run FK writes "
+            "through the normal write path)")
+    if table.identity():
+        raise ValueError(
+            "commit_together: IDENTITY tables don't participate (id "
+            "reservation re-stages on conflict; the txn link retries "
+            "at-head without re-staging)")
+    gate0 = _a._gate_state(table)
+    _a._fk_take_captures(table)  # drop the (empty) capture: our link
+    # path never consumes it, and a stale capture must not poison the
+    # caller's next normal write
+    key, n_buckets = _a._resolve_layout(table, key, n_buckets)
+    if _a._unique_constraints(table, key):
+        raise ValueError(
+            "commit_together: UNIQUE tables don't participate (the "
+            "touched-bucket recheck loop is single-log)")
+    df = _a._apply_generated_spark(table, df)
+    # fail-mode CHECKs abort in-stage below; quarantine-mode would
+    # need a dead-letter write OUTSIDE the txn — refuse instead
+    cons = table.constraints()
+    if any(c.get("on_violation") == "quarantine" for c in cons.values()):
+        raise ValueError(
+            "commit_together: quarantine-mode constraints don't "
+            "participate (the dead-letter diversion is not part of "
+            "the atomic plan); use fail-mode or the normal write path")
+    df = _a._constraint_guard_spark(df, cons)
+    df = _a._to_physical_spark(table, df)
+    key = table.physical_name(key)
+    stats_cols = tuple(table.physical_name(c) for c in stats_cols)
+    up = df.withColumn(
+        "_pb", _a._bucket_expr(key, n_buckets, table.hash_buckets()))
+    staged = _a._stage_bucketed(
+        spark, table, up, n_buckets, sort_cols=["_pb", key],
+        stats_cols=stats_cols)
+    return {"table": table, "adds": staged, "writer": writer,
+            "gate": gate0}
+
+
+def unstage(entry: dict) -> None:
+    """Reclaim a staged entry the caller is abandoning."""
+    t = entry["table"]
+    for a in entry["adds"]:
+        try:
+            os.unlink(t.data_path(a["file"]))
+        except FileNotFoundError:
+            pass
+
+
+def _unstage_plan(plan: dict) -> None:
+    from distribot_spark.sources.acid import TableLog
+
+    for e in plan["tables"]:
+        t = TableLog(e["path"])
+        for a in e["adds"]:
+            try:
+                os.unlink(t.data_path(a["file"]))
+            except FileNotFoundError:
+                pass
+
+
+def _txn_landed_at(table, plan_entry: dict, txn_id: str) -> int | None:
+    """The version this table's txn commit landed at, scanning the
+    bounded floor→head window (the floor is the table's version when
+    the marker was created; nothing about the txn can precede it)."""
+    head = table.version()
+    for v in range(int(plan_entry["floor"]) + 1, head + 1):
+        if table.read_commit(v).get("txn") == txn_id:
+            return v
+    return None
+
+
+def _txn_link(table, plan_entry: dict, txn_id: str) -> int:
+    """Idempotently land one table's txn commit: already-landed wins,
+    else link at head+1 and rescan on a lost race. Safe under any
+    number of concurrent helpers — the version link is one-winner and
+    every helper rescans before retrying, so the txn body lands
+    EXACTLY once. Staged adds commute with interleaved commits
+    (adds-only), so retry-at-head never invalidates the plan."""
+    while True:
+        v = _txn_landed_at(table, plan_entry, txn_id)
+        if v is not None:
+            return v
+        head = table.version()
+        if table._try_commit_linked(head, plan_entry["adds"], [],
+                                    plan_entry["writer"], txn=txn_id):
+            return head + 1
+
+
+def _cleanup(plan: dict, txn_id: str) -> None:
+    """Markers first (each only after verifying its table landed),
+    outcome LAST — a crash anywhere re-resolves to 'finish publishing'
+    instead of stranding an undecided-looking marker."""
+    from distribot_spark.sources.acid import TableLog
+
+    for e in plan["tables"]:
+        t = TableLog(e["path"])
+        assert _txn_landed_at(t, e, txn_id) is not None
+        mp = _marker_path(t)
+        m = _read_json(mp)
+        if m and m.get("txn") == txn_id:
+            try:
+                os.unlink(mp)
+            except FileNotFoundError:
+                pass
+    try:
+        os.unlink(plan["outcome"])
+    except FileNotFoundError:
+        pass
+
+
+def resolve_pending_txn(table, lease_sec: float = DEFAULT_TXN_LEASE,
+                        reader: bool = False) -> str:
+    """Resolve this table's pending-transaction marker, if any.
+
+    Returns one of:
+
+    - ``"none"``      — no marker; nothing to do.
+    - ``"inflight"``  — undecided and young (or ``reader=True``): an
+      undecided txn has PUBLISHED NOTHING (links strictly follow the
+      outcome), so readers proceed safely and writers back off.
+    - ``"committed"`` — decided commit: this call rolled every
+      participant forward and cleaned up. Idempotent, any number of
+      concurrent helpers.
+    - ``"aborted"``   — undecided past the lease (or already-aborted):
+      this call won (or observed) the abort outcome, reclaimed the
+      staged files and removed the markers.
+    """
+    from distribot_spark.sources.acid import TableLog
+
+    plan = _read_json(_marker_path(table))
+    if plan is None:
+        return "none"
+    txn_id = plan["txn"]
+    out = _read_json(plan["outcome"])
+    if out is None:
+        if reader or (time.time() - float(plan["ts"])) < lease_sec:
+            return "inflight"
+        # stale undecided holder: race for the abort — one winner,
+        # and a slow coordinator deciding "commit" concurrently
+        # atomically beats or loses to us
+        table.storage.put_if_absent(
+            plan["outcome"], json.dumps({"decision": "abort"}).encode())
+        out = _read_json(plan["outcome"])
+        if out is None:  # a concurrent resolver finished the cleanup
+            return "aborted"
+    if out["decision"] == "commit":
+        for e in plan["tables"]:
+            _txn_link(TableLog(e["path"]), e, txn_id)
+        _cleanup(plan, txn_id)
+        return "committed"
+    _unstage_plan(plan)
+    for e in plan["tables"]:
+        mp = _marker_path(TableLog(e["path"]))
+        m = _read_json(mp)
+        if m and m.get("txn") == txn_id:
+            try:
+                os.unlink(mp)
+            except FileNotFoundError:
+                pass
+    try:
+        os.unlink(plan["outcome"])
+    except FileNotFoundError:
+        pass
+    return "aborted"
+
+
+def commit_together(staged: list[dict], txn_writer: str = "txn",
+                    lease_sec: float = DEFAULT_TXN_LEASE,
+                    _hook=None) -> dict:
+    """Atomically commit the staged appends — every table or none.
+
+    ``_hook(stage_name)`` is the crash-test seam (raising inside it
+    simulates a coordinator dying at that point; the protocol's
+    recovery paths are tested through it). Raises `TxnBusy` (staged
+    files kept; retry) or `TxnAborted` (staged files reclaimed by the
+    aborter; re-stage)."""
+    from distribot_spark.sources import acid as _a
+
+    tables = [e["table"] for e in staged]
+    paths = [t.path for t in tables]
+    if len(set(paths)) != len(paths):
+        raise ValueError("commit_together: duplicate table")
+    if len(staged) < 2:
+        raise ValueError("commit_together needs >= 2 tables (use the "
+                         "normal write path for one)")
+    order = sorted(range(len(staged)), key=lambda i: paths[i])
+    txn_id = uuid.uuid4().hex
+    first = tables[order[0]]
+    outcome_path = os.path.join(first.log_dir,
+                                f"_txn.outcome.{txn_id}.json")
+    plan = {
+        "txn": txn_id,
+        "ts": time.time(),
+        "outcome": outcome_path,
+        "tables": [
+            {"path": tables[i].path,
+             "floor": tables[i].version(),
+             "adds": staged[i]["adds"],
+             "writer": f"{staged[i]['writer']}:txn:{txn_id[:8]}"}
+            for i in order
+        ],
+    }
+    body = json.dumps(plan).encode()
+
+    pinned: list = []
+    for i in order:
+        t = tables[i]
+        st = resolve_pending_txn(t, lease_sec=lease_sec)
+        if st == "inflight" or not t.storage.put_if_absent(
+                _marker_path(t), body):
+            for p in pinned:  # release OUR markers only
+                m = _read_json(_marker_path(p))
+                if m and m.get("txn") == txn_id:
+                    try:
+                        os.unlink(_marker_path(p))
+                    except FileNotFoundError:
+                        pass
+            raise TxnBusy(
+                f"another multi-table txn is pinned on {t.path}")
+        pinned.append(t)
+    if _hook:
+        _hook("pinned")
+
+    # rules drift since staging? (the same gate every writer re-checks)
+    for i in order:
+        t = tables[i]
+        if _a._gate_state(t) != staged[i]["gate"]:
+            _a._fk_take_captures(t)
+            resolve_pending_txn(t, lease_sec=0)  # abort ourselves
+            raise TxnAborted(
+                f"table rules changed under the staged txn ({t.path}) "
+                "— re-stage under the new rules")
+        _a._fk_take_captures(t)
+
+    if not first.storage.put_if_absent(
+            outcome_path, json.dumps({"decision": "commit"}).encode()):
+        out = _read_json(outcome_path)
+        if out and out["decision"] == "abort":
+            resolve_pending_txn(first, lease_sec=lease_sec)
+            raise TxnAborted(
+                "txn was aborted by a lease-expired resolver before "
+                "it decided — re-stage")
+    if _hook:
+        _hook("decided")
+
+    versions = {}
+    for n, e in enumerate(plan["tables"]):
+        versions[e["path"]] = _txn_link(
+            tables[order[n]], e, txn_id)
+        if _hook:
+            _hook(f"linked:{n}")
+    _cleanup(plan, txn_id)
+    return {"txn": txn_id, "versions": versions}

@@ -408,6 +408,73 @@ def matview_curve():
         "rows": rows}), flush=True)
 
 
+def txn_curve():
+    """commit_together cost vs BASE TABLE SIZE: the multi-table txn
+    protocol adds two conditional PUTs (marker, outcome share) + one
+    version link per table on top of the normal bucketed-append
+    staging, and NOTHING in it reads the base — so while staging is
+    O(batch), the txn-commit phase must stay FLAT as the tables grow
+    100×. Columns per point: stage_s (the two bucketed append writes,
+    the same work a plain append pays), txn_commit_s (markers +
+    outcome + links + cleanup — the atomicity premium), and
+    plain_append_s (the two-append NON-atomic baseline for the same
+    batch). Usage: python scaling.py --txn"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from distribot_spark.session import get_spark
+    from distribot_spark.sources import acid, txn
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    out = []
+    for base_rows in (10_000, 100_000, 1_000_000):
+        root = tempfile.mkdtemp(prefix="txn_scale_")
+        try:
+            fact = acid.TableLog(os.path.join(root, "fact"))
+            dim = acid.TableLog(os.path.join(root, "dim"))
+            acid.write_initial_spark(
+                spark, fact, spark.range(base_rows).select(
+                    "id", (F.col("id") % 97).alias("fk"),
+                    (F.col("id") * 3).alias("v")), "id", n_buckets=8)
+            acid.write_initial_spark(
+                spark, dim, spark.range(base_rows // 10).select(
+                    F.col("id").alias("dk"),
+                    (F.col("id") % 7).alias("attr")), "dk", n_buckets=4)
+
+            def batch(lo):
+                return (spark.range(lo, lo + 5000).select(
+                            "id", (F.col("id") % 97).alias("fk"),
+                            (F.col("id") * 3).alias("v")),
+                        spark.range(lo, lo + 500).select(
+                            F.col("id").alias("dk"),
+                            (F.col("id") % 7).alias("attr")))
+
+            fdf, ddf = batch(10_000_000)
+            t_stage, staged = _timed_ret(lambda: [
+                txn.stage_append_spark(spark, fact, fdf, writer="sf"),
+                txn.stage_append_spark(spark, dim, ddf, writer="sd")])
+            t_txn = _timed(lambda: txn.commit_together(staged))
+            fdf2, ddf2 = batch(20_000_000)
+            t_plain = _timed(lambda: (
+                acid.append_spark(spark, fact, fdf2, "id"),
+                acid.append_spark(spark, dim, ddf2, "dk")))
+            out.append({
+                "base_rows": base_rows,
+                "stage_s": round(t_stage, 3),
+                "txn_commit_s": round(t_txn, 3),
+                "plain_append_s": round(t_plain, 3),
+            })
+            print(json.dumps(out[-1]), flush=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    flat = out[-1]["txn_commit_s"] / max(out[0]["txn_commit_s"], 1e-9)
+    print(json.dumps({"txn_commit_100x_over_1x": round(flat, 2)}),
+          flush=True)
+    return out
+
+
 def _timed_ret(fn):
     t0 = time.monotonic()
     r = fn()
@@ -475,5 +542,7 @@ if __name__ == "__main__":
         export_curve()
     elif "--matview" in sys.argv:
         matview_curve()
+    elif "--txn" in sys.argv:
+        txn_curve()
     else:
         main(sys.argv[1:] or DEFAULT)

@@ -455,3 +455,193 @@ def test_streaming_apply_shares_the_refresh_claim(spark):
     st = mv.apply_matview_changes(spark, view, ch, batch_id=0, writer="t")
     assert not st["skipped"]
     _assert_view_equals_recompute(spark, base, view, spec)
+
+
+# ---- bounded min/max RIDER (spec rider_k) ----------------------------
+
+
+RIDER_SPEC = {**SPEC, "rider_k": 8}
+
+
+def _ids_of_extremes(spark, base, cat, n, desc=False):
+    col = F.col("val").desc() if desc else F.col("val").asc()
+    rows = (acid.read_snapshot_spark(spark, base)
+            .filter((F.col("cat") == cat) & F.col("val").isNotNull())
+            .orderBy(col, "id").limit(n).collect())
+    return spark.createDataFrame([(r["id"],) for r in rows], "id long")
+
+
+def test_rider_extreme_deletes_need_no_recompute(spark):
+    """Deletes of both extremes WITHIN the rider depth fold with zero
+    base scans — the self-maintaining min/max contract."""
+    base, view = _mk(spark, spec=RIDER_SPEC)
+    acid.delete_keys_spark(spark, base,
+                           _ids_of_extremes(spark, base, 1, 3), "id")
+    acid.delete_keys_spark(spark, base,
+                           _ids_of_extremes(spark, base, 2, 3, desc=True),
+                           "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["behind"] == 0 and st["dirty_recomputed"] == 0
+    _assert_view_equals_recompute(spark, base, view, RIDER_SPEC)
+
+
+def test_rider_overflow_recomputes_and_refills(spark):
+    """Evicting MORE extremes than the rider tracks empties it → the
+    one dirty recompute, which also refills the rider so the NEXT
+    in-depth eviction is again self-maintaining."""
+    spec = {**SPEC, "rider_k": 3}
+    base, view = _mk(spark, spec=spec)
+    acid.delete_keys_spark(spark, base,
+                           _ids_of_extremes(spark, base, 1, 5), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] >= 1
+    _assert_view_equals_recompute(spark, base, view, spec)
+    acid.delete_keys_spark(spark, base,
+                           _ids_of_extremes(spark, base, 1, 2), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 0  # refilled rider covers depth 2
+    _assert_view_equals_recompute(spark, base, view, spec)
+
+
+def test_rider_mixed_workload_equals_recompute(spark):
+    """The full CDF alphabet under a rider spec — refresh ≡ recompute
+    exactly, whatever mix of admissions/evictions/group-moves ran."""
+    base, view = _mk(spark, spec=RIDER_SPEC)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 200, 260), "id")
+    upd = _base_df(spark, 0, 40).select(
+        "id", "cat", (F.coalesce(F.col("val"), F.lit(0)) + 7)
+        .cast("decimal(12,2)").alias("val"))
+    acid.merge_upsert_spark(spark, base, upd, "id")
+    mover = _base_df(spark, 40, 60).select(
+        "id", ((F.col("cat") + 1) % 5).cast("int").alias("cat"), "val")
+    acid.merge_upsert_spark(spark, base, mover, "id")
+    acid.delete_keys_spark(
+        spark, base, spark.range(0, 260).filter(F.col("id") % 7 == 0)
+        .select("id"), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["behind"] == 0
+    _assert_view_equals_recompute(spark, base, view, RIDER_SPEC)
+
+
+def _mk_vals(spark, vals, rider_k, aggs=None):
+    """One-group base with exactly ``vals`` and a rider'd min/max."""
+    base = TableLog(_tmp("mvb_"))
+    df = spark.createDataFrame(
+        [(i, 0, v) for i, v in enumerate(vals)],
+        "id long, cat int, val long")
+    acid.write_initial_spark(spark, base, df, "id", n_buckets=2)
+    spec = {"group_by": ["cat"],
+            "aggs": aggs or {"cnt": {"fn": "count"},
+                             "lo": {"fn": "min", "col": "val"},
+                             "hi": {"fn": "max", "col": "val"}},
+            "rider_k": rider_k}
+    view = TableLog(_tmp("mvv_"))
+    mv.create_matview(spark, base, view, spec, n_buckets=2)
+    return base, view, spec
+
+
+def _del_ids(spark, base, ids):
+    acid.delete_keys_spark(
+        spark, base,
+        spark.createDataFrame([(i,) for i in ids], "id long"), "id")
+
+
+def test_rider_deficient_must_not_admit_above_boundary(spark):
+    """THE unsafe case the admission filter exists for: a deficient
+    (shrunken) rider does not know the values between its boundary and
+    the group's untracked tail, so an insert ABOVE the boundary must
+    not enter — admitting it would later surface a wrong min."""
+    base, view, spec = _mk_vals(spark, [3, 5, 9], rider_k=2)
+    _del_ids(spark, base, [1])          # val 5: rider [3,5] -> [3]
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 0  # nonempty rider: min exact
+    _assert_view_equals_recompute(spark, base, view, spec)
+    acid.merge_upsert_spark(                       # insert val 10
+        spark, base,
+        spark.createDataFrame([(100, 0, 10)],
+                              "id long, cat int, val long"), "id")
+    mv.refresh_matview(spark, base, view)
+    _del_ids(spark, base, [0])          # val 3: rider must EMPTY
+    st = mv.refresh_matview(spark, base, view)
+    # had 10 been admitted, the rider would read [10] here (no dirty)
+    # and report min=10 while the true min is the untracked 9
+    assert st["dirty_recomputed"] == 1
+    _assert_view_equals_recompute(spark, base, view, spec)
+    row = mv.read_matview(spark, view).collect()[0]
+    assert int(row["lo"]) == 9 and int(row["hi"]) == 10
+
+
+def test_rider_admits_inside_boundary_and_ties(spark):
+    """Inserts at-or-inside the tracked boundary refill a shrunken
+    rider; duplicate values at the boundary evict one occurrence per
+    delete (multiset semantics)."""
+    base, view, spec = _mk_vals(spark, [1, 1, 1, 2, 30], rider_k=2)
+    _del_ids(spark, base, [0, 1])       # two 1s: rider [1,1] -> []
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 1  # emptied -> refilled [1,2]
+    _assert_view_equals_recompute(spark, base, view, spec)
+    _del_ids(spark, base, [2])          # last 1: rider [2]
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 0
+    acid.merge_upsert_spark(                       # insert 2 (== bound)
+        spark, base,
+        spark.createDataFrame([(200, 0, 2)],
+                              "id long, cat int, val long"), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 0  # tie admitted: rider [2,2]
+    _del_ids(spark, base, [3])          # one 2: rider [2] stays exact
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 0
+    _assert_view_equals_recompute(spark, base, view, spec)
+    row = mv.read_matview(spark, view).collect()[0]
+    assert int(row["lo"]) == 2 and int(row["hi"]) == 30
+
+
+def test_rider_streaming_without_base_survives_row_loss(spark):
+    """The verdict-6 contract: a STREAMING min/max view with NO base
+    handle folds row-losing batches fine while evictions stay inside
+    the rider depth."""
+    base, view = _mk(spark, spec=RIDER_SPEC)
+    acid.delete_keys_spark(spark, base,
+                           _ids_of_extremes(spark, base, 1, 4), "id")
+    st = mv.apply_matview_changes(spark, view, _changes(spark, base, 1),
+                                  batch_id=0, writer="t")  # no base=
+    assert not st["skipped"] and st["dirty_recomputed"] == 0
+    _assert_view_equals_recompute(spark, base, view, RIDER_SPEC)
+
+
+def test_rider_streaming_without_base_overflow_refuses(spark):
+    """Past the rider depth with no base handle there is nothing exact
+    left to serve — refuse loudly (the pre-rider behavior, now scoped
+    to genuine exhaustion)."""
+    spec = {**SPEC, "rider_k": 2}
+    base, view = _mk(spark, spec=spec)
+    acid.delete_keys_spark(spark, base,
+                           _ids_of_extremes(spark, base, 1, 4), "id")
+    with pytest.raises(ValueError, match="rider depth"):
+        mv.apply_matview_changes(spark, view, _changes(spark, base, 1),
+                                 batch_id=0, writer="t")
+
+
+def test_rider_group_death_and_rebirth(spark):
+    base, view, spec = _mk_vals(spark, [4, 7], rider_k=4)
+    _del_ids(spark, base, [0, 1])
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 0  # tombstone, not recompute
+    assert mv.read_matview(spark, view).count() == 0
+    acid.merge_upsert_spark(
+        spark, base,
+        spark.createDataFrame([(10, 0, 42)],
+                              "id long, cat int, val long"), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 0
+    _assert_view_equals_recompute(spark, base, view, spec)
+    row = mv.read_matview(spark, view).collect()[0]
+    assert int(row["lo"]) == 42 and int(row["hi"]) == 42
+
+
+def test_rider_spec_validation(spark):
+    with pytest.raises(ValueError, match="rider_k"):
+        mv._validate_spec({**SPEC, "rider_k": 0})
+    with pytest.raises(ValueError, match="rider_k"):
+        mv._validate_spec({**SPEC, "rider_k": "four"})

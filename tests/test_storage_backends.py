@@ -293,7 +293,44 @@ ACID_ORACLE_FAMILY = [
     "source_acid_clone_diverge",
     "s25_stream_acid_ingest_rate",
     "s29_stream_identity_ingest",
+    # multi-table txn: markers/outcome/links are all storage-seam
+    # conditional PUTs, so the atomic pair-load must hold here too
+    "source_acid_commit_together",
 ]
+
+
+def test_txn_crash_recovery_under_condput(spark, condput):
+    """commit_together's crash protocol on the object-store simulation:
+    a coordinator dying between the two version links leaves a decided
+    marker that a plain READ of the other table resolves — both tables
+    land, no hardlinks, no O_EXCL, no mtimes involved."""
+    from distribot_spark.sources import txn as tx
+
+    a, b = TableLog(_tmp("sbtxa_")), TableLog(_tmp("sbtxb_"))
+    for t in (a, b):
+        acid.write_initial_spark(
+            spark, t, spark.range(0, 20).select(
+                "id", (F.col("id") * 2).alias("v")), "id", n_buckets=2)
+    staged = [
+        tx.stage_append_spark(spark, a, spark.range(100, 110).select(
+            "id", (F.col("id") * 2).alias("v")), writer="wa"),
+        tx.stage_append_spark(spark, b, spark.range(100, 105).select(
+            "id", (F.col("id") * 2).alias("v")), writer="wb"),
+    ]
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "linked:0":
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+    assert _ids(spark, b) == set(range(0, 20)) | set(range(100, 105))
+    assert _ids(spark, a) == set(range(0, 20)) | set(range(100, 110))
+    for t in (a, b):
+        assert not os.path.exists(tx._marker_path(t))
 
 
 @pytest.mark.parametrize("name", ACID_ORACLE_FAMILY)

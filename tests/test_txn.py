@@ -1,0 +1,242 @@
+"""Multi-table atomic commit (sources/txn.py): both version links land
+or neither — across coordinator crashes at every protocol stage, with
+readers pinned mid-commit, foreign writers racing the markers, and
+rules drifting under the staged plan."""
+
+import json
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from distribot_spark.sources import acid
+from distribot_spark.sources import txn as tx
+from distribot_spark.sources.acid import TableLog
+
+
+def _tmp(prefix):
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir="/root/repo/.tmp")
+
+
+def _mk_pair(spark):
+    fact, dim = TableLog(_tmp("txf_")), TableLog(_tmp("txd_"))
+    acid.write_initial_spark(
+        spark, fact,
+        spark.range(0, 50).select(
+            "id", (F.col("id") % 5).alias("fk"),
+            (F.col("id") * 10).alias("cents")),
+        "id", n_buckets=4)
+    acid.write_initial_spark(
+        spark, dim,
+        spark.range(0, 5).select(
+            F.col("id").alias("dk"),
+            F.concat(F.lit("seg"), F.col("id")).alias("seg")),
+        "dk", n_buckets=2)
+    return fact, dim
+
+
+def _stage_pair(spark, fact, dim, lo=1000, n=10):
+    fdf = spark.range(lo, lo + n).select(
+        "id", (F.col("id") % 5).alias("fk"),
+        (F.col("id") * 10).alias("cents"))
+    ddf = spark.range(100, 102).select(
+        F.col("id").alias("dk"), F.lit("newseg").alias("seg"))
+    return [tx.stage_append_spark(spark, fact, fdf, writer="wf"),
+            tx.stage_append_spark(spark, dim, ddf, writer="wd")]
+
+
+def _counts(spark, fact, dim):
+    return (acid.read_snapshot_spark(spark, fact).count(),
+            acid.read_snapshot_spark(spark, dim).count())
+
+
+def test_commit_together_lands_both_and_cleans_up(spark):
+    fact, dim = _mk_pair(spark)
+    st = tx.commit_together(_stage_pair(spark, fact, dim))
+    assert set(st["versions"]) == {fact.path, dim.path}
+    assert _counts(spark, fact, dim) == (60, 7)
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
+        body = t.read_commit(st["versions"][t.path])
+        assert body["txn"] == st["txn"] and not body["removes"]
+    assert not os.path.exists(
+        os.path.join(sorted([fact, dim], key=lambda t: t.path)[0].log_dir,
+                     f"_txn.outcome.{st['txn']}.json"))
+
+
+def test_reader_pinned_mid_commit_sees_neither_or_both(spark):
+    """THE verdict-5 contract. Before the outcome decides, a reader
+    sees the transaction on NEITHER table (nothing is published);
+    after it decides — even with zero links landed, or one of two —
+    any reader completes the publish and sees it on BOTH."""
+    fact, dim = _mk_pair(spark)
+
+    seen = {}
+
+    def hook(stage):
+        if stage in ("pinned", "decided", "linked:0"):
+            seen[stage] = _counts(spark, fact, dim)
+
+    tx.commit_together(_stage_pair(spark, fact, dim), _hook=hook)
+    assert seen["pinned"] == (50, 5)        # undecided: neither
+    assert seen["decided"] == (60, 7)       # decided: reader completes
+    assert seen["linked:0"] == (60, 7)      # mid-publish: both
+    assert _counts(spark, fact, dim) == (60, 7)
+
+
+def test_crash_before_decide_is_aborted_after_lease(spark):
+    fact, dim = _mk_pair(spark)
+    staged = _stage_pair(spark, fact, dim)
+    files = [e["table"].data_path(a["file"])
+             for e in staged for a in e["adds"]]
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "pinned":
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+    assert os.path.exists(tx._marker_path(fact))
+    # young + undecided: writers back off, readers proceed on the old
+    # state — nothing is published
+    assert fact._try_commit_linked(fact.version(), [], [], "w") is False
+    assert _counts(spark, fact, dim) == (50, 5)
+    # past the lease, ANY bump resolves it to a clean abort
+    assert tx.resolve_pending_txn(fact, lease_sec=0.0) == "aborted"
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
+    assert not any(os.path.exists(f) for f in files)  # staged reclaimed
+    assert _counts(spark, fact, dim) == (50, 5)
+    acid.append_spark(spark, fact, spark.range(2000, 2001).select(
+        "id", (F.col("id") % 5).alias("fk"),
+        (F.col("id") * 10).alias("cents")), "id")
+    assert _counts(spark, fact, dim) == (51, 5)
+
+
+def test_crash_after_decide_rolls_forward_from_either_side(spark):
+    """Coordinator dies with the outcome written and ZERO links: a
+    foreign writer bumping into EITHER table's marker publishes the
+    whole transaction before its own commit proceeds."""
+    fact, dim = _mk_pair(spark)
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "decided":
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(_stage_pair(spark, fact, dim), _hook=hook)
+    # the DIM-side writer trips the roll-forward (not just the sorted-
+    # first table): its append lands on top of the txn commit
+    acid.append_spark(spark, dim, spark.range(300, 301).select(
+        F.col("id").alias("dk"), F.lit("x").alias("seg")), "dk")
+    assert _counts(spark, fact, dim) == (60, 8)
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
+
+
+def test_crash_mid_publish_and_before_cleanup_heal_on_read(spark):
+    fact, dim = _mk_pair(spark)
+
+    class Crash(Exception):
+        pass
+
+    for crash_at, expect_after_read in (("linked:0", (60, 7)),
+                                        ("linked:1", (60, 7))):
+        def hook(stage, _c=crash_at):
+            if stage == _c:
+                raise Crash
+
+        f2, d2 = _mk_pair(spark)
+        with pytest.raises(Crash):
+            tx.commit_together(_stage_pair(spark, f2, d2), _hook=hook)
+        # a plain read of either table heals everything
+        assert _counts(spark, f2, d2) == expect_after_read
+        for t in (f2, d2):
+            assert not os.path.exists(tx._marker_path(t))
+
+
+def test_concurrent_txn_gets_busy_and_staged_survive(spark):
+    fact, dim = _mk_pair(spark)
+    staged = _stage_pair(spark, fact, dim)
+    other = {"txn": "deadbeef", "ts": time.time(),
+             "outcome": os.path.join(dim.log_dir,
+                                     "_txn.outcome.deadbeef.json"),
+             "tables": [{"path": dim.path, "floor": dim.version(),
+                         "adds": [], "writer": "other"}]}
+    with open(tx._marker_path(dim), "w") as fh:
+        json.dump(other, fh)
+    with pytest.raises(tx.TxnBusy):
+        tx.commit_together(staged)
+    # our markers released, staged files intact — retry works
+    assert not os.path.exists(tx._marker_path(fact))
+    files = [e["table"].data_path(a["file"])
+             for e in staged for a in e["adds"]]
+    assert all(os.path.exists(f) for f in files)
+    os.unlink(tx._marker_path(dim))
+    tx.commit_together(staged)
+    assert _counts(spark, fact, dim) == (60, 7)
+
+
+def test_rules_drift_under_staged_plan_aborts(spark):
+    fact, dim = _mk_pair(spark)
+    staged = _stage_pair(spark, fact, dim)
+    acid.alter_add_constraint_spark(
+        spark, fact, "cents_pos", {"col": "cents", "min": 0})
+    with pytest.raises(tx.TxnAborted, match="rules changed"):
+        tx.commit_together(staged)
+    assert _counts(spark, fact, dim) == (50, 5)
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
+    # re-stage under the new rules: lands
+    tx.commit_together(_stage_pair(spark, fact, dim))
+    assert _counts(spark, fact, dim) == (60, 7)
+
+
+def test_stage_refusals(spark):
+    fact, dim = _mk_pair(spark)
+    df = spark.range(5000, 5001).select(
+        "id", (F.col("id") % 5).alias("fk"),
+        (F.col("id") * 10).alias("cents"))
+    with pytest.raises(ValueError, match=">= 2 tables"):
+        tx.commit_together([tx.stage_append_spark(spark, fact, df,
+                                                  writer="w")])
+    acid.alter_add_constraint_spark(
+        spark, fact, "uniq_id", {"col": "id", "unique": True})
+    with pytest.raises(ValueError, match="UNIQUE"):
+        tx.stage_append_spark(spark, fact, df)
+    child = TableLog(_tmp("txc_"))
+    acid.write_initial_spark(
+        spark, child,
+        spark.range(0, 5).select("id", (F.col("id") % 5).alias("fk")),
+        "id", n_buckets=2)
+    acid.alter_add_foreign_key(spark, child, "fk_dim", "fk", dim.path)
+    with pytest.raises(ValueError, match="FK"):  # child role is out
+        tx.stage_append_spark(spark, child, spark.range(9000, 9001)
+                              .select("id", (F.col("id") % 5)
+                                      .alias("fk")))
+    with pytest.raises(ValueError, match="FK"):  # parent role too
+        tx.stage_append_spark(spark, dim, spark.range(9000, 9001)
+                              .select(F.col("id").alias("dk"),
+                                      F.lit("s").alias("seg")))
+
+
+def test_check_constraints_enforced_at_stage(spark):
+    fact, dim = _mk_pair(spark)
+    acid.alter_add_constraint_spark(
+        spark, fact, "cents_pos", {"col": "cents", "min": 0})
+    bad = spark.range(7000, 7005).select(
+        "id", (F.col("id") % 5).alias("fk"),
+        (F.col("id") * -10).alias("cents"))
+    # fail-mode CHECK aborts the staging JOB itself — nothing to undo
+    with pytest.raises(Exception, match="cents_pos"):
+        tx.stage_append_spark(spark, fact, bad)
+    assert _counts(spark, fact, dim) == (50, 5)
