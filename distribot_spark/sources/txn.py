@@ -289,10 +289,53 @@ def resolve_pending_txn(table, lease_sec: float = DEFAULT_TXN_LEASE,
     return "aborted"
 
 
+def txn_snapshot(tables: list, max_attempts: int = 50) -> dict[str, int]:
+    """A CONSISTENT CROSS-TABLE CUT: per-table versions {path: v} such
+    that every multi-table transaction is included on ALL its
+    participants or on NONE — the read-side completion of
+    `commit_together` (two independent `version()` calls can split a
+    transaction mid-publish, or bracket one that landed between them).
+
+    Double-read fence: resolve any pending markers (rolling DECIDED
+    ones forward), capture every version, then verify no marker is
+    decided and no version moved. Why that suffices: a transaction can
+    only SPLIT a cut while mid-publish — some links landed, some not —
+    and through that whole window it holds markers whose outcome
+    object exists; an UNDECIDED marker has published nothing anywhere
+    (links strictly follow the outcome), so the cut excludes it wholly
+    and it is harmless — which also means a long-running staging txn
+    never blocks readers. A txn that decides inside the fence window
+    either landed a link (a version moved → retry) or not (the cut
+    still excludes it wholly). Lock-free and read-only in the common
+    case — retries only while publishes are actively landing."""
+
+    def _decided(t) -> bool:
+        plan = _read_json(_marker_path(t))
+        return (plan is not None
+                and _read_json(plan["outcome"]) is not None)
+
+    for _ in range(max_attempts):
+        for t in tables:
+            resolve_pending_txn(t, reader=True)  # helping moves
+            # versions, which the fence below then re-reads
+        cut = {t.path: t.version() for t in tables}
+        if (not any(_decided(t) for t in tables)
+                and all(t.version() == cut[t.path] for t in tables)):
+            return cut
+    raise TxnBusy(
+        f"no quiescent window in {max_attempts} attempts — publishes "
+        "are landing continuously; widen max_attempts")
+
+
 def commit_together(staged: list[dict], txn_writer: str = "txn",
                     lease_sec: float = DEFAULT_TXN_LEASE,
-                    _hook=None) -> dict:
+                    spark=None, _hook=None) -> dict:
     """Atomically commit the staged appends — every table or none.
+
+    ``spark`` (optional) lets participants honor their write-path
+    auto-compaction policy (`TableLog.init(auto_optimize=n)`) after the
+    transaction publishes — compaction rides its own commits, outside
+    the atomic plan, exactly like the normal append path.
 
     ``_hook(stage_name)`` is the crash-test seam (raising inside it
     simulates a coordinator dying at that point; the protocol's
@@ -375,4 +418,10 @@ def commit_together(staged: list[dict], txn_writer: str = "txn",
         if _hook:
             _hook(f"linked:{n}")
     _cleanup(plan, txn_id)
+    if spark is not None:
+        from distribot_spark.sources.acid import _maybe_auto_compact_spark
+
+        for e in staged:
+            _maybe_auto_compact_spark(spark, e["table"],
+                                      e["writer"])
     return {"txn": txn_id, "versions": versions}

@@ -645,3 +645,66 @@ def test_rider_spec_validation(spark):
         mv._validate_spec({**SPEC, "rider_k": 0})
     with pytest.raises(ValueError, match="rider_k"):
         mv._validate_spec({**SPEC, "rider_k": "four"})
+
+
+def test_rider_join_matview_streaming_skips_snapshot_recompute(spark):
+    """JOIN matviews share the rider fold: the handles are still
+    needed for the delta JOIN itself, but with a rider a row-losing
+    fact batch folds with dirty_recomputed == 0 — the pinned
+    two-snapshot join scan (the expensive recompute) never runs while
+    evictions stay inside the rider depth."""
+    from distribot_spark.sources.matview import (
+        apply_join_matview_changes,
+        create_join_matview,
+        join_matview_full_spark,
+    )
+
+    fact = TableLog(_tmp("mvjf_"))
+    dim = TableLog(_tmp("mvjd_"))
+    acid.write_initial_spark(
+        spark, fact,
+        spark.range(0, 120).select(
+            "id", (F.col("id") % 6).alias("fk"),
+            (F.col("id") * 7 % 100).alias("v")),
+        "id", n_buckets=4)
+    acid.write_initial_spark(
+        spark, dim,
+        spark.range(0, 6).select(
+            F.col("id").alias("dk"),
+            (F.col("id") % 2).cast("int").alias("side")),
+        "dk", n_buckets=2)
+    spec = {"group_by": ["side"],
+            "join": {"fact_fk": "fk", "dim_key": "dk"},
+            "aggs": {"cnt": {"fn": "count"},
+                     "lo": {"fn": "min", "col": "v"},
+                     "hi": {"fn": "max", "col": "v"}},
+            "rider_k": 8}
+    view = TableLog(_tmp("mvjv_"))
+    create_join_matview(spark, fact, dim, view, spec, n_buckets=2)
+    # delete rows carrying each side's current min AND max (well
+    # inside rider depth 8)
+    doomed = []
+    snap = (acid.read_snapshot_spark(spark, fact).alias("f")
+            .join(acid.read_snapshot_spark(spark, dim).alias("d"),
+                  F.col("f.fk") == F.col("d.dk")))
+    for side in (0, 1):
+        for asc in (True, False):
+            col = F.col("v").asc() if asc else F.col("v").desc()
+            doomed += [r["id"] for r in snap
+                       .filter(F.col("side") == side)
+                       .orderBy(col, "id").limit(2).select("f.id")
+                       .collect()]
+    acid.delete_keys_spark(
+        spark, fact,
+        spark.createDataFrame([(i,) for i in set(doomed)], "id long"),
+        "id")
+    ch = acid.table_changes_spark(spark, fact, "id", from_version=1)
+    st = apply_join_matview_changes(spark, view, ch, side="fact",
+                                    batch_id=0, writer="t",
+                                    fact=fact, dim=dim)
+    # the rider absorbed the extreme loss: zero dirty groups, so the
+    # pinned joined-snapshot scan never executed
+    assert st["dirty_recomputed"] == 0 and not st["skipped"]
+    got = _rows(mv.read_matview(spark, view))
+    want = _rows(join_matview_full_spark(spark, fact, dim, spec))
+    assert got == want

@@ -240,3 +240,54 @@ def test_check_constraints_enforced_at_stage(spark):
     with pytest.raises(Exception, match="cents_pos"):
         tx.stage_append_spark(spark, fact, bad)
     assert _counts(spark, fact, dim) == (50, 5)
+
+
+def test_txn_snapshot_is_transaction_consistent(spark):
+    """The read-side cut: versions captured MID-PUBLISH must include
+    the transaction on both tables or neither — `txn_snapshot`'s
+    double-read fence resolves the marker (helping the publish) and
+    retries until nothing moved between its two reads."""
+    fact, dim = _mk_pair(spark)
+
+    cuts = {}
+
+    def hook(stage):
+        if stage in ("pinned", "linked:0"):
+            cuts[stage] = tx.txn_snapshot([fact, dim])
+
+    st = tx.commit_together(_stage_pair(spark, fact, dim), _hook=hook)
+    vf, vd = st["versions"][fact.path], st["versions"][dim.path]
+    # undecided: the cut excludes the txn on BOTH sides
+    assert cuts["pinned"] == {fact.path: vf - 1, dim.path: vd - 1}
+    # mid-publish: the fence helps the roll-forward, includes BOTH
+    assert cuts["linked:0"] == {fact.path: vf, dim.path: vd}
+    # quiescent: trivially consistent
+    assert tx.txn_snapshot([fact, dim]) == {fact.path: vf,
+                                            dim.path: vd}
+
+
+def test_txn_auto_compaction_policy_honored(spark):
+    """Participants with auto_optimize honor it AFTER the atomic
+    publish (compaction rides its own commits, like plain appends)."""
+    fact = TableLog(_tmp("txf_"))
+    acid.write_initial_spark(
+        spark, fact,
+        spark.range(0, 50).select(
+            "id", (F.col("id") % 5).alias("fk"),
+            (F.col("id") * 10).alias("cents")),
+        "id", n_buckets=4, auto_optimize=2)
+    dim = TableLog(_tmp("txd_"))
+    acid.write_initial_spark(
+        spark, dim,
+        spark.range(0, 5).select(
+            F.col("id").alias("dk"),
+            F.concat(F.lit("seg"), F.col("id")).alias("seg")),
+        "dk", n_buckets=2)
+    for lo in (1000, 2000, 3000, 4000):
+        tx.commit_together(_stage_pair(spark, fact, dim, lo=lo),
+                           spark=spark)
+    n_live = len(fact.live_paths())
+    # 4 bucketed appends over 4 buckets uncompacted would reach 5
+    # files/bucket (> 2n = 4): the policy bin-packs back to n=2
+    assert n_live <= 2 * 4 + 4, n_live
+    assert _counts(spark, fact, dim)[0] == 50 + 4 * 10
