@@ -1359,6 +1359,18 @@ class TableLog:
           commit and is skipped (Delta's deletedFileRetentionDuration).
           Pass 0.0 only when no concurrent writer can exist."""
         referenced = self.referenced_files()
+        # a PENDING multi-table txn's staged adds are referenced by its
+        # marker, not (yet) by any commit — min-age alone must not be
+        # their only shield (a txn may legitimately stage long before
+        # it decides; reclaiming its files would break the roll-forward)
+        mp = os.path.join(self.log_dir, "_txn.pending.json")
+        if os.path.exists(mp):
+            from . import txn as _txnmod
+
+            plan = _txnmod._read_json(mp)
+            for e in (plan or {}).get("tables", ()):
+                if e.get("path") == self.path:
+                    referenced.update(a["file"] for a in e["adds"])
         now = time.time()
         removed = []
         for name in sorted(os.listdir(self.data_dir)):

@@ -117,7 +117,13 @@ def stage_append_spark(spark, table, df, key: str | None = None,
     CHECK constraints applied (violations raise — a multi-table load
     has no quarantine commit to ride), rows bucketed and staged as
     immutable data files. Returns the staged entry `commit_together`
-    consumes. Nothing is visible until the transaction decides."""
+    consumes. Nothing is visible until the transaction decides.
+
+    Vacuum interaction: until `commit_together` pins the plan in the
+    markers, staged files are protected only by vacuum's min-age rail
+    (the same stage-to-link window every writer has) — don't hold a
+    staged entry across a vacuum horizon; once a marker exists, its
+    plan shields the files explicitly (`TableLog.vacuum`)."""
     from distribot_spark.sources import acid as _a
 
     if table.fk_parent_paths() or table.fk_referenced_by():

@@ -291,3 +291,32 @@ def test_txn_auto_compaction_policy_honored(spark):
     # files/bucket (> 2n = 4): the policy bin-packs back to n=2
     assert n_live <= 2 * 4 + 4, n_live
     assert _counts(spark, fact, dim)[0] == 50 + 4 * 10
+
+
+def test_vacuum_spares_pending_txn_staged_files(spark):
+    """A pending marker's staged adds are referenced by the PLAN, not
+    yet by any commit — an aggressive vacuum (min_age 0) must not
+    reclaim them or the roll-forward would commit dangling adds."""
+    fact, dim = _mk_pair(spark)
+    staged = _stage_pair(spark, fact, dim)
+    files = [e["table"].data_path(a["file"])
+             for e in staged for a in e["adds"]]
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "pinned":
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+    fact.vacuum(min_age_seconds=0.0)
+    dim.vacuum(min_age_seconds=0.0)
+    assert all(os.path.exists(f) for f in files)
+    # the txn is still resolvable both ways; roll it forward via the
+    # decided path by writing the outcome, then reading
+    plan = tx._read_json(tx._marker_path(fact))
+    fact.storage.put_if_absent(
+        plan["outcome"], json.dumps({"decision": "commit"}).encode())
+    assert _counts(spark, fact, dim) == (60, 7)
