@@ -2559,20 +2559,26 @@ def s38_stream_txn_sink(spark, sf_dir):
         fact.init()
         dim.init()
         seen = {"applied": 0, "skipped": 0}
+        floor = fact.version()  # probe only commits this stream landed
 
         def landed(batch_id):
             tag = f"s38b{batch_id}:"
             return any(
                 fact.read_commit(v).get("writer", "").startswith(tag)
-                for v in range(0, fact.version() + 1))
+                for v in range(floor + 1, fact.version() + 1))
 
         def apply_once(batch_df, batch_id):
             if landed(batch_id):  # redelivery: the log IS the hwm
                 seen["skipped"] += 1
                 return
+            # nullable longs came through the pandas chunk writer as
+            # float64 (Arrow's int-with-nulls coercion): cast back so
+            # the tables store exact int64 and the SUM stays integer
             f_rows = (batch_df.filter(F.col("kind") == "f")
                       .select(F.col("k1").alias("o_orderkey"),
-                              F.col("k2").alias("fk"), "cents"))
+                              F.col("k2").cast("long").alias("fk"),
+                              F.col("cents").cast("long")
+                              .alias("cents")))
             d_rows = (batch_df.filter(F.col("kind") == "d")
                       .select(F.col("k1").alias("dk"), "seg"))
             staged = [

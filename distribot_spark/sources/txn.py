@@ -95,12 +95,6 @@ def _marker_path(table) -> str:
     return os.path.join(table.log_dir, TXN_MARKER)
 
 
-def marker_present(table) -> bool:
-    """Cheap hot-path probe (one stat) — the only txn cost a table
-    that never participates in a transaction ever pays."""
-    return os.path.exists(_marker_path(table))
-
-
 def _read_json(path: str) -> dict | None:
     try:
         with open(path) as fh:
@@ -217,22 +211,34 @@ def _txn_link(table, plan_entry: dict, txn_id: str) -> int:
             return head + 1
 
 
-def _cleanup(plan: dict, txn_id: str) -> None:
-    """Markers first (each only after verifying its table landed),
-    outcome LAST — a crash anywhere re-resolves to 'finish publishing'
-    instead of stranding an undecided-looking marker."""
+def _remove_markers(plan: dict, txn_id: str) -> None:
+    """Remove every participant's marker IF it still belongs to this
+    txn (a successor txn may have re-pinned a table already)."""
     from distribot_spark.sources.acid import TableLog
 
     for e in plan["tables"]:
-        t = TableLog(e["path"])
-        assert _txn_landed_at(t, e, txn_id) is not None
-        mp = _marker_path(t)
+        mp = _marker_path(TableLog(e["path"]))
         m = _read_json(mp)
         if m and m.get("txn") == txn_id:
             try:
                 os.unlink(mp)
             except FileNotFoundError:
                 pass
+
+
+def _cleanup(plan: dict, txn_id: str) -> None:
+    """COMMIT-path cleanup: markers only after verifying every table
+    landed, the outcome object last. Deleting a COMMIT outcome is safe
+    against a stalled coordinator reviving it: its re-created outcome
+    would be 'commit' again and the roll-forward finds every link
+    already landed (idempotent). An ABORT outcome is NEVER deleted —
+    see `resolve_pending_txn`."""
+    from distribot_spark.sources.acid import TableLog
+
+    for e in plan["tables"]:
+        t = TableLog(e["path"])
+        assert _txn_landed_at(t, e, txn_id) is not None
+    _remove_markers(plan, txn_id)
     try:
         os.unlink(plan["outcome"])
     except FileNotFoundError:
@@ -254,7 +260,14 @@ def resolve_pending_txn(table, lease_sec: float = DEFAULT_TXN_LEASE,
       concurrent helpers.
     - ``"aborted"``   — undecided past the lease (or already-aborted):
       this call won (or observed) the abort outcome, reclaimed the
-      staged files and removed the markers.
+      staged files and removed the markers. The ABORT outcome object
+      itself is DURABLE — never deleted — because it is the only thing
+      standing between a stalled-then-resuming coordinator and a
+      catastrophic revival: with the path vacated, the coordinator's
+      ``put_if_absent(outcome, "commit")`` would succeed and publish
+      links whose staged files the aborter already reclaimed. One tiny
+      json per aborted txn in the first participant's log dir is the
+      price of that guarantee.
     """
     from distribot_spark.sources.acid import TableLog
 
@@ -272,26 +285,16 @@ def resolve_pending_txn(table, lease_sec: float = DEFAULT_TXN_LEASE,
         table.storage.put_if_absent(
             plan["outcome"], json.dumps({"decision": "abort"}).encode())
         out = _read_json(plan["outcome"])
-        if out is None:  # a concurrent resolver finished the cleanup
-            return "aborted"
+        if out is None:  # commit-path cleanup finished concurrently
+            return "committed"
     if out["decision"] == "commit":
         for e in plan["tables"]:
             _txn_link(TableLog(e["path"]), e, txn_id)
         _cleanup(plan, txn_id)
         return "committed"
     _unstage_plan(plan)
-    for e in plan["tables"]:
-        mp = _marker_path(TableLog(e["path"]))
-        m = _read_json(mp)
-        if m and m.get("txn") == txn_id:
-            try:
-                os.unlink(mp)
-            except FileNotFoundError:
-                pass
-    try:
-        os.unlink(plan["outcome"])
-    except FileNotFoundError:
-        pass
+    _remove_markers(plan, txn_id)
+    # the abort outcome stays — deliberately (see docstring)
     return "aborted"
 
 
@@ -333,7 +336,7 @@ def txn_snapshot(tables: list, max_attempts: int = 50) -> dict[str, int]:
         "are landing continuously; widen max_attempts")
 
 
-def commit_together(staged: list[dict], txn_writer: str = "txn",
+def commit_together(staged: list[dict],
                     lease_sec: float = DEFAULT_TXN_LEASE,
                     spark=None, _hook=None) -> dict:
     """Atomically commit the staged appends — every table or none.
@@ -408,8 +411,13 @@ def commit_together(staged: list[dict], txn_writer: str = "txn",
 
     if not first.storage.put_if_absent(
             outcome_path, json.dumps({"decision": "commit"}).encode()):
+        # a lost decide race means a lease-expired resolver beat us —
+        # the ONLY other writer of this object writes "abort". Anything
+        # but an explicit "commit" (including an unreadable object)
+        # must abort: falling through would publish links whose staged
+        # files the aborter already reclaimed.
         out = _read_json(outcome_path)
-        if out and out["decision"] == "abort":
+        if not out or out.get("decision") != "commit":
             resolve_pending_txn(first, lease_sec=lease_sec)
             raise TxnAborted(
                 "txn was aborted by a lease-expired resolver before "

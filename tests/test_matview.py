@@ -708,3 +708,18 @@ def test_rider_join_matview_streaming_skips_snapshot_recompute(spark):
     got = _rows(mv.read_matview(spark, view))
     want = _rows(join_matview_full_spark(spark, fact, dim, spec))
     assert got == want
+
+
+def test_rider_delta_plan_stays_jvm_side(spark):
+    """The rider fold is all higher-order SQL (collect_list, slice,
+    sort_array, filter/aggregate lambdas) — no Python eval may appear
+    in the delta or the view read under a rider spec."""
+    from distribot_spark.plans import uses_python_eval
+
+    base, view = _mk(spark, spec=RIDER_SPEC, n=80)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 80, 120), "id")
+    state = mv._load_state(view)
+    delta = mv.matview_delta(spark, state["spec"], state["scales"],
+                             _changes(spark, base, 1))
+    assert not uses_python_eval(delta)
+    assert not uses_python_eval(mv.read_matview(spark, view))

@@ -320,3 +320,31 @@ def test_vacuum_spares_pending_txn_staged_files(spark):
     fact.storage.put_if_absent(
         plan["outcome"], json.dumps({"decision": "commit"}).encode())
     assert _counts(spark, fact, dim) == (60, 7)
+
+
+def test_stalled_coordinator_cannot_revive_an_aborted_txn(spark):
+    """THE nastiest interleaving: the coordinator stalls after pinning
+    markers, a lease-expired resolver ABORTS (staged reclaimed), then
+    the coordinator WAKES and tries to decide. The abort outcome is
+    durable, so the resumed decide must raise TxnAborted — were the
+    outcome path vacated, the coordinator would win a fresh 'commit'
+    and publish links naming deleted files."""
+    fact, dim = _mk_pair(spark)
+
+    def stall_then_aborted(stage):
+        if stage == "pinned":
+            # the world moves while we sleep: a foreign writer finds
+            # our marker past its lease and aborts us
+            assert tx.resolve_pending_txn(fact, lease_sec=0.0) == \
+                "aborted"
+
+    with pytest.raises(tx.TxnAborted, match="re-stage"):
+        tx.commit_together(_stage_pair(spark, fact, dim),
+                           _hook=stall_then_aborted)
+    # nothing published, nothing dangling, markers gone
+    assert _counts(spark, fact, dim) == (50, 5)
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
+    # the tables remain fully writable
+    tx.commit_together(_stage_pair(spark, fact, dim))
+    assert _counts(spark, fact, dim) == (60, 7)
