@@ -274,9 +274,13 @@ def _retrain_marker(index_dir: str) -> str:
 
 def _complete_retrain_swap(index_dir: str, token: str) -> None:
     """Phase 2 of the retrain swap: promote the ``*.retrain-<token>``
-    artifact dirs to live, demoting the old ones — idempotent and
-    resumable from any crash point (the acid.py two-phase
-    rebucket-marker discipline applied to directories)."""
+    artifact dirs to live, demoting the old ones — idempotent,
+    resumable from any crash point, and safe under CONCURRENT healers
+    (two entry points finding the same crashed marker): every rename
+    is one-winner at the filesystem, so the loser's ENOENT just means
+    the winner already moved that piece — tolerated, then verified.
+    (The acid.py two-phase rebucket-marker discipline applied to
+    directories.)"""
     import shutil
 
     for part in ("centroids", "vectors", "drift"):
@@ -286,24 +290,44 @@ def _complete_retrain_swap(index_dir: str, token: str) -> None:
         if os.path.isdir(new):
             if os.path.isdir(live):
                 shutil.rmtree(old, ignore_errors=True)
-                os.rename(live, old)
-            os.rename(new, live)
+                try:
+                    os.rename(live, old)
+                except FileNotFoundError:
+                    pass  # a concurrent healer demoted it first
+            try:
+                os.rename(new, live)
+            except (FileNotFoundError, OSError):
+                # lost the promote race — acceptable only if the
+                # winner's promote landed
+                if not os.path.isdir(live):
+                    raise
         shutil.rmtree(old, ignore_errors=True)
+    for part in ("centroids", "vectors"):
+        assert os.path.isdir(os.path.join(index_dir, part)), (
+            f"retrain swap left no live {part!r} dir")
 
 
 def _heal_retrain(index_dir: str) -> None:
     """Complete an interrupted retrain swap (marker present = phase 2
     committed but possibly unfinished). Every reader/maintainer entry
     point calls this, so a crashed retrain can never leave the index
-    half-swapped for consumers."""
+    half-swapped for consumers. Concurrent healers are tolerated
+    (`_complete_retrain_swap`); whoever finishes last clears the
+    marker, and a marker vanishing mid-read means another healer
+    already finished — nothing left to do."""
+    import contextlib
     import json
 
     m = _retrain_marker(index_dir)
     if os.path.exists(m):
-        with open(m) as fh:
-            token = json.load(fh)["token"]
+        try:
+            with open(m) as fh:
+                token = json.load(fh)["token"]
+        except (FileNotFoundError, json.JSONDecodeError):
+            return  # another healer finished and unlinked it
         _complete_retrain_swap(index_dir, token)
-        os.unlink(m)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(m)
 
 
 def retrain_ivf_index(

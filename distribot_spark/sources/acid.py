@@ -3139,13 +3139,15 @@ def _arrow_minus_dvs(table: TableLog, f: str, dv_files,
             continue
         if keep is None:
             keep = np.ones(tbl.num_rows, dtype=bool)
-        for w, m in zip(dv_rows["_w"].to_pylist(),
-                        dv_rows["_m"].to_pylist()):
-            base_pos = int(w) * 32
-            m = int(m)
-            for b in range(32):
-                if (m >> b) & 1 and base_pos + b < len(keep):
-                    keep[base_pos + b] = False
+        # vectorized word unpack (NOT a per-bit Python loop — a
+        # million-row delete is tens of thousands of words): expand
+        # every set bit of every 32-bit mask word to its row position
+        ws = np.asarray(dv_rows["_w"].to_pylist(), dtype=np.int64)
+        ms = np.asarray(dv_rows["_m"].to_pylist(), dtype=np.int64)
+        bits = (ms[:, None] >> np.arange(32)) & 1  # (words, 32)
+        pos = (ws[:, None] * 32 + np.arange(32))[bits.astype(bool)]
+        pos = pos[pos < len(keep)]
+        keep[pos] = False
     if keep is not None:
         import pyarrow as pa
 
@@ -6492,10 +6494,16 @@ def clone_table(
         adds.append(entry)
     dv_attach: dict = {}
     for f in sorted(dvs):
-        att = _merge_sidecar_list(src.data_path, dst, list(dvs[f]))
+        freshly_merged: list = []  # names _merge_sidecar_list WROTE at
+        # dst (fresh uuids) — the only names legitimately pre-existing
+        # there; everything else goes through _bring, whose foreign-file
+        # check must stay loud (a leftover under a carried src name must
+        # refuse, never be silently committed into the clone's DV state)
+        att = _merge_sidecar_list(src.data_path, dst, list(dvs[f]),
+                                  staged=freshly_merged)
         for nm in (att if isinstance(att, list) else [att]):
-            if os.path.exists(dst.data_path(nm)):
-                continue  # freshly merged: already written at dst
+            if nm in freshly_merged:
+                continue
             if _bring(nm):
                 linked += 1
             else:

@@ -997,10 +997,15 @@ def refresh_join_matview(spark, fact: TableLog, dim: TableLog,
                             "view_version_before": view.version(),
                             "on_landed": {"last_fact": hf,
                                           "last_dim": hd}}))
-        snap = _join_frame(
-            spark, spec,
-            read_snapshot_spark(spark, fact, version=hf),
-            read_snapshot_spark(spark, dim, version=hd))
+        # the pinned joined snapshot exists only for the min/max dirty
+        # recompute — a count/sum/avg spec must not pay the two
+        # snapshot folds (the streaming twin guards identically)
+        snap = None
+        if any(a["fn"] in ("min", "max") for a in spec["aggs"].values()):
+            snap = _join_frame(
+                spark, spec,
+                read_snapshot_spark(spark, fact, version=hf),
+                read_snapshot_spark(spark, dim, version=hd))
         st = _apply_delta(spark, view, spec, scales, delta, tok,
                           base=None, base_version=None,
                           snapshot_df=snap)

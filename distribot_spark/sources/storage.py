@@ -206,15 +206,30 @@ class CondPutBackend(StorageBackend):
 
     def link_or_copy(self, src: str, dst: str) -> str:
         if os.path.exists(dst):
-            # idempotent retry: same size = same staged object (names
-            # are content-unique uuids); anything else is foreign
-            if os.path.getsize(dst) == os.path.getsize(src):
+            # idempotent retry: accept ONLY byte-identical content —
+            # equal SIZE proves nothing (two parquet files of one
+            # schema and row count collide on size all the time), and
+            # silently committing foreign bytes into a clone/export is
+            # exactly the failure the posix backend's samefile check
+            # refuses loudly
+            if (os.path.getsize(dst) == os.path.getsize(src)
+                    and self._digest(dst) == self._digest(src)):
                 return "copied"
             raise FileExistsError(dst)
         tmp = dst + f".tmp{uuid.uuid4().hex[:6]}"
         shutil.copy2(src, tmp)
         os.replace(tmp, dst)  # whole-object visibility, like a PUT
         return "copied"
+
+    @staticmethod
+    def _digest(path: str) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
 
     def stamp_arrival_order(self, root: str,
                             ordered_names: list[str]) -> None:

@@ -63,6 +63,18 @@ def _make_datasource_class():
         def __init__(self, options) -> None:
             self.root = options["path"]
             self.files = _load_manifest(self.root)
+            # pacing cursor and the RESTART FLOOR: the cursor is
+            # in-memory (a restarted query builds a fresh reader), so
+            # after a checkpoint restore the engine's offsets can be
+            # AHEAD of the cursor. The floor — the highest offset ever
+            # seen in partitions()/commit(), i.e. learned from the
+            # engine's own restored state — clamps both sides: the
+            # cursor jumps past it (no stall), and the batch slice
+            # never re-emits files below it (no replay duplicates),
+            # even through the one odd engine batch whose restored
+            # start exceeds this instance's first latest.
+            self._cur = 0
+            self._floor = 0
 
         def initialOffset(self):
             return {"i": 0}
@@ -71,14 +83,17 @@ def _make_datasource_class():
             # one manifest entry per micro-batch: bounded replay keeps
             # the per-chunk batch structure (watermarks advance chunk
             # by chunk, as the mtime-ordered file source did)
-            cur = getattr(self, "_cur", 0)
-            self._cur = min(cur + 1, len(self.files))
+            self._cur = min(max(self._cur, self._floor) + 1,
+                            len(self.files))
             return {"i": self._cur}
 
         def partitions(self, start, end):
+            s, e = int(start["i"]), int(end["i"])
+            lo = max(s, self._floor)  # never re-emit restored progress
+            self._floor = max(self._floor, s, e)
             return [
                 _FilePartition(os.path.join(self.root, f))
-                for f in self.files[start["i"]:end["i"]]
+                for f in self.files[lo:e]
             ] or [_FilePartition("")]
 
         def read(self, partition):
@@ -93,7 +108,7 @@ def _make_datasource_class():
                 yield batch
 
         def commit(self, end) -> None:
-            pass
+            self._floor = max(self._floor, int(end["i"]))
 
     class ManifestReplayDataSource(DataSource):
         @classmethod

@@ -346,3 +346,33 @@ def test_acid_oracle_family_green_under_condput(spark, duck, name):
         assert not problems, f"{name}: " + "; ".join(problems)
     finally:
         storage.set_default_backend(None)
+
+
+def test_manifest_reader_resumes_after_checkpoint_restart(condput):
+    """A restarted query rebuilds the reader with a fresh in-memory
+    pacing cursor while the engine restores its checkpointed offset —
+    the reader must neither stall (latest forever behind the restored
+    start) nor re-emit files below it (duplicate rows into an append
+    sink). The floor learned from the engine's own offsets clamps
+    both."""
+    from distribot_spark.streaming.manifest_source import (
+        _make_datasource_class,
+    )
+
+    d, names = _mk_replay(condput)
+    reader = _make_datasource_class()(
+        options={"path": d}).streamReader(None)
+    # engine's restored offset is {"i": 3}; the fresh reader paces
+    # from 0 — its first latest is behind the restored start
+    latest = reader.latestOffset()
+    assert latest == {"i": 1}
+    parts = reader.partitions({"i": 3}, latest)  # the one odd batch
+    assert [p.path for p in parts] == [""]       # emits NOTHING
+    # the floor is now learned: pacing jumps past it and the next
+    # batch resumes at exactly file 3 — never re-emitting 0..2
+    latest2 = reader.latestOffset()
+    assert latest2 == {"i": 4}
+    parts2 = reader.partitions(latest, latest2)
+    assert [os.path.basename(p.path) for p in parts2] == [names[3]]
+    parts3 = reader.partitions(latest2, reader.latestOffset())
+    assert [os.path.basename(p.path) for p in parts3] == [names[4]]
