@@ -209,6 +209,10 @@ HEADLINE = [
     "source_acid_commit_together",
     "s37_stream_matview_minmax",
     "s38_stream_txn_sink",
+    # round-8 session-2: the rider exposed as an incremental TOP-K
+    # aggregate (create with two rank windows + change-feed refresh
+    # with zero base rescans + exploded rank certification).
+    "source_acid_matview_topk",
 ]
 
 

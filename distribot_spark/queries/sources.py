@@ -11,6 +11,7 @@ from distribot_spark.catalog import load_table
 from distribot_spark.queries.cdf_shared import (
     CDF_VIEW_ORACLE,
     JOIN_MATVIEW_ORACLE_FULL,
+    MATVIEW_FINAL_CTE,
     MATVIEW_ORACLE_FULL,
     build_cdf_demo_table,
     cdf_view_deltas,
@@ -3512,3 +3513,87 @@ def source_acid_commit_together(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.sum("cents").cast("long").alias("sum_cents"))
             .orderBy("seg"))
+
+
+@register(
+    "source_acid_matview_topk",
+    oracle=MATVIEW_FINAL_CTE + """
+        , lo AS (SELECT pri, cents,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY pri
+                      ORDER BY cents ASC) AS BIGINT) AS rk
+                 FROM final),
+        hi AS (SELECT pri, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY pri
+                    ORDER BY cents DESC) AS BIGINT) AS rk
+               FROM final)
+        SELECT l.pri AS pri, l.rk AS rk,
+               CAST(l.cents AS BIGINT) AS lo_cents,
+               CAST(h.cents AS BIGINT) AS hi_cents
+        FROM lo l JOIN hi h ON l.pri = h.pri AND l.rk = h.rk
+        WHERE l.rk <= 3 ORDER BY pri, rk
+    """,
+    tags=("sources", "acid", "matview", "ivm", "topk", "rider"),
+)
+def source_acid_matview_topk(spark, sf_dir):
+    """INCREMENTAL TOP-K MATERIALIZED VIEW — the bounded rider exposed
+    as a first-class aggregate (sources/matview.py fns ``bottomk`` /
+    ``topk``): the view maintains, per o_orderpriority group, the 3
+    smallest AND 3 largest cents values as exact sorted prefixes,
+    refreshed from the change feed alone. The same fold that keeps
+    min/max self-maintaining keeps the whole prefix exact (deletes
+    evict tracked occurrences, inserts admit only inside the proven
+    prefix), with a STRICTER deficiency rule: the prefix must stay
+    complete to depth k (min/max only need it nonempty), so a k-deep
+    eviction run recomputes just the affected groups. This is the
+    leaderboard/dashboard contract — top-k per group at O(delta)
+    maintenance and O(groups × K) storage, no base re-aggregation —
+    which a plain min/max view cannot express and a full re-sort
+    recomputes at O(table log table). The shared matview workload
+    (insert MERGE, group-moving update MERGE, DV DELETE of every 7th
+    key) runs underneath; the oracle recomputes both rank prefixes
+    relationally and the exploded (group, rank, value) rows must hash-
+    match exactly — rank ties are value-ties, so the certified rows
+    are deterministic."""
+    import shutil
+
+    from distribot_spark.queries.cdf_shared import (
+        apply_matview_workload,
+        seed_matview_base,
+    )
+    from distribot_spark.sources import (
+        TableLog,
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_mv_topk_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    base = seed_matview_base(spark, sf_dir, os.path.join(out, "base"))
+    view = TableLog(os.path.join(out, "view"))
+    create_matview(spark, base, view, {
+        "group_by": ["o_orderpriority"],
+        "aggs": {
+            "cnt": {"fn": "count"},
+            "bot3": {"fn": "bottomk", "col": "cents", "k": 3},
+            "top3": {"fn": "topk", "col": "cents", "k": 3},
+        },
+        "rider_k": 64,
+    }, n_buckets=4)
+    apply_matview_workload(spark, sf_dir, base)
+    st = refresh_matview(spark, base, view)
+    assert st["behind"] == 0, st
+    # the workload's evictions stay well inside rider depth 64: the
+    # whole top-k maintenance ran with ZERO base rescans
+    assert st["dirty_recomputed"] == 0, st
+
+    v = read_matview(spark, view)
+    e = v.select(F.col("o_orderpriority").alias("pri"), "top3",
+                 F.posexplode("bot3").alias("p", "lo"))
+    return e.select(
+        "pri",
+        (F.col("p") + 1).cast("long").alias("rk"),
+        F.col("lo").cast("long").alias("lo_cents"),
+        F.element_at("top3", (F.col("p") + 1).cast("int"))
+        .cast("long").alias("hi_cents"),
+    ).orderBy("pri", "rk")

@@ -90,7 +90,19 @@ from distribot_spark.sources.acid import (
 
 _SEP = "\x1f"
 _NULL = "\x00N"
-_FNS = ("count", "sum", "avg", "min", "max")
+_FNS = ("count", "sum", "avg", "min", "max", "bottomk", "topk")
+#: fns whose state is a bounded sorted-prefix rider. ``bottomk``/
+#: ``topk`` EXPOSE the prefix itself as the aggregate value (the k
+#: smallest / largest values per group, sorted — the incremental
+#: top-k view a leaderboard/dashboard needs): same fold, stricter
+#: deficiency (the exposed prefix must stay complete to depth k, not
+#: merely nonempty).
+_RIDER_FNS = ("min", "max", "bottomk", "topk")
+
+
+def _rider_asc(fn: str) -> bool:
+    """Rider sort direction: smallest-first for min/bottomk."""
+    return fn in ("min", "bottomk")
 
 
 def _validate_spec(spec: dict) -> None:
@@ -98,6 +110,9 @@ def _validate_spec(spec: dict) -> None:
         raise ValueError("matview spec needs at least one group_by column")
     if not spec.get("aggs"):
         raise ValueError("matview spec needs at least one aggregate")
+    rk = spec.get("rider_k")
+    if rk is not None and (not isinstance(rk, int) or rk < 1):
+        raise ValueError(f"rider_k must be a positive int, got {rk!r}")
     for alias, a in spec["aggs"].items():
         if a["fn"] not in _FNS:
             raise ValueError(f"unsupported agg fn {a['fn']!r} for {alias!r}")
@@ -105,9 +120,16 @@ def _validate_spec(spec: dict) -> None:
             raise ValueError(f"agg {alias!r} ({a['fn']}) needs a col")
         if alias.startswith("_mv_"):
             raise ValueError(f"agg alias {alias!r} collides with riders")
-    rk = spec.get("rider_k")
-    if rk is not None and (not isinstance(rk, int) or rk < 1):
-        raise ValueError(f"rider_k must be a positive int, got {rk!r}")
+        if a["fn"] in ("bottomk", "topk"):
+            k = a.get("k")
+            if not isinstance(k, int) or k < 1:
+                raise ValueError(
+                    f"agg {alias!r} ({a['fn']}) needs a positive int k")
+            if not rk or rk < k:
+                raise ValueError(
+                    f"agg {alias!r} ({a['fn']}, k={k}) needs spec "
+                    f"rider_k >= k (the rider IS its storage); got "
+                    f"rider_k={rk!r}")
 
 
 def _rider_k(spec: dict) -> int:
@@ -116,11 +138,13 @@ def _rider_k(spec: dict) -> int:
 
 
 def _rider_aggs(spec: dict) -> dict:
-    """The min/max aggs that carry a bounded rider under this spec."""
+    """The aggs that carry a bounded rider under this spec (min/max
+    when rider_k is set; bottomk/topk always — validation forces
+    rider_k for them)."""
     if not _rider_k(spec):
         return {}
     return {alias: a for alias, a in spec["aggs"].items()
-            if a["fn"] in ("min", "max")}
+            if a["fn"] in _RIDER_FNS}
 
 
 def _sum_scale(df, col: str) -> int:
@@ -194,7 +218,7 @@ def _full_state(df, spec, scales: dict[str, int]):
 
         for alias, a in riders.items():
             order = (F.col(a["col"]).asc_nulls_last()
-                     if a["fn"] == "min"
+                     if _rider_asc(a["fn"])
                      else F.col(a["col"]).desc_nulls_last())
             rows = rows.withColumn(
                 f"_rkn_{alias}",
@@ -216,7 +240,7 @@ def _full_state(df, spec, scales: dict[str, int]):
                 F.collect_list(F.when((F.col(f"_rkn_{alias}") <= k)
                                       & F.col(col).isNotNull(),
                                       F.col(col))),
-                asc=(fn == "min")).alias(f"_mv_rk_{alias}"))
+                asc=_rider_asc(fn)).alias(f"_mv_rk_{alias}"))
             aggs.append(F.count(F.col(col)).alias(f"_mv_nn_{alias}"))
     return rows.groupBy(*g).agg(*aggs).select(_mv_key_col(g), "*")
 
@@ -393,7 +417,7 @@ def matview_delta(spark, spec: dict, scales: dict, changes_df):
             # catch-ups with max_versions.
             aggs.append(F.slice(F.sort_array(
                 F.collect_list(F.when(F.col("_sg") > 0, F.col(col))),
-                asc=(fn == "min")), 1, k).alias(f"_d_ins_{alias}"))
+                asc=_rider_asc(fn)), 1, k).alias(f"_d_ins_{alias}"))
             aggs.append(F.collect_list(
                 F.when(F.col("_sg") < 0, F.col(col)))
                 .alias(f"_d_del_{alias}"))
@@ -404,7 +428,8 @@ def matview_delta(spark, spec: dict, scales: dict, changes_df):
     return rows.groupBy(*g).agg(*aggs).select(_mv_key_col(g), "*")
 
 
-def _rider_fold_sql(alias: str, fn: str, k: int) -> dict[str, str]:
+def _rider_fold_sql(alias: str, fn: str, k: int,
+                    k_expose: int | None = None) -> dict[str, str]:
     """SQL fragments folding one rider through a joined (d, o) row.
 
     Invariant maintained (the whole correctness argument): the stored
@@ -429,8 +454,8 @@ def _rider_fold_sql(alias: str, fn: str, k: int) -> dict[str, str]:
     oldr = (f"coalesce(o.`_mv_rk_{alias}`, "
             f"slice(d.`_d_ins_{alias}`, 1, 0))")
     oldnn = f"coalesce(o.`_mv_nn_{alias}`, CAST(0 AS BIGINT))"
-    asc = "true" if fn == "min" else "false"
-    cmp = "<=" if fn == "min" else ">="
+    asc = "true" if _rider_asc(fn) else "false"
+    cmp = "<=" if _rider_asc(fn) else ">="
     adm = (f"CASE WHEN size({oldr}) = {oldnn} THEN d.`_d_ins_{alias}` "
            f"WHEN size({oldr}) = 0 THEN slice(d.`_d_ins_{alias}`, 1, 0) "
            f"ELSE filter(d.`_d_ins_{alias}`, "
@@ -443,10 +468,15 @@ def _rider_fold_sql(alias: str, fn: str, k: int) -> dict[str, str]:
               "slice(acc, CAST(array_position(acc, x) AS INT) + 1, "
               "size(acc))) ELSE acc END)")
     newnn = f"({oldnn} + coalesce(d.`_d_nn_{alias}`, CAST(0 AS BIGINT)))"
+    # deficiency: min/max only need a NONEMPTY prefix (its head is the
+    # extremum); an exposed bottomk/topk needs the prefix COMPLETE to
+    # its own depth k_expose (least(k_expose, live-non-null count))
+    need = (f"least(CAST({int(k_expose)} AS BIGINT), {newnn})"
+            if k_expose else f"least(CAST(1 AS BIGINT), {newnn})")
     return {
         "rk": folded,
         "nn": newnn,
-        "deficient": f"(size({folded}) = 0 AND {newnn} > 0)",
+        "deficient": f"(size({folded}) < {need})",
         "val": (f"CASE WHEN size({folded}) > 0 "
                 f"THEN element_at({folded}, 1) END"),
     }
@@ -466,11 +496,12 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
     from operator import and_
 
     g = spec["group_by"]
-    has_minmax = any(a["fn"] in ("min", "max")
+    has_minmax = any(a["fn"] in _RIDER_FNS
                      for a in spec["aggs"].values())
     k = _rider_k(spec)
     riders = _rider_aggs(spec)
-    rsql = {alias: _rider_fold_sql(alias, a["fn"], k)
+    rsql = {alias: _rider_fold_sql(alias, a["fn"], k,
+                                   k_expose=a.get("k"))
             for alias, a in riders.items()}
     old = read_snapshot_spark(spark, view)
     d = delta.alias("d")
@@ -588,7 +619,7 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
 
                 for alias, a in riders.items():
                     order = (F.col(a["col"]).asc_nulls_last()
-                             if a["fn"] == "min"
+                             if _rider_asc(a["fn"])
                              else F.col(a["col"]).desc_nulls_last())
                     snap2 = snap2.withColumn(
                         f"_rkn_{alias}",
@@ -609,7 +640,7 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
                             F.when((F.col(f"_rkn_{alias}") <= k)
                                    & F.col(a["col"]).isNotNull(),
                                    F.col(a["col"]))),
-                        asc=(a["fn"] == "min"))
+                        asc=_rider_asc(a["fn"]))
                         .alias(f"_r_rk_{alias}"))
             rec = snap2.groupBy("_mv_key").agg(*raggs)
             up = up.alias("u").join(rec.alias("r"), "_mv_key", "left")
@@ -756,7 +787,7 @@ def apply_matview_changes(spark, view: TableLog, changes_df,
             return {"skipped": True, "groups_upserted": 0,
                     "dirty_recomputed": 0}
         base_version = None
-        if base is not None and any(a["fn"] in ("min", "max")
+        if base is not None and any(a["fn"] in _RIDER_FNS
                                     for a in spec["aggs"].values()):
             r = changes_df.agg(
                 F.max("_commit_version").alias("v")).collect()[0]
@@ -801,6 +832,11 @@ def _user_cols(spec: dict):
                                / F.col(f"_mv_n_{alias}")).alias(alias))
         elif fn == "min":
             cols.append(F.col(f"_mv_min_{alias}").alias(alias))
+        elif fn in ("bottomk", "topk"):
+            # the exposed prefix: first k of the rider (already sorted
+            # in this agg's direction; the rider may be deeper)
+            cols.append(F.slice(F.col(f"_mv_rk_{alias}"), 1,
+                                int(a["k"])).alias(alias))
         else:
             cols.append(F.col(f"_mv_max_{alias}").alias(alias))
     return cols
@@ -1001,7 +1037,7 @@ def refresh_join_matview(spark, fact: TableLog, dim: TableLog,
         # recompute — a count/sum/avg spec must not pay the two
         # snapshot folds (the streaming twin guards identically)
         snap = None
-        if any(a["fn"] in ("min", "max") for a in spec["aggs"].values()):
+        if any(a["fn"] in _RIDER_FNS for a in spec["aggs"].values()):
             snap = _join_frame(
                 spark, spec,
                 read_snapshot_spark(spark, fact, version=hf),
@@ -1079,7 +1115,7 @@ def apply_join_matview_changes(spark, view: TableLog, changes_df,
         spec_nf = {k: v for k, v in spec.items() if k != "filter"}
         delta = matview_delta(spark, spec_nf, scales, changes)
         snap = None
-        if any(a["fn"] in ("min", "max")
+        if any(a["fn"] in _RIDER_FNS
                for a in spec["aggs"].values()):
             if fact is not None and dim is not None:
                 vf = batch_hi if side == "fact" else int(

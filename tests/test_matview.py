@@ -723,3 +723,90 @@ def test_rider_delta_plan_stays_jvm_side(spark):
                              _changes(spark, base, 1))
     assert not uses_python_eval(delta)
     assert not uses_python_eval(mv.read_matview(spark, view))
+
+
+# ---- incremental TOP-K aggregates (bottomk / topk) --------------------
+
+
+TOPK_SPEC = {
+    "group_by": ["cat"],
+    "aggs": {
+        "cnt": {"fn": "count"},
+        "bot": {"fn": "bottomk", "col": "val", "k": 3},
+        "top": {"fn": "topk", "col": "val", "k": 3},
+    },
+    "rider_k": 8,
+}
+
+
+def test_topk_create_and_mixed_workload_equals_recompute(spark):
+    base, view = _mk(spark, spec=TOPK_SPEC)
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 200, 260), "id")
+    mover = _base_df(spark, 40, 60).select(
+        "id", ((F.col("cat") + 1) % 5).cast("int").alias("cat"), "val")
+    acid.merge_upsert_spark(spark, base, mover, "id")
+    acid.delete_keys_spark(
+        spark, base, spark.range(0, 260).filter(F.col("id") % 7 == 0)
+        .select("id"), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["behind"] == 0
+    _assert_view_equals_recompute(spark, base, view, TOPK_SPEC)
+    row = {r["cat"]: r for r in mv.read_matview(spark, view).collect()}
+    b = [str(x) for x in row[1]["bot"]]
+    assert len(b) == 3 and b == sorted(b)  # k smallest, ascending
+    t = [str(x) for x in row[1]["top"]]
+    assert len(t) == 3 and t == sorted(t, reverse=True)
+
+
+def test_topk_deficiency_is_stricter_than_minmax(spark):
+    """min/max stay exact while the rider is merely NONEMPTY; an
+    exposed bottomk(k) needs the prefix complete to depth k — losing
+    enough tracked values to shrink below k (but not to zero) must
+    recompute, where a min-only spec would not."""
+    base, view, spec = _mk_vals(spark, [1, 2, 3, 4, 5], rider_k=3,
+                                aggs={"cnt": {"fn": "count"},
+                                      "bot": {"fn": "bottomk",
+                                              "col": "val", "k": 2}})
+    _del_ids(spark, base, [0, 1])  # rider [1,2,3] -> [3]: size 1 < k 2
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 1
+    _assert_view_equals_recompute(spark, base, view, spec)
+    row = mv.read_matview(spark, view).collect()[0]
+    assert [int(x) for x in row["bot"]] == [3, 4]
+    # within depth again: a single eviction folds with no recompute
+    _del_ids(spark, base, [2])     # rider (refilled to 3) [3,4,5]->[4,5]
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 0
+    row = mv.read_matview(spark, view).collect()[0]
+    assert [int(x) for x in row["bot"]] == [4, 5]
+
+
+def test_topk_small_group_is_whole_group(spark):
+    base, view, spec = _mk_vals(spark, [7, 9], rider_k=4,
+                                aggs={"cnt": {"fn": "count"},
+                                      "top": {"fn": "topk",
+                                              "col": "val", "k": 3}})
+    row = mv.read_matview(spark, view).collect()[0]
+    assert [int(x) for x in row["top"]] == [9, 7]
+    acid.merge_upsert_spark(
+        spark, base,
+        spark.createDataFrame([(50, 0, 20)],
+                              "id long, cat int, val long"), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["dirty_recomputed"] == 0
+    row = mv.read_matview(spark, view).collect()[0]
+    assert [int(x) for x in row["top"]] == [20, 9, 7]
+
+
+def test_topk_spec_validation(spark):
+    with pytest.raises(ValueError, match="positive int k"):
+        mv._validate_spec({"group_by": ["a"], "rider_k": 4,
+                           "aggs": {"b": {"fn": "topk", "col": "v"}}})
+    with pytest.raises(ValueError, match="rider_k >= k"):
+        mv._validate_spec({"group_by": ["a"], "rider_k": 2,
+                           "aggs": {"b": {"fn": "topk", "col": "v",
+                                          "k": 5}}})
+    with pytest.raises(ValueError, match="rider_k >= k"):
+        mv._validate_spec({"group_by": ["a"],
+                           "aggs": {"b": {"fn": "bottomk", "col": "v",
+                                          "k": 2}}})
