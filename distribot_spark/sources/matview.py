@@ -47,6 +47,13 @@ Design (all deltas exact, so refresh ≡ full recompute bit-for-bit):
   exact types (int/decimal/string/date/timestamp); raw doubles with
   NaNs would leave ghost entries (the repo-wide quantization rule
   already forbids float aggregation columns anyway).
+- **Incremental TOP-K aggregates** (``{"fn": "bottomk"|"topk",
+  "col": c, "k": n}``, requires ``rider_k >= n``): the rider prefix
+  itself IS the aggregate — per group, the n smallest/largest values,
+  sorted. Same fold; stricter deficiency (the exposed prefix must stay
+  complete to depth n, where min/max only need it nonempty). The
+  leaderboard contract at O(delta) maintenance and O(groups × K)
+  storage.
 - **Group death is a TOMBSTONE** (``_mv_cnt = 0``), not a delete, so a
   refresh is exactly ONE view commit (a keyed MERGE) — which is what
   makes the crash protocol below airtight. `read_matview` filters

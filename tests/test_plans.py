@@ -78,6 +78,9 @@ def test_relational_queries_stay_jvm_side(spark):
         # Arrow kernel (operators/index.serve_ivf_topk), as does the
         # incremental-append twin (shard assignment + probe)
         "l3_ivf_topk", "l3_ivf_serve", "l3_ivf_append_serve",
+        # retrain-and-swap serves through the SAME Arrow probe kernel
+        # after the atomic layout swap (round-8 session 1)
+        "l3_ivf_retrain_serve",
         # PQ-ADC scoring is a LUT gather-sum per batch — one Arrow numpy
         # kernel (see similarity.pq_topk); the exact re-rank stays Catalyst
         "l3_pq_topk",
