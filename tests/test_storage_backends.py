@@ -376,3 +376,32 @@ def test_manifest_reader_resumes_after_checkpoint_restart(condput):
     assert [os.path.basename(p.path) for p in parts2] == [names[3]]
     parts3 = reader.partitions(latest2, reader.latestOffset())
     assert [os.path.basename(p.path) for p in parts3] == [names[4]]
+
+
+def test_txn_durable_abort_under_condput(spark, condput):
+    """The stall-resume interleaving on the object-store simulation:
+    the abort outcome must survive as a durable conditional-put object
+    so a resumed coordinator loses the decide race instead of
+    publishing over reclaimed files."""
+    from distribot_spark.sources import txn as tx
+
+    a, b = TableLog(_tmp("sbta_")), TableLog(_tmp("sbtb_"))
+    for t in (a, b):
+        acid.write_initial_spark(
+            spark, t, spark.range(0, 10).select(
+                "id", (F.col("id") * 2).alias("v")), "id", n_buckets=2)
+    staged = [
+        tx.stage_append_spark(spark, a, spark.range(50, 55).select(
+            "id", (F.col("id") * 2).alias("v")), writer="wa"),
+        tx.stage_append_spark(spark, b, spark.range(50, 52).select(
+            "id", (F.col("id") * 2).alias("v")), writer="wb"),
+    ]
+
+    def stall(stage):
+        if stage == "pinned":
+            assert tx.resolve_pending_txn(a, lease_sec=0.0) == "aborted"
+
+    with pytest.raises(tx.TxnAborted):
+        tx.commit_together(staged, _hook=stall)
+    assert _ids(spark, a) == set(range(10))
+    assert _ids(spark, b) == set(range(10))

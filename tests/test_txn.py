@@ -348,3 +348,36 @@ def test_stalled_coordinator_cannot_revive_an_aborted_txn(spark):
     # the tables remain fully writable
     tx.commit_together(_stage_pair(spark, fact, dim))
     assert _counts(spark, fact, dim) == (60, 7)
+
+
+def test_three_table_txn_lands_all_or_none(spark):
+    """The protocol is N-way, not pairwise: three tables, one decide,
+    three links — a mid-publish crash heals ALL of them on a read of
+    any one."""
+    fact, dim = _mk_pair(spark)
+    third = TableLog(_tmp("txt_"))
+    acid.write_initial_spark(
+        spark, third,
+        spark.range(0, 8).select(F.col("id").alias("k"),
+                                 (F.col("id") * 5).alias("w")),
+        "k", n_buckets=2)
+    staged = _stage_pair(spark, fact, dim) + [
+        tx.stage_append_spark(
+            spark, third, spark.range(70, 75).select(
+                F.col("id").alias("k"), (F.col("id") * 5).alias("w")),
+            writer="wt")]
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "linked:1":  # one link landed, two to go
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+    # reading the THIRD table (whose link never landed) heals all three
+    assert acid.read_snapshot_spark(spark, third).count() == 13
+    assert _counts(spark, fact, dim) == (60, 7)
+    for t in (fact, dim, third):
+        assert not os.path.exists(tx._marker_path(t))
