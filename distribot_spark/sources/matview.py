@@ -468,8 +468,23 @@ def _rider_fold_sql(alias: str, fn: str, k: int,
            f"ELSE filter(d.`_d_ins_{alias}`, "
            f"x -> x {cmp} element_at({oldr}, -1)) END")
     merged = f"slice(sort_array(concat({oldr}, {adm}), {asc}), 1, {k})"
+    # PERFORMANCE SHAPE (higher-order folds are INTERPRETED, not
+    # codegen'd): ``merged`` is the aggregate's INIT — evaluated once
+    # per fold, never per element. An expression referenced inside a
+    # lambda BODY re-evaluates per element: a boundary filter over the
+    # delete list spelled as ``filter(dels, x -> x <= element_at(
+    # merged, -1))`` rebuilt the whole merged array per delete and
+    # DOUBLED the refresh — never reference a non-trivial expression
+    # from a lambda. The lambda instead short-circuits each delete on
+    # an O(1) boundary probe of the ACCUMULATOR (x outside acc's
+    # tracked range can't be present — acc only shrinks from merged),
+    # so the O(K) array_position runs only for genuine eviction
+    # candidates: a 4k-delete group costs 4k comparisons + ~K real
+    # removals, not 4k × K.
     folded = (f"aggregate(d.`_d_del_{alias}`, {merged}, (acc, x) -> "
-              "CASE WHEN array_position(acc, x) > 0 THEN "
+              f"CASE WHEN size(acc) > 0 "
+              f"AND x {cmp} element_at(acc, -1) "
+              "AND array_position(acc, x) > 0 THEN "
               "concat(slice(acc, 1, "
               "CAST(array_position(acc, x) AS INT) - 1), "
               "slice(acc, CAST(array_position(acc, x) AS INT) + 1, "
@@ -501,6 +516,15 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
 
     from functools import reduce
     from operator import and_
+
+    # the delta is O(touched groups) rows — the view's own grain — but
+    # COMPUTING it re-reads the change feed and re-runs its collect_list
+    # sorts, and this apply drives SEVERAL jobs over it (the guard agg,
+    # the MERGE's bucket rewrites, the dirty recompute). Pin it once:
+    # row-format localCheckpoint, NOT the columnar cache (the minhash
+    # persist trap) — the sf0.1 topk oracle dropped 52 s → ~16 s warm,
+    # and every matview family entry shares the win.
+    delta = delta.localCheckpoint(eager=False)
 
     g = spec["group_by"]
     has_minmax = any(a["fn"] in _RIDER_FNS
