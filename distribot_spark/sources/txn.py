@@ -42,8 +42,10 @@ conditional-put-only object store exactly like single-table commits):
    link at head+1 only if absent, rescan on a lost race — the
    one-winner link makes duplicates impossible.
 5. **Clean**: markers are removed only after every table's link is
-   verified landed, the outcome object last — a crash mid-cleanup
-   leaves a marker whose next resolver re-verifies and finishes.
+   verified landed — a crash mid-cleanup leaves a marker whose next
+   resolver re-verifies and finishes. The OUTCOME object is durable on
+   both decisions (a vacated path would let a stale resolver win a
+   fresh "abort" after a marker it read pre-cleanup — see `_cleanup`).
 
 Readers: `TableLog.snapshot()`/`snapshot_at` resolve a present marker
 first (roll the commit forward if decided, no-op if undecided — an
@@ -227,22 +229,29 @@ def _remove_markers(plan: dict, txn_id: str) -> None:
 
 
 def _cleanup(plan: dict, txn_id: str) -> None:
-    """COMMIT-path cleanup: markers only after verifying every table
-    landed, the outcome object last. Deleting a COMMIT outcome is safe
-    against a stalled coordinator reviving it: its re-created outcome
-    would be 'commit' again and the roll-forward finds every link
-    already landed (idempotent). An ABORT outcome is NEVER deleted —
-    see `resolve_pending_txn`."""
+    """COMMIT-path cleanup: markers removed only after verifying every
+    table's link landed. The OUTCOME object is DURABLE on BOTH
+    decisions — never unlinked. Deleting a commit outcome would vacate
+    the one-winner decision path: a stalled resolver that read a
+    participant's marker BEFORE this cleanup removed it, then reads the
+    outcome AFTER the unlink (plan ts past the lease — exactly the
+    slow-resolver window the protocol supports), would win
+    ``put_if_absent(outcome, "abort")`` on the vacated path and
+    ``_unstage_plan`` data files already linked into commits. One tiny
+    json per transaction in the first participant's log dir is the
+    price of closing that window, symmetric with the durable ABORT
+    outcome (`resolve_pending_txn`)."""
     from distribot_spark.sources.acid import TableLog
 
     for e in plan["tables"]:
         t = TableLog(e["path"])
-        assert _txn_landed_at(t, e, txn_id) is not None
+        if _txn_landed_at(t, e, txn_id) is None:
+            # never strip markers without the verification (an assert
+            # would vanish under python -O)
+            raise RuntimeError(
+                f"txn {txn_id}: link not landed on {e['path']} — "
+                "refusing to remove markers")
     _remove_markers(plan, txn_id)
-    try:
-        os.unlink(plan["outcome"])
-    except FileNotFoundError:
-        pass
 
 
 def resolve_pending_txn(table, lease_sec: float = DEFAULT_TXN_LEASE,
@@ -285,7 +294,9 @@ def resolve_pending_txn(table, lease_sec: float = DEFAULT_TXN_LEASE,
         table.storage.put_if_absent(
             plan["outcome"], json.dumps({"decision": "abort"}).encode())
         out = _read_json(plan["outcome"])
-        if out is None:  # commit-path cleanup finished concurrently
+        if out is None:  # unreachable now that outcomes are durable on
+            # both decisions; kept for logs written by older builds
+            # whose commit-path cleanup unlinked the outcome
             return "committed"
     if out["decision"] == "commit":
         for e in plan["tables"]:

@@ -90,7 +90,12 @@ def _make_datasource_class():
         def partitions(self, start, end):
             s, e = int(start["i"]), int(end["i"])
             lo = max(s, self._floor)  # never re-emit restored progress
-            self._floor = max(self._floor, s, e)
+            # advance the floor only past START here: the batch's own
+            # END is learned in commit(). Raising it to `end` now would
+            # return an EMPTY slice if the engine re-plans the same
+            # uncommitted range on this reader instance — silently
+            # dropping those files instead of replaying them.
+            self._floor = max(self._floor, s)
             return [
                 _FilePartition(os.path.join(self.root, f))
                 for f in self.files[lo:e]

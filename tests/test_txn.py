@@ -62,9 +62,46 @@ def test_commit_together_lands_both_and_cleans_up(spark):
         assert not os.path.exists(tx._marker_path(t))
         body = t.read_commit(st["versions"][t.path])
         assert body["txn"] == st["txn"] and not body["removes"]
-    assert not os.path.exists(
-        os.path.join(sorted([fact, dim], key=lambda t: t.path)[0].log_dir,
-                     f"_txn.outcome.{st['txn']}.json"))
+    # the COMMIT outcome is DURABLE (like abort): vacating it would let
+    # a stale resolver that read a marker pre-cleanup win a fresh
+    # "abort" on the empty path and unstage files already linked
+    out_path = os.path.join(
+        sorted([fact, dim], key=lambda t: t.path)[0].log_dir,
+        f"_txn.outcome.{st['txn']}.json")
+    assert json.load(open(out_path))["decision"] == "commit"
+
+
+def test_stale_resolver_after_cleanup_cannot_abort_committed_txn(spark):
+    """The ADVICE-pinned race: a resolver captures the marker BEFORE
+    commit-path cleanup removes it, stalls, and resumes AFTER cleanup
+    with the plan ts past the lease. Its put_if_absent(outcome,
+    'abort') must lose to the durable commit outcome — it must roll
+    the (already-landed) txn forward, never unstage linked files."""
+    fact, dim = _mk_pair(spark)
+    staged = _stage_pair(spark, fact, dim)
+
+    captured = {}
+
+    def hook(stage):
+        if stage == "pinned":
+            captured["plan"] = json.load(open(tx._marker_path(fact)))
+
+    st = tx.commit_together(staged, _hook=hook)
+    fact_entry = next(e for e in captured["plan"]["tables"]
+                      if e["path"] == fact.path)
+    files = [fact.data_path(a["file"]) for a in fact_entry["adds"]]
+    # simulate the stalled resolver: lease long expired, marker gone,
+    # outcome path is whatever cleanup left behind
+    plan = dict(captured["plan"], ts=time.time() - 9999)
+    assert not fact.storage.put_if_absent(
+        plan["outcome"], json.dumps({"decision": "abort"}).encode())
+    out = json.load(open(plan["outcome"]))
+    assert out["decision"] == "commit"
+    # the committed rows and their data files survive
+    assert _counts(spark, fact, dim) == (60, 7)
+    for f in files:
+        assert os.path.exists(f)
+    assert fact.read_commit(st["versions"][fact.path])["txn"] == st["txn"]
 
 
 def test_reader_pinned_mid_commit_sees_neither_or_both(spark):
