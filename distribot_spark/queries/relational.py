@@ -429,12 +429,39 @@ def q15_exact(spark, sf_dir):
     )
 
 
-@register("q15", oracle=None, tags=("approx",))
+def _q15_oracle():
+    from distribot_spark.operators import hll as _hll
+
+    return f"""
+    WITH hashed AS (SELECT {_hll.hash_sql('l_partkey')} AS h FROM lineitem),
+    regs AS (SELECT 'ALL' AS grp, {_hll.bucket_sql('h')} AS b,
+                    MAX({_hll.rho_sql('h', '//')}) AS m_rho
+             FROM hashed GROUP BY 1, 2),
+    est AS ({_hll.estimate_from_registers_sql('regs', 'grp')})
+    SELECT ROUND(est * 10000) / 10000 AS n_parts_approx FROM est
+    """
+
+
+@register("q15", oracle=_q15_oracle(), tags=("approx", "sketch"))
 def q15(spark, sf_dir):
-    """HyperLogLog++ approx count-distinct; rows-only check (≈ operator).
-    tests/test_relational.py asserts ≤2%% error vs q15_exact."""
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx")
+    """Approx count-distinct of l_partkey via the PORTABLE HyperLogLog
+    (operators/hll.py) — registers from the spelled-out hash family,
+    integer harmonic sufficient statistics, one terminal double — so
+    the estimate HASH-MATCHES the DuckDB oracle bit-for-bit. Spark's
+    engine-private approx_count_distinct stays covered by the ±2 %
+    tolerance test (tests/test_operators.py) and the exact twin is
+    q15_exact; the full rollup/error-reporting variant is q15_hll
+    (queries/advanced.py). 100 TB shape: one corpus scan folding into
+    ≤256 registers via map-side partial MAX — no exact-distinct
+    shuffle of the key universe."""
+    from distribot_spark.operators import hll as _hll
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lit("ALL").alias("grp"), F.col("l_partkey").alias("k")
+    )
+    est = _hll.estimate_hll(_hll.build_hll(li, "k", ["grp"]), ["grp"])
+    return est.select(
+        (F.round(F.col("est") * 10000, 0) / 10000).alias("n_parts_approx")
     )
 
 

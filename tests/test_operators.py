@@ -190,9 +190,20 @@ def test_blocked_cosine_auto_blocks(spark):
 
 
 def test_approx_count_distinct_tolerance(spark):
+    """Spark's native approx_count_distinct (engine-private HLL++)
+    stays declared-≈: ≤2 % of the exact count. The registered q15
+    builder now carries the portable-HLL estimate with a full hash
+    oracle (queries/relational.py), so the native sketch is pinned
+    here instead."""
+    native = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("n"))
+        .collect()[0][0]
+    )
     approx = QUERIES["q15"].builder(spark, SF_ORACLE).collect()[0][0]
     exact = QUERIES["q15_exact"].builder(spark, SF_ORACLE).collect()[0][0]
-    assert abs(approx - exact) / exact <= 0.02
+    assert abs(native - exact) / exact <= 0.02
+    assert abs(approx - exact) / exact <= 0.15  # 1.04/sqrt(256) envelope
 
 
 def test_codec_roundtrips():
