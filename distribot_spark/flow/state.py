@@ -59,6 +59,17 @@ class StateStore:
         for sub in ("flows", "transitions", "progress", "task_log", "control"):
             os.makedirs(os.path.join(root, sub), exist_ok=True)
 
+    @property
+    def storage(self):
+        """Coordination primitives (work claims, done markers) go
+        through the storage seam so competing engines coordinate
+        correctly on a conditional-put-only object store. Resolved
+        lazily per operation, like TableLog.storage, so a test-wide
+        `set_default_backend` override applies to live stores."""
+        from distribot_spark.sources.storage import get_backend
+
+        return get_backend()
+
     # -- generic append/read (parquet fragments per write) ------------------
 
     def _append(self, table: str, rows: list[dict], schema: pa.Schema) -> None:
@@ -348,11 +359,12 @@ class StateStore:
     # -- work claims (competing engines, reference worker.rb:72-85) -------------
     # The reference deploys N worker replicas against one shared queue; the
     # broker gives each task to exactly one consumer. Here the shared medium
-    # is the state root, and exclusivity comes from O_CREAT|O_EXCL file
-    # creation — the one filesystem primitive that is atomic across
-    # processes (and maps to a conditional PUT / if-none-match on an object
-    # store). A claim key names a unit of work (one wave slice, one phase
-    # transition); exactly one engine process wins each key.
+    # is the state root, and exclusivity comes from the storage seam's
+    # conditional create (`StorageBackend.put_if_absent`: tmp-then-link(2)
+    # on POSIX, an If-None-Match PUT on an object store). A claim key names
+    # a unit of work (one wave slice, one phase transition); exactly one
+    # engine process wins each key. Leases live in claim BODIES (renewed by
+    # rewriting the object), never in mtimes.
 
     def _claim_path(self, flow_id: str, key: str) -> str:
         import hashlib
@@ -373,23 +385,16 @@ class StateStore:
         via claim_info."""
         path = self._claim_path(flow_id, key) + ".claim"
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        # Body is written to a tmp file FIRST, then hard-linked into place:
-        # link(2) is atomic and fails if the target exists, so the winner is
-        # unique AND every reader that sees the claim file sees its full
-        # body — a loser can never read a half-written meta (e.g. the
-        # n_slices config pin) and silently fall back to its own value.
-        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"owner": owner, "ts": _now(), "key": key, **(meta or {})}, fh
-            )
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        # The storage seam's conditional create: atomic one-winner AND
+        # full-body-or-nothing, so a loser can never read a
+        # half-written meta (e.g. the n_slices config pin) and
+        # silently fall back to its own value. On POSIX this is the
+        # old tmp-then-link(2); on an object store it is the
+        # If-None-Match PUT — the claim table works on either.
+        body = json.dumps(
+            {"owner": owner, "ts": _now(), "key": key, **(meta or {})}
+        ).encode()
+        return self.storage.put_if_absent(path, body)
 
     def claim_info(self, flow_id: str, key: str) -> dict | None:
         """Owner/ts of an existing claim (None if unclaimed). A claim whose
@@ -414,20 +419,19 @@ class StateStore:
         if not info or info.get("owner") != owner:
             return
         info["ts"] = _now()
-        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as fh:
-            json.dump(info, fh)
-        os.replace(tmp, path)
+        # unconditional whole-object PUT: the lease lives in the BODY
+        # (an object store's listing mtime is the upload time — a
+        # holder cannot refresh it), so renewal rewrites the object
+        self.storage.put(path, json.dumps(info).encode())
 
     def mark_claim_done(self, flow_id: str, key: str, owner: str) -> None:
         """Record that the claimed work unit COMMITTED (its wave manifest /
         transition is durable). tmp+rename, so `.done` is all-or-nothing."""
         path = self._claim_path(flow_id, key) + ".done"
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as fh:
-            json.dump({"owner": owner, "ts": _now(), "key": key}, fh)
-        os.replace(tmp, path)
+        self.storage.put(
+            path,
+            json.dumps({"owner": owner, "ts": _now(), "key": key}).encode())
 
     def claim_done(self, flow_id: str, key: str) -> bool:
         return os.path.exists(self._claim_path(flow_id, key) + ".done")

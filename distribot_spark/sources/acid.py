@@ -64,6 +64,8 @@ import threading
 import time
 import uuid
 
+from distribot_spark.sources import storage as storage_mod
+
 CHECKPOINT_EVERY = 10
 
 # Files younger than this are never vacuumed: the OCC protocol stages data
@@ -607,7 +609,7 @@ class TableLog:
             json.dump(meta, fh)
         os.replace(tmp, path)
 
-    _META_LOCK_MAX_GEN = 64
+    _META_LOCK_MAX_GEN = storage_mod.GenerationLock.MAX_GEN
 
     def _meta_gen_path(self, g: int) -> str:
         base = self._meta_lock_path()
@@ -617,32 +619,18 @@ class TableLog:
     def _meta_lock(self, timeout: float = 10.0, stale_after: float = 30.0,
                    _steal_hook=None):
         """Serialize metadata mutations (ALTER vs ALTER) via the
-        O_CREAT|O_EXCL claim primitive. Data writers do NOT take this
-        lock — they serialize against ALTER through the commit log
-        barrier instead (see `alter_add_constraint_spark`).
-
-        Crashed-holder recovery uses GENERATIONAL STEALS (the
-        flow/engine.py claim-steal discipline), never a destructive
-        unlink of someone else's file: ownership is the NEWEST
-        generation in the chain (``_table.lock``, ``.steal1``,
-        ``.steal2``, …); a stealer that finds the newest generation
-        older than ``stale_after`` CREATES the next generation with
-        O_EXCL — one winner by construction — then RE-VERIFIES the
-        predecessor is still the same stale file it observed (inode +
-        mtime); if it was replaced mid-steal (released and freshly
-        re-acquired), the stealer abandons ITS OWN file and rewalks.
-        Release unlinks only the holder's own generation (plus the
-        superseded older generations it stole past, whose holders are
-        dead by the lease argument). This closes both halves of the
-        old stat-then-unlink race: a fresh lock can never be destroyed
-        (steals only create), and a slow holder's release can never
-        remove a thief's lock (owner-pathed unlink). The remaining
-        assumption is the lease itself — a holder alive but silent for
-        ``stale_after`` (the lock guards sub-second metadata writes)
-        can be superseded — which is the same contract flow claims
-        operate under. ``_steal_hook`` (tests only) runs between a
-        steal's O_EXCL create and its predecessor re-verification, to
-        force the replaced-mid-steal interleaving.
+        storage seam's :class:`~distribot_spark.sources.storage.
+        GenerationLock` — ``put_if_absent`` generations, body-``ts``
+        leases, and a body-content steal fence, so the same protocol
+        holds on a conditional-put-only object store (the old
+        O_EXCL + inode+mtime fence existed only on POSIX). Data
+        writers do NOT take this lock — they serialize against ALTER
+        through the commit log barrier instead (see
+        `alter_add_constraint_spark`). Ownership is the newest
+        generation; steals only CREATE (never unlink foreign files),
+        release is owner-pathed — see the GenerationLock docstring for
+        the full argument. ``_steal_hook`` (tests only) runs between a
+        steal's create and its predecessor re-verification.
 
         REENTRANT per (instance, thread): the same TableLog object may
         nest acquisitions within one call stack (a self-referencing
@@ -660,77 +648,18 @@ class TableLog:
             finally:
                 self._meta_lock_depth -= 1
             return
-        deadline = time.time() + timeout
-        held: str | None = None
-        while held is None:
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"meta lock held too long: {self._meta_lock_path()}")
-            newest, newest_st = -1, None
-            for g in range(self._META_LOCK_MAX_GEN):
-                try:
-                    st = os.stat(self._meta_gen_path(g))
-                    newest, newest_st = g, st
-                except FileNotFoundError:
-                    continue
-            target = None
-            if newest < 0:
-                target = 0
-            elif time.time() - newest_st.st_mtime > stale_after:
-                target = newest + 1
-            if target is not None and target < self._META_LOCK_MAX_GEN:
-                path = self._meta_gen_path(target)
-                try:
-                    fd = os.open(path,
-                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                    os.close(fd)
-                except FileExistsError:
-                    continue  # lost the creation race: rewalk
-                if target == 0:
-                    held = path
-                    break
-                # STEAL FENCE: keep the steal only if the predecessor
-                # is still the stale file we observed — a replaced
-                # (released + freshly re-acquired) predecessor means a
-                # live holder exists below us; abandon our own file
-                if _steal_hook is not None:
-                    _steal_hook(target)
-                try:
-                    cur = os.stat(self._meta_gen_path(newest))
-                    same = (cur.st_ino == newest_st.st_ino
-                            and cur.st_mtime == newest_st.st_mtime)
-                except FileNotFoundError:
-                    same = False
-                if same:
-                    held = path
-                    break
-                os.unlink(path)  # our own file: always safe
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"meta lock held too long: {self._meta_lock_path()}")
-            time.sleep(0.02)
+        lock = storage_mod.GenerationLock(
+            self.storage, self._meta_lock_path(), stale_after)
+        held = lock.acquire(timeout=timeout, _steal_hook=_steal_hook,
+                            desc="meta lock")
         try:
-            # GC generations we stole past: superseded, holders dead by
-            # the lease argument; their own release would unlink only
-            # their own path, so this can never kill a live lock
-            g = 0
-            while self._meta_gen_path(g) != held:
-                try:
-                    os.unlink(self._meta_gen_path(g))
-                except FileNotFoundError:
-                    pass
-                g += 1
             self._meta_lock_owner = me
             self._meta_lock_depth = 1
             yield
         finally:
             self._meta_lock_depth = 0
             self._meta_lock_owner = None
-            try:
-                os.unlink(held)
-            except FileNotFoundError:
-                pass
+            lock.release(held)
 
     def _commit_path(self, v: int) -> str:
         return os.path.join(self.log_dir, f"v{v:012d}.json")

@@ -273,50 +273,36 @@ def _claim_path(view: TableLog) -> str:
 @contextlib.contextmanager
 def _refresh_claim(view: TableLog, writer: str,
                    lease_sec: float = DEFAULT_REFRESH_LEASE):
-    """Single-writer guard for the view-maintenance fold. The claim is
-    an ``O_CREAT|O_EXCL`` file (the flow/state.py claim discipline):
-    present and younger than ``lease_sec`` means a refresh is IN
-    FLIGHT → `MatviewRefreshBusy`; older means the holder crashed —
-    steal via replace-to-unique (exactly one stealer wins the rename)
-    and its half-done apply resolves through the pending-token
-    recovery, which must therefore run INSIDE the claim."""
-    path = _claim_path(view)
-    token = uuid.uuid4().hex
-    body = json.dumps({"token": token, "writer": writer,
-                       "pid": os.getpid()}).encode()
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, body)
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                age = time.time() - os.stat(path).st_mtime
-            except FileNotFoundError:
-                continue  # released between create and stat — retry
-            if age < lease_sec:
-                raise MatviewRefreshBusy(
-                    f"matview refresh already in flight on {view.path} "
-                    f"(claim age {age:.1f}s < lease {lease_sec:.0f}s); "
-                    "overlapping folds double-count — serialize "
-                    "refreshes or raise lease_sec if the holder is "
-                    "known dead")
-            steal = path + f".steal{uuid.uuid4().hex[:8]}"
-            try:
-                os.replace(path, steal)
-            except FileNotFoundError:
-                continue  # another stealer won
-            os.unlink(steal)
+    """Single-writer guard for the view-maintenance fold, built on the
+    storage seam's ``GenerationLock`` (``put_if_absent`` generations,
+    body-``ts`` lease, body-content steal fence) so it holds on a
+    conditional-put-only object store — the old O_EXCL +
+    ``os.replace``-to-unique steal needed atomic rename, which object
+    stores lack. A claim younger than ``lease_sec`` means a refresh is
+    IN FLIGHT → `MatviewRefreshBusy` (deltas are not idempotent; two
+    overlapping folds of one change range would double-count); older
+    means the holder crashed — the stealer CREATES the next generation
+    (one winner) and its half-done apply resolves through the
+    pending-token recovery, which must therefore run INSIDE the
+    claim."""
+    from distribot_spark.sources.storage import GenerationLock, LockBusy
+
+    lock = GenerationLock(view.storage, _claim_path(view), lease_sec)
+    try:
+        held = lock.acquire(block=False, body_extra={"writer": writer},
+                            desc="matview refresh claim")
+    except LockBusy as e:
+        raise MatviewRefreshBusy(
+            f"matview refresh already in flight on {view.path} "
+            f"(claim age {e.age:.1f}s < lease {lease_sec:.0f}s); "
+            "overlapping folds double-count — serialize refreshes or "
+            "raise lease_sec if the holder is known dead") from None
     try:
         yield
     finally:
-        # remove only OUR claim: if we overran the lease a stealer may
-        # have replaced it with theirs
-        with contextlib.suppress(OSError, ValueError):
-            with open(path) as fh:
-                if json.load(fh).get("token") == token:
-                    os.unlink(path)
+        # owner-pathed: if we overran the lease, a thief holds a NEWER
+        # generation — releasing ours never touches it
+        lock.release(held)
 
 
 def _state_path(view: TableLog) -> str:

@@ -45,11 +45,16 @@ shared services (Redis/AMQP), never node-local filesystem state
 (lib/distribot/flow.rb:31-52) — the same design point, applied to the
 commit log.
 
-Out of scope, documented: the META LOCK (``TableLog._meta_lock``) that
-serializes ALTERs and the FK fence is still a POSIX lease file. On a
-real object store that role moves to a lock service or a CAS loop over
-a generation-matched meta object (DynamoDB in Delta's S3 multi-writer
-story); the commit LOG itself — this seam — needs no lock anywhere.
+The fourth commit-critical primitive, added in round 9, is the LEASE
+LOCK (:class:`GenerationLock`): every coordination claim in the repo —
+the table meta lock serializing ALTERs (``TableLog._meta_lock``), the
+matview refresh claim (``matview._refresh_claim``), and the flow work
+claims (``flow/state.py``) — is built from nothing but
+``put_if_absent`` + whole-object reads + deleting one's OWN objects,
+so the same crash-steal protocol holds on a conditional-put-only
+store. Liveness is carried IN THE BODY (a ``ts`` field, renewed by
+rewriting the object), never in filesystem mtimes — an object store's
+listing times are upload times the holder cannot refresh.
 """
 
 from __future__ import annotations
@@ -241,6 +246,154 @@ class CondPutBackend(StorageBackend):
         for i, f in enumerate(ordered_names):
             os.utime(os.path.join(root, f),
                      (t0 + (n - 1 - i), t0 + (n - 1 - i)))
+
+
+class LockBusy(RuntimeError):
+    """The newest lock generation is live (younger than the lease).
+    Carries ``age`` so callers can report how stale the holder is."""
+
+    def __init__(self, msg: str, age: float) -> None:
+        super().__init__(msg)
+        self.age = age
+
+
+class GenerationLock:
+    """Crash-safe single-holder lease lock over ONE base path, built
+    only from the :class:`StorageBackend` contract — portable to a
+    conditional-put-only object store.
+
+    Protocol (the generational-steal discipline the POSIX meta lock
+    pioneered, re-expressed seam-pure):
+
+    - Ownership is the NEWEST generation in the chain (``base``,
+      ``base.steal1``, ``base.steal2``, …). Acquire = atomically
+      CREATE a generation via ``put_if_absent`` — one winner by the
+      backend contract, never a destructive unlink of a foreign file.
+    - Liveness comes from the BODY's ``ts`` field (plus mtime as a
+      fallback for legacy/foreign bodies on local FS): a newest
+      generation older than ``stale_after`` is presumed crashed and
+      superseded by creating the NEXT generation.
+    - STEAL FENCE: after creating generation ``g+1`` the stealer
+      re-reads generation ``g``'s RAW BYTES and keeps the steal only
+      if they are identical to what it observed before — a released
+      and freshly re-acquired predecessor writes a different body
+      (unique token), so the stealer abandons ITS OWN file and
+      rewalks. Body-content identity replaces the old inode+mtime
+      fence, which does not exist on an object store.
+    - Release (and post-acquire GC of superseded older generations)
+      deletes only objects this protocol PROVES dead or owns — an
+      unconditional DELETE, available on every store.
+
+    The remaining assumption is the lease itself: a holder alive but
+    silent past ``stale_after`` can be superseded — the same contract
+    the flow claim table operates under (renew the body to stay live).
+    """
+
+    MAX_GEN = 64
+
+    def __init__(self, storage: StorageBackend, base_path: str,
+                 stale_after: float) -> None:
+        self.storage = storage
+        self.base = base_path
+        self.stale_after = stale_after
+
+    def gen_path(self, g: int) -> str:
+        return self.base if g == 0 else f"{self.base}.steal{g}"
+
+    @staticmethod
+    def _read_raw(path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    @staticmethod
+    def _body_ts(raw: bytes, path: str) -> float:
+        try:
+            return float(json.loads(raw)["ts"])
+        except (ValueError, KeyError, TypeError):
+            # legacy/foreign body: mtime fallback (local FS only —
+            # seam-written bodies always parse)
+            try:
+                return os.stat(path).st_mtime
+            except FileNotFoundError:
+                return 0.0
+
+    def _walk(self) -> tuple[int, bytes | None]:
+        newest, raw = -1, None
+        for g in range(self.MAX_GEN):
+            r = self._read_raw(self.gen_path(g))
+            if r is not None:
+                newest, raw = g, r
+        return newest, raw
+
+    def acquire(self, timeout: float = 10.0, block: bool = True,
+                body_extra: dict | None = None, _steal_hook=None,
+                desc: str = "lock") -> str:
+        """Acquire; returns the held generation path (pass to
+        :meth:`release`). ``block=False`` raises :class:`LockBusy`
+        immediately when the newest generation is live; ``block=True``
+        retries until ``timeout`` then raises TimeoutError.
+        ``_steal_hook(gen)`` (tests) runs between a steal's create and
+        its predecessor re-verification."""
+        deadline = time.time() + timeout
+        while True:
+            newest, raw = self._walk()
+            target = None
+            age = 0.0
+            if newest < 0:
+                target = 0
+            else:
+                age = time.time() - self._body_ts(
+                    raw, self.gen_path(newest))
+                if age > self.stale_after:
+                    target = newest + 1
+            if target is not None and target < self.MAX_GEN:
+                path = self.gen_path(target)
+                body = json.dumps(
+                    {"token": uuid.uuid4().hex, "pid": os.getpid(),
+                     "ts": time.time(), **(body_extra or {})}).encode()
+                if not self.storage.put_if_absent(path, body):
+                    continue  # lost the creation race: rewalk
+                if target == 0:
+                    return self._gc_below(path)
+                if _steal_hook is not None:
+                    _steal_hook(target)
+                # steal fence: predecessor must still be the exact
+                # stale body we observed
+                if self._read_raw(self.gen_path(newest)) == raw:
+                    return self._gc_below(path)
+                os.unlink(path)  # our own file: always safe
+            elif not block:
+                raise LockBusy(
+                    f"{desc} held by a live owner on {self.base} "
+                    f"(age {age:.1f}s < lease {self.stale_after:.0f}s)",
+                    age)
+            if time.time() > deadline:
+                raise TimeoutError(f"{desc} held too long: {self.base}")
+            time.sleep(0.02)
+
+    def _gc_below(self, held: str) -> str:
+        # generations we stole past are superseded and their holders
+        # dead by the lease argument; their own release would delete
+        # only their own path, so this can never kill a live lock
+        g = 0
+        while self.gen_path(g) != held:
+            try:
+                os.unlink(self.gen_path(g))
+            except FileNotFoundError:
+                pass
+            g += 1
+        return held
+
+    def release(self, held: str) -> None:
+        """Delete the holder's OWN generation (a thief's newer
+        generation, if any, is untouched)."""
+        try:
+            os.unlink(held)
+        except FileNotFoundError:
+            pass
 
 
 _BACKENDS = {"posix": PosixBackend(), "condput": CondPutBackend()}

@@ -3684,7 +3684,12 @@ def test_meta_lock_steal_is_generation_fenced():
     t2 = TableLog(t.path)
     ctx_h = t._meta_lock(timeout=2.0)
     ctx_h.__enter__()                       # H holds gen 0
-    os.utime(base, (time.time() - 120, time.time() - 120))  # H looks dead
+    # H looks dead: age the BODY ts (liveness lives in the body, not
+    # mtimes — object-store listing times can't be refreshed)
+    info = json.load(open(base))
+    info["ts"] = time.time() - 120
+    with open(base, "w") as fh:
+        json.dump(info, fh)
     ctx_t = t2._meta_lock(timeout=2.0)
     ctx_t.__enter__()                       # T steals gen 1
     assert os.path.exists(base + ".steal1")
