@@ -3516,6 +3516,106 @@ def source_acid_commit_together(spark, sf_dir):
 
 
 @register(
+    "source_acid_txn_merge",
+    oracle="""
+        SELECT c.c_mktsegment AS seg, COUNT(*) AS cnt,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                        + CASE WHEN o.o_orderkey % 5 = 0
+                               THEN 1111 ELSE 0 END) AS BIGINT)
+                 AS sum_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY seg
+    """,
+    tags=("sources", "acid", "txn", "multi-table", "merge"),
+)
+def source_acid_txn_merge(spark, sf_dir):
+    """ATOMIC UPSERT-FACT + APPEND-DIM (sources/txn.py — VERDICT r8
+    task 3): multi-table transactions beyond adds-only. The fact table
+    seeds with two thirds of orders; ONE cross-log transaction then
+    (a) MERGES the fact — upserting a +1111-cents correction onto
+    every %5==0 key that already exists AND inserting the held-out
+    third — via `stage_merge_spark`, which stages both the precomputed
+    Spark bucket rewrite (the scale path: anti-join per key, one file
+    per touched bucket, exactly `merge_upsert_spark`'s first attempt)
+    and the raw bucketed update rows (the engine-free rebase source
+    any resolver can fold with pandas if a pre-pin in-flight commit
+    moved the head — tests/test_txn.py pins that path); and (b)
+    APPENDS the odd half of customers to the dimension. Same
+    marker/outcome/link protocol as the adds-only txn — the hook-
+    pinned reader sees the upsert and the append on NEITHER table
+    before the decide and on BOTH after — so a torn load (fact
+    corrected but dim missing, or vice versa) is impossible by
+    construction. The final fact⋈dim aggregate hash-matches the
+    oracle recomputing the corrected cents relationally over ALL
+    orders: wrong on any torn, doubled, or lost upsert. Cleanup
+    reclaims the rebase scaffolding; the outcome object stays durable
+    (the stalled-resolver revival guard)."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        commit_together,
+        read_snapshot_spark,
+        stage_append_spark,
+        stage_merge_spark,
+        write_initial_spark,
+    )
+
+    out = os.path.join(TMP_ROOT, f"acid_txnm_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    fact = TableLog(os.path.join(out, "fact"))
+    dim = TableLog(os.path.join(out, "dim"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("fk"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("dk"),
+        F.col("c_mktsegment").alias("seg"))
+    write_initial_spark(spark, fact,
+                        orders.filter(F.col("o_orderkey") % 3 != 2),
+                        "o_orderkey", n_buckets=8)
+    write_initial_spark(spark, dim,
+                        cust.filter(F.col("dk") % 2 == 0),
+                        "dk", n_buckets=4)
+    pre = (read_snapshot_spark(spark, fact).count(),
+           read_snapshot_spark(spark, dim).count())
+
+    # the upsert batch: corrections for existing %5==0 keys (+1111)
+    # plus the held-out third as inserts — one MERGE participant
+    upd = (orders.filter(F.col("o_orderkey") % 5 == 0)
+           .withColumn("cents", F.col("cents") + 1111)
+           .unionByName(orders.filter(
+               (F.col("o_orderkey") % 3 == 2)
+               & (F.col("o_orderkey") % 5 != 0))))
+    staged = [
+        stage_merge_spark(spark, fact, upd, writer="correct-fact"),
+        stage_append_spark(
+            spark, dim, cust.filter(F.col("dk") % 2 == 1),
+            writer="load-dim"),
+    ]
+
+    def pinned_reader(stage):
+        got = (read_snapshot_spark(spark, fact).count(),
+               read_snapshot_spark(spark, dim).count())
+        if stage == "pinned":      # undecided: NEITHER side visible
+            assert got == pre, (stage, got, pre)
+        elif stage == "linked:0":  # mid-publish: reader heals -> BOTH
+            assert got[0] > pre[0] and got[1] > pre[1], (stage, got)
+
+    st = commit_together(staged, _hook=pinned_reader)
+    assert len(st["versions"]) == 2, st
+
+    f = read_snapshot_spark(spark, fact).alias("f")
+    d = read_snapshot_spark(spark, dim).alias("d")
+    return (f.join(d, F.col("f.fk") == F.col("d.dk"), "inner")
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("cents").cast("long").alias("sum_cents"))
+            .orderBy("seg"))
+
+
+@register(
     "source_acid_matview_topk",
     oracle=MATVIEW_FINAL_CTE + """
         , lo AS (SELECT pri, cents,

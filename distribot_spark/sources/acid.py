@@ -1300,6 +1300,11 @@ class TableLog:
             for e in (plan or {}).get("tables", ()):
                 if e.get("path") == self.path:
                     referenced.update(a["file"] for a in e["adds"])
+                    # MERGE participants also stage raw update files —
+                    # the roll-forward rebase source; reclaiming them
+                    # would strand a decided txn behind a straggler
+                    referenced.update(
+                        u["file"] for u in e.get("updates_files", ()))
         now = time.time()
         removed = []
         for name in sorted(os.listdir(self.data_dir)):

@@ -54,11 +54,32 @@ consistent either way). That is the "a reader pinned mid-commit sees
 neither or both" contract, pinned by the oracle query
 ``source_acid_commit_together`` and the crash tests.
 
-Scope rails (v1, each refused loudly at stage time): participants are
-APPEND-ONLY (no removes/DVs — what atomic multi-table loads need;
-general cross-log mutation stays with the FK fence), and tables with
-FOREIGN KEYs, IDENTITY columns or UNIQUE constraints don't participate
-(their validation loops are single-log by construction).
+Participant kinds:
+
+- **APPEND** (`stage_append_spark`): staged adds commute with any
+  interleaved commit, so roll-forward simply retries at the new head.
+- **MERGE** (`stage_merge_spark`, round 9): a keyed upsert is a
+  read-modify-write of the touched buckets, so the staged rewrite
+  pins the base version it was computed against (``parent``). The
+  common path links that precomputed Spark rewrite unchanged — once
+  the markers are pinned, no foreign writer can land (the
+  `_try_commit_linked` marker fence). The only hazard is a PRE-PIN
+  in-flight commit (a "straggler" whose marker check passed before
+  the pin landed, or any commit between staging and pinning): it
+  moves the head, invalidating the staged rewrite. Roll-forward then
+  REBASES — recomputes the touched buckets from the staged RAW
+  UPDATE files with pandas/pyarrow, engine-free, so ANY resolver (a
+  plain reader, a foreign writer bumping into the marker) can finish
+  the transaction without a SparkSession, exactly like the adds-only
+  path. The updates files double as the marker plan's self-contained
+  description of the merge.
+
+Scope rails (each refused loudly at stage time): tables with FOREIGN
+KEYs, IDENTITY columns or UNIQUE constraints don't participate (their
+validation loops are single-log by construction), and quarantine-mode
+constraints don't either (the dead-letter diversion is not part of
+the atomic plan). General cross-log mutation beyond append+merge
+stays with the FK fence.
 
 Reference intent: distribot transitions multi-queue state through ONE
 shared coordination write (lib/distribot/flow.rb:31-52 — flow state in
@@ -105,21 +126,12 @@ def _read_json(path: str) -> dict | None:
         return None
 
 
-def stage_append_spark(spark, table, df, key: str | None = None,
-                       n_buckets: int | None = None,
-                       writer: str = "txn",
-                       stats_cols=()) -> dict:
-    """Prepare an append WITHOUT committing: generated columns +
-    CHECK constraints applied (violations raise — a multi-table load
-    has no quarantine commit to ride), rows bucketed and staged as
-    immutable data files. Returns the staged entry `commit_together`
-    consumes. Nothing is visible until the transaction decides.
-
-    Vacuum interaction: until `commit_together` pins the plan in the
-    markers, staged files are protected only by vacuum's min-age rail
-    (the same stage-to-link window every writer has) — don't hold a
-    staged entry across a vacuum horizon; once a marker exists, its
-    plan shields the files explicitly (`TableLog.vacuum`)."""
+def _stage_prepare(spark, table, df, key, n_buckets):
+    """Shared participant rails + row preparation: refuse the
+    single-log validation families, apply generated columns and
+    fail-mode CHECKs (violations raise — a multi-table load has no
+    quarantine commit to ride), translate to physical names, and
+    bucket. Returns (up_df_with_pb, physical_key, n_buckets, gate0)."""
     from distribot_spark.sources import acid as _a
 
     if table.fk_parent_paths() or table.fk_referenced_by():
@@ -142,8 +154,6 @@ def stage_append_spark(spark, table, df, key: str | None = None,
             "commit_together: UNIQUE tables don't participate (the "
             "touched-bucket recheck loop is single-log)")
     df = _a._apply_generated_spark(table, df)
-    # fail-mode CHECKs abort in-stage below; quarantine-mode would
-    # need a dead-letter write OUTSIDE the txn — refuse instead
     cons = table.constraints()
     if any(c.get("on_violation") == "quarantine" for c in cons.values()):
         raise ValueError(
@@ -153,9 +163,30 @@ def stage_append_spark(spark, table, df, key: str | None = None,
     df = _a._constraint_guard_spark(df, cons)
     df = _a._to_physical_spark(table, df)
     key = table.physical_name(key)
-    stats_cols = tuple(table.physical_name(c) for c in stats_cols)
     up = df.withColumn(
         "_pb", _a._bucket_expr(key, n_buckets, table.hash_buckets()))
+    return up, key, n_buckets, gate0
+
+
+def stage_append_spark(spark, table, df, key: str | None = None,
+                       n_buckets: int | None = None,
+                       writer: str = "txn",
+                       stats_cols=()) -> dict:
+    """Prepare an append WITHOUT committing: generated columns +
+    CHECK constraints applied, rows bucketed and staged as immutable
+    data files. Returns the staged entry `commit_together` consumes.
+    Nothing is visible until the transaction decides.
+
+    Vacuum interaction: until `commit_together` pins the plan in the
+    markers, staged files are protected only by vacuum's min-age rail
+    (the same stage-to-link window every writer has) — don't hold a
+    staged entry across a vacuum horizon; once a marker exists, its
+    plan shields the files explicitly (`TableLog.vacuum`)."""
+    from distribot_spark.sources import acid as _a
+
+    up, key, n_buckets, gate0 = _stage_prepare(
+        spark, table, df, key, n_buckets)
+    stats_cols = tuple(table.physical_name(c) for c in stats_cols)
     staged = _a._stage_bucketed(
         spark, table, up, n_buckets, sort_cols=["_pb", key],
         stats_cols=stats_cols)
@@ -163,26 +194,119 @@ def stage_append_spark(spark, table, df, key: str | None = None,
             "gate": gate0}
 
 
-def unstage(entry: dict) -> None:
-    """Reclaim a staged entry the caller is abandoning."""
-    t = entry["table"]
-    for a in entry["adds"]:
+def stage_merge_spark(spark, table, df, key: str | None = None,
+                      n_buckets: int | None = None,
+                      writer: str = "txn",
+                      version: str | None = None) -> dict:
+    """Prepare a keyed MERGE (upsert) participant WITHOUT committing.
+
+    Stages TWO artifact sets, both invisible until the decide:
+
+    1. the PRECOMPUTED bucket rewrite against the table's current head
+       — exactly the file set `merge_upsert_spark`'s first attempt
+       stages (anti-join or ``version``-argmax per key, DVs folded,
+       one file per touched bucket). This is the cluster-scale path
+       and what links when nothing moved underneath (the common case:
+       pinned markers block every foreign writer).
+    2. the RAW bucketed update rows — the self-contained rebase
+       source. If a pre-pin in-flight commit moved the head, roll-
+       forward recomputes the touched buckets from these files with
+       pandas/pyarrow (`_rebase_merge_pandas`) so ANY resolver can
+       finish the transaction engine-free; the precomputed rewrite is
+       then reclaimed as an orphan in cleanup.
+
+    ``version`` enables the conditional merge (highest version per key
+    wins — idempotent under redelivery), same semantics as
+    `merge_upsert_spark`. Same rails as appends (no FK/IDENTITY/
+    UNIQUE/quarantine participants); updates should carry the base
+    schema (the pandas rebase does not promise schema evolution)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from distribot_spark.sources import acid as _a
+
+    up, key, n_buckets, gate0 = _stage_prepare(
+        spark, table, df, key, n_buckets)
+    if version is not None:
+        version = table.physical_name(version)
+    upd_staged = _a._stage_bucketed(
+        spark, table, up, n_buckets, sort_cols=["_pb", key])
+    touched = sorted({int(e["pb"]) for e in upd_staged})
+    v0, live = table.snapshot()
+    bucket_files = {f: b for f, b in live.items() if b in set(touched)}
+    dvmap = {f: ds for f, ds in table.live_dvs().items()
+             if f in bucket_files}
+    up_cols = [c for c in up.columns if c != "_pb"]
+    up_types = dict((c, t) for c, t in up.dtypes if c != "_pb")
+    paths = [table.data_path(f) for f in sorted(bucket_files)]
+    if paths:
+        base = spark.read.option("mergeSchema", "true").parquet(*paths)
+        base = _a._apply_dvs(spark, table, base, key, dvmap).withColumn(
+            "_pb", _a._bucket_expr(key, n_buckets, table.hash_buckets()))
+        base_cols = [c for c in base.columns if c != "_pb"]
+        base_types = dict(base.dtypes)
+        cols = list(dict.fromkeys(base_cols + up_cols))
+        bx, ux = base, up
+        for c in up_cols:
+            if c not in base_cols:
+                bx = bx.withColumn(c, F.lit(None).cast(up_types[c]))
+        for c in base_cols:
+            if c not in up_cols:
+                ux = ux.withColumn(c, F.lit(None).cast(base_types[c]))
+        if version is None:
+            merged = (bx.join(up.select(key), key, "left_anti")
+                      .select(*cols, "_pb")
+                      .unionByName(ux.select(*cols, "_pb")))
+        else:
+            both = bx.select(*cols, "_pb").withColumn(
+                "_og", F.lit(0)).unionByName(
+                ux.select(*cols, "_pb").withColumn("_og", F.lit(1)))
+            rn = F.row_number().over(
+                W.partitionBy(key).orderBy(
+                    F.col(version).desc(), F.col("_og").desc()))
+            merged = (both.withColumn("_rn", rn)
+                      .filter(F.col("_rn") == 1).select(*cols, "_pb"))
+    else:
+        merged = up
+        if version is not None:
+            rn = F.row_number().over(
+                W.partitionBy(key).orderBy(F.col(version).desc()))
+            merged = (merged.withColumn("_rn", rn)
+                      .filter(F.col("_rn") == 1)
+                      .select(*up_cols, "_pb"))
+    staged = _a._stage_bucketed(
+        spark, table, merged, max(len(touched), 1),
+        sort_cols=["_pb", key])
+    return {"table": table, "kind": "merge", "adds": staged,
+            "removes": sorted(bucket_files),
+            "updates_files": upd_staged, "parent": v0, "key": key,
+            "version_col": version, "n_buckets": n_buckets,
+            "writer": writer, "gate": gate0}
+
+
+def _unlink_quiet(t, names) -> None:
+    for n in names:
         try:
-            os.unlink(t.data_path(a["file"]))
+            os.unlink(t.data_path(n))
         except FileNotFoundError:
             pass
+
+
+def _entry_staged_files(e: dict) -> list[str]:
+    return ([a["file"] for a in e["adds"]]
+            + [u["file"] for u in e.get("updates_files", ())])
+
+
+def unstage(entry: dict) -> None:
+    """Reclaim a staged entry the caller is abandoning."""
+    _unlink_quiet(entry["table"], _entry_staged_files(entry))
 
 
 def _unstage_plan(plan: dict) -> None:
     from distribot_spark.sources.acid import TableLog
 
     for e in plan["tables"]:
-        t = TableLog(e["path"])
-        for a in e["adds"]:
-            try:
-                os.unlink(t.data_path(a["file"]))
-            except FileNotFoundError:
-                pass
+        _unlink_quiet(TableLog(e["path"]), _entry_staged_files(e))
 
 
 def _txn_landed_at(table, plan_entry: dict, txn_id: str) -> int | None:
@@ -196,19 +320,90 @@ def _txn_landed_at(table, plan_entry: dict, txn_id: str) -> int | None:
     return None
 
 
+def _rebase_merge_pandas(table, e: dict) -> tuple[list[dict], list[str]]:
+    """Engine-free recompute of a MERGE participant's touched buckets
+    against the table's CURRENT head, from the staged raw update files
+    — the `merge_upsert_pandas` fold without the identity machinery
+    (identity tables are refused at stage time). Used only when a
+    pre-pin in-flight commit moved the head past the staged rewrite's
+    parent; any resolver (no SparkSession) can run it. Reads the live
+    set via `_fold_entries` directly — `snapshot()` would resolve our
+    own pending marker and recurse."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = e["key"]
+    version = e.get("version_col")
+    parts = []
+    for uf in e["updates_files"]:
+        fr = pq.read_table(table.data_path(uf["file"])).to_pandas()
+        fr["_pb"] = int(uf["pb"])
+        parts.append(fr)
+    up = pd.concat(parts, ignore_index=True)
+    touched = sorted({int(uf["pb"]) for uf in e["updates_files"]})
+    live, _stats, dvall, _hwm = table._fold_entries(table.version())
+    bucket_files = {f: b for f, b in live.items() if b in set(touched)}
+    dvmap = {f: ds for f, ds in dvall.items() if f in bucket_files}
+
+    def _read_minus_dv(f):
+        fr = pq.read_table(table.data_path(f)).to_pandas()
+        for d in dvmap.get(f, ()):
+            dead = set(pq.read_table(table.data_path(d)).to_pandas()[key])
+            fr = fr[~fr[key].isin(dead)]
+        return fr
+
+    staged, removes = [], sorted(bucket_files)
+    for b in touched:
+        names = [f for f, bb in sorted(bucket_files.items()) if bb == b]
+        base = (pd.concat([_read_minus_dv(f) for f in names],
+                          ignore_index=True)
+                if names else up.iloc[0:0].drop(columns=["_pb"]))
+        u = up[up["_pb"] == b].drop(columns=["_pb"])
+        if version is None:
+            keep = base[~base[key].isin(set(u[key]))]
+            merged = pd.concat([keep, u], ignore_index=True)
+        else:
+            merged = (pd.concat([base, u], ignore_index=True)
+                      .sort_values([key, version], kind="stable")
+                      .drop_duplicates(key, keep="last"))
+        merged = merged.sort_values(key).reset_index(drop=True)
+        name = table.new_data_file(b)
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                       table.data_path(name))
+        staged.append({"file": name, "pb": b})
+    return staged, removes
+
+
 def _txn_link(table, plan_entry: dict, txn_id: str) -> int:
     """Idempotently land one table's txn commit: already-landed wins,
     else link at head+1 and rescan on a lost race. Safe under any
     number of concurrent helpers — the version link is one-winner and
     every helper rescans before retrying, so the txn body lands
     EXACTLY once. Staged adds commute with interleaved commits
-    (adds-only), so retry-at-head never invalidates the plan."""
+    (adds-only), so retry-at-head never invalidates the plan; a MERGE
+    entry whose head moved past its staged parent is REBASED from the
+    staged update files (pandas, engine-free) before linking, and a
+    helper that loses a race reclaims its own rebase files before
+    rescanning."""
+    rebased: list[dict] | None = None
     while True:
         v = _txn_landed_at(table, plan_entry, txn_id)
         if v is not None:
+            if rebased is not None:  # another helper won: reclaim ours
+                _unlink_quiet(table, [a["file"] for a in rebased])
             return v
         head = table.version()
-        if table._try_commit_linked(head, plan_entry["adds"], [],
+        if (plan_entry.get("kind") == "merge"
+                and head != int(plan_entry["parent"])):
+            if rebased is not None:
+                _unlink_quiet(table, [a["file"] for a in rebased])
+            rebased, removes = _rebase_merge_pandas(table, plan_entry)
+            adds = rebased
+        else:
+            adds = plan_entry["adds"]
+            removes = list(plan_entry.get("removes", ()))
+        if table._try_commit_linked(head, adds, removes,
                                     plan_entry["writer"], txn=txn_id):
             return head + 1
 
@@ -245,12 +440,23 @@ def _cleanup(plan: dict, txn_id: str) -> None:
 
     for e in plan["tables"]:
         t = TableLog(e["path"])
-        if _txn_landed_at(t, e, txn_id) is None:
+        v = _txn_landed_at(t, e, txn_id)
+        if v is None:
             # never strip markers without the verification (an assert
             # would vanish under python -O)
             raise RuntimeError(
                 f"txn {txn_id}: link not landed on {e['path']} — "
                 "refusing to remove markers")
+        if e.get("kind") == "merge":
+            # reclaim merge scaffolding: the raw update files (rebase
+            # source, now folded into a landed commit) and — when the
+            # landed commit carries a REBASE — the superseded
+            # precomputed rewrite. Concurrent cleanups race these
+            # unlinks harmlessly (FileNotFoundError suppressed).
+            landed = {a["file"] for a in t.read_commit(v)["adds"]}
+            _unlink_quiet(t, [a["file"] for a in e["adds"]
+                              if a["file"] not in landed])
+            _unlink_quiet(t, [u["file"] for u in e["updates_files"]])
     _remove_markers(plan, txn_id)
 
 
@@ -376,17 +582,25 @@ def commit_together(staged: list[dict],
     first = tables[order[0]]
     outcome_path = os.path.join(first.log_dir,
                                 f"_txn.outcome.{txn_id}.json")
+    def _plan_entry(i: int) -> dict:
+        e = {"path": tables[i].path,
+             "floor": tables[i].version(),
+             "adds": staged[i]["adds"],
+             "writer": f"{staged[i]['writer']}:txn:{txn_id[:8]}"}
+        if staged[i].get("kind") == "merge":
+            # the full self-contained merge description: any resolver
+            # can link the precomputed rewrite or rebase from the
+            # staged update files without the coordinator
+            for k in ("kind", "removes", "updates_files", "parent",
+                      "key", "version_col", "n_buckets"):
+                e[k] = staged[i][k]
+        return e
+
     plan = {
         "txn": txn_id,
         "ts": time.time(),
         "outcome": outcome_path,
-        "tables": [
-            {"path": tables[i].path,
-             "floor": tables[i].version(),
-             "adds": staged[i]["adds"],
-             "writer": f"{staged[i]['writer']}:txn:{txn_id[:8]}"}
-            for i in order
-        ],
+        "tables": [_plan_entry(i) for i in order],
     }
     body = json.dumps(plan).encode()
 

@@ -296,6 +296,7 @@ ACID_ORACLE_FAMILY = [
     # multi-table txn: markers/outcome/links are all storage-seam
     # conditional PUTs, so the atomic pair-load must hold here too
     "source_acid_commit_together",
+    "source_acid_txn_merge",           # MERGE participant (r9 task 3)
     # round 9: every coordination primitive now rides the seam's
     # GenerationLock (meta lock, matview refresh claim, flow claims),
     # so the families that TAKE one of those locks certify too

@@ -418,3 +418,212 @@ def test_three_table_txn_lands_all_or_none(spark):
     assert _counts(spark, fact, dim) == (60, 7)
     for t in (fact, dim, third):
         assert not os.path.exists(tx._marker_path(t))
+
+
+# ---- MERGE participants (round-9 verdict task 3) -----------------------
+
+
+def _fact_rows(spark, fact):
+    return {(r["id"], r["cents"]) for r in
+            acid.read_snapshot_spark(spark, fact)
+            .select("id", "cents").collect()}
+
+
+def _stage_merge_pair(spark, fact, dim):
+    """Upsert 10 existing fact keys (cents -> -1) + insert 5 new, and
+    append 2 dim rows — the atomic upsert-fact + append-dim shape."""
+    upd = spark.range(0, 10).select(
+        "id", (F.col("id") % 5).alias("fk"),
+        F.lit(-1).cast("long").alias("cents")).unionByName(
+        spark.range(500, 505).select(
+            "id", (F.col("id") % 5).alias("fk"),
+            (F.col("id") * 10).alias("cents")))
+    ddf = spark.range(100, 102).select(
+        F.col("id").alias("dk"), F.lit("newseg").alias("seg"))
+    return [tx.stage_merge_spark(spark, fact, upd, writer="wm"),
+            tx.stage_append_spark(spark, dim, ddf, writer="wd")]
+
+
+def _merged_want():
+    return ({(i, -1) for i in range(10)}
+            | {(i, i * 10) for i in range(10, 50)}
+            | {(i, i * 10) for i in range(500, 505)})
+
+
+def test_merge_plus_append_commit_together(spark):
+    """The verdict-3 contract: one MERGE + one append participant,
+    both-or-neither, scaffolding reclaimed, outcome durable."""
+    fact, dim = _mk_pair(spark)
+    staged = _stage_merge_pair(spark, fact, dim)
+    upd_files = [fact.data_path(u["file"])
+                 for u in staged[0]["updates_files"]]
+    st = tx.commit_together(staged)
+    assert _fact_rows(spark, fact) == _merged_want()
+    assert acid.read_snapshot_spark(spark, dim).count() == 7
+    body = fact.read_commit(st["versions"][fact.path])
+    assert body["txn"] == st["txn"] and body["removes"]  # a real rewrite
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
+    # merge scaffolding (raw update files) reclaimed in cleanup
+    assert not any(os.path.exists(f) for f in upd_files)
+
+
+def test_merge_reader_pinned_mid_commit_sees_neither_or_both(spark):
+    fact, dim = _mk_pair(spark)
+    seen = {}
+
+    def hook(stage):
+        if stage in ("pinned", "decided"):
+            seen[stage] = (_fact_rows(spark, fact),
+                           acid.read_snapshot_spark(spark, dim).count())
+
+    tx.commit_together(_stage_merge_pair(spark, fact, dim), _hook=hook)
+    want0 = {(i, i * 10) for i in range(50)}
+    assert seen["pinned"] == (want0, 5)          # undecided: neither
+    assert seen["decided"] == (_merged_want(), 7)  # decided: both
+
+
+def test_merge_straggler_commit_forces_rebase(spark):
+    """A foreign commit lands between staging and pinning (the same
+    code path as a pre-pin in-flight straggler): the precomputed
+    rewrite is stale, roll-forward rebases from the staged update
+    files, and BOTH the foreign rows and the merge survive."""
+    fact, dim = _mk_pair(spark)
+    staged = _stage_merge_pair(spark, fact, dim)
+    rewrite_files = [fact.data_path(a["file"]) for a in staged[0]["adds"]]
+    # the straggler: an upsert touching one of OUR keys and adding one
+    acid.merge_upsert_spark(
+        spark, fact, spark.createDataFrame(
+            [(0, 0, 777), (900, 0, 9000)],
+            "id long, fk long, cents long"), "id", writer="straggler")
+    st = tx.commit_together(staged)
+    got = _fact_rows(spark, fact)
+    # our merge overwrote key 0 AFTER the straggler; key 900 survives
+    assert got == _merged_want() | {(900, 9000)}
+    body = fact.read_commit(st["versions"][fact.path])
+    landed = {a["file"] for a in body["adds"]}
+    # the landed adds are the REBASE files, not the stale rewrite
+    assert not any(os.path.basename(f) in landed for f in rewrite_files)
+    # stale rewrite + update files reclaimed
+    assert not any(os.path.exists(f) for f in rewrite_files)
+    assert not os.path.exists(tx._marker_path(fact))
+
+
+def test_merge_crash_after_decide_reader_rebases_engine_free(spark):
+    """Coordinator dies post-decide with zero links, AND a straggler
+    moved the head: a plain READ resolves the txn via the pandas
+    rebase — no SparkSession involved in the roll-forward."""
+    fact, dim = _mk_pair(spark)
+    staged = _stage_merge_pair(spark, fact, dim)
+    acid.merge_upsert_spark(
+        spark, fact, spark.createDataFrame(
+            [(900, 0, 9000)], "id long, fk long, cents long"),
+        "id", writer="straggler")
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "decided":
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+    # reader-driven: resolve happens inside read_snapshot_spark
+    assert _fact_rows(spark, fact) == _merged_want() | {(900, 9000)}
+    assert acid.read_snapshot_spark(spark, dim).count() == 7
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
+
+
+def test_merge_conditional_version_participant(spark):
+    """The version-argmax merge inside a txn: stale updates lose, new
+    win, redelivery is a no-op — on both the precomputed path and the
+    rebase path."""
+    fact = TableLog(_tmp("txv_"))
+    acid.write_initial_spark(
+        spark, fact,
+        spark.range(0, 20).select(
+            "id", (F.col("id") * 10).alias("cents"),
+            F.lit(5).cast("long").alias("ver")),
+        "id", n_buckets=2)
+    dim = TableLog(_tmp("txvd_"))
+    acid.write_initial_spark(
+        spark, dim, spark.range(0, 3).select(F.col("id").alias("dk")),
+        "dk", n_buckets=1)
+    upd = spark.createDataFrame(
+        [(0, 111, 9), (1, 222, 3), (30, 333, 1)],
+        "id long, cents long, ver long")  # new / stale / insert
+    staged = [tx.stage_merge_spark(spark, fact, upd, version="ver",
+                                   writer="wv"),
+              tx.stage_append_spark(
+                  spark, dim,
+                  spark.range(10, 12).select(F.col("id").alias("dk")),
+                  writer="wd")]
+    tx.commit_together(staged)
+    got = {(r["id"], r["cents"], r["ver"]) for r in
+           acid.read_snapshot_spark(spark, fact).collect()}
+    want = ({(0, 111, 9), (1, 10, 5), (30, 333, 1)}
+            | {(i, i * 10, 5) for i in range(2, 20)})
+    assert got == want
+
+
+def test_merge_abort_reclaims_all_scaffolding(spark):
+    """A lease-expired abort reclaims the precomputed rewrite AND the
+    raw update files; the base table is untouched."""
+    fact, dim = _mk_pair(spark)
+    staged = _stage_merge_pair(spark, fact, dim)
+    files = [fact.data_path(a["file"]) for a in staged[0]["adds"]]
+    files += [fact.data_path(u["file"])
+              for u in staged[0]["updates_files"]]
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "pinned":
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+    assert tx.resolve_pending_txn(fact, lease_sec=0.0) == "aborted"
+    assert not any(os.path.exists(f) for f in files)
+    assert _fact_rows(spark, fact) == {(i, i * 10) for i in range(50)}
+
+
+def test_merge_vacuum_shield_covers_update_files(spark):
+    """While the marker is pinned, vacuum(0) must keep BOTH staged
+    sets — reclaiming the update files would strand a decided txn
+    behind a straggler with no rebase source."""
+    fact, dim = _mk_pair(spark)
+    staged = _stage_merge_pair(spark, fact, dim)
+    files = ([fact.data_path(a["file"]) for a in staged[0]["adds"]]
+             + [fact.data_path(u["file"])
+                for u in staged[0]["updates_files"]])
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "pinned":
+            fact.vacuum(min_age_seconds=0.0)
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+    assert all(os.path.exists(f) for f in files)
+    tx.resolve_pending_txn(fact, lease_sec=0.0)  # clean up
+
+
+def test_merge_rails_refuse_single_log_families(spark):
+    fact = TableLog(_tmp("txr_"))
+    acid.write_initial_spark(
+        spark, fact, spark.range(0, 10).select(
+            "id", (F.col("id") * 2).alias("v")), "id", n_buckets=2,
+    )
+    acid.alter_add_constraint_spark(
+        spark, fact, "u", {"col": "id", "unique": True})
+    with pytest.raises(ValueError, match="UNIQUE"):
+        tx.stage_merge_spark(
+            spark, fact, spark.range(0, 2).select(
+                "id", (F.col("id") * 2).alias("v")))
