@@ -213,6 +213,11 @@ HEADLINE = [
     # aggregate (create with two rank windows + change-feed refresh
     # with zero base rescans + exploded rank certification).
     "source_acid_matview_topk",
+    # round-9 addition (documented in BASELINE.md): multi-table txn
+    # with a MERGE participant — stage the fact's bucket rewrite + raw
+    # update files + dim append, marker/outcome/links, mid-commit
+    # reader assertions. The upsert-beyond-adds-only cost family.
+    "source_acid_txn_merge",
 ]
 
 
@@ -243,6 +248,13 @@ def compact_line(detail: dict, limit: int = 1950) -> str:
         "sf": detail["sf"],
         "spread_total": detail["spread_total"],
         "probe_sec": detail["probe_sec"],
+        # host-noise accounting (VERDICT r8 task 7): entries whose warm
+        # spread exceeded half their min are per-entry UNRELIABLE this
+        # run; value_stable sums only the unflagged entries, so round-
+        # over-round deltas compare stable subtotals instead of
+        # re-adjudicating VM steal by hand.
+        "noisy": detail.get("noisy", []),
+        "value_stable": detail.get("value_stable", detail["value"]),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out, separators=(",", ":"))
@@ -251,6 +263,9 @@ def compact_line(detail: dict, limit: int = 1950) -> str:
         line = json.dumps(out, separators=(",", ":"))
     keep = 40
     while len(line) > limit:
+        # the noisy NAME list gives way before query timings do
+        out.pop("noisy", None)
+        out["noisy_count"] = len(detail.get("noisy", []))
         slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:keep])
         out["queries"] = {k: round(v, 2) for k, v in slowest.items()}
         out["queries_omitted"] = len(timings) - len(slowest)
@@ -323,6 +338,10 @@ def main() -> None:
     probe_end = probe()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # per-entry noise flag: warm spread > 50 % of the warm min means
+    # this entry's number is host-noise-dominated THIS RUN — flagged,
+    # and excluded from value_stable (the round-over-round comparand)
+    noisy = sorted(n for n in timings if spreads[n] > 0.5 * timings[n])
     detail = {
         "metric": "headline_queries_warm_total",
         "value": round(sum(timings.values()), 3),
@@ -332,6 +351,9 @@ def main() -> None:
         "spread": spreads,
         "spread_total": round(sum(spreads.values()), 3),
         "probe_sec": [probe_start, probe_end],
+        "noisy": noisy,
+        "value_stable": round(sum(v for k, v in timings.items()
+                                  if k not in noisy), 3),
     }
     # Full-precision record (per-query spreads included) lives in the repo
     # where the judge can read it directly.

@@ -10,7 +10,7 @@ import json
 import bench
 
 
-def _detail(timings):
+def _detail(timings, noisy=()):
     return {
         "metric": "headline_queries_warm_total",
         "value": round(sum(timings.values()), 3),
@@ -20,7 +20,40 @@ def _detail(timings):
         "spread": {k: 0.123 for k in timings},
         "spread_total": round(0.123 * len(timings), 3),
         "probe_sec": [0.116, 0.288],
+        "noisy": sorted(noisy),
+        "value_stable": round(sum(v for k, v in timings.items()
+                                  if k not in set(noisy)), 3),
     }
+
+
+def test_noise_flag_rides_the_compact_line():
+    """VERDICT r8 task 7: flagged entries are named in the compact line
+    and excluded from value_stable, so the judge compares stable
+    subtotals instead of re-adjudicating VM steal."""
+    small = {name: 2.0 for name in bench.HEADLINE[:20]}
+    noisy = sorted(bench.HEADLINE[:2])
+    parsed = json.loads(bench.compact_line(_detail(small, noisy)))
+    assert parsed["noisy"] == sorted(noisy)
+    assert parsed["value_stable"] == round(2.0 * 18, 3)
+    assert parsed["value"] == round(2.0 * 20, 3)
+    # at the FULL current set size the line may shrink past the name
+    # tier — but the flag survives as a count and value_stable always
+    # rides (the actual round-over-round comparand)
+    full = {name: 2.0 for name in bench.HEADLINE}
+    parsed = json.loads(bench.compact_line(_detail(full, noisy)))
+    assert parsed["value"] == round(2.0 * len(bench.HEADLINE), 3)
+    assert (parsed.get("noisy") == sorted(noisy)
+            or parsed.get("noisy_count") == 2)
+    assert parsed["value_stable"] == round(
+        2.0 * (len(bench.HEADLINE) - 2), 3)
+    # under extreme shrink pressure the names give way to a count but
+    # value_stable survives every tier
+    big = {f"q_some_very_long_operator_name_{i:03d}": 1.0
+           for i in range(400)}
+    parsed = json.loads(bench.compact_line(
+        _detail(big, list(big)[:5])))
+    assert parsed.get("noisy_count", len(parsed.get("noisy", []))) == 5
+    assert parsed["value_stable"] == 395.0
 
 
 def test_current_headline_set_fits_driver_window():
