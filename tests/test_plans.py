@@ -697,3 +697,52 @@ def test_fk_membership_probe_is_key_pruned_and_jvm_side(spark):
     for cols in read_schemas(pkeys):
         assert cols == ["c_id"], cols  # key column only, every scan
     assert not uses_python_eval(pkeys)
+
+
+def test_join_ivm_dim_delta_semijoin_prunes_fact_scan(spark):
+    """The join-IVM dim-side term (matview._join_delta_frames): the
+    fact-as-of-old scan must be pruned by a BROADCAST LEFT-SEMI join
+    on the dim delta's join keys — the only facts whose contribution
+    can change. A shuffled semi-join (or none) would rescan the whole
+    fact table per dim change, the exact O(base) cost the delta-join
+    algebra exists to avoid; with the broadcast in place the scan is
+    file-skippable when the fact clusters on fk (the claim at
+    queries/sources.py's join-matview builder)."""
+    from pyspark.sql import functions as F
+
+    from distribot_spark.sources import acid
+    from distribot_spark.sources import matview as mv
+    from distribot_spark.sources.acid import TableLog
+    from tests.test_table_acid import _tmp_table
+
+    fact, dim = TableLog(_tmp_table()), TableLog(_tmp_table())
+    acid.write_initial_spark(
+        spark, fact, spark.range(0, 200).select(
+            "id", (F.col("id") % 20).alias("fk"),
+            (F.col("id") * 2).cast("long").alias("val")),
+        "id", n_buckets=4)
+    acid.write_initial_spark(
+        spark, dim, spark.range(0, 20).select(
+            F.col("id").alias("dk"),
+            (F.col("id") % 3).cast("int").alias("seg")),
+        "dk", n_buckets=2)
+    spec = {"join": {"fact_fk": "fk", "dim_key": "dk"},
+            "group_by": ["seg"],
+            "aggs": {"cnt": {"fn": "count"},
+                     "total": {"fn": "sum", "col": "val"}}}
+    view = TableLog(_tmp_table())
+    mv.create_join_matview(spark, fact, dim, view, spec, n_buckets=1)
+    vf, vd = fact.version(), dim.version()
+    # a DIM-ONLY change: two keys move segment
+    acid.merge_upsert_spark(
+        spark, dim, spark.createDataFrame(
+            [(0, 2), (5, 0)], "dk long, seg int"), "dk")
+    changes = mv._join_delta_frames(
+        spark, spec, fact, dim, vf, vf, vd, dim.version())
+    plan = explain_string(changes)
+    # the gate: the fact scan is gated by a BROADCAST left-semi on the
+    # dim delta's keys. (The CDF derivation inside table_changes_spark
+    # plans a delta-sized full-outer SMJ — delta×delta, not the
+    # subject here.)
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert not uses_python_eval(changes)
