@@ -218,6 +218,11 @@ HEADLINE = [
     # update files + dim append, marker/outcome/links, mid-commit
     # reader assertions. The upsert-beyond-adds-only cost family.
     "source_acid_txn_merge",
+    # round-9: index shard compaction — the l2 serve loop plus
+    # optimize_minhash_index (rewrite-to-one-file-per-partition +
+    # atomic marker swap) before the probe. Tracks the compaction
+    # cost family next to l2_minhash_serve's accreted-index probe.
+    "l2_minhash_optimize_serve",
 ]
 
 

@@ -272,19 +272,25 @@ def _retrain_marker(index_dir: str) -> str:
     return os.path.join(index_dir, "_retrain.json")
 
 
-def _complete_retrain_swap(index_dir: str, token: str) -> None:
-    """Phase 2 of the retrain swap: promote the ``*.retrain-<token>``
-    artifact dirs to live, demoting the old ones — idempotent,
-    resumable from any crash point, and safe under CONCURRENT healers
-    (two entry points finding the same crashed marker): every rename
-    is one-winner at the filesystem, so the loser's ENOENT just means
-    the winner already moved that piece — tolerated, then verified.
-    (The acid.py two-phase rebucket-marker discipline applied to
-    directories.)"""
+def _optimize_marker(index_dir: str) -> str:
+    return os.path.join(index_dir, "_optimize.json")
+
+
+def _complete_dir_swap(index_dir: str, token: str, parts, tag: str,
+                       required) -> None:
+    """Phase 2 of a two-phase artifact-dir swap: promote the
+    ``*.{tag}-<token>`` staged dirs to live, demoting the old ones —
+    idempotent, resumable from any crash point, and safe under
+    CONCURRENT healers (two entry points finding the same crashed
+    marker): every rename is one-winner at the filesystem, so the
+    loser's ENOENT just means the winner already moved that piece —
+    tolerated, then verified. (The acid.py two-phase rebucket-marker
+    discipline applied to directories.) Shared by the IVF retrain swap
+    and the shard-compaction OPTIMIZE of both index families."""
     import shutil
 
-    for part in ("centroids", "vectors", "drift"):
-        new = os.path.join(index_dir, f"{part}.retrain-{token}")
+    for part in parts:
+        new = os.path.join(index_dir, f"{part}.{tag}-{token}")
         live = os.path.join(index_dir, part)
         old = os.path.join(index_dir, f"{part}.old-{token}")
         if os.path.isdir(new):
@@ -302,9 +308,129 @@ def _complete_retrain_swap(index_dir: str, token: str) -> None:
                 if not os.path.isdir(live):
                     raise
         shutil.rmtree(old, ignore_errors=True)
-    for part in ("centroids", "vectors"):
+    for part in required:
         assert os.path.isdir(os.path.join(index_dir, part)), (
-            f"retrain swap left no live {part!r} dir")
+            f"{tag} swap left no live {part!r} dir")
+
+
+def _complete_retrain_swap(index_dir: str, token: str) -> None:
+    _complete_dir_swap(index_dir, token,
+                       ("centroids", "vectors", "drift"), "retrain",
+                       required=("centroids", "vectors"))
+
+
+def _heal_optimize(index_dir: str) -> None:
+    """Complete an interrupted shard-compaction swap (`_heal_retrain`'s
+    twin for the OPTIMIZE marker, which carries its part list — the
+    two index families compact different artifact dirs)."""
+    import contextlib
+    import json
+
+    m = _optimize_marker(index_dir)
+    if os.path.exists(m):
+        try:
+            with open(m) as fh:
+                body = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return  # another healer finished and unlinked it
+        _complete_dir_swap(index_dir, body["token"],
+                           tuple(body["parts"]), "optimize",
+                           required=tuple(body["parts"]))
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(m)
+
+
+def _commit_optimize_swap(index_dir: str, token: str, parts) -> None:
+    """Commit point + phase 2 for an OPTIMIZE: marker lands atomically
+    (a crash after this point heals forward on any entry), then the
+    swap promotes the staged compacted dirs."""
+    import json
+
+    mtmp = _optimize_marker(index_dir) + f".tmp{token}"
+    with open(mtmp, "w") as fh:
+        json.dump({"token": token, "parts": list(parts)}, fh)
+    os.replace(mtmp, _optimize_marker(index_dir))
+    _complete_dir_swap(index_dir, token, parts, "optimize",
+                       required=parts)
+    os.unlink(_optimize_marker(index_dir))
+
+
+def _parquet_file_count(d: str) -> int:
+    return sum(1 for root, _dirs, files in os.walk(d)
+               for f in files if f.endswith(".parquet"))
+
+
+def optimize_ivf_index(spark: SparkSession, index_dir: str) -> dict:
+    """OPTIMIZE the IVF layout: every `append_ivf_shard` adds one file
+    per touched cid partition plus a drift-partial file, so probes of a
+    long-appended index open O(appends) files per probed cluster. The
+    compaction rewrites vectors/ to ONE file per cid and folds drift/
+    partials to one row per cid (integer sums — `ivf_drift` is exact
+    in any order, so fold ≡ accumulate), then swaps atomically under
+    the OPTIMIZE marker (crash heals forward from any point; probes
+    never see a half-compacted layout). probe-after ≡ probe-before
+    table-for-table and the probe stays partition-pruned — both
+    pinned by tests, mirroring OPTIMIZE's contract on tables."""
+    import uuid as _uuid
+
+    _heal_retrain(index_dir)
+    _heal_optimize(index_dir)
+    token = _uuid.uuid4().hex[:12]
+    vdir = os.path.join(index_dir, "vectors")
+    before = _parquet_file_count(vdir)
+    vectors = spark.read.parquet(vdir)
+    n_clusters = load_ivf_codebook(spark, index_dir).shape[0]
+    (
+        vectors.repartition(n_clusters, "cid")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(os.path.join(index_dir, f"vectors.optimize-{token}"))
+    )
+    (
+        spark.read.parquet(os.path.join(index_dir, "drift"))
+        .groupBy("cid")
+        .agg(F.sum("n").alias("n"),
+             F.sum("sum_dist_e6").alias("sum_dist_e6"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, f"drift.optimize-{token}"))
+    )
+    _commit_optimize_swap(index_dir, token, ("vectors", "drift"))
+    return {"files_before": before,
+            "files_after": _parquet_file_count(vdir)}
+
+
+def optimize_minhash_index(spark: SparkSession, index_dir: str) -> dict:
+    """OPTIMIZE the MinHash/LSH index: every `append_minhash_shard`
+    lands up to 8 files per touched pb partition plus shingle files,
+    so a long-appended index makes every probe open O(appends) files
+    in each pruned partition. The compaction rewrites buckets/ to one
+    file per pb partition and shingles/ to a bounded file count, under
+    the same atomic marker swap as the IVF OPTIMIZE. probe-after ≡
+    probe-before table-for-table (the serve query shares the exact-
+    Jaccard oracle) and the probe's PartitionFilters survive —
+    plan-gated."""
+    import uuid as _uuid
+
+    _heal_optimize(index_dir)
+    m = _minhash_meta(index_dir)
+    token = _uuid.uuid4().hex[:12]
+    bdir = os.path.join(index_dir, "buckets")
+    before = _parquet_file_count(bdir)
+    (
+        spark.read.parquet(bdir)
+        .repartition(m["parts"], "pb")
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(os.path.join(index_dir, f"buckets.optimize-{token}"))
+    )
+    (
+        spark.read.parquet(os.path.join(index_dir, "shingles"))
+        .repartition(8, "doc")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, f"shingles.optimize-{token}"))
+    )
+    _commit_optimize_swap(index_dir, token, ("buckets", "shingles"))
+    return {"files_before": before,
+            "files_after": _parquet_file_count(bdir)}
 
 
 def _heal_retrain(index_dir: str) -> None:
@@ -318,6 +444,7 @@ def _heal_retrain(index_dir: str) -> None:
     import contextlib
     import json
 
+    _heal_optimize(index_dir)
     m = _retrain_marker(index_dir)
     if os.path.exists(m):
         try:
@@ -569,6 +696,7 @@ def append_minhash_shard(
     parameters (shingle width, hash family size, band count, partition
     modulus) are read back, never re-chosen. Returns the shard row
     count."""
+    _heal_optimize(index_dir)
     m = _minhash_meta(index_dir)
     buckets, shingles = _minhash_relations(
         shard_df, text_col, id_col,
@@ -605,6 +733,7 @@ def probe_minhash_index(
     certifies."""
     from distribot_spark.operators import dedup
 
+    _heal_optimize(index_dir)
     m = _minhash_meta(index_dir)
     nb, nsh = _minhash_relations(
         new_docs, text_col, id_col,

@@ -2889,3 +2889,50 @@ def l2_minhash_serve(spark, sf_dir):
         .dropDuplicates(["da", "db"])
         .orderBy("da", "db")
     )
+
+
+@register("l2_minhash_optimize_serve", oracle=_JACCARD_ORACLE,
+          tags=("llm", "dedup", "lsh", "index", "incremental",
+                "optimize"))
+def l2_minhash_optimize_serve(spark, sf_dir):
+    """INDEX SHARD COMPACTION (operators/index.py
+    `optimize_minhash_index` — VERDICT r8 task 6): the incremental
+    crawl loop of l2_minhash_serve accretes per-shard files in every
+    pb partition of the standing LSH index, so a long-lived index
+    makes every probe open O(appends) files per pruned partition. This
+    query runs the SAME workload as l2_minhash_serve — build on
+    two-thirds, append the crawl shard — then OPTIMIZES the index
+    (rewrites buckets/ to one file per pb partition and shingles/ to a
+    bounded count, swapped atomically under the crash-healing OPTIMIZE
+    marker) and probes the COMPACTED artifacts. It shares
+    l2_minhash_pairs' exact-Jaccard oracle VERBATIM, certifying
+    probe-after-compact ≡ probe-before table-for-table (the OPTIMIZE
+    contract tables already have, applied to index artifacts); the
+    compacted probe's PartitionFilters prune is plan-gated in
+    tests/test_retrieval_index.py alongside the file-count and
+    crash-heal pins."""
+    import os as _os
+    import shutil as _shutil
+
+    from distribot_spark.operators import index as rindex
+    from distribot_spark.streaming.replay import TMP_ROOT
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    ix_dir = _os.path.join(TMP_ROOT, f"mh_ixo_{tag}")
+    _shutil.rmtree(ix_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 > 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    rindex.build_minhash_index(base, ix_dir)
+    base_pairs = dedup.minhash_candidate_pairs(
+        base, "text", "doc_id", threshold=0.5)
+    rindex.append_minhash_shard(spark, ix_dir, shard)
+    st = rindex.optimize_minhash_index(spark, ix_dir)
+    assert st["files_after"] < st["files_before"], st
+    shard_pairs = rindex.probe_minhash_index(
+        spark, ix_dir, shard, threshold=0.5)
+    return (
+        base_pairs.unionByName(shard_pairs)
+        .dropDuplicates(["da", "db"])
+        .orderBy("da", "db")
+    )

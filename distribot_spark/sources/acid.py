@@ -265,6 +265,39 @@ class SnapshotExpired(Exception):
     contract)."""
 
 
+#: every feature THIS build's readers know how to fold. A table whose
+#: persisted `features` list exceeds this set was written by a newer
+#: (or foreign) client; folding it anyway would silently miscount —
+#: readers refuse loudly instead (Delta's readerFeatures contract).
+SUPPORTED_READER_FEATURES = frozenset({
+    "deletion-vectors",             # key-addressed DV sidecars
+    "positional-deletion-vectors",  # dvp- bitmap sidecars
+    "column-mapping",               # logical->physical rename/drop
+    "access-policies",              # masks + row filters
+    "hash-buckets",                 # xxhash64 bucket function
+})
+
+
+class UnsupportedTableFeature(RuntimeError):
+    """The table uses an on-disk feature this reader does not
+    understand (its meta `features` list exceeds the reader's
+    supported set). Upgrade the client — folding anyway would
+    silently produce wrong rows, not an error."""
+
+
+def _check_reader_features(table: "TableLog",
+                           supported=None) -> None:
+    sup = (SUPPORTED_READER_FEATURES if supported is None
+           else frozenset(supported))
+    unknown = sorted(set(table.features()) - sup)
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table {table.path} requires reader features {unknown} "
+            f"this client does not support (supported: {sorted(sup)}) "
+            "— upgrade the client; refusing to fold a snapshot that "
+            "would silently miscount")
+
+
 class TableLog:
     """Versioned parquet table with atomic multi-process commits.
 
@@ -336,6 +369,10 @@ class TableLog:
         if not os.path.exists(meta):
             body = {"hash_buckets": bool(hash_buckets),
                     "constraints": constraints or {}}
+            if hash_buckets:
+                # reader gate: a modulo-bucketed client point-pruning
+                # this table would read the wrong files
+                body["features"] = ["hash-buckets"]
             if key is not None:
                 body["key"] = key
             if n_buckets is not None:
@@ -596,6 +633,35 @@ class TableLog:
         readers resolve policies fresh per read, writers ignore them,
         so nothing gates on this number."""
         return int(self._meta().get("policies_rev", 0))
+
+    # -- reader feature gate (table protocol compatibility) -----------------
+
+    def features(self) -> list[str]:
+        """The table's PERSISTED feature list — every on-disk mechanism
+        a reader must understand to fold a snapshot correctly. A client
+        that folds files while ignoring an unknown feature silently
+        miscounts (e.g. resurrects DV-deleted rows, reads physical
+        column names, leaks masked values), so readers refuse loudly on
+        entries outside their supported set
+        (`_check_reader_features`) — Delta's minReaderVersion/
+        readerFeatures contract. The writer half is `_gate_state`."""
+        return list(self._meta().get("features") or [])
+
+    def _add_feature(self, name: str) -> None:
+        """Idempotently record that this table now uses ``name``.
+        Called by the WRITE PATH **before** the commit that first
+        exercises the feature, so no reader can observe the commit
+        without the gate — conservative if the write then fails (a
+        listed-but-unused feature only costs a refusal)."""
+        if name in (self._meta().get("features") or ()):
+            return
+        with self._meta_lock():
+            m = self._meta()
+            feats = list(m.get("features") or [])
+            if name not in feats:
+                feats.append(name)
+                m["features"] = sorted(feats)
+                self._persist_meta(m)
 
     def _meta_lock_path(self) -> str:
         return os.path.join(self.log_dir, "_table.lock")
@@ -2677,6 +2743,8 @@ def alter_rename_column(
             if new != phys:
                 mapping[new] = phys
             meta["column_mapping"] = mapping
+            if mapping:
+                _meta_add_feature(meta, "column-mapping")
             meta["mapping_rev"] = int(meta.get("mapping_rev", 0)) + 1
             # table rules follow the rename, atomically with it
             cons = dict(meta.get("constraints") or {})
@@ -2779,6 +2847,7 @@ def alter_drop_column(table: TableLog, name: str) -> None:
         dropped.append(phys)
         meta["column_mapping"] = mapping
         meta["dropped_columns"] = dropped
+        _meta_add_feature(meta, "column-mapping")
         meta["mapping_rev"] = int(meta.get("mapping_rev", 0)) + 1
         table._persist_meta(meta)
 
@@ -3232,6 +3301,15 @@ def _policy_col_check(table: TableLog, col: str, fn: str | None) -> None:
         raise ValueError(f"bucket mask needs an integer column: {col!r}")
 
 
+def _meta_add_feature(meta: dict, name: str) -> None:
+    """In-place feature-list add for callers already holding the meta
+    lock mid read-modify-write (see `TableLog._add_feature` for the
+    standalone form and `features()` for the contract)."""
+    feats = set(meta.get("features") or [])
+    feats.add(name)
+    meta["features"] = sorted(feats)
+
+
 def alter_set_mask(table: TableLog, col: str, spec: dict) -> None:
     """ALTER TABLE ALTER COLUMN SET MASK. Read-side metadata only — no
     commit barrier and no writer gate (writers commit raw bytes either
@@ -3252,6 +3330,7 @@ def alter_set_mask(table: TableLog, col: str, spec: dict) -> None:
         masks = dict(meta.get("masks") or {})
         masks[col] = dict(spec)
         meta["masks"] = masks
+        _meta_add_feature(meta, "access-policies")
         meta["policies_rev"] = int(meta.get("policies_rev", 0)) + 1
         table._persist_meta(meta)
 
@@ -3289,6 +3368,7 @@ def alter_set_row_filter(table: TableLog, name: str, spec: dict) -> None:
         filts = dict(meta.get("row_filters") or {})
         filts[name] = dict(spec)
         meta["row_filters"] = filts
+        _meta_add_feature(meta, "access-policies")
         meta["policies_rev"] = int(meta.get("policies_rev", 0)) + 1
         table._persist_meta(meta)
 
@@ -3412,6 +3492,7 @@ def export_snapshot(
     pinned output-identical by test_export_distributed_equals_driver."""
     import pyarrow.parquet as pq
 
+    _check_reader_features(table)  # the export IS a fold
     os.makedirs(dst_dir, exist_ok=True)
     if os.listdir(dst_dir):
         raise ValueError(f"export dir not empty: {dst_dir}")
@@ -3934,6 +4015,7 @@ def read_snapshot_spark(
     for files not in the base."""
     from pyspark.sql import functions as F
 
+    _check_reader_features(table)
     paths = _paths if _paths is not None else (
         table.live_paths() if version is None
         else table.live_paths_at(version)
@@ -4157,6 +4239,7 @@ def delete_keys_pandas(
     _rev0 = _gate_state(table, removal=True)
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     key = table.physical_name(key)  # file-space key (column mapping)
+    table._add_feature("deletion-vectors")  # reader gate, pre-commit
 
     kset = {int(k) for k in keys}
     _fk_restrict_pandas(table, kset)  # RESTRICT (no-op w/o back-refs)
@@ -4260,6 +4343,10 @@ def delete_keys_spark(
 
     if mode not in ("dv", "rewrite"):
         raise ValueError(f"mode {mode!r}")
+    if mode == "dv":
+        # reader feature gate: recorded BEFORE the commit that first
+        # attaches a sidecar, so no feature-stripped reader can fold it
+        table._add_feature("deletion-vectors")
     # LOGICAL -> PHYSICAL boundary: the sidecar/key column in file space
     keys_df = _to_physical_spark(table, keys_df)
     key = table.physical_name(key)
@@ -4427,6 +4514,7 @@ def delete_where_spark(
             "DELETE WHERE on a column-mapped table is not supported: "
             "the predicate would run against renamed physical columns")
     key = table.physical_name(key)
+    table._add_feature("positional-deletion-vectors")  # reader gate
     pred = F.expr(predicate)
 
     attempts = 0
@@ -5541,6 +5629,7 @@ def table_changes_spark(
         key = table.layout()[0]
     if key is None:
         raise ValueError("no persisted layout; pass key explicitly")
+    _check_reader_features(table)
     key = table.physical_name(key)  # the diff runs in file space
     head = table.version()
     hi = head if to_version is None else to_version

@@ -209,6 +209,7 @@ class Table:
         qdir = acid.quarantine_dir(log)
         return {
             "version": head,
+            "features": log.features(),
             "num_files": len(live),
             "size_bytes": size,
             "key": self.key,

@@ -321,3 +321,104 @@ def test_ivf_retrain_crash_heals_on_next_entry(spark):
         assert not os.path.exists(rindex._retrain_marker(ix))
     finally:
         shutil.rmtree(ix, ignore_errors=True)
+
+
+def test_minhash_optimize_compacts_and_probe_unchanged(spark):
+    """VERDICT r8 task 6: shard appends accrete per-shard files in
+    every pb partition; optimize_minhash_index must (a) shrink the
+    file count, (b) leave the probe output identical table-for-table,
+    and (c) keep the probe's PartitionFilters prune."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 > 0)
+    shards = [docs.filter(F.col("doc_id") % 9 == k) for k in (0, 3, 6)]
+    ix = _tmp()
+    try:
+        rindex.build_minhash_index(base, ix)
+        for sh in shards:
+            rindex.append_minhash_shard(spark, ix, sh)
+        probe = docs.filter(F.col("doc_id") % 3 == 0).limit(20)
+        before_rows = _rows(rindex.probe_minhash_index(spark, ix, probe))
+        assert len(before_rows) > 0
+        st = rindex.optimize_minhash_index(spark, ix)
+        assert st["files_after"] < st["files_before"], st
+        # one file per pb partition
+        bdir = os.path.join(ix, "buckets")
+        for d in os.listdir(bdir):
+            if d.startswith("pb="):
+                n = sum(1 for f in os.listdir(os.path.join(bdir, d))
+                        if f.endswith(".parquet"))
+                assert n == 1, (d, n)
+        out = rindex.probe_minhash_index(spark, ix, probe)
+        assert _rows(out) == before_rows
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2 and pf[1].lstrip().startswith("pb"), plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+
+
+def test_ivf_optimize_compacts_and_serve_unchanged(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    base = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 4 > 0))
+    shards = [emb.filter((F.col("vec_id") >= 10)
+                         & (F.col("vec_id") % 8 == k)) for k in (0, 4)]
+    ix = _tmp()
+    try:
+        rindex.build_ivf_index(base, ix, n_clusters=16)
+        for sh in shards:
+            rindex.append_ivf_shard(spark, ix, sh)
+        drift0 = rindex.ivf_drift(spark, ix)
+        before = _rows(rindex.serve_ivf_topk(spark, ix, queries,
+                                             k=5, n_probe=4))
+        st = rindex.optimize_ivf_index(spark, ix)
+        assert st["files_after"] < st["files_before"], st
+        assert _rows(rindex.serve_ivf_topk(spark, ix, queries,
+                                           k=5, n_probe=4)) == before
+        # drift statistic survives the partial fold exactly
+        assert rindex.ivf_drift(spark, ix) == drift0
+        # probe stays partition-pruned on cid
+        out = rindex.serve_ivf_topk(spark, ix, queries, k=5, n_probe=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan, plan
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+
+
+def test_optimize_crash_heals_on_next_entry(spark):
+    """A crash between the OPTIMIZE marker commit and the swap must
+    heal forward on the next probe — never a half-compacted layout."""
+    import json
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 > 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    ix = _tmp()
+    try:
+        rindex.build_minhash_index(base, ix)
+        rindex.append_minhash_shard(spark, ix, shard)
+        probe = shard.limit(10)
+        want = _rows(rindex.probe_minhash_index(spark, ix, probe))
+        # stage the compacted dirs by hand (exactly what the crashed
+        # optimizer leaves), then commit the marker and "crash"
+        token = "deadbeefcafe"
+        m = rindex._minhash_meta(ix)
+        (spark.read.parquet(os.path.join(ix, "buckets"))
+         .repartition(m["parts"], "pb").write.mode("overwrite")
+         .partitionBy("pb")
+         .parquet(os.path.join(ix, f"buckets.optimize-{token}")))
+        (spark.read.parquet(os.path.join(ix, "shingles"))
+         .repartition(8, "doc").write.mode("overwrite")
+         .parquet(os.path.join(ix, f"shingles.optimize-{token}")))
+        with open(rindex._optimize_marker(ix), "w") as fh:
+            json.dump({"token": token,
+                       "parts": ["buckets", "shingles"]}, fh)
+        # next entry heals: marker consumed, staged dirs promoted
+        got = _rows(rindex.probe_minhash_index(spark, ix, probe))
+        assert got == want
+        assert not os.path.exists(rindex._optimize_marker(ix))
+        assert not os.path.isdir(
+            os.path.join(ix, f"buckets.optimize-{token}"))
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
