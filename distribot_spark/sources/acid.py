@@ -1366,11 +1366,15 @@ class TableLog:
             for e in (plan or {}).get("tables", ()):
                 if e.get("path") == self.path:
                     referenced.update(a["file"] for a in e["adds"])
-                    # MERGE participants also stage raw update files —
-                    # the roll-forward rebase source; reclaiming them
-                    # would strand a decided txn behind a straggler
+                    # MERGE/DELETE participants also stage rebase
+                    # sources (raw update files / the key list) and
+                    # precomputed DV sidecars; reclaiming any would
+                    # strand a decided txn behind a straggler
                     referenced.update(
                         u["file"] for u in e.get("updates_files", ()))
+                    referenced.update((e.get("dvs") or {}).values())
+                    if e.get("keys_file"):
+                        referenced.add(e["keys_file"])
         now = time.time()
         removed = []
         for name in sorted(os.listdir(self.data_dir)):

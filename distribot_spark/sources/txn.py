@@ -294,7 +294,9 @@ def _unlink_quiet(t, names) -> None:
 
 def _entry_staged_files(e: dict) -> list[str]:
     return ([a["file"] for a in e["adds"]]
-            + [u["file"] for u in e.get("updates_files", ())])
+            + [u["file"] for u in e.get("updates_files", ())]
+            + list((e.get("dvs") or {}).values())
+            + ([e["keys_file"]] if e.get("keys_file") else []))
 
 
 def unstage(entry: dict) -> None:
@@ -318,6 +320,87 @@ def _txn_landed_at(table, plan_entry: dict, txn_id: str) -> int | None:
         if table.read_commit(v).get("txn") == txn_id:
             return v
     return None
+
+
+def stage_delete_spark(spark, table, keys_df, key: str | None = None,
+                       n_buckets: int | None = None,
+                       writer: str = "txn") -> dict:
+    """Prepare a DV-DELETE participant: per-file deletion-vector
+    sidecars for ``keys_df``'s keys (existing DVs folded first, so a
+    key never lands in two sidecars of one file — the change-feed
+    exactly-once rule), plus the raw key list staged as a parquet
+    file — the self-contained rebase source. Like the MERGE
+    participant, the precomputed sidecars pin their ``parent``
+    version; a pre-pin in-flight commit moves the head and roll-
+    forward recomputes the sidecars engine-free (the compute reads
+    ONE column of the touched buckets' files via pyarrow — the
+    `delete_keys_pandas` cost class, fine for sidecar-sized deletes;
+    split giant deletes into multiple txns). Same rails as the other
+    participants. The delete commits as a pure DV attach (no adds, no
+    removes), so the atomic fact-correction + dim-append +
+    key-erasure load is one decide."""
+    from distribot_spark.sources import acid as _a
+
+    # rails: only the FK refusal applies — a pure DV attach adds no
+    # rows (UNIQUE/quarantine/identity can't be violated by it), but
+    # RESTRICT validation + removal epochs are single-log, so FK
+    # tables keep using delete_keys_spark
+    if table.fk_parent_paths() or table.fk_referenced_by():
+        raise ValueError(
+            "commit_together: FK tables don't participate (RESTRICT "
+            "validation and removal epochs are single-log; run FK "
+            "deletes through delete_keys_spark)")
+    gate0 = _a._gate_state(table)
+    _a._fk_take_captures(table)
+    key, n_buckets = _a._resolve_layout(table, key, n_buckets)
+    kdf = _a._to_physical_spark(table, keys_df)
+    key = table.physical_name(key)
+    keys = sorted({int(r[0]) for r in kdf.select(key).distinct()
+                   .collect()})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys_file = table.new_data_file(0)
+    pq.write_table(pa.table({key: keys}), table.data_path(keys_file))
+    v0 = table.version()
+    dvs, n_hit = _compute_delete_dvs(table, keys, key, n_buckets)
+    return {"table": table, "kind": "delete", "adds": [],
+            "dvs": dvs, "keys_file": keys_file, "parent": v0,
+            "key": key, "n_buckets": n_buckets, "writer": writer,
+            "gate": gate0, "deleted_rows": n_hit}
+
+
+def _compute_delete_dvs(table, keys: list[int], key: str,
+                        n_buckets: int) -> tuple[dict, int]:
+    """Engine-free sidecar computation against the CURRENT head (the
+    `delete_keys_pandas` inner loop): fold existing DVs, find each
+    touched file's hit keys, write one sidecar per hit file. Reads the
+    live set via `_fold_entries` directly — `snapshot()` would resolve
+    our own pending marker and recurse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distribot_spark.sources import acid as _a
+
+    kset = set(keys)
+    touched = {_a._bucket_of_py(k, n_buckets, table.hash_buckets())
+               for k in kset}
+    live, _stats, dvall, _hwm = table._fold_entries(table.version())
+    bucket_files = {f: b for f, b in live.items() if b in touched}
+    dvs, n_hit = {}, 0
+    for f in sorted(bucket_files):
+        frame = _a._arrow_minus_dvs(
+            table, f, dvall.get(f, ()), columns=[key]).to_pandas()
+        hit = frame[frame[key].isin(kset)]
+        if hit.empty:
+            continue
+        name = table.new_dv_file()
+        pq.write_table(
+            pa.table({"_df": [f] * len(hit), key: hit[key].tolist()}),
+            table.data_path(name))
+        dvs[f] = name
+        n_hit += len(hit)
+    return dvs, n_hit
 
 
 def _rebase_merge_pandas(table, e: dict) -> tuple[list[dict], list[str]]:
@@ -386,25 +469,44 @@ def _txn_link(table, plan_entry: dict, txn_id: str) -> int:
     staged update files (pandas, engine-free) before linking, and a
     helper that loses a race reclaims its own rebase files before
     rescanning."""
-    rebased: list[dict] | None = None
+    rebased: list[str] | None = None  # our own rebase files, if any
     while True:
         v = _txn_landed_at(table, plan_entry, txn_id)
         if v is not None:
             if rebased is not None:  # another helper won: reclaim ours
-                _unlink_quiet(table, [a["file"] for a in rebased])
+                _unlink_quiet(table, rebased)
             return v
         head = table.version()
-        if (plan_entry.get("kind") == "merge"
-                and head != int(plan_entry["parent"])):
+        kind = plan_entry.get("kind")
+        stale = head != int(plan_entry.get("parent", head))
+        dvs = None
+        if kind == "merge" and stale:
             if rebased is not None:
-                _unlink_quiet(table, [a["file"] for a in rebased])
-            rebased, removes = _rebase_merge_pandas(table, plan_entry)
-            adds = rebased
+                _unlink_quiet(table, rebased)
+            adds, removes = _rebase_merge_pandas(table, plan_entry)
+            rebased = [a["file"] for a in adds]
+        elif kind == "delete":
+            if stale:
+                if rebased is not None:
+                    _unlink_quiet(table, rebased)
+                import pyarrow.parquet as pq
+
+                keys = pq.read_table(
+                    table.data_path(plan_entry["keys_file"])
+                ).to_pandas()[plan_entry["key"]].tolist()
+                dvs, _n = _compute_delete_dvs(
+                    table, keys, plan_entry["key"],
+                    int(plan_entry["n_buckets"]))
+                rebased = list(dvs.values())
+            else:
+                dvs = dict(plan_entry["dvs"])
+            adds, removes = [], []
         else:
             adds = plan_entry["adds"]
             removes = list(plan_entry.get("removes", ()))
         if table._try_commit_linked(head, adds, removes,
-                                    plan_entry["writer"], txn=txn_id):
+                                    plan_entry["writer"], dvs=dvs,
+                                    txn=txn_id):
             return head + 1
 
 
@@ -457,6 +559,14 @@ def _cleanup(plan: dict, txn_id: str) -> None:
             _unlink_quiet(t, [a["file"] for a in e["adds"]
                               if a["file"] not in landed])
             _unlink_quiet(t, [u["file"] for u in e["updates_files"]])
+        elif e.get("kind") == "delete":
+            # reclaim the key list and any superseded precomputed
+            # sidecars (a rebase landed different ones)
+            landed_dvs = set(
+                (t.read_commit(v).get("dvs") or {}).values())
+            _unlink_quiet(t, [d for d in (e.get("dvs") or {}).values()
+                              if d not in landed_dvs])
+            _unlink_quiet(t, [e["keys_file"]])
     _remove_markers(plan, txn_id)
 
 
@@ -593,6 +703,10 @@ def commit_together(staged: list[dict],
             # staged update files without the coordinator
             for k in ("kind", "removes", "updates_files", "parent",
                       "key", "version_col", "n_buckets"):
+                e[k] = staged[i][k]
+        elif staged[i].get("kind") == "delete":
+            for k in ("kind", "dvs", "keys_file", "parent", "key",
+                      "n_buckets"):
                 e[k] = staged[i][k]
         return e
 

@@ -307,6 +307,13 @@ ACID_ORACLE_FAMILY = [
     "source_acid_matview",             # refresh claim (GenerationLock)
     "source_acid_matview_join",        # join-IVM refresh claim
     "flow_competing_workers",          # flow claim table (put_if_absent)
+    # round-9 breadth: the remaining write-path families whose commits
+    # ride the seam's conditional PUTs — certified now that every
+    # coordination primitive does too
+    "source_acid_delete_where",        # positional DV sidecar commits
+    "source_acid_rename_column",       # column-mapping ALTER + barrier
+    "source_acid_matview_topk",        # rider folds under the claim
+    "source_acid_identity",            # id reservation via commit body
 ]
 
 

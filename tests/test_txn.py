@@ -627,3 +627,136 @@ def test_merge_rails_refuse_single_log_families(spark):
         tx.stage_merge_spark(
             spark, fact, spark.range(0, 2).select(
                 "id", (F.col("id") * 2).alias("v")))
+
+
+# ---- DV-DELETE participants --------------------------------------------
+
+
+def test_delete_plus_append_commit_together(spark):
+    """Atomic key-erasure + dim-append: the delete lands as a pure DV
+    attach in the same decide as the append — neither or both."""
+    fact, dim = _mk_pair(spark)
+    staged = [
+        tx.stage_delete_spark(spark, fact,
+                              spark.range(0, 7).select("id"),
+                              writer="erase"),
+        tx.stage_append_spark(
+            spark, dim, spark.range(100, 102).select(
+                F.col("id").alias("dk"), F.lit("s").alias("seg")),
+            writer="wd"),
+    ]
+    assert staged[0]["deleted_rows"] == 7
+    keys_file = fact.data_path(staged[0]["keys_file"])
+    seen = {}
+
+    def hook(stage):
+        if stage in ("pinned", "decided"):
+            seen[stage] = _counts(spark, fact, dim)
+
+    st = tx.commit_together(staged, _hook=hook)
+    assert seen["pinned"] == (50, 5)
+    assert seen["decided"] == (43, 7)
+    assert _counts(spark, fact, dim) == (43, 7)
+    body = fact.read_commit(st["versions"][fact.path])
+    assert body["txn"] == st["txn"] and body.get("dvs")
+    assert not body["adds"] and not body["removes"]
+    assert not os.path.exists(keys_file)  # scaffolding reclaimed
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
+
+
+def test_delete_straggler_rewrite_forces_sidecar_recompute(spark):
+    """The hazard the rebase exists for: a foreign MERGE rewrites a
+    touched bucket AFTER the sidecars were staged — the staged DV
+    names a now-dead file; linking it would silently no-op the
+    delete. Roll-forward must recompute against the head."""
+    fact, dim = _mk_pair(spark)
+    staged = [
+        tx.stage_delete_spark(spark, fact,
+                              spark.range(0, 5).select("id"),
+                              writer="erase"),
+        tx.stage_append_spark(
+            spark, dim, spark.range(100, 101).select(
+                F.col("id").alias("dk"), F.lit("s").alias("seg")),
+            writer="wd"),
+    ]
+    old_dvs = set(staged[0]["dvs"].values())
+    # the straggler rewrites bucket files containing our keys
+    acid.merge_upsert_spark(
+        spark, fact, spark.createDataFrame(
+            [(0, 0, 777), (900, 0, 9000)],
+            "id long, fk long, cents long"), "id", writer="straggler")
+    tx.commit_together(staged)
+    got = _fact_rows(spark, fact)
+    # keys 0..4 gone (including the straggler's rewrite of key 0);
+    # the straggler's new key survives
+    assert got == ({(i, i * 10) for i in range(5, 50)} | {(900, 9000)})
+    landed_dvs = set((fact.read_commit(fact.version()).get("dvs")
+                      or {}).values())
+    assert landed_dvs and not (landed_dvs & old_dvs)
+    assert not any(os.path.exists(fact.data_path(d)) for d in old_dvs)
+
+
+def test_delete_crash_after_decide_reader_heals(spark):
+    fact, dim = _mk_pair(spark)
+    staged = [
+        tx.stage_delete_spark(spark, fact,
+                              spark.range(0, 3).select("id"),
+                              writer="erase"),
+        tx.stage_append_spark(
+            spark, dim, spark.range(100, 101).select(
+                F.col("id").alias("dk"), F.lit("s").alias("seg")),
+            writer="wd"),
+    ]
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "decided":
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+    assert _counts(spark, fact, dim) == (47, 6)  # plain read heals
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
+
+
+def test_delete_abort_reclaims_scaffolding_and_vacuum_shields(spark):
+    fact, dim = _mk_pair(spark)
+    staged = [
+        tx.stage_delete_spark(spark, fact,
+                              spark.range(0, 4).select("id"),
+                              writer="erase"),
+        tx.stage_append_spark(
+            spark, dim, spark.range(100, 101).select(
+                F.col("id").alias("dk"), F.lit("s").alias("seg")),
+            writer="wd"),
+    ]
+    files = ([fact.data_path(d) for d in staged[0]["dvs"].values()]
+             + [fact.data_path(staged[0]["keys_file"])])
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "pinned":
+            fact.vacuum(min_age_seconds=0.0)  # shield holds while pinned
+            assert all(os.path.exists(f) for f in files)
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+    assert tx.resolve_pending_txn(fact, lease_sec=0.0) == "aborted"
+    assert not any(os.path.exists(f) for f in files)
+    assert _counts(spark, fact, dim) == (50, 5)
+
+
+def test_delete_rails_refuse_fk_tables(spark):
+    fact, dim = _mk_pair(spark)
+    acid.alter_add_foreign_key(spark, fact, "fk_dim",
+                               col="fk", parent_path=dim.path)
+    with pytest.raises(ValueError, match="FK tables"):
+        tx.stage_delete_spark(spark, fact,
+                              spark.range(0, 2).select("id"))
