@@ -218,6 +218,9 @@ HEADLINE = [
     # update files + dim append, marker/outcome/links, mid-commit
     # reader assertions. The upsert-beyond-adds-only cost family.
     "source_acid_txn_merge",
+    # round-9: the streaming face of the MERGE txn — per-trigger
+    # atomic upsert+append with redelivery-skip probes.
+    "s39_stream_txn_merge_sink",
     # round-9: index shard compaction — the l2 serve loop plus
     # optimize_minhash_index (rewrite-to-one-file-per-partition +
     # atomic marker swap) before the probe. Tracks the compaction

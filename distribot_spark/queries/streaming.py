@@ -2617,3 +2617,145 @@ def s38_stream_txn_sink(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "s39_stream_txn_merge_sink",
+    oracle="""
+        SELECT c.c_mktsegment AS seg, COUNT(*) AS cnt,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                        + CASE WHEN o.o_orderkey % 5 = 0
+                               THEN 1111 ELSE 0 END) AS BIGINT)
+                 AS sum_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY seg
+    """,
+    tags=("streaming", "sink", "acid", "txn", "multi-table", "merge"),
+)
+def s39_stream_txn_merge_sink(spark, sf_dir):
+    """STREAMING ATOMIC UPSERT SINK — the continuous face of the MERGE
+    participant (sources/txn.py `stage_merge_spark`, the s38 pattern
+    upgraded from adds-only to corrections): each micro-batch carries
+    a wave of fact CORRECTIONS (+1111 cents on the %5==0 keys) and the
+    dim rows arriving with it, and the foreachBatch sink lands the
+    pair as ONE cross-log transaction — an upsert is never visible
+    without its wave's dimension arrivals. EFFECTIVELY-ONCE is the
+    hard part a non-idempotent upsert adds over s38: a redelivered
+    batch would apply +1111 TWICE, so the sink probes the fact log for
+    its own batch tag before staging (the commit log is the high-water
+    mark — no side state) and every batch is deliberately delivered
+    twice to prove the skip. Per-trigger cost: one touched-bucket
+    Spark rewrite + one bucketed dim append + two conditional PUTs +
+    two links; the final fact⋈dim aggregate shares
+    source_acid_txn_merge's oracle — wrong on any doubled, lost, or
+    torn correction."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from distribot_spark.sources import (
+        TableLog,
+        commit_together,
+        read_snapshot_spark,
+        stage_append_spark,
+        stage_merge_spark,
+        write_initial_spark,
+    )
+
+    root = os.path.join(replay.TMP_ROOT, f"s39_{_uuid.uuid4().hex[:8]}")
+    try:
+        chunks = os.path.join(root, "chunks")
+        os.makedirs(chunks, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_custkey").alias("fk"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .alias("cents"))
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("dk"),
+            F.col("c_mktsegment").alias("seg"))
+        # the correction stream: wave w carries the %5==0 fact keys of
+        # residue w (already corrected) + the odd dim rows of residue w
+        corr = (orders.filter(F.col("o_orderkey") % 5 == 0)
+                .withColumn("cents", F.col("cents") + 1111)
+                .select(F.lit("f").alias("kind"),
+                        F.col("o_orderkey").alias("k1"),
+                        F.col("fk").alias("k2"), "cents",
+                        F.lit(None).cast("string").alias("seg"),
+                        (F.col("o_orderkey") % 3).alias("wave")))
+        dstream = (cust.filter(F.col("dk") % 2 == 1)
+                   .select(F.lit("d").alias("kind"),
+                           F.col("dk").alias("k1"),
+                           F.lit(None).cast("long").alias("k2"),
+                           F.lit(None).cast("long").alias("cents"),
+                           "seg", (F.col("dk") % 3).alias("wave")))
+        both = corr.unionByName(dstream)
+        for w in range(3):
+            pdf = (both.filter(F.col("wave") == w).drop("wave")
+                   .orderBy("kind", "k1").toPandas())
+            _pq.write_table(_pa.Table.from_pandas(pdf),
+                            os.path.join(chunks, f"chunk_{w:04d}.parquet"))
+        replay._stamp_replay_order(chunks)
+
+        fact = TableLog(os.path.join(root, "fact"))
+        dim = TableLog(os.path.join(root, "dim"))
+        write_initial_spark(spark, fact, orders, "o_orderkey",
+                            n_buckets=8)
+        write_initial_spark(spark, dim,
+                            cust.filter(F.col("dk") % 2 == 0),
+                            "dk", n_buckets=4)
+        seen = {"applied": 0, "skipped": 0}
+        floor = fact.version()
+        expect = {"fact": fact.version(), "dim": dim.version()}
+
+        def landed(batch_id):
+            tag = f"s39b{batch_id}:"
+            return any(
+                fact.read_commit(v).get("writer", "").startswith(tag)
+                for v in range(floor + 1, fact.version() + 1))
+
+        def apply_once(batch_df, batch_id):
+            if landed(batch_id):  # redelivered upsert MUST skip: the
+                seen["skipped"] += 1  # +1111 is not idempotent
+                return
+            f_rows = (batch_df.filter(F.col("kind") == "f")
+                      .select(F.col("k1").alias("o_orderkey"),
+                              F.col("k2").cast("long").alias("fk"),
+                              F.col("cents").cast("long")
+                              .alias("cents")))
+            d_rows = (batch_df.filter(F.col("kind") == "d")
+                      .select(F.col("k1").alias("dk"), "seg"))
+            staged = [
+                stage_merge_spark(spark, fact, f_rows,
+                                  writer=f"s39b{batch_id}"),
+                stage_append_spark(spark, dim, d_rows, writer=f"s39b{batch_id}"),
+            ]
+            commit_together(staged)
+            seen["applied"] += 1
+            expect["fact"] += 1
+            expect["dim"] += 1
+
+        def sink(batch_df, batch_id):
+            for _ in range(2):  # injected redelivery, the s23 worst case
+                apply_once(batch_df, batch_id)
+            # atomic at every trigger boundary: the two logs moved in
+            # LOCKSTEP — a torn pair would leave one behind
+            assert (fact.version(), dim.version()) == (
+                expect["fact"], expect["dim"]), (batch_id, expect)
+
+        replay.run_foreach_batch(spark, lambda s: s, chunks, sink,
+                                 "append")
+        assert seen["applied"] == 3 and seen["skipped"] == 3, seen
+
+        f = read_snapshot_spark(spark, fact).alias("f")
+        d = read_snapshot_spark(spark, dim).alias("d")
+        out = (f.join(d, F.col("f.fk") == F.col("d.dk"), "inner")
+               .groupBy("seg")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.sum("cents").cast("long").alias("sum_cents"))
+               .orderBy("seg"))
+        rows = out.collect()  # materialize before the fixture vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
