@@ -549,17 +549,36 @@ def txn_curve():
             t_plain = _timed(lambda: (
                 acid.append_spark(spark, fact, fdf2, "id"),
                 acid.append_spark(spark, dim, ddf2, "dk")))
+            # MERGE participant (round 9): the STAGE phase pays the
+            # touched-bucket rewrite (grows with bucket size — the
+            # same cost a single-table merge pays), while the txn
+            # COMMIT phase (markers + outcome + links + cleanup) must
+            # stay flat like the append txn's
+            mdf = spark.range(0, 2000).select(
+                "id", (F.col("id") % 97).alias("fk"),
+                (F.col("id") * 7).alias("v"))
+            ddf3 = spark.range(30_000_000, 30_000_500).select(
+                F.col("id").alias("dk"), (F.col("id") % 7).alias("attr"))
+            t_stage_m, staged_m = _timed_ret(lambda: [
+                txn.stage_merge_spark(spark, fact, mdf, writer="mf"),
+                txn.stage_append_spark(spark, dim, ddf3, writer="md")])
+            t_txn_m = _timed(lambda: txn.commit_together(staged_m))
             out.append({
                 "base_rows": base_rows,
                 "stage_s": round(t_stage, 3),
                 "txn_commit_s": round(t_txn, 3),
                 "plain_append_s": round(t_plain, 3),
+                "merge_stage_s": round(t_stage_m, 3),
+                "merge_txn_commit_s": round(t_txn_m, 3),
             })
             print(json.dumps(out[-1]), flush=True)
         finally:
             shutil.rmtree(root, ignore_errors=True)
     flat = out[-1]["txn_commit_s"] / max(out[0]["txn_commit_s"], 1e-9)
-    print(json.dumps({"txn_commit_100x_over_1x": round(flat, 2)}),
+    flat_m = (out[-1]["merge_txn_commit_s"]
+              / max(out[0]["merge_txn_commit_s"], 1e-9))
+    print(json.dumps({"txn_commit_100x_over_1x": round(flat, 2),
+                      "merge_txn_commit_100x_over_1x": round(flat_m, 2)}),
           flush=True)
     return out
 
