@@ -2936,3 +2936,87 @@ def l2_minhash_optimize_serve(spark, sf_dir):
         .dropDuplicates(["da", "db"])
         .orderBy("da", "db")
     )
+
+
+_CLUSTERS_CTE = """
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id AS doc,
+                  unnest([array_to_string(w[i:i+2], ' ')
+                          FOR i IN range(1, len(w) - 1)]) AS s
+           FROM t),
+    dd AS (SELECT DISTINCT doc, s FROM sh),
+    sz AS (SELECT doc, COUNT(*) AS n FROM dd GROUP BY doc),
+    pr AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS inter
+           FROM dd a JOIN dd b ON a.s = b.s AND a.doc < b.doc
+           GROUP BY 1, 2),
+    p AS (SELECT da, db FROM pr JOIN sz sa ON da = sa.doc
+          JOIN sz sb ON db = sb.doc
+          WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+    e AS (SELECT da AS src, db AS dst FROM p
+          UNION SELECT db, da FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+             FROM reach GROUP BY src)
+"""
+
+
+def _split_case_sql(hmod: str) -> str:
+    return (f"CASE WHEN {hmod} = 0 THEN 'test' "
+            f"WHEN {hmod} = 1 THEN 'val' ELSE 'train' END")
+
+
+def _l_split_oracle():
+    from distribot_spark.operators import hll as _hll
+
+    h = _hll.hash_sql("cluster_id")
+    return _CLUSTERS_CTE + f""",
+    base AS (SELECT d.doc_id,
+                    COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, cluster_id,
+           {_split_case_sql(f"({h}) % 10")} AS split
+    FROM base ORDER BY doc_id
+    """
+
+
+@register("l_split_leakage_safe", oracle=_l_split_oracle(),
+          tags=("llm", "dedup", "split", "pipeline"))
+def l_split_leakage_safe(spark, sf_dir):
+    """LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the assignment a training
+    pipeline actually needs: near-duplicate documents must land in the
+    SAME split (a test doc whose near-copy sits in train is silent
+    contamination), so the unit of assignment is the DEDUP CLUSTER,
+    never the document. Composition: minhash-LSH + exact-verify pairs
+    → min-label connected components (the dedup_clusters path) →
+    every unpaired doc its own singleton cluster → the cluster id
+    hashed through the PORTABLE two-round quadratic mixer
+    (operators/hll.py — identical SQL text in both engines) into
+    80/10/10 buckets. Deterministic (re-runs assign identically, new
+    shards can be split without touching old assignments — the hash
+    is the state), and leakage-free BY CONSTRUCTION: split is a
+    function of cluster_id alone, so a cluster cannot span splits —
+    which the full per-doc hash oracle certifies, recursive closure
+    included. Scale shape: the pairs/components cost is dedup_clusters'
+    (bucketed LSH, never all-pairs; hub-safe star variants exist for
+    skew); the split itself is one projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    from distribot_spark.operators import hll as _hll
+
+    pairs = dedup.minhash_candidate_pairs(docs, "text", "doc_id",
+                                          threshold=0.5)
+    clus = components.duplicate_clusters(pairs).select(
+        "doc_id", "cluster_id")
+    assign = (docs.select("doc_id")
+              .join(clus, "doc_id", "left")
+              .withColumn("cluster_id",
+                          F.coalesce(F.col("cluster_id"),
+                                     F.col("doc_id"))))
+    hmod = f"({_hll.hash_sql('cluster_id')}) % 10"
+    return assign.select(
+        "doc_id", "cluster_id",
+        F.expr(_split_case_sql(hmod)).alias("split"),
+    ).orderBy("doc_id")

@@ -1552,3 +1552,31 @@ def test_hll_portable_merge_identity_and_error(spark):
     }
     for rk, ex in exact.items():
         assert abs(est[rk] - ex) / ex < 0.20, (rk, est[rk], ex)
+
+
+def test_split_leakage_safe_invariants(spark):
+    """The leakage-safe split: (1) near-dup clusters never span
+    splits (split is a function of cluster_id — the contamination
+    guard), (2) deterministic under re-run, (3) all three splits
+    populated with roughly 80/10/10 mass at testdata scale."""
+    rows = QUERIES["l_split_leakage_safe"].builder(
+        spark, SF_ORACLE).collect()
+    by_cluster = {}
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        counts[r.split] += 1
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(len(c) > 1 for c in (
+        [r.cluster_id for r in rows],)), "sanity"
+    n = len(rows)
+    assert counts["train"] > 0.6 * n
+    assert 0 < counts["val"] < 0.25 * n
+    assert 0 < counts["test"] < 0.25 * n
+    # some real (multi-doc) clusters exist and stay together
+    multi = [c for c, _s in by_cluster.items()
+             if sum(1 for r in rows if r.cluster_id == c) > 1]
+    assert multi
+    again = QUERIES["l_split_leakage_safe"].builder(
+        spark, SF_ORACLE).collect()
+    assert rows == again
