@@ -300,6 +300,37 @@ class Table:
             self._pinned_n, writer,
         )
 
+    # -- multi-table transactions (sources/txn.py) -------------------------
+    # stage_* prepare invisible participants; pass the staged entries
+    # from SEVERAL tables to `distribot_spark.sources.commit_together`
+    # to land every version link or none.
+
+    def stage_append(self, df, writer: str = "txn") -> dict:
+        """Stage an append participant for an atomic cross-table load."""
+        from distribot_spark.sources import txn as _txn
+
+        return _txn.stage_append_spark(
+            self.spark, self.log, df, self._pinned_key,
+            self._pinned_n, writer)
+
+    def stage_merge(self, updates_df, version_col: str | None = None,
+                    writer: str = "txn") -> dict:
+        """Stage a keyed-upsert participant (rebase-safe; see
+        `txn.stage_merge_spark`)."""
+        from distribot_spark.sources import txn as _txn
+
+        return _txn.stage_merge_spark(
+            self.spark, self.log, updates_df, self._pinned_key,
+            self._pinned_n, writer, version=version_col)
+
+    def stage_delete(self, keys_df, writer: str = "txn") -> dict:
+        """Stage a DV-delete participant (pure sidecar attach)."""
+        from distribot_spark.sources import txn as _txn
+
+        return _txn.stage_delete_spark(
+            self.spark, self.log, keys_df, self._pinned_key,
+            self._pinned_n, writer)
+
     # -- maintenance ------------------------------------------------------
 
     def optimize(self, sort_col: str | None = None,

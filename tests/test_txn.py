@@ -760,3 +760,37 @@ def test_delete_rails_refuse_fk_tables(spark):
     with pytest.raises(ValueError, match="FK tables"):
         tx.stage_delete_spark(spark, fact,
                               spark.range(0, 2).select("id"))
+
+
+def test_table_facade_stage_methods(spark):
+    """The Table facade exposes the three participant kinds; one
+    commit_together over a merge + an append + a delete across three
+    facades lands all-or-none."""
+    from distribot_spark.sources import commit_together
+    from distribot_spark.sources.table import Table
+
+    fact, dim = _mk_pair(spark)
+    third = TableLog(_tmp("txf3_"))
+    acid.write_initial_spark(
+        spark, third, spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("w")),
+        "k", n_buckets=2)
+    tf = Table.for_path(spark, fact.path)
+    td = Table.for_path(spark, dim.path)
+    tt = Table.for_path(spark, third.path)
+    staged = [
+        tf.stage_merge(spark.createDataFrame(
+            [(0, 0, -1), (600, 0, 6000)],
+            "id long, fk long, cents long"), writer="wm"),
+        td.stage_append(spark.range(100, 103).select(
+            F.col("id").alias("dk"), F.lit("s").alias("seg")),
+            writer="wa"),
+        tt.stage_delete(spark.range(0, 5).select(F.col("id").alias("k")),
+                        writer="wd"),
+    ]
+    st = commit_together(staged)
+    assert len(st["versions"]) == 3
+    got = _fact_rows(spark, fact)
+    assert (0, -1) in got and (600, 6000) in got
+    assert acid.read_snapshot_spark(spark, dim).count() == 8
+    assert acid.read_snapshot_spark(spark, third).count() == 15
