@@ -746,3 +746,15 @@ def test_join_ivm_dim_delta_semijoin_prunes_fact_scan(spark):
     # subject here.)
     assert "BroadcastHashJoin LeftSemi" in plan, plan
     assert not uses_python_eval(changes)
+
+
+def test_mixture_sample_plan_is_jvm_and_broadcast(spark):
+    """l_mixture_sample's scale shape: the portable hash is a JVM SQL
+    expression (no Python eval anywhere), the per-language running sum
+    is ONE window shuffle, and the per-language budget joins in as a
+    BROADCAST — the corpus is never shuffled twice."""
+    df = q(spark, "l_mixture_sample")
+    plan = explain_string(df)
+    assert not uses_python_eval(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Window") >= 1, plan
