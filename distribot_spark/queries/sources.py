@@ -322,7 +322,7 @@ def source_merge_upsert(spark, sf_dir):
 )
 def source_merge_concurrent(spark, sf_dir):
     """TWO writers MERGE into ONE table through the optimistic-commit
-    log (sources/acid.py — the flow/state.py O_CREAT|O_EXCL claim
+    log (sources/acid.py — the flow/state.py conditional-create claim
     discipline extended to data-table versions), with the conflict path
     exercised DETERMINISTICALLY: writer B snapshots, computes its bucket
     rewrite, and only then writer A commits a version touching B's

@@ -4,8 +4,8 @@ The reference's durability story is shared mutable state that stays
 correct under many concurrent writers (flow.rb:31-52 — every daemon
 mutates one Redis hash; connector.rb:59 — durable queues absorb
 competing producers). The repo's *flow* state already has that property
-via the claim table's O_CREAT|O_EXCL one-winner discipline
-(flow/state.py). This module extends the same discipline to DATA TABLE
+via the claim table's conditional-create one-winner discipline
+(flow/state.py, through the storage seam). This module extends the same discipline to DATA TABLE
 writes, so two engine processes can MERGE into one table concurrently
 with serializable outcomes — the capability Delta/Iceberg would provide,
 rebuilt from the one primitive the sandbox has (no `delta` package here;
@@ -2318,7 +2318,8 @@ def alter_add_constraint_spark(
        the meta back (re-persisted under a fresh rev — monotonic, no
        ABA) and re-validate against the new head.
 
-    The O_EXCL version link is the linearization point for BOTH sides,
+    The one-winner version link is the linearization point for BOTH
+    sides,
     so there is no window where a row that violates the constraint can
     land after validation — the failure mode of lock-free metadata
     changes on object stores. The barrier commit also lands in
