@@ -174,10 +174,12 @@ def _assign_dist_udf(centroids: np.ndarray):
     return f
 
 
-def _write_ivf_layout(corpus, out_dir, centroids, n_clusters,
-                      id_col, vec_col, mode: str) -> None:
+def _write_ivf_layout(corpus, vec_path, drift_path, centroids,
+                      n_clusters, id_col, vec_col, mode: str) -> None:
     """Assign `corpus` to `centroids` and write the cid-partitioned
-    vectors plus the additive drift partials in ONE corpus pass."""
+    vectors plus the additive drift partials in ONE corpus pass —
+    into EXPLICIT paths (live dirs for build/append, token-staged
+    dirs for the retrain/optimize pointer swap)."""
     assigned = corpus.select(
         F.col(id_col).alias("nid"),
         similarity._to_double(F.col(vec_col)).alias("v"),
@@ -189,14 +191,14 @@ def _write_ivf_layout(corpus, out_dir, centroids, n_clusters,
         assigned.select("nid", "v", "cid")
         .repartition(n_clusters, "cid")
         .write.mode(mode).partitionBy("cid")
-        .parquet(os.path.join(out_dir, "vectors"))
+        .parquet(vec_path)
     )
     # drift sufficient statistics are PARTIAL rows (cid, n, sum_dist):
     # appends add partials, readers sum — no base re-read, ever
     (
         assigned.groupBy("cid")
         .agg(F.count("*").alias("n"), F.sum("dist_e6").alias("sum_dist_e6"))
-        .write.mode(mode).parquet(os.path.join(out_dir, "drift"))
+        .write.mode(mode).parquet(drift_path)
     )
 
 
@@ -230,9 +232,10 @@ def build_ivf_index(
         [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
         "cid int, centroid array<double>",
     )
-    cdf.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
-    _write_ivf_layout(corpus, out_dir, centroids, len(centroids),
-                      id_col, vec_col, mode="overwrite")
+    cdf.write.mode("overwrite").parquet(_part_path(out_dir, "centroids"))
+    _write_ivf_layout(corpus, _part_path(out_dir, "vectors"),
+                      _part_path(out_dir, "drift"), centroids,
+                      len(centroids), id_col, vec_col, mode="overwrite")
 
 
 def append_ivf_shard(
@@ -257,102 +260,84 @@ def append_ivf_shard(
     ingest). Scale shape: cost is O(shard) — assignment is a broadcast
     codebook matmul, the write touches only the shard's rows; the base
     vectors/ directories are never read or rewritten."""
-    _heal_retrain(index_dir)
     before = ivf_drift(spark, index_dir)
     centroids = load_ivf_codebook(spark, index_dir)
     n_appended = shard_df.count()
-    _write_ivf_layout(shard_df, index_dir, centroids, len(centroids),
-                      id_col, vec_col, mode="append")
+    _write_ivf_layout(shard_df, _part_path(index_dir, "vectors"),
+                      _part_path(index_dir, "drift"), centroids,
+                      len(centroids), id_col, vec_col, mode="append")
     after = ivf_drift(spark, index_dir)
     return {"n_appended": n_appended,
             "mean_dist_e6_before": before, "mean_dist_e6_after": after}
 
 
-def _retrain_marker(index_dir: str) -> str:
-    return os.path.join(index_dir, "_retrain.json")
+LIVE_POINTER = "_live.json"
+
+#: artifact-dir basenames the pointer may remap / the GC may reclaim
+_PART_NAMES = ("centroids", "vectors", "drift", "buckets", "shingles")
 
 
-def _optimize_marker(index_dir: str) -> str:
-    return os.path.join(index_dir, "_optimize.json")
+def _live_map(index_dir: str) -> dict:
+    """The pointer file mapping part name -> physical dir name. Absent
+    (a freshly built index) means every part lives under its plain
+    name. The pointer is the index's ONE mutable object: retrain and
+    optimize stage token-named dirs and commit them with a single
+    atomic whole-object PUT of this map — the object-store-portable
+    replacement for the old directory-rename swap (object stores have
+    no atomic rename; a conditional/replace PUT they do have). Readers
+    resolve through it per query, so they see the old layout or the
+    new one, never a mix."""
+    import json
+
+    try:
+        with open(os.path.join(index_dir, LIVE_POINTER)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
 
 
-def _complete_dir_swap(index_dir: str, token: str, parts, tag: str,
-                       required) -> None:
-    """Phase 2 of a two-phase artifact-dir swap: promote the
-    ``*.{tag}-<token>`` staged dirs to live, demoting the old ones —
-    idempotent, resumable from any crash point, and safe under
-    CONCURRENT healers (two entry points finding the same crashed
-    marker): every rename is one-winner at the filesystem, so the
-    loser's ENOENT just means the winner already moved that piece —
-    tolerated, then verified. (The acid.py two-phase rebucket-marker
-    discipline applied to directories.) Shared by the IVF retrain swap
-    and the shard-compaction OPTIMIZE of both index families."""
+def _part_path(index_dir: str, part: str) -> str:
+    return os.path.join(index_dir, _live_map(index_dir).get(part, part))
+
+
+def _gc_unreferenced_parts(index_dir: str) -> None:
+    """Reclaim physical part dirs the pointer no longer references:
+    superseded live dirs after a swap, and token-staged orphans of
+    crashed swaps (a crash BEFORE the pointer PUT publishes nothing —
+    the old layout stays live and the orphans are garbage). Runs after
+    every successful swap; safe because nothing can reference an
+    unmapped dir except an in-flight reader that resolved before the
+    PUT — the same momentary window the old rename swap had
+    (maintainers are single-writer per index; re-resolve per query)."""
     import shutil
 
+    m = _live_map(index_dir)
+    live = {m.get(part, part) for part in _PART_NAMES}
+    for d in os.listdir(index_dir):
+        full = os.path.join(index_dir, d)
+        if not os.path.isdir(full) or d in live:
+            continue
+        base = d.split("-", 1)[0]
+        if base in _PART_NAMES:
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _swap_parts(index_dir: str, token: str, parts) -> None:
+    """COMMIT a staged retrain/optimize: one atomic pointer PUT flips
+    every ``part`` to its ``{part}-{token}`` staged dir at once, then
+    unreferenced dirs are reclaimed. No marker, no healing protocol —
+    the PUT either happened (new layout live everywhere) or it didn't
+    (old layout untouched, staged dirs are orphans for the next GC)."""
+    import json
+
+    from distribot_spark.sources.storage import get_backend
+
+    new = dict(_live_map(index_dir))
     for part in parts:
-        new = os.path.join(index_dir, f"{part}.{tag}-{token}")
-        live = os.path.join(index_dir, part)
-        old = os.path.join(index_dir, f"{part}.old-{token}")
-        if os.path.isdir(new):
-            if os.path.isdir(live):
-                shutil.rmtree(old, ignore_errors=True)
-                try:
-                    os.rename(live, old)
-                except FileNotFoundError:
-                    pass  # a concurrent healer demoted it first
-            try:
-                os.rename(new, live)
-            except (FileNotFoundError, OSError):
-                # lost the promote race — acceptable only if the
-                # winner's promote landed
-                if not os.path.isdir(live):
-                    raise
-        shutil.rmtree(old, ignore_errors=True)
-    for part in required:
-        assert os.path.isdir(os.path.join(index_dir, part)), (
-            f"{tag} swap left no live {part!r} dir")
-
-
-def _complete_retrain_swap(index_dir: str, token: str) -> None:
-    _complete_dir_swap(index_dir, token,
-                       ("centroids", "vectors", "drift"), "retrain",
-                       required=("centroids", "vectors"))
-
-
-def _heal_optimize(index_dir: str) -> None:
-    """Complete an interrupted shard-compaction swap (`_heal_retrain`'s
-    twin for the OPTIMIZE marker, which carries its part list — the
-    two index families compact different artifact dirs)."""
-    import contextlib
-    import json
-
-    m = _optimize_marker(index_dir)
-    if os.path.exists(m):
-        try:
-            with open(m) as fh:
-                body = json.load(fh)
-        except (FileNotFoundError, json.JSONDecodeError):
-            return  # another healer finished and unlinked it
-        _complete_dir_swap(index_dir, body["token"],
-                           tuple(body["parts"]), "optimize",
-                           required=tuple(body["parts"]))
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(m)
-
-
-def _commit_optimize_swap(index_dir: str, token: str, parts) -> None:
-    """Commit point + phase 2 for an OPTIMIZE: marker lands atomically
-    (a crash after this point heals forward on any entry), then the
-    swap promotes the staged compacted dirs."""
-    import json
-
-    mtmp = _optimize_marker(index_dir) + f".tmp{token}"
-    with open(mtmp, "w") as fh:
-        json.dump({"token": token, "parts": list(parts)}, fh)
-    os.replace(mtmp, _optimize_marker(index_dir))
-    _complete_dir_swap(index_dir, token, parts, "optimize",
-                       required=parts)
-    os.unlink(_optimize_marker(index_dir))
+        new[part] = f"{part}-{token}"
+    get_backend().put(os.path.join(index_dir, LIVE_POINTER),
+                      json.dumps(new).encode())
+    _gc_unreferenced_parts(index_dir)
 
 
 def _parquet_file_count(d: str) -> int:
@@ -366,37 +351,37 @@ def optimize_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     long-appended index open O(appends) files per probed cluster. The
     compaction rewrites vectors/ to ONE file per cid and folds drift/
     partials to one row per cid (integer sums — `ivf_drift` is exact
-    in any order, so fold ≡ accumulate), then swaps atomically under
-    the OPTIMIZE marker (crash heals forward from any point; probes
-    never see a half-compacted layout). probe-after ≡ probe-before
+    in any order, so fold ≡ accumulate), then commits with ONE atomic
+    pointer PUT (`_swap_parts` — no directory renames, so the swap
+    holds on an object store; a crash before the PUT publishes
+    nothing). probe-after ≡ probe-before
     table-for-table and the probe stays partition-pruned — both
     pinned by tests, mirroring OPTIMIZE's contract on tables."""
     import uuid as _uuid
 
-    _heal_retrain(index_dir)
-    _heal_optimize(index_dir)
     token = _uuid.uuid4().hex[:12]
-    vdir = os.path.join(index_dir, "vectors")
+    vdir = _part_path(index_dir, "vectors")
     before = _parquet_file_count(vdir)
     vectors = spark.read.parquet(vdir)
     n_clusters = load_ivf_codebook(spark, index_dir).shape[0]
     (
         vectors.repartition(n_clusters, "cid")
         .write.mode("overwrite").partitionBy("cid")
-        .parquet(os.path.join(index_dir, f"vectors.optimize-{token}"))
+        .parquet(os.path.join(index_dir, f"vectors-{token}"))
     )
     (
-        spark.read.parquet(os.path.join(index_dir, "drift"))
+        spark.read.parquet(_part_path(index_dir, "drift"))
         .groupBy("cid")
         .agg(F.sum("n").alias("n"),
              F.sum("sum_dist_e6").alias("sum_dist_e6"))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, f"drift.optimize-{token}"))
+        .parquet(os.path.join(index_dir, f"drift-{token}"))
     )
-    _commit_optimize_swap(index_dir, token, ("vectors", "drift"))
+    _swap_parts(index_dir, token, ("vectors", "drift"))
     return {"files_before": before,
-            "files_after": _parquet_file_count(vdir)}
+            "files_after": _parquet_file_count(
+                _part_path(index_dir, "vectors"))}
 
 
 def optimize_minhash_index(spark: SparkSession, index_dir: str) -> dict:
@@ -404,57 +389,33 @@ def optimize_minhash_index(spark: SparkSession, index_dir: str) -> dict:
     lands up to 8 files per touched pb partition plus shingle files,
     so a long-appended index makes every probe open O(appends) files
     in each pruned partition. The compaction rewrites buckets/ to one
-    file per pb partition and shingles/ to a bounded file count, under
-    the same atomic marker swap as the IVF OPTIMIZE. probe-after ≡
+    file per pb partition and shingles/ to a bounded file count, with
+    the same atomic pointer-PUT commit as the IVF OPTIMIZE. probe-after ≡
     probe-before table-for-table (the serve query shares the exact-
     Jaccard oracle) and the probe's PartitionFilters survive —
     plan-gated."""
     import uuid as _uuid
 
-    _heal_optimize(index_dir)
     m = _minhash_meta(index_dir)
     token = _uuid.uuid4().hex[:12]
-    bdir = os.path.join(index_dir, "buckets")
+    bdir = _part_path(index_dir, "buckets")
     before = _parquet_file_count(bdir)
     (
         spark.read.parquet(bdir)
         .repartition(m["parts"], "pb")
         .write.mode("overwrite").partitionBy("pb")
-        .parquet(os.path.join(index_dir, f"buckets.optimize-{token}"))
+        .parquet(os.path.join(index_dir, f"buckets-{token}"))
     )
     (
-        spark.read.parquet(os.path.join(index_dir, "shingles"))
+        spark.read.parquet(_part_path(index_dir, "shingles"))
         .repartition(8, "doc")
         .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, f"shingles.optimize-{token}"))
+        .parquet(os.path.join(index_dir, f"shingles-{token}"))
     )
-    _commit_optimize_swap(index_dir, token, ("buckets", "shingles"))
+    _swap_parts(index_dir, token, ("buckets", "shingles"))
     return {"files_before": before,
-            "files_after": _parquet_file_count(bdir)}
-
-
-def _heal_retrain(index_dir: str) -> None:
-    """Complete an interrupted retrain swap (marker present = phase 2
-    committed but possibly unfinished). Every reader/maintainer entry
-    point calls this, so a crashed retrain can never leave the index
-    half-swapped for consumers. Concurrent healers are tolerated
-    (`_complete_retrain_swap`); whoever finishes last clears the
-    marker, and a marker vanishing mid-read means another healer
-    already finished — nothing left to do."""
-    import contextlib
-    import json
-
-    _heal_optimize(index_dir)
-    m = _retrain_marker(index_dir)
-    if os.path.exists(m):
-        try:
-            with open(m) as fh:
-                token = json.load(fh)["token"]
-        except (FileNotFoundError, json.JSONDecodeError):
-            return  # another healer finished and unlinked it
-        _complete_retrain_swap(index_dir, token)
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(m)
+            "files_after": _parquet_file_count(
+                _part_path(index_dir, "buckets"))}
 
 
 def retrain_ivf_index(
@@ -467,9 +428,11 @@ def retrain_ivf_index(
     centroids, whose assignments already carry the drift signal — with
     distributed Lloyd iterations over the index's own vectors, then
     re-assign the corpus in ONE Spark job and swap the cid-partitioned
-    layout ATOMICALLY (two-phase marker: stage ``*.retrain-<token>``
-    dirs, commit the marker, promote; any crash point heals on the
-    next entry — the acid.py rebucket discipline). Drift partials are
+    layout ATOMICALLY (stage ``{part}-<token>`` dirs, then ONE pointer
+    PUT — `_swap_parts` — publishes all three at once; a crash before
+    it publishes nothing and the orphans GC on the next swap; no
+    directory rename anywhere, so the protocol holds on an object
+    store). Drift partials are
     rewritten from the new assignment, so `ivf_drift` falls to the
     retrained baseline.
 
@@ -479,16 +442,13 @@ def retrain_ivf_index(
     one-pass job `build_ivf_index` runs. Serve-after-retrain equals a
     from-scratch rebuild under the retrained codebook row-for-row
     (pinned by test); probes stay partition-pruned (plan-gated)."""
-    import json
-    import shutil
     import uuid as _uuid
 
-    _heal_retrain(index_dir)
     drift_before = ivf_drift(spark, index_dir)
     C = load_ivf_codebook(spark, index_dir)
     k, d = C.shape
     vecs = spark.read.parquet(
-        os.path.join(index_dir, "vectors")).select("nid", "v")
+        _part_path(index_dir, "vectors")).select("nid", "v")
     # spherical k-means over UNIT vectors (the trainer's convention)
     vecs_n = vecs.withColumn(
         "vn",
@@ -515,27 +475,18 @@ def retrain_ivf_index(
         C = newC / np.linalg.norm(newC, axis=1, keepdims=True)
 
     token = _uuid.uuid4().hex[:12]
-    scratch = os.path.join(index_dir, f"_retrain_build-{token}")
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "cid int, centroid array<double>")
     cdf.write.mode("overwrite").parquet(
-        os.path.join(index_dir, f"centroids.retrain-{token}"))
-    _write_ivf_layout(vecs, scratch, C, k, "nid", "v",
-                      mode="overwrite")
-    os.rename(os.path.join(scratch, "vectors"),
-              os.path.join(index_dir, f"vectors.retrain-{token}"))
-    os.rename(os.path.join(scratch, "drift"),
-              os.path.join(index_dir, f"drift.retrain-{token}"))
-    shutil.rmtree(scratch, ignore_errors=True)
-    # COMMIT POINT: marker lands atomically; the swap below (and any
-    # crash-interrupted rerun of it) is idempotent phase 2
-    mtmp = _retrain_marker(index_dir) + f".tmp{token}"
-    with open(mtmp, "w") as fh:
-        json.dump({"token": token}, fh)
-    os.replace(mtmp, _retrain_marker(index_dir))
-    _complete_retrain_swap(index_dir, token)
-    os.unlink(_retrain_marker(index_dir))
+        os.path.join(index_dir, f"centroids-{token}"))
+    _write_ivf_layout(vecs, os.path.join(index_dir, f"vectors-{token}"),
+                      os.path.join(index_dir, f"drift-{token}"),
+                      C, k, "nid", "v", mode="overwrite")
+    # COMMIT POINT: one atomic pointer PUT flips all three parts; a
+    # crash anywhere before it publishes nothing (the staged token
+    # dirs are orphans for the next swap's GC)
+    _swap_parts(index_dir, token, ("centroids", "vectors", "drift"))
     drift_after = ivf_drift(spark, index_dir)
     return {"token": token, "iters": int(iters),
             "drift_before_e6": drift_before,
@@ -549,9 +500,8 @@ def ivf_drift(spark: SparkSession, index_dir: str) -> int:
     partials (never a vectors/ rescan). Rising drift means the frozen
     codebook no longer describes the data: retrain when it crosses the
     operator's budget (the honest answer to 'when do I rebuild?')."""
-    _heal_retrain(index_dir)
     r = (
-        spark.read.parquet(os.path.join(index_dir, "drift"))
+        spark.read.parquet(_part_path(index_dir, "drift"))
         .agg(F.sum("sum_dist_e6").alias("s"), F.sum("n").alias("n"))
         .first()
     )
@@ -559,9 +509,8 @@ def ivf_drift(spark: SparkSession, index_dir: str) -> int:
 
 
 def load_ivf_codebook(spark: SparkSession, index_dir: str) -> np.ndarray:
-    _heal_retrain(index_dir)
     rows = (
-        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        spark.read.parquet(_part_path(index_dir, "centroids"))
         .orderBy("cid").collect()
     )
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
@@ -584,9 +533,8 @@ def serve_ivf_topk(
     by test)."""
     from pyspark.sql import Window
 
-    _heal_retrain(index_dir)
     centroids = load_ivf_codebook(spark, index_dir)
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    vectors = spark.read.parquet(_part_path(index_dir, "vectors"))
     proben = similarity._nearest_centroids_udf(centroids, n_probe)
     q = queries.select(
         F.col(id_col).alias("qid"),
@@ -696,7 +644,6 @@ def append_minhash_shard(
     parameters (shingle width, hash family size, band count, partition
     modulus) are read back, never re-chosen. Returns the shard row
     count."""
-    _heal_optimize(index_dir)
     m = _minhash_meta(index_dir)
     buckets, shingles = _minhash_relations(
         shard_df, text_col, id_col,
@@ -704,10 +651,10 @@ def append_minhash_shard(
     (
         buckets.repartition(min(m["parts"], 8), "pb")
         .write.mode("append").partitionBy("pb")
-        .parquet(os.path.join(index_dir, "buckets"))
+        .parquet(_part_path(index_dir, "buckets"))
     )
     shingles.write.mode("append").parquet(
-        os.path.join(index_dir, "shingles"))
+        _part_path(index_dir, "shingles"))
     return shard_df.count()
 
 
@@ -733,14 +680,13 @@ def probe_minhash_index(
     certifies."""
     from distribot_spark.operators import dedup
 
-    _heal_optimize(index_dir)
     m = _minhash_meta(index_dir)
     nb, nsh = _minhash_relations(
         new_docs, text_col, id_col,
         m["shingle_n"], m["num_hashes"], m["bands"], m["parts"])
     pbs = [int(r["pb"]) for r in nb.select("pb").distinct().collect()]
     idx = (
-        spark.read.parquet(os.path.join(index_dir, "buckets"))
+        spark.read.parquet(_part_path(index_dir, "buckets"))
         .filter(F.col("pb").isin(pbs))  # partition-pruned
     )
     probe = nb.select(F.col("doc").alias("_ndoc"),
@@ -763,7 +709,7 @@ def probe_minhash_index(
         .dropDuplicates()
     )
     sh = (
-        spark.read.parquet(os.path.join(index_dir, "shingles"))
+        spark.read.parquet(_part_path(index_dir, "shingles"))
         .unionByName(nsh)
         .dropDuplicates(["doc", "h"])  # probe docs may be indexed too
         .join(F.broadcast(cand_docs), "doc", "left_semi")

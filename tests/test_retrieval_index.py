@@ -269,7 +269,8 @@ def test_ivf_retrain_and_swap(spark):
         assert rt["drift_after_e6"] < rt["drift_before_e6"], rt
 
         # serve-after-retrain ≡ rebuild-from-scratch, same codebook
-        full = spark.read.parquet(os.path.join(ix, "vectors")).select(
+        full = spark.read.parquet(
+            rindex._part_path(ix, "vectors")).select(
             F.col("nid").alias("vec_id"),
             F.col("v").alias("embedding"))
         rindex.build_ivf_index(full, ix2, n_clusters=8,
@@ -280,7 +281,7 @@ def test_ivf_retrain_and_swap(spark):
         assert a == b and len(a) > 0
 
         # probe stays partition-pruned after the swap
-        vectors = spark.read.parquet(os.path.join(ix, "vectors"))
+        vectors = spark.read.parquet(rindex._part_path(ix, "vectors"))
         plan = (vectors.filter(F.col("cid") == 1)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "PartitionFilters" in plan and "cid" in plan
@@ -289,11 +290,14 @@ def test_ivf_retrain_and_swap(spark):
         shutil.rmtree(ix2, ignore_errors=True)
 
 
-def test_ivf_retrain_crash_heals_on_next_entry(spark):
-    """Any crash point of the two-phase swap heals on the next
-    reader/maintainer entry: marker + staged dirs present → the swap
-    completes; marker present with swap already done → cleanup only."""
+def test_ivf_retrain_crash_publishes_nothing_and_gc_reclaims(spark):
+    """The pointer-swap crash model: a retrain that dies BEFORE the
+    one pointer PUT publishes NOTHING — readers keep the old layout
+    exactly — and its token-staged orphan dirs are reclaimed by the
+    next successful swap's GC. A hand-flipped pointer (the PUT itself)
+    atomically moves every reader to the staged layout."""
     import json
+    import shutil as _sh
 
     emb = load_table(spark, SF_ORACLE, "embeddings")
     ix = _tmp()
@@ -302,23 +306,30 @@ def test_ivf_retrain_crash_heals_on_next_entry(spark):
         q = emb.limit(8)
         want = _rows(rindex.serve_ivf_topk(spark, ix, q, k=3,
                                            n_probe=2))
-        # forge the crash state: phase-2 committed (marker), vectors
-        # dir still staged under the retrain name
+        # forge the crash state: staged token dirs, NO pointer flip
         tok = "feedface0001"
-        os.rename(os.path.join(ix, "vectors"),
-                  os.path.join(ix, f"vectors.retrain-{tok}"))
-        with open(rindex._retrain_marker(ix), "w") as fh:
-            json.dump({"token": tok}, fh)
+        for part in ("centroids", "vectors", "drift"):
+            _sh.copytree(os.path.join(ix, part),
+                         os.path.join(ix, f"{part}-{tok}"))
+        # readers are untouched (old layout still live)
         got = _rows(rindex.serve_ivf_topk(spark, ix, q, k=3, n_probe=2))
         assert got == want
-        assert not os.path.exists(rindex._retrain_marker(ix))
-        assert os.path.isdir(os.path.join(ix, "vectors"))
-        # idempotent: a second heal with a stale marker and nothing
-        # staged is a no-op cleanup
-        with open(rindex._retrain_marker(ix), "w") as fh:
-            json.dump({"token": "0000deadbeef"}, fh)
-        assert rindex.ivf_drift(spark, ix) >= 0
-        assert not os.path.exists(rindex._retrain_marker(ix))
+        # the PUT is the commit: hand-flip and every reader follows
+        with open(os.path.join(ix, rindex.LIVE_POINTER), "w") as fh:
+            json.dump({p_: f"{p_}-{tok}"
+                       for p_ in ("centroids", "vectors", "drift")}, fh)
+        got = _rows(rindex.serve_ivf_topk(spark, ix, q, k=3, n_probe=2))
+        assert got == want  # identical content, swapped dirs
+        # next successful swap GC-reclaims everything unreferenced
+        rindex.optimize_ivf_index(spark, ix)
+        left = {d for d in os.listdir(ix)
+                if os.path.isdir(os.path.join(ix, d))}
+        live = set(rindex._live_map(ix).values())
+        assert live <= left
+        for d in left - live:
+            assert d.split("-", 1)[0] not in rindex._PART_NAMES, d
+        got = _rows(rindex.serve_ivf_topk(spark, ix, q, k=3, n_probe=2))
+        assert got == want
     finally:
         shutil.rmtree(ix, ignore_errors=True)
 
@@ -341,8 +352,9 @@ def test_minhash_optimize_compacts_and_probe_unchanged(spark):
         assert len(before_rows) > 0
         st = rindex.optimize_minhash_index(spark, ix)
         assert st["files_after"] < st["files_before"], st
-        # one file per pb partition
-        bdir = os.path.join(ix, "buckets")
+        # one file per pb partition (resolve the compacted live dir
+        # through the pointer)
+        bdir = rindex._part_path(ix, "buckets")
         for d in os.listdir(bdir):
             if d.startswith("pb="):
                 n = sum(1 for f in os.listdir(os.path.join(bdir, d))
@@ -386,11 +398,10 @@ def test_ivf_optimize_compacts_and_serve_unchanged(spark):
         shutil.rmtree(ix, ignore_errors=True)
 
 
-def test_optimize_crash_heals_on_next_entry(spark):
-    """A crash between the OPTIMIZE marker commit and the swap must
-    heal forward on the next probe — never a half-compacted layout."""
-    import json
-
+def test_optimize_crash_publishes_nothing(spark):
+    """A crash between staging the compacted dirs and the pointer PUT
+    leaves the probe on the OLD layout, byte-identical results; the
+    orphan staged dirs are reclaimed by the next successful swap."""
     docs = load_table(spark, SF_ORACLE, "documents")
     base = docs.filter(F.col("doc_id") % 3 > 0)
     shard = docs.filter(F.col("doc_id") % 3 == 0)
@@ -401,24 +412,27 @@ def test_optimize_crash_heals_on_next_entry(spark):
         probe = shard.limit(10)
         want = _rows(rindex.probe_minhash_index(spark, ix, probe))
         # stage the compacted dirs by hand (exactly what the crashed
-        # optimizer leaves), then commit the marker and "crash"
+        # optimizer leaves) and "crash" before the pointer PUT
         token = "deadbeefcafe"
         m = rindex._minhash_meta(ix)
         (spark.read.parquet(os.path.join(ix, "buckets"))
          .repartition(m["parts"], "pb").write.mode("overwrite")
          .partitionBy("pb")
-         .parquet(os.path.join(ix, f"buckets.optimize-{token}")))
+         .parquet(os.path.join(ix, f"buckets-{token}")))
         (spark.read.parquet(os.path.join(ix, "shingles"))
          .repartition(8, "doc").write.mode("overwrite")
-         .parquet(os.path.join(ix, f"shingles.optimize-{token}")))
-        with open(rindex._optimize_marker(ix), "w") as fh:
-            json.dump({"token": token,
-                       "parts": ["buckets", "shingles"]}, fh)
-        # next entry heals: marker consumed, staged dirs promoted
+         .parquet(os.path.join(ix, f"shingles-{token}")))
+        # nothing published: probe identical, pointer absent
         got = _rows(rindex.probe_minhash_index(spark, ix, probe))
         assert got == want
-        assert not os.path.exists(rindex._optimize_marker(ix))
-        assert not os.path.isdir(
-            os.path.join(ix, f"buckets.optimize-{token}"))
+        assert rindex._live_map(ix) == {}
+        # the next real optimize commits ITS OWN staging and reclaims
+        # the orphans
+        st = rindex.optimize_minhash_index(spark, ix)
+        assert st["files_after"] <= st["files_before"]
+        assert not os.path.isdir(os.path.join(ix, f"buckets-{token}"))
+        assert not os.path.isdir(os.path.join(ix, f"shingles-{token}"))
+        got = _rows(rindex.probe_minhash_index(spark, ix, probe))
+        assert got == want
     finally:
         shutil.rmtree(ix, ignore_errors=True)
