@@ -548,3 +548,31 @@ def test_txn_durable_abort_under_condput(spark, condput):
         tx.commit_together(staged, _hook=stall)
     assert _ids(spark, a) == set(range(10))
     assert _ids(spark, b) == set(range(10))
+
+
+def test_index_pointer_swap_under_condput(spark, condput):
+    """Round-9: index retrain/optimize commits are ONE pointer PUT
+    through the storage seam (no directory renames) — certified under
+    the conditional-put backend: optimize an appended MinHash index
+    and the probe is identical; the pointer resolves the live dirs."""
+    from distribot_spark.catalog import load_table
+    from distribot_spark.operators import index as rindex
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 > 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    ix = _tmp("sb_ix_")
+    rindex.build_minhash_index(base, ix)
+    rindex.append_minhash_shard(spark, ix, shard)
+    probe = shard.limit(10)
+    want = sorted(map(tuple,
+                      rindex.probe_minhash_index(spark, ix, probe)
+                      .collect()))
+    st = rindex.optimize_minhash_index(spark, ix)
+    assert st["files_after"] < st["files_before"], st
+    assert set(rindex._live_map(ix)) == {"buckets", "shingles"}
+    got = sorted(map(tuple,
+                     rindex.probe_minhash_index(spark, ix, probe)
+                     .collect()))
+    assert got == want
