@@ -403,6 +403,23 @@ def _compute_delete_dvs(table, keys: list[int], key: str,
     return dvs, n_hit
 
 
+def _current_n_buckets(table, plan_entry: dict) -> int:
+    """The bucket count a REBASE must use: the table's CURRENT
+    persisted layout — a pre-pin in-flight REBUCKET may have landed
+    after staging, and computing buckets under the plan's stale count
+    would misplace rows / miss files. Falls back to the plan's count
+    for tables whose layout was passed explicitly at stage time (no
+    persisted layout to drift). The physical KEY is stable either way
+    (renames remap logical names only; files keep physical names)."""
+    from distribot_spark.sources import acid as _a
+
+    try:
+        _, n = _a._resolve_layout(table, None, None)
+        return int(n)
+    except ValueError:
+        return int(plan_entry["n_buckets"])
+
+
 def _rebase_merge_pandas(table, e: dict) -> tuple[list[dict], list[str]]:
     """Engine-free recompute of a MERGE participant's touched buckets
     against the table's CURRENT head, from the staged raw update files
@@ -416,15 +433,22 @@ def _rebase_merge_pandas(table, e: dict) -> tuple[list[dict], list[str]]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from distribot_spark.sources.acid import _bucket_of_py as _bucket_of_py_
+
     key = e["key"]
     version = e.get("version_col")
     parts = []
     for uf in e["updates_files"]:
-        fr = pq.read_table(table.data_path(uf["file"])).to_pandas()
-        fr["_pb"] = int(uf["pb"])
-        parts.append(fr)
+        parts.append(pq.read_table(table.data_path(uf["file"]))
+                     .to_pandas())
     up = pd.concat(parts, ignore_index=True)
-    touched = sorted({int(uf["pb"]) for uf in e["updates_files"]})
+    # buckets are recomputed under the table's CURRENT layout, not the
+    # staged pb values — a pre-pin in-flight REBUCKET may have landed
+    n_buckets = _current_n_buckets(table, e)
+    hashed = table.hash_buckets()
+    up["_pb"] = up[key].astype("int64").map(
+        lambda k: _bucket_of_py_(k, n_buckets, hashed))
+    touched = sorted({int(b) for b in up["_pb"].unique()})
     live, _stats, dvall, _hwm = table._fold_entries(table.version())
     bucket_files = {f: b for f, b in live.items() if b in set(touched)}
     dvmap = {f: ds for f, ds in dvall.items() if f in bucket_files}
@@ -496,7 +520,7 @@ def _txn_link(table, plan_entry: dict, txn_id: str) -> int:
                 ).to_pandas()[plan_entry["key"]].tolist()
                 dvs, _n = _compute_delete_dvs(
                     table, keys, plan_entry["key"],
-                    int(plan_entry["n_buckets"]))
+                    _current_n_buckets(table, plan_entry))
                 rebased = list(dvs.values())
             else:
                 dvs = dict(plan_entry["dvs"])

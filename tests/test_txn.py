@@ -794,3 +794,85 @@ def test_table_facade_stage_methods(spark):
     assert (0, -1) in got and (600, 6000) in got
     assert acid.read_snapshot_spark(spark, dim).count() == 8
     assert acid.read_snapshot_spark(spark, third).count() == 15
+
+
+def test_pre_decide_rebucket_aborts_staged_txn(spark):
+    """A REBUCKET landing between staging and commit_together changes
+    the gate state (effective layout): the txn must ABORT with the
+    re-stage message, never link a rewrite computed under the stale
+    modulus."""
+    fact, dim = _mk_pair(spark)  # fact: 4 buckets
+    staged = _stage_merge_pair(spark, fact, dim)
+    acid.optimize_table_spark(spark, fact, "id", 8, "rebucketer",
+                              rewrite_all=True)
+    assert fact.effective_layout() == ("id", 8)
+    with pytest.raises(tx.TxnAborted, match="re-stage"):
+        tx.commit_together(staged)
+    # nothing published; restage under the new rules lands cleanly
+    assert _fact_rows(spark, fact) == {(i, i * 10) for i in range(50)}
+    tx.commit_together(_stage_merge_pair(spark, fact, dim))
+    assert _fact_rows(spark, fact) == _merged_want()
+
+
+def test_post_decide_straggler_rebucket_rebases_under_new_layout(spark):
+    """The microscopic window: a rebucket whose marker check passed
+    BEFORE the pin lands AFTER the decide (forged here by a
+    fence-bypassing link + meta flip). The reader-driven roll-forward
+    must recompute the delete sidecars under the CURRENT 8-bucket
+    layout — the staged 4-bucket pb values would miss files."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fact, dim = _mk_pair(spark)  # fact: 4 buckets
+    staged = [
+        tx.stage_delete_spark(spark, fact,
+                              spark.range(0, 6).select("id"),
+                              writer="erase"),
+        tx.stage_append_spark(
+            spark, dim, spark.range(100, 101).select(
+                F.col("id").alias("dk"), F.lit("s").alias("seg")),
+            writer="wd"),
+    ]
+
+    class Crash(Exception):
+        pass
+
+    def hook(stage):
+        if stage == "decided":
+            raise Crash
+
+    with pytest.raises(Crash):
+        tx.commit_together(staged, _hook=hook)
+
+    # forge the straggler rebucket: rewrite every live file under
+    # modulus 8 and link past the marker fence (txn= bypass simulates
+    # a writer already past its marker check), then flip the layout
+    live, _st, _dv, _hwm = fact._fold_entries(fact.version())
+    frames = [pq.read_table(fact.data_path(f)).to_pandas()
+              for f in sorted(live)]
+    rows = pd.concat(frames, ignore_index=True)
+    adds = []
+    for b in range(8):
+        sub = rows[rows["id"].map(
+            lambda k: acid._bucket_of_py(int(k), 8, False)) == b]
+        name = fact.new_data_file(b)
+        pq.write_table(pa.Table.from_pandas(sub.sort_values("id"),
+                                            preserve_index=False),
+                       fact.data_path(name))
+        adds.append({"file": name, "pb": b})
+    assert fact._try_commit_linked(
+        fact.version(), adds, sorted(live), "straggler-rebucket",
+        txn="fence-bypass")
+    with fact._meta_lock():
+        m = fact._meta()
+        m["n_buckets"] = 8
+        fact._persist_meta(m)
+
+    # a plain read resolves the decided txn: the delete rebase must
+    # find every key under the NEW modulus
+    got = _fact_rows(spark, fact)
+    assert got == {(i, i * 10) for i in range(6, 50)}
+    assert acid.read_snapshot_spark(spark, dim).count() == 6
+    for t in (fact, dim):
+        assert not os.path.exists(tx._marker_path(t))
