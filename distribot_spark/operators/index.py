@@ -71,7 +71,7 @@ def build_bm25_index(
 
 def load_bm25_index(spark: SparkSession, index_dir: str) -> dict[str, DataFrame]:
     return {
-        name: spark.read.parquet(os.path.join(index_dir, name))
+        name: spark.read.parquet(_part_path(index_dir, name))
         for name in ("postings", "docfreq", "doclen", "docs", "stats")
     }
 
@@ -141,6 +141,40 @@ def merge_bm25_shard(
     doclen.write.mode("overwrite").parquet(os.path.join(out_dir, "doclen"))
     docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     stats.write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+
+
+def merge_bm25_shard_inplace(
+    spark: SparkSession,
+    index_dir: str,
+    shard_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """`merge_bm25_shard` folded back into the SAME index dir with the
+    pointer-swap commit: the merged artifact tables stage under
+    ``{part}-{token}`` names and ONE atomic ``_live.json`` PUT flips
+    all five at once — no caller-side directory renames (which object
+    stores lack), readers see the old index or the new one, never a
+    mix, and a crash before the PUT publishes nothing (orphans GC on
+    the next swap). Same shard-local work + merge ≡ rebuild contract
+    as the out-of-place form."""
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex[:12]
+    staged = os.path.join(index_dir, f"_bm25_stage-{token}")
+    merge_bm25_shard(spark, index_dir, shard_df, staged,
+                     text_col=text_col, id_col=id_col)
+    # relocate the staged tables to token part names (a LOCAL move of
+    # freshly written staging output, before anything is published —
+    # on a real store the merge would write token names directly)
+    for name in ("postings", "docfreq", "doclen", "docs", "stats"):
+        os.rename(os.path.join(staged, name),
+                  os.path.join(index_dir, f"{name}-{token}"))
+    import shutil as _sh
+
+    _sh.rmtree(staged, ignore_errors=True)
+    _swap_parts(index_dir, token,
+                ("postings", "docfreq", "doclen", "docs", "stats"))
 
 
 # -- IVF -------------------------------------------------------------------
@@ -274,7 +308,8 @@ def append_ivf_shard(
 LIVE_POINTER = "_live.json"
 
 #: artifact-dir basenames the pointer may remap / the GC may reclaim
-_PART_NAMES = ("centroids", "vectors", "drift", "buckets", "shingles")
+_PART_NAMES = ("centroids", "vectors", "drift", "buckets", "shingles",
+               "postings", "docfreq", "doclen", "docs", "stats")
 
 
 def _live_map(index_dir: str) -> dict:

@@ -436,3 +436,36 @@ def test_optimize_crash_publishes_nothing(spark):
         assert got == want
     finally:
         shutil.rmtree(ix, ignore_errors=True)
+
+
+def test_bm25_inplace_merge_pointer_swap(spark):
+    """The in-place BM25 shard merge: pointer-swap committed (no live
+    dir is ever renamed), equal to a from-scratch build on the union —
+    twice in a row, so the second merge runs on an already-pointered
+    index — and a crash before the PUT publishes nothing."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+    ix, full = _tmp(), _tmp()
+    try:
+        rindex.build_bm25_index(a, ix)
+        rindex.merge_bm25_shard_inplace(spark, ix, b)
+        rindex.merge_bm25_shard_inplace(spark, ix, c)  # pointered base
+        rindex.build_bm25_index(docs, full)
+        m, f = (rindex.load_bm25_index(spark, d) for d in (ix, full))
+        for name in ("postings", "docfreq", "doclen", "docs", "stats"):
+            assert _rows(m[name]) == _rows(f[name]), name
+        assert _rows(rindex.serve_bm25_topk(spark, ix, 3, 3, 5)) == \
+            _rows(rindex.serve_bm25_topk(spark, full, 3, 3, 5))
+        # crash model: staged orphans without the PUT publish nothing
+        before = _rows(rindex.serve_bm25_topk(spark, ix, 3, 3, 5))
+        ptr = dict(rindex._live_map(ix))
+        import shutil as _sh
+        _sh.copytree(rindex._part_path(ix, "docs"),
+                     os.path.join(ix, "docs-orphan1"))
+        assert _rows(rindex.serve_bm25_topk(spark, ix, 3, 3, 5)) == before
+        assert rindex._live_map(ix) == ptr
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
