@@ -350,6 +350,7 @@ def stage_delete_spark(spark, table, keys_df, key: str | None = None,
             "commit_together: FK tables don't participate (RESTRICT "
             "validation and removal epochs are single-log; run FK "
             "deletes through delete_keys_spark)")
+    table._add_feature("deletion-vectors")  # reader gate, pre-commit
     gate0 = _a._gate_state(table)
     _a._fk_take_captures(table)
     key, n_buckets = _a._resolve_layout(table, key, n_buckets)

@@ -102,3 +102,20 @@ def test_clone_preserves_features(spark):
     shutil.rmtree(dst)
     acid.clone_table(t, dst)
     assert TableLog(dst).features() == ["deletion-vectors"]
+
+
+def test_txn_delete_participant_records_dv_feature(spark):
+    from distribot_spark.sources import commit_together
+    from distribot_spark.sources import txn as tx
+
+    t = _mk(spark)
+    t2 = _mk(spark)
+    staged = [
+        tx.stage_delete_spark(spark, t, spark.range(0, 3).select("id")),
+        tx.stage_append_spark(
+            spark, t2, spark.range(100, 102).select(
+                "id", (F.col("id") * 2).alias("v"))),
+    ]
+    assert "deletion-vectors" in t.features()  # recorded pre-commit
+    commit_together(staged)
+    assert acid.read_snapshot_spark(spark, t).count() == 37
