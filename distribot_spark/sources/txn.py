@@ -5,16 +5,20 @@ of ONE log; loading a fact and its dimension atomically needs a commit
 that spans TWO logs. The FK epoch fence (sources/acid.py `try_commit`)
 already serializes one cross-log pattern (child insert vs parent
 delete); this module is the GENERAL primitive the r7 verdict asked for
-(task 5): ``commit_together([stage_append_spark(...), ...])`` lands one
-staged append per table such that a reader — or a crash at ANY point —
-observes the transaction on every table or on none.
+(task 5, extended in r9 to MERGE and DV-DELETE participants):
+``commit_together([stage_append_spark(...), stage_merge_spark(...),
+stage_delete_spark(...)])`` lands one staged participant per table
+such that a reader — or a crash at ANY point — observes the
+transaction on every table or on none.
 
 Protocol (everything goes through the storage seam, so it holds on a
 conditional-put-only object store exactly like single-table commits):
 
-1. **Stage**: each table's rows are bucketed and written as immutable
-   data files (the `append_spark` staging path, constraints applied) —
-   nothing is visible, no log is touched.
+1. **Stage**: each participant's artifacts are written as immutable
+   files — bucketed data files for appends, the precomputed bucket
+   rewrite + raw update rows for merges, DV sidecars + the key list
+   for deletes (constraints applied) — nothing is visible, no log is
+   touched.
 2. **Pin**: a ``_txn.pending.json`` MARKER is created in every
    participant's log dir via atomic ``put_if_absent`` (sorted path
    order, so overlapping transactions fail fast instead of
