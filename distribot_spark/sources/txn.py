@@ -82,8 +82,8 @@ Scope rails (each refused loudly at stage time): tables with FOREIGN
 KEYs, IDENTITY columns or UNIQUE constraints don't participate (their
 validation loops are single-log by construction), and quarantine-mode
 constraints don't either (the dead-letter diversion is not part of
-the atomic plan). General cross-log mutation beyond append+merge
-stays with the FK fence.
+the atomic plan). Cross-log mutation beyond append+merge+delete
+(e.g. FK-fenced writes) stays with the single-table paths.
 
 Reference intent: distribot transitions multi-queue state through ONE
 shared coordination write (lib/distribot/flow.rb:31-52 — flow state in
