@@ -3420,6 +3420,92 @@ def source_acid_replace_where(spark, sf_dir):
 
 
 @register(
+    "source_acid_update_where",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    upd AS (
+        SELECT CASE WHEN pri LIKE '3-%' AND o_orderkey % 2 = 0
+                    THEN 'U-' || pri ELSE pri END AS pri,
+               CASE WHEN pri LIKE '3-%' AND o_orderkey % 2 = 0
+                    THEN cents + 500 ELSE cents END AS cents
+        FROM base
+    )
+    SELECT pri, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM upd GROUP BY pri ORDER BY pri
+    """,
+    tags=("sources", "acid", "update"),
+)
+def source_acid_update_where(spark, sf_dir):
+    """``UPDATE ... SET ... WHERE ...`` (acid.update_where_spark —
+    Delta's UPDATE, the DML verb between MERGE and REPLACE WHERE):
+    orders lands in an ACID table, keys %97 are DV-deleted, then ONE
+    commit updates the even-keyed '3-%' priority rows IN PLACE —
+    both assignments (re-tag the priority, +500 cents) evaluating
+    against the PRE-image row, exercising in one operation: the
+    predicate-matched file discovery (one pushdown scan, only files
+    with a hit rewritten 1:1 into their buckets), DV folding (a
+    hidden match neither forces a rewrite nor resurrects — %97 rows
+    stay gone), per-column cast-to-existing-type (no parquet schema
+    drift under the mergeSchema readers), and the single-version swap
+    (time travel one version back shows every pre-image value). The
+    change feed reports exactly the matched rows as update_pre/post
+    pairs with no update-specific CDF code — the generic rewrite
+    differ suppresses carried rows (asserted). The oracle recomputes
+    the final census relationally with the same CASE expressions. At
+    100 TB an update pays O(matched files), never O(table)."""
+    import shutil
+
+    from distribot_spark.sources import (
+        TableLog,
+        delete_keys_spark,
+        read_snapshot_spark,
+        update_where_spark,
+        write_initial_spark,
+    )
+    from distribot_spark.sources.acid import table_changes_spark
+
+    out = os.path.join(TMP_ROOT, f"acid_update_{_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    t = TableLog(os.path.join(out, "table"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    write_initial_spark(spark, t, orders, "o_orderkey", n_buckets=8)
+    delete_keys_spark(
+        spark, t,
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey"), "o_orderkey")
+
+    v0 = t.version()
+    st = update_where_spark(
+        spark, t, "pri LIKE '3-%' AND o_orderkey % 2 = 0",
+        {"pri": "concat('U-', pri)", "cents": "cents + 500"},
+        writer="retag")
+    assert t.version() == v0 + 1, "UPDATE must be ONE commit"
+    assert st["files_rewritten"] > 0 and st["rows_updated"] > 0, st
+    # time travel: every pre-image value is intact one version back
+    old = read_snapshot_spark(spark, t, version=v0,
+                              dv_key="o_orderkey")
+    assert old.filter(F.col("pri").like("U-%")).count() == 0
+    # the generic CDF differ reports exactly the matched rows
+    feed = table_changes_spark(spark, t, "o_orderkey",
+                               from_version=v0 + 1, to_version=v0 + 1)
+    n_pre = feed.filter(F.col("_change_type") == "update_pre").count()
+    assert n_pre == st["rows_updated"], (n_pre, st)
+
+    cur = read_snapshot_spark(spark, t, dv_key="o_orderkey")
+    return (cur.groupBy("pri")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("cents").cast("long").alias("sum_cents"))
+            .orderBy("pri"))
+
+
+@register(
     "source_acid_commit_together",
     oracle="""
         SELECT c.c_mktsegment AS seg, COUNT(*) AS cnt,

@@ -4926,6 +4926,219 @@ def overwrite_where_spark(
 
 
 @_reapply_on_constraint_change
+def update_where_spark(
+    spark,
+    table: TableLog,
+    predicate: str,
+    assignments: dict,
+    writer: str = "update",
+    stats_cols=(),
+    max_attempts: int = 50,
+    pre_commit_hook=None,
+) -> dict:
+    """``UPDATE <table> SET col = expr, ... WHERE <predicate>`` — the
+    DML verb between MERGE (keyed upsert) and REPLACE WHERE (region
+    swap): rewrite IN PLACE every live row matching an arbitrary
+    predicate, in ONE commit. Delta's ``UPDATE``.
+
+    Semantics (SQL): every assignment's right-hand side evaluates
+    against the PRE-image row — ``SET a = b, b = a`` swaps — and a
+    NULL predicate means the row does not match (``coalesce(pred,
+    false)``). Each RHS is cast to the column's EXISTING type, so an
+    update can never drift a file's parquet schema out from under the
+    mergeSchema readers.
+
+    Scale shape (mirrors `overwrite_where_spark`): ONE predicate-
+    pushdown scan over the live files (DVs of both kinds folded first,
+    so a DV-hidden match neither forces a rewrite nor resurrects)
+    finds the files with a hit; ONLY those files are rewritten 1:1
+    into their same buckets — matched rows with the assignments
+    applied, the rest carried verbatim, the rewritten files' DVs
+    folded in so hidden rows die with the old file. At 100 TB an
+    update pays O(matched files), never O(table), and the change feed
+    reports exactly the matched rows as ``update_pre`` /
+    ``update_post`` pairs (carried rows are suppressed by the
+    CDF's null-safe struct compare — nothing update-specific needed).
+
+    Rails:
+    - the MERGE KEY cannot be assigned (rows would change bucket; use
+      MERGE + DELETE to move a key), and with it the UNIQUE contract
+      is untouched by construction (`_unique_constraints` supports the
+      key only);
+    - an IDENTITY column cannot be assigned (ids are engine-issued;
+      they ride the rewrite verbatim — identity tables are otherwise
+      fully supported, unlike REPLACE WHERE, because no new ids are
+      ever minted here);
+    - GENERATED columns cannot be assigned directly; when a generated
+      column's SOURCE is assigned, the derived value is RECOMPUTED on
+      the matched rows (Delta's generated-column contract), so
+      partition-style pruning columns never go stale;
+    - CHECK constraints (fail- AND quarantine-declared) are validated
+      on the POST-image of the matched rows and any violation ABORTS
+      the whole update before staging — quarantine diversion would
+      silently DELETE a pre-existing row, which an UPDATE must never
+      do;
+    - FOREIGN KEY columns being assigned re-prove membership of the
+      NEW values against the parent's live key set (bucket-pruned,
+      DV-folded) and abort on an orphan, both declared modes; no key
+      LEAVES the table, so the parent-side RESTRICT scan and the
+      removal fence do not apply;
+    - column-mapped tables refuse loudly (the predicate and the
+      assignments would run against renamed physical columns — the
+      REPLACE WHERE / DELETE WHERE boundary).
+
+    A predicate matching nothing returns without committing
+    (``rows_updated`` 0, ``committed_version`` None).
+
+    OCC: losing the version race recomputes wholesale against the new
+    head (a concurrent merge may have rewritten a matched bucket).
+
+    Returns {committed_version, attempts, rows_updated,
+    files_rewritten}."""
+    from pyspark.sql import functions as F
+
+    _rev0 = _gate_state(table)  # no rows leave: append-grade gate
+    if table.column_mapping() or table.dropped_columns():
+        raise ValueError(
+            "UPDATE on a column-mapped table is not supported: the "
+            "predicate and assignments would run against renamed "
+            "physical columns")
+    key, n_buckets = _resolve_layout(table, None, None)
+    if key in assignments:
+        raise ValueError(
+            f"UPDATE cannot assign the merge key {key!r} (rows would "
+            "change bucket); use MERGE + DELETE to move a key")
+    ident = table.identity()
+    if ident and ident["col"] in assignments:
+        raise ValueError(
+            f"identity column {ident['col']!r} is GENERATED ALWAYS — "
+            "UPDATE cannot assign it")
+    gens = table.generated()
+    for g in sorted(set(gens) & set(assignments)):
+        raise ValueError(
+            f"generated column {g!r} cannot be assigned directly; "
+            f"assign its source {gens[g]['src']!r} and the value is "
+            "recomputed")
+    pred = F.expr(predicate)
+    match = F.coalesce(pred, F.lit(False))
+    cons = table.constraints()
+    checks = {n: c for n, c in sorted(cons.items())
+              if not c.get("foreign_key") and not c.get("unique")}
+    fk_assigned = {n: c for n, c in sorted(cons.items())
+                   if c.get("foreign_key") and c["col"] in assignments}
+
+    attempts = 0
+    while attempts < max_attempts:
+        v, live = table.snapshot()
+        if not live:
+            return {"committed_version": None, "attempts": attempts,
+                    "rows_updated": 0, "files_rewritten": 0}
+        paths = [table.data_path(f) for f in sorted(live)]
+        base = spark.read.option("mergeSchema", "true").parquet(
+            *paths).withColumn("_f", _file_col())
+        base = _apply_dvs(spark, table, base, key, table.live_dvs(),
+                          files=set(live), keep_file_col=True)
+        hits = base.filter(match).groupBy("_f").count()
+        by_file = {r["_f"]: int(r["count"]) for r in hits.collect()}
+        matched_files = sorted(by_file)
+        n_upd = sum(by_file.values())
+        if not matched_files:
+            return {"committed_version": None, "attempts": attempts,
+                    "rows_updated": 0, "files_rewritten": 0}
+        # the rewrite reads ONLY the matched files — every hit lives in
+        # one by definition, so the pass is O(matched), not O(table)
+        in_matched = base.filter(F.col("_f").isin(matched_files))
+        dtypes = dict(in_matched.drop("_f").dtypes)
+        unknown = sorted(set(assignments) - set(dtypes))
+        if unknown:
+            raise ValueError(
+                f"UPDATE assigns unknown column(s) {unknown}; UPDATE "
+                "never adds columns (use ALTER for schema changes)")
+        # one projection: every RHS sees the PRE-image row (SQL
+        # simultaneous-assignment semantics), cast to the column's
+        # current type so the file schema never drifts
+        # generated exprs reference their source BY NAME — stage each
+        # post-image source under a scratch column first so the
+        # derivation sees the NEW value inside the same projection
+        regen = {c: f"__post_{gens[c]['src']}" for c in sorted(gens)
+                 if gens[c]["src"] in assignments and c in dtypes}
+        rewritten = in_matched
+        for c, scratch in regen.items():
+            rewritten = rewritten.withColumn(
+                scratch,
+                F.when(match, F.expr(assignments[gens[c]["src"]])
+                       .cast(dtypes[gens[c]["src"]]))
+                .otherwise(F.col(gens[c]["src"])))
+        cols = []
+        for c in in_matched.drop("_f").columns:
+            if c in assignments:
+                cols.append(
+                    F.when(match, F.expr(assignments[c])
+                           .cast(dtypes[c]))
+                    .otherwise(F.col(c)).alias(c))
+            elif c in regen:
+                cols.append(
+                    F.when(match, _generated_expr_spark(
+                        {**gens[c], "src": regen[c]}))
+                    .otherwise(F.col(c)).alias(c))
+            else:
+                cols.append(F.col(c))
+        # the hit flag must be computed on the PRE-image (the predicate
+        # may reference columns being assigned), then carried through
+        # the projection so the post-image validations below see the
+        # fully-applied rows — assignments AND regenerated columns
+        rewritten = rewritten.select(*cols, match.alias("__hit"))
+        post_matched = rewritten.filter(F.col("__hit")).drop("__hit")
+        rewritten = rewritten.drop("__hit")
+        if checks:
+            # ONE agg job over the matched post-image: any violation
+            # aborts (never quarantines — the row already exists)
+            aggs = [F.sum((~_constraint_ok_expr(c)).cast("int"))
+                    .alias(n) for n, c in checks.items()
+                    if c["col"] in dtypes]
+            if aggs:
+                row = post_matched.agg(*aggs).collect()[0]
+                bad = {n: int(row[n] or 0) for n in row.asDict()
+                       if row[n]}
+                if bad:
+                    raise ValueError(
+                        "UPDATE post-image violates CHECK constraint(s) "
+                        f"{bad} — an update never quarantines an "
+                        "existing row; fix the assignment")
+        for n, c in fk_assigned.items():
+            vals = post_matched.select(
+                F.col(c["col"]).alias(c["col"])).distinct().filter(
+                F.col(c["col"]).isNotNull())
+            pkeys = _fk_parent_keys_spark(spark, table, c, vals)
+            orphans = vals.join(
+                pkeys, vals[c["col"]] == pkeys["_fk_pk"], "left_anti"
+            ).count()
+            if orphans:
+                raise ValueError(
+                    f"FOREIGN KEY constraint {n!r} violated: {orphans} "
+                    f"assigned {c['col']!r} value(s) have no parent row")
+        staged = _stage_bucketed(
+            spark, table,
+            rewritten.withColumn(
+                "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())),
+            n_buckets, sort_cols=["_pb", key], stats_cols=stats_cols)
+        if pre_commit_hook is not None:
+            pre_commit_hook(v)
+        if _gate_state(table) != _rev0:
+            _unlink_staged(table, staged)
+            raise _ConstraintsChanged(None)
+        attempts += 1
+        if table.try_commit(v, staged, matched_files, writer):
+            return {"committed_version": v + 1, "attempts": attempts,
+                    "rows_updated": n_upd,
+                    "files_rewritten": len(matched_files)}
+        # lost the race: a winner may have rewritten a matched bucket,
+        # attached a DV, or added files — recompute wholesale
+        _unlink_staged(table, staged)
+    raise CommitConflict(f"{writer}: gave up after {max_attempts} attempts")
+
+
+@_reapply_on_constraint_change
 def append_spark(
     spark,
     table: TableLog,

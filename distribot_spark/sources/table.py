@@ -293,6 +293,15 @@ class Table:
             self.spark, self.log, predicate, df, key=self.key,
             writer=writer, stats_cols=stats_cols)
 
+    def update_where(self, predicate: str, assignments: dict,
+                     writer: str = "update", stats_cols=()) -> dict:
+        """``UPDATE ... SET ... WHERE ...`` — in-place rewrite of the
+        matched rows, one commit, only files with a hit rewritten
+        (`acid.update_where_spark`)."""
+        return acid.update_where_spark(
+            self.spark, self.log, predicate, assignments,
+            writer=writer, stats_cols=stats_cols)
+
     def sync(self, source_df, writer: str = "sync") -> dict:
         """Three-clause MERGE: after it the table equals ``source_df``."""
         return acid.sync_snapshot_spark(

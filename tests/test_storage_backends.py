@@ -311,6 +311,7 @@ ACID_ORACLE_FAMILY = [
     # ride the seam's conditional PUTs — certified now that every
     # coordination primitive does too
     "source_acid_delete_where",        # positional DV sidecar commits
+    "source_acid_update_where",        # in-place predicate UPDATE (r9)
     "source_acid_rename_column",       # column-mapping ALTER + barrier
     "source_acid_matview_topk",        # rider folds under the claim
     "source_acid_identity",            # id reservation via commit body
