@@ -1335,6 +1335,33 @@ class TableLog:
                     referenced.update(ds)
         return referenced
 
+    def _txn_shielded_files(self) -> set[str]:
+        """Data-dir names a PENDING multi-table txn's marker references
+        — staged adds, MERGE/DELETE rebase sources (raw update files /
+        the key list) and precomputed DV sidecars. They are referenced
+        by the marker, not (yet) by any commit, so min-age alone must
+        not be their only vacuum shield (a txn may legitimately stage
+        long before it decides; reclaiming its files would break the
+        roll-forward / strand a decided txn behind a straggler).
+        Shared by the driver `vacuum` and the distributed
+        `manifest.vacuum_spark` planner."""
+        mp = os.path.join(self.log_dir, "_txn.pending.json")
+        if not os.path.exists(mp):
+            return set()
+        from . import txn as _txnmod
+
+        plan = _txnmod._read_json(mp)
+        shielded: set[str] = set()
+        for e in (plan or {}).get("tables", ()):
+            if e.get("path") == self.path:
+                shielded.update(a["file"] for a in e["adds"])
+                shielded.update(
+                    u["file"] for u in e.get("updates_files", ()))
+                shielded.update((e.get("dvs") or {}).values())
+                if e.get("keys_file"):
+                    shielded.add(e["keys_file"])
+        return shielded
+
     def vacuum(
         self, min_age_seconds: float = DEFAULT_VACUUM_MIN_AGE,
     ) -> list[str]:
@@ -1354,38 +1381,31 @@ class TableLog:
           commit and is skipped (Delta's deletedFileRetentionDuration).
           Pass 0.0 only when no concurrent writer can exist."""
         referenced = self.referenced_files()
-        # a PENDING multi-table txn's staged adds are referenced by its
-        # marker, not (yet) by any commit — min-age alone must not be
-        # their only shield (a txn may legitimately stage long before
-        # it decides; reclaiming its files would break the roll-forward)
-        mp = os.path.join(self.log_dir, "_txn.pending.json")
-        if os.path.exists(mp):
-            from . import txn as _txnmod
+        referenced.update(self._txn_shielded_files())
+        return self._reclaim(
+            [n for n in sorted(os.listdir(self.data_dir))
+             if n not in referenced],
+            min_age_seconds)
 
-            plan = _txnmod._read_json(mp)
-            for e in (plan or {}).get("tables", ()):
-                if e.get("path") == self.path:
-                    referenced.update(a["file"] for a in e["adds"])
-                    # MERGE/DELETE participants also stage rebase
-                    # sources (raw update files / the key list) and
-                    # precomputed DV sidecars; reclaiming any would
-                    # strand a decided txn behind a straggler
-                    referenced.update(
-                        u["file"] for u in e.get("updates_files", ()))
-                    referenced.update((e.get("dvs") or {}).values())
-                    if e.get("keys_file"):
-                        referenced.add(e["keys_file"])
+    def _reclaim(self, candidates, min_age_seconds: float,
+                 dry_run: bool = False) -> list[str]:
+        """The physical half of vacuum, shared with the distributed
+        planner (`manifest.vacuum_spark`): apply the min-age rail to
+        already-planned candidates and unlink the survivors. Kept
+        driver-side by design — candidates are crash debris + expired
+        files, O(reclaimable), never O(table)."""
         now = time.time()
         removed = []
-        for name in sorted(os.listdir(self.data_dir)):
-            if name in referenced:
-                continue
+        for name in sorted(candidates):
             p = self.data_path(name)
             try:
                 age = now - os.path.getmtime(p)
             except FileNotFoundError:
                 continue  # a concurrent vacuum / writer abandon beat us
             if age < min_age_seconds:
+                continue
+            if dry_run:
+                removed.append(name)
                 continue
             if os.path.isdir(p):
                 # a crashed Spark writer's _stage-* scratch dir: old

@@ -440,3 +440,100 @@ def purge_candidates_manifest(
         for r in agg["cand"]
     ]
     return cand, int(agg["pruned"] or 0)
+
+
+def referenced_files_df(spark, table: TableLog):
+    """Every data-dir name some RETAINED snapshot (version >= the
+    retention floor) references, as a one-column DataFrame ``(file)``
+    — the distributed twin of `TableLog.referenced_files`, which
+    materializes that set as a driver-side Python set (O(live files)
+    on one machine: the same wall `manifest_df` removed from snapshot
+    planning, now removed from VACUUM planning).
+
+    Derivation (provably equal to the driver fold): a name is
+    referenced iff it is live at the FLOOR version — the manifest at
+    ``floor`` as a distributed parquet scan, data files plus their
+    attached DV sidecars — or was ADDED by a commit after it (added at
+    version i > floor means live at i, a retained version), or is a DV
+    sidecar attached after it to a then-live file (attachment at i >
+    floor references it at i, whatever happens later). The tail walk
+    collects O(tail-commit entries) NAMES on the driver — proportional
+    to the work done since the floor, never to the table. A pending
+    multi-table txn's staged files (referenced by its marker, not yet
+    by any commit) ride along exactly as in the driver fold.
+    Row-for-row equality with `TableLog.referenced_files` is pinned by
+    tests/test_vacuum_spark.py across expiry/OPTIMIZE/RESTORE/DV
+    workloads."""
+    from pyspark.sql import functions as F
+
+    head = table.version()
+    floor = table.expired_before()
+    extra: set[str] = set(table._txn_shielded_files())
+    if head < 0:
+        return spark.createDataFrame(
+            [(x,) for x in sorted(extra)], "file string")
+    m = manifest_df(spark, table, version=floor)
+    base = m.select("file").unionByName(
+        m.select(F.explode("dvs").alias("file")))
+    removed_now: set[str] = set()
+    for i in range(floor + 1, head + 1):
+        c = table.read_commit(i)
+        for f in c["removes"]:
+            removed_now.add(f)
+        for a in c["adds"]:
+            extra.add(a["file"])
+            removed_now.discard(a["file"])
+        for f, d in (c.get("dvs") or {}).items():
+            # the fold's `if f in live` guard: an attachment names a
+            # file live at attach time — skip only one removed earlier
+            # in the tail and not re-added (defensive; no writer
+            # produces such a commit)
+            if f not in removed_now:
+                extra.update([d] if isinstance(d, str) else list(d))
+    if extra:
+        base = base.unionByName(spark.createDataFrame(
+            [(x,) for x in sorted(extra)], "file string"))
+    return base.distinct()
+
+
+def vacuum_spark(
+    spark,
+    table: TableLog,
+    min_age_seconds: float | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM with DISTRIBUTED planning: the candidate set (data-dir
+    entries no retained snapshot references) is computed as a Spark
+    anti-join of the directory listing against `referenced_files_df`,
+    so the driver never materializes the referenced set — the planning
+    bottleneck `TableLog.vacuum` hits at millions of live files, and
+    the reason Delta's VACUUM lists and diffs with a Spark job. Only
+    the CANDIDATES (crash debris + expired files — O(reclaimable),
+    never O(table)) return to the driver, where the shared
+    `TableLog._reclaim` applies the min-age rail and unlinks, so both
+    vacuums delete byte-identically (pinned equal by
+    tests/test_vacuum_spark.py).
+
+    The listing itself is one driver ``os.listdir`` here (posix
+    backend); an object-store backend would page its LIST results
+    straight into the same one-column frame — the anti-join and
+    everything after it are already shaped for that.
+
+    ``dry_run=True`` returns the would-remove names (post min-age)
+    without deleting. Same retention + min-age rails and the same
+    pending-txn shield as `TableLog.vacuum`."""
+    if min_age_seconds is None:
+        from .acid import DEFAULT_VACUUM_MIN_AGE
+
+        min_age_seconds = DEFAULT_VACUUM_MIN_AGE
+    names = sorted(os.listdir(table.data_dir))
+    if not names:
+        return []
+    listing = spark.createDataFrame([(n,) for n in names], "file string")
+    cand = [
+        r["file"]
+        for r in listing.join(
+            referenced_files_df(spark, table), "file", "left_anti"
+        ).collect()
+    ]
+    return table._reclaim(cand, min_age_seconds, dry_run=dry_run)
