@@ -810,3 +810,29 @@ def test_topk_spec_validation(spark):
         mv._validate_spec({"group_by": ["a"],
                            "aggs": {"b": {"fn": "bottomk", "col": "v",
                                           "k": 2}}})
+
+
+def test_update_where_commits_fold_into_refresh(spark):
+    """The round-9 UPDATE verb composes with IVM for free: an
+    update_where commit is a plain rewrite commit, so the CDF reports
+    update_pre/post pairs and the refresh folds them like any MERGE
+    update — value changes, a predicate-driven GROUP MOVE, and an
+    update racing other alphabet letters all land recompute-exact."""
+    base, view = _mk(spark)
+    # value update inside a group
+    acid.update_where_spark(spark, base, "cat = 1 AND id < 60",
+                            {"val": "val + 5"})
+    st = mv.refresh_matview(spark, base, view)
+    assert st["behind"] == 0
+    _assert_view_equals_recompute(spark, base, view)
+    # predicate-driven group move (cat is the view's group key)
+    acid.update_where_spark(spark, base, "cat = 2 AND id < 30",
+                            {"cat": "3"})
+    # and an interleaved delete + append before the next refresh
+    acid.delete_keys_spark(
+        spark, base, spark.range(0, 200).filter(F.col("id") % 13 == 0)
+        .select("id"), "id")
+    acid.merge_upsert_spark(spark, base, _base_df(spark, 200, 230), "id")
+    st = mv.refresh_matview(spark, base, view)
+    assert st["behind"] == 0
+    _assert_view_equals_recompute(spark, base, view)
