@@ -164,6 +164,91 @@ def manifest_curve():
     return out
 
 
+def vacuum_curve():
+    """VACUUM planning cost vs LIVE FILE COUNT: the driver fold
+    (`TableLog.referenced_files` — parse a checkpoint of every live
+    file into a Python set, diff the listing in a loop) against the
+    distributed planner (`manifest.vacuum_spark`'s shape:
+    `referenced_files_df` anti-joined with the listing as a Spark job;
+    the driver receives only the CANDIDATES). Same synthetic dual-
+    format checkpoint as --manifest, expired to the checkpoint
+    boundary so the checkpoint state is exactly the retained horizon;
+    the listing is the live set plus 100 debris names, handed to both
+    planners as names (the physical unlink half is identical and
+    O(candidates) by construction — `TableLog._reclaim` is shared).
+    The driver column must grow ~linearly with file count; the Spark
+    column must stay ~flat. Both planners must agree on the candidate
+    set (asserted). Usage: python scaling.py --vacuum
+    """
+    import json as _json
+    import tempfile
+
+    import pandas as pd
+
+    from distribot_spark.session import get_spark
+    from distribot_spark.sources import manifest as mf
+    from distribot_spark.sources.acid import CHECKPOINT_EVERY, TableLog
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    out = []
+    for n_files in (1_000, 10_000, 100_000, 1_000_000):
+        root = tempfile.mkdtemp(prefix="vacuum_scale_")
+        t = TableLog(root)
+        t.init()
+        v = -1
+        for i in range(CHECKPOINT_EVERY + 1):
+            assert t.try_commit(v, [{"file": f"seed{i}", "pb": 0}], [], "w")
+            v += 1
+        live = {f"pb{i % 64:05d}-{i:09d}.parquet": i % 64
+                for i in range(n_files)}
+        ck = t._checkpoint_path(CHECKPOINT_EVERY)
+        with open(ck, "w") as fh:
+            _json.dump({"version": CHECKPOINT_EVERY, "live": live,
+                        "stats": {}, "dvs": {}, "id_hwm": 0}, fh)
+        mf.write_checkpoint_parquet(
+            t, CHECKPOINT_EVERY, live, {}, {}, 0)
+        # retention floor = the checkpoint version: the synthetic
+        # 1M-file state IS the retained horizon both planners fold
+        t.expire_snapshots(keep_last=1)
+        assert t.expired_before() == CHECKPOINT_EVERY
+        listing = sorted(live) + [f"debris-{i:05d}" for i in range(100)]
+        cand_d = cand_s = None
+
+        def run_driver():
+            nonlocal cand_d
+            ref = t.referenced_files() | t._txn_shielded_files()
+            cand_d = sorted(n for n in listing if n not in ref)
+
+        def run_spark():
+            nonlocal cand_s
+            ldf = spark.createDataFrame(
+                pd.DataFrame({"file": listing}))
+            cand_s = sorted(
+                r["file"] for r in ldf.join(
+                    mf.referenced_files_df(spark, t),
+                    "file", "left_anti").collect())
+
+        driver_best = min(_timed(run_driver) for _ in range(3))
+        spark_best = min(_timed(run_spark) for _ in range(3))
+        assert cand_d == cand_s and len(cand_d) == 100
+        row = {
+            "live_files": n_files,
+            "driver_plan_ms": round(driver_best * 1000, 1),
+            "spark_plan_ms": round(spark_best * 1000, 1),
+        }
+        out.append(row)
+        print(_json.dumps(row), flush=True)
+    print(_json.dumps({
+        "driver_growth_1m_over_1k": round(
+            out[-1]["driver_plan_ms"]
+            / max(out[0]["driver_plan_ms"], 1e-6), 1),
+        "spark_growth_1m_over_1k": round(
+            out[-1]["spark_plan_ms"]
+            / max(out[0]["spark_plan_ms"], 1e-6), 1),
+    }), flush=True)
+    return out
+
+
 def purge_curve():
     """Compliance-purge scaling: wall time of `purge_keys_spark` for a
     FIXED 4-key set as the table grows sf0.001 -> 0.01 -> 0.1 (100x
@@ -644,6 +729,8 @@ if __name__ == "__main__":
         table_log_curve()
     elif "--manifest" in sys.argv:
         manifest_curve()
+    elif "--vacuum" in sys.argv:
+        vacuum_curve()
     elif "--purge" in sys.argv:
         purge_curve()
     elif "--export" in sys.argv:
