@@ -226,6 +226,10 @@ HEADLINE = [
     # atomic marker swap) before the probe. Tracks the compaction
     # cost family next to l2_minhash_serve's accreted-index probe.
     "l2_minhash_optimize_serve",
+    # round-9 session-2: predicate UPDATE (one pushdown scan + 1:1
+    # matched-file rewrite + CDF pair assertion) — the in-place DML
+    # cost family next to delete_where/replace_where.
+    "source_acid_update_where",
 ]
 
 
