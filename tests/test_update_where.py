@@ -249,3 +249,30 @@ def test_cdf_reports_update_pairs_carried_rows_suppressed(spark):
     assert {r["v"] for r in rows
             if r["_change_type"] == "update_post"} == {
         i * 10 + 1 for i in matched}
+
+
+def test_update_feeds_replication_replica_equals_source(spark):
+    """The UPDATE verb drives the CDC-consumer loop with zero new
+    code: clone-bootstrap a replica, update_where the source (value
+    change AND a predicate beyond the replica's knowledge), replicate
+    the range — the net-fold applies the update_post rows as one MERGE
+    and the replica equals the source row-for-row."""
+    from distribot_spark.sources.acid import (
+        clone_table, replicate_changes_spark)
+
+    t = _mk(spark, n=60, n_buckets=2)
+    dst_path = os.path.join(_tmp("uw_r_"), "replica")
+    c = t.version()
+    clone_table(t, dst_path)
+    dst = TableLog(dst_path)
+    update_where_spark(spark, t, "g IN (1, 5) AND v < 400",
+                       {"v": "v * 2", "g": "g + 10"})
+    acid.delete_keys_spark(
+        spark, t, spark.createDataFrame([(8,)], "id long"), "id")
+    st = replicate_changes_spark(spark, t, dst, from_version=c + 1)
+    assert st["upserted_keys"] > 0
+    src_rows = sorted(map(tuple, acid.read_snapshot_spark(
+        spark, t).collect()))
+    dst_rows = sorted(map(tuple, acid.read_snapshot_spark(
+        spark, dst).collect()))
+    assert src_rows == dst_rows
