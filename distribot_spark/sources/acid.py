@@ -201,6 +201,48 @@ def _gate_state(table: "TableLog", removal: bool = False) -> tuple:
         table.effective_layout())
 
 
+#: Writer planning flips from the driver JSON fold to a Spark job over
+#: the parquet-checkpoint manifest once the checkpoint JSON outgrows
+#: this (~80k live files): below it a JSON parse beats a job's ~0.2 s
+#: scheduling constant; above it the fold is the planning bottleneck
+#: (scaling.py --vacuum measures the same crossover for vacuum).
+PLAN_VIA_MANIFEST_MIN_BYTES = 8 << 20
+
+
+def _plan_bucket_state(spark, table: "TableLog", touched):
+    """Planning state for a bucket-scoped writer: ``(head version,
+    {file: bucket} of the touched buckets, {file: dv list})``. Driver
+    JSON fold for small tables; a Spark job over the parquet-checkpoint
+    manifest once the checkpoint outgrows `PLAN_VIA_MANIFEST_MIN_BYTES`
+    (the purge-planner discipline applied to the WRITE path) — the
+    driver then never materializes a row per live file, so a merge's
+    planning cost is O(touched buckets), not O(table). Both paths are
+    pinned state-identical by tests/test_writer_manifest_planning.py."""
+    use_manifest = False
+    if spark is not None:
+        v0 = table.version()
+        if v0 >= 0:
+            from . import manifest as _mf
+
+            ck = _mf.newest_checkpoint_parquet(table, v0)
+            if ck > 0:
+                try:
+                    use_manifest = (
+                        os.path.getsize(table._checkpoint_path(ck))
+                        >= PLAN_VIA_MANIFEST_MIN_BYTES)
+                except OSError:
+                    pass
+    if use_manifest:
+        from . import manifest as _mf
+
+        return _mf.bucket_files_manifest(spark, table, touched)
+    v, live = table.snapshot()
+    bucket_files = {f: b for f, b in live.items() if b in touched}
+    dvmap = {f: ds for f, ds in table.live_dvs().items()
+             if f in bucket_files}
+    return v, bucket_files, dvmap
+
+
 def _bucket_of_py(k: int, n_buckets: int, hashed: bool) -> int:
     """Python-side bucket id — MUST agree with `_bucket_expr`."""
     return _pmod(_xxh64_long(int(k)) if hashed else int(k), n_buckets)
@@ -3686,11 +3728,7 @@ def merge_upsert_spark(
     n_new_ids = 0
 
     while attempts < max_attempts:
-        v, live = table.snapshot()
-        bucket_files = {f: b for f, b in live.items() if b in touched}
-        dvmap = {
-            f: ds for f, ds in table.live_dvs().items() if f in bucket_files
-        }
+        v, bucket_files, dvmap = _plan_bucket_state(spark, table, touched)
         # DV state participates in conflict detection: a deletion-vector
         # commit landing on our buckets changes content without changing
         # the file set, and our rewrite (which REMOVES those files,
@@ -4390,11 +4428,7 @@ def delete_keys_spark(
     deleted_rows = 0
 
     while attempts < max_attempts:
-        v, live = table.snapshot()
-        bucket_files = {f: b for f, b in live.items() if b in touched}
-        dvmap = {
-            f: ds for f, ds in table.live_dvs().items() if f in bucket_files
-        }
+        v, bucket_files, dvmap = _plan_bucket_state(spark, table, touched)
         dvstate = {f: tuple(dvmap.get(f, ())) for f in bucket_files}
         need_compute = (
             (staged is None and staged_dvs is None)
@@ -5227,7 +5261,11 @@ def append_spark(
     attempts = 0
     while attempts < max_attempts:
         if uniq:
-            v, live = table.snapshot()
+            # only the touched buckets' files feed the UNIQUE probe —
+            # the planning seam keeps this O(touched), never O(table),
+            # once the checkpoint outgrows the threshold
+            v, bucket_files_t, dvmap_t = _plan_bucket_state(
+                spark, table, touched)
         else:
             v = table.version()
         if idcol:
@@ -5244,14 +5282,12 @@ def append_spark(
                 up, n_ids, staged = _stage(hwm0)
                 checked_fileset = None
         if uniq:
-            tb = tuple(sorted(f for f, b in live.items() if b in touched))
+            tb = tuple(sorted(bucket_files_t))
             if tb and tb != checked_fileset:
                 base = spark.read.option("mergeSchema", "true").parquet(
                     *[table.data_path(f) for f in tb]
                 )
-                dvmap = {f: ds for f, ds in table.live_dvs().items()
-                         if f in set(tb)}
-                base = _apply_dvs(spark, table, base, key, dvmap,
+                base = _apply_dvs(spark, table, base, key, dvmap_t,
                                   files=set(tb))
                 nconf = base.select(key).join(
                     up.select(key).distinct(), key, "inner"

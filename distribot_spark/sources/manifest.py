@@ -537,3 +537,32 @@ def vacuum_spark(
         ).collect()
     ]
     return table._reclaim(cand, min_age_seconds, dry_run=dry_run)
+
+
+def bucket_files_manifest(spark, table: TableLog, buckets):
+    """WRITER-planning state for a bucket-scoped write: ``(head
+    version, {file: bucket} of exactly the given buckets, {file: [dv
+    sidecars]})`` — the distributed twin of the ``snapshot()`` +
+    filter-to-touched planning in `acid.merge_upsert_spark` and
+    friends. The driver fold materializes a dict of EVERY live file
+    per commit attempt; this runs the manifest scan as a Spark job
+    with the bucket filter pushed down, so the driver receives
+    O(touched-bucket files) — a merge's planning cost stops growing
+    with the table. Same txn-marker resolution as ``snapshot()`` (a
+    decided-but-unrolled multi-table txn is rolled forward before the
+    version is read), so the state is never stale by a marker."""
+    from pyspark.sql import functions as F
+
+    table._resolve_txn_for_read()
+    v = table.version()
+    if v < 0:
+        return v, {}, {}
+    rows = (
+        manifest_df(spark, table, version=v)
+        .filter(F.col("pb").isin(sorted(int(b) for b in buckets)))
+        .select("file", "pb", "dvs")
+        .collect()
+    )
+    live = {r["file"]: int(r["pb"]) for r in rows}
+    dvs = {r["file"]: list(r["dvs"]) for r in rows if r["dvs"]}
+    return v, live, dvs

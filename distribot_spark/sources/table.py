@@ -407,7 +407,19 @@ class Table:
     def expire_snapshots(self, keep_last: int) -> int:
         return self.log.expire_snapshots(keep_last)
 
-    def vacuum(self, min_age_seconds: float = acid.DEFAULT_VACUUM_MIN_AGE):
+    def vacuum(self, min_age_seconds: float = acid.DEFAULT_VACUUM_MIN_AGE,
+               distributed: bool = False, dry_run: bool = False):
+        """Reclaim unreferenced data-dir entries. ``distributed=True``
+        plans the candidate set as a Spark anti-join over the
+        parquet-checkpoint manifest (`manifest.vacuum_spark`) — the
+        driver never materializes the referenced set; deletes are
+        byte-identical to the driver planner."""
+        if distributed or dry_run:
+            from distribot_spark.sources.manifest import vacuum_spark
+
+            return vacuum_spark(self.spark, self.log,
+                                min_age_seconds=min_age_seconds,
+                                dry_run=dry_run)
         return self.log.vacuum(min_age_seconds=min_age_seconds)
 
     def truncate_log(self):

@@ -189,3 +189,20 @@ def test_empty_and_headless_tables(spark):
     assert vacuum_spark(spark, t, min_age_seconds=0.0) == []
     open(t.data_path("junk"), "w").write("z")
     assert vacuum_spark(spark, t, min_age_seconds=0.0) == ["junk"]
+
+
+def test_facade_distributed_vacuum_and_dry_run(spark):
+    from distribot_spark.sources.table import Table
+
+    t = Table.create(
+        spark, os.path.join(_tmp("vs_f_"), "t"),
+        spark.range(0, 40).select("id", (F.col("id") % 3).alias("g")),
+        "id", 2)
+    open(t.log.data_path("stale-orphan"), "w").write("x")
+    got = t.vacuum(min_age_seconds=0.0, dry_run=True)
+    assert got == ["stale-orphan"]
+    assert os.path.exists(t.log.data_path("stale-orphan"))
+    assert t.vacuum(min_age_seconds=0.0, distributed=True) == [
+        "stale-orphan"]
+    assert not os.path.exists(t.log.data_path("stale-orphan"))
+    assert t.read().count() == 40
