@@ -209,6 +209,26 @@ def _gate_state(table: "TableLog", removal: bool = False) -> tuple:
 PLAN_VIA_MANIFEST_MIN_BYTES = 8 << 20
 
 
+def _manifest_plan_eligible(table: "TableLog") -> bool:
+    """True when writer planning should run as a manifest Spark job:
+    a parquet checkpoint exists and its JSON twin has outgrown
+    `PLAN_VIA_MANIFEST_MIN_BYTES` (below that a driver JSON parse
+    beats a job's scheduling constant)."""
+    v0 = table.version()
+    if v0 < 0:
+        return False
+    from . import manifest as _mf
+
+    ck = _mf.newest_checkpoint_parquet(table, v0)
+    if ck <= 0:
+        return False
+    try:
+        return (os.path.getsize(table._checkpoint_path(ck))
+                >= PLAN_VIA_MANIFEST_MIN_BYTES)
+    except OSError:
+        return False
+
+
 def _plan_bucket_state(spark, table: "TableLog", touched):
     """Planning state for a bucket-scoped writer: ``(head version,
     {file: bucket} of the touched buckets, {file: dv list})``. Driver
@@ -218,21 +238,7 @@ def _plan_bucket_state(spark, table: "TableLog", touched):
     driver then never materializes a row per live file, so a merge's
     planning cost is O(touched buckets), not O(table). Both paths are
     pinned state-identical by tests/test_writer_manifest_planning.py."""
-    use_manifest = False
-    if spark is not None:
-        v0 = table.version()
-        if v0 >= 0:
-            from . import manifest as _mf
-
-            ck = _mf.newest_checkpoint_parquet(table, v0)
-            if ck > 0:
-                try:
-                    use_manifest = (
-                        os.path.getsize(table._checkpoint_path(ck))
-                        >= PLAN_VIA_MANIFEST_MIN_BYTES)
-                except OSError:
-                    pass
-    if use_manifest:
+    if spark is not None and _manifest_plan_eligible(table):
         from . import manifest as _mf
 
         return _mf.bucket_files_manifest(spark, table, touched)
@@ -5451,6 +5457,26 @@ def _auto_compact_trigger(table: TableLog, n: int) -> bool:
     return any(c > 2 * n for c in per.values())
 
 
+def _auto_compact_trigger_spark(spark, table: TableLog, n: int) -> bool:
+    """The trigger probe for the Spark ingest path. This runs after
+    EVERY append on an opted-in table, so it must not re-grow with the
+    table: above the planning threshold the per-bucket file counts come
+    from one manifest-job agg (two longs back to the driver) instead of
+    the O(live files) snapshot fold — the `_plan_bucket_state`
+    discipline applied to the hottest planning probe."""
+    if spark is not None and _manifest_plan_eligible(table):
+        from pyspark.sql import functions as F
+
+        from . import manifest as _mf
+
+        table._resolve_txn_for_read()
+        row = (_mf.manifest_df(spark, table)
+               .groupBy("pb").count()
+               .agg(F.max("count").alias("mx")).collect()[0])
+        return int(row["mx"] or 0) > 2 * n
+    return _auto_compact_trigger(table, n)
+
+
 def _maybe_auto_compact_spark(spark, table: TableLog, writer: str) -> None:
     """Post-append auto-compaction (Delta autoCompact): when the table
     opted in (`TableLog.init(auto_optimize=n)`) and some bucket's
@@ -5460,7 +5486,7 @@ def _maybe_auto_compact_spark(spark, table: TableLog, writer: str) -> None:
     append's attempt (the trigger re-fires), so appends never fail on
     account of compaction."""
     n = table.auto_optimize()
-    if not n or not _auto_compact_trigger(table, n):
+    if not n or not _auto_compact_trigger_spark(spark, table, n):
         return
     try:
         optimize_table_spark(

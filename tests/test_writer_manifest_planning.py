@@ -144,3 +144,47 @@ def test_default_threshold_keeps_small_tables_on_driver_path(
             "id", (F.col("id") % 7).alias("g"), F.lit(1).alias("v")),
         "id")
     assert calls["n"] == 0  # tiny checkpoint: JSON fold wins
+
+
+def test_auto_compact_trigger_agrees_across_paths(spark, monkeypatch):
+    """The post-append trigger probe (the hottest planning call — it
+    runs after EVERY append on an opted-in table) must decide
+    identically from the manifest-job agg and the snapshot fold, and
+    auto-compaction must land the same file layout either way."""
+    def build(threshold):
+        monkeypatch.setattr(acid, "PLAN_VIA_MANIFEST_MIN_BYTES",
+                            threshold)
+        t = TableLog(_tmp("wmpac_"))
+        acid.write_initial_spark(
+            spark, t,
+            spark.range(0, 60).select(
+                "id", (F.col("id") * 2).alias("v")),
+            "id", n_buckets=2, auto_optimize=2)
+        _cross_checkpoint_small(spark, t)
+        for lo in (200, 210, 220, 230, 240, 250):
+            acid.append_spark(spark, t, spark.range(lo, lo + 5).select(
+                "id", (F.col("id") * 2).alias("v")))
+        _, live = t.snapshot()
+        per = {}
+        for _f, b in live.items():
+            per[b] = per.get(b, 0) + 1
+        return per, sorted(map(tuple, acid.read_snapshot_spark(
+            spark, t).collect()))
+
+    def _cross_checkpoint_small(spark, t):
+        for lo in (60, 80, 100, 120, 140, 160, 180):
+            acid.merge_upsert_spark(
+                spark, t, spark.range(lo, lo + 20).select(
+                    "id", (F.col("id") * 2).alias("v")), "id")
+        for i in (3, 7):
+            acid.delete_keys_spark(
+                spark, t,
+                spark.createDataFrame([(i,)], "id long"), "id")
+
+    per_driver, rows_driver = build(1 << 40)   # fold path only
+    per_manifest, rows_manifest = build(0)     # manifest probe engaged
+    assert rows_driver == rows_manifest
+    # the debt bound holds identically: auto_optimize=2 keeps every
+    # bucket at <= 2n+1 files between compactions on both paths
+    assert max(per_driver.values()) <= 5
+    assert max(per_manifest.values()) <= 5
