@@ -249,6 +249,78 @@ def vacuum_curve():
     return out
 
 
+def write_plan_curve():
+    """Writer-path planning cost vs LIVE FILE COUNT: the per-attempt
+    planning a MERGE pays — driver fold (`snapshot()` + filter to the
+    touched buckets + `live_dvs()`) against the manifest job
+    (`manifest.bucket_files_manifest`, bucket filter pushed into the
+    checkpoint scan; O(touched) rows to the driver). Same synthetic
+    dual-format checkpoint as --manifest (64 buckets; a merge touching
+    2 of them). The driver column must grow ~linearly; the manifest
+    column must stay ~flat. Both planners must agree on the planned
+    state (asserted). Usage: python scaling.py --write-plan
+    """
+    import json as _json
+    import tempfile
+
+    from distribot_spark.session import get_spark
+    from distribot_spark.sources import manifest as mf
+    from distribot_spark.sources.acid import CHECKPOINT_EVERY, TableLog
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    out = []
+    for n_files in (1_000, 10_000, 100_000, 1_000_000):
+        root = tempfile.mkdtemp(prefix="wplan_scale_")
+        t = TableLog(root)
+        t.init()
+        v = -1
+        for i in range(CHECKPOINT_EVERY + 1):
+            assert t.try_commit(v, [{"file": f"seed{i}", "pb": 0}], [], "w")
+            v += 1
+        live = {f"pb{i % 64:05d}-{i:09d}.parquet": i % 64
+                for i in range(n_files)}
+        ck = t._checkpoint_path(CHECKPOINT_EVERY)
+        with open(ck, "w") as fh:
+            _json.dump({"version": CHECKPOINT_EVERY, "live": live,
+                        "stats": {}, "dvs": {}, "id_hwm": 0}, fh)
+        mf.write_checkpoint_parquet(
+            t, CHECKPOINT_EVERY, live, {}, {}, 0)
+        touched = {3, 41}
+        plan_d = plan_m = None
+
+        def run_driver():
+            nonlocal plan_d
+            v0, lv = t.snapshot()
+            bf = {f: b for f, b in lv.items() if b in touched}
+            dv = {f: ds for f, ds in t.live_dvs().items() if f in bf}
+            plan_d = (v0, bf, dv)
+
+        def run_manifest():
+            nonlocal plan_m
+            plan_m = mf.bucket_files_manifest(spark, t, touched)
+
+        driver_best = min(_timed(run_driver) for _ in range(3))
+        manifest_best = min(_timed(run_manifest) for _ in range(3))
+        assert plan_m[0] == plan_d[0] and plan_m[1] == plan_d[1]
+        row = {
+            "live_files": n_files,
+            "touched_files": len(plan_d[1]),
+            "driver_plan_ms": round(driver_best * 1000, 1),
+            "manifest_plan_ms": round(manifest_best * 1000, 1),
+        }
+        out.append(row)
+        print(_json.dumps(row), flush=True)
+    print(_json.dumps({
+        "driver_growth_1m_over_1k": round(
+            out[-1]["driver_plan_ms"]
+            / max(out[0]["driver_plan_ms"], 1e-6), 1),
+        "manifest_growth_1m_over_1k": round(
+            out[-1]["manifest_plan_ms"]
+            / max(out[0]["manifest_plan_ms"], 1e-6), 1),
+    }), flush=True)
+    return out
+
+
 def purge_curve():
     """Compliance-purge scaling: wall time of `purge_keys_spark` for a
     FIXED 4-key set as the table grows sf0.001 -> 0.01 -> 0.1 (100x
@@ -731,6 +803,8 @@ if __name__ == "__main__":
         manifest_curve()
     elif "--vacuum" in sys.argv:
         vacuum_curve()
+    elif "--write-plan" in sys.argv:
+        write_plan_curve()
     elif "--purge" in sys.argv:
         purge_curve()
     elif "--export" in sys.argv:
