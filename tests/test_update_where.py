@@ -276,3 +276,37 @@ def test_update_feeds_replication_replica_equals_source(spark):
     dst_rows = sorted(map(tuple, acid.read_snapshot_spark(
         spark, dst).collect()))
     assert src_rows == dst_rows
+
+
+def test_update_on_governed_table_writer_sees_raw_policies_survive(spark):
+    """Policies are READ-side governance: UPDATE (like MERGE/DELETE)
+    plans and rewrites over the RAW bytes — a predicate on a masked
+    column matches true values, assignments write true values — while
+    every governed read, before and after, keeps masking. The policy
+    set itself (metadata) rides through the rewrite untouched."""
+    t = TableLog(_tmp("uw_p_"))
+    acid.write_initial_spark(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "alice", 120), (2, "bob", -40), (3, "carol", 310)],
+            "id long, name string, balance long"),
+        "id", n_buckets=2)
+    acid.alter_set_mask(t, "name", {"fn": "hash"})
+    acid.alter_set_row_filter(t, "pos", {"col": "balance", "min": 0})
+    rev0 = t.policies_rev()
+
+    # predicate on the RAW name (a masked reader could never express
+    # this); assignment flips the raw balance sign
+    st = update_where_spark(spark, t, "name = 'bob'",
+                            {"balance": "-balance"})
+    assert st["rows_updated"] == 1
+    raw = {r.id: (r.name, r.balance) for r in
+           acid.read_snapshot_spark(spark, t).collect()}
+    assert raw[2] == ("bob", 40)
+    gov = {r.id: r for r in
+           acid.read_policy_spark(spark, t, dv_key="id").collect()}
+    # bob now passes the row filter AND stays masked
+    import hashlib
+    assert set(gov) == {1, 2, 3}
+    assert gov[2]["name"] == hashlib.md5(b"bob").hexdigest()
+    assert t.policies_rev() == rev0  # rewrite never touched policies
