@@ -663,12 +663,70 @@ def _minhash_meta(index_dir: str) -> dict:
         return json.load(fh)
 
 
+def minhash_index_pairs(
+    spark: SparkSession,
+    index_dir: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Standing-corpus near-duplicate pairs straight from the PERSISTED
+    artifacts: buckets/ self-joined on the band-salted bucket key for
+    candidates, exact Jaccard verified from shingles/. Row-identical to
+    `dedup.minhash_candidate_pairs` over the indexed corpus, because
+    buckets/ and shingles/ ARE that pipeline's two intermediate
+    relations, materialized once at build time — recomputing them from
+    text (the serve queries' original shape) re-pays the full shingle +
+    128-hash signature pass over the whole standing corpus that the
+    build already paid (guide §1.2: don't compute things you throw
+    away). The candidate self-join reads the partitioned parquet, so
+    the corpus text is never touched."""
+    from distribot_spark.operators import dedup
+
+    b = spark.read.parquet(_part_path(index_dir, "buckets"))
+    b1, b2 = b.alias("b1"), b.alias("b2")
+    candidates = (
+        b1.join(
+            b2,
+            (F.col("b1.bucket") == F.col("b2.bucket"))
+            & (F.col("b1.doc") < F.col("b2.doc")),
+        )
+        .select(F.col("b1.doc").alias("da"), F.col("b2.doc").alias("db"))
+        .dropDuplicates()
+    )
+    sh = spark.read.parquet(_part_path(index_dir, "shingles"))
+    return dedup._verify_jaccard(candidates, sh, threshold)
+
+
+def shard_minhash_relations(
+    spark: SparkSession,
+    index_dir: str,
+    shard_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The (buckets, shingles) relations of a NEW shard under the
+    index's pinned meta parameters, lineage-cut with a lazy
+    localCheckpoint so ONE shingle + signature pass serves both the
+    append (which writes them) and the probe (which joins them).
+    Without the pin, `append_minhash_shard` and `probe_minhash_index`
+    each recompute the relations from text — two full passes over the
+    shard for one crawl-loop iteration. The checkpoint is shard-sized
+    (docs × bands bucket rows + hashed shingles), the same bounded
+    intermediate the append stages anyway."""
+    m = _minhash_meta(index_dir)
+    buckets, shingles = _minhash_relations(
+        shard_df, text_col, id_col,
+        m["shingle_n"], m["num_hashes"], m["bands"], m["parts"])
+    return (buckets.localCheckpoint(eager=False),
+            shingles.localCheckpoint(eager=False))
+
+
 def append_minhash_shard(
     spark: SparkSession,
     index_dir: str,
     shard_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    relations: tuple[DataFrame, DataFrame] | None = None,
 ) -> int:
     """Fold a NEW corpus shard into the persisted LSH index — shard-
     local work only (shingle + band the shard, append its rows into
@@ -678,11 +736,14 @@ def append_minhash_shard(
     Buckets are comparable across build and append because the meta
     parameters (shingle width, hash family size, band count, partition
     modulus) are read back, never re-chosen. Returns the shard row
-    count."""
+    count. ``relations`` short-circuits the shard's (buckets, shingles)
+    computation with the pinned pair from `shard_minhash_relations` —
+    the one-pass crawl-loop shape."""
     m = _minhash_meta(index_dir)
-    buckets, shingles = _minhash_relations(
-        shard_df, text_col, id_col,
-        m["shingle_n"], m["num_hashes"], m["bands"], m["parts"])
+    buckets, shingles = relations if relations is not None else (
+        _minhash_relations(
+            shard_df, text_col, id_col,
+            m["shingle_n"], m["num_hashes"], m["bands"], m["parts"]))
     (
         buckets.repartition(min(m["parts"], 8), "pb")
         .write.mode("append").partitionBy("pb")
@@ -700,6 +761,7 @@ def probe_minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    relations: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact-verified near-duplicate pairs between ``new_docs`` and
     EVERY indexed document (da < db; if the new docs were already
@@ -716,9 +778,10 @@ def probe_minhash_index(
     from distribot_spark.operators import dedup
 
     m = _minhash_meta(index_dir)
-    nb, nsh = _minhash_relations(
-        new_docs, text_col, id_col,
-        m["shingle_n"], m["num_hashes"], m["bands"], m["parts"])
+    nb, nsh = relations if relations is not None else (
+        _minhash_relations(
+            new_docs, text_col, id_col,
+            m["shingle_n"], m["num_hashes"], m["bands"], m["parts"]))
     pbs = [int(r["pb"]) for r in nb.select("pb").distinct().collect()]
     idx = (
         spark.read.parquet(_part_path(index_dir, "buckets"))

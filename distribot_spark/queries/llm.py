@@ -2878,12 +2878,18 @@ def l2_minhash_serve(spark, sf_dir):
     base = docs.filter(F.col("doc_id") % 3 > 0)
     shard = docs.filter(F.col("doc_id") % 3 == 0)
     rindex.build_minhash_index(base, ix_dir)
-    # standing-corpus pairs, computed ONCE when the index was built
-    base_pairs = dedup.minhash_candidate_pairs(
-        base, "text", "doc_id", threshold=0.5)
-    rindex.append_minhash_shard(spark, ix_dir, shard)
+    # standing-corpus pairs from the artifacts the build just wrote —
+    # NOT recomputed from text (r9 optimization: the old
+    # minhash_candidate_pairs(base) call re-paid the full shingle +
+    # signature pass over the standing corpus that build_minhash_index
+    # had already materialized as buckets/ + shingles/; row-identical
+    # by construction, certified by the shared exact-Jaccard oracle)
+    base_pairs = rindex.minhash_index_pairs(spark, ix_dir, threshold=0.5)
+    # one shingle+signature pass for the shard, shared by append & probe
+    rel = rindex.shard_minhash_relations(spark, ix_dir, shard)
+    rindex.append_minhash_shard(spark, ix_dir, shard, relations=rel)
     shard_pairs = rindex.probe_minhash_index(
-        spark, ix_dir, shard, threshold=0.5)
+        spark, ix_dir, shard, threshold=0.5, relations=rel)
     return (
         base_pairs.unionByName(shard_pairs)
         .dropDuplicates(["da", "db"])
@@ -2924,13 +2930,17 @@ def l2_minhash_optimize_serve(spark, sf_dir):
     base = docs.filter(F.col("doc_id") % 3 > 0)
     shard = docs.filter(F.col("doc_id") % 3 == 0)
     rindex.build_minhash_index(base, ix_dir)
-    base_pairs = dedup.minhash_candidate_pairs(
-        base, "text", "doc_id", threshold=0.5)
-    rindex.append_minhash_shard(spark, ix_dir, shard)
+    # artifacts, not re-shingling (see l2_minhash_serve); base_pairs
+    # reads the PRE-optimize artifact names, which stay live until the
+    # swap GC — so it is computed before optimize below runs
+    base_pairs = rindex.minhash_index_pairs(spark, ix_dir, threshold=0.5)
+    base_pairs = base_pairs.localCheckpoint(eager=True)
+    rel = rindex.shard_minhash_relations(spark, ix_dir, shard)
+    rindex.append_minhash_shard(spark, ix_dir, shard, relations=rel)
     st = rindex.optimize_minhash_index(spark, ix_dir)
     assert st["files_after"] < st["files_before"], st
     shard_pairs = rindex.probe_minhash_index(
-        spark, ix_dir, shard, threshold=0.5)
+        spark, ix_dir, shard, threshold=0.5, relations=rel)
     return (
         base_pairs.unionByName(shard_pairs)
         .dropDuplicates(["da", "db"])

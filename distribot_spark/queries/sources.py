@@ -23,6 +23,7 @@ from distribot_spark.sources import (
     write_bucketed_table,
     write_partitioned,
 )
+from distribot_spark.sources.acid import read_files_merged
 from distribot_spark.streaming.replay import TMP_ROOT
 
 
@@ -1926,7 +1927,7 @@ def source_acid_generated_columns(spark, sf_dir):
     kept, pruned = table.live_paths_pruned("ym", 199601, 199612)
     assert pruned > 0, "ym clustering must enable file skipping"
 
-    cur = spark.read.option("mergeSchema", "true").parquet(*kept)
+    cur = read_files_merged(spark, kept)
     return (
         cur.filter(F.col("ym").between(199601, 199612))
         .agg(
@@ -2198,7 +2199,7 @@ def source_acid_bloom_skipping(spark, sf_dir):
     for i, p in probes:
         kept, pruned = table.live_paths_pruned_point("k", p)
         assert pruned > 0, (i, p, pruned)  # manifest-only skipping
-        cnt = (spark.read.option("mergeSchema", "true").parquet(*kept)
+        cnt = (read_files_merged(spark, kept)
                .filter(F.col("k") == p).count())
         rows.append((i, p, cnt))
     return spark.createDataFrame(rows, "i int, probe long, cnt long")
@@ -2268,7 +2269,7 @@ def source_acid_analyze(spark, sf_dir):
     kept, pruned = table.live_paths_pruned("d", "1996-01-01", "1996-06-30")
     assert pruned > 0, "date stats must enable range skipping"
     census = (
-        spark.read.option("mergeSchema", "true").parquet(*kept)
+        read_files_merged(spark, kept)
         .filter(F.col("d").between("1996-01-01", "1996-06-30"))
         .agg(F.count("*").alias("cnt"),
              F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2)
@@ -2277,7 +2278,7 @@ def source_acid_analyze(spark, sf_dir):
     kept_p, pruned_p = table.live_paths_pruned_point("k", int(seed_k))
     assert pruned_p > 0, "blooms must enable point skipping"
     point = (
-        spark.read.option("mergeSchema", "true").parquet(*kept_p)
+        read_files_merged(spark, kept_p)
         .filter(F.col("k") == int(seed_k))
         .agg(F.count("*").cast("long").alias("point_cnt"))
     )

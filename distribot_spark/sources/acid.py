@@ -2040,6 +2040,46 @@ def pq_file_nonempty(path: str) -> bool:
     return pq.read_metadata(path).num_rows > 0
 
 
+#: above this file count, schema unification goes back to Spark's
+#: distributed mergeSchema job — serial driver-side footer reads would
+#: become the bottleneck (the _plan_bucket_state threshold discipline
+#: applied to schema resolution)
+SCHEMA_MERGE_DRIVER_MAX_FILES = 64
+
+
+def read_files_merged(spark, paths):
+    """``spark.read.option("mergeSchema", "true").parquet(*paths)``
+    with the schema union computed DRIVER-SIDE from the parquet
+    footers when the file list is small (r9 optimization, guide §1.2):
+    Spark's mergeSchema resolves the union schema with a distributed
+    job over the footers, so every snapshot/base/CDF read paid one
+    extra Spark job of pure scheduling constant. For the bounded file
+    lists this table layer reads per operation (a MERGE's touched
+    buckets, one commit's adds/removes), pyarrow reads the same
+    footers in single-digit milliseconds and `unify_schemas` applies
+    the same first-file-wins column order; the explicit schema then
+    makes the actual scan job the ONLY job. Missing columns per file
+    surface as NULL exactly as under mergeSchema. Any unification or
+    conversion surprise (type promotion across files, exotic logical
+    types) falls back to the distributed mergeSchema read, as does a
+    file list past SCHEMA_MERGE_DRIVER_MAX_FILES — at 100 TB a
+    thousand-file read WANTS the distributed resolution."""
+    paths = list(paths)
+    if 0 < len(paths) <= SCHEMA_MERGE_DRIVER_MAX_FILES:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            merged = pa.unify_schemas(
+                [pq.read_schema(p) for p in paths])
+            schema = from_arrow_schema(merged)
+            return spark.read.schema(schema).parquet(*paths)
+        except Exception:
+            pass
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def _fk_parent_keys_spark(spark, child: TableLog, c: dict, probe_df):
     """The referenced parent's live key set, pruned to the buckets the
     batch's FK values can land in (bucket ids are a bounded collect —
@@ -2066,8 +2106,7 @@ def _fk_parent_keys_spark(spark, child: TableLog, c: dict, probe_df):
     files = parent.live_paths(bks)
     if not files:
         return spark.createDataFrame([], f"_fk_pk long")
-    base = (spark.read.option("mergeSchema", "true").parquet(*files)
-            .select(pkey_p))
+    base = read_files_merged(spark, files).select(pkey_p)
     names = {os.path.basename(p) for p in files}
     dvmap = {f: ds for f, ds in parent.live_dvs().items() if f in names}
     base = _apply_dvs(spark, parent, base, pkey_p, dvmap, files=names)
@@ -2613,8 +2652,7 @@ def _fk_restrict_spark(spark, table: TableLog, keys_df, key: str) -> None:
         if not files:
             continue
         sel = [col] + ([ckey] if ckey and ckey != col else [])
-        base = (spark.read.option("mergeSchema", "true")
-                .parquet(*files).select(*sel))
+        base = read_files_merged(spark, files).select(*sel)
         names = {os.path.basename(p) for p in files}
         dvmap = {f: ds for f, ds in child.live_dvs().items()
                  if f in names}
@@ -3669,6 +3707,7 @@ def merge_upsert_spark(
     max_attempts: int = 50,
     pre_commit_hook=None,
     version: str | None = None,
+    touched_buckets: set[int] | None = None,
 ) -> dict:
     """Keyed MERGE of a DataFrame through the OCC protocol.
 
@@ -3722,7 +3761,15 @@ def merge_upsert_spark(
     up = updates_df.withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
     )
-    touched = {int(r["_pb"]) for r in up.select("_pb").distinct().collect()}
+    # ``touched_buckets``: a caller that already ran an aggregate over
+    # the update set (the matview guard job) can fold the distinct
+    # bucket ids into it (collect_set of the bucket expr) and hand
+    # them over, saving this one-per-MERGE planning action — callers
+    # must guarantee the set covers every update row's bucket (a
+    # superset is correct but rewrites clean buckets)
+    touched = (set(int(b) for b in touched_buckets)
+               if touched_buckets is not None else
+               {int(r["_pb"]) for r in up.select("_pb").distinct().collect()})
     up_cols = updates_df.columns
     up_types = dict(updates_df.dtypes)
     attempts = 0
@@ -3757,9 +3804,7 @@ def merge_upsert_spark(
             replaced_dvstate = dvstate
             paths = [table.data_path(f) for f in replaced]
             if paths:
-                base = spark.read.option("mergeSchema", "true").parquet(
-                    *paths
-                )
+                base = read_files_merged(spark, paths)
                 base = _apply_dvs(
                     spark, table, base, key, dvmap
                 ).withColumn(
@@ -3946,9 +3991,8 @@ def sync_snapshot_spark(
                 _unlink_staged(table, staged)
             replaced_dvstate = dvstate
             if live:
-                base = spark.read.option("mergeSchema", "true").parquet(
-                    *[table.data_path(f) for f in sorted(live)]
-                )
+                base = read_files_merged(
+                    spark, [table.data_path(f) for f in sorted(live)])
                 base = _apply_dvs(spark, table, base, key, dvmap)
                 b2 = base.select(
                     key,
@@ -4089,7 +4133,7 @@ def read_snapshot_spark(
         table.live_paths() if version is None
         else table.live_paths_at(version)
     )
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    df = read_files_merged(spark, paths)
     if apply_dvs:
         dvmap = table.live_dvs(version)
         if dvmap:
@@ -4457,7 +4501,7 @@ def delete_keys_spark(
                 return {"committed_version": v, "attempts": attempts,
                         "deleted_rows": 0, "dv_files": 0}
             paths = [table.data_path(f) for f in replaced]
-            base = spark.read.option("mergeSchema", "true").parquet(*paths)
+            base = read_files_merged(spark, paths)
             if mode == "dv":
                 visible = _apply_dvs(
                     spark, table, base, key, dvmap, keep_file_col=True
@@ -4601,8 +4645,7 @@ def delete_where_spark(
             if live:
                 paths = [table.data_path(f) for f in sorted(live)]
                 base = (
-                    spark.read.option("mergeSchema", "true")
-                    .parquet(*paths)
+                    read_files_merged(spark, paths)
                     .withColumn("_f", _file_col())
                     .withColumn("_pos", F.col("_metadata.row_index")))
                 visible = _apply_dvs(spark, table, base, key, dvmap,
@@ -4894,8 +4937,8 @@ def overwrite_where_spark(
         matched_files: list[str] = []
         n_del = 0
         if paths:
-            base = spark.read.option("mergeSchema", "true").parquet(
-                *paths).withColumn("_f", _file_col())
+            base = read_files_merged(spark, paths).withColumn(
+                "_f", _file_col())
             base = _apply_dvs(spark, table, base, key, table.live_dvs(),
                               files=set(live), keep_file_col=True)
             hits = (base.filter(F.coalesce(pred, F.lit(False)))
@@ -4939,8 +4982,8 @@ def overwrite_where_spark(
                               if f not in set(matched_files)]
             surv = None
             if retained_paths:
-                ret = spark.read.option("mergeSchema", "true").parquet(
-                    *retained_paths).withColumn("_f", _file_col())
+                ret = read_files_merged(spark, retained_paths).withColumn(
+                    "_f", _file_col())
                 ret = _apply_dvs(spark, table, ret, key,
                                  table.live_dvs(),
                                  files={f for f in live
@@ -5094,8 +5137,8 @@ def update_where_spark(
             return {"committed_version": None, "attempts": attempts,
                     "rows_updated": 0, "files_rewritten": 0}
         paths = [table.data_path(f) for f in sorted(live)]
-        base = spark.read.option("mergeSchema", "true").parquet(
-            *paths).withColumn("_f", _file_col())
+        base = read_files_merged(spark, paths).withColumn(
+            "_f", _file_col())
         base = _apply_dvs(spark, table, base, key, table.live_dvs(),
                           files=set(live), keep_file_col=True)
         hits = base.filter(match).groupBy("_f").count()
@@ -5290,9 +5333,8 @@ def append_spark(
         if uniq:
             tb = tuple(sorted(bucket_files_t))
             if tb and tb != checked_fileset:
-                base = spark.read.option("mergeSchema", "true").parquet(
-                    *[table.data_path(f) for f in tb]
-                )
+                base = read_files_merged(
+                    spark, [table.data_path(f) for f in tb])
                 base = _apply_dvs(spark, table, base, key, dvmap_t,
                                   files=set(tb))
                 nconf = base.select(key).join(
@@ -5665,9 +5707,8 @@ def optimize_table_spark(
                     "rewritten_buckets": 0, "files_before": files_before,
                     "files_after": files_before}
         replaced = sorted(f for fs in work.values() for f in fs)
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[table.data_path(f) for f in replaced]
-        )
+        df = read_files_merged(
+            spark, [table.data_path(f) for f in replaced])
         # fold the replaced files' DVs into the rewrite — the removal of
         # those files clears their DV lists in the same commit
         df = _apply_dvs(
@@ -5944,7 +5985,7 @@ def table_changes_spark(
         )
 
     def _aligned(paths):
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        return read_files_merged(spark, paths)
 
     frames = []
     for v in range(from_version, hi + 1):
@@ -6153,7 +6194,7 @@ def _purge_hit_scan(spark, table: TableLog, cand: list[str], key: str, up):
     from pyspark.sql import functions as F
 
     paths = [table.data_path(f) for f in cand]
-    base = spark.read.option("mergeSchema", "true").parquet(*paths)
+    base = read_files_merged(spark, paths)
     return (
         base.withColumn("_f", _file_col()).select("_f", key)
         .join(F.broadcast(up), key, "left_semi")
@@ -6302,8 +6343,7 @@ def purge_keys_spark(
             # rewrite ONLY the hit files: fold their DVs, drop key rows,
             # one replacement per source file in the source's bucket
             hpaths = [table.data_path(f) for f in hit_files]
-            hbase = spark.read.option("mergeSchema", "true").parquet(
-                *hpaths)
+            hbase = read_files_merged(spark, hpaths)
             visible = _apply_dvs(
                 spark, table, hbase, key,
                 {f: dvs_of.get(f, []) for f in hit_files},

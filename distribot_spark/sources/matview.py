@@ -580,7 +580,15 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
     # ONE guard action for the whole refresh: negative-count rows,
     # both hash-collision modes (delta-internal duplicate keys, and a
     # delta key joining a stored row with different group values), the
-    # upsert count, and the dirty-group count
+    # upsert count, the dirty-group count — and (r9 optimization) the
+    # distinct view buckets the upsert touches, so the MERGE below
+    # skips its own per-call distinct-collect planning action
+    from distribot_spark.sources.acid import (
+        _bucket_expr as _acid_bucket_expr,
+        _resolve_layout as _acid_resolve_layout,
+    )
+
+    vkey, vbuckets = _acid_resolve_layout(view, "_mv_key", None)
     same_grp = reduce(and_, [
         F.col(f"d.{c}").eqNullSafe(F.col(f"o._o_{c}")) for c in g])
     new_cnt_e = (F.coalesce(F.col("o._mv_cnt"), F.lit(0))
@@ -591,11 +599,16 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
         .alias("_coll"),
         F.col("d._mv_key").alias("_k"),
         (dirty_expr & (new_cnt_e > 0)).cast("int").alias("_dl"),
+        F.col("d._mv_key").alias(vkey),
+    ).withColumn(
+        "_pb", _acid_bucket_expr(vkey, vbuckets, view.hash_buckets())
     ).agg(F.sum("_neg").alias("bad"), F.sum("_coll").alias("coll"),
           F.count(F.lit(1)).alias("n"),
           F.countDistinct("_k").alias("nd"),
-          F.sum("_dl").alias("ndirty")).collect()[0]
+          F.sum("_dl").alias("ndirty"),
+          F.collect_set("_pb").alias("pbs")).collect()[0]
     bad, n_up = int(chk["bad"] or 0), int(chk["n"])
+    touched_pbs = set(int(b) for b in (chk["pbs"] or []))
     if int(chk["coll"] or 0) or n_up != int(chk["nd"]):
         raise RuntimeError(
             "matview group-key hash collision: two group tuples share "
@@ -718,7 +731,8 @@ def _apply_delta(spark, view: TableLog, spec: dict, scales: dict,
             final.append(F.when(dead, F.lit(None)).otherwise(F.col(c))
                          .alias(c))
     rows = up.select(*final)
-    merge_upsert_spark(spark, view, rows, "_mv_key", writer=tok)
+    merge_upsert_spark(spark, view, rows, "_mv_key", writer=tok,
+                       touched_buckets=touched_pbs)
     return {"groups_upserted": n_up, "dirty_recomputed": int(n_dirty)}
 
 

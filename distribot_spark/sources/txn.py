@@ -244,7 +244,7 @@ def stage_merge_spark(spark, table, df, key: str | None = None,
     up_types = dict((c, t) for c, t in up.dtypes if c != "_pb")
     paths = [table.data_path(f) for f in sorted(bucket_files)]
     if paths:
-        base = spark.read.option("mergeSchema", "true").parquet(*paths)
+        base = _a.read_files_merged(spark, paths)
         base = _a._apply_dvs(spark, table, base, key, dvmap).withColumn(
             "_pb", _a._bucket_expr(key, n_buckets, table.hash_buckets()))
         base_cols = [c for c in base.columns if c != "_pb"]

@@ -394,15 +394,54 @@ def cdf_replay_dir(
                 spark, table, key,
                 from_version=from_version, to_version=to_version)
 
+    from pyspark.sql import functions as F
+
     head = table.version()
     hi = head if to_version is None else to_version
     n = max(int(versions_per_trigger), 1)
     os.makedirs(out, exist_ok=True)
     scratch = tempfile.mkdtemp(prefix="cdfchunk_", dir=TMP_ROOT)
+    # ONE Spark job for every chunk (r9 optimization — guide §1.2: the
+    # old shape ran one repartition(1)-write job PER commit version, so
+    # materializing an N-version feed paid N job round-trips of mostly
+    # scheduling constant): tag each version range's frame with its
+    # chunk id, union, and write partitionBy(_chunk) — hash
+    # partitioning puts each chunk id in exactly one task, so each
+    # _chunk=j dir lands exactly one parquet file, renamed to the
+    # contractual chunk_{j}.parquet names. A version range whose feed
+    # is EMPTY (an OPTIMIZE commit: carried rows suppressed) writes no
+    # dir under partitionBy — those chunks fall back to the old
+    # per-chunk empty write below, preserving the chunk-count contract
+    # (one file per version range, empty or not).
+    chunks = {}
     for j, lo in enumerate(range(from_version, hi + 1, n)):
-        ch = changes_fn(
+        chunks[j] = changes_fn(
             spark, table, key, lo, min(lo + n - 1, hi),
         )
+    if chunks:
+        tagged = None
+        for j, ch in chunks.items():
+            t = ch.withColumn("_chunk", F.lit(int(j)))
+            tagged = t if tagged is None else tagged.unionByName(
+                t, allowMissingColumns=True)
+        tmp = os.path.join(scratch, "all")
+        (
+            tagged.repartition(len(chunks), "_chunk")
+            .write.mode("overwrite").partitionBy("_chunk").parquet(tmp)
+        )
+        for d in os.listdir(tmp):
+            if not d.startswith("_chunk="):
+                continue
+            j = int(d.split("=")[1])
+            part = next(
+                p for p in sorted(os.listdir(os.path.join(tmp, d)))
+                if p.endswith(".parquet")
+            )
+            os.rename(os.path.join(tmp, d, part),
+                      os.path.join(out, f"chunk_{j:04d}.parquet"))
+    for j, ch in chunks.items():
+        if os.path.exists(os.path.join(out, f"chunk_{j:04d}.parquet")):
+            continue
         tmp = os.path.join(scratch, f"v{j}")
         ch.repartition(1).write.mode("overwrite").parquet(tmp)
         part = next(

@@ -469,3 +469,45 @@ def test_bm25_inplace_merge_pointer_swap(spark):
     finally:
         shutil.rmtree(ix, ignore_errors=True)
         shutil.rmtree(full, ignore_errors=True)
+
+
+def test_minhash_index_pairs_equals_direct_and_relations_reuse(spark):
+    """r9 optimization pins: (1) `minhash_index_pairs` (standing-corpus
+    pairs from the persisted buckets/ + shingles/ artifacts, no text
+    re-shingle) is row-identical to `minhash_candidate_pairs` over the
+    same corpus — the artifacts ARE that pipeline's intermediate
+    relations; (2) append+probe through a shared
+    `shard_minhash_relations` pair (one shingle/signature pass for the
+    crawl-loop iteration) lands the same artifacts and the same probe
+    rows as the recompute-twice shape."""
+    from distribot_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = docs.filter(F.col("doc_id") % 3 > 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    ix, ix2 = _tmp(), _tmp()
+    try:
+        rindex.build_minhash_index(base, ix)
+        from_ix = rindex.minhash_index_pairs(spark, ix, threshold=0.5)
+        direct = dedup.minhash_candidate_pairs(
+            base, "text", "doc_id", threshold=0.5)
+        assert _rows(from_ix) == _rows(direct)
+        assert len(_rows(from_ix)) > 0
+
+        # relations reuse: same artifacts, same probe rows
+        rindex.build_minhash_index(base, ix2)
+        rel = rindex.shard_minhash_relations(spark, ix2, shard)
+        rindex.append_minhash_shard(spark, ix2, shard, relations=rel)
+        rindex.append_minhash_shard(spark, ix, shard)
+        for part in ("buckets", "shingles"):
+            a = spark.read.parquet(os.path.join(ix, part))
+            b = spark.read.parquet(os.path.join(ix2, part))
+            assert _rows(a.select(*sorted(a.columns))) == _rows(
+                b.select(*sorted(b.columns))), part
+        p_plain = rindex.probe_minhash_index(spark, ix, shard)
+        p_rel = rindex.probe_minhash_index(
+            spark, ix2, shard, relations=rel)
+        assert _rows(p_plain) == _rows(p_rel)
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+        shutil.rmtree(ix2, ignore_errors=True)

@@ -631,3 +631,51 @@ def test_dlq_live_tail_and_reprocess_composition(spark):
     assert got.filter("val < 0").count() == 4
     import os as _os
     assert not _os.path.isdir(qroot) or not _os.listdir(qroot)
+
+
+def test_cdf_replay_dir_keeps_empty_version_chunks(spark):
+    """r9 optimization pin: cdf_replay_dir now materializes every
+    non-empty chunk in ONE Spark write job (partitionBy on the chunk
+    id) — but a version range whose change feed is EMPTY (an OPTIMIZE
+    commit: carried rows suppressed) must STILL produce its chunk
+    file, or micro-batch numbering shifts under the one-file-per-
+    version-range contract. Build v1=insert, v2=OPTIMIZE (empty feed),
+    v3=insert and demand three chunk files with the middle one empty."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from distribot_spark.sources import acid
+    from distribot_spark.streaming import replay
+
+    root = tempfile.mkdtemp(prefix="cdf_empty_", dir=replay.TMP_ROOT)
+    t = acid.TableLog(os.path.join(root, "t"))
+    acid.write_initial_spark(
+        spark, t,
+        spark.range(40).select(F.col("id").alias("k"),
+                               (F.col("id") * 2).alias("v")),
+        "k", n_buckets=2)
+    acid.append_spark(
+        spark, t,
+        spark.range(100, 120).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("v")),
+        "k")
+    st = acid.optimize_table_spark(spark, t, "k", 2, files_per_bucket=1)
+    assert st["rewritten_buckets"] > 0, st
+    acid.append_spark(
+        spark, t,
+        spark.range(200, 210).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("v")),
+        "k")
+    assert t.version() == 3
+    out = replay.cdf_replay_dir(
+        spark, t, "k", os.path.join(root, "chunks"),
+        versions_per_trigger=1, from_version=1)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert files == ["chunk_0000.parquet", "chunk_0001.parquet",
+                     "chunk_0002.parquet"], files
+    import pyarrow.parquet as pq
+
+    n = [pq.read_metadata(os.path.join(out, f)).num_rows for f in files]
+    assert n[0] == 20 and n[1] == 0 and n[2] == 10, n

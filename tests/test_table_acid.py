@@ -22,6 +22,7 @@ import time
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from distribot_spark.sources.acid import (
     CHECKPOINT_EVERY,
@@ -4601,3 +4602,69 @@ def test_purge_cross_client_differential(spark):
     for t in (t_pd, t_sp):
         stats = t.live_stats()
         assert any(s and "_bloom:k" in s for s in stats.values())
+
+
+def test_read_files_merged_equals_mergeschema(spark, tmp_path):
+    """r9 optimization pin: `read_files_merged` (driver-side footer
+    schema union + explicit-schema scan — no schema-merge Spark job)
+    must be indistinguishable from the mergeSchema read it replaces:
+    same union schema (first-file-wins column order), same rows, NULL
+    backfill for columns a file lacks, and the distributed-mergeSchema
+    fallback above the file-count threshold."""
+    from distribot_spark.sources import acid
+
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(1, "x", 1.5)], "k long, s string, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d1"))
+    spark.createDataFrame(
+        [(2, 7, "y")], "k long, extra long, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d2"))
+    import glob
+    import shutil as _sh
+
+    _sh.move(glob.glob(str(tmp_path / "d1" / "*.parquet"))[0], p1)
+    _sh.move(glob.glob(str(tmp_path / "d2" / "*.parquet"))[0], p2)
+
+    ours = acid.read_files_merged(spark, [p1, p2])
+    ref = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    assert ours.schema == ref.schema
+    key = lambda r: tuple((x is None, x) for x in r)
+    assert sorted(map(tuple, ours.collect()), key=key) == sorted(
+        map(tuple, ref.collect()), key=key)
+
+    # above the threshold the helper must route to mergeSchema (one
+    # file repeated: the path count is what trips the gate)
+    many = [p1] * (acid.SCHEMA_MERGE_DRIVER_MAX_FILES + 1)
+    big = acid.read_files_merged(spark, many)
+    assert big.count() >= 1  # routed through the mergeSchema fallback
+
+
+def test_merge_touched_buckets_param_equals_default(spark, tmp_path):
+    """r9 optimization pin: a MERGE handed its update set's distinct
+    bucket ids (`touched_buckets=` — the matview guard fuses the
+    discovery into its existing aggregate) commits the same logical
+    table as the self-discovering MERGE."""
+    from distribot_spark.sources import acid
+
+    def seed(path):
+        t = acid.TableLog(str(path))
+        acid.write_initial_spark(
+            spark, t,
+            spark.range(100).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("val")),
+            "k", n_buckets=8)
+        return t
+
+    t1, t2 = seed(tmp_path / "t1"), seed(tmp_path / "t2")
+    up = spark.range(40, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("val"))
+    touched = {int(r["b"]) for r in up.select(
+        acid._bucket_expr("k", 8, False).alias("b")).distinct().collect()}
+    acid.merge_upsert_spark(spark, t1, up, "k")
+    acid.merge_upsert_spark(spark, t2, up, "k", touched_buckets=touched)
+    r1 = sorted(map(tuple, acid.read_snapshot_spark(spark, t1).collect()))
+    r2 = sorted(map(tuple, acid.read_snapshot_spark(spark, t2).collect()))
+    assert r1 == r2 and len(r1) == 100
