@@ -32,6 +32,13 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         # inputs 200 ways and pays 200 state-store commits per streaming
         # micro-batch; 32 matches bench.py / local[32]
         ("spark.sql.shuffle.partitions", "32"),
+        # runtime-settable half of the r9 streaming-checkpoint fix
+        # (session.py sets it at build time; the driver builds its own
+        # session, so pin it here too): the FileContext-based default
+        # forks a shell per metadata op without the hadoop native lib
+        ("spark.sql.streaming.checkpointFileManagerClass",
+         "org.apache.spark.sql.execution.streaming.checkpointing."
+         "FileSystemBasedCheckpointFileManager"),
     ):
         try:
             spark.conf.set(k, v)

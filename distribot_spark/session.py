@@ -36,6 +36,19 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # --- streaming checkpoint manager: the FileContext-based
+        #     default resolves every metadata op through Hadoop's
+        #     shell-backed local AbstractFileSystem when the native lib
+        #     is absent (fork per op); the FileSystem-based manager has
+        #     identical rename-based atomicity on local fs and HDFS
+        #     (r9 optimization — measured 17 s -> 9 s on the
+        #     100-micro-batch engine floor before the fastfs classes
+        #     below take it to ~3 s) ---
+        .config(
+            "spark.sql.streaming.checkpointFileManagerClass",
+            "org.apache.spark.sql.execution.streaming.checkpointing."
+            "FileSystemBasedCheckpointFileManager",
+        )
         # --- correctness / determinism ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- adaptive execution: the 100 TB safety net ---
@@ -58,7 +71,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
-    for k, v in (extra_conf or {}).items():
+    # --- fork-free local filesystem (see distribot_spark/jvm): only
+    #     wired when the compiled classes are actually present, and
+    #     never overriding an explicit caller conf ---
+    extra_conf = dict(extra_conf or {})
+    if ("spark.hadoop.fs.file.impl" not in extra_conf
+            and "spark.driver.extraClassPath" not in extra_conf):
+        from distribot_spark import jvm as _jvm
+
+        cp = _jvm.ensure_fastfs_classpath()
+        if cp:
+            builder = (
+                builder.config("spark.driver.extraClassPath", cp)
+                .config("spark.hadoop.fs.file.impl", _jvm.FASTFS_IMPL)
+            )
+    for k, v in extra_conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 
