@@ -617,15 +617,26 @@ def serve_ivf_topk(
 MINHASH_PARTS = 64
 
 
+def _buckets_of_shingles(shingles, num_hashes, bands, parts):
+    """(doc, bucket, pb) from a (doc, h) shingle relation. min() is
+    duplicate-insensitive, so feeding the DISTINCT shingle relation (or
+    its parquet artifact) yields buckets identical to the raw-explode
+    path — which is what lets build/append/probe pay the expensive
+    text→shingle pass ONCE and derive the signature branch from the
+    materialized shingles instead of re-shingling (guide §1.2)."""
+    from distribot_spark.operators import dedup
+
+    return dedup.minhash_band_buckets(
+        shingles, num_hashes, bands
+    ).withColumn("pb", F.pmod(F.col("bucket"), F.lit(parts)).cast("int"))
+
+
 def _minhash_relations(df, text_col, id_col, shingle_n, num_hashes,
                        bands, parts):
     from distribot_spark.operators import dedup
 
-    sh_raw = dedup._shingle_hashes_raw(df, text_col, id_col, shingle_n)
-    buckets = dedup.minhash_band_buckets(
-        sh_raw, num_hashes, bands
-    ).withColumn("pb", F.pmod(F.col("bucket"), F.lit(parts)).cast("int"))
     shingles = dedup.shingle_hashes(df, text_col, id_col, shingle_n)
+    buckets = _buckets_of_shingles(shingles, num_hashes, bands, parts)
     return buckets, shingles
 
 
@@ -639,18 +650,28 @@ def build_minhash_index(
     bands: int = 32,
     parts: int = MINHASH_PARTS,
 ) -> None:
-    """Materialize the standing corpus's LSH band-bucket index."""
+    """Materialize the standing corpus's LSH band-bucket index.
+
+    One text pass: the distinct shingle relation is written first, and
+    the bucket branch (128 per-doc mins → band hashes) aggregates the
+    WRITTEN shingles/ parquet — a fixed-width long scan — instead of
+    re-shingling the corpus text (min() is duplicate-insensitive, so
+    distinct-then-min ≡ raw-then-min; guide §1.2)."""
     import json
 
-    buckets, shingles = _minhash_relations(
-        df, text_col, id_col, shingle_n, num_hashes, bands, parts)
+    from distribot_spark.operators import dedup
+
+    shingles = dedup.shingle_hashes(df, text_col, id_col, shingle_n)
+    shingles.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "shingles"))
+    sh_written = df.sparkSession.read.parquet(
+        os.path.join(out_dir, "shingles"))
+    buckets = _buckets_of_shingles(sh_written, num_hashes, bands, parts)
     (
         buckets.repartition(parts, "pb")
         .write.mode("overwrite").partitionBy("pb")
         .parquet(os.path.join(out_dir, "buckets"))
     )
-    shingles.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "shingles"))
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump({"shingle_n": shingle_n, "num_hashes": num_hashes,
                    "bands": bands, "parts": parts}, fh)
@@ -711,13 +732,20 @@ def shard_minhash_relations(
     each recompute the relations from text — two full passes over the
     shard for one crawl-loop iteration. The checkpoint is shard-sized
     (docs × bands bucket rows + hashed shingles), the same bounded
-    intermediate the append stages anyway."""
+    intermediate the append stages anyway. The buckets relation is
+    DERIVED from the pinned shingles (min over distinct ≡ min over
+    raw), so the text → shingle pass runs once even across the two
+    relations."""
+    from distribot_spark.operators import dedup
+
     m = _minhash_meta(index_dir)
-    buckets, shingles = _minhash_relations(
-        shard_df, text_col, id_col,
-        m["shingle_n"], m["num_hashes"], m["bands"], m["parts"])
-    return (buckets.localCheckpoint(eager=False),
-            shingles.localCheckpoint(eager=False))
+    shingles = dedup.shingle_hashes(
+        shard_df, text_col, id_col, m["shingle_n"]
+    ).localCheckpoint(eager=False)
+    buckets = _buckets_of_shingles(
+        shingles, m["num_hashes"], m["bands"], m["parts"]
+    ).localCheckpoint(eager=False)
+    return buckets, shingles
 
 
 def append_minhash_shard(
