@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from distribot_spark.session import local_rows_df
 
 
 def _merge_pair_expr(col: str, left: str, right: str) -> str:
@@ -109,7 +110,7 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int = 10) -> DataFrame:
                 F.expr(_merge_pair_expr("syms", l, r)).alias("syms"), "cnt"
             ).localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
 

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distribot_spark.operators import similarity, text
+from distribot_spark.session import local_rows_df
 
 # -- BM25 ------------------------------------------------------------------
 
@@ -209,11 +210,19 @@ def _assign_dist_udf(centroids: np.ndarray):
 
 
 def _write_ivf_layout(corpus, vec_path, drift_path, centroids,
-                      n_clusters, id_col, vec_col, mode: str) -> None:
+                      n_clusters, id_col, vec_col, mode: str) -> dict:
     """Assign `corpus` to `centroids` and write the cid-partitioned
-    vectors plus the additive drift partials in ONE corpus pass —
-    into EXPLICIT paths (live dirs for build/append, token-staged
-    dirs for the retrain/optimize pointer swap)."""
+    vectors plus the additive drift partials — into EXPLICIT paths
+    (live dirs for build/append, token-staged dirs for the
+    retrain/optimize pointer swap). The assignment (broadcast-codebook
+    matmul through the Python boundary) runs ONCE: the vectors land
+    with their dist_e6 micro-distance, and the drift partials are
+    derived from a columnar (cid, dist_e6)-only re-read of the
+    just-written parquet (overwrite) or from the lazily-checkpointed
+    shard (append — the dir may hold older files the partials must not
+    re-count). Returns the shard totals {"n", "sum_dist_e6"} in append
+    mode so callers never re-scan for count/drift."""
+    spark = corpus.sparkSession
     assigned = corpus.select(
         F.col(id_col).alias("nid"),
         similarity._to_double(F.col(vec_col)).alias("v"),
@@ -221,19 +230,36 @@ def _write_ivf_layout(corpus, vec_path, drift_path, centroids,
         "nid", "v", F.col("_a.cid").alias("cid"),
         F.col("_a.dist_e6").alias("dist_e6"),
     )
+    if mode == "append":
+        assigned = assigned.localCheckpoint(eager=False)
     (
-        assigned.select("nid", "v", "cid")
+        assigned.select("nid", "v", "dist_e6", "cid")
         .repartition(n_clusters, "cid")
         .write.mode(mode).partitionBy("cid")
         .parquet(vec_path)
     )
     # drift sufficient statistics are PARTIAL rows (cid, n, sum_dist):
     # appends add partials, readers sum — no base re-read, ever
+    if mode == "append":
+        rows = assigned.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            F.sum("dist_e6").alias("sum_dist_e6"),
+        ).collect()  # ≤ n_clusters rows
+        local_rows_df(
+            spark,
+            [(int(r["cid"]), int(r["n"]), int(r["sum_dist_e6"]))
+             for r in rows],
+            "cid int, n bigint, sum_dist_e6 bigint",
+        ).write.mode("append").parquet(drift_path)
+        return {"n": sum(int(r["n"]) for r in rows),
+                "sum_dist_e6": sum(int(r["sum_dist_e6"]) for r in rows)}
     (
-        assigned.groupBy("cid")
+        spark.read.parquet(vec_path)  # prunes to (cid, dist_e6)
+        .groupBy("cid")
         .agg(F.count("*").alias("n"), F.sum("dist_e6").alias("sum_dist_e6"))
         .write.mode(mode).parquet(drift_path)
     )
+    return {}
 
 
 def build_ivf_index(
@@ -262,7 +288,8 @@ def build_ivf_index(
             id_col=id_col, vec_col=vec_col, seed=seed,
         )
     )
-    cdf = spark.createDataFrame(
+    cdf = local_rows_df(
+        spark,
         [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
         "cid int, centroid array<double>",
     )
@@ -293,15 +320,19 @@ def append_ivf_shard(
     Contract: shard ids are disjoint from the corpus (append-only
     ingest). Scale shape: cost is O(shard) — assignment is a broadcast
     codebook matmul, the write touches only the shard's rows; the base
-    vectors/ directories are never read or rewritten."""
-    before = ivf_drift(spark, index_dir)
+    vectors/ directories are never read or rewritten. The before/after
+    drift pair folds the shard's own partials into ONE base drift scan
+    (same integer arithmetic as re-folding the dir — exact), and the
+    shard count rides the partials instead of a separate pass."""
+    s0, n0 = _ivf_drift_sums(spark, index_dir)
+    before = int(s0 // n0) if n0 else 0
     centroids = load_ivf_codebook(spark, index_dir)
-    n_appended = shard_df.count()
-    _write_ivf_layout(shard_df, _part_path(index_dir, "vectors"),
-                      _part_path(index_dir, "drift"), centroids,
-                      len(centroids), id_col, vec_col, mode="append")
-    after = ivf_drift(spark, index_dir)
-    return {"n_appended": n_appended,
+    st = _write_ivf_layout(shard_df, _part_path(index_dir, "vectors"),
+                           _part_path(index_dir, "drift"), centroids,
+                           len(centroids), id_col, vec_col, mode="append")
+    s1, n1 = s0 + st["sum_dist_e6"], n0 + st["n"]
+    after = int(s1 // n1) if n1 else 0
+    return {"n_appended": st["n"],
             "mean_dist_e6_before": before, "mean_dist_e6_after": after}
 
 
@@ -484,11 +515,15 @@ def retrain_ivf_index(
     k, d = C.shape
     vecs = spark.read.parquet(
         _part_path(index_dir, "vectors")).select("nid", "v")
-    # spherical k-means over UNIT vectors (the trainer's convention)
+    # spherical k-means over UNIT vectors (the trainer's convention);
+    # checkpointed ONCE — the Lloyd loop and the final re-assignment
+    # pass read the materialized rows instead of re-scanning the
+    # parquet (iters+1 source scans → 1; guide §1.2)
     vecs_n = vecs.withColumn(
         "vn",
         F.expr("transform(v, x -> x / "
-               "sqrt(aggregate(v, 0D, (a, x) -> a + x * x)))"))
+               "sqrt(aggregate(v, 0D, (a, x) -> a + x * x)))"),
+    ).localCheckpoint(eager=False)
     for _ in range(max(int(iters), 1)):
         assigned = vecs_n.withColumn(
             "_a", _assign_dist_udf(C)(F.col("v")))
@@ -510,12 +545,14 @@ def retrain_ivf_index(
         C = newC / np.linalg.norm(newC, axis=1, keepdims=True)
 
     token = _uuid.uuid4().hex[:12]
-    cdf = spark.createDataFrame(
+    cdf = local_rows_df(
+        spark,
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "cid int, centroid array<double>")
     cdf.write.mode("overwrite").parquet(
         os.path.join(index_dir, f"centroids-{token}"))
-    _write_ivf_layout(vecs, os.path.join(index_dir, f"vectors-{token}"),
+    _write_ivf_layout(vecs_n.select("nid", "v"),
+                      os.path.join(index_dir, f"vectors-{token}"),
                       os.path.join(index_dir, f"drift-{token}"),
                       C, k, "nid", "v", mode="overwrite")
     # COMMIT POINT: one atomic pointer PUT flips all three parts; a
@@ -535,12 +572,20 @@ def ivf_drift(spark: SparkSession, index_dir: str) -> int:
     partials (never a vectors/ rescan). Rising drift means the frozen
     codebook no longer describes the data: retrain when it crosses the
     operator's budget (the honest answer to 'when do I rebuild?')."""
+    s, n = _ivf_drift_sums(spark, index_dir)
+    return int(s // n) if n else 0
+
+
+def _ivf_drift_sums(spark: SparkSession, index_dir: str) -> tuple:
+    """(Σ dist_e6, Σ n) folded from the drift/ partials — the raw
+    sufficient statistics, so callers that add their own partials
+    (append) derive the updated drift without a second dir scan."""
     r = (
         spark.read.parquet(_part_path(index_dir, "drift"))
         .agg(F.sum("sum_dist_e6").alias("s"), F.sum("n").alias("n"))
         .first()
     )
-    return int(r["s"] // r["n"]) if r["n"] else 0
+    return (int(r["s"]) if r["n"] else 0, int(r["n"]) if r["n"] else 0)
 
 
 def load_ivf_codebook(spark: SparkSession, index_dir: str) -> np.ndarray:

@@ -8,6 +8,7 @@ import json
 import tempfile
 
 from distribot_spark.flow import FlowEngine
+from distribot_spark.session import local_rows_df
 from distribot_spark.flow.examples import NEWS_FLOW, example_registry
 from distribot_spark.queries.registry import register
 from distribot_spark.streaming.replay import TMP_ROOT
@@ -43,7 +44,7 @@ def flow_news_results(spark, sf_dir):
         (r.task_id, int(json.loads(r.result)["item"]), int(json.loads(r.result)["squared"]))
         for r in res.itertuples()
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         sorted(rows, key=lambda r: r[1]), "task_id string, item long, squared long"
     )
 
@@ -65,7 +66,7 @@ def flow_news_transitions(spark, sf_dir):
     rows = [
         (i + 1, t["to"]) for i, t in enumerate(engine.state.transitions(fid))
     ]
-    return spark.createDataFrame(rows, "seq int, phase string")
+    return local_rows_df(spark, rows, "seq int, phase string")
 
 
 @register(
@@ -106,7 +107,7 @@ def flow_competing_workers(spark, sf_dir):
         (r.task_id, int(_json.loads(r.result)["i"])) for r in res.itertuples()
     )
     assert len(rows) == 24
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         sorted(rows, key=lambda r: r[1]), "task_id string, i long"
     )
 
@@ -165,7 +166,7 @@ def flow_sharded_continuous(spark, sf_dir):
         (r.task_id, _json.loads(r.result)["label"]) for r in ok.itertuples()
     )
     assert len(rows) == 20
-    return spark.createDataFrame(rows, "task_id string, label string")
+    return local_rows_df(spark, rows, "task_id string, label string")
 
 
 @register(
@@ -255,6 +256,6 @@ def flow_broker_ingest(spark, sf_dir):
     for r in ok.result:
         et = _json.loads(r)["event_type"]
         counts[et] = counts.get(et, 0) + 1
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         sorted(counts.items()), "event_type string, n long"
     )

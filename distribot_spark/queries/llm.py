@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from distribot_spark.catalog import load_table
+from distribot_spark.session import local_rows_df
 from distribot_spark.operators import (
     components,
     dedup,
@@ -1987,7 +1988,7 @@ def q_emb_pca_variance(spark, sf_dir):
             for k in range(d)
         ]
     rows = _PCA_SPECTRUM_CACHE[sf_dir]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "component int, eigenvalue_micro2 double, explained double,"
         " cumulative double",

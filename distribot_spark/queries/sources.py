@@ -8,6 +8,7 @@ import os
 from pyspark.sql import functions as F
 
 from distribot_spark.catalog import load_table
+from distribot_spark.session import local_rows_df
 from distribot_spark.queries.cdf_shared import (
     CDF_VIEW_ORACLE,
     JOIN_MATVIEW_ORACLE_FULL,
@@ -2202,7 +2203,7 @@ def source_acid_bloom_skipping(spark, sf_dir):
         cnt = (read_files_merged(spark, kept)
                .filter(F.col("k") == p).count())
         rows.append((i, p, cnt))
-    return spark.createDataFrame(rows, "i int, probe long, cnt long")
+    return local_rows_df(spark, rows, "i int, probe long, cnt long")
 
 
 @register(
@@ -2566,7 +2567,7 @@ def source_acid_purge_forget(spark, sf_dir):
     purge_keys = (
         orders.filter(F.col("o_orderkey") % 97 == 0)
         .select("o_orderkey").orderBy("o_orderkey").limit(3)
-        .unionByName(spark.createDataFrame([(int(mk),)],
+        .unionByName(local_rows_df(spark, [(int(mk),)],
                                            "o_orderkey long"))
         .distinct()
     )
@@ -2608,7 +2609,7 @@ def source_acid_purge_forget(spark, sf_dir):
         read_snapshot_spark(spark, table, dv_key="o_orderkey"),
     )
     r_proof = ("proof", post["parquet_hits"] + post["json_hits"], 0.0)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [r_purged, r_after, r_proof],
         "phase string, cnt long, total double",
     ).orderBy("phase")
@@ -2732,7 +2733,7 @@ def source_acid_clone_diverge(spark, sf_dir):
         read_snapshot_spark(spark, dst, dv_key="o_orderkey"))
     assert r_cln2[1:] == r_cln[1:], (r_cln, r_cln2)
 
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [r_cln, r_cln2, r_src], "phase string, cnt long, total double"
     ).orderBy("phase")
 
@@ -2861,7 +2862,7 @@ def source_acid_cdf_replicate(spark, sf_dir):
 
     r_src = census("src_final", src)
     assert r_src[1:] == r_fin[1:], (r_src, r_fin)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [r_mid, r_fin, r_src], "phase string, cnt long, total double"
     ).orderBy("phase")
 
@@ -3056,7 +3057,7 @@ def source_acid_export(spark, sf_dir):
         f"SELECT COUNT(*), SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
         f"FROM read_parquet('{exp}/*.parquet', union_by_name=true)"
     ).fetchone()
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [("duckdb_read", int(d_cnt), int(d_cents)),
          ("spark_read", int(s["cnt"]), int(s["total_cents"]))],
         "phase string, cnt long, total_cents long",
@@ -3303,7 +3304,7 @@ def source_acid_foreign_keys(spark, sf_dir):
     restricted = False
     try:
         delete_keys_spark(spark, parent,
-                          spark.createDataFrame([(int(k),)],
+                          local_rows_df(spark, [(int(k),)],
                                                 "c_custkey long"),
                           "c_custkey")
     except ValueError:
@@ -3315,7 +3316,7 @@ def source_acid_foreign_keys(spark, sf_dir):
         live.filter(F.col("o_custkey") == k).select("o_orderkey"),
         "o_orderkey")
     st = delete_keys_spark(spark, parent,
-                           spark.createDataFrame([(int(k),)],
+                           local_rows_df(spark, [(int(k),)],
                                                  "c_custkey long"),
                            "c_custkey")
     assert st["deleted_rows"] == 1, st
@@ -3332,7 +3333,7 @@ def source_acid_foreign_keys(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents")
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [("child", int(c["cnt"]), int(c["cents"])),
          ("parent", int(p["cnt"]), 0),
          ("quarantined", int(qn["cnt"]), int(qn["cents"]))],

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from distribot_spark.catalog import load_table
+from distribot_spark.session import local_rows_df
 from distribot_spark.functions import stable_round
 from distribot_spark.queries.registry import register
 from distribot_spark.queries.cdf_shared import (
@@ -1314,7 +1315,7 @@ def s26_stream_cdf_watermark_late(spark, sf_dir):
     split = tmax - datetime.timedelta(hours=2)
     late_base = tmin.replace(minute=0, second=0, microsecond=0) \
         - datetime.timedelta(hours=5)
-    late = spark.createDataFrame(
+    late = local_rows_df(spark, 
         [(-1 - i, late_base + datetime.timedelta(minutes=i), float(i))
          for i in range(10)],
         "event_id long, ts timestamp, value double",
@@ -1328,7 +1329,7 @@ def s26_stream_cdf_watermark_late(spark, sf_dir):
                       "event_id", 8, "tail")
     acid.append_spark(spark, table, late, "event_id", 8, "late-cdc")
     for i, hours in enumerate((3, 4)):  # flush sentinels (see replay_dir)
-        sent = spark.createDataFrame(
+        sent = local_rows_df(spark, 
             [(-100 - i, tmax + datetime.timedelta(hours=hours), 0.0)],
             "event_id long, ts timestamp, value double",
         )
@@ -1967,7 +1968,7 @@ def s33_stream_replicate(spark, sf_dir):
             .orderBy("g")
         )
         rows = out.collect()  # materialize before the fixture vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2105,7 +2106,7 @@ def _s34_body(spark, sf_dir, root):
         verdicts.extend((int(d), "accepted") for d in acc)
 
     replay.run_foreach_batch(spark, lambda s: s, chunks, sink, "append")
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         sorted(verdicts), "doc_id long, status string"
     ).orderBy("doc_id")
 
@@ -2312,7 +2313,7 @@ def s36_stream_matview_join(spark, sf_dir):
             F.col("total").cast("long").alias("sum_cents"),
         ).orderBy("seg")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2396,7 +2397,7 @@ def s35_stream_matview(spark, sf_dir):
             .alias("avg_cents"),
         ).orderBy("pri")
         rows = out.collect()  # materialize before the fixture vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2483,7 +2484,7 @@ def s37_stream_matview_minmax(spark, sf_dir):
             .alias("avg_cents"),
         ).orderBy("pri")
         rows = out.collect()  # materialize before the fixture vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2614,7 +2615,7 @@ def s38_stream_txn_sink(spark, sf_dir):
                     F.sum("cents").cast("long").alias("sum_cents"))
                .orderBy("seg"))
         rows = out.collect()  # materialize before the fixture vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2756,6 +2757,6 @@ def s39_stream_txn_merge_sink(spark, sf_dir):
                     F.sum("cents").cast("long").alias("sum_cents"))
                .orderBy("seg"))
         rows = out.collect()  # materialize before the fixture vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)

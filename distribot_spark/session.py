@@ -90,6 +90,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_rows_df(spark: SparkSession, rows, schema):
+    """`createDataFrame` for SMALL driver-side row lists, parallelized
+    as ONE slice. The default list path spreads even a 2-row list over
+    `defaultParallelism` pickled slices, and every downstream action
+    then pays a Python-runner roundtrip PER SLICE (~130 ms each in this
+    sandbox even with warm reused workers — measured; a `coalesce(1)`
+    downstream serializes all of them into one multi-second task).
+    One slice = one roundtrip, and driver-side lists are by definition
+    small enough for one task. Same verification/conversion semantics
+    as the list path (schema must be explicit — RDD-path inference
+    would run a sampling job)."""
+    rows = rows if isinstance(rows, list) else list(rows)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def cluster_conf(
     executors: int = 1000,
     executor_cores: int = 8,

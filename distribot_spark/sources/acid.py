@@ -2105,7 +2105,9 @@ def _fk_parent_keys_spark(spark, child: TableLog, c: dict, probe_df):
                    .alias("b")).distinct().collect()}
     files = parent.live_paths(bks)
     if not files:
-        return spark.createDataFrame([], f"_fk_pk long")
+        from distribot_spark.session import local_rows_df
+
+        return local_rows_df(spark, [], "_fk_pk long")
     base = read_files_merged(spark, files).select(pkey_p)
     names = {os.path.basename(p) for p in files}
     dvmap = {f: ds for f, ds in parent.live_dvs().items() if f in names}

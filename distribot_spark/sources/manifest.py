@@ -50,6 +50,7 @@ import os
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from .acid import CHECKPOINT_EVERY, TableLog, bloom_maybe_contains
+from distribot_spark.session import local_rows_df
 
 # One manifest row per live file. The RANGE-prunable min/max travel as
 # TYPED map columns (`mins`/`maxs`, canonical-string values) so the
@@ -257,7 +258,7 @@ def manifest_df(spark, table: TableLog, version: int | None = None):
             sj, mn, mx, bl = _split_stats(stats.get(f))
             rows.append((f, int(b), sj, list(dvs.get(f) or []),
                          mn, mx, bl))
-        df = spark.createDataFrame(rows, _SPARK_SCHEMA)
+        df = local_rows_df(spark, rows, _SPARK_SCHEMA)
         return df.withColumn(
             "path", F.concat(F.lit(table.data_dir + os.sep), F.col("file"))
         )
@@ -269,7 +270,7 @@ def manifest_df(spark, table: TableLog, version: int | None = None):
     if gone:
         df = df.filter(~F.col("file").isin(gone))
     if dv_appends:
-        extra = spark.createDataFrame(
+        extra = local_rows_df(spark, 
             [(f, list(ds)) for f, ds in sorted(dv_appends.items())],
             "file string, _extra_dvs array<string>",
         )
@@ -291,7 +292,7 @@ def manifest_df(spark, table: TableLog, version: int | None = None):
         for f, (pb, st, dl) in sorted(upserts.items()):
             sj, mn, mx, bl = _split_stats(st)
             rows.append((f, pb, sj, list(dl), mn, mx, bl))
-        added = spark.createDataFrame(rows, _SPARK_SCHEMA)
+        added = local_rows_df(spark, rows, _SPARK_SCHEMA)
         df = df.select(
             "file", "pb", "stats_json", "dvs", "mins", "maxs", "blooms"
         ).unionByName(added)
@@ -470,7 +471,7 @@ def referenced_files_df(spark, table: TableLog):
     floor = table.expired_before()
     extra: set[str] = set(table._txn_shielded_files())
     if head < 0:
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [(x,) for x in sorted(extra)], "file string")
     m = manifest_df(spark, table, version=floor)
     base = m.select("file").unionByName(
@@ -491,7 +492,7 @@ def referenced_files_df(spark, table: TableLog):
             if f not in removed_now:
                 extra.update([d] if isinstance(d, str) else list(d))
     if extra:
-        base = base.unionByName(spark.createDataFrame(
+        base = base.unionByName(local_rows_df(spark, 
             [(x,) for x in sorted(extra)], "file string"))
     return base.distinct()
 
@@ -529,7 +530,7 @@ def vacuum_spark(
     names = sorted(os.listdir(table.data_dir))
     if not names:
         return []
-    listing = spark.createDataFrame([(n,) for n in names], "file string")
+    listing = local_rows_df(spark, [(n,) for n in names], "file string")
     cand = [
         r["file"]
         for r in listing.join(

@@ -180,8 +180,10 @@ class Table:
                 len(c["adds"]), len(c["removes"]),
                 len(c.get("dvs") or {}),
             ))
-        return self.spark.createDataFrame(
-            rows,
+        from distribot_spark.session import local_rows_df
+
+        return local_rows_df(
+            self.spark, rows,
             "version int, writer string, ts double, "
             "n_adds int, n_removes int, n_dvs int",
         )
