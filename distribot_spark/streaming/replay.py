@@ -401,32 +401,35 @@ def cdf_replay_dir(
     n = max(int(versions_per_trigger), 1)
     os.makedirs(out, exist_ok=True)
     scratch = tempfile.mkdtemp(prefix="cdfchunk_", dir=TMP_ROOT)
-    # ONE Spark job for every chunk (r9 optimization — guide §1.2: the
-    # old shape ran one repartition(1)-write job PER commit version, so
-    # materializing an N-version feed paid N job round-trips of mostly
-    # scheduling constant): tag each version range's frame with its
-    # chunk id, union, and write partitionBy(_chunk) — hash
-    # partitioning puts each chunk id in exactly one task, so each
-    # _chunk=j dir lands exactly one parquet file, renamed to the
-    # contractual chunk_{j}.parquet names. A version range whose feed
-    # is EMPTY (an OPTIMIZE commit: carried rows suppressed) writes no
-    # dir under partitionBy — those chunks fall back to the old
-    # per-chunk empty write below, preserving the chunk-count contract
-    # (one file per version range, empty or not).
-    chunks = {}
-    for j, lo in enumerate(range(from_version, hi + 1, n)):
-        chunks[j] = changes_fn(
-            spark, table, key, lo, min(lo + n - 1, hi),
+    # ONE feed plan + ONE Spark write job for every chunk (r9
+    # optimization — guide §1.2). History: the original shape ran one
+    # repartition(1)-write job PER commit version; the first r9 pass
+    # cut that to one WRITE but still built one changes_fn PLAN per
+    # version range (~0.25 s of driver plan construction each, and a
+    # union of R subplans for the write to execute). Since
+    # `table_changes_spark(lo, hi)` is BY CONSTRUCTION the union of
+    # the per-version frames (it loops versions internally, tagging
+    # each row with its `_commit_version`), one call over the whole
+    # range is row-identical — and the chunk id is pure arithmetic on
+    # `_commit_version` (non-negative operands, so DIV is exact floor
+    # division in both engines — the s20 discipline). partitionBy
+    # lands each chunk id's rows in exactly one parquet file, renamed
+    # to the contractual chunk_{j}.parquet names. A version range
+    # whose feed is EMPTY (an OPTIMIZE commit: carried rows
+    # suppressed) writes no dir under partitionBy — those chunks get a
+    # zero-row file of the SAME union schema (what every consumer
+    # reads the dir with), one extra limit(0) write for all of them.
+    chunk_ids = list(range(len(range(from_version, hi + 1, n))))
+    if chunk_ids:
+        feed = changes_fn(spark, table, key, from_version, hi)
+        tagged = feed.withColumn(
+            "_chunk",
+            F.expr(f"CAST((_commit_version - {int(from_version)}) "
+                   f"DIV {int(n)} AS INT)"),
         )
-    if chunks:
-        tagged = None
-        for j, ch in chunks.items():
-            t = ch.withColumn("_chunk", F.lit(int(j)))
-            tagged = t if tagged is None else tagged.unionByName(
-                t, allowMissingColumns=True)
         tmp = os.path.join(scratch, "all")
         (
-            tagged.repartition(len(chunks), "_chunk")
+            tagged.repartition(len(chunk_ids), "_chunk")
             .write.mode("overwrite").partitionBy("_chunk").parquet(tmp)
         )
         for d in os.listdir(tmp):
@@ -439,16 +442,21 @@ def cdf_replay_dir(
             )
             os.rename(os.path.join(tmp, d, part),
                       os.path.join(out, f"chunk_{j:04d}.parquet"))
-    for j, ch in chunks.items():
-        if os.path.exists(os.path.join(out, f"chunk_{j:04d}.parquet")):
-            continue
-        tmp = os.path.join(scratch, f"v{j}")
-        ch.repartition(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
-        )
-        os.rename(os.path.join(tmp, part),
-                  os.path.join(out, f"chunk_{j:04d}.parquet"))
+        missing = [j for j in chunk_ids if not os.path.exists(
+            os.path.join(out, f"chunk_{j:04d}.parquet"))]
+        if missing:
+            tmp0 = os.path.join(scratch, "empty")
+            feed.limit(0).repartition(1).write.mode(
+                "overwrite").parquet(tmp0)
+            part = next(p for p in sorted(os.listdir(tmp0))
+                        if p.endswith(".parquet"))
+            src = os.path.join(tmp0, part)
+            for j in missing:
+                # copy, never hardlink: _stamp_replay_order stamps
+                # strictly increasing mtimes per FILE, and hardlinks
+                # share one inode
+                shutil.copyfile(
+                    src, os.path.join(out, f"chunk_{j:04d}.parquet"))
     shutil.rmtree(scratch, ignore_errors=True)
     _stamp_replay_order(out)
     return out
