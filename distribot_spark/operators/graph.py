@@ -51,9 +51,15 @@ def pagerank(
     ).localCheckpoint(eager=True)
     n_edges = ew.count()
 
+    # node set from the CHECKPOINTED weighted edges, not from `e`:
+    # ew = e ⋈ deg(e) on src is exactly e with out_deg attached (deg is
+    # unique per src and covers every src), so ew's src/dst multisets
+    # equal e's and the distinct is row-identical — while reading the
+    # in-memory checkpoint instead of re-running the upstream edge plan
+    # (scan + distinct) a second time (r9 optimization, guide §1.2)
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        ew.select(F.col("src").alias("id"))
+        .union(ew.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -118,26 +124,28 @@ def pagerank_quantized(
     ).localCheckpoint(eager=True)
     n_edges = ew.count()
 
+    # node set from the CHECKPOINTED weighted edges (see `pagerank`):
+    # row-identical to deriving from `e`, one upstream pass cheaper
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        ew.select(F.col("src").alias("id"))
+        .union(ew.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    # ONE action for n AND the teleport term. teleport rounds IN-ENGINE
+    # (Spark round == DuckDB round on the same positive double; Python
+    # round() is banker's — never use it here); count(*) is a LongType
+    # operand exactly like the F.lit(n) it replaces, so the double
+    # expression tree is unchanged
+    row = nodes.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.lit(1.0 - damping) * F.lit(float(scale)) / F.count("*")
+        ).cast("long").alias("t"),
+    ).collect()[0]
+    n, teleport_int = row["n"], row["t"]
     # floor-div of positives: unambiguous across engines
     r0 = scale // n
-    # teleport rounds IN-ENGINE (Spark round == DuckDB round on the same
-    # positive double; Python round() is banker's — never use it here)
-    teleport_int = (
-        nodes.sparkSession.range(1)
-        .select(
-            F.round(F.lit(1.0 - damping) * F.lit(float(scale)) / F.lit(n))
-            .cast("long")
-            .alias("t")
-        )
-        .collect()[0]["t"]
-    )
 
     ranks = nodes.withColumn("r", F.lit(r0).cast("long"))
     with _pinned_shuffle_partitions(e.sparkSession, n_edges):

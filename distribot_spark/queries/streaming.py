@@ -1566,9 +1566,23 @@ def s28_stream_expectations_quarantine(spark, sf_dir):
                 -F.col("o_totalprice"),
             ).otherwise(F.col("o_totalprice")).alias("price"),
         )
+        # ONE bucket-discovery pass for both applies (r9 optimization,
+        # guide §1.2): the redelivered batch is the same frame, so its
+        # touched-bucket set is identical — the all-rows set is a
+        # superset of the post-quarantine clean rows' buckets, which
+        # the touched_buckets contract allows (a clean-bucket rewrite
+        # carries identical rows). Both applies still run the full
+        # constraint split, rewrite and commit independently.
+        bkts = {
+            int(r["_pb"]) for r in up.select(
+                acid._bucket_expr(
+                    "k", 8, table.hash_buckets()).alias("_pb")
+            ).distinct().collect()
+        }
         for _ in range(2):  # injected redelivery: worst-case reapply
             st = acid.merge_upsert_spark(spark, table, up,
-                                         writer=f"b{batch_id}")
+                                         writer=f"b{batch_id}",
+                                         touched_buckets=bkts)
             stats["quarantined"] += st["quarantined"]
 
     replay.run_foreach_batch(spark, lambda s: s, src, sink, "append")
