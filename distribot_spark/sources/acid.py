@@ -2162,7 +2162,8 @@ def _apply_fk_spark(spark, table: TableLog, df, fkcons: dict,
     return df, tags
 
 
-def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
+def _apply_constraints_spark(spark, table: TableLog, df, writer: str,
+                             observe_exprs=None):
     """Split CHECK enforcement by each constraint's ``on_violation``
     policy (dlt's expectations): ``fail`` (default) aborts the write
     inside the stage job; ``quarantine`` DIVERTS violating rows to the
@@ -2171,19 +2172,38 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     for dirty upstream feeds, where one bad row must not stall the
     pipeline but must also never silently vanish. Returns
     (clean_df, n_quarantined, quarantine_dir_or_None — so a write
-    restarted by a racing ALTER can retract its stale diversions).
+    restarted by a racing ALTER can retract its stale diversions,
+    observed_metrics_or_None).
     The quarantine write is one extra job and only runs when
     quarantine-mode constraints exist. FOREIGN KEY specs are enforced
     here too (`_apply_fk_spark`): fail-mode aborts in-stage, and
     quarantine-mode FK rows flow into the SAME dead-letter write and
-    the same retraction contract as CHECK rows."""
+    the same retraction contract as CHECK rows.
+
+    Two r9 optimizations (guide §1.2 — don't recompute what one job
+    already evaluated):
+
+    - The tagged frame is pinned (row-format lazy localCheckpoint)
+      before the dead-letter write, so the caller's later jobs over
+      the CLEAN rows (bucket discovery, the staged rewrite) read the
+      pinned result instead of re-running the whole update lineage —
+      which for FK tables re-ran the parent key scan + membership
+      join once per job. The quarantine write evaluates the full
+      lineage exactly once either way; the pin just keeps it.
+    - ``observe_exprs``: aggregate expressions the caller wants
+      computed over the tagged rows (clean AND diverted) DURING the
+      dead-letter write job (`Dataset.observe`) — e.g. the MERGE's
+      touched-bucket set, saving its one-per-write planning action.
+      Returned as the 4th element; None when no dead-letter job ran
+      (then nothing was observed and the caller runs its own action).
+    """
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     cons = table.constraints()
     if not cons:
-        return df, 0, None
+        return df, 0, None, None
     fkcons = {n: c for n, c in cons.items() if c.get("foreign_key")}
     cons = {n: c for n, c in cons.items() if not c.get("foreign_key")}
     fk_tags: list = []
@@ -2205,7 +2225,7 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
         quar[all_bad[0]] = {"col": df.columns[0], "not_null": False,
                             "_always": True}
     if not quar and not fk_tags:
-        return df, 0, None
+        return df, 0, None, None
     # first failing constraint name per row (NULL = clean)
     tag = reduce(
         lambda acc, name: acc.when(
@@ -2219,8 +2239,19 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
         tag = tag.when(F.col(flag), F.lit(name))
     tagged = df.withColumn("_constraint", tag).drop(
         *[flag for _, flag in fk_tags])
+    # pin ONCE: the dead-letter write below evaluates the full update
+    # lineage (FK parent scans included) — keep that result so the
+    # caller's clean-row jobs re-read it instead of re-deriving it
+    tagged = tagged.localCheckpoint(eager=False)
+    obs = None
+    src = tagged
+    if observe_exprs:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        src = tagged.observe(obs, *observe_exprs)
     out = os.path.join(quarantine_dir(table), uuid.uuid4().hex)
-    bad = tagged.filter(F.col("_constraint").isNotNull()).withColumn(
+    bad = src.filter(F.col("_constraint").isNotNull()).withColumn(
         "_writer", F.lit(writer)
     ).withColumn("_qts", F.lit(time.time()))
     bad.write.mode("overwrite").parquet(out)
@@ -2233,7 +2264,7 @@ def _apply_constraints_spark(spark, table: TableLog, df, writer: str):
     if nq == 0:
         shutil.rmtree(out, ignore_errors=True)
     clean = tagged.filter(F.col("_constraint").isNull()).drop("_constraint")
-    return clean, nq, (out if nq else None)
+    return clean, nq, (out if nq else None), (obs.get if obs else None)
 
 
 def _fk_parent_keys_pandas(child: TableLog, c: dict, vals) -> set:
@@ -3745,8 +3776,20 @@ def merge_upsert_spark(
     uniq = _unique_constraints(table, key)
     idcol = _identity_guard(table, updates_df.columns)
     updates_df = _apply_generated_spark(table, updates_df)
-    updates_df, _nq, _qdir = _apply_constraints_spark(spark, table,
-                                                      updates_df, writer)
+    # fold the touched-bucket discovery into the dead-letter write job
+    # when one will run (observe over the tagged rows — a SUPERSET of
+    # the clean rows' buckets, which the touched contract allows); the
+    # bucket ids are identical on logical or physical names (a rename
+    # never changes values)
+    _obs_exprs = None
+    if touched_buckets is None:
+        from pyspark.sql import functions as _F
+
+        _obs_exprs = [_F.collect_set(
+            _bucket_expr(key, n_buckets, table.hash_buckets())
+        ).alias("_pbs")]
+    updates_df, _nq, _qdir, _obsm = _apply_constraints_spark(
+        spark, table, updates_df, writer, observe_exprs=_obs_exprs)
     if uniq and version is None:
         # a dup-carrying un-versioned batch would plant duplicate keys
         # (both copies survive the rewrite); versioned merges collapse
@@ -3771,6 +3814,7 @@ def merge_upsert_spark(
     # superset is correct but rewrites clean buckets)
     touched = (set(int(b) for b in touched_buckets)
                if touched_buckets is not None else
+               set(int(b) for b in _obsm["_pbs"]) if _obsm is not None else
                {int(r["_pb"]) for r in up.select("_pb").distinct().collect()})
     up_cols = updates_df.columns
     up_types = dict(updates_df.dtypes)
@@ -3967,7 +4011,7 @@ def sync_snapshot_spark(
         )
     hashed = table.hash_buckets()
     source_df = _apply_generated_spark(table, source_df)
-    source_df, _nq, _qdir = _apply_constraints_spark(spark, table, source_df,
+    source_df, _nq, _qdir, _ = _apply_constraints_spark(spark, table, source_df,
                                                      writer)
     # LOGICAL -> PHYSICAL boundary (see merge_upsert_spark)
     source_df = _to_physical_spark(table, source_df)
@@ -4063,7 +4107,7 @@ def write_initial_spark(spark, table: TableLog, df, key: str,
                identity=identity, auto_optimize=auto_optimize)
     uniq = _unique_constraints(table, key)
     df = _apply_generated_spark(table, df)
-    df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
+    df, _nq, _qdir, _ = _apply_constraints_spark(spark, table, df, writer)
     if uniq:
         _check_batch_unique_spark(df, key, next(iter(uniq)))
     idcol = _identity_guard(table, df.columns)
@@ -4914,7 +4958,7 @@ def overwrite_where_spark(
     key, n_buckets = _resolve_layout(table, key, n_buckets)
     uniq = _unique_constraints(table, key)
     df = _apply_generated_spark(table, df)
-    df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
+    df, _nq, _qdir, _ = _apply_constraints_spark(spark, table, df, writer)
     pred = F.expr(predicate)
     n_ins, n_outside = [
         int(x or 0) for x in df.agg(
@@ -5284,7 +5328,7 @@ def append_spark(
     uniq = _unique_constraints(table, key)
     idcol = _identity_guard(table, df.columns)
     df = _apply_generated_spark(table, df)
-    df, _nq, _qdir = _apply_constraints_spark(spark, table, df, writer)
+    df, _nq, _qdir, _ = _apply_constraints_spark(spark, table, df, writer)
     if uniq:
         _check_batch_unique_spark(df, key, next(iter(uniq)))
     # LOGICAL -> PHYSICAL boundary (see merge_upsert_spark)

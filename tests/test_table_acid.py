@@ -4668,3 +4668,50 @@ def test_merge_touched_buckets_param_equals_default(spark, tmp_path):
     r1 = sorted(map(tuple, acid.read_snapshot_spark(spark, t1).collect()))
     r2 = sorted(map(tuple, acid.read_snapshot_spark(spark, t2).collect()))
     assert r1 == r2 and len(r1) == 100
+
+
+def test_quarantine_merge_fused_discovery_superset(spark, tmp_path):
+    """r9 optimization pin: a quarantine-mode MERGE discovers its
+    touched buckets DURING the dead-letter write (`Dataset.observe`
+    over the tagged rows) — a documented SUPERSET of the clean rows'
+    buckets. A batch whose rows for one bucket are ALL diverted must
+    still commit the clean rows, divert the bad ones, rewrite the
+    bad-only bucket IDENTICALLY, and emit NO change-feed rows for the
+    identical rewrite (carried rows are struct-compare suppressed)."""
+    from distribot_spark.sources import acid
+
+    t = acid.TableLog(str(tmp_path / "t"))
+    acid.write_initial_spark(
+        spark, t,
+        spark.range(8).select(F.col("id").alias("k"),
+                              (F.col("id") * 1.0).alias("val")),
+        "k", n_buckets=2,
+        constraints={"val_nonneg": {"col": "val", "min": 0,
+                                    "on_violation": "quarantine"}},
+    )
+    # bucket 0 (even keys): clean updates; bucket 1 (odd keys): every
+    # row violates -> the observed superset includes bucket 1, whose
+    # rewrite must carry its base rows unchanged
+    up = spark.createDataFrame(
+        [(0, 100.0), (2, 200.0), (1, -1.0), (3, -3.0)],
+        "k long, val double")
+    st = acid.merge_upsert_spark(spark, t, up, "k")
+    assert st["quarantined"] == 2, st
+
+    got = dict((r.k, r.val) for r in
+               acid.read_snapshot_spark(spark, t).collect())
+    assert got == {0: 100.0, 2: 200.0, 1: 1.0, 3: 3.0,
+                   4: 4.0, 5: 5.0, 6: 6.0, 7: 7.0}
+    qrows = sorted((r.k, r.val) for r in
+                   acid.read_quarantine(spark, t).collect())
+    assert qrows == [(1, -1.0), (3, -3.0)]
+
+    # change feed of the merge commit: exactly the two clean updates
+    # as pre/post pairs — the identical bucket-1 rewrite contributes
+    # nothing
+    ch = acid.table_changes_spark(spark, t, "k", from_version=1)
+    rows = sorted((r.k, r.val, r._change_type) for r in ch.collect())
+    assert rows == [
+        (0, 0.0, "update_pre"), (0, 100.0, "update_post"),
+        (2, 2.0, "update_pre"), (2, 200.0, "update_post"),
+    ], rows
