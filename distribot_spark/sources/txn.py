@@ -236,6 +236,15 @@ def stage_merge_spark(spark, table, df, key: str | None = None,
     upd_staged = _a._stage_bucketed(
         spark, table, up, n_buckets, sort_cols=["_pb", key])
     touched = sorted({int(e["pb"]) for e in upd_staged})
+    # the raw update rows are now MATERIALIZED as staged parquet — the
+    # precomputed rewrite below reads them back instead of re-running
+    # the caller's update lineage a second time (r9, guide §1.2); _pb
+    # is re-derived from the key (same expression, same values)
+    if upd_staged:
+        up = _a.read_files_merged(
+            spark, [table.data_path(e["file"]) for e in upd_staged]
+        ).withColumn(
+            "_pb", _a._bucket_expr(key, n_buckets, table.hash_buckets()))
     v0, live = table.snapshot()
     bucket_files = {f: b for f, b in live.items() if b in set(touched)}
     dvmap = {f: ds for f, ds in table.live_dvs().items()
