@@ -39,6 +39,12 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.streaming.checkpointFileManagerClass",
          "org.apache.spark.sql.execution.streaming.checkpointing."
          "FileSystemBasedCheckpointFileManager"),
+        # task-commit renames instead of a serial job-commit rename
+        # pass (r10; see session.py rationale — table writes publish
+        # through the table layer's own atomic version links, so
+        # Spark's job-level output atomicity is never relied on)
+        ("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+         "2"),
     ):
         try:
             spark.conf.set(k, v)

@@ -3812,10 +3812,21 @@ def merge_upsert_spark(
     # them over, saving this one-per-MERGE planning action — callers
     # must guarantee the set covers every update row's bucket (a
     # superset is correct but rewrites clean buckets)
-    touched = (set(int(b) for b in touched_buckets)
-               if touched_buckets is not None else
-               set(int(b) for b in _obsm["_pbs"]) if _obsm is not None else
-               {int(r["_pb"]) for r in up.select("_pb").distinct().collect()})
+    if touched_buckets is not None:
+        touched = set(int(b) for b in touched_buckets)
+    elif _obsm is not None:
+        touched = set(int(b) for b in _obsm["_pbs"])
+    else:
+        # pin the bucketed update set so ONE evaluation of the caller's
+        # update lineage (at 100 TB: a full source scan) serves the
+        # discovery action below AND both update-side subtrees of the
+        # staged rewrite (anti-join probe + union) AND any OCC
+        # recompute — delta-sized by the MERGE contract, so the pin is
+        # bounded (r10; guide §1.2). Row-format lazy localCheckpoint,
+        # not the columnar cache (the minhash persist trap).
+        up = up.localCheckpoint(eager=False)
+        touched = {int(r["_pb"])
+                   for r in up.select("_pb").distinct().collect()}
     up_cols = updates_df.columns
     up_types = dict(updates_df.dtypes)
     attempts = 0
@@ -4513,7 +4524,9 @@ def delete_keys_spark(
     # child row may reference a removed key (no-op without back-refs)
     up = keys_df.select(key).distinct().withColumn(
         "_pb", _bucket_expr(key, n_buckets, table.hash_buckets())
-    )
+    ).localCheckpoint(eager=False)  # one evaluation of the caller's
+    # key lineage serves discovery + every anti-join/DV job below
+    # (bounded: distinct keys of one delete batch; r10, guide §1.2)
     touched = {int(r["_pb"]) for r in up.select("_pb").distinct().collect()}
     attempts = 0
     recomputes = 0
